@@ -1,0 +1,36 @@
+"""dbimport_spark — a PySpark-native data-import & merge engine.
+
+From-scratch rebuild of the capabilities of hudeany/dbimport (studied at
+/root/reference; see SURVEY.md for the operator inventory with file:line
+citations). Architecture: every stage is a pure DataFrame -> DataFrame
+function; Catalyst is the optimizer/executor.
+
+    reader -> mapping/coercion (valid/invalid split) -> dedup -> merge -> stats
+
+Scale notes (the engine targets 1000-executor / 100 TB deployments even
+though tests run on local[32]):
+
+* Dedup and last-wins merge are expressed as ``groupBy().agg(min_by/max_by)``
+  aggregations, not windows, so Spark can do map-side partial aggregation —
+  one shuffle of partially-combined data instead of a full sort of every row.
+* Merges are plain equi-joins; Catalyst + AQE pick broadcast vs sort-merge
+  and handle skew. Small target key-sets are explicitly broadcast.
+* All coercions are built-in column expressions (whole-stage codegen), never
+  row-at-a-time Python UDFs.
+"""
+
+from dbimport_spark.config import ColumnMapping, DuplicateMode, ImportDefinition, ImportMode
+from dbimport_spark.operators import dedup, merge
+from dbimport_spark.operators.stats import ImportStatistics
+
+__all__ = [
+    "ColumnMapping",
+    "DuplicateMode",
+    "ImportDefinition",
+    "ImportMode",
+    "ImportStatistics",
+    "dedup",
+    "merge",
+]
+
+__version__ = "0.1.0"

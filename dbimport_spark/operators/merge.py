@@ -1,0 +1,208 @@
+"""Merge modes — the heart of the engine (SURVEY.md §2.5).
+
+Import mode × duplicate mode dispatch in the reference:
+DbImportWorker.java:426-581. All merges here are equi-joins on the key
+columns (optionally through SQL functions, applied on both sides).
+
+Scale design:
+* insert_not_existing = left_anti join against the target's PRUNED key
+  projection (column pruning keeps the shuffled bytes minimal); broadcast
+  when the key set is small.
+* update_* = single left join target←updates + per-column conditional
+  projection. No row-at-a-time probes (the reference's NoSQL path does
+  SELECT-per-row — we explicitly do not reproduce that).
+* upsert = update join + anti-join insert, both shuffling on the SAME key
+  → Catalyst/AQE reuses the exchange where possible.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from dbimport_spark.config import KeyColumn
+from dbimport_spark.operators import dedup
+from dbimport_spark.operators.dedup import _with_keys
+from dbimport_spark.operators.order import SRC_ORDER_COL
+
+UPD_PREFIX = "__upd_"
+MATCH_FLAG = "__upd_matched"
+
+
+def insert_all(target: DataFrame, source: DataFrame) -> DataFrame:
+    """Append every source row (fast path / insertAllItems).
+
+    Reference: DbImportWorker.java:426-429 (no-key fast path), :500,:542.
+    """
+    return target.unionByName(source.select(*target.columns))
+
+
+def insert_not_existing(
+    target: DataFrame,
+    source: DataFrame,
+    keys: Sequence[KeyColumn | str],
+    broadcast_target_keys: bool = False,
+) -> DataFrame:
+    """Insert source rows whose key is absent from the target.
+
+    Reference: DbUtilities.insertNotExistingItems at
+    DbImportWorker.java:494,513,559,577 — an anti equi-join with key
+    functions applied on both sides.
+    """
+    fresh = dedup.drop_duplicates_cross_table(
+        source, target, keys, broadcast_target_keys=broadcast_target_keys
+    )
+    return insert_all(target, fresh)
+
+
+def _prepare_updates(
+    source: DataFrame,
+    keys: Sequence[KeyColumn | str],
+    value_cols: list[str],
+) -> tuple[DataFrame, list[str]]:
+    """Rename source value columns to __upd_* and compute key columns."""
+    src_keyed, knames = _with_keys(source, keys)
+    sel = [F.col(k) for k in knames]
+    sel += [F.col(c).alias(UPD_PREFIX + c) for c in value_cols]
+    sel.append(F.lit(1).alias(MATCH_FLAG))
+    return src_keyed.select(*sel), knames
+
+
+def update_all_existing(
+    target: DataFrame,
+    source: DataFrame,
+    keys: Sequence[KeyColumn | str],
+    update_with_null_values: bool = True,
+    update_columns: Sequence[str] | None = None,
+) -> DataFrame:
+    """Update ALL target rows whose key matches a source row.
+
+    Reference: DbUtilities.updateAllExistingItems at
+    DbImportWorker.java:535,568; golden proof that every duplicate target
+    row gets the update: DbImportTest_MariaDB.java:1477-1525. Null
+    overwrite behavior per the `-u` flag (DbImportTest_HSQL.java:470-550).
+
+    The source must already be collapsed to one row per key
+    (join_duplicates / drop first) — mirroring the reference, which always
+    dedups the temp table before the merge (DbImportWorker.java:477-485).
+    """
+    tgt_cols = target.columns
+    value_cols = list(update_columns) if update_columns is not None else [
+        c for c in tgt_cols if c in source.columns
+    ]
+    updates, knames = _prepare_updates(source, keys, value_cols)
+    tgt_keyed, _ = _with_keys(target, keys)
+    joined = tgt_keyed.join(updates, on=knames, how="left")
+    key_cols = {k.column if isinstance(k, KeyColumn) else k for k in keys}
+    upd_cols = {c[len(UPD_PREFIX):] for c in updates.columns if c.startswith(UPD_PREFIX)}
+    out = []
+    matched = F.col(MATCH_FLAG).isNotNull()
+    for c in tgt_cols:
+        if c in key_cols or c not in upd_cols:
+            out.append(F.col(c).alias(c))
+            continue
+        upd = F.col(UPD_PREFIX + c)
+        new_val = upd if update_with_null_values else F.coalesce(upd, F.col(c))
+        out.append(F.when(matched, new_val).otherwise(F.col(c)).alias(c))
+    return joined.select(*out)
+
+
+def update_first_existing(
+    target: DataFrame,
+    source: DataFrame,
+    keys: Sequence[KeyColumn | str],
+    target_order_col: str,
+    update_with_null_values: bool = True,
+) -> DataFrame:
+    """Update only the FIRST occurrence per key in the target; leave other
+    duplicate target rows untouched.
+
+    Reference: DbUtilities.updateFirstExistingItems at
+    DbImportWorker.java:526,551; golden proof (rows id 4-6 unchanged):
+    DbImportTest_HSQL.java:1055-1102. "First" is defined by the target's
+    surrogate order (identity PK in the reference).
+
+    Needs a window row_number over the target keyed groups — unavoidable,
+    but the sort is per-key-group (bounded by the duplicate group size),
+    not global.
+    """
+    tgt_cols = target.columns
+    updates, knames = _prepare_updates(
+        source, keys, [c for c in tgt_cols if c in source.columns]
+    )
+    tgt_keyed, tknames = _with_keys(target, keys)
+    w = Window.partitionBy(*tknames).orderBy(F.col(target_order_col))
+    tgt_rn = tgt_keyed.withColumn("__tgt_rn", F.row_number().over(w))
+    joined = tgt_rn.join(updates, on=knames, how="left")
+    key_cols = {k.column if isinstance(k, KeyColumn) else k for k in keys}
+    upd_cols = {c[len(UPD_PREFIX):] for c in updates.columns if c.startswith(UPD_PREFIX)}
+    matched = F.col(MATCH_FLAG).isNotNull() & (F.col("__tgt_rn") == 1)
+    out = []
+    for c in tgt_cols:
+        if c in key_cols or c not in upd_cols:
+            out.append(F.col(c).alias(c))
+            continue
+        upd = F.col(UPD_PREFIX + c)
+        new_val = upd if update_with_null_values else F.coalesce(upd, F.col(c))
+        out.append(F.when(matched, new_val).otherwise(F.col(c)).alias(c))
+    return joined.select(*out)
+
+
+def upsert(
+    target: DataFrame,
+    source: DataFrame,
+    keys: Sequence[KeyColumn | str],
+    update_with_null_values: bool = True,
+    update_first_only: bool = False,
+    target_order_col: str | None = None,
+) -> DataFrame:
+    """Update existing keys, then insert not-existing keys.
+
+    Reference: DbImportWorker.java:537-578 (order matters: update first,
+    then anti-join insert). Equivalent to a MERGE WHEN MATCHED / WHEN NOT
+    MATCHED statement on a Delta sink.
+    """
+    if update_first_only:
+        if target_order_col is None:
+            raise ValueError("update_first_only requires target_order_col")
+        updated = update_first_existing(
+            target, source, keys, target_order_col, update_with_null_values
+        )
+    else:
+        updated = update_all_existing(target, source, keys, update_with_null_values)
+    fresh = dedup.drop_duplicates_cross_table(source, target, keys)
+    return insert_all(updated, fresh.select(*[c for c in updated.columns if c in fresh.columns]))
+
+
+def make_unique(
+    target: DataFrame,
+    keys: Sequence[KeyColumn | str],
+    mode: str,  # 'drop' | 'join'
+    target_order_col: str,
+    update_with_null_values: bool = True,
+) -> DataFrame:
+    """Dedup the TARGET table itself before merging (MAKE_UNIQUE_*).
+
+    Reference: DbImportWorker.java:432-436; golden 6 prefilled rows → 3 at
+    DbImportTest_HSQL.java:1010-1053.
+    """
+    if mode == "drop":
+        return dedup.drop_duplicates_keep_first(target, keys, order_col=target_order_col)
+    if mode == "join":
+        return dedup.join_duplicates(
+            target, keys, order_col=target_order_col,
+            update_with_null_values=update_with_null_values,
+        )
+    raise ValueError(f"unknown make_unique mode: {mode}")
+
+
+def clear_insert(target: DataFrame, source: DataFrame) -> DataFrame:
+    """CLEARINSERT: delete all target rows, then insert the source.
+
+    Reference: DbImportWorker.java:411-415 (pre-delete) + insert path.
+    In DataFrame form the result simply IS the source projected to the
+    target schema; the deleted count is the old target count.
+    """
+    return source.select(*[c for c in target.columns if c in source.columns])

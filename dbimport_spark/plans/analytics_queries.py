@@ -1,0 +1,184 @@
+"""Analytical / scale-pipeline queries with DuckDB oracles.
+
+These go beyond the reference's own operator surface (which has no general
+aggregates — SURVEY.md §2.4) to cover the headline-bench shapes a 100 TB
+engine must handle: wide aggregation (Q1), top-k per group, sessionization,
+event-time windowed aggregation, and an as-of join.
+
+Float discipline: every SUM over doubles is computed over exact integer
+cents (``round(x * 100)::bigint``) so Spark and DuckDB sums are
+bit-identical regardless of accumulation order; ratios divide the same
+exact integers in the same written order.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from dbimport_spark.plans.registry import load, load_events, register
+
+
+@register(
+    "q1_pricing_summary",
+    """SELECT l_returnflag, l_linestatus,
+       CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) / 100.0 AS sum_qty,
+       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) / 100.0 AS sum_base_price,
+       CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) / 100.0 AS sum_disc_price,
+       CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 100) AS BIGINT)) AS BIGINT) / 100.0 AS sum_charge,
+       CAST(sum(CAST(round(l_discount * 10000) AS BIGINT)) AS BIGINT) / 10000.0 / count(*) AS avg_disc,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus""",
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: scan → filter (pushed to parquet) → hash agg with
+    map-side combine. The flagship bench query."""
+    l = load(spark, sf_dir, "lineitem")
+    qty_c = F.round(F.col("l_quantity") * 100).cast("bigint")
+    base_c = F.round(F.col("l_extendedprice") * 100).cast("bigint")
+    disc_c = F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100).cast("bigint")
+    charge_c = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax")) * 100
+    ).cast("bigint")
+    dpct_c = F.round(F.col("l_discount") * 10000).cast("bigint")
+    return (
+        l.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            (F.sum(qty_c) / F.lit(100.0)).alias("sum_qty"),
+            (F.sum(base_c) / F.lit(100.0)).alias("sum_base_price"),
+            (F.sum(disc_c) / F.lit(100.0)).alias("sum_disc_price"),
+            (F.sum(charge_c) / F.lit(100.0)).alias("sum_charge"),
+            (F.sum(dpct_c) / F.lit(10000.0) / F.count(F.lit(1))).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@register(
+    "topk_orders_per_customer",
+    """SELECT o_custkey, o_orderkey, o_totalprice, rnk FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+  FROM orders)
+WHERE rnk <= 3""",
+)
+def topk_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-K per group: window row_number ≤ K. At scale the per-group sort
+    is bounded by group size; no global sort."""
+    o = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+    return (
+        o.select("o_custkey", "o_orderkey", "o_totalprice")
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+    )
+
+
+@register(
+    "events_window_agg",
+    """SELECT date_trunc('hour', ts) AS window_start, event_type,
+       count(*) AS n_events,
+       CAST(sum(CAST(round(value * 10000) AS BIGINT)) AS BIGINT) / 10000.0 AS sum_value
+FROM events
+GROUP BY 1, 2""",
+)
+def events_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time tumbling-window aggregation — the batch expression of the
+    Structured Streaming plan (same F.window + agg runs on readStream with
+    a watermark; see dbimport_spark/streaming)."""
+    e = load_events(spark, sf_dir)
+    cents = F.round(F.col("value") * 10000).cast("bigint")
+    return (
+        e.groupBy(F.window("ts", "1 hour").start.alias("window_start"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            (F.sum(cents) / F.lit(10000.0)).alias("sum_value"),
+        )
+    )
+
+
+@register(
+    "events_sessionize",
+    """WITH g AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+s AS (
+  SELECT user_id, ts, event_id,
+         sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM g
+)
+SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+       count(*) AS n_events, min(ts) AS session_start, max(ts) AS session_end
+FROM s GROUP BY user_id, session_id""",
+)
+def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30 min): lag + cumulative sum over a
+    per-user window, then per-session aggregation. The classic batch
+    equivalent of streaming session_window(ts, gap)."""
+    e = load_events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+    is_new = F.when(gap_us.isNull() | (gap_us > 1800 * 1000 * 1000), 1).otherwise(0)
+    sess = F.sum(is_new).over(w.rowsBetween(Window.unboundedPreceding, 0))
+    return (
+        e.select("user_id", "ts", "event_id")
+        .withColumn("session_id", sess.cast("bigint"))
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+        )
+    )
+
+
+@register(
+    "asof_join_events_orders",
+    """SELECT e.event_id, e.user_id, e.ts,
+       (SELECT o.o_orderkey FROM orders o
+        WHERE o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
+        ORDER BY o.o_orderdate DESC, o.o_orderkey DESC LIMIT 1) AS last_orderkey
+FROM events e""",
+)
+def asof_join_events_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (Spark has no native one — SNIPPETS.md pattern): union the
+    two streams tagged, one per-key window pass, last_value(ignore nulls).
+
+    Scale: a single shuffle on the join key + a per-key sort — the same cost
+    profile as a sort-merge join; never a per-row probe. The oracle is a
+    correlated LIMIT 1 subquery with identical tie-breaking
+    (max (o_orderdate, o_orderkey) among o_orderdate <= ts).
+    """
+    e = load_events(spark, sf_dir)
+    o = load(spark, sf_dir, "orders")
+    orders_side = o.select(
+        F.col("o_custkey").alias("user_id"),
+        F.col("o_orderdate").alias("ts"),
+        F.lit(0).alias("tag"),
+        F.col("o_orderkey").alias("okey"),
+        F.lit(None).cast("bigint").alias("event_id"),
+    )
+    events_side = e.select(
+        F.col("user_id"),
+        F.col("ts"),
+        F.lit(1).alias("tag"),
+        F.lit(None).cast("bigint").alias("okey"),
+        F.col("event_id"),
+    )
+    unioned = orders_side.unionByName(events_side)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts"), F.col("tag"), F.col("okey").asc_nulls_last())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    with_last = unioned.withColumn("last_orderkey", F.last("okey", ignorenulls=True).over(w))
+    return with_last.filter(F.col("tag") == 1).select("event_id", "user_id", "ts", "last_orderkey")

@@ -1,0 +1,363 @@
+"""Dedup + merge-mode queries (SURVEY.md §2.4/§2.5) with DuckDB oracles.
+
+The F3-shaped "updates" source (FIXTURES.md F3/F10) is derived
+deterministically from `orders`: duplicate keys (customers with several
+orders), brand-new keys (the +100000 branch), and injected NULLs
+(1-URGENT priority → NULL mktsegment) exercise every dedup/merge path.
+
+Scale notes: the Spark side is the dedup/merge operator library —
+hash aggregations with map-side combine for dedup (no window sort), pruned
+anti-joins for insert, single left join for update. The oracle side uses
+window last_value, which is semantically identical but NOT how we execute.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dbimport_spark.config import KeyColumn
+from dbimport_spark.operators import dedup, merge
+from dbimport_spark.plans.registry import load, register
+
+CUSTOMER_COLS = ["c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"]
+CUST_SEL = ", ".join(CUSTOMER_COLS)
+
+# ---------------------------------------------------------------- CTE fragments
+
+UPDATES_SQL = """updates AS (
+  SELECT o_custkey + CASE WHEN o_orderkey % 7 = 0 THEN 100000 ELSE 0 END AS c_custkey,
+         'UPD_' || CAST(o_orderkey AS VARCHAR) AS c_name,
+         CAST(o_orderkey % 25 AS INT) AS c_nationkey,
+         o_totalprice AS c_acctbal,
+         CASE WHEN o_orderpriority = '1-URGENT' THEN NULL ELSE o_orderpriority END AS c_mktsegment,
+         o_orderkey AS _src_order
+  FROM orders
+)"""
+
+MERGED_SQL = """merged AS (
+  SELECT DISTINCT c_custkey,
+         last_value(c_name) OVER w AS c_name,
+         last_value(c_nationkey) OVER w AS c_nationkey,
+         last_value(c_acctbal) OVER w AS c_acctbal,
+         last_value(c_mktsegment) OVER w AS c_mktsegment
+  FROM updates
+  WINDOW w AS (PARTITION BY c_custkey ORDER BY _src_order
+               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+)"""
+
+MERGED_SKIP_NULLS_SQL = """merged AS (
+  SELECT DISTINCT c_custkey,
+         last_value(c_name IGNORE NULLS) OVER w AS c_name,
+         last_value(c_nationkey IGNORE NULLS) OVER w AS c_nationkey,
+         last_value(c_acctbal IGNORE NULLS) OVER w AS c_acctbal,
+         last_value(c_mktsegment IGNORE NULLS) OVER w AS c_mktsegment
+  FROM updates
+  WINDOW w AS (PARTITION BY c_custkey ORDER BY _src_order
+               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+)"""
+
+# doubled target for UPDATE_FIRST / MAKE_UNIQUE modes (FIXTURES.md F3:
+# "doubly-prefilled target", DbImportTest_HSQL.java:1010-1152)
+DOUBLED_TARGET_SQL = """tgt AS (
+  SELECT c_custkey * 2 AS t_ord, c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+  FROM customer
+  UNION ALL
+  SELECT c_custkey * 2 + 1 AS t_ord, c_custkey,
+         'DUP_' || CAST(c_custkey AS VARCHAR) AS c_name,
+         c_nationkey, c_acctbal, NULL AS c_mktsegment
+  FROM customer
+)"""
+
+_UPDATED_CASE = """
+  SELECT c.c_custkey,
+         CASE WHEN m.c_custkey IS NOT NULL THEN {name} ELSE c.c_name END AS c_name,
+         CASE WHEN m.c_custkey IS NOT NULL THEN {nat} ELSE c.c_nationkey END AS c_nationkey,
+         CASE WHEN m.c_custkey IS NOT NULL THEN {acct} ELSE c.c_acctbal END AS c_acctbal,
+         CASE WHEN m.c_custkey IS NOT NULL THEN {mkt} ELSE c.c_mktsegment END AS c_mktsegment
+  FROM customer c LEFT JOIN merged m ON c.c_custkey = m.c_custkey
+"""
+
+UPDATED_OVERWRITE_SQL = "updated AS (" + _UPDATED_CASE.format(
+    name="m.c_name", nat="m.c_nationkey", acct="m.c_acctbal", mkt="m.c_mktsegment"
+) + ")"
+
+UPDATED_SKIP_NULLS_SQL = "updated AS (" + _UPDATED_CASE.format(
+    name="COALESCE(m.c_name, c.c_name)",
+    nat="COALESCE(m.c_nationkey, c.c_nationkey)",
+    acct="COALESCE(m.c_acctbal, c.c_acctbal)",
+    mkt="COALESCE(m.c_mktsegment, c.c_mktsegment)",
+) + ")"
+
+INSERTED_SQL = f"""inserted AS (
+  SELECT {CUST_SEL} FROM merged m
+  WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = m.c_custkey)
+)"""
+
+
+# ---------------------------------------------------------------- spark-side sources
+
+
+def updates_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    return o.select(
+        (
+            F.col("o_custkey")
+            + F.when(F.col("o_orderkey") % 7 == 0, F.lit(100000)).otherwise(F.lit(0))
+        ).alias("c_custkey"),
+        F.concat(F.lit("UPD_"), F.col("o_orderkey").cast("string")).alias("c_name"),
+        (F.col("o_orderkey") % 25).cast("int").alias("c_nationkey"),
+        F.col("o_totalprice").alias("c_acctbal"),
+        F.when(F.col("o_orderpriority") == "1-URGENT", F.lit(None))
+        .otherwise(F.col("o_orderpriority"))
+        .alias("c_mktsegment"),
+        F.col("o_orderkey").alias("_src_order"),
+    )
+
+
+def merged_df(spark: SparkSession, sf_dir: str, update_with_null_values: bool = True) -> DataFrame:
+    return dedup.join_duplicates(
+        updates_df(spark, sf_dir),
+        ["c_custkey"],
+        order_col="_src_order",
+        update_with_null_values=update_with_null_values,
+    ).drop("_src_order")
+
+
+def doubled_target_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    first = c.select(
+        (F.col("c_custkey") * 2).alias("t_ord"), *[F.col(x) for x in CUSTOMER_COLS]
+    )
+    second = c.select(
+        (F.col("c_custkey") * 2 + 1).alias("t_ord"),
+        F.col("c_custkey"),
+        F.concat(F.lit("DUP_"), F.col("c_custkey").cast("string")).alias("c_name"),
+        F.col("c_nationkey"),
+        F.col("c_acctbal"),
+        F.lit(None).cast("string").alias("c_mktsegment"),
+    )
+    return first.unionByName(second)
+
+
+# ---------------------------------------------------------------- dedup family
+
+
+@register(
+    "dedup_drop_first",
+    f"""WITH {UPDATES_SQL},
+rn AS (SELECT *, row_number() OVER (PARTITION BY c_custkey ORDER BY _src_order) AS __rn FROM updates)
+SELECT {CUST_SEL}, _src_order FROM rn WHERE __rn = 1""",
+)
+def dedup_drop_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dropDuplicates keep-first-occurrence (DbImportWorker.java:433,480),
+    executed as min_by(struct) hash aggregation — no window sort."""
+    return dedup.drop_duplicates_keep_first(
+        updates_df(spark, sf_dir), ["c_custkey"], order_col="_src_order"
+    )
+
+
+@register(
+    "dedup_join_last_wins",
+    f"WITH {UPDATES_SQL}, {MERGED_SQL} SELECT {CUST_SEL} FROM merged",
+)
+def dedup_join_last_wins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """joinDuplicates, later-occurrence-wins incl. NULL overwrite
+    (DbImportTest_HSQL.java:427-467)."""
+    return merged_df(spark, sf_dir, update_with_null_values=True)
+
+
+@register(
+    "dedup_join_skip_nulls",
+    f"WITH {UPDATES_SQL}, {MERGED_SKIP_NULLS_SQL} SELECT {CUST_SEL} FROM merged",
+)
+def dedup_join_skip_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """joinDuplicates with `-u`: NULLs skipped, last non-null wins
+    (DbImportTest_HSQL.java:597-640)."""
+    return merged_df(spark, sf_dir, update_with_null_values=False)
+
+
+@register(
+    "detect_duplicates",
+    f"""WITH {UPDATES_SQL}
+SELECT c_custkey, count(*) AS dup_count FROM updates GROUP BY c_custkey HAVING count(*) > 1""",
+)
+def detect_duplicates_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """detectDuplicates probe (DbImportWorker.java:518,543)."""
+    return dedup.detect_duplicates(updates_df(spark, sf_dir), ["c_custkey"]).withColumnRenamed(
+        "__key_0", "c_custkey"
+    )
+
+
+# ---------------------------------------------------------------- merge modes
+
+
+@register(
+    "merge_insert",
+    f"""WITH {UPDATES_SQL}, {MERGED_SQL}, {INSERTED_SQL}
+SELECT {CUST_SEL} FROM customer UNION ALL SELECT {CUST_SEL} FROM inserted""",
+)
+def merge_insert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INSERT mode: anti-join insert of not-existing keys
+    (insertNotExistingItems, DbImportWorker.java:494,513,559,577)."""
+    target = load(spark, sf_dir, "customer")
+    return merge.insert_not_existing(target, merged_df(spark, sf_dir), ["c_custkey"])
+
+
+@register(
+    "merge_update_all",
+    f"WITH {UPDATES_SQL}, {MERGED_SQL}, {UPDATED_OVERWRITE_SQL} SELECT {CUST_SEL} FROM updated",
+)
+def merge_update_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UPDATE mode, null-overwrite (updateAllExistingItems,
+    DbImportWorker.java:535,568; golden DbImportTest_HSQL.java:470-508)."""
+    target = load(spark, sf_dir, "customer")
+    return merge.update_all_existing(
+        target, merged_df(spark, sf_dir), ["c_custkey"], update_with_null_values=True
+    )
+
+
+@register(
+    "merge_update_skip_nulls",
+    f"WITH {UPDATES_SQL}, {MERGED_SKIP_NULLS_SQL}, {UPDATED_SKIP_NULLS_SQL} SELECT {CUST_SEL} FROM updated",
+)
+def merge_update_skip_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UPDATE mode with `-u` (nulls never overwrite;
+    golden DbImportTest_HSQL.java:511-550)."""
+    target = load(spark, sf_dir, "customer")
+    return merge.update_all_existing(
+        target,
+        merged_df(spark, sf_dir, update_with_null_values=False),
+        ["c_custkey"],
+        update_with_null_values=False,
+    )
+
+
+@register(
+    "merge_upsert",
+    f"""WITH {UPDATES_SQL}, {MERGED_SQL}, {UPDATED_OVERWRITE_SQL}, {INSERTED_SQL}
+SELECT {CUST_SEL} FROM updated UNION ALL SELECT {CUST_SEL} FROM inserted""",
+)
+def merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UPSERT: update existing then insert not-existing
+    (DbImportWorker.java:537-578; golden DbImportTest_HSQL.java:553-594)."""
+    target = load(spark, sf_dir, "customer")
+    return merge.upsert(target, merged_df(spark, sf_dir), ["c_custkey"])
+
+
+@register(
+    "merge_update_first",
+    f"""WITH {UPDATES_SQL}, {MERGED_SQL}, {DOUBLED_TARGET_SQL},
+rn AS (SELECT *, row_number() OVER (PARTITION BY c_custkey ORDER BY t_ord) AS __rn FROM tgt)
+SELECT t.t_ord, t.c_custkey,
+       CASE WHEN m.c_custkey IS NOT NULL AND t.__rn = 1 THEN m.c_name ELSE t.c_name END AS c_name,
+       CASE WHEN m.c_custkey IS NOT NULL AND t.__rn = 1 THEN m.c_nationkey ELSE t.c_nationkey END AS c_nationkey,
+       CASE WHEN m.c_custkey IS NOT NULL AND t.__rn = 1 THEN m.c_acctbal ELSE t.c_acctbal END AS c_acctbal,
+       CASE WHEN m.c_custkey IS NOT NULL AND t.__rn = 1 THEN m.c_mktsegment ELSE t.c_mktsegment END AS c_mktsegment
+FROM rn t LEFT JOIN merged m ON t.c_custkey = m.c_custkey""",
+)
+def merge_update_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UPDATE_FIRST_*: only the first target occurrence per key is updated;
+    duplicate target rows survive unchanged (updateFirstExistingItems,
+    golden DbImportTest_HSQL.java:1055-1102)."""
+    target = doubled_target_df(spark, sf_dir)
+    return merge.update_first_existing(
+        target, merged_df(spark, sf_dir), ["c_custkey"], target_order_col="t_ord"
+    )
+
+
+@register(
+    "merge_make_unique_join",
+    f"""WITH {DOUBLED_TARGET_SQL}
+SELECT DISTINCT c_custkey,
+       min(t_ord) OVER w2 AS t_ord,
+       last_value(c_name) OVER w AS c_name,
+       last_value(c_nationkey) OVER w AS c_nationkey,
+       last_value(c_acctbal) OVER w AS c_acctbal,
+       last_value(c_mktsegment) OVER w AS c_mktsegment
+FROM tgt
+WINDOW w AS (PARTITION BY c_custkey ORDER BY t_ord
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING),
+       w2 AS (PARTITION BY c_custkey)""",
+)
+def merge_make_unique_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MAKE_UNIQUE_JOIN pre-pass: the doubly-prefilled TARGET collapses to
+    one row per key, later occurrence wins per column incl. NULLs
+    (DbImportWorker.java:432-436; golden DbImportTest_HSQL.java:1010-1053)."""
+    target = doubled_target_df(spark, sf_dir)
+    return merge.make_unique(target, ["c_custkey"], mode="join", target_order_col="t_ord")
+
+
+@register(
+    "merge_key_function",
+    """WITH src AS (
+  SELECT upper(c_name) AS s_name, c_acctbal + 1000.0 AS s_acctbal, c_custkey AS _src_order
+  FROM customer WHERE c_custkey % 3 = 0
+),
+collapsed AS (
+  SELECT DISTINCT lower(s_name) AS k,
+         last_value(s_acctbal) OVER (PARTITION BY lower(s_name) ORDER BY _src_order
+           ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS s_acctbal
+  FROM src
+)
+SELECT c.c_custkey, c.c_name,
+       CASE WHEN s.k IS NOT NULL THEN s.s_acctbal ELSE c.c_acctbal END AS c_acctbal
+FROM customer c LEFT JOIN collapsed s ON lower(c.c_name) = s.k""",
+)
+def merge_key_function(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key columns through SQL functions: `-k "lower(...)"` applied on BOTH
+    sides (DbImportWorker.java:256-288; golden case-insensitive collapse
+    DbImportTest_MariaDB.java:1044-1089)."""
+    c = load(spark, sf_dir, "customer")
+    src = c.filter(F.col("c_custkey") % 3 == 0).select(
+        F.upper(F.col("c_name")).alias("c_name"),
+        (F.col("c_acctbal") + F.lit(1000.0)).alias("c_acctbal"),
+        F.col("c_custkey").alias("_src_order"),
+    )
+    key = KeyColumn(column="c_name", expression="lower(c_name)")
+    collapsed = dedup.join_duplicates(src, [key], order_col="_src_order").drop("_src_order")
+    target = c.select("c_custkey", "c_name", "c_acctbal")
+    return merge.update_all_existing(
+        target, collapsed, [key], update_with_null_values=True, update_columns=["c_acctbal"]
+    )
+
+
+@register(
+    "import_stats",
+    f"""WITH {UPDATES_SQL}, {MERGED_SQL}, {INSERTED_SQL}
+SELECT (SELECT count(*) FROM updates) AS found,
+       (SELECT count(*) FROM updates) AS valid,
+       CAST(0 AS BIGINT) AS invalid,
+       (SELECT count(*) FROM updates) - (SELECT count(*) FROM merged) AS duplicate,
+       (SELECT count(*) FROM inserted) AS inserted,
+       (SELECT count(*) FROM customer c WHERE EXISTS
+          (SELECT 1 FROM merged m WHERE m.c_custkey = c.c_custkey)) AS updated""",
+)
+def import_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Result statistics counters (getResultStatistics,
+    DbImportWorker.java:879-934): found/valid/invalid/duplicate/inserted/updated."""
+    updates = updates_df(spark, sf_dir)
+    merged = merged_df(spark, sf_dir)
+    target = load(spark, sf_dir, "customer")
+    found = updates.agg(F.count(F.lit(1)).alias("found"))
+    merged_cnt = merged.agg(F.count(F.lit(1)).alias("__m"))
+    inserted = dedup.drop_duplicates_cross_table(merged, target, ["c_custkey"]).agg(
+        F.count(F.lit(1)).alias("inserted")
+    )
+    updated = (
+        target.join(merged.select("c_custkey").distinct(), "c_custkey", "left_semi")
+        .agg(F.count(F.lit(1)).alias("updated"))
+    )
+    return (
+        found.crossJoin(merged_cnt)
+        .crossJoin(inserted)
+        .crossJoin(updated)
+        .select(
+            F.col("found"),
+            F.col("found").alias("valid"),
+            F.lit(0).cast("bigint").alias("invalid"),
+            (F.col("found") - F.col("__m")).alias("duplicate"),
+            F.col("inserted"),
+            F.col("updated"),
+        )
+    )

@@ -1,0 +1,253 @@
+"""Text-analysis + document-dedup queries over the `documents` table.
+
+The large-scale training-data-pipeline operator family: token counting,
+language ID, quality scoring, fingerprinting, exact dedup, n-gram Jaccard
+near-dup (exact, SQL-oracled) and MinHash-LSH / SimHash (Spark-only scale
+paths, rows-only checks — see dbimport_spark/functions/textdedup.py).
+
+Near-dup corpora: the synthetic documents have no true near-duplicates, so
+the queries PLANT deterministic ones (doc_id % 10 == 0 → a copy with two
+words appended, doc_id + 1000000). Thresholds then separate planted pairs
+(Jaccard ≈ 0.97) from word-soup background (≈ 0.01) with a wide margin,
+making the oracle comparison insensitive to float noise.
+
+All ratio scores divide exact integer counts in the same written order on
+both sides, so the doubles are bit-identical.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dbimport_spark.plans.registry import load, register
+
+# normalized text: lowercase, non-alphanumeric collapsed to single spaces
+NORM_SQL = "trim(lower(regexp_replace(text, '[^a-zA-Z0-9]+', ' ', 'g')))"
+
+
+def norm_col(c=None):
+    c = c if c is not None else F.col("text")
+    return F.trim(F.lower(F.regexp_replace(c, "[^a-zA-Z0-9]+", " ")))
+
+
+# word-trigram shingle sets (distinct) per document, over the planted corpus
+CORPUS_SQL = """corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text || ' spark near dup' AS text
+  FROM documents WHERE doc_id % 10 = 0
+)"""
+
+SHINGLES_SQL = f"""toks AS (
+  SELECT doc_id, string_split({NORM_SQL}, ' ') AS w FROM corpus
+),
+shingles AS (
+  SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+  FROM toks, UNNEST(range(1, len(w) - 1)) AS u(i)
+  WHERE len(w) >= 3
+)"""
+
+
+def corpus_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    planted = (
+        d.filter(F.col("doc_id") % 10 == 0)
+        .select(
+            (F.col("doc_id") + 1000000).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(" spark near dup")).alias("text"),
+        )
+    )
+    return d.unionByName(planted)
+
+
+def shingles_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct word-trigram shingles per doc: (doc_id, s)."""
+    c = corpus_df(spark, sf_dir)
+    toks = c.select("doc_id", F.split(norm_col(), " ").alias("w"))
+    tri = F.expr(
+        "transform(sequence(0, size(w) - 3), i -> concat_ws(' ', w[i], w[i+1], w[i+2]))"
+    )
+    return (
+        toks.filter(F.size("w") >= 3)
+        .select("doc_id", F.explode(tri).alias("s"))
+        .distinct()
+    )
+
+
+@register(
+    "text_token_count",
+    f"""SELECT doc_id,
+       CASE WHEN length({NORM_SQL}) = 0 THEN 0
+            ELSE len(string_split({NORM_SQL}, ' ')) END AS n_tokens,
+       len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS n_bpe_ish
+FROM documents""",
+)
+def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace tokens + a BPE-ish regex token count."""
+    d = load(spark, sf_dir, "documents")
+    n_tokens = F.when(F.length(norm_col()) == 0, F.lit(0)).otherwise(
+        F.size(F.split(norm_col(), " "))
+    )
+    n_bpe = F.size(F.regexp_extract_all(F.lower(F.col("text")), F.lit(r"[a-z]+|[0-9]+|[^a-z0-9\s]"), F.lit(0)))
+    return d.select("doc_id", n_tokens.alias("n_tokens"), n_bpe.alias("n_bpe_ish"))
+
+
+_LANG_MARKERS = {
+    "en": r"\b(the|and|of|to|a|is|in)\b",
+    "de": r"\b(der|die|das|und|ist|nicht)\b",
+    "fr": r"\b(le|la|les|et|est|une)\b",
+    "es": r"\b(el|los|las|es|una|que)\b",
+}
+_MARKER_SQL = ",\n       ".join(
+    f"len(regexp_extract_all(lower(text), '{pat}')) AS c_{lang}"
+    for lang, pat in _LANG_MARKERS.items()
+)
+
+
+@register(
+    "text_lang_id",
+    f"""WITH scored AS (
+  SELECT doc_id,
+       {_MARKER_SQL}
+  FROM documents)
+SELECT doc_id,
+       CASE WHEN c_en = 0 AND c_de = 0 AND c_fr = 0 AND c_es = 0 THEN 'unknown'
+            WHEN c_en >= c_de AND c_en >= c_fr AND c_en >= c_es THEN 'en'
+            WHEN c_de >= c_fr AND c_de >= c_es THEN 'de'
+            WHEN c_fr >= c_es THEN 'fr'
+            ELSE 'es' END AS lang_pred
+FROM scored""",
+)
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language ID via stop-word-marker counting (n-gram heuristic).
+    Deterministic argmax with fixed tie order en > de > fr > es."""
+    d = load(spark, sf_dir, "documents")
+    lowered = F.lower(F.col("text"))
+    counts = {
+        lang: F.size(F.regexp_extract_all(lowered, F.lit(pat), F.lit(0)))
+        for lang, pat in _LANG_MARKERS.items()
+    }
+    scored = d.select("doc_id", *[counts[k].alias(f"c_{k}") for k in _LANG_MARKERS])
+    c = {k: F.col(f"c_{k}") for k in _LANG_MARKERS}
+    pred = (
+        F.when((c["en"] == 0) & (c["de"] == 0) & (c["fr"] == 0) & (c["es"] == 0), "unknown")
+        .when((c["en"] >= c["de"]) & (c["en"] >= c["fr"]) & (c["en"] >= c["es"]), "en")
+        .when((c["de"] >= c["fr"]) & (c["de"] >= c["es"]), "de")
+        .when(c["fr"] >= c["es"], "fr")
+        .otherwise("es")
+    )
+    return scored.select("doc_id", pred.alias("lang_pred"))
+
+
+@register(
+    "text_quality_score",
+    f"""SELECT doc_id,
+       CAST(length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS BIGINT) AS n_alpha,
+       CAST(length(text) AS BIGINT) AS n_chars_raw,
+       CASE WHEN length(text) = 0 THEN 0.0
+            ELSE CAST(length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS BIGINT) * 1.0
+                 / CAST(length(text) AS BIGINT) END AS alpha_ratio,
+       CASE WHEN len(string_split({NORM_SQL}, ' ')) = 0 THEN 0.0
+            ELSE len(regexp_extract_all(lower(text), '\\b(the|and|of|to|a|is|in)\\b')) * 1.0
+                 / len(string_split({NORM_SQL}, ' ')) END AS stopword_ratio
+FROM documents""",
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring: alpha ratio + stopword ratio from exact integer
+    counts (length / punct / stopword heuristics)."""
+    d = load(spark, sf_dir, "documents")
+    n_alpha = F.length(F.regexp_replace(F.lower(F.col("text")), "[^a-z]", "")).cast("bigint")
+    n_raw = F.length("text").cast("bigint")
+    alpha_ratio = F.when(n_raw == 0, F.lit(0.0)).otherwise(n_alpha * F.lit(1.0) / n_raw)
+    n_tok = F.size(F.split(norm_col(), " "))
+    n_stop = F.size(
+        F.regexp_extract_all(F.lower(F.col("text")), F.lit(r"\b(the|and|of|to|a|is|in)\b"), F.lit(0))
+    )
+    stop_ratio = F.when(n_tok == 0, F.lit(0.0)).otherwise(n_stop * F.lit(1.0) / n_tok)
+    return d.select(
+        "doc_id",
+        n_alpha.alias("n_alpha"),
+        n_raw.alias("n_chars_raw"),
+        alpha_ratio.alias("alpha_ratio"),
+        stop_ratio.alias("stopword_ratio"),
+    )
+
+
+@register(
+    "text_fingerprint",
+    f"SELECT doc_id, md5({NORM_SQL}) AS fingerprint FROM documents",
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting: hash of the normalized text (content-defined
+    identity for exact dedup)."""
+    d = load(spark, sf_dir, "documents")
+    return d.select("doc_id", F.md5(norm_col()).alias("fingerprint"))
+
+
+@register(
+    "dedup_exact_docs",
+    f"""WITH fp AS (SELECT doc_id, md5({NORM_SQL}) AS fingerprint FROM documents)
+SELECT doc_id, fingerprint,
+       min(doc_id) OVER (PARTITION BY fingerprint) AS canonical_id,
+       doc_id <> min(doc_id) OVER (PARTITION BY fingerprint) AS is_duplicate
+FROM fp""",
+)
+def dedup_exact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: hash-groupBy on the content fingerprint; every doc maps
+    to the min doc_id of its group (scale: one shuffle on the 128-bit hash,
+    near-uniform keys → no skew)."""
+    d = load(spark, sf_dir, "documents")
+    fp = d.select("doc_id", F.md5(norm_col()).alias("fingerprint"))
+    canon = fp.groupBy("fingerprint").agg(F.min("doc_id").alias("canonical_id"))
+    return (
+        fp.join(canon, "fingerprint")
+        .select(
+            "doc_id",
+            "fingerprint",
+            "canonical_id",
+            (F.col("doc_id") != F.col("canonical_id")).alias("is_duplicate"),
+        )
+    )
+
+
+@register(
+    "dedup_ngram_jaccard",
+    f"""WITH {CORPUS_SQL}, {SHINGLES_SQL},
+sizes AS (SELECT doc_id, count(*) AS n FROM shingles GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS n_both
+  FROM shingles a JOIN shingles b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT a_id, b_id,
+       n_both * 1.0 / (sa.n + sb.n - n_both) AS jaccard
+FROM inter JOIN sizes sa ON sa.doc_id = a_id JOIN sizes sb ON sb.doc_id = b_id
+WHERE n_both * 1.0 / (sa.n + sb.n - n_both) >= 0.5""",
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact word-trigram Jaccard near-dup pairs (threshold 0.5).
+
+    Shape: explode distinct shingles → self equi-join on shingle →
+    pair-count / set-size arithmetic. This is the exact-verification
+    baseline; the LSH variant (dedup_minhash_lsh) is the 100 TB path that
+    avoids the shingle×shingle blow-up by banding signatures.
+    """
+    sh = shingles_df(spark, sf_dir)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id"))
+        .agg(F.count(F.lit(1)).alias("both"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("a_id"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("b_id"), F.col("n").alias("nb"))
+    jacc = F.col("both") * F.lit(1.0) / (F.col("na") + F.col("nb") - F.col("both"))
+    return (
+        inter.join(sa, "a_id")
+        .join(sb, "b_id")
+        .select("a_id", "b_id", jacc.alias("jaccard"))
+        .filter(F.col("jaccard") >= 0.5)
+    )

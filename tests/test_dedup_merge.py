@@ -1,0 +1,155 @@
+"""Dedup + merge semantics pinned by the reference golden tests.
+
+Fixture shapes from FIXTURES.md F1/F3 (DbImportTest_HSQL.java:553-640,
+1010-1152): 8-row keyed dataset with duplicate keys {1,1,2,2,3,3,4,5},
+second occurrence of each duplicate has NULL varchar and a distinct clob;
+target prefilled with keys {1,3,999}.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from dbimport_spark.config import KeyColumn
+from dbimport_spark.operators import dedup, merge
+
+SRC_SCHEMA = "k int, varch string, clob string, _src_order long"
+TGT_SCHEMA = "id long, k int, varch string, clob string"
+
+
+@pytest.fixture()
+def source(spark):
+    rows = [
+        (1, "aBcDeF123_1", "aBcDeF1234", 0),
+        (1, None, "aBcDeF1235_1", 1),
+        (2, "aBcDeF123_2", "aBcDeF1234", 2),
+        (2, None, "aBcDeF1235_2", 3),
+        (3, "aBcDeF123_3", "aBcDeF1234", 4),
+        (3, None, "aBcDeF1235_3", 5),
+        (4, None, "aBcDeF1235_4", 6),
+        (5, "aBcDeF123_5", "aBcDeF1234", 7),
+    ]
+    return spark.createDataFrame(rows, SRC_SCHEMA)
+
+
+@pytest.fixture()
+def target(spark):
+    rows = [(1, 1, "<TEXT>_1", None), (2, 3, "<TEXT>_3", None), (3, 999, "<TEXT>_999", None)]
+    return spark.createDataFrame(rows, TGT_SCHEMA)
+
+
+def by_key(df, extra=()):
+    return {r["k"]: r for r in df.collect()}
+
+
+def test_drop_duplicates_keep_first(source):
+    out = dedup.drop_duplicates_keep_first(source, ["k"])
+    rows = by_key(out)
+    assert len(rows) == 5
+    assert rows[1]["varch"] == "aBcDeF123_1" and rows[1]["clob"] == "aBcDeF1234"
+    assert rows[4]["varch"] is None
+
+
+def test_join_duplicates_null_overwrite(source):
+    # later NULL varchar overwrites; later clob wins (DbImportTest_HSQL.java:427-467)
+    out = dedup.join_duplicates(source, ["k"], update_with_null_values=True)
+    rows = by_key(out)
+    assert rows[1]["varch"] is None and rows[1]["clob"] == "aBcDeF1235_1"
+    assert rows[5]["varch"] == "aBcDeF123_5"
+
+
+def test_join_duplicates_skip_nulls(source):
+    # -u: earlier non-null varchar survives (DbImportTest_HSQL.java:597-640)
+    out = dedup.join_duplicates(source, ["k"], update_with_null_values=False)
+    rows = by_key(out)
+    assert rows[1]["varch"] == "aBcDeF123_1" and rows[1]["clob"] == "aBcDeF1235_1"
+    assert rows[2]["varch"] == "aBcDeF123_2"
+
+
+def test_detect_duplicates(source):
+    d = dedup.detect_duplicates(source, ["k"])
+    assert {r["__key_0"]: r["dup_count"] for r in d.collect()} == {1: 2, 2: 2, 3: 2}
+    assert dedup.has_duplicates(source, ["k"])
+
+
+def test_insert_not_existing(source, target):
+    # INSERT mode: keys 1,3 dropped (exist); 2,4,5 inserted (joined last-wins)
+    merged_src = dedup.join_duplicates(source, ["k"]).withColumn("id", F.lit(None).cast("long"))
+    out = merge.insert_not_existing(target, merged_src.select("id", "k", "varch", "clob"), ["k"])
+    rows = by_key(out)
+    assert set(rows) == {1, 3, 999, 2, 4, 5}
+    assert rows[1]["varch"] == "<TEXT>_1"  # untouched
+    assert rows[2]["varch"] is None and rows[2]["clob"] == "aBcDeF1235_2"
+
+
+def test_update_all_existing_null_overwrite(source, target):
+    merged_src = dedup.join_duplicates(source, ["k"])
+    out = merge.update_all_existing(target, merged_src, ["k"], update_with_null_values=True)
+    rows = by_key(out)
+    assert set(rows) == {1, 3, 999}
+    assert rows[1]["varch"] is None and rows[1]["clob"] == "aBcDeF1235_1"
+    assert rows[999]["varch"] == "<TEXT>_999"
+
+
+def test_update_all_skip_nulls(source, target):
+    merged_src = dedup.join_duplicates(source, ["k"], update_with_null_values=False)
+    out = merge.update_all_existing(target, merged_src, ["k"], update_with_null_values=False)
+    rows = by_key(out)
+    assert rows[1]["varch"] == "aBcDeF123_1"  # earlier non-null survives
+    assert rows[999]["varch"] == "<TEXT>_999"
+
+
+def test_upsert(source, target):
+    merged_src = (
+        dedup.join_duplicates(source, ["k"])
+        .withColumn("id", F.lit(None).cast("long"))
+        .select("id", "k", "varch", "clob")
+    )
+    out = merge.upsert(target, merged_src, ["k"])
+    rows = by_key(out)
+    assert set(rows) == {1, 2, 3, 4, 5, 999}
+    assert rows[1]["varch"] is None            # updated, null overwrote
+    assert rows[5]["varch"] == "aBcDeF123_5"   # inserted, kept non-null
+    assert rows[999]["varch"] == "<TEXT>_999"  # untouched
+
+
+def test_update_first_existing(spark, source):
+    # doubly-prefilled target: only first occurrence per key updated
+    # (DbImportTest_HSQL.java:1055-1102)
+    rows = [
+        (1, 1, "<TEXT>_1", None), (2, 3, "<TEXT>_3", None), (3, 999, "<TEXT>_999", None),
+        (4, 1, "<TEXT>_1", None), (5, 3, "<TEXT>_3", None), (6, 999, "<TEXT>_999", None),
+    ]
+    target2 = spark.createDataFrame(rows, TGT_SCHEMA)
+    merged_src = dedup.join_duplicates(source, ["k"])
+    out = merge.update_first_existing(target2, merged_src, ["k"], target_order_col="id")
+    got = {r["id"]: r for r in out.collect()}
+    assert got[1]["clob"] == "aBcDeF1235_1" and got[4]["clob"] is None
+    assert got[2]["clob"] == "aBcDeF1235_3" and got[5]["clob"] is None
+    assert got[3]["varch"] == "<TEXT>_999" and got[6]["varch"] == "<TEXT>_999"
+
+
+def test_make_unique_join(spark):
+    rows = [
+        (1, 1, "<TEXT>_1", None), (2, 3, "<TEXT>_3", None), (3, 999, "<TEXT>_999", None),
+        (4, 1, None, "c1"), (5, 3, None, "c3"), (6, 999, None, "c999"),
+    ]
+    target2 = spark.createDataFrame(rows, TGT_SCHEMA)
+    out = merge.make_unique(target2, ["k"], mode="join", target_order_col="id")
+    rows = by_key(out)
+    assert len(rows) == 3
+    assert rows[1]["varch"] is None and rows[1]["clob"] == "c1"  # last wins incl. null
+    out_drop = merge.make_unique(target2, ["k"], mode="drop", target_order_col="id")
+    rows = by_key(out_drop)
+    assert rows[1]["varch"] == "<TEXT>_1" and rows[1]["clob"] is None
+
+
+def test_key_function_lower(spark):
+    # -k "lower(column_varchar)": 3 case-variant rows collapse to 1
+    # (DbImportTest_MariaDB.java:1044-1089)
+    src = spark.createDataFrame(
+        [("AbcÄ123", 0), ("ABCÄ123", 1), ("abcä123", 2)], "v string, _src_order long"
+    )
+    key = KeyColumn(column="v", expression="lower(v)")
+    out = dedup.drop_duplicates_keep_first(src, [key])
+    assert out.count() == 1
+    assert out.collect()[0]["v"] == "AbcÄ123"
