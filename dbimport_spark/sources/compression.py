@@ -1,0 +1,94 @@
+"""Compression envelope: transparent zip / tar.gz / tgz / gz (optionally
+password-protected zip) around any format.
+
+Reference: DataProvider.java:166-197 (single-zip-entry enforcement,
+AES-256 and ZipCrypto passwords), uncompressed-size probing :270-292.
+
+gzip/bzip2 are native to Spark's text-based readers (splittable: no — but
+distributed across files). zip/tar need a pre-step: entries are extracted
+to a temp dir and the extracted path is handed to the real reader. The
+extraction is driver-side per archive — matching the reference, which
+streams a single archive single-threaded; many archives can be extracted
+in parallel by the caller.
+
+ZipCrypto passwords: stdlib zipfile. AES-256 zips need pyzipper (absent in
+this container) → NotImplementedError, plumbing kept real.
+"""
+
+from __future__ import annotations
+
+import gzip
+import os
+import shutil
+import tarfile
+import tempfile
+import zipfile
+
+NATIVE_SUFFIXES = (".gz",)  # handled by Spark text readers transparently
+ARCHIVE_SUFFIXES = (".zip", ".tar.gz", ".tgz", ".tar")
+
+
+def decompress_if_needed(
+    path: str,
+    password: str | None = None,
+    target_dir: str | None = None,
+    for_spark_text_reader: bool = True,
+) -> str:
+    """Return a path readable by the downstream reader.
+
+    *.gz stays as-is when the downstream reader is a Spark text-based one
+    (CSV/JSON — Spark decompresses transparently); otherwise it is
+    gunzipped. zip/tar(.gz) are extracted (single entry enforced for zip,
+    like DataProvider.java:166-197).
+    """
+    lower = path.lower()
+    if lower.endswith((".tar.gz", ".tgz", ".tar")):
+        out = target_dir or tempfile.mkdtemp(prefix="dbimport_untar_")
+        with tarfile.open(path) as tf:
+            members = [m for m in tf.getmembers() if m.isfile()]
+            if not members:
+                raise ValueError(f"empty tar archive: {path}")
+            tf.extractall(out, members=members, filter="data")
+            return os.path.join(out, members[0].name)
+    if lower.endswith(".zip"):
+        out = target_dir or tempfile.mkdtemp(prefix="dbimport_unzip_")
+        with zipfile.ZipFile(path) as zf:
+            names = [n for n in zf.namelist() if not n.endswith("/")]
+            if len(names) != 1:
+                raise ValueError(
+                    f"zip archive must contain exactly one entry, found {len(names)}: {path}"
+                )
+            if password is not None:
+                try:
+                    zf.setpassword(password.encode("utf-8"))
+                    return zf.extract(names[0], out, pwd=password.encode("utf-8"))
+                except (RuntimeError, NotImplementedError) as e:
+                    # AES-encrypted zips need pyzipper (not in container)
+                    raise NotImplementedError(
+                        "AES-encrypted zip requires pyzipper; only ZipCrypto "
+                        "passwords are supported here"
+                    ) from e
+            return zf.extract(names[0], out)
+    if lower.endswith(".gz"):
+        if for_spark_text_reader:
+            return path  # Spark reads .gz transparently
+        out = target_dir or tempfile.mkdtemp(prefix="dbimport_gunzip_")
+        dest = os.path.join(out, os.path.basename(path)[:-3])
+        with gzip.open(path, "rb") as src, open(dest, "wb") as dst:
+            shutil.copyfileobj(src, dst)
+        return dest
+    return path
+
+
+def detect_format(path: str) -> str:
+    """Extension-based format detection incl. double extensions
+    (DbImportDefinition.java:581-654); default CSV."""
+    name = os.path.basename(path).lower()
+    for comp in (".zip", ".tar.gz", ".tgz", ".tar", ".gz"):
+        if name.endswith(comp):
+            name = name[: -len(comp)]
+            break
+    for fmt in ("csv", "json", "yaml", "yml", "xml", "xlsx", "xls", "ods", "vcf", "kdbx", "sql"):
+        if name.endswith("." + fmt):
+            return {"yml": "yaml", "xls": "excel", "xlsx": "excel"}.get(fmt, fmt)
+    return "csv"

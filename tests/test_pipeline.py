@@ -1,0 +1,223 @@
+"""End-to-end pipeline tests: CSV file → coercion → dedup → merge → stats,
+pinned to the reference golden flows (FIXTURES.md F3/F4/F5/F8)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from dbimport_spark.config import (
+    ColumnMapping,
+    DuplicateMode,
+    ImportDefinition,
+    ImportMode,
+    KeyColumn,
+    parse_key_column,
+)
+from dbimport_spark.pipeline import ImportError_, run_import
+from dbimport_spark.schema.infer import create_table_ddl, infer_schema
+from dbimport_spark.schema.mapping import automap
+from dbimport_spark.sources.csv import CsvSource
+
+# FIXTURES.md F3: 8 rows, dup keys {1,1,2,2,3,3,4,5}, second occurrence of
+# each dup has NULL varchar and distinct clob
+F3_CSV = (
+    "column integer; column_double; column_varchar; column_clob\n"
+    "1; 123.456; aBcDeF123_1; aBcDeF1234\n"
+    "1; 123.456; ; aBcDeF1235_1\n"
+    "2; 123.456; aBcDeF123_2; aBcDeF1234\n"
+    "2; 123.456; ; aBcDeF1235_2\n"
+    "3; 123.456; aBcDeF123_3; aBcDeF1234\n"
+    "3; 123.456; ; aBcDeF1235_3\n"
+    "4; 123.456; ; aBcDeF1235_4\n"
+    "5; 123.456; aBcDeF123_5; aBcDeF1234\n"
+)
+
+F3_MAPPINGS = [
+    ColumnMapping("column_integer", "column integer"),
+    ColumnMapping("column_double", "column_double"),
+    ColumnMapping("column_varchar", "column_varchar"),
+    ColumnMapping("column_clob", "column_clob"),
+]
+
+
+@pytest.fixture()
+def f3_source(spark, tmp_path):
+    p = tmp_path / "f3.csv"
+    p.write_text(F3_CSV)
+    return CsvSource(trim=True).read(spark, str(p))
+
+
+@pytest.fixture()
+def f1_target(spark):
+    rows = [
+        (1, 1, None, "<TEXT>_1", None),
+        (2, 3, None, "<TEXT>_3", None),
+        (3, 999, None, "<TEXT>_999", None),
+    ]
+    return spark.createDataFrame(
+        rows, "id long, column_integer int, column_double double, column_varchar string, column_clob string"
+    )
+
+
+def by_key(df):
+    return {r["column_integer"]: r for r in df.collect()}
+
+
+def test_upsert_f3(f3_source, f1_target):
+    d = ImportDefinition(
+        import_mode=ImportMode.UPSERT,
+        duplicate_mode=DuplicateMode.UPDATE_ALL_JOIN,
+        key_columns=[KeyColumn("column_integer")],
+        mappings=F3_MAPPINGS + [ColumnMapping("id", None)],
+    )
+    result, invalid, stats = run_import(d, f3_source, f1_target)
+    rows = by_key(result)
+    # golden DbImportTest_HSQL.java:553-594
+    assert set(rows) == {1, 2, 3, 4, 5, 999}
+    assert rows[1]["column_varchar"] is None and rows[1]["column_clob"] == "aBcDeF1235_1"
+    assert rows[5]["column_varchar"] == "aBcDeF123_5"
+    assert rows[999]["column_varchar"] == "<TEXT>_999"
+    assert stats.items_found == 8 and stats.items_valid == 8
+    assert stats.items_duplicate == 3   # 8 rows → 5 keys
+    assert stats.items_updated == 2     # keys 1, 3
+    assert stats.items_inserted == 3    # keys 2, 4, 5
+    assert invalid.count() == 0
+
+
+def test_update_skip_nulls(f3_source, f1_target):
+    d = ImportDefinition(
+        import_mode=ImportMode.UPDATE,
+        duplicate_mode=DuplicateMode.UPDATE_ALL_JOIN,
+        key_columns=[KeyColumn("column_integer")],
+        mappings=F3_MAPPINGS + [ColumnMapping("id", None)],
+        update_with_null_values=False,  # -u
+    )
+    result, _, stats = run_import(d, f3_source, f1_target)
+    rows = by_key(result)
+    # golden :511-550 — varchar keeps earlier non-null value
+    assert rows[1]["column_varchar"] == "aBcDeF123_1"
+    assert rows[1]["column_clob"] == "aBcDeF1235_1"
+    assert set(rows) == {1, 3, 999}
+    assert stats.items_inserted == 0
+
+
+def test_invalid_rows_skipped_and_complete_commit(spark, tmp_path, f1_target):
+    # F4: bad datatype row in the middle (DbImportTest_HSQL.java:340-424)
+    p = tmp_path / "bad.csv"
+    p.write_text(
+        "column integer; column_double\n121; 123.456\n122; 123x456\n123; 789.012\n"
+    )
+    src = CsvSource(trim=True).read(spark, str(p))
+    maps = [
+        ColumnMapping("column_integer", "column integer"),
+        ColumnMapping("column_double", "column_double"),
+    ]
+    d = ImportDefinition(import_mode=ImportMode.INSERT, mappings=maps)
+    result, invalid, stats = run_import(d, src, f1_target.select("column_integer", "column_double"))
+    assert stats.items_invalid == 1 and stats.items_valid == 2
+    assert result.count() == 3 + 2  # prefill + two valid rows
+    d_c = ImportDefinition(import_mode=ImportMode.INSERT, mappings=maps, complete_commit=True)
+    with pytest.raises(ImportError_):
+        run_import(d_c, src, f1_target.select("column_integer", "column_double"))
+
+
+def test_additional_insert_update_values(f3_source, f1_target):
+    # F8 (DbImportTest_HSQL.java:642-684)
+    d = ImportDefinition(
+        import_mode=ImportMode.UPSERT,
+        duplicate_mode=DuplicateMode.UPDATE_ALL_JOIN,
+        key_columns=[KeyColumn("column_integer")],
+        mappings=F3_MAPPINGS + [ColumnMapping("id", None)],
+        additional_insert_values={"column_varchar": "'Insert'"},
+        additional_update_values={"column_varchar": "'Update'"},
+    )
+    result, _, _ = run_import(d, f3_source, f1_target)
+    rows = by_key(result)
+    assert rows[1]["column_varchar"] == "Update"
+    assert rows[3]["column_varchar"] == "Update"
+    assert rows[2]["column_varchar"] == "Insert"
+    assert rows[5]["column_varchar"] == "Insert"
+    assert rows[999]["column_varchar"] == "<TEXT>_999"
+
+
+def test_update_first_pipeline(spark, f3_source):
+    rows = [
+        (1, 1, "<TEXT>_1"), (2, 3, "<TEXT>_3"), (3, 999, "<TEXT>_999"),
+        (4, 1, "<TEXT>_1"), (5, 3, "<TEXT>_3"), (6, 999, "<TEXT>_999"),
+    ]
+    target = spark.createDataFrame(rows, "id long, column_integer int, column_varchar string")
+    d = ImportDefinition(
+        import_mode=ImportMode.UPDATE,
+        duplicate_mode=DuplicateMode.UPDATE_FIRST_JOIN,
+        key_columns=[KeyColumn("column_integer")],
+        mappings=[
+            ColumnMapping("column_integer", "column integer"),
+            ColumnMapping("column_varchar", "column_varchar"),
+        ],
+    )
+    result, _, _ = run_import(d, f3_source, target, target_order_col="id")
+    got = {r["id"]: r for r in result.collect()}
+    assert got[1]["column_varchar"] is None       # first occurrence updated (null overwrote)
+    assert got[4]["column_varchar"] == "<TEXT>_1"  # duplicate untouched
+    assert got[6]["column_varchar"] == "<TEXT>_999"
+
+
+def test_clearinsert(f3_source, f1_target):
+    d = ImportDefinition(
+        import_mode=ImportMode.CLEARINSERT,
+        duplicate_mode=DuplicateMode.CKECK_SOURCE_ONLY_JOIN,
+        key_columns=[KeyColumn("column_integer")],
+        mappings=F3_MAPPINGS + [ColumnMapping("id", None)],
+    )
+    result, _, stats = run_import(d, f3_source, f1_target)
+    assert stats.items_deleted == 3
+    assert result.count() == 5  # 8 rows joined to 5 keys
+    assert set(by_key(result)) == {1, 2, 3, 4, 5}
+
+
+def test_key_function_case_insensitive(spark, tmp_path):
+    # F5 case-insensitive key variant (DbImportTest_MariaDB.java:1044-1089)
+    p = tmp_path / "ci.csv"
+    p.write_text("column_varchar\nAbcÄ123\nABCÄ123\nabcä123\n")
+    src = CsvSource(trim=True).read(spark, str(p))
+    target = spark.createDataFrame([], "column_varchar string")
+    d = ImportDefinition(
+        import_mode=ImportMode.INSERT,
+        duplicate_mode=DuplicateMode.CKECK_SOURCE_ONLY_DROP,
+        key_columns=[parse_key_column("lower(column_varchar)")],
+        mappings=[ColumnMapping("column_varchar", "column_varchar", "lc")],
+    )
+    result, _, stats = run_import(d, src, target)
+    assert result.count() == 1
+    assert result.collect()[0]["column_varchar"] == "abcä123"
+    assert stats.items_duplicate == 2 and stats.items_inserted == 1
+
+
+def test_schema_inference_f5(spark, tmp_path):
+    # FIXTURES.md F5 (DbImportTest_HSQL.java:726-789)
+    p = tmp_path / "infer.csv"
+    p.write_text(
+        "column_integer;column_varchar;column_double;column_bool;column_ts\n"
+        "001;AbcÄ123;1.2300;true;2003-02-01 11:12:13\n"
+        "17;Xy;4;false;2004-03-02 10:00:00\n"
+    )
+    src = CsvSource().read(spark, str(p), with_order=False)
+    inferred = {c.name: c for c in infer_schema(src)}
+    assert inferred["column_integer"].data_type == "INTEGER"
+    assert inferred["column_varchar"].data_type == "VARCHAR"
+    assert inferred["column_varchar"].size >= 7  # UTF-8 byte length of AbcÄ123
+    assert inferred["column_double"].data_type == "DOUBLE"
+    assert inferred["column_bool"].data_type == "BOOLEAN"
+    assert inferred["column_ts"].data_type == "TIMESTAMP"
+    ddl = create_table_ddl("t_inferred", list(inferred.values()))
+    assert "`column_integer` INT" in ddl
+
+
+def test_blob_threshold_inference(spark):
+    df = spark.createDataFrame([("x" * 4001,), ("short",)], "v string")
+    assert infer_schema(df)[0].data_type == "BLOB"
+
+
+def test_automap():
+    maps = automap(["Column_Integer", "missing"], ["column_integer", "other"])
+    assert len(maps) == 1
+    assert maps[0].target == "column_integer" and maps[0].source == "column_integer"
