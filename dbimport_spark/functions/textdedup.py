@@ -1,0 +1,181 @@
+"""Near-duplicate detection sketches: MinHash + LSH banding, SimHash.
+
+These are the 100 TB paths. The exact n-gram Jaccard baseline
+(plans/text_queries.py) self-joins the full shingle table — fine at test
+scale, quadratic blow-up on frequent shingles at corpus scale. MinHash-LSH
+replaces it with a fixed-width signature per document (one aggregation)
+and a band-bucket equi-join whose candidate sets are tiny; SimHash gives a
+64-bit fingerprint with pigeonhole banding for hamming search.
+
+Everything below is built-in Spark expressions (xxhash64, bit ops,
+aggregations) — no Python in the hot path; LSH parameters are plain
+function arguments.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------- MinHash
+
+
+def minhash_signatures(
+    shingles: DataFrame,
+    doc_col: str = "doc_id",
+    shingle_col: str = "s",
+    num_hashes: int = 64,
+) -> DataFrame:
+    """(doc, shingle) pairs → one row per doc with sig_0..sig_{n-1}.
+
+    Hash family: xxhash64(shingle, i) — the i-th seed column gives an
+    independent 64-bit hash. One hash aggregation, map-side combined.
+    """
+    aggs = [
+        F.min(F.xxhash64(F.col(shingle_col), F.lit(i))).alias(f"sig_{i}")
+        for i in range(num_hashes)
+    ]
+    return shingles.groupBy(doc_col).agg(*aggs)
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame,
+    doc_col: str = "doc_id",
+    num_hashes: int = 64,
+    bands: int = 16,
+) -> DataFrame:
+    """Band the signatures and bucket-join: docs sharing any band bucket
+    become a candidate pair (a < b).
+
+    Shuffle profile: explode to (doc, band, band_hash) — bands× the doc
+    count, NOT the shingle count — then a self equi-join on (band,
+    band_hash). Bucket sizes are near-uniform (64-bit hashes), so no skew.
+    """
+    rows_per_band = num_hashes // bands
+    band_cols = []
+    for b in range(bands):
+        cols = [F.col(f"sig_{b * rows_per_band + r}") for r in range(rows_per_band)]
+        band_cols.append(F.struct(F.lit(b).alias("band"), F.xxhash64(*cols).alias("bh")))
+    exploded = signatures.select(
+        F.col(doc_col), F.explode(F.array(*band_cols)).alias("bb")
+    ).select(doc_col, "bb.band", "bb.bh")
+    a = exploded.select(F.col(doc_col).alias("a_id"), "band", "bh")
+    b = exploded.select(F.col(doc_col).alias("b_id"), "band", "bh")
+    return (
+        a.join(b, ["band", "bh"])
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id")
+        .distinct()
+    )
+
+
+def verify_jaccard(
+    candidates: DataFrame,
+    shingles: DataFrame,
+    doc_col: str = "doc_id",
+    shingle_col: str = "s",
+    threshold: float = 0.9,
+) -> DataFrame:
+    """Exact Jaccard on candidate pairs only (semi-join pruned)."""
+    sizes = shingles.groupBy(doc_col).agg(F.count(F.lit(1)).alias("n"))
+    sh_a = shingles.select(F.col(doc_col).alias("a_id"), F.col(shingle_col).alias("s"))
+    sh_b = shingles.select(F.col(doc_col).alias("b_id"), F.col(shingle_col).alias("s"))
+    inter = (
+        candidates.join(sh_a, "a_id")
+        .join(sh_b, ["b_id", "s"])
+        .groupBy("a_id", "b_id")
+        .agg(F.count(F.lit(1)).alias("n_both"))
+    )
+    jacc = F.col("n_both") * F.lit(1.0) / (F.col("na") + F.col("nb") - F.col("n_both"))
+    return (
+        inter.join(sizes.select(F.col(doc_col).alias("a_id"), F.col("n").alias("na")), "a_id")
+        .join(sizes.select(F.col(doc_col).alias("b_id"), F.col("n").alias("nb")), "b_id")
+        .select("a_id", "b_id", jacc.alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def minhash_lsh_neardup_pairs(
+    shingles: DataFrame,
+    doc_col: str = "doc_id",
+    shingle_col: str = "s",
+    num_hashes: int = 64,
+    bands: int = 16,
+    threshold: float = 0.9,
+) -> DataFrame:
+    """Full MinHash→LSH→verify pipeline. With 64 hashes / 16 bands the
+    probability of missing a pair at Jaccard 0.9 is (1-0.9^4)^16 ≈ 2e-9,
+    so at verification threshold 0.9 the output equals the exact-Jaccard
+    pair set with overwhelming probability — which is why this query can
+    share the exact SQL oracle."""
+    sigs = minhash_signatures(shingles, doc_col, shingle_col, num_hashes)
+    cands = lsh_candidate_pairs(sigs, doc_col, num_hashes, bands)
+    return verify_jaccard(cands, shingles, doc_col, shingle_col, threshold)
+
+
+# ---------------------------------------------------------------- SimHash
+
+
+def simhash(
+    tokens: DataFrame,
+    doc_col: str = "doc_id",
+    token_col: str = "tok",
+    bits: int = 64,
+) -> DataFrame:
+    """64-bit SimHash per doc: sum ±1 per bit over token hashes, take sign.
+
+    One aggregation: per bit i, sum(CASE WHEN hash>>i & 1 THEN 1 ELSE -1)
+    → bit i of the fingerprint. Token multiplicity acts as weight.
+    """
+    h = F.xxhash64(F.col(token_col))
+    bit_sums = [
+        F.sum(
+            F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"b_{i}")
+        for i in range(bits)
+    ]
+    agg = tokens.groupBy(doc_col).agg(*bit_sums)
+    fp = F.lit(0).cast("bigint")
+    for i in range(bits):
+        fp = fp.bitwiseOR(
+            F.when(F.col(f"b_{i}") > 0, F.shiftleft(F.lit(1).cast("bigint"), i)).otherwise(0)
+        )
+    return agg.select(doc_col, fp.alias("simhash"))
+
+
+def simhash_neardup_pairs(
+    fingerprints: DataFrame,
+    doc_col: str = "doc_id",
+    max_hamming: int = 3,
+    chunks: int = 4,
+) -> DataFrame:
+    """Pairs with hamming(simhash) ≤ max_hamming via pigeonhole banding:
+    with 4 16-bit chunks, any pair within hamming 3 shares at least one
+    exact chunk — candidates are an equi-join on (chunk_idx, chunk_value),
+    never an all-pairs scan."""
+    width = 64 // chunks
+    mask = (1 << width) - 1
+    chunk_cols = [
+        F.struct(
+            F.lit(i).alias("ci"),
+            F.shiftright(F.col("simhash"), i * width).bitwiseAND(F.lit(mask)).alias("cv"),
+        )
+        for i in range(chunks)
+    ]
+    exploded = fingerprints.select(
+        F.col(doc_col), F.col("simhash"), F.explode(F.array(*chunk_cols)).alias("c")
+    ).select(doc_col, "simhash", "c.ci", "c.cv")
+    a = exploded.select(
+        F.col(doc_col).alias("a_id"), F.col("simhash").alias("ha"), "ci", "cv"
+    )
+    b = exploded.select(
+        F.col(doc_col).alias("b_id"), F.col("simhash").alias("hb"), "ci", "cv"
+    )
+    ham = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
+    return (
+        a.join(b, ["ci", "cv"])
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id", ham.alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )

@@ -2,6 +2,10 @@
 
 from __future__ import annotations
 
+import functools
+import os
+import shutil
+import tempfile
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -10,12 +14,39 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLES: dict[str, str] = {}
 
 
+def ensure_package_on_workers(spark: SparkSession) -> None:
+    """Ship dbimport_spark to executor Python workers.
+
+    Queries using pandas UDFs / mapInPandas pickle closures BY REFERENCE to
+    this package; when the driver process imports __spark_entry__ from a
+    different cwd, worker processes can't import it. addPyFile'ing a zip of
+    the package makes the import work everywhere (local mode and real
+    clusters alike)."""
+    sc = spark.sparkContext
+    if sc._jsc is None or getattr(sc, "_dbimport_pkg_shipped", False):
+        return
+    import dbimport_spark
+
+    pkg_dir = os.path.dirname(os.path.abspath(dbimport_spark.__file__))
+    zip_base = os.path.join(tempfile.gettempdir(), f"dbimport_spark_pkg_{os.getpid()}")
+    zip_path = shutil.make_archive(
+        zip_base, "zip", root_dir=os.path.dirname(pkg_dir), base_dir="dbimport_spark"
+    )
+    sc.addPyFile(zip_path)
+    sc._dbimport_pkg_shipped = True
+
+
 def register(name: str, oracle: str | None = None):
     """Register a (spark, sf_dir) -> DataFrame query; oracle=None means the
     driver records a weaker rows-only check (non-SQL-expressible op)."""
 
     def deco(fn):
-        QUERIES[name] = fn
+        @functools.wraps(fn)
+        def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+            ensure_package_on_workers(spark)
+            return fn(spark, sf_dir)
+
+        QUERIES[name] = wrapped
         if oracle is not None:
             ORACLES[name] = oracle
         return fn

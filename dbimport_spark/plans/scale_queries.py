@@ -1,0 +1,86 @@
+"""Scale-path queries: MinHash-LSH near-dup, SimHash, LSH ANN, multimodal
+feature extraction. These exercise dbimport_spark/functions — the
+100 TB designs whose exact baselines live in text_queries/vector_queries.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dbimport_spark.functions import multimodal, similarity, textdedup
+from dbimport_spark.plans.registry import load, register
+from dbimport_spark.plans.text_queries import CORPUS_SQL, SHINGLES_SQL, shingles_df
+
+
+@register(
+    "dedup_minhash_lsh",
+    f"""WITH {CORPUS_SQL}, {SHINGLES_SQL},
+sizes AS (SELECT doc_id, count(*) AS n FROM shingles GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS n_both
+  FROM shingles a JOIN shingles b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT a_id, b_id,
+       n_both * 1.0 / (sa.n + sb.n - n_both) AS jaccard
+FROM inter JOIN sizes sa ON sa.doc_id = a_id JOIN sizes sb ON sb.doc_id = b_id
+WHERE n_both * 1.0 / (sa.n + sb.n - n_both) >= 0.9""",
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(64) → LSH(16 bands × 4) → exact-Jaccard verification at 0.9.
+
+    The oracle is the EXACT all-pairs Jaccard: with these parameters the
+    probability of LSH missing a 0.9-Jaccard pair is (1-0.9^4)^16 ≈ 2e-9,
+    so the verified LSH output equals the exact pair set. This is the
+    query to run at 100 TB — signature agg + bucket join, no shingle
+    self-join."""
+    sh = shingles_df(spark, sf_dir)
+    return textdedup.minhash_lsh_neardup_pairs(sh, threshold=0.9)
+
+
+@register("dedup_simhash")  # rows-only: xxhash64 not reproducible in DuckDB
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash(64-bit) fingerprints + pigeonhole-banded hamming≤3 pairs.
+
+    No SQL oracle (the hash family is engine-specific); the driver records
+    a rows-only check. The planted near-dups (doc_id + 1000000) differ by
+    two words out of ~50 → hamming distance typically ≤ 3."""
+    from dbimport_spark.plans.text_queries import corpus_df, norm_col
+
+    corpus = corpus_df(spark, sf_dir)
+    tokens = corpus.select(
+        "doc_id", F.explode(F.split(norm_col(), " ")).alias("tok")
+    ).filter(F.col("tok") != "")
+    fps = textdedup.simhash(tokens)
+    return textdedup.simhash_neardup_pairs(fps, max_hamming=3)
+
+
+@register("ann_lsh_topk")  # rows-only: approximate by design
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane LSH ANN (16 planes, 1-bit multiprobe), exact
+    cosine re-rank of candidates. Approximate: recall < 1 by design, so
+    rows-only check; the exact twin is ann_topk_cosine."""
+    e = load(spark, sf_dir, "embeddings")
+    base = e.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    queries = base.filter(F.col("vec_id") < 8)
+    return similarity.ann_lsh_topk(base, queries, dim=64, k=5)
+
+
+@register(
+    "multimodal_meta",
+    """SELECT doc_id AS media_id,
+       octet_length(encode(text)) AS n_bytes,
+       sha256(text) AS content_sha256
+FROM documents""",
+)
+def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal binary-column plumbing: documents as opaque media blobs →
+    Arrow-batched metadata extraction (byte size + content hash). The
+    feature vector itself is a clearly-marked deterministic fake (no
+    decoder libs in this container) and is excluded from the oracle
+    comparison."""
+    d = load(spark, sf_dir, "documents")
+    media = multimodal.documents_as_media(d)
+    feats = multimodal.extract_media_features(media, decode="fake")
+    return feats.select("media_id", "n_bytes", "content_sha256")

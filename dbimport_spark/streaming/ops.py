@@ -1,0 +1,113 @@
+"""Streaming operators (batch-equivalent semantics, watermark-bounded state).
+
+State-size discipline for 100 TB streams:
+* every stateful op (window agg, dedup) carries a watermark so state is
+  evicted after the lateness bound — unbounded keys never accumulate;
+* dedup state is per-key-within-watermark (dropDuplicatesWithinWatermark),
+  not global;
+* the upsert sink uses foreachBatch: each micro-batch runs the same
+  merge library (anti-join + coalescing left join) against the target —
+  idempotent per batch id, the classic exactly-once-sink pattern.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+EVENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),  # TIMESTAMP(NANOS) read as long
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def read_events_stream(spark: SparkSession, dir_path: str) -> DataFrame:
+    """readStream over a parquet directory of events files (the local
+    stand-in for kafka); ts nanos → timestamp like the batch loader."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(dir_path)
+    )
+    return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+
+
+def windowed_event_agg(
+    stream: DataFrame,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming twin of events_window_agg: tumbling event-time window +
+    count/sum per event_type; late data beyond the watermark is dropped
+    and state for closed windows is evicted."""
+    cents = F.round(F.col("value") * 10000).cast("bigint")
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).start.alias("window_start"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            (F.sum(cents) / F.lit(10000.0)).alias("sum_value"),
+        )
+    )
+
+
+def stream_dedup(
+    stream: DataFrame,
+    keys: list[str],
+    watermark_col: str = "ts",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming keep-first dedup: state bounded by the watermark
+    (the streaming twin of drop_duplicates_keep_first — arrival order
+    stands in for _src_order)."""
+    return stream.withWatermark(watermark_col, watermark).dropDuplicatesWithinWatermark(keys)
+
+
+def stream_upsert_sink(
+    stream: DataFrame,
+    target_path: str,
+    keys: list[str],
+    checkpoint_dir: str,
+    update_with_null_values: bool = True,
+):
+    """writeStream.foreachBatch upsert into a parquet target: every
+    micro-batch is collapsed per key (last wins within the batch) and
+    merged with the same operators as the batch pipeline. Returns the
+    StreamingQuery."""
+    from dbimport_spark.operators import dedup, merge
+    from dbimport_spark.operators.order import SRC_ORDER_COL
+
+    def upsert_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        from dbimport_spark.operators.order import with_src_order
+
+        batch = with_src_order(batch_df)
+        collapsed = dedup.join_duplicates(
+            batch, keys, order_col=SRC_ORDER_COL,
+            update_with_null_values=update_with_null_values,
+        ).drop(SRC_ORDER_COL)
+        try:
+            target = spark.read.parquet(target_path)
+        except Exception:  # first batch: no target yet
+            collapsed.write.mode("overwrite").parquet(target_path)
+            return
+        merged = merge.upsert(
+            target, collapsed, keys, update_with_null_values=update_with_null_values
+        )
+        # materialize before overwriting the path we read from
+        merged.localCheckpoint(eager=True).write.mode("overwrite").parquet(target_path)
+
+    return (
+        stream.writeStream.foreachBatch(upsert_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -1,0 +1,115 @@
+"""Scale-path function library: MinHash-LSH, SimHash, hyperplane ANN,
+multimodal plumbing."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from dbimport_spark.functions import multimodal, similarity, textdedup
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    base = [
+        (1, "the quick brown fox jumps over the lazy dog again and again today"),
+        (2, "the quick brown fox jumps over the lazy dog again and again tomorrow"),  # near-dup of 1
+        (3, "completely different text about spark partitions and shuffle behavior"),
+        (4, "completely different text about spark partitions and shuffle behaviour"),  # near-dup of 3
+        (5, "unrelated short document"),
+    ]
+    return spark.createDataFrame(base, "doc_id long, text string")
+
+
+@pytest.fixture(scope="module")
+def shingles(docs):
+    toks = docs.select(
+        "doc_id", F.split(F.lower(F.regexp_replace("text", "[^a-zA-Z0-9]+", " ")), " ").alias("w")
+    )
+    tri = F.expr("transform(sequence(0, size(w) - 3), i -> concat_ws(' ', w[i], w[i+1], w[i+2]))")
+    return toks.filter(F.size("w") >= 3).select("doc_id", F.explode(tri).alias("s")).distinct()
+
+
+def test_minhash_lsh_finds_planted_pairs(shingles):
+    pairs = textdedup.minhash_lsh_neardup_pairs(shingles, threshold=0.5)
+    got = {(r["a_id"], r["b_id"]) for r in pairs.collect()}
+    assert (1, 2) in got and (3, 4) in got
+    assert all(a < b for a, b in got)
+    assert (1, 3) not in got and (1, 5) not in got
+
+
+def test_minhash_lsh_equals_exact_verification(shingles):
+    # LSH-verified pairs == exact pairs at high threshold (recall ≈ 1)
+    sigs = textdedup.minhash_signatures(shingles)
+    cands = textdedup.lsh_candidate_pairs(sigs)
+    lsh = {
+        (r["a_id"], r["b_id"], round(r["jaccard"], 9))
+        for r in textdedup.verify_jaccard(cands, shingles, threshold=0.5).collect()
+    }
+    a = shingles.select(F.col("doc_id").alias("a_id"), "s")
+    b = shingles.select(F.col("doc_id").alias("b_id"), "s")
+    sizes = shingles.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    inter = (
+        a.join(b, "s").filter(F.col("a_id") < F.col("b_id"))
+        .groupBy("a_id", "b_id").agg(F.count(F.lit(1)).alias("nb"))
+    )
+    exact = {
+        (r["a_id"], r["b_id"], round(r["j"], 9))
+        for r in inter.join(sizes.withColumnRenamed("doc_id", "a_id"), "a_id")
+        .withColumnRenamed("n", "na")
+        .join(sizes.withColumnRenamed("doc_id", "b_id"), "b_id")
+        .select("a_id", "b_id",
+                (F.col("nb") / (F.col("na") + F.col("n") - F.col("nb"))).alias("j"))
+        .filter(F.col("j") >= 0.5)
+        .collect()
+    }
+    assert lsh == exact
+
+
+def test_simhash_hamming(docs):
+    tokens = docs.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.regexp_replace("text", "[^a-zA-Z0-9]+", " ")), " ")).alias("tok"),
+    ).filter(F.col("tok") != "")
+    fps = textdedup.simhash(tokens)
+    assert fps.count() == 5
+    # pigeonhole guarantee: with c chunks every pair at hamming ≤ c-1 shares
+    # a chunk; use 8 chunks to guarantee recall up to hamming 7
+    pairs = textdedup.simhash_neardup_pairs(fps, max_hamming=7, chunks=8)
+    got = {(r["a_id"], r["b_id"]): r["hamming"] for r in pairs.collect()}
+    assert got[(1, 2)] == 2   # one changed token
+    assert got[(3, 4)] == 7
+    assert set(got) == {(1, 2), (3, 4)}  # no false pairs among unrelated docs
+
+
+def test_ann_lsh_recall_against_exact(spark, sf_dir):
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    base = e.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    queries = base.filter(F.col("vec_id") < 8)
+    approx = similarity.ann_lsh_topk(base, queries, dim=64, k=5)
+    got = {(r["query_id"], r["neighbor_id"]) for r in approx.collect()}
+    from dbimport_spark.plans.vector_queries import ann_topk_cosine
+
+    exact = {(r["query_id"], r["neighbor_id"]) for r in ann_topk_cosine(spark, sf_dir).collect()}
+    recall = len(got & exact) / len(exact)
+    assert len(got) == 40  # 8 queries × k
+    assert recall >= 0.3  # random embeddings: LSH recall is modest by design
+
+
+def test_multimodal_features_and_frames(spark):
+    docs = spark.createDataFrame(
+        [(1, "hello world"), (2, "another payload")], "doc_id long, text string"
+    )
+    media = multimodal.documents_as_media(docs)
+    assert media.schema["content"].dataType.typeName() == "binary"
+    feats = multimodal.extract_media_features(media, decode="fake").collect()
+    by_id = {r["media_id"]: r for r in feats}
+    assert by_id[1]["n_bytes"] == len(b"hello world")
+    assert len(by_id[1]["features"]) == multimodal.FEATURE_DIM
+    import hashlib
+
+    assert by_id[1]["content_sha256"] == hashlib.sha256(b"hello world").hexdigest()
+    with pytest.raises(NotImplementedError):
+        multimodal.extract_media_features(media, decode="strict")
+    frames = multimodal.sample_frames(media, n_frames=4)
+    rows = frames.filter(F.col("media_id") == 1).collect()
+    assert len(rows) == 4
+    assert sorted(r["frame_idx"] for r in rows) == [0, 1, 2, 3]
