@@ -27,8 +27,12 @@ HEADLINE = [
     "dedup_exact_docs",
     "text_token_count",
     "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
     "embedding_cosine_neardup",
     "ann_topk_cosine",
+    "ann_lsh_topk",
+    "multimodal_meta",
 ]
 
 
@@ -55,8 +59,16 @@ def main() -> None:
     )
     spark.sparkContext.setLogLevel("ERROR")
 
-    # JVM/codegen warmup on a trivial plan
+    # Warmup: JVM/codegen + OS page cache for the input files, so timings
+    # measure steady-state query execution rather than first-touch costs.
     spark.range(1000).selectExpr("sum(id)").collect()
+    # events.parquet is TIMESTAMP(NANOS); plain spark.read rejects it, so
+    # warm it through the same loader the queries use.
+    from dbimport_spark.plans.registry import load_events
+
+    for t in ("lineitem", "orders", "customer", "documents", "embeddings"):
+        spark.read.parquet(f"{sf_dir}/{t}.parquet").count()
+    load_events(spark, sf_dir).count()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

@@ -157,13 +157,23 @@ def upsert(
     update_with_null_values: bool = True,
     update_first_only: bool = False,
     target_order_col: str | None = None,
+    materialize_source: bool = True,
 ) -> DataFrame:
     """Update existing keys, then insert not-existing keys.
 
     Reference: DbImportWorker.java:537-578 (order matters: update first,
     then anti-join insert). Equivalent to a MERGE WHEN MATCHED / WHEN NOT
     MATCHED statement on a Delta sink.
+
+    The source feeds BOTH the update join and the anti-join insert;
+    ``materialize_source`` persists it so the (possibly expensive) upstream
+    dedup runs once — the DataFrame analogue of the reference's physical
+    temp table (DbImportWorker.java:438-469).
     """
+    if materialize_source:
+        from pyspark import StorageLevel
+
+        source = source.persist(StorageLevel.MEMORY_AND_DISK)
     if update_first_only:
         if target_order_col is None:
             raise ValueError("update_first_only requires target_order_col")

@@ -35,7 +35,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     so the verified LSH output equals the exact pair set. This is the
     query to run at 100 TB — signature agg + bucket join, no shingle
     self-join."""
-    sh = shingles_df(spark, sf_dir)
+    sh = shingles_df(spark, sf_dir).persist()  # feeds signatures + verify joins
     return textdedup.minhash_lsh_neardup_pairs(sh, threshold=0.9)
 
 

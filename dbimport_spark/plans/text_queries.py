@@ -232,8 +232,12 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     pair-count / set-size arithmetic. This is the exact-verification
     baseline; the LSH variant (dedup_minhash_lsh) is the 100 TB path that
     avoids the shingle×shingle blow-up by banding signatures.
+
+    The shingle table feeds three plan subtrees (sizes + both join sides);
+    persist computes the tokenize/explode once — the same temp-table move
+    as the reference's merge path.
     """
-    sh = shingles_df(spark, sf_dir)
+    sh = shingles_df(spark, sf_dir).persist()
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a = sh.alias("a")
     b = sh.alias("b")
