@@ -66,9 +66,31 @@ def main() -> None:
     # warm it through the same loader the queries use.
     from dbimport_spark.plans.registry import load_events
 
+    # Full-column scans (count() would prune to metadata and leave the
+    # large document/embedding pages cold on first real use).
     for t in ("lineitem", "orders", "customer", "documents", "embeddings"):
-        spark.read.parquet(f"{sf_dir}/{t}.parquet").count()
-    load_events(spark, sf_dir).count()
+        spark.read.parquet(f"{sf_dir}/{t}.parquet").write.format("noop").mode(
+            "overwrite"
+        ).save()
+    load_events(spark, sf_dir).write.format("noop").mode("overwrite").save()
+
+    # Spin up the Python UDF workers (numpy/pandas import + Arrow channel)
+    # on every core so the first pandas-UDF query isn't charged ~5 s of
+    # one-time worker startup.
+    from pyspark.sql import functions as _F
+
+    def _warm_fn(s):
+        import numpy  # noqa: F401
+        import pandas  # noqa: F401
+
+        return s
+
+    _warm = _F.pandas_udf(_warm_fn, "long")
+
+    n_warm = int(cpus) if str(cpus).isdigit() else (os.cpu_count() or 8)
+    spark.range(0, n_warm, 1, n_warm).select(_warm("id")).write.format("noop").mode(
+        "overwrite"
+    ).save()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

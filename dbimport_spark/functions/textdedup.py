@@ -28,14 +28,18 @@ def minhash_signatures(
 ) -> DataFrame:
     """(doc, shingle) pairs → one row per doc with sig_0..sig_{n-1}.
 
-    Hash family: xxhash64(shingle, i) — the i-th seed column gives an
-    independent 64-bit hash. One hash aggregation, map-side combined.
+    Hash family: the variable-length shingle is hashed ONCE
+    (h = xxhash64(shingle)); the i-th family member is xxhash64(h, i) over
+    the fixed-width 8-byte value. Re-hashing the full string per family
+    member would cost 64× the string-hash work per row for no extra
+    independence. One hash aggregation, map-side combined.
     """
+    base = shingles.withColumn("_h", F.xxhash64(F.col(shingle_col)))
     aggs = [
-        F.min(F.xxhash64(F.col(shingle_col), F.lit(i))).alias(f"sig_{i}")
+        F.min(F.xxhash64(F.col("_h"), F.lit(i))).alias(f"sig_{i}")
         for i in range(num_hashes)
     ]
-    return shingles.groupBy(doc_col).agg(*aggs)
+    return base.groupBy(doc_col).agg(*aggs)
 
 
 def lsh_candidate_pairs(
@@ -125,16 +129,19 @@ def simhash(
     """64-bit SimHash per doc: sum ±1 per bit over token hashes, take sign.
 
     One aggregation: per bit i, sum(CASE WHEN hash>>i & 1 THEN 1 ELSE -1)
-    → bit i of the fingerprint. Token multiplicity acts as weight.
+    → bit i of the fingerprint. Token multiplicity acts as weight. The
+    token is hashed once into a column; the 64 per-bit aggregates all read
+    that 8-byte value (bit test per agg, not a string hash per agg).
     """
-    h = F.xxhash64(F.col(token_col))
+    base = tokens.withColumn("_h", F.xxhash64(F.col(token_col)))
+    h = F.col("_h")
     bit_sums = [
         F.sum(
             F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
         ).alias(f"b_{i}")
         for i in range(bits)
     ]
-    agg = tokens.groupBy(doc_col).agg(*bit_sums)
+    agg = base.groupBy(doc_col).agg(*bit_sums)
     fp = F.lit(0).cast("bigint")
     for i in range(bits):
         fp = fp.bitwiseOR(

@@ -68,10 +68,11 @@ def shingles_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     tri = F.expr(
         "transform(sequence(0, size(w) - 3), i -> concat_ws(' ', w[i], w[i+1], w[i+2]))"
     )
-    return (
-        toks.filter(F.size("w") >= 3)
-        .select("doc_id", F.explode(tri).alias("s"))
-        .distinct()
+    # Per-doc dedup happens in-array (array_distinct) BEFORE the explode:
+    # the rows are then already distinct, so no global distinct() shuffle —
+    # the shingle table is produced by a narrow, fully pipelined stage.
+    return toks.filter(F.size("w") >= 3).select(
+        "doc_id", F.explode(F.array_distinct(tri)).alias("s")
     )
 
 
