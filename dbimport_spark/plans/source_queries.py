@@ -1,0 +1,564 @@
+"""Source-layer + schema-inference + end-to-end-pipeline queries.
+
+Each query round-trips data derived deterministically from the sf parquet
+tables through a REAL source reader (CSV / JSON-dataPath / XML / YAML /
+VCF / inline / gz / zip / wildcard multi-file / SQL script), so the whole
+import surface of SURVEY.md §2.1-§2.2 sits inside the driver's DuckDB
+correctness gate — the oracle recomputes the expected result straight from
+the parquet views.
+
+Export files are small by construction (nation/region/supplier slices, or
+key-capped customer/orders slices) and written driver-side to a temp dir —
+the same single-archive / single-file shape the reference handles
+(DataProvider.java:166-197); the distributed path is the Spark reader that
+consumes them.
+"""
+
+from __future__ import annotations
+
+import gzip
+import json
+import os
+import re
+import tempfile
+import zipfile
+from functools import reduce
+from xml.sax.saxutils import escape as _xml_escape
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dbimport_spark.config import ColumnMapping, ImportDefinition, ImportMode, KeyColumn
+from dbimport_spark.config import DuplicateMode
+from dbimport_spark.operators.coerce import apply_mappings
+from dbimport_spark.plans.registry import load, register
+from dbimport_spark.plans.merge_queries import (
+    CUST_SEL,
+    INSERTED_SQL,
+    MERGED_SQL,
+    UPDATED_OVERWRITE_SQL,
+    UPDATES_SQL,
+)
+from dbimport_spark.sources.compression import decompress_if_needed
+from dbimport_spark.sources.csv import CsvSource
+from dbimport_spark.sources.inline import read_inline_data
+from dbimport_spark.sources.json import read_json
+from dbimport_spark.sources.sqlscript import run_sql_script
+from dbimport_spark.sources.vcf import read_vcf
+from dbimport_spark.sources.wildcard import expand_wildcard, table_name_for_file
+from dbimport_spark.sources.xml import read_xml
+from dbimport_spark.sources.yaml import read_yaml
+
+
+def _export_dir(sf_dir: str) -> str:
+    d = os.path.join(
+        tempfile.gettempdir(),
+        "dbimport_spark_exports",
+        re.sub(r"\W+", "_", sf_dir.rstrip("/")),
+    )
+    os.makedirs(d, exist_ok=True)
+    return d
+
+
+# --------------------------------------------------------------------- CSV
+
+
+def _export_customer_csv(spark: SparkSession, sf_dir: str) -> str:
+    """customer (c_custkey<=200) as `;`-CSV: EU decimals, NULL sentinel on
+    c_mktsegment when c_nationkey%5=0, padding blanks around c_name."""
+    path = os.path.join(_export_dir(sf_dir), "customer_slice.csv")
+    rows = (
+        load(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") <= 200)
+        .orderBy("c_custkey")
+        .collect()
+    )
+    with open(path, "w", encoding="utf-8", newline="") as f:
+        f.write("c_custkey;c_name;c_nationkey;c_acctbal;c_mktsegment\n")
+        for r in rows:
+            acct = ("%.2f" % r.c_acctbal).replace(".", ",")
+            mkt = "NULL" if r.c_nationkey % 5 == 0 else r.c_mktsegment
+            f.write(f"{r.c_custkey}; {r.c_name} ;{r.c_nationkey};{acct};{mkt}\n")
+    return path
+
+
+@register(
+    "src_csv_import",
+    """SELECT c_custkey, c_name, c_nationkey,
+       CAST(printf('%.2f', c_acctbal) AS DOUBLE) AS c_acctbal,
+       CASE WHEN c_nationkey % 5 = 0 THEN NULL ELSE c_mktsegment END AS c_mktsegment
+FROM customer WHERE c_custkey <= 200""",
+)
+def src_csv_import(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV source with the reference option surface (`;` separator, trim,
+    null sentinel — CsvDataProvider.java:48-62,:211-218) feeding the
+    coercion kernel: EU decimal (`,` format-info) on c_acctbal, int casts,
+    sentinel → NULL."""
+    path = _export_customer_csv(spark, sf_dir)
+    raw = CsvSource(separator=";", trim=True, null_value_string="NULL").read(
+        spark, path, with_order=False
+    )
+    mappings = [
+        ColumnMapping("c_custkey", "c_custkey"),
+        ColumnMapping("c_name", "c_name"),
+        ColumnMapping("c_nationkey", "c_nationkey"),
+        ColumnMapping("c_acctbal", "c_acctbal", format_info=","),
+        ColumnMapping("c_mktsegment", "c_mktsegment"),
+    ]
+    types = {
+        "c_custkey": "bigint",
+        "c_name": "string",
+        "c_nationkey": "int",
+        "c_acctbal": "double",
+        "c_mktsegment": "string",
+    }
+    valid, _invalid = apply_mappings(raw, mappings, types)
+    return valid
+
+
+# --------------------------------------------------------------------- JSON
+
+
+@register(
+    "src_json_datapath",
+    "SELECT s_suppkey, s_name, s_nationkey, s_acctbal FROM supplier",
+)
+def src_json_datapath(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON source with `-dp` dataPath into a nested sub-array
+    (JsonDataProvider.java:305-311): document shape
+    {"payload": {"items": [...]}} → explode payload.items."""
+    path = os.path.join(_export_dir(sf_dir), "supplier.json")
+    rows = load(spark, sf_dir, "supplier").orderBy("s_suppkey").collect()
+    doc = {
+        "payload": {
+            "items": [
+                {
+                    "s_suppkey": r.s_suppkey,
+                    "s_name": r.s_name,
+                    "s_nationkey": r.s_nationkey,
+                    "s_acctbal": r.s_acctbal,
+                }
+                for r in rows
+            ]
+        }
+    }
+    with open(path, "w", encoding="utf-8") as f:
+        json.dump(doc, f)
+    df = read_json(spark, path, data_path="payload/items", with_order=False)
+    return df.select(
+        F.col("s_suppkey").cast("bigint"),
+        "s_name",
+        F.col("s_nationkey").cast("int"),
+        F.col("s_acctbal").cast("double"),
+    )
+
+
+# --------------------------------------------------------------------- XML
+
+
+@register(
+    "src_xml_datapath",
+    """SELECT CASE WHEN n_nationkey % 7 = 3 THEN NULL ELSE n_name END AS n_name,
+       n_nationkey, n_regionkey,
+       CAST(row_number() OVER (ORDER BY n_nationkey) - 1 AS BIGINT) AS _src_order
+FROM nation""",
+)
+def src_xml_datapath(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML source (`<list><entry><col>` shape, XmlDataProvider.java:139-348)
+    with slash dataPath and null sentinel; _src_order = document order."""
+    path = os.path.join(_export_dir(sf_dir), "nation.xml")
+    rows = load(spark, sf_dir, "nation").orderBy("n_nationkey").collect()
+    with open(path, "w", encoding="utf-8") as f:
+        f.write("<root><entries>")
+        for r in rows:
+            name = "NULL" if r.n_nationkey % 7 == 3 else r.n_name
+            f.write(
+                "<entry>"
+                f"<n_nationkey>{r.n_nationkey}</n_nationkey>"
+                f"<n_name>{_xml_escape(name)}</n_name>"
+                f"<n_regionkey>{r.n_regionkey}</n_regionkey>"
+                "</entry>"
+            )
+        f.write("</entries></root>")
+    df = read_xml(spark, path, data_path="root/entries", null_value_string="NULL")
+    return df.select(
+        "n_name",
+        F.col("n_nationkey").cast("int"),
+        F.col("n_regionkey").cast("int"),
+        "_src_order",
+    )
+
+
+# --------------------------------------------------------------------- YAML
+
+
+@register("src_yaml_datapath", "SELECT r_regionkey, r_name FROM region")
+def src_yaml_datapath(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """YAML source (sequence-of-mappings under a dataPath,
+    YamlDataProvider.java:32-302); typed values survive the round trip."""
+    import yaml as _yaml
+
+    path = os.path.join(_export_dir(sf_dir), "region.yaml")
+    rows = load(spark, sf_dir, "region").orderBy("r_regionkey").collect()
+    doc = {
+        "data": {
+            "rows": [
+                {"r_regionkey": int(r.r_regionkey), "r_name": str(r.r_name)} for r in rows
+            ]
+        }
+    }
+    with open(path, "w", encoding="utf-8") as f:
+        _yaml.safe_dump(doc, f)
+    df = read_yaml(spark, path, data_path="data/rows", with_order=False)
+    return df.select(F.col("r_regionkey").cast("int"), "r_name")
+
+
+# --------------------------------------------------------------------- VCF
+
+
+@register(
+    "src_vcf_contacts",
+    """SELECT c_name AS formattedname,
+       '+00-' || lpad(CAST(c_custkey AS VARCHAR), 7, '0') AS telephonenumber_1,
+       'work' AS telephonenumber_1_attr,
+       'customer' || CAST(c_custkey AS VARCHAR) || '@example.com' AS email_1,
+       c_mktsegment AS note,
+       CAST(c_nationkey AS VARCHAR) || ' Market Street' AS address_1_street,
+       'home' AS address_1_attr
+FROM customer WHERE c_custkey <= 100""",
+)
+def src_vcf_contacts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VCF source: one row per card, ADR exploded into address_N_part
+    dynamic columns, TYPE attrs captured (VcfDataProvider.java:178-222;
+    golden flattening DbImportTest_HSQL.java:1660-1683)."""
+    path = os.path.join(_export_dir(sf_dir), "contacts.vcf")
+    rows = (
+        load(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") <= 100)
+        .orderBy("c_custkey")
+        .collect()
+    )
+    with open(path, "w", encoding="utf-8", newline="") as f:
+        for r in rows:
+            f.write(
+                "BEGIN:VCARD\n"
+                "VERSION:3.0\n"
+                f"FN:{r.c_name}\n"
+                f"TEL;TYPE=work:+00-{r.c_custkey:07d}\n"
+                f"EMAIL:customer{r.c_custkey}@example.com\n"
+                f"NOTE:{r.c_mktsegment}\n"
+                f"ADR;TYPE=home:;;{r.c_nationkey} Market Street;;;;\n"
+                "END:VCARD\n"
+            )
+    return read_vcf(spark, path, with_order=False)
+
+
+# --------------------------------------------------------------------- inline
+
+
+@register(
+    "src_inline_data",
+    """SELECT * FROM (VALUES
+  (1, 'alpha', CAST(3.5 AS DOUBLE), CAST(0 AS BIGINT)),
+  (2, 'beta',  CAST(NULL AS DOUBLE), CAST(1 AS BIGINT)),
+  (3, 'gamma', CAST(1.25 AS DOUBLE), CAST(2 AS BIGINT)),
+  (4, 'de;lta', CAST(7.0 AS DOUBLE), CAST(3 AS BIGINT))
+) AS t(id, name, score, _src_order)""",
+)
+def src_inline_data(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inline `-data` source (DataProvider.java:150-156): the argument IS
+    the data; quote-aware parse, empty → NULL, _src_order assigned."""
+    data = 'id;name;score\n1;alpha;3,5\n2;beta;\n3;gamma;1,25\n4;"de;lta";7,0\n'
+    df = read_inline_data(spark, data, separator=";", null_value_string="")
+    return df.select(
+        F.col("id").cast("int"),
+        "name",
+        F.regexp_replace("score", ",", ".").cast("double").alias("score"),
+        "_src_order",
+    )
+
+
+# ----------------------------------------------------------- compression
+
+
+def _write_nation_csv_text(spark: SparkSession, sf_dir: str) -> str:
+    rows = load(spark, sf_dir, "nation").orderBy("n_nationkey").collect()
+    lines = ["n_nationkey;n_name;n_regionkey"]
+    lines += [f"{r.n_nationkey};{r.n_name};{r.n_regionkey}" for r in rows]
+    return "\n".join(lines) + "\n"
+
+
+@register(
+    "src_csv_gz",
+    "SELECT n_nationkey, n_name, n_regionkey FROM nation",
+)
+def src_csv_gz(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """gzip envelope read natively by the Spark CSV reader
+    (DataProvider.java:166-197; gz is the Spark-transparent case)."""
+    path = os.path.join(_export_dir(sf_dir), "nation.csv.gz")
+    with gzip.open(path, "wt", encoding="utf-8") as f:
+        f.write(_write_nation_csv_text(spark, sf_dir))
+    df = CsvSource(separator=";").read(spark, path, with_order=False)
+    return df.select(
+        F.col("n_nationkey").cast("int"), "n_name", F.col("n_regionkey").cast("int")
+    )
+
+
+@register("src_csv_zip", "SELECT r_regionkey, r_name FROM region")
+def src_csv_zip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """zip envelope: single-entry archive extracted by the compression
+    pre-step, then the normal CSV reader (DataProvider.java:166-197 —
+    single-zip-entry enforcement lives in decompress_if_needed)."""
+    rows = load(spark, sf_dir, "region").orderBy("r_regionkey").collect()
+    text = "r_regionkey;r_name\n" + "".join(
+        f"{r.r_regionkey};{r.r_name}\n" for r in rows
+    )
+    path = os.path.join(_export_dir(sf_dir), "region.csv.zip")
+    with zipfile.ZipFile(path, "w") as zf:
+        zf.writestr("region.csv", text)
+    extracted = decompress_if_needed(path)
+    df = CsvSource(separator=";").read(spark, extracted, with_order=False)
+    return df.select(F.col("r_regionkey").cast("int"), "r_name")
+
+
+# ------------------------------------------------------------- wildcard
+
+
+@register(
+    "src_wildcard_multifile",
+    """SELECT s_suppkey, 'sup_p' || CAST(s_suppkey % 3 AS VARCHAR) AS src_table
+FROM supplier""",
+)
+def src_wildcard_multifile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-file wildcard import: `?`/`*` expansion sorted by name, one
+    target table per file derived from the filename
+    (DbImport.java:907-948,:1316-1361; DbImportMultiWorker.java:39-196)."""
+    d = _export_dir(sf_dir)
+    rows = load(spark, sf_dir, "supplier").orderBy("s_suppkey").collect()
+    buckets: dict[int, list] = {0: [], 1: [], 2: []}
+    for r in rows:
+        buckets[r.s_suppkey % 3].append(r)
+    for i, rs in buckets.items():
+        with open(os.path.join(d, f"sup_p{i}.csv"), "w", encoding="utf-8") as f:
+            f.write("s_suppkey;s_name\n")
+            for r in rs:
+                f.write(f"{r.s_suppkey};{r.s_name}\n")
+    files = expand_wildcard(os.path.join(d, "sup_p*.csv"))
+    parts = []
+    for fpath in files:
+        tbl = table_name_for_file(fpath)
+        parts.append(
+            CsvSource(separator=";")
+            .read(spark, fpath, with_order=False)
+            .select(
+                F.col("s_suppkey").cast("bigint"), F.lit(tbl).alias("src_table")
+            )
+        )
+    return reduce(DataFrame.unionByName, parts)
+
+
+# ------------------------------------------------------------ SQL script
+
+
+@register(
+    "src_sql_script",
+    """SELECT o_orderpriority, count(*) AS n_orders,
+       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100 AS sum_price
+FROM orders GROUP BY o_orderpriority""",
+)
+def src_sql_script(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-script source: statements split (quotes/comments respected),
+    executed sequentially against the Spark catalog
+    (DbSqlWorker.java:104-216)."""
+    script = f"""
+-- orders rollup per priority
+CREATE OR REPLACE TEMPORARY VIEW _ss_orders AS
+  SELECT * FROM parquet.`{sf_dir}/orders.parquet`;
+/* aggregate step; the ';' inside 'literal;string' must not split */
+CREATE OR REPLACE TEMPORARY VIEW _ss_result AS
+  SELECT o_orderpriority, count(*) AS n_orders,
+         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100 AS sum_price
+  FROM _ss_orders WHERE 'a;b' = 'a;b' GROUP BY o_orderpriority;
+"""
+    res = run_sql_script(spark, script, complete_commit=True)
+    assert res.executed == 2 and not res.errors
+    return spark.table("_ss_result")
+
+
+# ------------------------------------------------------- schema inference
+
+_INFER_DT_PATTERNS = [
+    "%Y-%m-%d %H:%M:%S",
+    "%Y-%m-%dT%H:%M:%S",
+    "%d.%m.%Y %H:%M:%S",
+    "%d.%m.%Y %H:%M",
+    "%m/%d/%Y %H:%M:%S",
+    "%Y-%m-%d",
+    "%d.%m.%Y",
+    "%m/%d/%Y",
+]
+_INFER_D_PATTERNS = ["%Y-%m-%d", "%d.%m.%Y", "%m/%d/%Y"]
+_BOOL_WORDS = "'true','yes','y','ja','j','1','on','false','no','n','nein','0','off'"
+
+
+def _lattice_branch_sql(name: str, expr: str) -> str:
+    """DuckDB mirror of the detectNextDataType lattice for one column
+    (DataProvider.java:61-148): same priority order, same strict-integer
+    grammar, same ≤20-char guard, same 4000-byte BLOB rule."""
+    s = f"trim({expr})"
+    ne = f"({expr}) IS NOT NULL AND {s} <> ''"
+    dt_list = ", ".join(f"'{p}'" for p in _INFER_DT_PATTERNS)
+    d_list = ", ".join(f"'{p}'" for p in _INFER_D_PATTERNS)
+    count = lambda cond: f"count(*) FILTER (WHERE {ne} AND ({cond}))"  # noqa: E731
+    n = f"count(*) FILTER (WHERE {ne})"
+    maxb = f"max(strlen({expr}))"  # DuckDB strlen = byte length of VARCHAR
+    is_int = (
+        f"regexp_matches({s}, '^[+-]?[0-9]+$') AND length({s}) <= 20"
+    )
+    dtype = f"""CASE
+      WHEN coalesce({maxb}, 0) > 4000 THEN 'BLOB'
+      WHEN {n} = 0 THEN 'VARCHAR'
+      WHEN {count(f"try_strptime({s}, [{d_list}]) IS NOT NULL")} = {n} THEN 'DATE'
+      WHEN {count(f"try_strptime({s}, [{dt_list}]) IS NOT NULL")} = {n} THEN 'TIMESTAMP'
+      WHEN {count(f"{is_int} AND try_cast({s} AS INTEGER) IS NOT NULL")} = {n} THEN 'INTEGER'
+      WHEN {count(f"{is_int} AND try_cast({s} AS BIGINT) IS NOT NULL")} = {n} THEN 'BIGINT'
+      WHEN {count(f"length({s}) <= 20 AND try_cast({s} AS DOUBLE) IS NOT NULL")} = {n} THEN 'DOUBLE'
+      WHEN {count(f"lower({s}) IN ({_BOOL_WORDS})")} = {n} THEN 'BOOLEAN'
+      ELSE 'VARCHAR' END"""
+    return f"""SELECT '{name}' AS column_name, {dtype} AS data_type,
+      CASE WHEN ({dtype}) = 'VARCHAR'
+           THEN CAST(greatest(coalesce({maxb}, 0), 1) AS INTEGER)
+           ELSE CAST(NULL AS INTEGER) END AS data_size
+    FROM infer_src"""
+
+
+_INFER_COLS = {
+    "o_orderkey": "CAST(o_orderkey AS VARCHAR)",
+    "o_orderstatus": "o_orderstatus",
+    "o_totalprice": "CAST(o_totalprice AS VARCHAR)",
+    "o_orderdate": "CAST(o_orderdate AS VARCHAR)",
+    "o_orderpriority": "o_orderpriority",
+    "is_even": "CASE WHEN o_orderkey % 2 = 0 THEN 'true' ELSE 'false' END",
+    "big_note": "CASE WHEN o_orderkey % 100 = 0 THEN repeat('x', 4001) ELSE 'short' END",
+    "sparse_int": "CASE WHEN o_orderkey % 3 = 0 THEN '' ELSE CAST(o_orderkey AS VARCHAR) END",
+}
+
+_INFER_ORACLE = (
+    "WITH infer_src AS (SELECT "
+    + ", ".join(f"{e} AS {n}" for n, e in _INFER_COLS.items())
+    + " FROM orders) "
+    + " UNION ALL ".join(_lattice_branch_sql(n, n) for n in _INFER_COLS)
+)
+
+
+@register("schema_infer_lattice", _INFER_ORACLE)
+def schema_infer_lattice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-driven type-lattice inference (detectNextDataType,
+    DataProvider.java:61-148) over a string-read projection of `orders`:
+    int / double / timestamp / boolean / sticky-BLOB / empty-skip /
+    VARCHAR-with-byte-size — one aggregation pass; the oracle recomputes
+    the identical lattice in SQL."""
+    from dbimport_spark.schema.infer import infer_schema
+
+    o = load(spark, sf_dir, "orders")
+    src = o.select(
+        F.col("o_orderkey").cast("string").alias("o_orderkey"),
+        F.col("o_orderstatus").alias("o_orderstatus"),
+        F.col("o_totalprice").cast("string").alias("o_totalprice"),
+        F.col("o_orderdate").cast("string").alias("o_orderdate"),
+        F.col("o_orderpriority").alias("o_orderpriority"),
+        F.when(F.col("o_orderkey") % 2 == 0, "true").otherwise("false").alias("is_even"),
+        F.when(F.col("o_orderkey") % 100 == 0, F.expr("repeat('x', 4001)"))
+        .otherwise("short")
+        .alias("big_note"),
+        F.when(F.col("o_orderkey") % 3 == 0, "")
+        .otherwise(F.col("o_orderkey").cast("string"))
+        .alias("sparse_int"),
+    )
+    cols = infer_schema(src)
+    return spark.createDataFrame(
+        [(c.name, c.data_type, c.size) for c in cols],
+        "column_name string, data_type string, data_size int",
+    )
+
+
+# ------------------------------------------------- end-to-end pipeline
+
+_UPDATES_RT_SQL = UPDATES_SQL.replace(
+    "o_totalprice AS c_acctbal",
+    "CAST(printf('%.2f', o_totalprice) AS DOUBLE) AS c_acctbal",
+)
+
+
+def _export_updates_csv(spark: SparkSession, sf_dir: str) -> str:
+    """The F3-shaped updates source as a CSV file: EU decimals, NULL
+    sentinel, rows in _src_order so file order == merge order."""
+    from dbimport_spark.plans.merge_queries import updates_df
+
+    path = os.path.join(_export_dir(sf_dir), "customer_updates.csv")
+    rows = updates_df(spark, sf_dir).orderBy("_src_order").collect()
+    with open(path, "w", encoding="utf-8", newline="") as f:
+        f.write("c_custkey;c_name;c_nationkey;c_acctbal;c_mktsegment\n")
+        for r in rows:
+            acct = ("%.2f" % r.c_acctbal).replace(".", ",")
+            mkt = "NULL" if r.c_mktsegment is None else r.c_mktsegment
+            f.write(f"{r.c_custkey};{r.c_name};{r.c_nationkey};{acct};{mkt}\n")
+    return path
+
+
+@register(
+    "pipeline_csv_upsert",
+    f"""WITH {_UPDATES_RT_SQL}, {MERGED_SQL}, {UPDATED_OVERWRITE_SQL}, {INSERTED_SQL}
+SELECT {CUST_SEL} FROM updated UNION ALL SELECT {CUST_SEL} FROM inserted""",
+)
+def pipeline_csv_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full DbImportWorker.work() equivalent end-to-end
+    (DbImportWorker.java:330-686): CSV file → mapping + coercion
+    (EU decimal, null sentinel) → join-duplicates dedup → UPSERT into
+    customer — one run_import call, executed as scan → split → hash-agg
+    dedup → left-join update + anti-join insert."""
+    from dbimport_spark.pipeline import run_import
+
+    path = _export_updates_csv(spark, sf_dir)
+    source = CsvSource(separator=";", null_value_string="NULL").read(
+        spark, path, with_order=True
+    )
+    target = load(spark, sf_dir, "customer")
+    definition = ImportDefinition(
+        import_mode=ImportMode.UPSERT,
+        duplicate_mode=DuplicateMode.UPDATE_ALL_JOIN,
+        key_columns=[KeyColumn("c_custkey")],
+        mappings=[
+            ColumnMapping("c_custkey", "c_custkey"),
+            ColumnMapping("c_name", "c_name"),
+            ColumnMapping("c_nationkey", "c_nationkey"),
+            ColumnMapping("c_acctbal", "c_acctbal", format_info=","),
+            ColumnMapping("c_mktsegment", "c_mktsegment"),
+        ],
+    )
+    result, _invalid, _stats = run_import(definition, source, target)
+    return result
+
+
+@register(
+    "merge_clearinsert",
+    f"WITH {UPDATES_SQL}, {MERGED_SQL} SELECT {CUST_SEL} FROM merged",
+)
+def merge_clearinsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CLEARINSERT: the target is emptied first, so the post-import table
+    is exactly the deduped source (DbImportWorker.java:411-415; overwrite
+    write mode in Spark terms)."""
+    from dbimport_spark.pipeline import run_import
+
+    source = (
+        __import__("dbimport_spark.plans.merge_queries", fromlist=["updates_df"])
+        .updates_df(spark, sf_dir)
+    )
+    target = load(spark, sf_dir, "customer")
+    definition = ImportDefinition(
+        import_mode=ImportMode.CLEARINSERT,
+        duplicate_mode=DuplicateMode.UPDATE_ALL_JOIN,
+        key_columns=[KeyColumn("c_custkey")],
+    )
+    result, _invalid, _stats = run_import(definition, source, target)
+    return result.select(*CUST_SEL.split(", "))

@@ -29,6 +29,12 @@ from dbimport_spark.operators.coerce import (
 
 DATE_ONLY_PATTERNS = ["yyyy-MM-dd", "dd.MM.yyyy", "MM/dd/yyyy"]
 
+# Java Integer.parseInt/Long.parseLong accept only optional sign + digits
+# (DataProvider.java:101-146 routes through them); Spark's try_cast is
+# equally strict but the guard pins the reference grammar explicitly so
+# oracle SQL can mirror it engine-independently.
+INT_GRAMMAR_RE = r"^[+-]?[0-9]+$"
+
 
 @dataclass
 class InferredColumn:
@@ -70,8 +76,12 @@ def _counts_for(col: str, fmt: str | None):
         {
             "n_datetime": F.sum((nonempty & dt.isNotNull()).cast("long")),
             "n_dateonly": F.sum((nonempty & d.isNotNull()).cast("long")),
-            "n_int": F.sum((nonempty & short & s.try_cast("int").isNotNull()).cast("long")),
-            "n_bigint": F.sum((nonempty & short & s.try_cast("bigint").isNotNull()).cast("long")),
+            "n_int": F.sum(
+                (nonempty & short & s.rlike(INT_GRAMMAR_RE) & s.try_cast("int").isNotNull()).cast("long")
+            ),
+            "n_bigint": F.sum(
+                (nonempty & short & s.rlike(INT_GRAMMAR_RE) & s.try_cast("bigint").isNotNull()).cast("long")
+            ),
             "n_double": F.sum((nonempty & short & s.try_cast("double").isNotNull()).cast("long")),
             "n_bool": F.sum(
                 (nonempty & F.lower(s).isin(*(_TRUE_WORDS + _FALSE_WORDS))).cast("long")
