@@ -67,6 +67,38 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ann_lsh_topk(base, queries, dim=64, k=5)
 
 
+@register("ann_ivf_topk")  # rows-only: approximate by design
+def ann_ivf_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-flat ANN (16 cells, nprobe=4): inverted-file cell per corpus
+    vector, probed cells re-ranked with exact cosine. Approximate (recall
+    < 1 by design) → rows-only check; exact twin is ann_topk_cosine."""
+    e = load(spark, sf_dir, "embeddings")
+    base = e.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    queries = base.filter(F.col("vec_id") < 8)
+    return similarity.ann_ivf_topk(base, queries, dim=64, k=5)
+
+
+@register(
+    "multimodal_frames",
+    """WITH m AS (
+  SELECT doc_id AS media_id, text, greatest(1, strlen(text) // 4) AS step
+  FROM documents
+)
+SELECT media_id, CAST(i AS INTEGER) AS frame_idx,
+       sha256(substring(text, CAST(i * step + 1 AS BIGINT), step)) AS frame_sha256,
+       CAST(strlen(substring(text, CAST(i * step + 1 AS BIGINT), step)) AS BIGINT) AS frame_bytes
+FROM m, UNNEST(range(4)) AS u(i)""",
+)
+def multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling plumbing: the binary payload split into 4
+    evenly-spaced slices via Arrow-batched mapInPandas (deterministic
+    stand-in for keyframe extraction — document text is ASCII so the
+    oracle's char slicing equals the byte slicing)."""
+    d = load(spark, sf_dir, "documents")
+    media = multimodal.documents_as_media(d)
+    return multimodal.sample_frames(media, n_frames=4)
+
+
 @register(
     "multimodal_meta",
     """SELECT doc_id AS media_id,

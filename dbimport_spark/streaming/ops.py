@@ -49,12 +49,21 @@ def windowed_event_agg(
     count/sum per event_type; late data beyond the watermark is dropped
     and state for closed windows is evicted."""
     cents = F.round(F.col("value") * 10000).cast("bigint")
+    # group on the window STRUCT (not window.start): watermark-based state
+    # eviction tracks the grouping column, and Spark rejects the streaming
+    # agg as un-watermarked if the window is flattened before the groupBy.
     return (
         stream.withWatermark("ts", watermark)
-        .groupBy(F.window("ts", window).start.alias("window_start"), "event_type")
+        .groupBy(F.window("ts", window), "event_type")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
             (F.sum(cents) / F.lit(10000.0)).alias("sum_value"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
         )
     )
 
