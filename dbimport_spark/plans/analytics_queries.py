@@ -182,3 +182,59 @@ def asof_join_events_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     with_last = unioned.withColumn("last_orderkey", F.last("okey", ignorenulls=True).over(w))
     return with_last.filter(F.col("tag") == 1).select("event_id", "user_id", "ts", "last_orderkey")
+
+
+@register(
+    "skew_salted_join",
+    """SELECT o_orderpriority, count(*) AS n_items,
+       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) / 100.0 AS sum_price
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+GROUP BY o_orderpriority""",
+)
+def skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-mitigated equi-join: the fact side is salted (content-derived,
+    deterministic), the dim side replicated per salt bucket, so a hot
+    orderkey splits across salt_buckets tasks. Salting is
+    correctness-invariant — this oracle is the plain unsalted join."""
+    from dbimport_spark.operators import skew
+
+    l = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_extendedprice")
+    o = load(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_orderpriority"
+    )
+    joined = skew.salted_join(l, o, ["l_orderkey"], salt_buckets=8)
+    cents = F.round(F.col("l_extendedprice") * 100).cast("bigint")
+    return joined.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        (F.sum(cents) / F.lit(100.0)).alias("sum_price"),
+    )
+
+
+@register(
+    "skew_salted_agg",
+    """SELECT l_returnflag, count(*) AS n_items,
+       CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) AS qty_cents,
+       CAST(max(l_extendedprice) AS DOUBLE) AS max_price
+FROM lineitem GROUP BY l_returnflag""",
+)
+def skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase salted aggregation for skewed group keys (l_returnflag
+    has only 3 values — maximal skew): phase 1 aggregates (key, salt),
+    phase 2 combines. Result equals the direct aggregation exactly."""
+    from dbimport_spark.operators import skew
+
+    l = load(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.round(F.col("l_quantity") * 100).cast("bigint").alias("qty_cents"),
+        "l_extendedprice",
+    )
+    return skew.salted_aggregate(
+        l,
+        ["l_returnflag"],
+        {
+            "n_items": ("l_returnflag", "count"),
+            "qty_cents": ("qty_cents", "sum"),
+            "max_price": ("l_extendedprice", "max"),
+        },
+        salt_buckets=8,
+    )

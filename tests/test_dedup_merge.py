@@ -153,3 +153,45 @@ def test_key_function_lower(spark):
     out = dedup.drop_duplicates_keep_first(src, [key])
     assert out.count() == 1
     assert out.collect()[0]["v"] == "AbcÄ123"
+
+
+class TestSkewOps:
+    def test_salted_join_equals_plain_join(self, spark):
+        from dbimport_spark.operators import skew
+
+        big = spark.createDataFrame(
+            [(k, i) for i in range(50) for k in (1, 1, 2)], "k int, v int"
+        )
+        dim = spark.createDataFrame([(1, "a"), (2, "b"), (3, "c")], "k int, name string")
+        got = skew.salted_join(big, dim, ["k"], salt_buckets=4)
+        want = big.join(dim, "k")
+        assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+    def test_salted_join_left_keeps_unmatched(self, spark):
+        from dbimport_spark.operators import skew
+
+        big = spark.createDataFrame([(1, 10), (9, 90)], "k int, v int")
+        dim = spark.createDataFrame([(1, "a")], "k int, name string")
+        got = skew.salted_join(big, dim, ["k"], how="left", salt_buckets=4)
+        rows = {tuple(r) for r in got.collect()}
+        assert (9, 90, None) in rows and (1, 10, "a") in rows
+
+    def test_salted_aggregate_equals_plain(self, spark):
+        import pyspark.sql.functions as F
+
+        from dbimport_spark.operators import skew
+
+        df = spark.createDataFrame(
+            [("x", i) for i in range(100)] + [("y", 5)], "g string, v int"
+        )
+        got = skew.salted_aggregate(
+            df, ["g"], {"n": ("v", "count"), "s": ("v", "sum"), "mx": ("v", "max")},
+            salt_buckets=4,
+        ).orderBy("g").collect()
+        want = (
+            df.groupBy("g")
+            .agg(F.count("v").alias("n"), F.sum("v").alias("s"), F.max("v").alias("mx"))
+            .orderBy("g")
+            .collect()
+        )
+        assert [tuple(r) for r in got] == [tuple(r) for r in want]
