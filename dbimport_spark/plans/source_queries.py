@@ -562,3 +562,68 @@ def merge_clearinsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     result, _invalid, _stats = run_import(definition, source, target)
     return result.select(*CUST_SEL.split(", "))
+
+
+# ------------------------------------------------------------ xlsx / ods
+
+
+@register(
+    "src_xlsx_import",
+    """SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+FROM customer WHERE c_custkey <= 150""",
+)
+def src_xlsx_import(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """xlsx source parsed with the stdlib zip+XML reader (typed numeric /
+    string / boolean cells — ExcelDataProvider.java:259-332); numerics
+    arrive as doubles and the int columns are down-cast by coercion."""
+    from dbimport_spark.sources.excel import read_excel, write_xlsx_minimal
+
+    path = os.path.join(_export_dir(sf_dir), "customer.xlsx")
+    rows = (
+        load(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") <= 150)
+        .orderBy("c_custkey")
+        .collect()
+    )
+    write_xlsx_minimal(
+        path,
+        ["c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"],
+        [[r.c_custkey, r.c_name, r.c_nationkey, r.c_acctbal, r.c_mktsegment] for r in rows],
+    )
+    df = read_excel(spark, path)
+    return df.select(
+        F.col("c_custkey").cast("bigint"),
+        "c_name",
+        F.col("c_nationkey").cast("int"),
+        F.col("c_acctbal").cast("double"),
+        "c_mktsegment",
+    )
+
+
+@register(
+    "src_ods_import",
+    """SELECT s_suppkey, s_name, s_acctbal FROM supplier WHERE s_suppkey <= 80""",
+)
+def src_ods_import(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ODS source parsed with the stdlib zip+XML reader (typed cells per
+    OdsDataProvider.java's contract)."""
+    from dbimport_spark.sources.excel import read_ods, write_ods_minimal
+
+    path = os.path.join(_export_dir(sf_dir), "supplier.ods")
+    rows = (
+        load(spark, sf_dir, "supplier")
+        .filter(F.col("s_suppkey") <= 80)
+        .orderBy("s_suppkey")
+        .collect()
+    )
+    write_ods_minimal(
+        path,
+        ["s_suppkey", "s_name", "s_acctbal"],
+        [[r.s_suppkey, r.s_name, r.s_acctbal] for r in rows],
+    )
+    df = read_ods(spark, path)
+    return df.select(
+        F.col("s_suppkey").cast("bigint"),
+        "s_name",
+        F.col("s_acctbal").cast("double"),
+    )

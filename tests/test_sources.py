@@ -222,3 +222,71 @@ def test_sql_script(spark):
     assert len(res.errors) == 1 and res.errors[0][0] == 1
     with pytest.raises(Exception):
         run_sql_script(spark, script, complete_commit=True)
+
+
+def test_xlsx_roundtrip_stdlib(spark, tdir):
+    """stdlib zip+XML xlsx parse: typed cells, sheet order, headers."""
+    from dbimport_spark.sources.excel import read_excel, sniff_excel_kind, write_xlsx_minimal
+
+    path = str(tdir / "book.xlsx")
+    write_xlsx_minimal(
+        path,
+        ["id", "name", "score", "flag"],
+        [[1, "alpha", 3.5, True], [2, "be;ta", 7.0, False], [3, None, 1.25, True]],
+    )
+    assert sniff_excel_kind(path) == "xlsx"
+    df = read_excel(spark, path)
+    rows = {int(r["id"]): r for r in df.collect()}
+    assert rows[1]["name"] == "alpha" and rows[1]["score"] == 3.5 and rows[1]["flag"] is True
+    assert rows[2]["name"] == "be;ta" and rows[2]["flag"] is False
+    assert rows[3]["name"] is None
+    assert [r["_src_order"] for r in df.orderBy("_src_order").collect()] == [0, 1, 2]
+
+
+def test_xlsx_sheet_not_found(spark, tdir):
+    from dbimport_spark.sources.excel import read_excel, write_xlsx_minimal
+
+    path = str(tdir / "book2.xlsx")
+    write_xlsx_minimal(path, ["a"], [[1]])
+    with pytest.raises(ValueError, match="sheet not found"):
+        read_excel(spark, path, sheet_name="nope")
+
+
+def test_ods_roundtrip_stdlib(spark, tdir):
+    from dbimport_spark.sources.excel import read_ods, write_ods_minimal
+
+    path = str(tdir / "book.ods")
+    write_ods_minimal(
+        path,
+        ["id", "name", "score"],
+        [[1, "alpha", 3.5], [2, "beta", None], [3, "gamma", 1.25]],
+    )
+    df = read_ods(spark, path)
+    rows = {int(r["id"]): r for r in df.collect()}
+    assert rows[1]["name"] == "alpha" and rows[1]["score"] == 3.5
+    assert rows[2]["score"] is None
+    assert len(rows) == 3
+
+
+def test_structure_sync_create_and_alter(spark):
+    from dbimport_spark.schema.structure import structure_to_spark_schema, sync_structure
+
+    structure = {
+        "t_struct_demo": {
+            "columns": [
+                {"name": "id", "datatype": "INTEGER"},
+                {"name": "label", "datatype": "VARCHAR(64)"},
+            ],
+            "keycolumns": ["id"],
+        }
+    }
+    schema, keys = structure_to_spark_schema(structure["t_struct_demo"])
+    assert keys == ["id"] and [f.name for f in schema.fields] == ["id", "label"]
+    spark.sql("DROP TABLE IF EXISTS t_struct_demo")
+    actions = sync_structure(spark, structure)
+    assert actions["t_struct_demo"] == "created"
+    structure["t_struct_demo"]["columns"].append({"name": "extra", "datatype": "DOUBLE"})
+    actions = sync_structure(spark, structure)
+    assert actions["t_struct_demo"] == "added 1 columns"
+    assert "extra" in [f.name for f in spark.table("t_struct_demo").schema.fields]
+    spark.sql("DROP TABLE t_struct_demo")
