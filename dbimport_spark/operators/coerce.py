@@ -182,6 +182,58 @@ def coerce_blob_base64(src: Column) -> CoercionResult:
     return CoercionResult(value=value, error=_nonempty(src) & ~ok)
 
 
+def coerce_file_blob(src: Column) -> CoercionResult:
+    """`file` format-info: the cell value is a PATH; the cell becomes the
+    file's bytes, with per-value gz/zip/tgz decompression
+    (DbImportWorker.java:1209-1315). Missing/unreadable file → row error.
+
+    Executed as an Arrow-batched pandas UDF — the paths must be reachable
+    from executors (shared storage), the same contract the reference has
+    for its import host."""
+    import pandas as pd
+
+    def _read_file_fn(paths):
+        import gzip as _gzip
+        import tarfile as _tarfile
+        import zipfile as _zipfile
+
+        contents, oks = [], []
+        for p in paths:
+            if p is None or str(p).strip() == "":
+                contents.append(None)
+                oks.append(True)  # empty → NULL cell, not an error
+                continue
+            p = str(p).strip()
+            try:
+                low = p.lower()
+                if low.endswith((".tar.gz", ".tgz", ".tar")):
+                    with _tarfile.open(p) as tf:
+                        member = next(m for m in tf.getmembers() if m.isfile())
+                        data = tf.extractfile(member).read()
+                elif low.endswith(".zip"):
+                    with _zipfile.ZipFile(p) as zf:
+                        names = [n for n in zf.namelist() if not n.endswith("/")]
+                        if len(names) != 1:
+                            raise ValueError("zip must contain exactly one entry")
+                        data = zf.read(names[0])
+                elif low.endswith(".gz"):
+                    with _gzip.open(p, "rb") as fh:
+                        data = fh.read()
+                else:
+                    with open(p, "rb") as fh:
+                        data = fh.read()
+                contents.append(data)
+                oks.append(True)
+            except Exception:
+                contents.append(None)
+                oks.append(False)
+        return pd.DataFrame({"content": contents, "ok": oks})
+
+    read_file = F.pandas_udf(_read_file_fn, "struct<content:binary, ok:boolean>")
+    res = read_file(src.cast("string"))
+    return CoercionResult(value=res.getField("content"), error=~res.getField("ok"))
+
+
 def coerce_string(src: Column, trim: bool = False) -> CoercionResult:
     s = src.cast("string")
     return CoercionResult(value=F.trim(s) if trim else s, error=F.lit(False))
@@ -198,6 +250,8 @@ def build_coercion(
     """Dispatch table mirroring validateAndSetParameter's type switch
     (DbImportWorker.java:1113-1607)."""
     t = target_type.lower()
+    if format_info == "file":
+        return coerce_file_blob(src)
     if format_info in (".", ","):
         num_t = t if t in ("int", "bigint", "double", "float") else "double"
         return coerce_decimal(src, format_info, num_t)

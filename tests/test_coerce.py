@@ -119,3 +119,60 @@ def test_parse_mapping_string():
     assert by_target["column_integer"].source == "column integer"
     assert by_target["column_blob"].source is None
     assert by_target["column_timestamp"].format_info == "dd.MM.yyyy HH:mm:ss"
+
+
+def test_file_format_info_blob(spark, tmp_path):
+    """`file` format-info: cell path -> file bytes, gz decompressed,
+    missing file -> row error (DbImportWorker.java:1209-1315)."""
+    import gzip
+
+    from dbimport_spark.config import ColumnMapping
+    from dbimport_spark.operators.coerce import apply_mappings
+
+    plain = tmp_path / "a.bin"
+    plain.write_bytes(b"hello-blob")
+    gzed = tmp_path / "b.txt.gz"
+    with gzip.open(gzed, "wb") as f:
+        f.write(b"unzipped-content")
+
+    df = spark.createDataFrame(
+        [(1, str(plain)), (2, str(gzed)), (3, str(tmp_path / "missing.bin")), (4, None)],
+        "id int, path string",
+    )
+    valid, invalid = apply_mappings(
+        df,
+        [ColumnMapping("id", "id"), ColumnMapping("payload", "path", format_info="file")],
+        {"id": "int", "payload": "binary"},
+    )
+    got = {r["id"]: r["payload"] for r in valid.collect()}
+    assert bytes(got[1]) == b"hello-blob"
+    assert bytes(got[2]) == b"unzipped-content"
+    assert got[4] is None
+    assert [r["id"] for r in invalid.collect()] == [3]
+
+
+def test_extract_error_rows(spark, tmp_path):
+    from dbimport_spark.operators.errors import extract_error_rows
+    from dbimport_spark.sources.csv import CsvSource
+
+    src = tmp_path / "in.csv"
+    src.write_text("id;v\n1;ok\n2;bad\n3;ok\n4;bad\n")
+    df = CsvSource(separator=";").read(spark, str(src), with_order=True)
+    invalid = df.filter(df.v == "bad")
+    out = extract_error_rows(spark, str(src), invalid)
+    assert out.endswith(".errors")
+    assert open(out).read() == "id;v\n2;bad\n4;bad\n"
+
+
+def test_import_blob(spark, tmp_path):
+    from dbimport_spark.operators.blobimport import import_blob
+
+    blob = tmp_path / "logo.png"
+    blob.write_bytes(b"\x89PNGfake")
+    target = spark.createDataFrame(
+        [(1, None), (2, None), (3, b"old")], "id int, doc binary"
+    )
+    out = import_blob(spark, target, str(blob), "doc", "id % 2 = 1")
+    got = {r["id"]: (bytes(r["doc"]) if r["doc"] is not None else None) for r in out.collect()}
+    assert got[1] == b"\x89PNGfake" and got[3] == b"\x89PNGfake"
+    assert got[2] is None
