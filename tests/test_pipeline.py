@@ -221,3 +221,21 @@ def test_automap():
     maps = automap(["Column_Integer", "missing"], ["column_integer", "other"])
     assert len(maps) == 1
     assert maps[0].target == "column_integer" and maps[0].source == "column_integer"
+
+
+def test_sink_parquet_roundtrip(spark, tmp_path):
+    from dbimport_spark.sinks import SinkConfig, write_target
+
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "id int, v string")
+    out = str(tmp_path / "t")
+    write_target(df, SinkConfig(kind="parquet", path_or_table=out, mode="overwrite"))
+    assert spark.read.parquet(out).count() == 2
+    write_target(df, SinkConfig(kind="parquet", path_or_table=out, mode="append"))
+    assert spark.read.parquet(out).count() == 4
+
+
+def test_connection_test(spark):
+    from dbimport_spark.sinks import connection_test
+
+    assert connection_test(spark, iterations=2) == [True, True]
+    assert connection_test(spark, check_sql="SELECT * FROM no_such_table_xyz") == [False]
