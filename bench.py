@@ -104,6 +104,9 @@ def main() -> None:
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             best = min(best, time.time() - t0)
         timings[name] = round(best, 3)
+        # queries persist() shared subtrees; drop them between queries so
+        # earlier plans' cache blocks don't pile GC pressure onto later ones
+        spark.catalog.clearCache()
 
     total = round(sum(timings.values()), 3)
     print(
