@@ -46,12 +46,15 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     No SQL oracle (the hash family is engine-specific); the driver records
     a rows-only check. The planted near-dups (doc_id + 1000000) differ by
     two words out of ~50 → hamming distance typically ≤ 3."""
-    from dbimport_spark.plans.text_queries import corpus_df, norm_col
+    from dbimport_spark.plans.text_queries import corpus_df
 
     corpus = corpus_df(spark, sf_dir)
     tokens = corpus.select(
-        "doc_id", F.explode(F.split(norm_col(), " ")).alias("tok")
-    ).filter(F.col("tok") != "")
+        "doc_id",
+        F.explode(
+            F.array_remove(F.split(F.lower(F.col("text")), "[^a-z0-9]+"), "")
+        ).alias("tok"),
+    )
     fps = textdedup.simhash(tokens)
     return textdedup.simhash_neardup_pairs(fps, max_hamming=3)
 
