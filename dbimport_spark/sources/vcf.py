@@ -30,9 +30,13 @@ PROP_NAME_MAP = {
 
 
 def _unfold(text: str) -> list[str]:
-    """RFC 6350 line unfolding: continuation lines start with space/tab."""
+    """RFC 6350 line unfolding: continuation lines start with space/tab.
+    Lines are CRLF/LF-delimited ONLY — str.splitlines() would also split
+    on U+0085/U+2028/U+2029 and corrupt values containing them."""
+    import re as _re
+
     lines: list[str] = []
-    for raw in text.splitlines():
+    for raw in _re.split(r"\r\n|\r|\n", text):
         if raw[:1] in (" ", "\t") and lines:
             lines[-1] += raw[1:]
         else:

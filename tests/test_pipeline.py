@@ -239,3 +239,51 @@ def test_connection_test(spark):
 
     assert connection_test(spark, iterations=2) == [True, True]
     assert connection_test(spark, check_sql="SELECT * FROM no_such_table_xyz") == [False]
+
+
+def test_golden_readout_upsert_f3(spark, f3_source, f1_target):
+    """F9 golden-readout canonicalization: the full UPSERT of the F3
+    dataset into the F1 target, compared as ONE canonical string (the
+    reference's TestDbUtilities.readoutTable comparison style)."""
+    from dbimport_spark.testing import readout_table
+
+    definition = ImportDefinition(
+        import_mode=ImportMode.UPSERT,
+        duplicate_mode=DuplicateMode.UPDATE_ALL_JOIN,
+        key_columns=[KeyColumn("column_integer")],
+        mappings=F3_MAPPINGS,
+    )
+    target = f1_target.drop("id")
+    result, _invalid, _stats = run_import(definition, f3_source, target)
+    got = readout_table(result, ["column_integer"])
+    assert got == (
+        "column_integer;column_clob;column_double;column_varchar\n"
+        "1;aBcDeF1235_1;123.456;\n"
+        "2;aBcDeF1235_2;123.456;\n"
+        "3;aBcDeF1235_3;123.456;\n"
+        "4;aBcDeF1235_4;123.456;\n"
+        "5;aBcDeF1234;123.456;aBcDeF123_5\n"
+        "999;;;<TEXT>_999\n"
+    )
+
+
+def test_readout_formats(spark):
+    import datetime
+
+    from dbimport_spark.testing import readout_table
+
+    df = spark.createDataFrame(
+        [
+            (2, b"\x01\x02", datetime.datetime(2024, 1, 2, 3, 4, 5), True, 'se;mi"co'),
+            (1, None, datetime.datetime(2024, 1, 2, 3, 4, 5, 123456), False, None),
+            (10, None, None, None, "plain"),
+        ],
+        "k int, b binary, ts timestamp, flag boolean, s string",
+    )
+    got = readout_table(df, ["k"])
+    assert got == (
+        "k;b;flag;s;ts\n"
+        "1;;false;;2024-01-02 03:04:05.123456\n"
+        '2;AQI=;true;"se;mi""co";2024-01-02 03:04:05\n'
+        "10;;;plain;\n"
+    )

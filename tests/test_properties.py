@@ -1,0 +1,83 @@
+"""Property-based tests (hypothesis) for the pure-Python parsing layers —
+no SparkSession needed, so hundreds of examples run in milliseconds.
+"""
+
+from __future__ import annotations
+
+import string
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from dbimport_spark.config import parse_mapping_string
+from dbimport_spark.sources.sqlscript import split_sql_script
+from dbimport_spark.sources.vcf import parse_vcf_text
+from dbimport_spark.sources.wildcard import table_name_for_file
+
+ident = st.text(string.ascii_lowercase + string.digits + "_", min_size=1, max_size=12)
+value_text = st.text(
+    alphabet=st.characters(blacklist_characters="';\"\n\r\\-/*", blacklist_categories=("Cs",)),
+    min_size=0,
+    max_size=20,
+)
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.lists(st.tuples(ident, value_text), min_size=1, max_size=8, unique_by=lambda t: t[0]))
+def test_mapping_parse_roundtrip(entries):
+    """target='source' entries survive a format->parse round trip."""
+    mapping_str = "; ".join(f"{t}='{s}'" for t, s in entries)
+    parsed = parse_mapping_string(mapping_str)
+    assert [(m.target, m.source) for m in parsed] == [(t.lower(), s) for t, s in entries]
+    assert all(m.format_info is None for m in parsed)
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.lists(
+        st.tuples(value_text.filter(lambda s: s.strip()), value_text),
+        min_size=1,
+        max_size=6,
+    )
+)
+def test_sql_script_split_statement_count(stmts):
+    """Statements joined with ';' split back to the same count and text,
+    even when each statement carries a quoted literal containing ';'."""
+    script = ";".join(f"SELECT '{lit};x', {i} FROM t WHERE a = 'v{body}'"
+                      for i, (body, lit) in enumerate(stmts))
+    out = split_sql_script(script)
+    assert len(out) == len(stmts)
+    for i, s in enumerate(out):
+        assert s.startswith("SELECT ") and f", {i} FROM t" in s
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            value_text.filter(lambda s: s.strip() and ":" not in s),
+            st.text(string.ascii_letters + string.digits + " .@+-", min_size=1, max_size=30),
+        ),
+        min_size=1,
+        max_size=5,
+    )
+)
+def test_vcf_note_email_roundtrip(cards):
+    """Generated vCards parse back to one row per card with FN/NOTE intact."""
+    text = ""
+    for fn, note in cards:
+        text += f"BEGIN:VCARD\nVERSION:3.0\nFN:{fn}\nNOTE:{note}\nEND:VCARD\n"
+    rows = parse_vcf_text(text)
+    assert len(rows) == len(cards)
+    for row, (fn, note) in zip(rows, cards):
+        assert row["formattedname"] == fn
+        assert row["note"] == note
+
+
+@settings(max_examples=200, deadline=None)
+@given(ident, st.sampled_from([".csv", ".json", ".xml", ".csv.gz", ".json.zip", ".yaml", ""]))
+def test_table_name_from_filename(base, ext):
+    """Extension stripping (incl. double extensions) always recovers the
+    lowercase base name; a (tablename) override always wins."""
+    assert table_name_for_file(f"/data/{base}{ext}") == base
+    assert table_name_for_file(f"/data/x_(override)_{base}{ext}") == "override"
