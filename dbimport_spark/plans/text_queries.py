@@ -243,6 +243,11 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     The shingle table feeds three plan subtrees (sizes + both join sides);
     persist computes the tokenize/explode once — the same temp-table move
     as the reference's merge path.
+
+    Scale notes: at corpus scale, first filter the join input to shingles
+    occurring in ≥2 docs (singletons cannot intersect; measured a wash at
+    sf0.1 where the extra shuffle outweighs the savings, decisive at TB
+    scale) — and past that, dedup_minhash_lsh IS this query's scale form.
     """
     sh = shingles_df(spark, sf_dir).persist()
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
