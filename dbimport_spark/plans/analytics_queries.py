@@ -238,3 +238,29 @@ def skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         },
         salt_buckets=8,
     )
+
+
+@register(
+    "broadcast_dim_join",
+    """SELECT p_brand, count(*) AS n_items,
+       CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) / 100.0 AS revenue
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+GROUP BY p_brand""",
+)
+def broadcast_dim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact×dim join with an explicit broadcast hint: the part dimension
+    ships to every task, the lineitem scan stays shuffle-free until the
+    final small aggregation — the canonical 100 TB fact-table join shape
+    (dim tables are MBs; broadcasting avoids shuffling the TB fact side).
+    """
+    l = load(spark, sf_dir, "lineitem").select("l_partkey", "l_extendedprice", "l_discount")
+    p = load(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    cents = F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100).cast("bigint")
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            (F.sum(cents) / F.lit(100.0)).alias("revenue"),
+        )
+    )

@@ -124,3 +124,35 @@ def stream_upsert_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = stream_upsert_sink(stream, target_path, ["event_id"], checkpoint)
     q.awaitTermination()
     return spark.read.parquet(target_path)
+
+
+@register(
+    "stream_sessionize",
+    """WITH g AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+s AS (
+  SELECT user_id, ts, event_id,
+         sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM g
+)
+SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+       count(*) AS n_events, min(ts) AS session_start, max(ts) AS session_end
+FROM s GROUP BY user_id, session_id""",
+)
+def stream_sessionize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator (applyInPandasWithState):
+    gap-based sessionization with two-scalar per-key state. Single-batch
+    availableNow run == the batch sessionize — shares its oracle."""
+    from dbimport_spark.streaming.ops import stream_sessionize
+
+    stream = read_events_stream(spark, _events_path(sf_dir)).select(
+        "user_id", "ts", "event_id"
+    )
+    return _run_to_memory(stream_sessionize(stream, gap_minutes=30), spark)

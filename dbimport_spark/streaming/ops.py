@@ -80,6 +80,70 @@ def stream_dedup(
     return stream.withWatermark(watermark_col, watermark).dropDuplicatesWithinWatermark(keys)
 
 
+def stream_sessionize(
+    stream: DataFrame,
+    gap_minutes: int = 30,
+) -> DataFrame:
+    """Custom stateful operator via applyInPandasWithState: gap-based
+    sessionization per user. State carries (last event time, sessions so
+    far) so sessions CONTINUE across micro-batches; each batch emits the
+    sessions it completed plus the currently-open one (idempotent
+    downstream upsert absorbs re-emission when a session extends).
+
+    Scale: state per key is two scalars — bounded regardless of stream
+    length; grouping shuffles once per batch on user_id.
+    """
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    gap_us = gap_minutes * 60 * 1_000_000
+
+    def sessionize(key, pdf_iter, state):
+        (user_id,) = key
+        last_ts_us, n_sessions = state.get if state.exists else (None, 0)
+        rows = pd.concat(list(pdf_iter), ignore_index=True)
+        rows = rows.sort_values(["ts", "event_id"])
+        out = []
+        cur = None  # (session_id, n, start_us, end_us)
+        for ts, _eid in zip(rows["ts"], rows["event_id"]):
+            ts_us = int(ts.value // 1000)
+            if last_ts_us is None or ts_us - last_ts_us > gap_us:
+                if cur is not None:
+                    out.append(cur)
+                n_sessions += 1
+                cur = [n_sessions, 1, ts_us, ts_us]
+            else:
+                if cur is None:  # session continuing from a prior batch
+                    cur = [n_sessions, 0, ts_us, ts_us]
+                cur[1] += 1
+                cur[3] = ts_us
+            last_ts_us = ts_us
+        if cur is not None:
+            out.append(cur)
+        state.update((last_ts_us, n_sessions))
+        yield pd.DataFrame(
+            {
+                "user_id": [user_id] * len(out),
+                "session_id": [o[0] for o in out],
+                "n_events": [o[1] for o in out],
+                "session_start": [pd.Timestamp(o[2] * 1000) for o in out],
+                "session_end": [pd.Timestamp(o[3] * 1000) for o in out],
+            }
+        )
+
+    return stream.groupBy("user_id").applyInPandasWithState(
+        sessionize,
+        outputStructType=(
+            "user_id bigint, session_id bigint, n_events bigint, "
+            "session_start timestamp, session_end timestamp"
+        ),
+        stateStructType="last_ts_us bigint, n_sessions bigint",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def stream_upsert_sink(
     stream: DataFrame,
     target_path: str,
