@@ -17,6 +17,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 HEADLINE = [
     "q1_pricing_summary",
+    "broadcast_dim_join",
     "merge_upsert",
     "dedup_join_last_wins",
     "merge_update_first",
