@@ -101,11 +101,19 @@ def stream_sessionize(
 
     def sessionize(key, pdf_iter, state):
         (user_id,) = key
-        last_ts_us, n_sessions = state.get if state.exists else (None, 0)
+        if state.exists:
+            last_ts_us, n_sessions, open_n, open_start_us = state.get
+        else:
+            last_ts_us, n_sessions, open_n, open_start_us = None, 0, 0, None
         rows = pd.concat(list(pdf_iter), ignore_index=True)
         rows = rows.sort_values(["ts", "event_id"])
         out = []
-        cur = None  # (session_id, n, start_us, end_us)
+        # resume the open session from state so re-emissions are cumulative
+        cur = (
+            [n_sessions, open_n, open_start_us, last_ts_us]
+            if last_ts_us is not None and open_n
+            else None
+        )
         for ts, _eid in zip(rows["ts"], rows["event_id"]):
             ts_us = int(ts.value // 1000)
             if last_ts_us is None or ts_us - last_ts_us > gap_us:
@@ -114,14 +122,14 @@ def stream_sessionize(
                 n_sessions += 1
                 cur = [n_sessions, 1, ts_us, ts_us]
             else:
-                if cur is None:  # session continuing from a prior batch
-                    cur = [n_sessions, 0, ts_us, ts_us]
                 cur[1] += 1
                 cur[3] = ts_us
             last_ts_us = ts_us
         if cur is not None:
             out.append(cur)
-        state.update((last_ts_us, n_sessions))
+            state.update((last_ts_us, n_sessions, cur[1], cur[2]))
+        else:
+            state.update((last_ts_us, n_sessions, 0, None))
         yield pd.DataFrame(
             {
                 "user_id": [user_id] * len(out),
@@ -138,7 +146,9 @@ def stream_sessionize(
             "user_id bigint, session_id bigint, n_events bigint, "
             "session_start timestamp, session_end timestamp"
         ),
-        stateStructType="last_ts_us bigint, n_sessions bigint",
+        stateStructType=(
+            "last_ts_us bigint, n_sessions bigint, open_n bigint, open_start_us bigint"
+        ),
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )

@@ -99,3 +99,59 @@ def test_stream_upsert_sink(spark, tmp_path):
     assert set(result) == {1, 2, 3}
     assert result[2]["name"] == "b2" and result[2]["v"] == 20.0  # updated
     assert result[1]["name"] == "a"
+
+
+def test_stream_sessionize_state_across_batches(spark, tmp_path):
+    """Sessions must CONTINUE across micro-batches: events for one user
+    split over two files; the session spanning the file boundary is
+    re-emitted extended, and last-emission-per-(user, session) equals the
+    batch sessionization."""
+    import datetime
+
+    from dbimport_spark.streaming.ops import stream_sessionize
+
+    t0 = datetime.datetime(2024, 1, 1, 0, 0, 0)
+
+    def ev(eid, user, minutes):
+        return (eid, user, t0 + datetime.timedelta(minutes=minutes))
+
+    # user 7: events at 0,10 | file2: 20, 120 -> sessions {0,10,20} and {120}
+    # user 8: events at 0 | file2: 50 -> two sessions (gap 50 > 30)
+    batch1 = [ev(1, 7, 0), ev(2, 7, 10), ev(3, 8, 0)]
+    batch2 = [ev(4, 7, 20), ev(5, 7, 120), ev(6, 8, 50)]
+    d = tmp_path / "sess_in"
+    d.mkdir()
+    schema = "event_id long, user_id long, ts timestamp"
+    spark.createDataFrame(batch1, schema).coalesce(1).write.parquet(str(d / "f1.parquet"))
+    spark.createDataFrame(batch2, schema).coalesce(1).write.parquet(str(d / "f2.parquet"))
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d / "*.parquet"))
+    )
+    name = "sess_test_out"
+    q = (
+        stream_sessionize(stream, gap_minutes=30)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = spark.table(name).collect()
+    # last emission per (user, session): max n_events wins (re-emission extends)
+    final = {}
+    for r in rows:
+        k = (r["user_id"], r["session_id"])
+        if k not in final or r["n_events"] >= final[k]["n_events"]:
+            final[k] = r
+    got = {
+        k: (v["n_events"], v["session_start"].minute, v["session_end"].minute)
+        for k, v in final.items()
+    }
+    assert got[(7, 1)][0] == 3 and got[(7, 1)][2] == 20  # spans the boundary
+    assert got[(7, 2)] == (1, 0, 0)  # 120min event, own session
+    assert got[(8, 1)][0] == 1
+    assert got[(8, 2)][0] == 1
