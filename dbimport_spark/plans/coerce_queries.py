@@ -154,3 +154,25 @@ def coerce_valid_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
         df, [ColumnMapping("acct", "raw")], {"acct": "double"}, keep_cols=["c_custkey"]
     )
     return valid.select("c_custkey", "acct")
+
+
+@register(
+    "coerce_case_base64",
+    """SELECT c_custkey, lower(c_name) AS name_lc, upper(c_mktsegment) AS seg_uc,
+       encode(c_name) AS name_blob
+FROM customer WHERE c_custkey <= 300""",
+)
+def coerce_case_base64(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lc / uc case format-infos (DbImportWorker.java:1316-1331) and the
+    base64→blob decode (:1484-1487), driven through the coercion kernel's
+    own column builders."""
+    from dbimport_spark.operators.coerce import coerce_blob_base64, coerce_case
+
+    c = load(spark, sf_dir, "customer").filter(F.col("c_custkey") <= 300)
+    b64 = F.base64(F.encode(F.col("c_name"), "UTF-8"))
+    return c.select(
+        "c_custkey",
+        coerce_case(F.col("c_name"), "lc").value.alias("name_lc"),
+        coerce_case(F.col("c_mktsegment"), "uc").value.alias("seg_uc"),
+        coerce_blob_base64(b64).value.alias("name_blob"),
+    )
