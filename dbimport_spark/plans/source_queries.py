@@ -627,3 +627,33 @@ def src_ods_import(spark: SparkSession, sf_dir: str) -> DataFrame:
         "s_name",
         F.col("s_acctbal").cast("double"),
     )
+
+
+@register(
+    "src_xls_import",
+    """SELECT n_nationkey, n_name, n_regionkey FROM nation WHERE n_nationkey <= 20""",
+)
+def src_xls_import(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Legacy .xls source parsed by the stdlib OLE2+BIFF8 reader
+    (ExcelDataProvider.java's HSSF path re-expressed without POI/xlrd)."""
+    from dbimport_spark.sources.excel import read_excel
+    from dbimport_spark.sources.xls import write_xls_minimal
+
+    path = os.path.join(_export_dir(sf_dir), "nation.xls")
+    rows = (
+        load(spark, sf_dir, "nation")
+        .filter(F.col("n_nationkey") <= 20)
+        .orderBy("n_nationkey")
+        .collect()
+    )
+    write_xls_minimal(
+        path,
+        ["n_nationkey", "n_name", "n_regionkey"],
+        [[r.n_nationkey, r.n_name, r.n_regionkey] for r in rows],
+    )
+    df = read_excel(spark, path)
+    return df.select(
+        F.col("n_nationkey").cast("int"),
+        "n_name",
+        F.col("n_regionkey").cast("int"),
+    )

@@ -259,13 +259,14 @@ def read_excel(
     else:
         try:
             import xlrd
-        except ImportError as e:
-            raise NotImplementedError(
-                "xls parsing requires xlrd (not installed in this container)"
-            ) from e
-        book = xlrd.open_workbook(path)
-        sh = book.sheet_by_name(sheet_name) if sheet_name else book.sheet_by_index(0)
-        raw = [sh.row_values(i) for i in range(sh.nrows)]
+
+            book = xlrd.open_workbook(path)
+            sh = book.sheet_by_name(sheet_name) if sheet_name else book.sheet_by_index(0)
+            raw = [sh.row_values(i) for i in range(sh.nrows)]
+        except ImportError:
+            from dbimport_spark.sources.xls import read_xls_rows
+
+            raw = read_xls_rows(path, sheet_name)
     if not raw:
         raise ValueError(f"empty sheet in {path}")
     if no_headers:

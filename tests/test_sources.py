@@ -290,3 +290,43 @@ def test_structure_sync_create_and_alter(spark):
     assert actions["t_struct_demo"] == "added 1 columns"
     assert "extra" in [f.name for f in spark.table("t_struct_demo").schema.fields]
     spark.sql("DROP TABLE t_struct_demo")
+
+
+def test_xls_roundtrip_stdlib(spark, tdir):
+    """Legacy .xls via the stdlib OLE2+BIFF8 parser: magic sniffing,
+    SST strings, NUMBER doubles, BOOLERR booleans, None gaps."""
+    from dbimport_spark.sources.excel import read_excel, sniff_excel_kind
+    from dbimport_spark.sources.xls import write_xls_minimal
+
+    path = str(tdir / "legacy.xls")
+    write_xls_minimal(
+        path,
+        ["id", "name", "score", "flag"],
+        [[1, "alpha", 3.5, True], [2, "be;ta", 7.25, False], [3, None, 0.5, True]],
+    )
+    assert sniff_excel_kind(path) == "xls"
+    df = read_excel(spark, path)
+    rows = {int(r["id"]): r for r in df.collect()}
+    assert rows[1]["name"] == "alpha" and rows[1]["score"] == 3.5 and rows[1]["flag"] is True
+    assert rows[2]["name"] == "be;ta" and rows[2]["flag"] is False
+    assert rows[3]["name"] is None and rows[3]["score"] == 0.5
+
+
+def test_xls_rk_and_sheet_select(tdir):
+    from dbimport_spark.sources.xls import _decode_rk, read_xls_rows, write_xls_minimal
+
+    # RK encodings: int<<2|2, (int<<2|2)|1 (/100), top-30-bits double
+    assert _decode_rk((42 << 2) | 2) == 42.0
+    assert _decode_rk((12345 << 2) | 3) == 123.45
+    import struct as _s
+
+    top30 = _s.unpack("<I", _s.pack("<d", 2.5)[4:])[0] & 0xFFFFFFFC
+    assert _decode_rk(top30) == 2.5
+
+    path = str(tdir / "one.xls")
+    write_xls_minimal(path, ["a"], [[1.0]])
+    assert read_xls_rows(path, "Sheet1")[1][0] == 1.0
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="sheet not found"):
+        read_xls_rows(path, "Nope")
