@@ -256,9 +256,11 @@ def _biff_str(s: str) -> bytes:
     """BIFF8 unicode string, compressed when latin-1-safe."""
     try:
         raw = s.encode("latin-1")
-        return struct.pack("<HB", len(s), 0) + raw
+        return struct.pack("<HB", len(raw), 0) + raw
     except UnicodeEncodeError:
-        return struct.pack("<HB", len(s), 1) + s.encode("utf-16-le")
+        raw = s.encode("utf-16-le")
+        # cch is in 16-bit code units (surrogate pairs count as 2)
+        return struct.pack("<HB", len(raw) // 2, 1) + raw
 
 
 def write_xls_minimal(path: str, header: list[str], rows: list[list]) -> None:

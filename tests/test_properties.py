@@ -81,3 +81,86 @@ def test_table_name_from_filename(base, ext):
     lowercase base name; a (tablename) override always wins."""
     assert table_name_for_file(f"/data/{base}{ext}") == base
     assert table_name_for_file(f"/data/x_(override)_{base}{ext}") == "override"
+
+
+# ---------------------------------------------------- spreadsheet parsers
+
+cell_value = st.one_of(
+    st.none(),
+    st.booleans(),
+    st.floats(allow_nan=False, allow_infinity=False, width=64),
+    st.text(
+        alphabet=st.characters(blacklist_categories=("Cs", "Cc")),
+        min_size=0,
+        max_size=24,
+    ),
+)
+
+
+@st.composite
+def table(draw):
+    n_cols = draw(st.integers(1, 5))
+    header = [f"c{i}" for i in range(n_cols)]
+    n_rows = draw(st.integers(1, 6))
+    rows = [
+        [draw(cell_value) for _ in range(n_cols)] for _ in range(n_rows)
+    ]
+    # a fully-empty trailing row is trimmed by design — keep the last row
+    # non-empty so the roundtrip is exact
+    rows[-1][0] = draw(st.floats(allow_nan=False, allow_infinity=False, width=64))
+    return header, rows
+
+
+def _norm(rows):
+    out = []
+    for r in rows:
+        out.append([
+            float(v) if isinstance(v, (int, float)) and not isinstance(v, bool) else (v if v != "" else None)
+            for v in r
+        ])
+    return out
+
+
+@settings(max_examples=50, deadline=None)
+@given(table())
+def test_xlsx_writer_reader_roundtrip(t):
+    import tempfile
+
+    from dbimport_spark.sources.excel import _read_xlsx_stdlib, write_xlsx_minimal
+
+    header, rows = t
+    with tempfile.NamedTemporaryFile(suffix=".xlsx") as f:
+        write_xlsx_minimal(f.name, header, rows)
+        raw = _read_xlsx_stdlib(f.name, None)
+    assert raw[0] == header
+    assert _norm(raw[1:]) == _norm(rows)
+
+
+@settings(max_examples=50, deadline=None)
+@given(table())
+def test_ods_writer_reader_roundtrip(t):
+    import tempfile
+
+    from dbimport_spark.sources.excel import _read_ods_stdlib, write_ods_minimal
+
+    header, rows = t
+    with tempfile.NamedTemporaryFile(suffix=".ods") as f:
+        write_ods_minimal(f.name, header, rows)
+        raw = _read_ods_stdlib(f.name, None)
+    assert raw[0] == header
+    assert _norm(raw[1:]) == _norm(rows)
+
+
+@settings(max_examples=50, deadline=None)
+@given(table())
+def test_xls_writer_reader_roundtrip(t):
+    import tempfile
+
+    from dbimport_spark.sources.xls import read_xls_rows, write_xls_minimal
+
+    header, rows = t
+    with tempfile.NamedTemporaryFile(suffix=".xls") as f:
+        write_xls_minimal(f.name, header, rows)
+        raw = read_xls_rows(f.name, None)
+    assert raw[0] == header
+    assert _norm(raw[1:]) == _norm(rows)
