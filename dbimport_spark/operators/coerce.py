@@ -54,7 +54,7 @@ DATE_FALLBACK_PATTERNS = [
 ]
 
 EMAIL_RE = r"^[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}$"
-_BASE64_RE = r"^[A-Za-z0-9+/\s]*={0,2}$"
+_BASE64_RE = r"^[A-Za-z0-9+/]*={0,2}$"
 
 # Accepted boolean spellings (reference Utilities.interpretAsBool; golden
 # tests only exercise true/false — keep the conservative superset).
@@ -165,18 +165,28 @@ def coerce_boolean(src: Column) -> CoercionResult:
 
 def coerce_integer(src: Column, target_type: str = "int") -> CoercionResult:
     """Integer coercion; accepts true/false → 1/0 like the reference
-    (DbImportWorker.java:1511-1516)."""
+    (DbImportWorker.java:1511-1516), and widens values containing '.' to a
+    double parse instead of flagging the row (DbImportWorker.java:1517-1535:
+    setDouble on the int column; the DB then converts). HSQLDB — the
+    reference's primary test DB — rounds on double→int conversion, so we pin
+    round-half-up (F.round) as the written value."""
     s = F.trim(src.cast("string"))
     as_bool = (
         F.when(F.lower(s) == "true", F.lit(1)).when(F.lower(s) == "false", F.lit(0))
     )
-    value = F.coalesce(s.try_cast(target_type), as_bool.cast(target_type))
+    widened = F.when(s.contains("."), F.round(s.try_cast("double")))
+    value = F.coalesce(
+        s.try_cast(target_type), as_bool.cast(target_type), widened.cast(target_type)
+    )
     return CoercionResult(value=value, error=_nonempty(src) & value.isNull())
 
 
 def coerce_blob_base64(src: Column) -> CoercionResult:
-    """Base64 text cell → bytes (DbImportWorker.java:1484-1487)."""
-    s = F.trim(src.cast("string"))
+    """Base64 text cell → bytes (DbImportWorker.java:1484-1487).
+
+    Whitespace is stripped BEFORE the length%4 gate so MIME-wrapped base64
+    (newlines every 76 chars) decodes instead of being flagged."""
+    s = F.regexp_replace(F.trim(src.cast("string")), r"\s", "")
     ok = s.rlike(_BASE64_RE) & (F.length(s) % 4 == 0)
     value = F.when(ok, F.unbase64(s))
     return CoercionResult(value=value, error=_nonempty(src) & ~ok)

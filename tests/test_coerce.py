@@ -37,6 +37,24 @@ def test_integer_accepts_bool(spark):
     assert got[3] == (None, True)
 
 
+def test_integer_decimal_widening(spark):
+    """A value containing '.' in an int column parses as double, NOT a row
+    error (DbImportWorker.java:1517-1535: setDouble on the int column, the
+    DB converts). HSQLDB rounds, so the pinned golden is round-half-up."""
+    got = run(
+        spark,
+        ["1.5", "2.5", "-1.5", "1.25", "1.23e1", "1.x", "."],
+        lambda c: coerce.coerce_integer(c, "bigint"),
+    )
+    assert got[0] == (2, False)
+    assert got[1] == (3, False)    # half away from zero, like HSQLDB
+    assert got[2] == (-2, False)
+    assert got[3] == (1, False)
+    assert got[4] == (12, False)   # scientific with '.' → Double.parseDouble
+    assert got[5] == (None, True)  # still unparseable → row error
+    assert got[6] == (None, True)
+
+
 def test_email(spark):
     got = run(spark, [" User@Example.COM ", "nope"], coerce.coerce_email)
     assert got[0] == ("user@example.com", False)
@@ -90,6 +108,18 @@ def test_base64_blob(spark):
     got = run(spark, ["YWJj", "!!!"], coerce.coerce_blob_base64)
     assert got[0] == (bytearray(b"abc"), False)
     assert got[1][1] is True
+
+
+def test_base64_blob_mime_wrapped(spark):
+    """Whitespace-wrapped base64 (MIME 76-char lines) decodes — the length%4
+    gate must count only base64 chars, not the newlines."""
+    import base64 as b64mod
+
+    payload = bytes(range(90))
+    wrapped = b64mod.encodebytes(payload).decode()  # has embedded newlines
+    assert "\n" in wrapped.strip()
+    got = run(spark, [wrapped], coerce.coerce_blob_base64)
+    assert got[0] == (bytearray(payload), False)
 
 
 def test_apply_mappings_valid_invalid_split(spark):
