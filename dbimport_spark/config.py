@@ -54,6 +54,20 @@ class DuplicateMode(enum.Enum):
         return self.value.startswith("MAKE_UNIQUE")
 
     @property
+    def source_only_check(self) -> bool:
+        """True for NO_CHECK / CKECK_SOURCE_ONLY_*: the reference never
+        touches existing target rows in these modes — UPDATE does nothing,
+        UPSERT and keyed INSERT append all source rows without an existence
+        check (DbImportWorker.java:495-543). Keeping this exact prevents
+        pairing an un-collapsed source with a join-based update, which
+        would multiply matching target rows."""
+        return self in (
+            DuplicateMode.NO_CHECK,
+            DuplicateMode.CKECK_SOURCE_ONLY_DROP,
+            DuplicateMode.CKECK_SOURCE_ONLY_JOIN,
+        )
+
+    @property
     def update_first_only(self) -> bool:
         return self.value.startswith("UPDATE_FIRST")
 

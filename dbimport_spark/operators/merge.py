@@ -168,7 +168,10 @@ def upsert(
     The source feeds BOTH the update join and the anti-join insert;
     ``materialize_source`` persists it so the (possibly expensive) upstream
     dedup runs once — the DataFrame analogue of the reference's physical
-    temp table (DbImportWorker.java:438-469).
+    temp table (DbImportWorker.java:438-469). Callers that invoke upsert
+    repeatedly (e.g. a foreachBatch sink) must pass
+    ``materialize_source=False`` and own persist/unpersist themselves, or
+    each call leaks one cached DataFrame.
     """
     if materialize_source:
         from pyspark import StorageLevel

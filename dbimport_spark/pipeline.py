@@ -128,15 +128,30 @@ def run_import(
         result = inserted.select(*[c for c in tgt_cols if c in inserted.columns])
         stats.items_inserted = stats.items_valid if not keys else result.count()
     elif mode is ImportMode.INSERT:
-        if not keys:
+        if not keys or dmode.source_only_check:
+            # NO_CHECK / CKECK_SOURCE_ONLY: insertAllItems — append every
+            # (source-deduped) row, no target existence check
+            # (DbImportWorker.java:495-500).
             inserted = with_values(deduped, definition.additional_insert_values)
             result = merge.insert_all(work_target, inserted)
-            stats.items_inserted = stats.items_valid
+            stats.items_inserted = stats.items_valid if not keys else inserted.count()
         else:
             fresh = dedup.drop_duplicates_cross_table(deduped, work_target, keys)
             fresh = with_values(fresh, definition.additional_insert_values)
             stats.items_inserted = fresh.count()
             result = merge.insert_all(work_target, fresh)
+    elif mode is ImportMode.UPDATE and dmode.source_only_check:
+        # Reference: UPDATE + NO_CHECK/CKECK_SOURCE_ONLY does nothing
+        # (DbImportWorker.java:515-517) — the update operators are only
+        # ever reached with a per-key-collapsed source.
+        result = work_target
+    elif mode is ImportMode.UPSERT and dmode.source_only_check:
+        # Reference: UPSERT + NO_CHECK/CKECK_SOURCE_ONLY is insertAllItems
+        # only — append everything, update nothing
+        # (DbImportWorker.java:537-542).
+        inserted = with_values(deduped, definition.additional_insert_values)
+        result = merge.insert_all(work_target, inserted)
+        stats.items_inserted = inserted.count()
     elif mode in (ImportMode.UPDATE, ImportMode.UPSERT):
         upd_kwargs = dict(
             keys=keys,

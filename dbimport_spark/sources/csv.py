@@ -108,7 +108,11 @@ class CsvSource:
         # the two output branches.
         df = self.read(spark, path, with_order=True, keep_corrupt=True).cache()
         n_cols = len([c for c in df.columns if c not in (CORRUPT_COL, "_src_order")])
-        tokens = F.size(F.split(F.col(CORRUPT_COL), F.lit(self.separator), -1))
+        # F.split takes a Java regex — quote the separator literally
+        # (\Q...\E) so metacharacter separators like '|' or '.' don't
+        # split on every character and misclassify arity.
+        sep_literal = "\\Q" + self.separator + "\\E"
+        tokens = F.size(F.split(F.col(CORRUPT_COL), F.lit(sep_literal), -1))
         corrupt = F.col(CORRUPT_COL).isNotNull()
         overfilled = corrupt & (tokens > n_cols)
         underfilled = corrupt & (tokens < n_cols)

@@ -37,25 +37,94 @@ def sniff_excel_kind(path: str) -> str:
     raise ValueError(f"not an Excel file (magic bytes {head!r}): {path}")
 
 
+def _disambiguate_headers(header: list[str]) -> list[str]:
+    """Duplicate header cells get _2/_3… suffixes — the reference keeps raw
+    POI names (duplicates allowed in a row-map), but a columnar schema needs
+    unique names; a dict-of-row build would silently drop the earlier
+    column."""
+    seen: dict[str, int] = {}
+    out = []
+    for h in header:
+        n = seen.get(h, 0) + 1
+        seen[h] = n
+        out.append(h if n == 1 else f"{h}_{n}")
+    return out
+
+
+def _infer_column_type(values: list):
+    """Explicit per-column Spark type from typed cell values. Spark's own
+    createDataFrame inference dies on all-None columns and mixed-type
+    columns (both common in real sheets) — infer here and fall back to
+    string."""
+    from pyspark.sql import types as T
+
+    kinds = set()
+    for v in values:
+        if v is None or v == "":
+            continue
+        if isinstance(v, bool):
+            kinds.add("bool")
+        elif isinstance(v, int):
+            kinds.add("int")
+        elif isinstance(v, float):
+            kinds.add("float")
+        elif isinstance(v, _dt.datetime):
+            kinds.add("datetime")
+        elif isinstance(v, _dt.date):
+            kinds.add("date")
+        elif isinstance(v, str):
+            kinds.add("str")
+        else:
+            kinds.add("other")
+    if kinds == {"bool"}:
+        return T.BooleanType(), None
+    if kinds == {"int"}:
+        return T.LongType(), None
+    if kinds in ({"float"}, {"int", "float"}):
+        return T.DoubleType(), float
+    if kinds == {"datetime"}:
+        return T.TimestampType(), None
+    if kinds == {"date"}:
+        return T.DateType(), None
+    # all-None, pure string, or mixed → string (stringify non-strings)
+    return T.StringType(), (
+        None if kinds <= {"str"} else (lambda v: v if isinstance(v, str) else str(v))
+    )
+
+
 def rows_to_df(
     spark: SparkSession,
     header: list[str],
     rows: list[list],
     trim_trailing_empty: bool = True,
 ) -> DataFrame:
-    """Typed rows → DataFrame + _src_order. Last-used-row trimming mirrors
-    ExcelDataProvider's trailing-blank handling."""
+    """Typed rows → DataFrame + _src_order with an EXPLICIT schema inferred
+    per column (string fallback for mixed/empty columns, duplicate headers
+    disambiguated). Last-used-row trimming mirrors ExcelDataProvider's
+    trailing-blank handling."""
+    from pyspark.sql import types as T
+
     if trim_trailing_empty:
         while rows and all(v is None or v == "" for v in rows[-1]):
             rows.pop()
+    header = _disambiguate_headers(header)
+    ncols = len(header)
+    padded = [list(r)[:ncols] + [None] * (ncols - len(r)) for r in rows]
+    fields, converters = [], []
+    for i, h in enumerate(header):
+        dtype, conv = _infer_column_type([r[i] for r in padded])
+        fields.append(T.StructField(h, dtype))
+        converters.append(conv)
+    fields.append(T.StructField(SRC_ORDER_COL, T.LongType(), nullable=False))
+    schema = T.StructType(fields)
     records = []
-    for i, r in enumerate(rows):
-        rec = dict(zip(header, list(r) + [None] * (len(header) - len(r))))
-        rec[SRC_ORDER_COL] = i
-        records.append(rec)
-    return spark.createDataFrame(records) if records else spark.createDataFrame(
-        [], ", ".join(f"`{h}` string" for h in header) + f", {SRC_ORDER_COL} long"
-    )
+    for i, r in enumerate(padded):
+        rec = [
+            None if v is None or v == "" else (conv(v) if conv else v)
+            for v, conv in zip(r, converters)
+        ]
+        records.append(rec + [i])
+    return spark.createDataFrame(records, schema)
 
 
 # ------------------------------------------------------- stdlib xlsx parse

@@ -172,6 +172,8 @@ def stream_upsert_sink(
         spark = batch_df.sparkSession
         from dbimport_spark.operators.order import with_src_order
 
+        from pyspark import StorageLevel
+
         batch = with_src_order(batch_df)
         collapsed = dedup.join_duplicates(
             batch, keys, order_col=SRC_ORDER_COL,
@@ -182,11 +184,20 @@ def stream_upsert_sink(
         except Exception:  # first batch: no target yet
             collapsed.write.mode("overwrite").parquet(target_path)
             return
-        merged = merge.upsert(
-            target, collapsed, keys, update_with_null_values=update_with_null_values
-        )
-        # materialize before overwriting the path we read from
-        merged.localCheckpoint(eager=True).write.mode("overwrite").parquet(target_path)
+        # Own the source persistence here (materialize_source=False) so it
+        # can be RELEASED after the write — otherwise every micro-batch
+        # would leak one cached DataFrame for the life of the stream.
+        collapsed = collapsed.persist(StorageLevel.MEMORY_AND_DISK)
+        try:
+            merged = merge.upsert(
+                target, collapsed, keys,
+                update_with_null_values=update_with_null_values,
+                materialize_source=False,
+            )
+            # materialize before overwriting the path we read from
+            merged.localCheckpoint(eager=True).write.mode("overwrite").parquet(target_path)
+        finally:
+            collapsed.unpersist()
 
     return (
         stream.writeStream.foreachBatch(upsert_batch)

@@ -83,6 +83,47 @@ def test_upsert_f3(f3_source, f1_target):
     assert invalid.count() == 0
 
 
+def test_nocheck_dispatch_matrix(f3_source, f1_target):
+    """NO_CHECK / CKECK_SOURCE_ONLY never touch existing target rows
+    (DbImportWorker.java:495-543): UPDATE does nothing, UPSERT and keyed
+    INSERT append ALL rows without an existence check — and crucially a
+    duplicate-keyed source must never multiply target rows via the join
+    update."""
+    def run(mode, dmode):
+        d = ImportDefinition(
+            import_mode=mode,
+            duplicate_mode=dmode,
+            key_columns=[KeyColumn("column_integer")],
+            mappings=F3_MAPPINGS + [ColumnMapping("id", None)],
+        )
+        return run_import(d, f3_source, f1_target)
+
+    # UPDATE + NO_CHECK: target unchanged (no row multiplication, no update)
+    result, _, stats = run(ImportMode.UPDATE, DuplicateMode.NO_CHECK)
+    assert result.count() == 3
+    assert by_key(result)[1]["column_varchar"] == "<TEXT>_1"  # original target row
+    assert stats.items_updated == 0
+
+    # UPSERT + NO_CHECK: insertAllItems — 3 target + all 8 source rows
+    result, _, stats = run(ImportMode.UPSERT, DuplicateMode.NO_CHECK)
+    assert result.count() == 11
+    assert stats.items_inserted == 8 and stats.items_updated == 0
+
+    # UPSERT + CKECK_SOURCE_ONLY_DROP: source collapsed to 5, all appended
+    result, _, stats = run(ImportMode.UPSERT, DuplicateMode.CKECK_SOURCE_ONLY_DROP)
+    assert result.count() == 8
+    assert stats.items_inserted == 5 and stats.items_duplicate == 3
+
+    # INSERT + NO_CHECK: append all 8, even keys already present
+    result, _, stats = run(ImportMode.INSERT, DuplicateMode.NO_CHECK)
+    assert result.count() == 11 and stats.items_inserted == 8
+
+    # INSERT + UPDATE_ALL_JOIN (non-source-only): existence check kept
+    result, _, stats = run(ImportMode.INSERT, DuplicateMode.UPDATE_ALL_JOIN)
+    assert set(by_key(result)) == {1, 2, 3, 4, 5, 999}
+    assert stats.items_inserted == 3  # keys 2, 4, 5
+
+
 def test_update_skip_nulls(f3_source, f1_target):
     d = ImportDefinition(
         import_mode=ImportMode.UPDATE,

@@ -79,6 +79,22 @@ def test_csv_underfill_overfill(spark, tdir):
     assert invalid2.count() == 1  # overfill always invalid
 
 
+def test_csv_regex_metachar_separator_validation(spark, tdir):
+    # '|' is a regex metacharacter — the arity token count must treat it
+    # literally, not as alternation (which counts every char boundary).
+    p = tdir / "pipe.csv"
+    p.write_text("a|b|c\n1|2|3\n4|5\n6|7|8|9\n")
+    valid, invalid = CsvSource(separator="|").read_with_validation(spark, str(p))
+    assert valid.count() == 1
+    inv = {r["raw_line"] for r in invalid.collect()}
+    assert inv == {"4|5", "6|7|8|9"}
+    valid2, invalid2 = CsvSource(separator="|", allow_underfilled=True).read_with_validation(
+        spark, str(p)
+    )
+    assert valid2.count() == 2  # underfilled now padded
+    assert invalid2.count() == 1  # overfill still invalid
+
+
 def test_json_with_data_path(spark, tdir):
     p = tdir / "d.json"
     p.write_text('{"meta": 1, "payload": {"items": [{"k": 1, "v": "a"}, {"k": 2, "v": "b"}]}}')
@@ -241,6 +257,28 @@ def test_xlsx_roundtrip_stdlib(spark, tdir):
     assert rows[2]["name"] == "be;ta" and rows[2]["flag"] is False
     assert rows[3]["name"] is None
     assert [r["_src_order"] for r in df.orderBy("_src_order").collect()] == [0, 1, 2]
+
+
+def test_rows_to_df_hostile_columns(spark):
+    """Explicit schema path: all-None columns, mixed-type columns, and
+    duplicate headers must not break (Spark's own inference dies on the
+    first two; a dict build silently collapses the third)."""
+    from dbimport_spark.sources.excel import rows_to_df
+
+    df = rows_to_df(
+        spark,
+        ["a", "empty", "mixed", "a"],
+        [[1, None, 42, "x"], [2, None, "forty-two", "y"], [3, "", 3.5, "z"]],
+    )
+    assert df.columns == ["a", "empty", "mixed", "a_2", "_src_order"]
+    types = dict((f.name, f.dataType.simpleString()) for f in df.schema.fields)
+    assert types["a"] == "bigint"
+    assert types["empty"] == "string"   # all-null falls back to string
+    assert types["mixed"] == "string"   # int+str+float stringified
+    rows = df.orderBy("_src_order").collect()
+    assert [r["mixed"] for r in rows] == ["42", "forty-two", "3.5"]
+    assert [r["empty"] for r in rows] == [None, None, None]
+    assert [r["a_2"] for r in rows] == ["x", "y", "z"]
 
 
 def test_xlsx_sheet_not_found(spark, tdir):
