@@ -26,12 +26,13 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def hyperplanes(planes: int, dim: int) -> np.ndarray:
-    """Deterministic (planes × dim) matrix, components in [-1, 1)."""
+def hyperplanes(planes: int, dim: int, table: int = 0) -> np.ndarray:
+    """Deterministic (planes × dim) matrix, components in [-1, 1).
+    ``table`` seeds independent plane sets for multi-table LSH."""
     out = np.empty((planes, dim))
     for j in range(planes):
         for d in range(dim):
-            h = hashlib.sha256(f"hp:{j}:{d}".encode()).digest()
+            h = hashlib.sha256(f"hp:{table}:{j}:{d}".encode()).digest()
             out[j, d] = int.from_bytes(h[:8], "big", signed=True) / float(2**63)
     return out
 
@@ -55,6 +56,48 @@ def with_lsh_bucket(
         return pd.Series((bits * weights).sum(axis=1))
 
     return df.withColumn("bucket", bucket_udf(F.col(vec_col)))
+
+
+def with_lsh_table_buckets(
+    df: DataFrame,
+    vec_col: str = "v",
+    dim: int = 64,
+    planes: int = 8,
+    tables: int = 4,
+) -> DataFrame:
+    """Attach ``buckets``: one sign-bucket id per hash TABLE (independent
+    hyperplane sets), the table index packed into the high bits so a single
+    bigint equi-join key covers all tables. One numpy matmul per Arrow
+    batch computes all tables at once (tables·planes rows stacked)."""
+    H = np.vstack([hyperplanes(planes, dim, table=t) for t in range(tables)])
+    weights = 1 << np.arange(planes, dtype=np.int64)
+    prefixes = np.arange(tables, dtype=np.int64) << planes
+
+    @F.pandas_udf("array<bigint>")
+    def buckets_udf(v: pd.Series) -> pd.Series:
+        mat = np.vstack(v.to_numpy())
+        bits = (mat @ H.T) >= 0  # n × tables·planes
+        cols = [
+            (bits[:, t * planes : (t + 1) * planes] * weights).sum(axis=1)
+            + prefixes[t]
+            for t in range(tables)
+        ]
+        return pd.Series(list(np.stack(cols, axis=1)))
+
+    return df.withColumn("buckets", buckets_udf(F.col(vec_col)))
+
+
+def multiprobe_table_buckets(buckets_col, planes: int):
+    """Every table bucket plus its 1-bit-flip probes (flips stay within the
+    low `planes` bits, so the table prefix is preserved)."""
+    return F.flatten(
+        F.transform(
+            buckets_col,
+            lambda b: F.array(
+                b, *[b.bitwiseXOR(F.lit(1 << j).cast("bigint")) for j in range(planes)]
+            ),
+        )
+    )
 
 
 def multiprobe_buckets(bucket_col, planes: int):
@@ -155,17 +198,23 @@ def ann_lsh_topk(
     dim: int,
     k: int = 5,
     planes: int | None = None,
+    tables: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "v",
     corpus_count: int | None = None,
 ) -> DataFrame:
-    """Approximate top-k per query: candidates = corpus vectors whose
-    bucket is in the query's multiprobe set; exact-cosine re-rank.
-    Returns (query_id, neighbor_id, rnk, cos_sim).
+    """Approximate top-k per query via MULTI-TABLE random-hyperplane LSH:
+    candidates = corpus vectors sharing any table bucket with the query's
+    multiprobe set; exact-cosine re-rank, candidates deduped per
+    (query, neighbor) before ranking. Returns
+    (query_id, neighbor_id, rnk, cos_sim).
 
-    Scale: the corpus is bucketed once (narrow shuffle on a small int
-    key); each query scans ~(planes+1) buckets of ~target_bucket vectors
-    instead of the whole corpus.
+    Scale: the corpus is bucketed once into `tables` independent tables
+    (corpus rows replicated `tables`× on a narrow bigint key — the classic
+    LSH memory-for-recall trade); each query scans
+    tables·(planes+1) buckets of ~target_bucket vectors instead of the
+    whole corpus. Recall at a given cost is tuned by (tables, planes):
+    more tables → higher recall, more planes → smaller buckets.
     """
     from pyspark.sql import Window
 
@@ -174,17 +223,24 @@ def ann_lsh_topk(
     if planes is None:
         n = corpus_count if corpus_count is not None else corpus.count()
         planes = auto_planes(n)
-    c = with_lsh_bucket(corpus, vec_col, dim, planes).select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("nv"), "bucket"
+    c = with_lsh_table_buckets(corpus, vec_col, dim, planes, tables).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("nv"),
+        F.explode("buckets").alias("bucket"),
     )
-    q = with_lsh_bucket(queries, vec_col, dim, planes).select(
+    q = with_lsh_table_buckets(queries, vec_col, dim, planes, tables).select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("qv"),
-        F.explode(multiprobe_buckets(F.col("bucket"), planes)).alias("bucket"),
+        F.explode(
+            F.array_distinct(multiprobe_table_buckets(F.col("buckets"), planes))
+        ).alias("bucket"),
     )
     scored = (
         c.join(F.broadcast(q), "bucket")
         .filter(F.col("query_id") != F.col("neighbor_id"))
+        # a pair can meet in several tables/probes — dedup before ranking
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.first("qv").alias("qv"), F.first("nv").alias("nv"))
         .withColumn("s", cosine(F.col("qv"), F.col("nv")))
     )
     w = Window.partitionBy("query_id").orderBy(F.col("s").desc(), F.col("neighbor_id"))

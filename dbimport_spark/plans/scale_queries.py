@@ -61,9 +61,11 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("ann_lsh_topk")  # rows-only: approximate by design
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Random-hyperplane LSH ANN (16 planes, 1-bit multiprobe), exact
-    cosine re-rank of candidates. Approximate: recall < 1 by design, so
-    rows-only check; the exact twin is ann_topk_cosine."""
+    """Multi-table random-hyperplane LSH ANN (4 tables, auto planes,
+    1-bit multiprobe), exact cosine re-rank of deduped candidates.
+    Approximate: recall < 1 by design, so rows-only here; the recall
+    QUALITY gate is the oracle-checked ann_lsh_recall, and the exact twin
+    is ann_topk_cosine."""
     e = load(spark, sf_dir, "embeddings")
     base = e.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
     queries = base.filter(F.col("vec_id") < 8)
@@ -79,6 +81,55 @@ def ann_ivf_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = e.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
     queries = base.filter(F.col("vec_id") < 8)
     return similarity.ann_ivf_topk(base, queries, dim=64, k=5)
+
+
+def _ann_recall_flags(spark: SparkSession, sf_dir: str, approx: DataFrame) -> DataFrame:
+    """(query_id, recall_ok): per-query overlap between an approximate
+    top-k and the exact brute-force top-k, gated at >= 2 of k=5 hits.
+
+    This is the quality gate for approximate ANN: the oracle cannot run
+    the engine-specific hash family, but it CAN assert every query keeps
+    a sane fraction of the true neighbors — a broken bucketing/re-rank
+    returns ~0 overlap and flips recall_ok to false (hash mismatch).
+    Threshold 2/5 sits far below the worst measured per-query hits
+    (3/5 IVF, 5/5 LSH at sf0.01/sf0.001) and far above a broken engine."""
+    from dbimport_spark.plans.vector_queries import ann_topk_cosine
+
+    exact = ann_topk_cosine(spark, sf_dir).select("query_id", "neighbor_id")
+    hits = (
+        exact.join(
+            approx.select("query_id", "neighbor_id"),
+            ["query_id", "neighbor_id"],
+            "left_semi",
+        )
+        .groupBy("query_id")
+        .agg(F.count("*").alias("n_hits"))
+    )
+    return (
+        exact.select("query_id")
+        .distinct()
+        .join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            (F.coalesce(F.col("n_hits"), F.lit(0)) >= 2).alias("recall_ok"),
+        )
+    )
+
+
+_ANN_RECALL_ORACLE = """SELECT DISTINCT vec_id AS query_id, TRUE AS recall_ok
+FROM embeddings WHERE vec_id < 8"""
+
+
+@register("ann_lsh_recall", _ANN_RECALL_ORACLE)
+def ann_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall gate for the multi-table LSH ANN (see _ann_recall_flags)."""
+    return _ann_recall_flags(spark, sf_dir, ann_lsh_topk(spark, sf_dir))
+
+
+@register("ann_ivf_recall", _ANN_RECALL_ORACLE)
+def ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall gate for the IVF-flat ANN (see _ann_recall_flags)."""
+    return _ann_recall_flags(spark, sf_dir, ann_ivf_topk_q(spark, sf_dir))
 
 
 @register(

@@ -80,18 +80,34 @@ def test_simhash_hamming(docs):
     assert set(got) == {(1, 2), (3, 4)}  # no false pairs among unrelated docs
 
 
+def _exact_topk_pairs(spark, sf_dir):
+    from dbimport_spark.plans.vector_queries import ann_topk_cosine
+
+    return {(r["query_id"], r["neighbor_id"]) for r in ann_topk_cosine(spark, sf_dir).collect()}
+
+
 def test_ann_lsh_recall_against_exact(spark, sf_dir):
     e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     base = e.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
     queries = base.filter(F.col("vec_id") < 8)
     approx = similarity.ann_lsh_topk(base, queries, dim=64, k=5)
     got = {(r["query_id"], r["neighbor_id"]) for r in approx.collect()}
-    from dbimport_spark.plans.vector_queries import ann_topk_cosine
-
-    exact = {(r["query_id"], r["neighbor_id"]) for r in ann_topk_cosine(spark, sf_dir).collect()}
+    exact = _exact_topk_pairs(spark, sf_dir)
     recall = len(got & exact) / len(exact)
     assert len(got) == 40  # 8 queries × k
-    assert recall >= 0.3  # random embeddings: LSH recall is modest by design
+    assert recall >= 0.8  # multi-table LSH: measured 1.0 at this scale
+
+
+def test_ann_ivf_recall_against_exact(spark, sf_dir):
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    base = e.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    queries = base.filter(F.col("vec_id") < 8)
+    approx = similarity.ann_ivf_topk(base, queries, dim=64, k=5)
+    got = {(r["query_id"], r["neighbor_id"]) for r in approx.collect()}
+    exact = _exact_topk_pairs(spark, sf_dir)
+    recall = len(got & exact) / len(exact)
+    assert len(got) == 40
+    assert recall >= 0.7  # measured 0.925 at this scale; broken IVF ≈ 0
 
 
 def test_multimodal_features_and_frames(spark):
