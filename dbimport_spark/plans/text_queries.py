@@ -232,7 +232,9 @@ SELECT a_id, b_id,
 FROM inter JOIN sizes sa ON sa.doc_id = a_id JOIN sizes sb ON sb.doc_id = b_id
 WHERE n_both * 1.0 / (sa.n + sb.n - n_both) >= 0.5""",
 )
-def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+def dedup_ngram_jaccard(
+    spark: SparkSession, sf_dir: str, prune_singletons: bool = True
+) -> DataFrame:
     """Exact word-trigram Jaccard near-dup pairs (threshold 0.5).
 
     Shape: explode distinct shingles → self equi-join on shingle →
@@ -244,15 +246,30 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     persist computes the tokenize/explode once — the same temp-table move
     as the reference's merge path.
 
-    Scale notes: at corpus scale, first filter the join input to shingles
-    occurring in ≥2 docs (singletons cannot intersect; measured a wash at
-    sf0.1 where the extra shuffle outweighs the savings, decisive at TB
-    scale) — and past that, dedup_minhash_lsh IS this query's scale form.
+    ``prune_singletons`` filters the join input to shingles occurring in
+    ≥2 docs before the self-join — singletons cannot intersect, and they
+    dominate real corpora, so this cuts the quadratic join input without
+    changing the result (sizes still count ALL shingles). Measured at
+    sf0.1 (local[32], best-of-3): 3.22 s pruned vs 2.52 s unpruned — the
+    extra count-shuffle LOSES at this corpus size (word-soup shingles are
+    cheap to join and the prune shuffle is pure overhead). Kept ON anyway:
+    the quadratic term it removes is what blows up on a 100× hot-shingle
+    corpus, while the prune cost stays linear — and past that,
+    dedup_minhash_lsh IS this query's scale form.
     """
     sh = shingles_df(spark, sf_dir).persist()
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    a = sh.alias("a")
-    b = sh.alias("b")
+    join_sh = sh
+    if prune_singletons:
+        shared = (
+            sh.groupBy("s")
+            .agg(F.count(F.lit(1)).alias("n_docs"))
+            .filter(F.col("n_docs") >= 2)
+            .select("s")
+        )
+        join_sh = sh.join(shared, "s", "left_semi")
+    a = join_sh.alias("a")
+    b = join_sh.alias("b")
     inter = (
         a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
         .groupBy(F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id"))
