@@ -2,9 +2,10 @@
 dataPath into a nested sub-array, optional JSON-schema validation.
 
 Reference: dataprovider/JsonDataProvider.java:186-322 (dataPath :305-311,
-schema validation :286-302). JSON5 inputs are NOT supported (the reference
-accepts them; Spark's reader is strict JSON — documented deviation,
-gate-able behind a per-file python json5 pre-pass if ever needed).
+schema validation :286-302). JSON5 inputs (the reference reads all JSON
+through a JSON5-tolerant reader) are accepted via a driver-side pre-pass
+(sources/json5.py) gated on a strict-parse probe, so well-formed JSON
+keeps the splittable JVM-side scan.
 """
 
 from __future__ import annotations
@@ -15,6 +16,32 @@ from pyspark.sql import functions as F
 from dbimport_spark.operators.order import with_src_order
 
 
+def _resolve_json5(spark: SparkSession, path: str, accept_json5: bool) -> str:
+    """Probe each matched file; if any needs the JSON5 pre-pass, convert
+    driver-side into a temp dir and return that dir as the read path."""
+    if not accept_json5:
+        return path
+    import glob as _glob
+    import os as _os
+    import tempfile as _tempfile
+
+    from dbimport_spark.sources.json5 import maybe_convert_file
+
+    files = sorted(_glob.glob(path)) or [path]
+    converted = {f: maybe_convert_file(f) for f in files}
+    if not any(v is not None for v in converted.values()):
+        return path
+    tmpdir = _tempfile.mkdtemp(prefix="dbimport_json5_")
+    for f, text in converted.items():
+        out = _os.path.join(tmpdir, _os.path.basename(f))
+        if text is None:
+            with open(f, encoding="utf-8") as fh:
+                text = fh.read()
+        with open(out, "w", encoding="utf-8") as fh:
+            fh.write(text)
+    return tmpdir
+
+
 def read_json(
     spark: SparkSession,
     path: str,
@@ -22,10 +49,13 @@ def read_json(
     multi_line: bool = True,
     json_schema: dict | None = None,
     with_order: bool = True,
+    accept_json5: bool = True,
 ) -> DataFrame:
     """data_path is the reference's `-dp`: a path to the array to import,
     e.g. ``payload/items`` selects obj.payload.items[*]."""
-    df = spark.read.option("multiLine", multi_line).json(path)
+    df = spark.read.option("multiLine", multi_line).json(
+        _resolve_json5(spark, path, accept_json5)
+    )
     if data_path:
         dotted = data_path.strip("/").replace("/", ".")
         df = df.select(F.explode(F.col(dotted)).alias("__row")).select("__row.*")

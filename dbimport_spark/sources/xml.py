@@ -2,7 +2,8 @@
 
 Reference: dataprovider/XmlDataProvider.java:139-348 — StAX streaming over
 the entry list, `-dp` slash path to the list tag, null sentinel
-(:163-166), optional XSD validation (not supported here — lxml absent).
+(:163-166), optional XSD validation (structural-subset validator in
+sources/xsd.py — stdlib, no lxml; facets documented out of scope).
 
 Spark has no built-in XML reader in core pyspark; files are parsed in
 parallel with one task per file (binaryFile source + mapInPandas using
@@ -47,9 +48,23 @@ def read_xml(
     data_path: str | None = None,
     null_value_string: str = "",
     with_order: bool = True,
+    schema_file_path: str | None = None,
 ) -> DataFrame:
-    """Distributed whole-file XML parse → string columns + _src_order."""
+    """Distributed whole-file XML parse → string columns + _src_order.
+
+    ``schema_file_path`` mirrors the reference's `-schemaFilePath`: every
+    matched document is validated against the XSD before import and a
+    violation aborts (XmlDataProvider.java:289-302; structural-subset
+    validator, see sources/xsd.py)."""
     import pandas as pd
+
+    if schema_file_path:
+        import glob as _glob
+
+        from dbimport_spark.sources.xsd import validate_xml_against_xsd
+
+        for f in sorted(_glob.glob(path)) or [path]:
+            validate_xml_against_xsd(f, schema_file_path)
 
     files = spark.read.format("binaryFile").load(path).select("path", "content")
 
