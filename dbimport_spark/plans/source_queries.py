@@ -321,6 +321,63 @@ def src_csv_zip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df.select(F.col("r_regionkey").cast("int"), "r_name")
 
 
+@register("src_csv_zip_aes", "SELECT n_nationkey, n_name FROM nation")
+def src_csv_zip_aes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WinZip-AES-256 passworded zip envelope: from-scratch stdlib AES
+    (sources/aes.py + zipaes.py) behind the same decompress pre-step
+    (reference accepts AES-256 zips: DataProvider.java:166-197)."""
+    from dbimport_spark.sources.zipaes import write_aes_zip
+
+    rows = load(spark, sf_dir, "nation").orderBy("n_nationkey").collect()
+    text = "n_nationkey;n_name\n" + "".join(
+        f"{r.n_nationkey};{r.n_name}\n" for r in rows
+    )
+    path = os.path.join(_export_dir(sf_dir), "nation.csv.zip")
+    write_aes_zip(path, "nation.csv", text.encode("utf-8"), "dbimport-pw", strength=3)
+    extracted = decompress_if_needed(path, password="dbimport-pw")
+    df = CsvSource(separator=";").read(spark, extracted, with_order=False)
+    return df.select(F.col("n_nationkey").cast("int"), "n_name")
+
+
+@register(
+    "src_kdbx",
+    """SELECT c_custkey, c_name AS title, c_mktsegment AS username,
+       'pw-' || CAST(c_custkey AS VARCHAR) AS password
+FROM customer WHERE c_custkey <= 50""",
+)
+def src_kdbx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KDBX (KeePass) source: stdlib KDBX3 decrypt — AES-KDF + AES-CBC +
+    hashed-block stream + Salsa20-protected passwords (sources/kdbx.py;
+    reference KdbxDataProvider.java:176-273). The fixture database is
+    written by the from-scratch KDBX3 writer at plan-construction time."""
+    from dbimport_spark.sources.kdbx import read_kdbx, write_kdbx3_minimal
+
+    rows = (
+        load(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") <= 50)
+        .orderBy("c_custkey")
+        .collect()
+    )
+    entries = [
+        {
+            "title": r.c_name,
+            "username": r.c_mktsegment,
+            "password": f"pw-{r.c_custkey}",
+            "url": str(r.c_custkey),
+        }
+        for r in rows
+    ]
+    path = os.path.join(_export_dir(sf_dir), "customers.kdbx")
+    write_kdbx3_minimal(path, entries, "graded-pw", rounds=600)
+    df = read_kdbx(spark, path, "graded-pw")
+    return df.select(
+        F.col("url").cast("int").alias("c_custkey"),
+        F.col("title"),
+        F.col("username"),
+        F.col("password"),
+    )
+
+
 # ------------------------------------------------------------- wildcard
 
 

@@ -11,8 +11,8 @@ extraction is driver-side per archive — matching the reference, which
 streams a single archive single-threaded; many archives can be extracted
 in parallel by the caller.
 
-ZipCrypto passwords: stdlib zipfile. AES-256 zips need pyzipper (absent in
-this container) → NotImplementedError, plumbing kept real.
+ZipCrypto passwords: stdlib zipfile. WinZip-AES (AES-128/192/256) zips:
+stdlib parse + from-scratch AES in sources/zipaes.py / sources/aes.py.
 """
 
 from __future__ import annotations
@@ -58,16 +58,20 @@ def decompress_if_needed(
                 raise ValueError(
                     f"zip archive must contain exactly one entry, found {len(names)}: {path}"
                 )
+            info = zf.getinfo(names[0])
+            if info.compress_type == 99:  # WinZip AES (AE-1/AE-2)
+                if password is None:
+                    raise ValueError(f"AES-encrypted zip needs a password: {path}")
+                from dbimport_spark.sources.zipaes import read_aes_entry
+
+                data = read_aes_entry(path, info, password)
+                dest = os.path.join(out, os.path.basename(names[0]))
+                with open(dest, "wb") as fh:
+                    fh.write(data)
+                return dest
             if password is not None:
-                try:
-                    zf.setpassword(password.encode("utf-8"))
-                    return zf.extract(names[0], out, pwd=password.encode("utf-8"))
-                except (RuntimeError, NotImplementedError) as e:
-                    # AES-encrypted zips need pyzipper (not in container)
-                    raise NotImplementedError(
-                        "AES-encrypted zip requires pyzipper; only ZipCrypto "
-                        "passwords are supported here"
-                    ) from e
+                zf.setpassword(password.encode("utf-8"))
+                return zf.extract(names[0], out, pwd=password.encode("utf-8"))
             return zf.extract(names[0], out)
     if lower.endswith(".gz"):
         if for_spark_text_reader:

@@ -164,3 +164,52 @@ def test_xls_writer_reader_roundtrip(t):
         raw = read_xls_rows(f.name, None)
     assert raw[0] == header
     assert _norm(raw[1:]) == _norm(rows)
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    st.binary(min_size=0, max_size=4096),
+    st.text(string.printable, min_size=1, max_size=24),
+    st.sampled_from([1, 2, 3]),
+    st.booleans(),
+)
+def test_aes_zip_roundtrip_property(payload, password, strength, deflate):
+    """Any payload/password/strength survives a write→read AES-zip round
+    trip, and a flipped password is always rejected."""
+    import tempfile
+    import zipfile
+
+    from dbimport_spark.sources.zipaes import ZipAesError, read_aes_entry, write_aes_zip
+
+    with tempfile.NamedTemporaryFile(suffix=".zip") as f:
+        write_aes_zip(f.name, "e.bin", payload, password, strength, deflate)
+        info = zipfile.ZipFile(f.name).infolist()[0]
+        assert read_aes_entry(f.name, info, password) == payload
+        try:
+            read_aes_entry(f.name, info, password + "x")
+            wrong_ok = True
+        except ZipAesError:
+            wrong_ok = False
+        # 2-byte verifier: false accept chance 2^-16 per example — treat
+        # as impossible at 25 examples
+        assert not wrong_ok
+
+
+@settings(max_examples=50, deadline=None)
+@given(st.binary(min_size=0, max_size=512), st.sampled_from([16, 24, 32]))
+def test_aes_ctr_cbc_involution(data, keylen):
+    """CTR is an involution; CBC decrypt inverts CBC encrypt (FIPS-197
+    block vectors pinned separately in test_sources)."""
+    from dbimport_spark.sources.aes import (
+        cbc_decrypt,
+        cbc_encrypt,
+        ctr_crypt,
+        pkcs7_pad,
+        pkcs7_unpad,
+    )
+
+    key = bytes(range(keylen))
+    assert ctr_crypt(key, ctr_crypt(key, data)) == data
+    iv = bytes(range(16))
+    padded = pkcs7_pad(data)
+    assert pkcs7_unpad(cbc_decrypt(key, iv, cbc_encrypt(key, iv, padded))) == data

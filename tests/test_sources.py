@@ -111,6 +111,46 @@ def test_json_schema_validation(spark, tdir):
         read_json(spark, str(p), json_schema=schema)
 
 
+def test_json5_pre_pass(spark, tdir):
+    """JSON5 inputs (comments, trailing commas, unquoted keys, single
+    quotes, hex numbers) convert driver-side and import like strict JSON
+    (reference reads all JSON through a JSON5-tolerant reader)."""
+    from dbimport_spark.sources.json import read_json
+    from dbimport_spark.sources.json5 import json5_to_json
+
+    p = tdir / "d.json5"
+    p.write_text(
+        """// config-style JSON5 header comment
+{
+  meta: 0x1F, /* hex + block comment */
+  'payload': {
+    items: [
+      {k: 1, v: 'a"quote"', w: .5,},
+      {k: +2, v: "b", w: 2.,},  // trailing commas everywhere
+    ],
+  },
+}
+"""
+    )
+    df = read_json(spark, str(p), data_path="payload/items")
+    rows = {r["k"]: r for r in df.collect()}
+    assert set(rows) == {1, 2}
+    assert rows[1]["v"] == 'a"quote"' and rows[1]["w"] == 0.5
+    assert rows[2]["w"] == 2.0
+
+    # strict files bypass the pre-pass entirely (fast path untouched)
+    import json
+
+    strict = tdir / "strict.json"
+    strict.write_text('{"payload": {"items": [{"k": 3, "v": "c", "w": 1.5}]}}')
+    df2 = read_json(spark, str(strict), data_path="payload/items")
+    assert df2.collect()[0]["k"] == 3
+
+    # converter unit behaviors: Infinity/NaN → null, line continuation
+    out = json.loads(json5_to_json('{a: Infinity, b: -Infinity, c: NaN, d: "x\\\ny"}'))
+    assert out == {"a": None, "b": None, "c": None, "d": "xy"}
+
+
 def test_xml(spark, tdir):
     p = tdir / "t.xml"
     p.write_text(
@@ -121,6 +161,62 @@ def test_xml(spark, tdir):
     rows = sorted(df.collect(), key=lambda r: r["_src_order"])
     assert rows[0]["k"] == "1" and rows[0]["v"] == "a"
     assert rows[1]["v"] is None
+
+
+XSD_FIXTURE = """<?xml version="1.0"?>
+<xs:schema xmlns:xs="http://www.w3.org/2001/XMLSchema">
+  <xs:element name="list">
+    <xs:complexType>
+      <xs:sequence>
+        <xs:element name="entry" minOccurs="1" maxOccurs="unbounded">
+          <xs:complexType>
+            <xs:sequence>
+              <xs:element name="id" type="xs:string"/>
+              <xs:element name="name" type="xs:string"/>
+              <xs:element name="note" type="xs:string" minOccurs="0"/>
+            </xs:sequence>
+          </xs:complexType>
+        </xs:element>
+      </xs:sequence>
+    </xs:complexType>
+  </xs:element>
+</xs:schema>
+"""
+
+
+def test_xsd_validation(spark, tdir):
+    """Structural XSD gate: compliant file imports, violations abort
+    (XmlDataProvider.java:289-302)."""
+    from dbimport_spark.sources.xml import read_xml
+    from dbimport_spark.sources.xsd import XsdValidationError, validate_xml_against_xsd
+
+    xsd = tdir / "list.xsd"
+    xsd.write_text(XSD_FIXTURE)
+    good = tdir / "good.xml"
+    good.write_text(
+        "<list><entry><id>1</id><name>a</name></entry>"
+        "<entry><id>2</id><name>b</name><note>n</note></entry></list>"
+    )
+    df = read_xml(spark, str(good), schema_file_path=str(xsd))
+    assert df.count() == 2
+
+    cases = {
+        # required <name> missing
+        "missing.xml": "<list><entry><id>1</id></entry></list>",
+        # sequence order violated
+        "order.xml": "<list><entry><name>a</name><id>1</id></entry></list>",
+        # undeclared element
+        "unknown.xml": "<list><entry><id>1</id><name>a</name><zzz/></entry></list>",
+        # maxOccurs=1 exceeded
+        "dup.xml": "<list><entry><id>1</id><id>2</id><name>a</name></entry></list>",
+        # wrong root
+        "root.xml": "<items><entry><id>1</id><name>a</name></entry></items>",
+    }
+    for fname, content in cases.items():
+        bad = tdir / fname
+        bad.write_text(content)
+        with pytest.raises(XsdValidationError):
+            validate_xml_against_xsd(str(bad), str(xsd))
 
 
 def test_yaml(spark, tdir):
@@ -204,6 +300,114 @@ def test_password_zip(spark, tdir):
         assert CsvSource(trim=True).read(spark, path).count() == 2
     else:
         pytest.skip("system zip unavailable for ZipCrypto fixture")
+
+
+def test_aes_fips197_vectors():
+    """Pin the from-scratch AES to the FIPS-197 appendix C vectors (all
+    three key sizes, encrypt + decrypt)."""
+    from dbimport_spark.sources.aes import AES
+
+    pt = bytes.fromhex("00112233445566778899aabbccddeeff")
+    vectors = {
+        16: "69c4e0d86a7b0430d8cdb78070b4c55a",
+        24: "dda97ca4864cdfe06eaf70a0ec0d7191",
+        32: "8ea2b7ca516745bfeafc49904b496089",
+    }
+    for klen, ct_hex in vectors.items():
+        aes = AES(bytes(range(klen)))
+        ct = aes.encrypt_block(pt)
+        assert ct.hex() == ct_hex
+        assert aes.decrypt_block(ct) == pt
+
+
+def test_aes_zip_roundtrip(spark, tdir):
+    """WinZip-AES zip: write with the from-scratch AE-2 writer, read back
+    through the normal decompress path (DataProvider.java:166-197 accepts
+    AES-256 passworded zips)."""
+    from dbimport_spark.sources.zipaes import ZipAesError, read_aes_entry, write_aes_zip
+
+    for strength, deflate in ((3, True), (1, False)):
+        zp = tdir / f"s{strength}.csv.zip"
+        write_aes_zip(str(zp), "s.csv", CSV_F2.encode(), "pw123", strength, deflate)
+        path = decompress_if_needed(str(zp), password="pw123")
+        assert CsvSource(trim=True).read(spark, path).count() == 2
+    # wrong password → verifier mismatch, not garbage output
+    import zipfile as _zf
+
+    zp = tdir / "s3.csv.zip"
+    info = _zf.ZipFile(str(zp)).infolist()[0]
+    assert info.compress_type == 99
+    with pytest.raises(ZipAesError, match="wrong password"):
+        read_aes_entry(str(zp), info, "nope")
+    # corrupted payload → auth code mismatch (offset 70 = inside the CTR
+    # payload: 30 header + 5 name + 11 extra + 16 salt + 2 verifier = 64)
+    blob = bytearray(zp.read_bytes())
+    blob[70] ^= 0xFF
+    bad = tdir / "bad.csv.zip"
+    bad.write_bytes(blob)
+    info = _zf.ZipFile(str(bad)).infolist()[0]
+    with pytest.raises(ZipAesError, match="auth code|wrong password"):
+        read_aes_entry(str(bad), info, "pw123")
+
+
+def test_kdbx3_roundtrip(spark, tdir):
+    """Stdlib KDBX3: write → read back (groups nested, passwords
+    Salsa20-protected), wrong password rejected, KDBX4 rejected clearly."""
+    import struct
+
+    from dbimport_spark.sources.kdbx import (
+        KdbxError,
+        read_kdbx,
+        read_kdbx_entries,
+        write_kdbx3_minimal,
+    )
+
+    p = tdir / "vault.kdbx"
+    entries = [
+        {"title": "mail", "username": "alice", "password": "s3cret!", "url": "https://m"},
+        {"title": "db", "username": "bob", "password": "pässwörd", "group": "work/prod"},
+    ]
+    write_kdbx3_minimal(str(p), entries, "master-pw", rounds=600)
+    got = {e["title"]: e for e in read_kdbx_entries(str(p), "master-pw")}
+    assert got["mail"]["password"] == "s3cret!" and got["mail"]["path"] == "Root"
+    assert got["db"]["password"] == "pässwörd"
+    assert got["db"]["path"] == "Root/work/prod"
+    df = read_kdbx(spark, str(p), "master-pw")
+    by_title = {r["title"]: r for r in df.collect()}
+    assert by_title["mail"]["username"] == "alice"
+    with pytest.raises(KdbxError, match="wrong password"):
+        read_kdbx_entries(str(p), "nope")
+    # uncompressed + unprotected variant
+    p2 = tdir / "v2.kdbx"
+    write_kdbx3_minimal(str(p2), entries, "x", rounds=60, compress=False, protect_passwords=False)
+    assert {e["title"] for e in read_kdbx_entries(str(p2), "x")} == {"mail", "db"}
+    # KDBX4 signature → clear unsupported error
+    blob = bytearray(p.read_bytes())
+    blob[8:12] = struct.pack("<HH", 0, 4)
+    p4 = tdir / "v4.kdbx"
+    p4.write_bytes(blob)
+    with pytest.raises(KdbxError, match="KDBX4"):
+        read_kdbx_entries(str(p4), "master-pw")
+
+
+def test_kdbx_pykeepass_crosscheck(tdir):
+    """When pykeepass is installed, our self-written KDBX3 database must
+    open in it (cross-implementation format check, incl. Salsa20 inner
+    stream). Skips in containers without pykeepass."""
+    pykeepass = pytest.importorskip("pykeepass")
+
+    from dbimport_spark.sources.kdbx import write_kdbx3_minimal
+
+    p = tdir / "cross.kdbx"
+    write_kdbx3_minimal(
+        str(p),
+        [{"title": "t1", "username": "u1", "password": "p1"}],
+        "cross-pw",
+        rounds=600,
+    )
+    kp = pykeepass.PyKeePass(str(p), password="cross-pw")
+    (entry,) = kp.entries
+    assert entry.title == "t1" and entry.username == "u1" and entry.password == "p1"
 
 
 def test_wildcard_and_table_names(tdir):
