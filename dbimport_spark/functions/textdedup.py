@@ -120,22 +120,39 @@ def minhash_lsh_neardup_pairs(
 # ---------------------------------------------------------------- SimHash
 
 
+def portable_hash60(col) -> "F.Column":
+    """60-bit token hash computable identically in Spark AND DuckDB:
+    the first 15 hex digits of md5, parsed as an integer. Spark:
+    conv(substring(md5(c),1,15),16,10)::long; DuckDB:
+    ('0x' || substring(md5(c),1,15))::BIGINT. Slower than xxhash64
+    (md5 + string conv) — use it when cross-engine reproducibility
+    matters more than hash throughput (e.g. the oracle-checked
+    dedup_simhash query)."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
 def simhash(
     tokens: DataFrame,
     doc_col: str = "doc_id",
     token_col: str = "tok",
     bits: int = 64,
+    hash_col: "F.Column | None" = None,
 ) -> DataFrame:
-    """64-bit SimHash per doc: sum ±1 per bit over token hashes, take sign.
+    """``bits``-bit SimHash per doc: sum ±1 per bit over token hashes,
+    take sign.
 
     One aggregation: per bit i, the ONES count sum(hash>>i & 1) plus one
     shared row count n; bit i of the fingerprint is set iff ones > n/2
     (identical boundary to the classic ±1 sum — 2·ones − n > 0 — but the
     branch-free bit extract aggregates ~1.5× faster). Token multiplicity
-    acts as weight; the token is hashed once into a column and all 64
-    aggregates read the 8-byte value.
+    acts as weight; the token is hashed once into a column and all ``bits``
+    aggregates read the 8-byte value. ``hash_col`` overrides the default
+    xxhash64 token hash (e.g. portable_hash60 for a DuckDB-reproducible
+    fingerprint; pass bits=60 with it).
     """
-    base = tokens.withColumn("_h", F.xxhash64(F.col(token_col)))
+    base = tokens.withColumn(
+        "_h", hash_col if hash_col is not None else F.xxhash64(F.col(token_col))
+    )
     h = F.col("_h")
     bit_sums = [
         F.sum(F.shiftright(h, i).bitwiseAND(F.lit(1))).alias(f"o_{i}")
@@ -158,12 +175,14 @@ def simhash_neardup_pairs(
     doc_col: str = "doc_id",
     max_hamming: int = 3,
     chunks: int = 4,
+    bits: int = 64,
 ) -> DataFrame:
     """Pairs with hamming(simhash) ≤ max_hamming via pigeonhole banding:
     with 4 16-bit chunks, any pair within hamming 3 shares at least one
     exact chunk — candidates are an equi-join on (chunk_idx, chunk_value),
-    never an all-pairs scan."""
-    width = 64 // chunks
+    never an all-pairs scan. The guarantee needs chunks > max_hamming,
+    independent of ``bits``."""
+    width = bits // chunks
     mask = (1 << width) - 1
     chunk_cols = [
         F.struct(

@@ -10,7 +10,12 @@ from pyspark.sql import functions as F
 
 from dbimport_spark.functions import multimodal, similarity, textdedup
 from dbimport_spark.plans.registry import load, register
-from dbimport_spark.plans.text_queries import CORPUS_SQL, SHINGLES_SQL, shingles_df
+from dbimport_spark.plans.text_queries import (
+    CORPUS_SQL,
+    NORM_SQL,
+    SHINGLES_SQL,
+    shingles_df,
+)
 
 
 @register(
@@ -39,13 +44,51 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textdedup.minhash_lsh_neardup_pairs(sh, threshold=0.9)
 
 
-@register("dedup_simhash")  # rows-only: xxhash64 not reproducible in DuckDB
-def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash(64-bit) fingerprints + pigeonhole-banded hamming≤3 pairs.
+# DuckDB twin of the 60-bit portable SimHash (functions/textdedup.py:
+# portable_hash60 + simhash): identical md5-prefix token hash, identical
+# ones>n/2 bit rule. The oracle pairs via an all-pairs hamming join —
+# exact, and fine at oracle scale; the Spark side's pigeonhole banding is
+# lossless for hamming<=3 with 4 chunks, so the outputs must be equal.
+_SIMHASH_BITS = 60
+_ONES_SQL = ",\n       ".join(
+    f"sum((h >> {i}) & 1) AS o_{i}" for i in range(_SIMHASH_BITS)
+)
+_FP_SQL = " | ".join(
+    f"(CASE WHEN o_{i} * 2 > n THEN (1::BIGINT << {i}) ELSE 0::BIGINT END)"
+    for i in range(_SIMHASH_BITS)
+)
+_SIMHASH_ORACLE = f"""WITH {CORPUS_SQL},
+hashed AS (
+  SELECT doc_id, ('0x' || substring(md5(tok), 1, 15))::BIGINT AS h
+  FROM (SELECT doc_id, unnest(string_split({NORM_SQL}, ' ')) AS tok FROM corpus)
+  WHERE tok <> ''
+),
+ones AS (
+  SELECT doc_id, count(*) AS n,
+       {_ONES_SQL}
+  FROM hashed GROUP BY doc_id
+),
+fp AS (
+  SELECT doc_id,
+       {_FP_SQL}
+       AS simhash
+  FROM ones
+)
+SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 3"""
 
-    No SQL oracle (the hash family is engine-specific); the driver records
-    a rows-only check. The planted near-dups (doc_id + 1000000) differ by
-    two words out of ~50 → hamming distance typically ≤ 3."""
+
+@register("dedup_simhash", _SIMHASH_ORACLE)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash fingerprints + pigeonhole-banded hamming≤3 pairs.
+
+    Uses the 60-bit md5-prefix token hash (textdedup.portable_hash60) so
+    the fingerprint is bit-identical in DuckDB and the pair set gets a
+    full value oracle — the library default stays xxhash64 for
+    throughput. The planted near-dups (doc_id + 1000000) differ by three
+    words out of ~50 → hamming distance typically ≤ 3."""
     from dbimport_spark.plans.text_queries import corpus_df
 
     corpus = corpus_df(spark, sf_dir)
@@ -55,8 +98,12 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array_remove(F.split(F.lower(F.col("text")), "[^a-z0-9]+"), "")
         ).alias("tok"),
     )
-    fps = textdedup.simhash(tokens)
-    return textdedup.simhash_neardup_pairs(fps, max_hamming=3)
+    fps = textdedup.simhash(
+        tokens,
+        bits=_SIMHASH_BITS,
+        hash_col=textdedup.portable_hash60(F.col("tok")),
+    )
+    return textdedup.simhash_neardup_pairs(fps, max_hamming=3, bits=_SIMHASH_BITS)
 
 
 @register("ann_lsh_topk")  # rows-only: approximate by design
