@@ -19,5 +19,6 @@ from dbimport_spark.plans import vector_queries  # noqa: E402,F401
 from dbimport_spark.plans import scale_queries  # noqa: E402,F401
 from dbimport_spark.plans import source_queries  # noqa: E402,F401
 from dbimport_spark.plans import streaming_queries  # noqa: E402,F401
+from dbimport_spark.plans import curation_queries  # noqa: E402,F401
 
 __all__ = ["QUERIES", "ORACLES", "register"]

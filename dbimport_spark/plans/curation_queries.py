@@ -1,0 +1,417 @@
+"""Corpus-curation operators for large-scale training-data pipelines.
+
+Completes the dedup family with the pieces a production curation pipeline
+chains AFTER pair generation: transitive clustering with canonical-doc
+selection, benchmark decontamination, repetition-based quality signals,
+PII redaction, and cluster-scoped semantic dedup (SemDeDup-style).
+
+Planted-data discipline mirrors text_queries/vector_queries: the
+synthetic corpus has no organic near-dups or PII, so queries plant
+deterministic ones (doc_id/vec_id arithmetic) with margins wide enough
+that float rounding cannot flip a threshold. All ratios divide exact
+integer counts in the same written order on both engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dbimport_spark.functions.cluster import connected_components
+from dbimport_spark.plans.registry import load, register
+from dbimport_spark.plans import text_queries
+from dbimport_spark.plans.text_queries import CORPUS_SQL, NORM_SQL, SHINGLES_SQL
+from dbimport_spark.plans.vector_queries import COSINE_SQL
+
+# ---------------------------------------------------------------------------
+# dedup_cluster_canonical — connected components over near-dup pairs
+
+_PAIRS_SQL = f"""{CORPUS_SQL}, {SHINGLES_SQL},
+sizes AS (SELECT doc_id, count(*) AS n FROM shingles GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS n_both
+  FROM shingles a JOIN shingles b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+),
+pairs AS (
+  SELECT a_id, b_id
+  FROM inter JOIN sizes sa ON sa.doc_id = a_id JOIN sizes sb ON sb.doc_id = b_id
+  WHERE n_both * 1.0 / (sa.n + sb.n - n_both) >= 0.5
+)"""
+
+
+@register(
+    "dedup_cluster_canonical",
+    f"""WITH RECURSIVE {_PAIRS_SQL},
+edges AS (SELECT a_id AS s, b_id AS d FROM pairs UNION SELECT b_id, a_id FROM pairs),
+reach(node, r) AS (
+  SELECT s, d FROM edges
+  UNION
+  SELECT w.node, e.d FROM reach w JOIN edges e ON w.r = e.s
+),
+lbl AS (SELECT node, least(node, min(r)) AS comp FROM reach GROUP BY node)
+SELECT c.doc_id,
+       COALESCE(l.comp, c.doc_id) AS cluster_id,
+       (c.doc_id = COALESCE(l.comp, c.doc_id)) AS is_canonical
+FROM corpus c LEFT JOIN lbl l ON l.node = c.doc_id""",
+)
+def dedup_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy-dedup clustering: near-dup PAIRS (exact trigram Jaccard >= 0.5,
+    the oracle-shared pair generator of dedup_ngram_jaccard) are transitively
+    closed into clusters via distributed min-label propagation
+    (functions/cluster.py), then every corpus doc gets (cluster_id,
+    is_canonical) — the keep-one-per-cluster decision of a curation
+    pipeline. Singleton docs are their own canonical cluster.
+
+    Scale: pair edges after LSH/Jaccard are far smaller than the corpus;
+    each propagation round shuffles only (node, label) longs; the final
+    assignment is one left join on doc_id. The oracle computes the same
+    components with a recursive-CTE transitive closure (min reachable id).
+    """
+    pairs = text_queries.dedup_ngram_jaccard(spark, sf_dir).select("a_id", "b_id")
+    comp = connected_components(pairs)
+    corpus = text_queries.corpus_df(spark, sf_dir)
+    out = (
+        corpus.select("doc_id")
+        .join(comp.withColumnRenamed("node", "doc_id"), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("component", "doc_id").alias("cluster_id"),
+            (F.col("doc_id") == F.coalesce("component", "doc_id")).alias(
+                "is_canonical"
+            ),
+        )
+    )
+    return out
+
+
+# ---------------------------------------------------------------------------
+# decontam_ngram_overlap — benchmark n-gram decontamination
+
+_DOC_SHINGLES_SQL = f"""toks AS (
+  SELECT doc_id, string_split({NORM_SQL}, ' ') AS w FROM documents
+),
+shingles AS (
+  SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+  FROM toks, UNNEST(range(1, len(w) - 1)) AS u(i)
+  WHERE len(w) >= 3
+)"""
+
+
+def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct word-trigram shingles per raw document (no planting)."""
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = d.select(
+        "doc_id",
+        F.array_remove(F.split(F.lower(F.col("text")), "[^a-z0-9]+"), "").alias("w"),
+    )
+    tri = F.expr(
+        "transform(sequence(0, size(w) - 3), i -> concat_ws(' ', w[i], w[i+1], w[i+2]))"
+    )
+    return toks.filter(F.size("w") >= 3).select(
+        "doc_id", F.explode(F.array_distinct(tri)).alias("s")
+    )
+
+
+@register(
+    "decontam_ngram_overlap",
+    f"""WITH {_DOC_SHINGLES_SQL},
+bench AS (SELECT DISTINCT s FROM shingles WHERE doc_id % 100 = 0),
+hits AS (
+  SELECT sh.doc_id, count(*) AS n_shared
+  FROM shingles sh JOIN bench USING (s)
+  WHERE sh.doc_id % 100 <> 0
+  GROUP BY sh.doc_id
+)
+SELECT d.doc_id,
+       CAST(COALESCE(h.n_shared, 0) AS BIGINT) AS n_shared,
+       COALESCE(h.n_shared, 0) > 0 AS contaminated
+FROM documents d LEFT JOIN hits h ON h.doc_id = d.doc_id
+WHERE d.doc_id % 100 <> 0""",
+)
+def decontam_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag training docs sharing any word-trigram
+    with the benchmark set (here: doc_id % 100 == 0 plays the eval set).
+
+    Scale shape: the benchmark shingle set is tiny relative to the corpus
+    (eval suites are ~1e6 n-grams), so it is DISTINCT-ed and broadcast; the
+    corpus side streams through a broadcast-hash semi-join + per-doc count
+    with map-side partial aggregation — no corpus-sized shuffle. Falls back
+    to a bucket equi-join if the benchmark outgrows the broadcast limit.
+    """
+    sh = _doc_shingles(spark, sf_dir)
+    is_bench = F.col("doc_id") % 100 == 0
+    bench = sh.filter(is_bench).select("s").distinct()
+    hits = (
+        sh.filter(~is_bench)
+        .join(F.broadcast(bench), "s")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    d = load(spark, sf_dir, "documents").filter(~is_bench)
+    return (
+        d.select("doc_id")
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_shared", F.lit(0)).cast("bigint").alias("n_shared"),
+            (F.coalesce("n_shared", F.lit(0)) > 0).alias("contaminated"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# text_repetition_signals — Gopher-style repetition quality signals
+
+
+@register(
+    "text_repetition_signals",
+    f"""WITH toks AS (
+  SELECT doc_id,
+         CASE WHEN length({NORM_SQL}) = 0 THEN []::VARCHAR[]
+              ELSE string_split({NORM_SQL}, ' ') END AS w
+  FROM documents),
+bi AS (
+  SELECT doc_id, w,
+         CASE WHEN len(w) >= 2
+              THEN list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])
+              ELSE []::VARCHAR[] END AS b
+  FROM toks)
+SELECT doc_id,
+       CAST(len(w) AS BIGINT) AS n_words,
+       CAST(len(list_distinct(w)) AS BIGINT) AS n_distinct,
+       CASE WHEN len(w) = 0 THEN 0.0
+            ELSE len(list_distinct(w)) * 1.0 / len(w) END AS distinct_ratio,
+       CASE WHEN len(w) = 0 THEN 0.0
+            ELSE list_max(list_transform(list_distinct(w),
+                   x -> len(list_filter(w, y -> y = x)))) * 1.0 / len(w)
+       END AS top_word_frac,
+       CASE WHEN len(b) = 0 THEN 0.0
+            ELSE list_max(list_transform(list_distinct(b),
+                   x -> len(list_filter(b, y -> y = x)))) * 1.0 / len(b)
+       END AS top_bigram_frac
+FROM bi""",
+)
+def text_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition-based quality signals (Gopher-rule family): distinct-word
+    ratio, most-common-word fraction, most-common-bigram fraction.
+
+    Everything is computed IN-ARRAY with higher-order functions (transform/
+    filter/array_distinct/array_max) — a narrow, shuffle-free, whole-stage
+    codegen plan: no explode, no groupBy, one pass over the corpus. The
+    per-doc cost is O(distinct x words), bounded by document length, which
+    beats an explode + count + window for signal extraction at any scale.
+    """
+    d = load(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.array_remove(F.split(F.lower(F.col("text")), "[^a-z0-9]+"), "").alias("w"),
+    )
+    bi = toks.withColumn(
+        "b",
+        F.expr(
+            "CASE WHEN size(w) >= 2 THEN "
+            "transform(sequence(0, size(w) - 2), i -> concat_ws(' ', w[i], w[i+1])) "
+            "ELSE array() END"
+        ),
+    )
+    top_w = F.expr(
+        "array_max(transform(array_distinct(w), x -> size(filter(w, y -> y = x))))"
+    )
+    top_b = F.expr(
+        "array_max(transform(array_distinct(b), x -> size(filter(b, y -> y = x))))"
+    )
+    n_words = F.size("w")
+    n_bi = F.size("b")
+    return bi.select(
+        "doc_id",
+        n_words.cast("bigint").alias("n_words"),
+        F.size(F.array_distinct("w")).cast("bigint").alias("n_distinct"),
+        F.when(n_words == 0, F.lit(0.0))
+        .otherwise(F.size(F.array_distinct("w")) * F.lit(1.0) / n_words)
+        .alias("distinct_ratio"),
+        F.when(n_words == 0, F.lit(0.0))
+        .otherwise(top_w * F.lit(1.0) / n_words)
+        .alias("top_word_frac"),
+        F.when(n_bi == 0, F.lit(0.0))
+        .otherwise(top_b * F.lit(1.0) / n_bi)
+        .alias("top_bigram_frac"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# pii_redact_docs — PII detection / redaction
+
+_EMAIL_RE = r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"
+_PHONE_RE = r"[0-9]{3}-[0-9]{3}-[0-9]{4}"
+_IP_RE = r"[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}"
+
+_PII_CORPUS_SQL = """pii AS (
+  SELECT doc_id,
+         text
+         || CASE WHEN doc_id % 7 = 0
+                 THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
+                 ELSE '' END
+         || CASE WHEN doc_id % 11 = 0
+                 THEN ' call 555-123-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                 ELSE '' END
+         || CASE WHEN doc_id % 13 = 0
+                 THEN ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR)
+                      || '.' || CAST((doc_id * 7) % 256 AS VARCHAR)
+                 ELSE '' END
+         AS t
+  FROM documents)"""
+
+
+@register(
+    "pii_redact_docs",
+    f"""WITH {_PII_CORPUS_SQL}
+SELECT doc_id,
+       CAST(len(regexp_extract_all(t, '{_EMAIL_RE}')) AS BIGINT) AS n_emails,
+       CAST(len(regexp_extract_all(t, '{_PHONE_RE}')) AS BIGINT) AS n_phones,
+       CAST(len(regexp_extract_all(t, '{_IP_RE}')) AS BIGINT) AS n_ips,
+       regexp_replace(regexp_replace(regexp_replace(t,
+         '{_EMAIL_RE}', '<EMAIL>', 'g'),
+         '{_PHONE_RE}', '<PHONE>', 'g'),
+         '{_IP_RE}', '<IP>', 'g') AS clean_text
+FROM pii""",
+)
+def pii_redact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detection + redaction: count and mask emails / phone numbers /
+    IPv4 addresses in document text. The synthetic corpus contains no PII,
+    so deterministic PII is planted by doc_id arithmetic first (same
+    pattern as the planted near-dups), then detected back out.
+
+    Pure regexp expression plan — JVM-side, codegen'd, no UDFs, no
+    shuffle; the patterns are written in the common Java/RE2 regex subset
+    so both engines interpret them identically.
+    """
+    d = load(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    t = F.concat(
+        F.col("text"),
+        F.when(
+            did % 7 == 0,
+            F.concat(
+                F.lit(" contact user"),
+                did.cast("string"),
+                F.lit("@example.com"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            did % 11 == 0,
+            F.concat(
+                F.lit(" call 555-123-"),
+                F.lpad((did % 10000).cast("string"), 4, "0"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            did % 13 == 0,
+            F.concat(
+                F.lit(" from 10.0."),
+                (did % 256).cast("string"),
+                F.lit("."),
+                ((did * 7) % 256).cast("string"),
+            ),
+        ).otherwise(F.lit("")),
+    )
+    pii = d.select("doc_id", t.alias("t"))
+    clean = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col("t"), _EMAIL_RE, "<EMAIL>"),
+            _PHONE_RE,
+            "<PHONE>",
+        ),
+        _IP_RE,
+        "<IP>",
+    )
+
+    def n(pat):
+        return F.size(F.regexp_extract_all(F.col("t"), F.lit(pat), F.lit(0))).cast(
+            "bigint"
+        )
+
+    return pii.select(
+        "doc_id",
+        n(_EMAIL_RE).alias("n_emails"),
+        n(_PHONE_RE).alias("n_phones"),
+        n(_IP_RE).alias("n_ips"),
+        clean.alias("clean_text"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# semantic_dedup_pairs — cluster-scoped embedding dedup (SemDeDup-style)
+
+_SEM_CORPUS_SQL = """vecs AS (
+  SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
+  UNION ALL
+  SELECT vec_id + 1000000 AS vec_id, label,
+         [embedding[1]::DOUBLE + 0.25] || (embedding::DOUBLE[])[2:] AS v
+  FROM embeddings WHERE vec_id % 20 = 0
+)"""
+
+
+@register(
+    "semantic_dedup_pairs",
+    f"""WITH {_SEM_CORPUS_SQL}
+SELECT a.label AS label, a.vec_id AS a_id, b.vec_id AS b_id,
+       round({COSINE_SQL.format(a='a.v', b='b.v')}, 6) AS cos_sim
+FROM vecs a JOIN vecs b ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE {COSINE_SQL.format(a='a.v', b='b.v')} >= 0.9""",
+)
+def semantic_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic dedup, cluster-scoped (SemDeDup): all-pairs cosine is
+    computed only WITHIN a cluster (here the precomputed ``label`` plays
+    the k-means cell), never across the whole corpus. Near-dup threshold
+    0.9; planted dups (~0.999) vs within-label background (<=0.48 measured)
+    leave a wide margin.
+
+    Physical plan: groupBy(label) + applyInPandas — each cell becomes one
+    Arrow batch and one numpy matmul (upper triangle, id-ordered). At
+    scale, cells are bounded by the clustering granularity (SemDeDup uses
+    ~100k cells), so per-task memory is cell_size x dim doubles and the
+    quadratic term never spans cells. A skewed giant cell would be split
+    by the block-tile scheme of embedding_cosine_neardup.
+    """
+    import numpy as np
+    import pandas as pd
+
+    e = load(spark, sf_dir, "embeddings")
+    base = e.select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
+    )
+    planted = e.filter(F.col("vec_id") % 20 == 0).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"),
+        "label",
+        F.concat(
+            F.array(
+                F.element_at(F.col("embedding").cast("array<double>"), 1)
+                + F.lit(0.25)
+            ),
+            F.slice(F.col("embedding").cast("array<double>"), 2, 63),
+        ).alias("v"),
+    )
+    vecs = base.unionByName(planted)
+
+    def per_cell(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values("vec_id")
+        ids = pdf["vec_id"].to_numpy()
+        mat = np.vstack(pdf["v"].to_numpy())
+        mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+        sims = mat @ mat.T
+        ii, jj = np.triu_indices(len(ids), k=1)
+        keep = sims[ii, jj] >= 0.9
+        ii, jj = ii[keep], jj[keep]
+        return pd.DataFrame(
+            {
+                "label": pdf["label"].iloc[0],
+                "a_id": ids[ii],
+                "b_id": ids[jj],
+                "cos_sim": np.round(sims[ii, jj], 6),
+            }
+        )
+
+    return vecs.groupBy("label").applyInPandas(
+        per_cell, "label int, a_id bigint, b_id bigint, cos_sim double"
+    )

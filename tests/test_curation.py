@@ -1,0 +1,87 @@
+"""Corpus-curation operators: clustering, decontamination, repetition
+signals, PII redaction, semantic dedup."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from dbimport_spark.functions.cluster import connected_components
+from dbimport_spark.plans import curation_queries as cq
+
+
+def test_connected_components_chain_and_clique(spark):
+    # chain 1-2-3-4 (diameter 3, needs >1 propagation round), pair 10-11,
+    # triangle 20-21-22
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (21, 22), (20, 22)],
+        "a_id long, b_id long",
+    )
+    got = {r["node"]: r["component"] for r in connected_components(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
+
+
+def test_cluster_canonical_assigns_planted_pairs(spark, sf_dir):
+    out = cq.dedup_cluster_canonical(spark, sf_dir)
+    rows = {r["doc_id"]: r for r in out.collect()}
+    # every planted copy (doc_id+1000000) clusters with its source, which
+    # is canonical; the copy is not
+    planted = [d for d in rows if d >= 1000000]
+    assert planted, "expected planted near-dup docs"
+    for d in planted:
+        src = d - 1000000
+        # copy clusters with its source (possibly merged transitively with
+        # other organically-similar docs — cluster id is the component min)
+        assert rows[d]["cluster_id"] == rows[src]["cluster_id"]
+        assert rows[d]["cluster_id"] <= src
+        assert rows[d]["is_canonical"] is False
+        # the cluster label is the canonical doc of the cluster
+        lbl = rows[d]["cluster_id"]
+        assert rows[lbl]["is_canonical"] is True
+    # cluster ids are closed: every cluster_id is itself a doc in the output
+    assert all(r["cluster_id"] in rows for r in rows.values())
+
+
+def test_decontam_flags_only_shared_shingles(spark, sf_dir):
+    out = cq.decontam_ngram_overlap(spark, sf_dir)
+    rows = out.collect()
+    assert all(r["doc_id"] % 100 != 0 for r in rows)  # bench docs excluded
+    assert all((r["n_shared"] > 0) == r["contaminated"] for r in rows)
+
+
+def test_repetition_signals_bounds(spark, sf_dir):
+    rows = cq.text_repetition_signals(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r["n_distinct"] <= r["n_words"]
+        if r["n_words"]:
+            assert 0.0 < r["distinct_ratio"] <= 1.0
+            # most-common word appears at least avg times
+            assert r["top_word_frac"] >= 1.0 / r["n_words"]
+        assert 0.0 <= r["top_bigram_frac"] <= 1.0
+
+
+def test_pii_redaction_planted(spark, sf_dir):
+    rows = cq.pii_redact_docs(spark, sf_dir).collect()
+    for r in rows:
+        d = r["doc_id"]
+        assert r["n_emails"] == (1 if d % 7 == 0 else 0)
+        assert r["n_phones"] == (1 if d % 11 == 0 else 0)
+        assert r["n_ips"] == (1 if d % 13 == 0 else 0)
+        assert "@example.com" not in r["clean_text"]
+        if d % 7 == 0:
+            assert "<EMAIL>" in r["clean_text"]
+        if d % 11 == 0:
+            assert "<PHONE>" in r["clean_text"]
+        if d % 13 == 0:
+            assert "<IP>" in r["clean_text"]
+
+
+def test_semantic_dedup_finds_planted_within_label(spark, sf_dir):
+    out = cq.semantic_dedup_pairs(spark, sf_dir)
+    got = {(r["a_id"], r["b_id"]): r for r in out.collect()}
+    planted = [p for p in got if p[1] >= 1000000]
+    assert planted, "expected planted near-dup vectors"
+    for a, b in planted:
+        assert b - 1000000 == a  # copy pairs with its source
+        assert got[(a, b)]["cos_sim"] >= 0.9
+    # pairs never cross labels by construction; a_id < b_id throughout
+    assert all(a < b for a, b in got)
