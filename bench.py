@@ -34,6 +34,11 @@ HEADLINE = [
     "ann_topk_cosine",
     "ann_lsh_topk",
     "multimodal_meta",
+    "text_repetition_signals",
+    "pii_redact_docs",
+    "decontam_ngram_overlap",
+    "semantic_dedup_pairs",
+    "curation_pipeline",
 ]
 
 

@@ -415,3 +415,132 @@ def semantic_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return vecs.groupBy("label").applyInPandas(
         per_cell, "label int, a_id bigint, b_id bigint, cos_sim double"
     )
+
+
+# ---------------------------------------------------------------------------
+# curation_pipeline — composed end-to-end keep/drop decision
+
+_LANG_PRED_SQL = f"""lang AS (
+  SELECT doc_id,
+       CASE WHEN c_en = 0 AND c_de = 0 AND c_fr = 0 AND c_es = 0 THEN 'unknown'
+            WHEN c_en >= c_de AND c_en >= c_fr AND c_en >= c_es THEN 'en'
+            WHEN c_de >= c_fr AND c_de >= c_es THEN 'de'
+            WHEN c_fr >= c_es THEN 'fr'
+            ELSE 'es' END AS lang_pred
+  FROM (SELECT doc_id, {text_queries._MARKER_SQL} FROM documents) scored)"""
+
+
+@register(
+    "curation_pipeline",
+    f"""WITH {_DOC_SHINGLES_SQL},
+bench AS (SELECT DISTINCT s FROM shingles WHERE doc_id % 100 = 0),
+hits AS (
+  SELECT sh.doc_id, count(*) AS n_shared
+  FROM shingles sh JOIN bench USING (s)
+  WHERE sh.doc_id % 100 <> 0
+  GROUP BY sh.doc_id
+),
+fp AS (SELECT doc_id, md5({NORM_SQL}) AS f FROM documents),
+canon AS (SELECT doc_id, min(doc_id) OVER (PARTITION BY f) AS cid FROM fp),
+{_LANG_PRED_SQL},
+sig AS (
+  SELECT doc_id,
+         len(w) AS n_words,
+         list_max(list_transform(list_distinct(w),
+           x -> len(list_filter(w, y -> y = x)))) AS top_cnt,
+         length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS n_alpha,
+         length(text) AS n_raw
+  FROM (SELECT doc_id, text,
+               CASE WHEN length({NORM_SQL}) = 0 THEN []::VARCHAR[]
+                    ELSE string_split({NORM_SQL}, ' ') END AS w
+        FROM documents) t),
+decided AS (
+  SELECT d.doc_id,
+         CASE WHEN d.doc_id % 100 = 0 THEN 'benchmark'
+              WHEN COALESCE(h.n_shared, 0) > 0 THEN 'contaminated'
+              WHEN c.doc_id <> c.cid THEN 'duplicate'
+              WHEN l.lang_pred <> 'en' THEN 'lang'
+              WHEN s.top_cnt * 100 > 15 * s.n_words THEN 'repetition'
+              WHEN s.n_words < 15 OR s.n_alpha * 10 < 6 * s.n_raw THEN 'quality'
+         END AS drop_reason
+  FROM documents d
+  LEFT JOIN hits h ON h.doc_id = d.doc_id
+  JOIN canon c ON c.doc_id = d.doc_id
+  JOIN lang l ON l.doc_id = d.doc_id
+  JOIN sig s ON s.doc_id = d.doc_id)
+SELECT doc_id, drop_reason IS NULL AS keep, drop_reason FROM decided""",
+)
+def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end corpus curation decision: compose benchmark exclusion,
+    n-gram decontamination, exact dedup, language ID, repetition and
+    quality filters into one keep/drop verdict with the first failing
+    rule as the reason (priority: benchmark > contaminated > duplicate >
+    lang > repetition > quality).
+
+    Demonstrates operator COMPOSITION: the expression-only signals
+    (language, repetition, quality) are computed inline in one narrow
+    pass; only decontamination (broadcast semi-join counts) and exact
+    dedup (fingerprint hash-agg) add shuffles, and the final assembly is
+    doc_id equi-joins that AQE co-partitions. Thresholds compare via
+    integer cross-multiplication (cnt * 100 > 15 * n) so both engines
+    decide identically with no float boundary.
+    """
+    d = load(spark, sf_dir, "documents")
+    is_bench = F.col("doc_id") % 100 == 0
+
+    # decontamination hits (non-bench docs only; bench docs short-circuit)
+    sh = _doc_shingles(spark, sf_dir)
+    bench = sh.filter(is_bench).select("s").distinct()
+    hits = (
+        sh.filter(~is_bench)
+        .join(F.broadcast(bench), "s")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+
+    # exact-dup flag via content fingerprint
+    fp = d.select("doc_id", F.md5(text_queries.norm_col()).alias("f"))
+    canon = fp.groupBy("f").agg(F.min("doc_id").alias("cid"))
+    dup = fp.join(canon, "f").select(
+        "doc_id", (F.col("doc_id") != F.col("cid")).alias("is_dup")
+    )
+
+    lang = text_queries.text_lang_id(spark, sf_dir)
+
+    # inline expression signals: word counts + alpha ratio
+    w = F.array_remove(F.split(F.lower(F.col("text")), "[^a-z0-9]+"), "")
+    sig = d.select("doc_id", "text", w.alias("w")).select(
+        "doc_id",
+        F.size("w").alias("n_words"),
+        F.expr(
+            "array_max(transform(array_distinct(w), x -> size(filter(w, y -> y = x))))"
+        ).alias("top_cnt"),
+        F.length(F.regexp_replace(F.lower(F.col("text")), "[^a-z]", "")).alias(
+            "n_alpha"
+        ),
+        F.length("text").alias("n_raw"),
+    )
+
+    joined = (
+        d.select("doc_id")
+        .join(hits, "doc_id", "left")
+        .join(dup, "doc_id")
+        .join(lang, "doc_id")
+        .join(sig, "doc_id")
+    )
+    reason = (
+        F.when(is_bench, "benchmark")
+        .when(F.coalesce("n_shared", F.lit(0)) > 0, "contaminated")
+        .when(F.col("is_dup"), "duplicate")
+        .when(F.col("lang_pred") != "en", "lang")
+        .when(F.col("top_cnt") * 100 > 15 * F.col("n_words"), "repetition")
+        .when(
+            (F.col("n_words") < 15) | (F.col("n_alpha") * 10 < 6 * F.col("n_raw")),
+            "quality",
+        )
+    )
+    return joined.select(
+        "doc_id",
+        reason.isNull().alias("keep"),
+        reason.alias("drop_reason"),
+    )

@@ -85,3 +85,16 @@ def test_semantic_dedup_finds_planted_within_label(spark, sf_dir):
         assert got[(a, b)]["cos_sim"] >= 0.9
     # pairs never cross labels by construction; a_id < b_id throughout
     assert all(a < b for a, b in got)
+
+
+def test_curation_pipeline_reasons(spark, sf_dir):
+    rows = cq.curation_pipeline(spark, sf_dir).collect()
+    assert rows
+    reasons = {r["drop_reason"] for r in rows}
+    valid = {None, "benchmark", "contaminated", "duplicate", "lang",
+             "repetition", "quality"}
+    assert reasons <= valid
+    for r in rows:
+        assert r["keep"] == (r["drop_reason"] is None)
+        if r["doc_id"] % 100 == 0:
+            assert r["drop_reason"] == "benchmark"
