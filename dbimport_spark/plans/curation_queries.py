@@ -68,7 +68,15 @@ def dedup_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     assignment is one left join on doc_id. The oracle computes the same
     components with a recursive-CTE transitive closure (min reachable id).
     """
-    pairs = text_queries.dedup_ngram_jaccard(spark, sf_dir).select("a_id", "b_id")
+    # persist the pair list: the symmetrized edge view reads it twice and
+    # every propagation round touches it — without this the (expensive)
+    # Jaccard pair generation would re-run per branch
+    pairs = (
+        text_queries.dedup_ngram_jaccard(spark, sf_dir)
+        .select("a_id", "b_id")
+        .persist()
+    )
+    pairs.count()  # materialize once before the two-branch symmetrize reads
     comp = connected_components(pairs)
     corpus = text_queries.corpus_df(spark, sf_dir)
     out = (
@@ -543,4 +551,43 @@ def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         reason.isNull().alias("keep"),
         reason.alias("drop_reason"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# sample_hash_split — deterministic train/val/test assignment
+
+
+@register(
+    "sample_hash_split",
+    """SELECT doc_id,
+       CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::INTEGER % 100 AS INT) AS bucket,
+       CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::INTEGER % 100 < 80 THEN 'train'
+            WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::INTEGER % 100 < 90 THEN 'val'
+            ELSE 'test' END AS split
+FROM documents""",
+)
+def sample_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic dataset splitting: hash the stable document id into
+    100 buckets (first 4 hex digits of md5) and assign train/val/test by
+    bucket range (80/10/10).
+
+    Hash-based splits are THE scale-safe sampling primitive: no global
+    sort, no random state, no shuffle — a narrow map-only plan whose
+    assignment is reproducible across engines, runs, and re-partitions,
+    and remains stable when the corpus grows (new docs land in the same
+    bucket forever). Contrast with df.sample(), whose output depends on
+    partitioning and seed plumbing.
+    """
+    d = load(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10)
+        .cast("int")
+        % 100
+    )
+    split = (
+        F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+    )
+    return d.select(
+        "doc_id", bucket.cast("int").alias("bucket"), split.alias("split")
     )

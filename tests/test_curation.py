@@ -98,3 +98,14 @@ def test_curation_pipeline_reasons(spark, sf_dir):
         assert r["keep"] == (r["drop_reason"] is None)
         if r["doc_id"] % 100 == 0:
             assert r["drop_reason"] == "benchmark"
+
+
+def test_sample_hash_split_deterministic(spark, sf_dir):
+    a = {(r["doc_id"], r["split"]) for r in cq.sample_hash_split(spark, sf_dir).collect()}
+    b = {(r["doc_id"], r["split"]) for r in cq.sample_hash_split(spark, sf_dir).collect()}
+    assert a == b  # reproducible across runs
+    splits = {}
+    for _, s in a:
+        splits[s] = splits.get(s, 0) + 1
+    assert set(splits) <= {"train", "val", "test"}
+    assert splits["train"] > splits.get("val", 0)  # ~80/10/10
