@@ -591,3 +591,72 @@ def sample_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select(
         "doc_id", bucket.cast("int").alias("bucket"), split.alias("split")
     )
+
+
+# ---------------------------------------------------------------------------
+# dedup_minhash_cluster — the 100-TB fuzzy-dedup path, end to end
+
+_PAIRS09_SQL = f"""{CORPUS_SQL}, {SHINGLES_SQL},
+sizes AS (SELECT doc_id, count(*) AS n FROM shingles GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS n_both
+  FROM shingles a JOIN shingles b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+),
+pairs AS (
+  SELECT a_id, b_id
+  FROM inter JOIN sizes sa ON sa.doc_id = a_id JOIN sizes sb ON sb.doc_id = b_id
+  WHERE n_both * 1.0 / (sa.n + sb.n - n_both) >= 0.9
+)"""
+
+
+@register(
+    "dedup_minhash_cluster",
+    f"""WITH RECURSIVE {_PAIRS09_SQL},
+edges AS (SELECT a_id AS s, b_id AS d FROM pairs UNION SELECT b_id, a_id FROM pairs),
+reach(node, r) AS (
+  SELECT s, d FROM edges
+  UNION
+  SELECT w.node, e.d FROM reach w JOIN edges e ON w.r = e.s
+),
+lbl AS (SELECT node, least(node, min(r)) AS comp FROM reach GROUP BY node)
+SELECT c.doc_id,
+       COALESCE(l.comp, c.doc_id) AS cluster_id,
+       (c.doc_id = COALESCE(l.comp, c.doc_id)) AS is_canonical
+FROM corpus c LEFT JOIN lbl l ON l.node = c.doc_id""",
+)
+def dedup_minhash_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full 100-TB fuzzy-dedup pipeline, end to end: MinHash(64) →
+    LSH(16×4 bands) → exact-Jaccard verify at 0.9 → connected components →
+    per-doc (cluster_id, is_canonical). No all-pairs stage anywhere: the
+    only joins are the banded bucket equi-join, the candidate-pruned
+    verify, and the (node, label) propagation rounds.
+
+    Oracle sharing: with these LSH parameters the probability of missing
+    a 0.9-Jaccard pair is (1-0.9^4)^16 ≈ 2e-9 (see dedup_minhash_lsh), so
+    the verified pair set — and therefore its transitive closure — equals
+    the exact one the recursive-CTE oracle computes.
+    """
+    from dbimport_spark.functions import textdedup
+    from dbimport_spark.plans.text_queries import shingles_df
+
+    sh = shingles_df(spark, sf_dir).persist()
+    pairs = (
+        textdedup.minhash_lsh_neardup_pairs(sh, threshold=0.9)
+        .select("a_id", "b_id")
+        .persist()
+    )
+    pairs.count()  # materialize before the two-branch symmetrize reads
+    comp = connected_components(pairs)
+    corpus = text_queries.corpus_df(spark, sf_dir)
+    return (
+        corpus.select("doc_id")
+        .join(comp.withColumnRenamed("node", "doc_id"), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("component", "doc_id").alias("cluster_id"),
+            (F.col("doc_id") == F.coalesce("component", "doc_id")).alias(
+                "is_canonical"
+            ),
+        )
+    )

@@ -109,3 +109,44 @@ def test_sample_hash_split_deterministic(spark, sf_dir):
         splits[s] = splits.get(s, 0) + 1
     assert set(splits) <= {"train", "val", "test"}
     assert splits["train"] > splits.get("val", 0)  # ~80/10/10
+
+
+def _uf_components(pairs):
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            # attach the larger root under the smaller, so every root is
+            # the min node of its component
+            parent[max(ra, rb)] = min(ra, rb)
+    return {n: find(n) for n in parent}
+
+
+def test_connected_components_random_graphs_match_union_find(spark):
+    import random
+
+    rng = random.Random(7)
+    for trial in range(3):
+        n = rng.randint(5, 40)
+        edges = [
+            (rng.randint(0, n), rng.randint(0, n)) for _ in range(rng.randint(1, 60))
+        ]
+        edges = [(a, b) for a, b in edges if a != b]
+        if not edges:
+            continue
+        df = spark.createDataFrame(edges, "a_id long, b_id long")
+        got = {
+            r["node"]: r["component"] for r in connected_components(df).collect()
+        }
+        # reference: union-find with path compression, min-root canonical
+        want = _uf_components(edges)
+        # both map every node to the min node of its component
+        assert got == want, f"trial {trial}: {got} != {want}"
