@@ -209,40 +209,49 @@ def text_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     codegen plan: no explode, no groupBy, one pass over the corpus. The
     per-doc cost is O(distinct x words), bounded by document length, which
     beats an explode + count + window for signal extraction at any scale.
+
+    The token / distinct / bigram arrays are LET-BOUND as lambda variables
+    (transform(array(x), xx -> ...)[0]) so each is evaluated once per row:
+    written against aliased columns, CollapseProject inlines the split
+    regex into every downstream lambda and the per-element re-evaluation
+    is quadratic (measured 1.7 s vs 0.6 s warm at sf0.1; same trap as
+    text_winnow_fingerprint's 57 s case).
     """
     d = load(spark, sf_dir, "documents")
-    toks = d.select(
+    st = d.select(
         "doc_id",
-        F.array_remove(F.split(F.lower(F.col("text")), "[^a-z0-9]+"), "").alias("w"),
-    )
-    bi = toks.withColumn(
-        "b",
         F.expr(
-            "CASE WHEN size(w) >= 2 THEN "
-            "transform(sequence(0, size(w) - 2), i -> concat_ws(' ', w[i], w[i+1])) "
-            "ELSE array() END"
-        ),
+            """
+transform(array(array_remove(split(lower(text), '[^a-z0-9]+'), '')), ww ->
+  transform(array(array_distinct(ww)), dw ->
+    transform(array(CASE WHEN size(ww) >= 2
+                         THEN transform(sequence(0, size(ww) - 2),
+                                        i -> concat_ws(' ', ww[i], ww[i+1]))
+                         ELSE array() END), bb ->
+      struct(
+        size(ww) AS n_words,
+        size(dw) AS n_distinct,
+        array_max(transform(dw, x -> size(filter(ww, y -> y = x)))) AS top_w,
+        size(bb) AS n_bi,
+        array_max(transform(array_distinct(bb),
+                            x -> size(filter(bb, y -> y = x)))) AS top_b
+      ))[0])[0])[0]"""
+        ).alias("st"),
     )
-    top_w = F.expr(
-        "array_max(transform(array_distinct(w), x -> size(filter(w, y -> y = x))))"
-    )
-    top_b = F.expr(
-        "array_max(transform(array_distinct(b), x -> size(filter(b, y -> y = x))))"
-    )
-    n_words = F.size("w")
-    n_bi = F.size("b")
-    return bi.select(
+    n_words = F.col("st.n_words")
+    n_bi = F.col("st.n_bi")
+    return st.select(
         "doc_id",
         n_words.cast("bigint").alias("n_words"),
-        F.size(F.array_distinct("w")).cast("bigint").alias("n_distinct"),
+        F.col("st.n_distinct").cast("bigint").alias("n_distinct"),
         F.when(n_words == 0, F.lit(0.0))
-        .otherwise(F.size(F.array_distinct("w")) * F.lit(1.0) / n_words)
+        .otherwise(F.col("st.n_distinct") * F.lit(1.0) / n_words)
         .alias("distinct_ratio"),
         F.when(n_words == 0, F.lit(0.0))
-        .otherwise(top_w * F.lit(1.0) / n_words)
+        .otherwise(F.col("st.top_w") * F.lit(1.0) / n_words)
         .alias("top_word_frac"),
         F.when(n_bi == 0, F.lit(0.0))
-        .otherwise(top_b * F.lit(1.0) / n_bi)
+        .otherwise(F.col("st.top_b") * F.lit(1.0) / n_bi)
         .alias("top_bigram_frac"),
     )
 
@@ -515,18 +524,26 @@ def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     lang = text_queries.text_lang_id(spark, sf_dir)
 
-    # inline expression signals: word counts + alpha ratio
-    w = F.array_remove(F.split(F.lower(F.col("text")), "[^a-z0-9]+"), "")
-    sig = d.select("doc_id", "text", w.alias("w")).select(
+    # inline expression signals: word counts + alpha ratio (token array
+    # let-bound — see text_repetition_signals)
+    sig = d.select(
         "doc_id",
-        F.size("w").alias("n_words"),
         F.expr(
-            "array_max(transform(array_distinct(w), x -> size(filter(w, y -> y = x))))"
-        ).alias("top_cnt"),
+            "transform(array(array_remove(split(lower(text), '[^a-z0-9]+'), '')),"
+            " ww -> struct(size(ww) AS n_words,"
+            " array_max(transform(array_distinct(ww),"
+            "   x -> size(filter(ww, y -> y = x)))) AS top_cnt))[0]"
+        ).alias("st"),
         F.length(F.regexp_replace(F.lower(F.col("text")), "[^a-z]", "")).alias(
             "n_alpha"
         ),
         F.length("text").alias("n_raw"),
+    ).select(
+        "doc_id",
+        F.col("st.n_words").alias("n_words"),
+        F.col("st.top_cnt").alias("top_cnt"),
+        "n_alpha",
+        "n_raw",
     )
 
     joined = (
