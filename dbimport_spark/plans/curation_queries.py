@@ -787,3 +787,60 @@ def sample_domain_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 20)
         .select("doc_id", "source", F.col("rn").cast("bigint").alias("rn"))
     )
+
+
+# ---------------------------------------------------------------------------
+# semantic_dedup_canonical — keep-one-per-cluster over semantic pairs
+
+
+@register(
+    "semantic_dedup_canonical",
+    f"""WITH RECURSIVE {_SEM_CORPUS_SQL},
+pairs AS (
+  SELECT a.vec_id AS a_id, b.vec_id AS b_id
+  FROM vecs a JOIN vecs b ON a.label = b.label AND a.vec_id < b.vec_id
+  WHERE {COSINE_SQL.format(a='a.v', b='b.v')} >= 0.9
+),
+edges AS (SELECT a_id AS s, b_id AS d FROM pairs UNION SELECT b_id, a_id FROM pairs),
+reach(node, r) AS (
+  SELECT s, d FROM edges
+  UNION
+  SELECT w.node, e.d FROM reach w JOIN edges e ON w.r = e.s
+),
+lbl AS (SELECT node, least(node, min(r)) AS comp FROM reach GROUP BY node)
+SELECT c.vec_id,
+       COALESCE(l.comp, c.vec_id) AS cluster_id,
+       (c.vec_id = COALESCE(l.comp, c.vec_id)) AS is_canonical
+FROM vecs c LEFT JOIN lbl l ON l.node = c.vec_id""",
+)
+def semantic_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup's final step: transitively close the cluster-scoped cosine
+    near-dup pairs (semantic_dedup_pairs) into components and pick one
+    canonical vector per component (the min id) — every embedding gets
+    (cluster_id, is_canonical), singletons canonical by themselves.
+
+    Same scale shape as dedup_cluster_canonical: the pair set is tiny
+    relative to the corpus, CC rounds shuffle only (node, label) longs,
+    and the corpus assignment is one left join.
+    """
+    pairs = (
+        semantic_dedup_pairs(spark, sf_dir).select("a_id", "b_id").persist()
+    )
+    pairs.count()  # materialize before the two-branch symmetrize reads
+    comp = connected_components(pairs)
+    e = load(spark, sf_dir, "embeddings")
+    corpus_ids = e.select("vec_id").unionByName(
+        e.filter(F.col("vec_id") % 20 == 0).select(
+            (F.col("vec_id") + 1000000).alias("vec_id")
+        )
+    )
+    return (
+        corpus_ids.join(comp.withColumnRenamed("node", "vec_id"), "vec_id", "left")
+        .select(
+            "vec_id",
+            F.coalesce("component", "vec_id").alias("cluster_id"),
+            (F.col("vec_id") == F.coalesce("component", "vec_id")).alias(
+                "is_canonical"
+            ),
+        )
+    )

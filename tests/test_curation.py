@@ -176,3 +176,14 @@ def test_domain_quota_caps_each_source(spark, sf_dir):
     for src, rns in per.items():
         assert len(rns) <= 20
         assert sorted(rns) == list(range(1, len(rns) + 1))
+
+
+def test_semantic_dedup_canonical_clusters_planted(spark, sf_dir):
+    rows = {r["vec_id"]: r for r in cq.semantic_dedup_canonical(spark, sf_dir).collect()}
+    planted = [v for v in rows if v >= 1000000]
+    assert planted
+    for v in planted:
+        src = v - 1000000
+        assert rows[v]["cluster_id"] == rows[src]["cluster_id"]
+        assert rows[v]["is_canonical"] is False
+        assert rows[rows[v]["cluster_id"]]["is_canonical"] is True
