@@ -304,6 +304,12 @@ def pii_redact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     so both engines interpret them identically.
     """
     d = load(spark, sf_dir, "documents")
+    return pii_transform(d)
+
+
+def pii_transform(d: DataFrame) -> DataFrame:
+    """Plant-then-redact projection over (doc_id, text, ...) — stateless,
+    so it applies verbatim to a readStream DataFrame (stream_pii_redact)."""
     did = F.col("doc_id")
     t = F.concat(
         F.col("text"),

@@ -156,3 +156,38 @@ def stream_sessionize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", "ts", "event_id"
     )
     return _run_to_memory(stream_sessionize(stream, gap_minutes=30), spark)
+
+
+def _docs_path(sf_dir: str) -> str:
+    """Directory source exposing documents.parquet for readStream."""
+    d = os.path.join(
+        tempfile.gettempdir(),
+        "dbimport_spark_stream_docs",
+        sf_dir.rstrip("/").replace("/", "_"),
+    )
+    os.makedirs(d, exist_ok=True)
+    link = os.path.join(d, "documents.parquet")
+    if not os.path.exists(link):
+        os.symlink(f"{sf_dir}/documents.parquet", link)
+    return d
+
+
+def _register_stream_pii():
+    # shares the batch oracle: a stateless streaming map processes exactly
+    # the rows a batch scan does
+    from dbimport_spark.plans.curation_queries import pii_transform
+    from dbimport_spark.plans.registry import ORACLES
+
+    @register("stream_pii_redact", ORACLES["pii_redact_docs"])
+    def stream_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Streaming PII redaction: the batch plant-then-redact projection
+        applied unchanged to a readStream source (stateless map — no
+        watermark, no state store), driven to completion with availableNow.
+        The graded proof that expression-only curation operators compose
+        onto Structured Streaming without modification."""
+        sch = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+        stream = spark.readStream.schema(sch).parquet(_docs_path(sf_dir))
+        return _run_to_memory(pii_transform(stream), spark)
+
+
+_register_stream_pii()
