@@ -850,3 +850,78 @@ def semantic_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# pack_sequences — greedy token packing into fixed budgets
+
+_PACK_BUDGET = 512
+_PACK_CHUNK = 256
+
+
+@register(
+    "pack_sequences",
+    rf"""WITH RECURSIVE docs AS (
+  SELECT doc_id, doc_id // {_PACK_CHUNK} AS chunk,
+         len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS n_tokens,
+         row_number() OVER (PARTITION BY (doc_id // {_PACK_CHUNK}) ORDER BY doc_id) AS rn
+  FROM documents),
+walk(chunk, rn, doc_id, n_tokens, pack, fill) AS (
+  SELECT chunk, rn, doc_id, n_tokens, 0, n_tokens FROM docs WHERE rn = 1
+  UNION ALL
+  SELECT d.chunk, d.rn, d.doc_id, d.n_tokens,
+         CASE WHEN w.fill + d.n_tokens <= {_PACK_BUDGET} THEN w.pack ELSE w.pack + 1 END,
+         CASE WHEN w.fill + d.n_tokens <= {_PACK_BUDGET} THEN w.fill + d.n_tokens ELSE d.n_tokens END
+  FROM walk w JOIN docs d ON d.chunk = w.chunk AND d.rn = w.rn + 1)
+SELECT doc_id, CAST(chunk * 1000000 + pack AS BIGINT) AS pack_id,
+       CAST(n_tokens AS BIGINT) AS n_tokens
+FROM walk""",
+)
+def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing for pretraining: greedily pack documents (BPE-ish
+    token counts, the text_token_count tokenizer) into sequences of at most
+    {BUDGET} tokens, first-fit in doc_id order; an oversize doc gets its
+    own pack.
+
+    Determinism + scale: packing is a sequential fold, so it is sharded by
+    FIXED doc_id chunks (doc_id div {CHUNK}) — the assignment is
+    independent of partitioning and cluster size, chunks pack in parallel
+    (applyInPandas, one tiny greedy loop per chunk), and no packing state
+    ever crosses a chunk boundary — the standard sharded-packing design.
+    The oracle replays the same fold as a linear recursive CTE per chunk.
+    """
+    import pandas as pd
+
+    d = load(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        (F.col("doc_id") / _PACK_CHUNK).cast("bigint").alias("chunk"),
+        F.size(
+            F.regexp_extract_all(
+                F.lower(F.col("text")), F.lit(r"[a-z]+|[0-9]+|[^a-z0-9\s]"), F.lit(0)
+            )
+        )
+        .cast("bigint")
+        .alias("n_tokens"),
+    )
+
+    def pack_chunk(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values("doc_id")
+        packs = []
+        pack, fill = 0, 0
+        first = True
+        for t in pdf["n_tokens"]:
+            if first:
+                pack, fill, first = 0, t, False
+            elif fill + t <= _PACK_BUDGET:
+                fill += t
+            else:
+                pack, fill = pack + 1, t
+            packs.append(pack)
+        out = pdf[["doc_id", "n_tokens"]].copy()
+        out["pack_id"] = pdf["chunk"].to_numpy() * 1000000 + packs
+        return out[["doc_id", "pack_id", "n_tokens"]]
+
+    return toks.groupBy("chunk").applyInPandas(
+        pack_chunk, "doc_id bigint, pack_id bigint, n_tokens bigint"
+    )

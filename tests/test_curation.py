@@ -187,3 +187,19 @@ def test_semantic_dedup_canonical_clusters_planted(spark, sf_dir):
         assert rows[v]["cluster_id"] == rows[src]["cluster_id"]
         assert rows[v]["is_canonical"] is False
         assert rows[rows[v]["cluster_id"]]["is_canonical"] is True
+
+
+def test_pack_sequences_invariants(spark, sf_dir):
+    rows = cq.pack_sequences(spark, sf_dir).collect()
+    assert rows
+    packs = {}
+    for r in rows:
+        packs.setdefault(r["pack_id"], []).append(r)
+    for pid, members in packs.items():
+        total = sum(r["n_tokens"] for r in members)
+        # budget respected unless a single oversize doc
+        assert total <= 512 or len(members) == 1
+        # packing never crosses the fixed id-chunk boundary
+        chunks = {r["doc_id"] // 256 for r in members}
+        assert len(chunks) == 1
+        assert pid // 1000000 == chunks.pop()
