@@ -714,3 +714,44 @@ def src_xls_import(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_name",
         F.col("n_regionkey").cast("int"),
     )
+
+
+@register(
+    "src_kdbx4",
+    """SELECT c_custkey, c_name AS title, c_mktsegment AS username,
+       'pw-' || CAST(c_custkey AS VARCHAR) AS password
+FROM customer WHERE c_custkey <= 50""",
+)
+def src_kdbx4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KDBX4 (KeePass 2.x current format) source: Argon2d KDF (numpy,
+    RFC 9106-validated, sources/argon2.py), header HMAC, HMAC block
+    stream, AES-CBC payload, ChaCha20-protected passwords
+    (sources/kdbx.py KDBX4 section; reference KdbxDataProvider.java:
+    176-273). Fixture written by the from-scratch KDBX4 writer at
+    plan-construction time."""
+    from dbimport_spark.sources.kdbx import read_kdbx, write_kdbx4_minimal
+
+    rows = (
+        load(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") <= 50)
+        .orderBy("c_custkey")
+        .collect()
+    )
+    entries = [
+        {
+            "title": r.c_name,
+            "username": r.c_mktsegment,
+            "password": f"pw-{r.c_custkey}",
+            "url": str(r.c_custkey),
+        }
+        for r in rows
+    ]
+    path = os.path.join(_export_dir(sf_dir), "customers4.kdbx")
+    write_kdbx4_minimal(path, entries, "graded-pw4", memory_kib=64, iterations=2)
+    df = read_kdbx(spark, path, "graded-pw4")
+    return df.select(
+        F.col("url").cast("int").alias("c_custkey"),
+        F.col("title"),
+        F.col("username"),
+        F.col("password"),
+    )

@@ -381,13 +381,20 @@ def test_kdbx3_roundtrip(spark, tdir):
     p2 = tdir / "v2.kdbx"
     write_kdbx3_minimal(str(p2), entries, "x", rounds=60, compress=False, protect_passwords=False)
     assert {e["title"] for e in read_kdbx_entries(str(p2), "x")} == {"mail", "db"}
-    # KDBX4 signature → clear unsupported error
+    # a v3 file relabeled KDBX4 is a corrupt v4 file → clean KdbxError,
+    # not a crash (v4 itself is supported, see test_kdbx4_roundtrip)
     blob = bytearray(p.read_bytes())
     blob[8:12] = struct.pack("<HH", 0, 4)
     p4 = tdir / "v4.kdbx"
     p4.write_bytes(blob)
-    with pytest.raises(KdbxError, match="KDBX4"):
+    with pytest.raises(KdbxError):
         read_kdbx_entries(str(p4), "master-pw")
+    # unknown major version still rejected clearly
+    blob[8:12] = struct.pack("<HH", 0, 5)
+    p5 = tdir / "v5.kdbx"
+    p5.write_bytes(blob)
+    with pytest.raises(KdbxError, match="unsupported KDBX version"):
+        read_kdbx_entries(str(p5), "master-pw")
 
 
 def test_kdbx_pykeepass_crosscheck(tdir):
@@ -572,3 +579,62 @@ def test_xls_rk_and_sheet_select(tdir):
 
     with _pytest.raises(ValueError, match="sheet not found"):
         read_xls_rows(path, "Nope")
+
+
+def test_argon2_rfc9106_vectors():
+    from dbimport_spark.sources.argon2 import ARGON2D, ARGON2ID, argon2
+
+    kw = dict(
+        time_cost=3, memory_kib=32, parallelism=4, tag_len=32,
+        secret=b"\x03" * 8, ad=b"\x04" * 12,
+    )
+    assert argon2(b"\x01" * 32, b"\x02" * 16, type_=ARGON2D, **kw).hex() == (
+        "512b391b6f1162975371d30919734294f868e3be3984f3c1a13a4db9fabe4acb"
+    )
+    assert argon2(b"\x01" * 32, b"\x02" * 16, type_=ARGON2ID, **kw).hex() == (
+        "0d640df58d78766c08c037a34a8b53c9d01ef0452d75b65eb52520e96b01e659"
+    )
+
+
+def test_chacha20_rfc8439_vector():
+    from dbimport_spark.sources.kdbx import _ChaCha20Stream
+
+    s = _ChaCha20Stream(bytes(range(32)),
+                        bytes.fromhex("000000000000004a00000000"), counter=1)
+    ct = s.crypt(
+        b"Ladies and Gentlemen of the class of '99: If I could offer you "
+        b"only one tip for the future, sunscreen would be it."
+    )
+    assert ct.hex().startswith(
+        "6e2e359a2568f98041ba0728dd0d6981e97e7aec1d4360c20a27afccfd9fae0b"
+    )
+
+
+def test_kdbx4_roundtrip(spark, tdir):
+    from dbimport_spark.sources.kdbx import (
+        KdbxError, read_kdbx, read_kdbx_entries, write_kdbx4_minimal,
+    )
+
+    p = tdir / "vault4.kdbx"
+    entries = [
+        {"title": "alpha", "username": "u1", "password": "s3cret",
+         "url": "http://a", "notes": "n"},
+        {"title": "beta", "username": "u2", "password": "p2",
+         "url": "", "notes": "", "group": "work/dev"},
+    ]
+    write_kdbx4_minimal(str(p), entries, "master4", memory_kib=64, iterations=2)
+    got = {e["title"]: e for e in read_kdbx_entries(str(p), "master4")}
+    assert got["alpha"]["password"] == "s3cret"  # ChaCha20-protected
+    assert got["beta"]["path"] == "Root/work/dev"
+    df = read_kdbx(spark, str(p), "master4")
+    assert df.count() == 2
+    import pytest as _pytest
+
+    with _pytest.raises(KdbxError):
+        read_kdbx_entries(str(p), "nope")
+    # uncompressed + unprotected variant exercises the other header paths
+    p2 = tdir / "vault4b.kdbx"
+    write_kdbx4_minimal(str(p2), entries, "m", compress=False,
+                        protect_passwords=False)
+    got2 = {e["title"]: e for e in read_kdbx_entries(str(p2), "m")}
+    assert got2["alpha"]["password"] == "s3cret"
