@@ -39,6 +39,8 @@ HEADLINE = [
     "decontam_ngram_overlap",
     "semantic_dedup_pairs",
     "curation_pipeline",
+    "text_winnow_fingerprint",
+    "pack_sequences",
 ]
 
 
