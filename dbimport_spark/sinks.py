@@ -80,3 +80,29 @@ def connection_test(
         if sleep_seconds and i + 1 < iterations:
             time.sleep(sleep_seconds)
     return results
+
+
+def write_bucketed_table(
+    df: DataFrame,
+    table: str,
+    num_buckets: int,
+    bucket_cols: list[str],
+    sort_cols: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Bucketed catalog table: co-locates rows by hash(bucket_cols) at
+    WRITE time so later equi-joins and aggregations on those columns are
+    shuffle-free (Catalyst sees the bucketing output partitioning and
+    drops the Exchange on both sides — proven by
+    tests/test_pipeline.py::test_bucketed_join_is_shuffle_free).
+
+    This is the lake-side analogue of the reference's key-column index
+    creation (DbImportWorker.java:456-464): pay an organization cost once
+    at load, win on every keyed merge after. At 100 TB the recurring
+    shuffle of a big fact table dominates total cost — bucketing the
+    import target on its merge keys amortizes it away.
+    """
+    w = df.write.mode(mode).bucketBy(num_buckets, *bucket_cols)
+    if sort_cols:
+        w = w.sortBy(*sort_cols)
+    w.saveAsTable(table)

@@ -328,3 +328,24 @@ def test_readout_formats(spark):
         '2;AQI=;true;"se;mi""co";2024-01-02 03:04:05\n'
         "10;;;plain;\n"
     )
+
+
+def test_bucketed_join_is_shuffle_free(spark, sf_dir):
+    """Both sides bucketed on the join key -> SortMergeJoin with NO
+    hash-partitioning Exchange in the physical plan."""
+    from dbimport_spark.sinks import write_bucketed_table
+
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    write_bucketed_table(cust, "b_cust", 8, ["c_custkey"], ["c_custkey"])
+    write_bucketed_table(
+        orders.withColumnRenamed("o_custkey", "c_custkey"),
+        "b_orders", 8, ["c_custkey"], ["c_custkey"],
+    )
+    a = spark.table("b_cust").hint("merge")
+    b = spark.table("b_orders")
+    joined = a.join(b, "c_custkey")
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" in plan
+    assert "Exchange hashpartitioning" not in plan
+    assert joined.count() > 0
