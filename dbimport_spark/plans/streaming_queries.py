@@ -191,3 +191,47 @@ def _register_stream_pii():
 
 
 _register_stream_pii()
+
+
+def _register_stream_dedup_static():
+    from dbimport_spark.plans.registry import ORACLES
+    from dbimport_spark.plans.text_queries import NORM_SQL
+
+    oracle = f"""WITH fp AS (SELECT doc_id, md5({NORM_SQL}) AS fingerprint FROM documents),
+hist AS (SELECT DISTINCT md5({NORM_SQL}) AS fingerprint FROM documents WHERE doc_id % 2 = 0)
+SELECT f.doc_id, f.fingerprint
+FROM fp f LEFT JOIN hist h ON h.fingerprint = f.fingerprint
+WHERE f.doc_id % 2 <> 0 AND h.fingerprint IS NULL"""
+
+    @register("stream_dedup_static", oracle)
+    def stream_dedup_static(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Streaming dedup against a HISTORICAL corpus: the incoming doc
+        stream (odd doc_ids) is anti-joined on content fingerprint
+        against a static fingerprint table (even doc_ids — 'already
+        ingested'), so only genuinely-new content passes. Stream-static
+        joins are stateless on the stream side (the static side is
+        broadcast/re-read per micro-batch, no state store), which is the
+        production shape for incremental ingestion dedup at scale.
+        """
+        from dbimport_spark.plans.text_queries import norm_col
+
+        static_fp = (
+            spark.read.parquet(f"{sf_dir}/documents.parquet")
+            .filter(F.col("doc_id") % 2 == 0)
+            .select(F.md5(norm_col()).alias("fingerprint"))
+            .distinct()
+        )
+        sch = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+        stream = (
+            spark.readStream.schema(sch)
+            .parquet(_docs_path(sf_dir))
+            .filter(F.col("doc_id") % 2 != 0)
+            .select("doc_id", F.md5(norm_col()).alias("fingerprint"))
+        )
+        fresh = stream.join(static_fp, "fingerprint", "left_anti").select(
+            "doc_id", "fingerprint"
+        )
+        return _run_to_memory(fresh, spark)
+
+
+_register_stream_dedup_static()

@@ -203,3 +203,64 @@ def test_pack_sequences_invariants(spark, sf_dir):
         chunks = {r["doc_id"] // 256 for r in members}
         assert len(chunks) == 1
         assert pid // 1000000 == chunks.pop()
+
+
+def test_pack_sequences_matches_python_greedy(spark, sf_dir):
+    """Spark packing == a pure-Python greedy fold over the same inputs."""
+    rows = cq.pack_sequences(spark, sf_dir).collect()
+    got = {r["doc_id"]: r["pack_id"] for r in rows}
+    by_chunk = {}
+    for r in sorted(rows, key=lambda r: r["doc_id"]):
+        by_chunk.setdefault(r["doc_id"] // 256, []).append(r)
+    for chunk, members in by_chunk.items():
+        pack, fill = 0, 0
+        first = True
+        for r in members:
+            t = r["n_tokens"]
+            if first:
+                pack, fill, first = 0, t, False
+            elif fill + t <= 512:
+                fill += t
+            else:
+                pack, fill = pack + 1, t
+            assert got[r["doc_id"]] == chunk * 1000000 + pack
+
+
+def test_winnow_matches_python_reference(spark):
+    """Winnowing on a handcrafted doc == a pure-Python sliding-window min
+    over the same portable hashes."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    text = "one two three two three four one two three five six seven one two"
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    toks = df.select(
+        "doc_id",
+        F.array_remove(F.split(F.lower(F.col("text")), "[^a-z0-9]+"), "").alias("w"),
+    ).filter(F.size("w") >= 3)
+    hs = toks.select(
+        "doc_id",
+        F.expr(
+            "transform("
+            " transform(sequence(0, size(w) - 3),"
+            "           i -> concat_ws(' ', w[i], w[i+1], w[i+2])),"
+            " s -> cast(conv(substring(md5(s), 1, 15), 16, 10) AS bigint))"
+        ).alias("h"),
+    )
+    W = 4
+    fps = hs.select(
+        "doc_id",
+        F.expr(
+            f"transform(array(h), hh -> CASE WHEN size(hh) >= {W} THEN "
+            f"array_distinct(transform(sequence(0, size(hh) - {W}),"
+            f" j -> array_min(slice(hh, j + 1, {W})))) "
+            f"ELSE array(array_min(hh)) END)[0]"
+        ).alias("fp_set"),
+    )
+    got = sorted(fps.collect()[0]["fp_set"])
+    words = text.split()
+    shingles = [" ".join(words[i : i + 3]) for i in range(len(words) - 2)]
+    hashes = [int(hashlib.md5(s.encode()).hexdigest()[:15], 16) for s in shingles]
+    want = sorted({min(hashes[j : j + W]) for j in range(len(hashes) - W + 1)})
+    assert got == want
