@@ -746,16 +746,21 @@ def text_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     # md5-chain into every window lambda — O(m^2) hash evals per doc,
     # measured 57 s vs 1 s at sf0.01. Binding it to a lambda variable
     # forces one evaluation per row.
-    fps = hs.select(
-        "doc_id",
-        F.expr(
-            f"transform(array(h), hh -> CASE WHEN size(hh) >= {W} THEN "
-            f"array_distinct(transform(sequence(0, size(hh) - {W}),"
-            f" j -> array_min(slice(hh, j + 1, {W})))) "
-            f"ELSE array(array_min(hh)) END)[0]"
-        ).alias("fp_set"),
+    #
+    # The expression goes DIRECTLY into explode() rather than through a
+    # named fp_set column: exploding a named attribute lets Catalyst's
+    # InferFiltersFromGenerate add `size(fp_set) > 0 AND isnotnull(...)`
+    # and push it below the Project, inlining the full md5 chain into the
+    # Filter (evaluated ~3x per row, and it kicks the Project out of
+    # whole-stage codegen) — measured 11 s vs 1.1 s at sf0.1. The rule
+    # skips non-attribute generator children, so inline form stays 1-pass.
+    fp_set = F.expr(
+        f"transform(array(h), hh -> CASE WHEN size(hh) >= {W} THEN "
+        f"array_distinct(transform(sequence(0, size(hh) - {W}),"
+        f" j -> array_min(slice(hh, j + 1, {W})))) "
+        f"ELSE array(array_min(hh)) END)[0]"
     )
-    return fps.select("doc_id", F.explode("fp_set").alias("fp"))
+    return hs.select("doc_id", F.explode(fp_set).alias("fp"))
 
 
 # ---------------------------------------------------------------------------
