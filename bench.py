@@ -41,6 +41,9 @@ HEADLINE = [
     "curation_pipeline",
     "text_winnow_fingerprint",
     "pack_sequences",
+    "dedup_bloom_static",
+    "text_top_terms",
+    "range_join_binned",
 ]
 
 

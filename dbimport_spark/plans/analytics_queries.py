@@ -264,3 +264,58 @@ def broadcast_dim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.sum(cents) / F.lit(100.0)).alias("revenue"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# range_join_binned — non-equi temporal self-join via bin bucketing
+
+_RANGE_T_US = 300 * 1000 * 1000  # 5-minute pairing radius
+
+
+@register(
+    "range_join_binned",
+    f"""WITH err AS (
+  SELECT event_id, epoch_us(ts) AS us FROM events WHERE event_type = 'error'
+)
+SELECT a.event_id AS a_id, b.event_id AS b_id, b.us - a.us AS dt_us
+FROM err a JOIN err b
+ON a.event_id < b.event_id AND abs(a.us - b.us) <= {_RANGE_T_US}""",
+)
+def range_join_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All pairs of 'error' events within 5 minutes of each other — a pure
+    range (non-equi) join with NO equi key. Naively this is a cartesian
+    product; the scale-correct plan BINS time into radius-sized buckets
+    and equi-joins on the bin: one side keeps its bin, the other is
+    replicated to (bin-1, bin, bin+1), so every qualifying pair shares
+    exactly one join key (the left row's bin matches exactly one of the
+    right row's three replicas — no post-dedup needed) and the shuffle is
+    a plain hash partition on bin. Cost: 3x replication of one side
+    instead of |L|x|R|; within-bucket pairs are filtered by the exact
+    predicate. Same technique Databricks ships as range-join bin hints.
+
+    The oracle is the naive quadratic join — fine at sf0.01, which is the
+    point: the oracle states WHAT, the bins are the HOW that survives
+    100 TB.
+    """
+    e = (
+        load_events(spark, sf_dir)
+        .filter(F.col("event_type") == "error")
+        .select("event_id", F.unix_micros(F.col("ts")).alias("us"))
+    )
+    bin_c = F.floor(F.col("us") / F.lit(_RANGE_T_US))
+    left = e.select(
+        F.col("event_id").alias("a_id"), F.col("us").alias("a_us"), bin_c.alias("bin")
+    )
+    right = e.select(
+        F.col("event_id").alias("b_id"),
+        F.col("us").alias("b_us"),
+        F.explode(F.array(bin_c - 1, bin_c, bin_c + 1)).alias("bin"),
+    )
+    return (
+        left.join(right, "bin")
+        .filter(
+            (F.col("a_id") < F.col("b_id"))
+            & (F.abs(F.col("a_us") - F.col("b_us")) <= _RANGE_T_US)
+        )
+        .select("a_id", "b_id", (F.col("b_us") - F.col("a_us")).alias("dt_us"))
+    )

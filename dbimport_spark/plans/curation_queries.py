@@ -930,3 +930,55 @@ def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     return toks.groupBy("chunk").applyInPandas(
         pack_chunk, "doc_id bigint, pack_id bigint, n_tokens bigint"
     )
+
+
+# ---------------------------------------------------------------------------
+# dedup_bloom_static — Bloom-filter membership dedup vs a historical corpus
+
+
+@register(
+    "dedup_bloom_static",
+    """WITH hist AS (SELECT text FROM documents WHERE doc_id % 2 = 0),
+incoming AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text FROM documents
+  WHERE doc_id % 2 = 0 AND doc_id < 100
+)
+SELECT i.doc_id FROM incoming i
+WHERE NOT EXISTS (SELECT 1 FROM hist h WHERE h.text = i.text)""",
+)
+def dedup_bloom_static(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup an incoming batch against a historical corpus WITHOUT joining
+    it: build a distributed Bloom filter over the historical document
+    fingerprints (functions/bloom.py: per-partition numpy bitmaps, tree
+    bitwise-OR, no shuffle of the corpus), broadcast the bitmap, and keep
+    incoming docs whose fingerprint is not in the filter — a map-side-only
+    probe. This is the scale twin of dropDuplicatesCrossTable
+    (DbImportWorker.java:477-520) for when the historical side is too
+    large to shuffle into an anti-join; the same shape dedups a fresh
+    crawl against a PB-scale training corpus.
+
+    Incoming = the odd-doc_id half plus 50 planted copies of historical
+    docs (re-keyed +1e6), which the filter must drop. Bloom filters have
+    NO false negatives, so every true duplicate is dropped exactly as the
+    oracle's NOT EXISTS anti-join does; false positives are the only
+    deviation risk and are sized away: n=25k (sf1) in m=2^23 bits, k=7
+    gives FP ~ 9e-12 per doc (functions/bloom.false_positive_rate).
+    """
+    from dbimport_spark.functions import bloom
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    hist = docs.filter(F.col("doc_id") % 2 == 0)
+    planted = hist.filter(F.col("doc_id") < 100).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+    )
+    incoming = docs.filter(F.col("doc_id") % 2 == 1).unionByName(planted)
+
+    m_bits, k = 1 << 23, 7
+    h1, h2 = bloom.fingerprint_cols(F.col("text"))
+    bitmap = bloom.build_bloom(
+        hist.select(h1.alias("h1"), h2.alias("h2")), m_bits=m_bits, k=k
+    )
+    contains = bloom.bloom_contains_udf(spark, bitmap, m_bits=m_bits, k=k)
+    return incoming.filter(~contains(h1, h2)).select("doc_id")

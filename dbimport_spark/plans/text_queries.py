@@ -284,3 +284,63 @@ def dedup_ngram_jaccard(
         .select("a_id", "b_id", jacc.alias("jaccard"))
         .filter(F.col("jaccard") >= 0.5)
     )
+
+
+# ---------------------------------------------------------------------------
+# text_top_terms — per-doc distinctive terms (integer-ranked TF-IDF shape)
+
+
+@register(
+    "text_top_terms",
+    f"""WITH toks AS (
+  SELECT doc_id, unnest(string_split({NORM_SQL}, ' ')) AS term FROM documents
+),
+tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM toks WHERE term <> ''
+  GROUP BY doc_id, term
+),
+dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+ranked AS (
+  SELECT t.doc_id, t.term, t.tf, d.df,
+         row_number() OVER (PARTITION BY t.doc_id
+                            ORDER BY t.tf DESC, d.df ASC, t.term ASC)
+           AS term_rank
+  FROM tf t JOIN dfreq d ON t.term = d.term)
+SELECT doc_id, term, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
+       CAST(term_rank AS BIGINT) AS term_rank
+FROM ranked WHERE term_rank <= 5""",
+)
+def text_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 distinctive terms per document — the TF-IDF shape with a
+    float-free ranking (tf DESC, corpus df ASC, term ASC) so the oracle
+    hash cannot drift on log() rounding. The classic keyword-extraction /
+    topic-drilldown primitive over a crawled corpus.
+
+    Plan: one explode + (doc, term) hash agg for tf; the document
+    frequency table is vocab-sized, aggregated from tf and BROADCAST back
+    onto it (no second shuffle of the token table); the final top-5 is a
+    row_number window bounded per doc. At 100 TB the token explode is the
+    dominant cost and stays a narrow pipelined stage; tf/df are classic
+    map-side-combine aggs; only the (doc,term,tf) triples — far smaller
+    than the token stream — reach the window.
+    """
+    d = load(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.explode(
+            F.array_remove(F.split(F.lower(F.col("text")), "[^a-z0-9]+"), "")
+        ).alias("term"),
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("tf").desc(), F.col("df").asc(), F.col("term").asc()
+    )
+    return (
+        tf.join(F.broadcast(dfreq), "term")
+        .withColumn("term_rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("term_rank") <= 5)
+        .select("doc_id", "term", "tf", "df", "term_rank")
+    )

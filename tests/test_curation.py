@@ -264,3 +264,47 @@ def test_winnow_matches_python_reference(spark):
     hashes = [int(hashlib.md5(s.encode()).hexdigest()[:15], 16) for s in shingles]
     want = sorted({min(hashes[j : j + W]) for j in range(len(hashes) - W + 1)})
     assert got == want
+
+
+class TestBloomDedup:
+    def test_no_false_negatives_and_bounded_fp(self, spark):
+        from dbimport_spark.functions import bloom
+
+        members = spark.range(0, 5000).select(
+            F.concat(F.lit("member-"), F.col("id")).alias("v")
+        )
+        others = spark.range(0, 20000).select(
+            F.concat(F.lit("other-"), F.col("id")).alias("v")
+        )
+        m_bits, k = 1 << 20, 7
+        h1, h2 = bloom.fingerprint_cols(F.col("v"))
+        bitmap = bloom.build_bloom(
+            members.select(h1.alias("h1"), h2.alias("h2")), m_bits=m_bits, k=k
+        )
+        contains = bloom.bloom_contains_udf(spark, bitmap, m_bits=m_bits, k=k)
+        # Bloom guarantee: every member IS contained (no false negatives)
+        n_members = members.filter(contains(h1, h2)).count()
+        assert n_members == 5000
+        # false positives bounded: expected rate ~2.4e-5 at n=5000/m=2^20/k=7;
+        # allow 100x headroom -> still < 48 of 20000
+        fp = others.filter(contains(h1, h2)).count()
+        assert fp <= 48, f"false-positive count {fp} far above expectation"
+
+    def test_build_is_order_and_partitioning_invariant(self, spark):
+        from dbimport_spark.functions import bloom
+
+        vals = spark.range(0, 1000).select(
+            F.concat(F.lit("x"), F.col("id")).alias("v")
+        )
+        h1, h2 = bloom.fingerprint_cols(F.col("v"))
+        hashes = vals.select(h1.alias("h1"), h2.alias("h2"))
+        a = bloom.build_bloom(hashes.repartition(1), m_bits=1 << 16, k=5)
+        b = bloom.build_bloom(hashes.repartition(13), m_bits=1 << 16, k=5)
+        assert a == b
+
+    def test_dedup_bloom_static_drops_planted(self, spark, sf_dir):
+        out = cq.dedup_bloom_static(spark, sf_dir)
+        kept = {r["doc_id"] for r in out.collect()}
+        # all planted re-keyed historical copies (doc_id >= 1e6) dropped
+        assert not {d for d in kept if d >= 1000000}
+        assert kept, "incoming half should survive"

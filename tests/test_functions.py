@@ -129,3 +129,52 @@ def test_multimodal_features_and_frames(spark):
     rows = frames.filter(F.col("media_id") == 1).collect()
     assert len(rows) == 4
     assert sorted(r["frame_idx"] for r in rows) == [0, 1, 2, 3]
+
+
+def test_range_join_binned_matches_naive(spark, sf_dir):
+    """The binned plan must find exactly the pairs the naive quadratic
+    join finds (bin replication covers the full +/-T window, each pair
+    exactly once)."""
+    from dbimport_spark.plans.analytics_queries import range_join_binned, _RANGE_T_US
+    from dbimport_spark.plans.registry import load_events
+    from pyspark.sql import functions as F
+
+    got = {
+        (r["a_id"], r["b_id"], r["dt_us"])
+        for r in range_join_binned(spark, sf_dir).collect()
+    }
+    e = (
+        load_events(spark, sf_dir)
+        .filter(F.col("event_type") == "error")
+        .select("event_id", F.unix_micros("ts").alias("us"))
+    )
+    a = e.select(F.col("event_id").alias("a_id"), F.col("us").alias("a_us"))
+    b = e.select(F.col("event_id").alias("b_id"), F.col("us").alias("b_us"))
+    naive = (
+        a.crossJoin(b)
+        .filter(
+            (F.col("a_id") < F.col("b_id"))
+            & (F.abs(F.col("a_us") - F.col("b_us")) <= _RANGE_T_US)
+        )
+        .select("a_id", "b_id", (F.col("b_us") - F.col("a_us")).alias("dt_us"))
+    )
+    want = {(r["a_id"], r["b_id"], r["dt_us"]) for r in naive.collect()}
+    assert got == want and want
+
+
+def test_text_top_terms_ranking(spark, sf_dir):
+    from dbimport_spark.plans.text_queries import text_top_terms
+
+    out = text_top_terms(spark, sf_dir)
+    rows = out.collect()
+    assert rows
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for doc_id, rs in by_doc.items():
+        rs.sort(key=lambda r: r["term_rank"])
+        assert [r["term_rank"] for r in rs] == list(range(1, len(rs) + 1))
+        assert len(rs) <= 5
+        # ranking is (tf desc, df asc, term asc)
+        keys = [(-r["tf"], r["df"], r["term"]) for r in rs]
+        assert keys == sorted(keys)
