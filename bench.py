@@ -44,6 +44,8 @@ HEADLINE = [
     "dedup_bloom_static",
     "text_top_terms",
     "range_join_binned",
+    "heavy_hitters_shingles",
+    "numeric_profile",
 ]
 
 

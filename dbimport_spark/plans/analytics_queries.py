@@ -319,3 +319,56 @@ def range_join_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("a_id", "b_id", (F.col("b_us") - F.col("a_us")).alias("dt_us"))
     )
+
+
+# ---------------------------------------------------------------------------
+# numeric_profile — per-group distribution profile (exact discrete quantiles)
+
+
+@register(
+    "numeric_profile",
+    """SELECT l_returnflag, count(*) AS n_rows,
+       min(CAST(round(l_extendedprice * 100) AS BIGINT)) AS min_cents,
+       max(CAST(round(l_extendedprice * 100) AS BIGINT)) AS max_cents,
+       quantile_disc(CAST(round(l_extendedprice * 100) AS BIGINT), 0.5) AS p50_cents,
+       quantile_disc(CAST(round(l_extendedprice * 100) AS BIGINT), 0.95) AS p95_cents,
+       quantile_disc(CAST(round(l_extendedprice * 100) AS BIGINT), 0.99) AS p99_cents,
+       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) / 100.0 / count(*) AS avg_price
+FROM lineitem GROUP BY l_returnflag""",
+)
+def numeric_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column distribution profiling (the data-quality sibling of
+    schema/infer.py's type lattice): per-group row count, min/max, exact
+    discrete percentiles and mean over integer cents. percentile_disc
+    returns an actual data value, so Spark and DuckDB agree bit-for-bit
+    (verified: quantile_disc matches WITHIN GROUP percentile_disc on this
+    data) — no interpolation-order float drift.
+
+    Scale: single hash-agg for the additive stats; the exact percentiles
+    need per-group sorted access — Spark's percentile_disc is a sort-based
+    agg within groups, bounded by group size. For 100 TB with huge groups
+    the approx twin (percentile_approx, a t-digest merge) is the drop-in;
+    this graded query stays exact so the oracle can be exact.
+    """
+    l = load(spark, sf_dir, "lineitem")
+    cents = "CAST(round(l_extendedprice * 100) AS BIGINT)"
+    return (
+        l.groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.expr(f"min({cents})").alias("min_cents"),
+            F.expr(f"max({cents})").alias("max_cents"),
+            F.expr(
+                f"CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY {cents}) AS BIGINT)"
+            ).alias("p50_cents"),
+            F.expr(
+                f"CAST(percentile_disc(0.95) WITHIN GROUP (ORDER BY {cents}) AS BIGINT)"
+            ).alias("p95_cents"),
+            F.expr(
+                f"CAST(percentile_disc(0.99) WITHIN GROUP (ORDER BY {cents}) AS BIGINT)"
+            ).alias("p99_cents"),
+            F.expr(f"sum({cents}) / CAST(100.0 AS DOUBLE) / count(*)").alias(
+                "avg_price"
+            ),
+        )
+    )

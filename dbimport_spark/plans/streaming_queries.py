@@ -235,3 +235,61 @@ WHERE f.doc_id % 2 <> 0 AND h.fingerprint IS NULL"""
 
 
 _register_stream_dedup_static()
+
+
+def _register_stream_dedup_bloom():
+    from dbimport_spark.plans.registry import ORACLES
+
+    @register("stream_dedup_bloom", ORACLES["dedup_bloom_static"])
+    def stream_dedup_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Streaming Bloom-filter dedup: the batch-built bitmap over the
+        historical (even-doc_id) corpus probes a readStream of incoming
+        docs as a STATELESS map-side filter — no stream-static join, no
+        state store, constant memory per executor regardless of history
+        size. The incoming stream is the odd half plus a planted-parquet
+        file of 50 re-keyed historical copies (written into the stream
+        source dir), which the filter must drop; shares
+        dedup_bloom_static's exact NOT EXISTS oracle.
+        """
+        from dbimport_spark.functions import bloom
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        hist = docs.filter(F.col("doc_id") % 2 == 0).select("doc_id", "text")
+
+        # stream source dir: symlinked documents.parquet + planted dupes
+        d = os.path.join(
+            tempfile.gettempdir(),
+            "dbimport_spark_stream_bloom",
+            sf_dir.rstrip("/").replace("/", "_"),
+        )
+        planted_path = os.path.join(d, "planted.parquet")
+        if not os.path.exists(planted_path):
+            os.makedirs(d, exist_ok=True)
+            link = os.path.join(d, "documents.parquet")
+            if not os.path.exists(link):
+                os.symlink(f"{sf_dir}/documents.parquet", link)
+            planted = docs.filter(
+                (F.col("doc_id") % 2 == 0) & (F.col("doc_id") < 100)
+            ).withColumn("doc_id", F.col("doc_id") + 1000000)
+            planted.coalesce(1).write.mode("overwrite").parquet(planted_path)
+
+        m_bits, k = 1 << 23, 7
+        h1, h2 = bloom.fingerprint_cols(F.col("text"))
+        bitmap = bloom.build_bloom(
+            hist.select(h1.alias("h1"), h2.alias("h2")), m_bits=m_bits, k=k
+        )
+        contains = bloom.bloom_contains_udf(spark, bitmap, m_bits=m_bits, k=k)
+
+        sch = docs.schema
+        stream = (
+            spark.readStream.schema(sch)
+            .option("recursiveFileLookup", "true")
+            .parquet(d)
+            .filter((F.col("doc_id") % 2 == 1) | (F.col("doc_id") >= 1000000))
+            .filter(~contains(h1, h2))
+            .select("doc_id")
+        )
+        return _run_to_memory(stream, spark)
+
+
+_register_stream_dedup_bloom()

@@ -344,3 +344,49 @@ def text_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("term_rank") <= 5)
         .select("doc_id", "term", "tf", "df", "term_rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# heavy_hitters_shingles — exact top-k frequent trigrams, sketch-pruned
+
+
+@register(
+    "heavy_hitters_shingles",
+    f"""WITH toks AS (
+  SELECT doc_id, string_split({NORM_SQL}, ' ') AS w FROM documents
+),
+sh AS (
+  SELECT w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+  FROM toks, UNNEST(range(1, len(w) - 1)) AS u(i)
+  WHERE len(w) >= 3
+),
+cnt AS (SELECT s, count(*) AS n FROM sh GROUP BY s),
+r AS (SELECT s, n, row_number() OVER (ORDER BY n DESC, s ASC) AS rk FROM cnt)
+SELECT s, n, CAST(rk AS BIGINT) AS rk FROM r WHERE rk <= 20""",
+)
+def heavy_hitters_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-20 most frequent word trigrams in the corpus, computed
+    with the mergeable-summaries pruning plan (functions/sketch.py):
+    per-partition exact local counts truncated to a bounded summary, a
+    lower-bound merge with a provable error bound, then an exact count of
+    only the surviving candidates. At 100 TB the full-cardinality
+    groupBy(shingle) shuffle never happens — only locally-frequent items
+    (provably a superset of the true top-k, or the operator refuses)
+    reach the network. The oracle is the plain count/rank — the sketch is
+    pure execution strategy, invisible in the result.
+    """
+    from dbimport_spark.functions.sketch import heavy_hitters
+
+    d = load(spark, sf_dir, "documents")
+    toks = d.select(
+        F.array_remove(F.split(F.lower(F.col("text")), "[^a-z0-9]+"), "").alias("w")
+    ).filter(F.size("w") >= 3)
+    sh = toks.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(0, size(w) - 3),"
+                " i -> concat_ws(' ', w[i], w[i+1], w[i+2]))"
+            )
+        ).alias("s")
+    )
+    return heavy_hitters(sh, "s", k=20)

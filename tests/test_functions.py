@@ -178,3 +178,58 @@ def test_text_top_terms_ranking(spark, sf_dir):
         # ranking is (tf desc, df asc, term asc)
         keys = [(-r["tf"], r["df"], r["term"]) for r in rs]
         assert keys == sorted(keys)
+
+
+class TestHeavyHitters:
+    def test_matches_exact_groupby_with_tiny_cap(self, spark):
+        """With local_cap far below distinct-key count, the bound machinery
+        must still produce the EXACT top-k (or refuse) — never a wrong
+        answer."""
+        from dbimport_spark.functions.sketch import heavy_hitters
+        from pyspark.sql import functions as F
+
+        # zipf-ish: item i appears ~ 2000/(i+1) times, 400 distinct items
+        df = (
+            spark.range(0, 400)
+            .select(
+                F.concat(F.lit("item-"), F.col("id")).alias("s"),
+                (F.lit(2000) / (F.col("id") + 1)).cast("int").alias("n"),
+            )
+            .select("s", F.explode(F.sequence(F.lit(1), F.col("n"))).alias("_"))
+            .select("s")
+            .repartition(8)
+        )
+        got = [
+            (r["s"], r["n"], r["rk"])
+            for r in heavy_hitters(df, "s", k=10, local_cap=50)
+            .orderBy("rk")
+            .collect()
+        ]
+        from pyspark.sql import Window
+
+        w = Window.orderBy(F.col("n").desc(), F.col("s").asc())
+        want = [
+            (r["s"], r["n"], r["rk"])
+            for r in df.groupBy("s")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .withColumn("rk", F.row_number().over(w).cast("bigint"))
+            .filter(F.col("rk") <= 10)
+            .orderBy("rk")
+            .collect()
+        ]
+        assert got == want
+
+    def test_refuses_when_bound_broken(self, spark):
+        """Perfectly flat distribution + tiny cap: no item can be proven
+        into the top-k, so the operator must raise, not guess."""
+        import pytest as _pytest
+        from dbimport_spark.functions.sketch import heavy_hitters
+        from pyspark.sql import functions as F
+
+        flat = (
+            spark.range(0, 5000)
+            .select(F.concat(F.lit("x"), F.col("id")).alias("s"))
+            .repartition(8)
+        )
+        with _pytest.raises(RuntimeError, match="bound broken"):
+            heavy_hitters(flat, "s", k=5, local_cap=10).collect()

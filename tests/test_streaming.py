@@ -155,3 +155,12 @@ def test_stream_sessionize_state_across_batches(spark, tmp_path):
     assert got[(7, 2)] == (1, 0, 0)  # 120min event, own session
     assert got[(8, 1)][0] == 1
     assert got[(8, 2)][0] == 1
+
+
+def test_stream_dedup_bloom_drops_planted(spark, sf_dir):
+    from dbimport_spark.plans.registry import QUERIES
+
+    out = QUERIES["stream_dedup_bloom"](spark, sf_dir)
+    kept = {r["doc_id"] for r in out.collect()}
+    assert kept, "odd half should survive"
+    assert not {d for d in kept if d >= 1000000}, "planted dupes must be dropped"
