@@ -59,11 +59,20 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
 
 
 def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events.parquet stores TIMESTAMP(NANOS), which Spark's vectorized
-    parquet reader rejects. Read nanos as long and truncate to micros —
-    identical to DuckDB's ns→us coercion of the same file (both floor)."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    """events.parquet stores TIMESTAMP(NANOS). Spark builds differ in how
+    they read it: older ones need spark.sql.legacy.parquet.nanosAsLong and
+    yield a BIGINT to truncate ourselves; 4.1+ reads it natively as
+    TIMESTAMP_NTZ already floored to micros. Both paths below produce the
+    same TIMESTAMP (session-tz UTC) column, identical to DuckDB's ns→us
+    coercion of the same file (both floor)."""
+    try:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    except Exception:
+        pass
     from pyspark.sql import functions as F
 
     df = spark.read.parquet(f"{sf_dir}/events.parquet")
-    return df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    ts_type = dict(df.dtypes)["ts"]
+    if ts_type == "bigint":
+        return df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return df.withColumn("ts", F.col("ts").cast("timestamp"))

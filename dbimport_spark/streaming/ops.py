@@ -30,14 +30,34 @@ EVENTS_SCHEMA = T.StructType(
 
 def read_events_stream(spark: SparkSession, dir_path: str) -> DataFrame:
     """readStream over a parquet directory of events files (the local
-    stand-in for kafka); ts nanos → timestamp like the batch loader."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    stand-in for kafka); ts nanos → timestamp like the batch loader.
+
+    Spark builds differ on TIMESTAMP(NANOS): older ones honor
+    spark.sql.legacy.parquet.nanosAsLong (ts arrives BIGINT), 4.1+ reads
+    natively as TIMESTAMP_NTZ floored to micros. readStream needs an
+    explicit schema, so probe the directory with a batch read and mirror
+    whichever type this build produces."""
+    try:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    except Exception:
+        pass
+    probed = dict(spark.read.parquet(dir_path).dtypes)["ts"]
+    if probed == "bigint":
+        schema, fix = EVENTS_SCHEMA, F.expr("timestamp_micros(ts div 1000)")
+    else:
+        schema = T.StructType(
+            [
+                f if f.name != "ts" else T.StructField("ts", T.TimestampNTZType())
+                for f in EVENTS_SCHEMA.fields
+            ]
+        )
+        fix = F.col("ts").cast("timestamp")
     raw = (
-        spark.readStream.schema(EVENTS_SCHEMA)
+        spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", 1)
         .parquet(dir_path)
     )
-    return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return raw.withColumn("ts", fix)
 
 
 def windowed_event_agg(
