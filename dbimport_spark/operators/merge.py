@@ -219,3 +219,85 @@ def clear_insert(target: DataFrame, source: DataFrame) -> DataFrame:
     target schema; the deleted count is the old target count.
     """
     return source.select(*[c for c in target.columns if c in source.columns])
+
+
+def scd2_merge(
+    history: DataFrame,
+    source: DataFrame,
+    keys: Sequence[str],
+    tracked: Sequence[str],
+    load_ts,
+    valid_from_col: str = "valid_from",
+    valid_to_col: str = "valid_to",
+    current_col: str = "is_current",
+) -> DataFrame:
+    """Type-2 slowly-changing-dimension merge of a snapshot into a history.
+
+    The lake-native generalization of the reference's UPSERT
+    (DbImportWorker.java:537-578): instead of overwriting matched rows,
+    a matched row whose tracked columns changed is CLOSED
+    (``valid_to = load_ts``, ``is_current = false``) and a new open row is
+    inserted; new keys open a first row; unchanged and historical rows pass
+    through untouched. Keys absent from the snapshot are left open (no
+    delete detection — matching the reference, which never deletes).
+
+    ``history`` columns must be exactly keys + tracked + the three validity
+    columns. Tracked-column comparison is null-safe (``<=>``).
+
+    Scale design: ONE full-outer hash join on the key columns between the
+    CURRENT slice and the snapshot; the closed/kept/new branches are three
+    projections of that single join (same exchange, reused by AQE), and the
+    non-current slice passes through with a pushed-down
+    ``NOT is_current`` filter — historical rows are never joined. At 100 TB
+    the current slice is a small fraction of history; partition history by
+    is_current (or store current separately) and this plan touches only it.
+    """
+    knames = list(keys)
+    cur = history.filter(F.col(current_col)).withColumn("__cur_match", F.lit(1))
+    old = history.filter(~F.col(current_col))
+    src = source.select(
+        *[F.col(k).alias("__src_" + k) for k in knames],
+        *[F.col(c).alias("__src_" + c) for c in tracked],
+        F.lit(1).alias("__src_match"),
+    )
+    cond = None
+    for k in knames:
+        eq = cur[k] == src["__src_" + k]
+        cond = eq if cond is None else (cond & eq)
+    j = cur.join(src, cond, "full_outer")
+
+    changed_pred = F.lit(False)
+    for c in tracked:
+        changed_pred = changed_pred | ~F.col(c).eqNullSafe(F.col("__src_" + c))
+    matched = F.col("__cur_match").isNotNull() & F.col("__src_match").isNotNull()
+    changed = matched & changed_pred
+
+    cur_cols = [F.col(c) for c in history.columns]
+    kept = j.filter(
+        F.col("__cur_match").isNotNull() & (F.col("__src_match").isNull() | ~changed_pred)
+    ).select(*cur_cols)
+    closed = j.filter(changed).select(
+        *[
+            F.lit(load_ts).cast("timestamp").alias(valid_to_col)
+            if c == valid_to_col
+            else F.lit(False).alias(current_col)
+            if c == current_col
+            else F.col(c)
+            for c in history.columns
+        ]
+    )
+    new_rows = j.filter(
+        F.col("__src_match").isNotNull() & (F.col("__cur_match").isNull() | changed_pred)
+    ).select(
+        *[
+            F.col("__src_" + c).alias(c)
+            if c in knames or c in tracked
+            else F.lit(load_ts).cast("timestamp").alias(valid_from_col)
+            if c == valid_from_col
+            else F.lit(None).cast("timestamp").alias(valid_to_col)
+            if c == valid_to_col
+            else F.lit(True).alias(current_col)
+            for c in history.columns
+        ]
+    )
+    return old.unionByName(kept).unionByName(closed).unionByName(new_rows)

@@ -372,3 +372,64 @@ def numeric_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "rollup_order_totals",
+    """SELECT o_orderpriority, o_orderstatus,
+       CAST(GROUPING(o_orderpriority, o_orderstatus) AS INT) AS gid,
+       count(*) AS n_orders,
+       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) / 100.0 AS sum_price
+FROM orders GROUP BY ROLLUP (o_orderpriority, o_orderstatus)""",
+)
+def rollup_order_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical totals in one pass: GROUP BY ROLLUP (priority → status
+    → grand total). Spark expands the grouping sets inside a single
+    Expand+hash-agg — one shuffle for all three levels, with map-side
+    partials; at 100 TB this replaces three separate groupBy jobs.
+    grouping_id disambiguates NULL-as-data from NULL-as-total."""
+    o = load(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    return (
+        o.rollup("o_orderpriority", "o_orderstatus")
+        .agg(
+            F.grouping_id().cast("int").alias("gid"),
+            F.count(F.lit(1)).alias("n_orders"),
+            (F.sum(cents) / F.lit(100.0)).alias("sum_price"),
+        )
+        .select("o_orderpriority", "o_orderstatus", "gid", "n_orders", "sum_price")
+    )
+
+
+@register(
+    "orders_running_balance",
+    """SELECT o_custkey, o_orderkey, o_orderdate,
+       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+            OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) / 100.0
+         AS running_spend,
+       row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+         AS order_seq
+FROM orders""",
+)
+def orders_running_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative per-customer spend: running-frame window sum over exact
+    cents + order sequence number. One shuffle on the partition key; the
+    per-group running frame is computed in a single sorted pass bounded by
+    group size (no global sort, no self-join)."""
+    o = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    running = (
+        F.sum(cents)
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("bigint")
+        / F.lit(100.0)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        running.alias("running_spend"),
+        F.row_number().over(w).alias("order_seq"),
+    )

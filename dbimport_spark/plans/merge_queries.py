@@ -361,3 +361,115 @@ def import_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("updated"),
         )
     )
+
+
+# ---------------------------------------------------------------- SCD2 history merge
+
+_SCD2_LOAD_TS = "2024-06-01 00:00:00"
+
+SCD2_HIST_SQL = """hist AS (
+  SELECT c_custkey, c_acctbal, c_mktsegment,
+         TIMESTAMP '2024-01-01 00:00:00' AS valid_from,
+         CAST(NULL AS TIMESTAMP) AS valid_to,
+         TRUE AS is_current
+  FROM customer
+  UNION ALL
+  SELECT c_custkey, c_acctbal - 100, c_mktsegment,
+         TIMESTAMP '2023-01-01 00:00:00', TIMESTAMP '2024-01-01 00:00:00', FALSE
+  FROM customer WHERE c_custkey % 5 = 0
+)"""
+
+SCD2_SRC_SQL = """src AS (
+  SELECT c_custkey,
+         CASE WHEN c_custkey % 3 = 0 THEN c_acctbal + 50 ELSE c_acctbal END AS c_acctbal,
+         CASE WHEN c_custkey % 9 = 4 THEN NULL ELSE c_mktsegment END AS c_mktsegment
+  FROM customer WHERE c_custkey % 3 < 2
+  UNION ALL
+  SELECT c_custkey + 200000, CAST(123.45 AS DOUBLE), 'NEW'
+  FROM customer WHERE c_custkey % 10 = 0
+)"""
+
+
+def scd2_history_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic pre-existing SCD2 history derived from `customer`: one
+    open row per key, plus a closed older version for every 5th key."""
+    c = load(spark, sf_dir, "customer")
+    base = c.select(
+        "c_custkey",
+        "c_acctbal",
+        "c_mktsegment",
+        F.lit("2024-01-01 00:00:00").cast("timestamp").alias("valid_from"),
+        F.lit(None).cast("timestamp").alias("valid_to"),
+        F.lit(True).alias("is_current"),
+    )
+    older = c.filter(F.col("c_custkey") % 5 == 0).select(
+        "c_custkey",
+        (F.col("c_acctbal") - 100).alias("c_acctbal"),
+        "c_mktsegment",
+        F.lit("2023-01-01 00:00:00").cast("timestamp").alias("valid_from"),
+        F.lit("2024-01-01 00:00:00").cast("timestamp").alias("valid_to"),
+        F.lit(False).alias("is_current"),
+    )
+    return base.unionByName(older)
+
+
+def scd2_source_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic snapshot: every 3rd key changed (+50 acctbal), keys
+    %3==1 unchanged (except %9==4 → NULL mktsegment, exercising the
+    null-safe change compare), keys %3==2 absent (stay open), plus brand-new
+    +200000 keys for every 10th key."""
+    c = load(spark, sf_dir, "customer")
+    existing = c.filter(F.col("c_custkey") % 3 < 2).select(
+        "c_custkey",
+        F.when(F.col("c_custkey") % 3 == 0, F.col("c_acctbal") + 50)
+        .otherwise(F.col("c_acctbal"))
+        .alias("c_acctbal"),
+        F.when(F.col("c_custkey") % 9 == 4, F.lit(None))
+        .otherwise(F.col("c_mktsegment"))
+        .alias("c_mktsegment"),
+    )
+    new = c.filter(F.col("c_custkey") % 10 == 0).select(
+        (F.col("c_custkey") + 200000).alias("c_custkey"),
+        F.lit(123.45).alias("c_acctbal"),
+        F.lit("NEW").alias("c_mktsegment"),
+    )
+    return existing.unionByName(new)
+
+
+@register(
+    "merge_scd2",
+    f"""WITH {SCD2_HIST_SQL}, {SCD2_SRC_SQL},
+cur AS (SELECT * FROM hist WHERE is_current),
+old AS (SELECT * FROM hist WHERE NOT is_current)
+SELECT c_custkey, c_acctbal, c_mktsegment, valid_from, valid_to, is_current FROM old
+UNION ALL
+SELECT c.c_custkey, c.c_acctbal, c.c_mktsegment, c.valid_from, c.valid_to, c.is_current
+FROM cur c LEFT JOIN src s ON c.c_custkey = s.c_custkey
+WHERE s.c_custkey IS NULL
+   OR (NOT (c.c_acctbal IS DISTINCT FROM s.c_acctbal)
+       AND NOT (c.c_mktsegment IS DISTINCT FROM s.c_mktsegment))
+UNION ALL
+SELECT c.c_custkey, c.c_acctbal, c.c_mktsegment, c.valid_from,
+       TIMESTAMP '{_SCD2_LOAD_TS}', FALSE
+FROM cur c JOIN src s ON c.c_custkey = s.c_custkey
+WHERE (c.c_acctbal IS DISTINCT FROM s.c_acctbal)
+   OR (c.c_mktsegment IS DISTINCT FROM s.c_mktsegment)
+UNION ALL
+SELECT s.c_custkey, s.c_acctbal, s.c_mktsegment,
+       TIMESTAMP '{_SCD2_LOAD_TS}', CAST(NULL AS TIMESTAMP), TRUE
+FROM src s LEFT JOIN cur c ON c.c_custkey = s.c_custkey
+WHERE c.c_custkey IS NULL
+   OR (c.c_acctbal IS DISTINCT FROM s.c_acctbal)
+   OR (c.c_mktsegment IS DISTINCT FROM s.c_mktsegment)""",
+)
+def merge_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD type-2 snapshot merge: changed keys close their open row and open
+    a new one at the load timestamp; new keys open a first row; absent keys
+    stay open; historical rows pass through without touching the join."""
+    return merge.scd2_merge(
+        scd2_history_df(spark, sf_dir),
+        scd2_source_df(spark, sf_dir),
+        keys=["c_custkey"],
+        tracked=["c_acctbal", "c_mktsegment"],
+        load_ts=_SCD2_LOAD_TS,
+    )

@@ -195,3 +195,56 @@ class TestSkewOps:
             .collect()
         )
         assert [tuple(r) for r in got] == [tuple(r) for r in want]
+
+
+def test_scd2_merge_semantics(spark):
+    """Pin every SCD2 branch on a 5-key micro-history: changed key closes +
+    reopens, unchanged key passes, absent key stays open, new key opens,
+    null-safe compare treats NULL->NULL as unchanged and value->NULL as a
+    change; historical rows pass through untouched."""
+    from pyspark.sql import types as T
+
+    hist_schema = T.StructType([
+        T.StructField("k", T.LongType()),
+        T.StructField("v", T.StringType()),
+        T.StructField("valid_from", T.TimestampType()),
+        T.StructField("valid_to", T.TimestampType()),
+        T.StructField("is_current", T.BooleanType()),
+    ])
+    import datetime as dt
+
+    t0 = dt.datetime(2023, 1, 1)
+    t1 = dt.datetime(2024, 1, 1)
+    hist = spark.createDataFrame(
+        [
+            (1, "a", t1, None, True),     # will change -> close + reopen
+            (1, "a0", t0, t1, False),     # historical, untouched
+            (2, "b", t1, None, True),     # unchanged
+            (3, "c", t1, None, True),     # absent from snapshot -> stays open
+            (4, None, t1, None, True),    # NULL -> NULL unchanged (null-safe)
+        ],
+        hist_schema,
+    )
+    src = spark.createDataFrame(
+        [(1, "a2"), (2, "b"), (4, None), (5, "e"), (6, None)],
+        T.StructType([T.StructField("k", T.LongType()), T.StructField("v", T.StringType())]),
+    )
+    out = merge.scd2_merge(hist, src, ["k"], ["v"], "2024-06-01 00:00:00")
+    rows = sorted(out.collect(), key=lambda r: (r["k"], r["valid_from"]))
+    by = {}
+    for r in rows:
+        by.setdefault(r["k"], []).append(r)
+
+    assert [(r["v"], r["is_current"]) for r in by[1]] == [
+        ("a0", False), ("a", False), ("a2", True)
+    ]
+    closed = by[1][1]
+    assert closed["valid_to"] == dt.datetime(2024, 6, 1)
+    assert by[1][2]["valid_from"] == dt.datetime(2024, 6, 1)
+    assert by[1][2]["valid_to"] is None
+    assert [(r["v"], r["is_current"], r["valid_to"]) for r in by[2]] == [("b", True, None)]
+    assert [(r["v"], r["is_current"]) for r in by[3]] == [("c", True)]
+    assert [(r["v"], r["is_current"]) for r in by[4]] == [(None, True)]  # no spurious churn
+    assert [(r["v"], r["is_current"]) for r in by[5]] == [("e", True)]
+    assert [(r["v"], r["is_current"]) for r in by[6]] == [(None, True)]  # new key, NULL value
+    assert len(rows) == 8
