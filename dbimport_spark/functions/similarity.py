@@ -249,3 +249,152 @@ def ann_lsh_topk(
         .filter(F.col("rnk") <= k)
         .select("query_id", "neighbor_id", "rnk", F.round("s", 6).alias("cos_sim"))
     )
+
+
+# ---------------------------------------------------------------- product quantization
+
+
+def pq_codebooks(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    m: int = 8,
+    n_codes: int = 16,
+    train_n: int = 256,
+    iters: int = 10,
+) -> np.ndarray:
+    """Train per-subspace PQ codebooks: (m, n_codes, dim/m).
+
+    Deterministic Lloyd's k-means per subspace on the ``train_n`` lowest-id
+    vectors (L2-normalized for cosine), initialized from the first n_codes
+    sample rows — reproducible across runs with no stored model, same
+    philosophy as ivf_centroids. Driver state is bounded (train_n × dim
+    floats + the m·n_codes·dim/m codebook, a few KB) regardless of corpus
+    size; at 100 TB you train on the same fixed sample and broadcast."""
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    rows = corpus.select(id_col, vec_col).orderBy(id_col).limit(train_n).collect()
+    X = np.vstack([np.asarray(r[vec_col], dtype=np.float64) for r in rows])
+    X = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+    dsub = dim // m
+    books = []
+    for s in range(m):
+        sub = X[:, s * dsub : (s + 1) * dsub]
+        C = sub[:n_codes].copy()
+        for _ in range(iters):
+            d2 = ((sub[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+            assign = d2.argmin(axis=1)
+            for j in range(n_codes):
+                pts = sub[assign == j]
+                if len(pts):
+                    C[j] = pts.mean(axis=0)
+        books.append(C)
+    return np.stack(books)
+
+
+def with_pq_codes(df: DataFrame, books: np.ndarray, vec_col: str = "v") -> DataFrame:
+    """Attach ``codes``: the per-subspace nearest-codeword indices
+    (array<int>, m entries — the 8-byte compressed form of a 512-byte
+    vector). One numpy pass per Arrow batch against the broadcast books."""
+    m, n_codes, dsub = books.shape
+    B = books
+
+    @F.pandas_udf("array<int>")
+    def codes_udf(v: pd.Series) -> pd.Series:
+        mat = np.vstack(v.to_numpy()).astype(np.float64)
+        mat = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+        out = np.empty((len(mat), m), dtype=np.int32)
+        for s in range(m):
+            sub = mat[:, s * dsub : (s + 1) * dsub]
+            # ||x-c||^2 = ||x||^2 - 2 x·c + ||c||^2 → argmin over codewords
+            d2 = -2.0 * (sub @ B[s].T) + (B[s] ** 2).sum(axis=1)[None, :]
+            out[:, s] = d2.argmin(axis=1)
+        return pd.Series(list(out))
+
+    return df.withColumn("codes", codes_udf(F.col(vec_col)))
+
+
+def with_pq_luts(df: DataFrame, books: np.ndarray, vec_col: str = "v") -> DataFrame:
+    """Attach ``lut``: the flattened (m·n_codes) asymmetric-distance table
+    — lut[s·n_codes + j] = q_sub(s) · codeword_j — so the estimated cosine
+    of a corpus vector is a pure-expression sum of m array lookups."""
+    m, n_codes, dsub = books.shape
+    B = books
+
+    @F.pandas_udf("array<double>")
+    def lut_udf(v: pd.Series) -> pd.Series:
+        mat = np.vstack(v.to_numpy()).astype(np.float64)
+        mat = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+        luts = np.empty((len(mat), m * n_codes))
+        for s in range(m):
+            sub = mat[:, s * dsub : (s + 1) * dsub]
+            luts[:, s * n_codes : (s + 1) * n_codes] = sub @ B[s].T
+        return pd.Series(list(luts))
+
+    return df.withColumn("lut", lut_udf(F.col(vec_col)))
+
+
+def ann_pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 5,
+    m: int = 16,
+    n_codes: int = 16,
+    rerank: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "v",
+) -> DataFrame:
+    """PQ approximate top-k: scan the COMPRESSED corpus (m small ints per
+    vector) scoring each query by LUT lookups, keep the top rerank·k ADC
+    candidates per query, then exact-cosine re-rank only those.
+
+    Scale design: the full-corpus pass touches codes only (64× smaller
+    than raw vectors — the scan PQ exists for); scoring is a JVM-side
+    expression (transform + aggregate over the broadcast query LUTs), no
+    per-row Python. The expensive exact cosine runs on rerank·k rows per
+    query via a narrow id-join back to the raw vectors."""
+    from pyspark.sql import Window
+
+    from dbimport_spark.plans.vector_queries import cosine
+
+    books = pq_codebooks(corpus, id_col, vec_col, dim, m=m, n_codes=n_codes)
+    coded = with_pq_codes(corpus, books, vec_col).select(
+        F.col(id_col).alias("neighbor_id"), "codes"
+    )
+    q = with_pq_luts(queries, books, vec_col).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"), "lut"
+    )
+    est = F.aggregate(
+        F.zip_with(
+            F.col("codes"),
+            F.sequence(F.lit(0), F.lit(m - 1)),
+            lambda c, s: F.element_at(
+                F.col("lut"), (s * n_codes + c + 1).cast("int")
+            ),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("est").desc(), F.col("neighbor_id"))
+    cand = (
+        coded.join(F.broadcast(q.select("query_id", "lut")), how="cross")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("est", est)
+        .withColumn("crnk", F.row_number().over(w))
+        .filter(F.col("crnk") <= rerank * k)
+        .select("query_id", "neighbor_id")
+    )
+    nvec = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("nv"))
+    scored = (
+        cand.join(nvec, "neighbor_id")
+        .join(F.broadcast(q.select("query_id", "qv")), "query_id")
+        .withColumn("s", cosine(F.col("qv"), F.col("nv")))
+    )
+    w2 = Window.partitionBy("query_id").orderBy(F.col("s").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w2))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "neighbor_id", "rnk", F.round("s", 6).alias("cos_sim"))
+    )

@@ -217,3 +217,21 @@ def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = multimodal.documents_as_media(d)
     feats = multimodal.extract_media_features(media, decode="fake")
     return feats.select("media_id", "n_bytes", "content_sha256")
+
+
+@register("ann_pq_topk")  # rows-only: approximate by design
+def ann_pq_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (16 subspaces × 16 codes, ADC scan + exact
+    re-rank of 8k candidates; measured recall@5 0.93-0.95 vs the exact
+    baseline at sf0.001/sf0.01). Approximate → rows-only; the quality gate
+    is the oracle-checked ann_pq_recall, exact twin ann_topk_cosine."""
+    e = load(spark, sf_dir, "embeddings")
+    base = e.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    queries = base.filter(F.col("vec_id") < 8)
+    return similarity.ann_pq_topk(base, queries, dim=64, k=5)
+
+
+@register("ann_pq_recall", _ANN_RECALL_ORACLE)
+def ann_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall gate for the PQ ANN (see _ann_recall_flags)."""
+    return _ann_recall_flags(spark, sf_dir, ann_pq_topk_q(spark, sf_dir))

@@ -233,3 +233,15 @@ class TestHeavyHitters:
         )
         with _pytest.raises(RuntimeError, match="bound broken"):
             heavy_hitters(flat, "s", k=5, local_cap=10).collect()
+
+
+def test_ann_pq_recall_against_exact(spark, sf_dir):
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    base = e.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    queries = base.filter(F.col("vec_id") < 8)
+    approx = similarity.ann_pq_topk(base, queries, dim=64, k=5)
+    got = {(r["query_id"], r["neighbor_id"]) for r in approx.collect()}
+    exact = _exact_topk_pairs(spark, sf_dir)
+    recall = len(got & exact) / len(exact)
+    assert len(got) == 40  # 8 queries × k
+    assert recall >= 0.8  # measured 0.925 (sf0.001) / 0.95 (sf0.01)
