@@ -433,3 +433,36 @@ def orders_running_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
         running.alias("running_spend"),
         F.row_number().over(w).alias("order_seq"),
     )
+
+
+@register(
+    "approx_distinct_gate",
+    """SELECT l_returnflag,
+       count(DISTINCT l_orderkey) AS n_orders_exact,
+       TRUE AS approx_ok
+FROM lineitem GROUP BY l_returnflag""",
+)
+def approx_distinct_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ accuracy gate: per group, the exact distinct count
+    plus a boolean asserting approx_count_distinct (rsd 2%) lands within
+    10× that rsd of exact — same gating pattern as the ANN recall queries
+    (the oracle can't run Spark's HLL, but it CAN assert the sketch isn't
+    broken). At 100 TB the approx twin is the one to run: a fixed-size
+    mergeable sketch per group vs count(DISTINCT)'s full shuffle+expand of
+    every distinct key."""
+    l = load(spark, sf_dir, "lineitem")
+    return (
+        l.groupBy("l_returnflag")
+        .agg(
+            F.countDistinct("l_orderkey").alias("n_orders_exact"),
+            F.approx_count_distinct("l_orderkey", rsd=0.02).alias("__approx"),
+        )
+        .select(
+            "l_returnflag",
+            "n_orders_exact",
+            (
+                F.abs(F.col("__approx") - F.col("n_orders_exact"))
+                <= 0.2 * F.col("n_orders_exact")
+            ).alias("approx_ok"),
+        )
+    )

@@ -293,3 +293,47 @@ def _register_stream_dedup_bloom():
 
 
 _register_stream_dedup_bloom()
+
+
+@register(
+    "stream_interval_join",
+    """SELECT p.event_id AS purchase_id, s.event_id AS signup_id,
+       p.user_id, p.ts AS purchase_ts, s.ts AS signup_ts
+FROM events p JOIN events s
+  ON p.user_id = s.user_id
+ AND p.event_type = 'purchase' AND s.event_type = 'signup'
+ AND p.ts >= s.ts AND p.ts <= s.ts + INTERVAL 24 HOUR""",
+)
+def stream_interval_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join: purchases matched to the same user's
+    signups within 24 h, both sides live streams. The time-bounded
+    condition + watermarks let Spark evict join state beyond the horizon —
+    the bounded-memory requirement for joining two unbounded streams.
+    Single-batch availableNow run == the batch interval join (inner joins
+    emit each pair exactly once)."""
+    from dbimport_spark.streaming.ops import stream_interval_join
+
+    purchases = read_events_stream(spark, _events_path(sf_dir)).filter(
+        F.col("event_type") == "purchase"
+    ).select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    signups = read_events_stream(spark, _events_path(sf_dir)).filter(
+        F.col("event_type") == "signup"
+    ).select(
+        F.col("event_id").alias("signup_id"),
+        F.col("user_id").alias("s_user_id"),
+        F.col("ts").alias("signup_ts"),
+    )
+    joined = stream_interval_join(
+        purchases,
+        signups,
+        left_key="user_id",
+        right_key="s_user_id",
+        left_ts="purchase_ts",
+        right_ts="signup_ts",
+        max_delay="24 hours",
+    ).select("purchase_id", "signup_id", "user_id", "purchase_ts", "signup_ts")
+    return _run_to_memory(joined, spark)

@@ -225,3 +225,34 @@ def stream_upsert_sink(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def stream_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_key: str,
+    right_key: str,
+    left_ts: str,
+    right_ts: str,
+    max_delay: str = "24 hours",
+    watermark: str = "0 seconds",
+) -> DataFrame:
+    """Stream-stream inner interval join: left rows match right rows with
+    the same key whose event time satisfies
+    ``right_ts <= left_ts <= right_ts + max_delay``.
+
+    Both sides carry watermarks and the join condition bounds event time in
+    BOTH directions, so Spark can size and evict the join state: each side
+    buffers only rows inside the watermark + interval horizon — the
+    requirement for an unbounded-stream join to run in bounded memory.
+    Inner-join emission is deterministic (a pair emits exactly once, in the
+    batch where both sides are present), so an availableNow run over static
+    sources equals the batch join."""
+    l = left.withWatermark(left_ts, watermark)
+    r = right.withWatermark(right_ts, watermark)
+    cond = (
+        (F.col(left_key) == F.col(right_key))
+        & (F.col(left_ts) >= F.col(right_ts))
+        & (F.col(left_ts) <= F.expr(f"{right_ts} + INTERVAL {max_delay}"))
+    )
+    return l.join(r, cond, "inner")

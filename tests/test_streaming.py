@@ -164,3 +164,31 @@ def test_stream_dedup_bloom_drops_planted(spark, sf_dir):
     kept = {r["doc_id"] for r in out.collect()}
     assert kept, "odd half should survive"
     assert not {d for d in kept if d >= 1000000}, "planted dupes must be dropped"
+
+
+def test_stream_interval_join_matches_batch(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from dbimport_spark.plans.registry import QUERIES, load_events
+
+    got = {
+        (r["purchase_id"], r["signup_id"])
+        for r in QUERIES["stream_interval_join"](spark, sf_dir).collect()
+    }
+    e = load_events(spark, sf_dir)
+    p = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("pid"), F.col("user_id").alias("pu"), F.col("ts").alias("pts")
+    )
+    s = e.filter(F.col("event_type") == "signup").select(
+        F.col("event_id").alias("sid"), F.col("user_id").alias("su"), F.col("ts").alias("sts")
+    )
+    want = {
+        (r["pid"], r["sid"])
+        for r in p.join(
+            s,
+            (F.col("pu") == F.col("su"))
+            & (F.col("pts") >= F.col("sts"))
+            & (F.col("pts") <= F.col("sts") + F.expr("INTERVAL 24 HOURS")),
+        ).collect()
+    }
+    assert got == want and want
