@@ -46,6 +46,13 @@ HEADLINE = [
     "range_join_binned",
     "heavy_hitters_shingles",
     "numeric_profile",
+    "merge_scd2",
+    "rollup_order_totals",
+    "orders_running_balance",
+    "approx_distinct_gate",
+    "ann_pq_topk",
+    "q3_shipping_priority",
+    "q5_region_revenue",
 ]
 
 
