@@ -301,3 +301,23 @@ def scd2_merge(
         ]
     )
     return old.unionByName(kept).unionByName(closed).unionByName(new_rows)
+
+
+def incremental_append(target: DataFrame, source: DataFrame, watermark_col: str) -> DataFrame:
+    """High-watermark incremental import: append only source rows strictly
+    newer than the target's max watermark column — the standard shape of a
+    periodic re-import job (the reference is re-run on a schedule against
+    growing exports; this is that pattern made explicit for lake targets).
+
+    The watermark is a 1-row aggregate broadcast into the filter — fully
+    declarative, no driver collect. Strict `>` means rows sharing the
+    boundary timestamp with already-imported data are treated as imported
+    (choose a monotonically increasing column; ties at the watermark are
+    the caller's dedup problem, e.g. follow with insert_not_existing)."""
+    wm = target.agg(F.max(watermark_col).alias("__wm"))
+    fresh = (
+        source.crossJoin(F.broadcast(wm))
+        .filter(F.col(watermark_col) > F.col("__wm"))
+        .drop("__wm")
+    )
+    return target.unionByName(fresh)

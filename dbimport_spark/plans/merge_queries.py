@@ -473,3 +473,29 @@ def merge_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
         tracked=["c_acctbal", "c_mktsegment"],
         load_ts=_SCD2_LOAD_TS,
     )
+
+
+_ORDER_COLS = "o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate, o_orderpriority"
+
+
+@register(
+    "incremental_watermark_append",
+    f"""WITH tgt AS (
+  SELECT {_ORDER_COLS} FROM orders
+  WHERE o_orderdate < TIMESTAMP '1999-01-01 00:00:00'
+),
+wm AS (SELECT max(o_orderdate) AS w FROM tgt)
+SELECT {_ORDER_COLS} FROM tgt
+UNION ALL
+SELECT {_ORDER_COLS} FROM orders, wm WHERE o_orderdate > wm.w""",
+)
+def incremental_watermark_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Periodic incremental import: the target holds pre-1999 orders; a
+    re-run against the full export appends only rows strictly newer than
+    the target's max order date. One metadata-cheap 1-row aggregate
+    broadcast into a pushed-down filter — no key join at all."""
+    o = load(spark, sf_dir, "orders")
+    target = o.filter(
+        F.col("o_orderdate") < F.lit("1999-01-01 00:00:00").cast("timestamp")
+    )
+    return merge.incremental_append(target, o, "o_orderdate")

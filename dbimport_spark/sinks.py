@@ -106,3 +106,45 @@ def write_bucketed_table(
     if sort_cols:
         w = w.sortBy(*sort_cols)
     w.saveAsTable(table)
+
+
+def compaction_partitions(total_bytes: int, target_file_bytes: int = 128 << 20) -> int:
+    """Output-file count for compacting a (small-file-ridden) dataset to
+    ~target-size files: ceil(total/target), min 1."""
+    return max(1, -(-total_bytes // target_file_bytes))
+
+
+def input_bytes(spark, path: str) -> int:
+    """Total byte size of the files under a path (Hadoop FS listing —
+    driver-side metadata only, no data read)."""
+    jvm = spark.sparkContext._jvm
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    fs = p.getFileSystem(conf)
+    total = 0
+    it = fs.listFiles(p, True)
+    while it.hasNext():
+        total += it.next().getLen()
+    return total
+
+
+def compact_parquet(
+    spark,
+    src_path: str,
+    dst_path: str,
+    target_file_bytes: int = 128 << 20,
+) -> int:
+    """Small-file compaction: rewrite a parquet dataset into
+    ceil(bytes/target) files. The 100 TB housekeeping op — streaming
+    ingestion and per-batch upserts accumulate thousands of KB-sized
+    files whose per-file open/footer cost dominates scans; compaction
+    restores ~target-sized files. Uses coalesce when shrinking (no
+    shuffle — each output task concatenates input splits) and only falls
+    back to a full repartition when the source has too few partitions to
+    coalesce. Returns the output file count."""
+    df = spark.read.parquet(src_path)
+    n = compaction_partitions(input_bytes(spark, src_path), target_file_bytes)
+    cur = df.rdd.getNumPartitions()
+    out = df.coalesce(n) if cur >= n else df.repartition(n)
+    out.write.mode("overwrite").parquet(dst_path)
+    return n

@@ -349,3 +349,62 @@ def test_bucketed_join_is_shuffle_free(spark, sf_dir):
     assert "SortMergeJoin" in plan
     assert "Exchange hashpartitioning" not in plan
     assert joined.count() > 0
+
+
+def test_partitioned_sink_prunes_partitions(spark, sf_dir, tmp_path):
+    """Hive-partitioned parquet sink + a partition-key filter -> the scan's
+    PartitionFilters carry the predicate and only the matching directory is
+    read (partition pruning: the 100-TB reason to partition by a coarse
+    key at write time)."""
+    from dbimport_spark.plans.registry import load_events
+    from dbimport_spark.sinks import SinkConfig, write_target
+
+    e = load_events(spark, sf_dir).withColumn("day", F.to_date("ts"))
+    out = str(tmp_path / "events_by_day")
+    write_target(e, SinkConfig(kind="parquet", path_or_table=out,
+                               mode="overwrite", partition_by=["day"]))
+    n_days = e.select("day").distinct().count()
+    assert n_days > 1
+
+    back = spark.read.parquet(out)
+    one = back.filter(F.col("day") == "2024-01-02")
+    plan = one._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "day" in plan.split("PartitionFilters", 1)[1][:200]
+    # the pruned scan reads exactly the one day's rows
+    want = e.filter(F.col("day") == "2024-01-02").count()
+    assert one.count() == want and want > 0
+
+
+def test_compact_parquet_restores_file_sizes(spark, tmp_path):
+    """1000 rows scattered over 32 tiny files compact into the planned
+    ceil(bytes/target) file count with identical content."""
+    from dbimport_spark.sinks import compact_parquet, compaction_partitions, input_bytes
+
+    src = str(tmp_path / "small_files")
+    dst = str(tmp_path / "compacted")
+    spark.range(1000).selectExpr("id", "id * 2 AS v").repartition(32).write.parquet(src)
+    total = input_bytes(spark, src)
+    target = max(1, total // 3)  # force a small multi-file plan
+    n = compact_parquet(spark, src, dst, target_file_bytes=target)
+    assert n == compaction_partitions(total, target) and 1 <= n < 32
+    import glob
+    files = glob.glob(f"{dst}/part-*.parquet")
+    assert len(files) == n
+    a = spark.read.parquet(src).orderBy("id").collect()
+    b = spark.read.parquet(dst).orderBy("id").collect()
+    assert a == b
+
+
+def test_incremental_append_boundary(spark):
+    """Strictly-newer semantics: boundary-timestamp rows do not re-append."""
+    import datetime as dt
+
+    from dbimport_spark.operators.merge import incremental_append
+
+    t0, t1, t2 = (dt.datetime(2024, 1, d) for d in (1, 2, 3))
+    target = spark.createDataFrame([(1, t0), (2, t1)], "id long, ts timestamp")
+    source = spark.createDataFrame(
+        [(1, t0), (2, t1), (3, t1), (4, t2)], "id long, ts timestamp"
+    )
+    out = {r["id"] for r in incremental_append(target, source, "ts").collect()}
+    assert out == {1, 2, 4}  # id=3 shares the watermark ts -> not appended
