@@ -556,3 +556,91 @@ def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("n_name")
         .agg((F.sum(rev_c) / F.lit(100.0)).alias("revenue"))
     )
+
+
+@register(
+    "pivot_priority_status",
+    """SELECT o_orderpriority,
+       count(*) FILTER (WHERE o_orderstatus = 'F') AS n_f,
+       count(*) FILTER (WHERE o_orderstatus = 'O') AS n_o,
+       count(*) FILTER (WHERE o_orderstatus = 'P') AS n_p,
+       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+            FILTER (WHERE o_orderstatus = 'F') AS BIGINT) / 100.0 AS price_f
+FROM orders GROUP BY o_orderpriority""",
+)
+def pivot_priority_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (long → wide): order counts per priority spread across status
+    columns, plus a pivoted cents-exact sum. Spark's pivot with an
+    EXPLICIT value list compiles to a single hash agg of conditional
+    aggregates — one shuffle, no per-value scans (an unlisted-value pivot
+    would need an extra distinct pass to discover columns; always list
+    values at scale)."""
+    o = load(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    return (
+        o.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.when(F.col("o_orderstatus") == "F", 1)).alias("n_f"),
+            F.count(F.when(F.col("o_orderstatus") == "O", 1)).alias("n_o"),
+            F.count(F.when(F.col("o_orderstatus") == "P", 1)).alias("n_p"),
+            (
+                F.sum(F.when(F.col("o_orderstatus") == "F", cents)).cast("bigint")
+                / F.lit(100.0)
+            ).alias("price_f"),
+        )
+    )
+
+
+@register(
+    "doc_length_deciles",
+    """SELECT doc_id, lang,
+       CAST(ntile(10) OVER (PARTITION BY lang ORDER BY n_chars, doc_id) AS INT) AS decile
+FROM documents""",
+)
+def doc_length_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language length deciles (ntile): the bucketing step of a
+    length-balanced sampler. Partitioned by lang so each window sort is
+    per-group (no global single-partition sort); the doc_id tiebreak makes
+    bucket assignment deterministic. At 100 TB with giant groups the
+    drop-in is approx-quantile cutpoints + a join, trading exactness for
+    a bounded sort."""
+    d = load(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy("n_chars", "doc_id")
+    return d.select(
+        "doc_id", "lang", F.ntile(10).over(w).cast("int").alias("decile")
+    )
+
+
+@register(
+    "events_gap_stats",
+    """WITH g AS (
+  SELECT user_id,
+         epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))
+           AS gap_us
+  FROM events
+)
+SELECT user_id, count(*) AS n_gaps,
+       max(gap_us) AS max_gap_us,
+       quantile_disc(gap_us, 0.5) AS p50_gap_us
+FROM g WHERE gap_us IS NOT NULL GROUP BY user_id""",
+)
+def events_gap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-event gap profiling per user (lag window → hash agg): the
+    feed-health/session-tuning companion to sessionize. One shuffle on
+    user_id feeds both the window and the aggregation (same key → AQE
+    reuses the exchange); exact discrete median over integer micros."""
+    e = load_events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+    return (
+        e.select("user_id", gap.alias("gap_us"))
+        .filter(F.col("gap_us").isNotNull())
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_gaps"),
+            F.max("gap_us").alias("max_gap_us"),
+            F.expr(
+                "CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY gap_us) AS BIGINT)"
+            ).alias("p50_gap_us"),
+        )
+    )
