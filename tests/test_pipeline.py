@@ -333,7 +333,15 @@ def test_readout_formats(spark):
 def test_bucketed_join_is_shuffle_free(spark, sf_dir):
     """Both sides bucketed on the join key -> SortMergeJoin with NO
     hash-partitioning Exchange in the physical plan."""
+    import shutil
+
     from dbimport_spark.sinks import write_bucketed_table
+
+    # self-heal from a previous crashed run: saveAsTable(overwrite) refuses
+    # a leftover warehouse dir that has no catalog entry
+    for t in ("b_cust", "b_orders"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        shutil.rmtree(f"spark-warehouse/{t}", ignore_errors=True)
 
     cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
     orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
