@@ -390,3 +390,79 @@ def heavy_hitters_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("s")
     )
     return heavy_hitters(sh, "s", k=20)
+
+
+@register(
+    "sparse_tfidf_neardup",
+    f"""WITH {CORPUS_SQL},
+toks AS (SELECT doc_id, unnest(string_split({NORM_SQL}, ' ')) AS t FROM corpus),
+tf AS (SELECT doc_id, t, count(*) AS tf FROM toks WHERE t <> '' GROUP BY doc_id, t),
+nd AS (SELECT count(*) AS n_docs FROM corpus),
+dfreq AS (SELECT t, count(*) AS df FROM tf GROUP BY t),
+w AS (
+  SELECT tf.doc_id, tf.t, dfreq.df, tf.tf * (nd.n_docs // dfreq.df) AS w
+  FROM tf JOIN dfreq USING (t), nd
+  WHERE dfreq.df * 4 <= nd.n_docs
+),
+norms AS (SELECT doc_id, sum(w * w) AS n2 FROM w GROUP BY doc_id),
+dots AS (
+  SELECT a.doc_id AS a_id, b.doc_id AS b_id, sum(a.w * b.w) AS dot
+  FROM w a JOIN w b ON a.t = b.t AND a.doc_id < b.doc_id
+  WHERE a.df >= 2
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT a_id, b_id, CAST(dot AS BIGINT) AS dot,
+       CAST(na.n2 AS BIGINT) AS na2, CAST(nb.n2 AS BIGINT) AS nb2
+FROM dots JOIN norms na ON na.doc_id = a_id JOIN norms nb ON nb.doc_id = b_id
+WHERE CAST(dot * 10 AS HUGEINT) * CAST(dot * 10 AS HUGEINT)
+      >= 81 * CAST(na.n2 AS HUGEINT) * CAST(nb.n2 AS HUGEINT)""",
+)
+def sparse_tfidf_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sparse TF-IDF cosine near-dup pairs via an inverted-index join —
+    the bag-of-words sibling of the shingle sketches, exact and
+    float-free: integer weights w = tf · (N div df), and the cosine
+    threshold cos ≥ 0.9 is decided by cross-multiplication
+    (10·dot)² ≥ 81·‖a‖²·‖b‖² in decimal(38) — no sqrt, no float
+    boundary, so the DuckDB oracle matches bit-for-bit.
+
+    Scale design: the corpus never self-joins on documents — the join is
+    posting-list × posting-list per TERM, with two bounds applied first:
+    stopword pruning (df > N/4 terms carry no signal and create quadratic
+    fan-out — dropped from weights entirely) and singleton skipping
+    (df = 1 terms can't be shared — kept in norms, dropped from the
+    join). Per-term fan-out is thus ≤ (N/4)²; at 100 TB you lower the
+    df cap or shard hot terms like the shingle join. Everything else is
+    hash aggs on narrow keys."""
+    corpus = corpus_df(spark, sf_dir)
+    toks = corpus.select(
+        "doc_id",
+        F.explode(F.array_remove(F.split(norm_col(), " "), "")).alias("t"),
+    )
+    tf = toks.groupBy("doc_id", "t").agg(F.count(F.lit(1)).alias("tf"))
+    nd = corpus.agg(F.count(F.lit(1)).alias("n_docs"))
+    w = (
+        tf.join(tf.groupBy("t").agg(F.count(F.lit(1)).alias("df")), "t")
+        .crossJoin(F.broadcast(nd))
+        .filter(F.col("df") * 4 <= F.col("n_docs"))
+        .select("doc_id", "t", "df", F.expr("tf * (n_docs div df)").alias("w"))
+    )
+    norms = w.groupBy("doc_id").agg(F.sum(F.col("w") * F.col("w")).alias("n2"))
+    j = w.filter(F.col("df") >= 2)
+    a = j.select(F.col("doc_id").alias("a_id"), "t", F.col("w").alias("wa"))
+    b = j.select(F.col("doc_id").alias("b_id"), "t", F.col("w").alias("wb"))
+    dots = (
+        a.join(b, "t")
+        .filter(F.col("a_id") < F.col("b_id"))
+        .groupBy("a_id", "b_id")
+        .agg(F.sum(F.col("wa") * F.col("wb")).alias("dot"))
+    )
+    dec = lambda c: c.cast("decimal(38,0)")
+    out = (
+        dots.join(norms.select(F.col("doc_id").alias("a_id"), F.col("n2").alias("na2")), "a_id")
+        .join(norms.select(F.col("doc_id").alias("b_id"), F.col("n2").alias("nb2")), "b_id")
+        .filter(
+            dec(F.col("dot") * 10) * dec(F.col("dot") * 10)
+            >= F.lit(81).cast("decimal(38,0)") * dec(F.col("na2")) * dec(F.col("nb2"))
+        )
+    )
+    return out.select("a_id", "b_id", "dot", "na2", "nb2")

