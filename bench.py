@@ -53,6 +53,12 @@ HEADLINE = [
     "ann_pq_topk",
     "q3_shipping_priority",
     "q5_region_revenue",
+    "sparse_tfidf_neardup",
+    "dup_span_coverage",
+    "incremental_watermark_append",
+    "events_gap_stats",
+    "doc_length_deciles",
+    "pivot_priority_status",
 ]
 
 

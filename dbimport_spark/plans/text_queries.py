@@ -466,3 +466,81 @@ def sparse_tfidf_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return out.select("a_id", "b_id", "dot", "na2", "nb2")
+
+
+@register(
+    "dup_span_coverage",
+    f"""WITH {CORPUS_SQL},
+toks AS (SELECT doc_id, string_split({NORM_SQL}, ' ') AS w FROM corpus),
+n AS (SELECT doc_id, len(w) AS n_words FROM toks),
+grams AS (
+  SELECT doc_id, i AS pos,
+         concat_ws(' ', w[i], w[i+1], w[i+2], w[i+3], w[i+4], w[i+5], w[i+6], w[i+7]) AS g
+  FROM toks, UNNEST(range(1, len(w) - 6)) AS u(i)
+),
+dupg AS (SELECT g FROM grams GROUP BY g HAVING count(DISTINCT doc_id) >= 2),
+cov AS (
+  SELECT DISTINCT doc_id, p
+  FROM (SELECT gr.doc_id, gr.pos FROM grams gr JOIN dupg USING (g)) d,
+       UNNEST(range(d.pos, d.pos + 8)) AS v(p)
+),
+per_doc AS (SELECT doc_id, count(*) AS n_dup_pos FROM cov GROUP BY doc_id)
+SELECT n.doc_id, n.n_words, COALESCE(per_doc.n_dup_pos, 0) AS n_dup_pos
+FROM n LEFT JOIN per_doc USING (doc_id)""",
+)
+def dup_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicated-substring coverage — the positional primitive of exact
+    substring dedup (find-and-cut duplicated spans, Lee et al. style):
+    per document, how many word positions sit inside an 8-gram that also
+    occurs in ANOTHER document. The planted twins (full-content copies)
+    report near-total coverage; organic repeats show up as partial spans.
+
+    Scale design: positional 8-grams are produced in-array (token array
+    let-bound via the transform(array(..))[0] idiom so the split isn't
+    re-evaluated per gram — see NOTES.md); corpus-wide duplicated grams
+    come from one hash agg with a distinct-doc count; coverage is the
+    gram→dup semi-join exploded to its 8 positions and counted distinct
+    per doc. Shuffles on gram and doc_id only — no doc self-join, no
+    quadratic pair set. At 100 TB the string gram key becomes an 8-byte
+    hash and the distinct-position union stays bounded by document
+    length."""
+    corpus = corpus_df(spark, sf_dir)
+    toks = corpus.select(
+        "doc_id",
+        F.expr(
+            "transform(array(array_remove(split(trim(lower("
+            "regexp_replace(text, '[^a-zA-Z0-9]+', ' '))), ' '), '')),"
+            " ww -> ww)[0]"
+        ).alias("w"),
+    )
+    n = toks.select("doc_id", F.size("w").alias("n_words"))
+    grams = toks.filter(F.size("w") >= 8).select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                "transform(sequence(0, size(w) - 8),"
+                " i -> concat_ws(' ', slice(w, i + 1, 8)))"
+            )
+        ).alias("pos", "g"),
+    )
+    dupg = (
+        grams.groupBy("g")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("g")
+    )
+    cov = (
+        grams.join(dupg, "g")
+        .select("doc_id", F.explode(F.sequence(F.col("pos"), F.col("pos") + 7)).alias("p"))
+        .distinct()
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_dup_pos"))
+    )
+    return (
+        n.join(cov, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_words",
+            F.coalesce("n_dup_pos", F.lit(0)).alias("n_dup_pos"),
+        )
+    )
