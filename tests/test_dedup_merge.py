@@ -248,3 +248,72 @@ def test_scd2_merge_semantics(spark):
     assert [(r["v"], r["is_current"]) for r in by[5]] == [("e", True)]
     assert [(r["v"], r["is_current"]) for r in by[6]] == [(None, True)]  # new key, NULL value
     assert len(rows) == 8
+
+
+def test_scd2_merge_matches_model_on_random_inputs(spark):
+    """Model-based check: scd2_merge equals a pure-Python reference on
+    seeded random histories/snapshots — keys with only closed history,
+    NULL tracked values, multi-version keys, and absent keys all appear.
+    Also asserts the structural invariants: at most one open row per key
+    and closed rows keep their original valid_from."""
+    import datetime as dt
+    import random
+
+    from pyspark.sql import types as T
+
+    schema = T.StructType([
+        T.StructField("k", T.LongType()),
+        T.StructField("v", T.StringType()),
+        T.StructField("valid_from", T.TimestampType()),
+        T.StructField("valid_to", T.TimestampType()),
+        T.StructField("is_current", T.BooleanType()),
+    ])
+    load_ts = dt.datetime(2024, 6, 1)
+    vals = ["a", "b", "c", None]
+
+    for seed in range(5):
+        rng = random.Random(seed)
+        hist, model_cur = [], {}
+        for k in range(1, 13):
+            shape = rng.choice(["none", "open", "closed_only", "closed_plus_open"])
+            t0, t1 = dt.datetime(2023, 1, 1), dt.datetime(2024, 1, 1)
+            if shape in ("closed_only", "closed_plus_open"):
+                hist.append((k, rng.choice(vals), t0, t1, False))
+            if shape in ("open", "closed_plus_open"):
+                v = rng.choice(vals)
+                hist.append((k, v, t1, None, True))
+                model_cur[k] = v
+        src = [
+            (k, rng.choice(vals))
+            for k in range(1, 16)
+            if rng.random() < 0.7
+        ]
+        if not hist or not src:
+            continue
+
+        # python reference model
+        want = {r for r in hist if not r[4]}          # closed pass through
+        src_by_k = dict(src)
+        for k, v, vf, vt, cur in [r for r in hist if r[4]]:
+            if k in src_by_k and src_by_k[k] != v:
+                want.add((k, v, vf, load_ts, False))  # closed now
+            else:
+                want.add((k, v, vf, None, True))      # kept
+        for k, v in src:
+            if k not in model_cur or model_cur[k] != v:
+                want.add((k, v, load_ts, None, True))  # reopened or brand new
+
+        hist_df = spark.createDataFrame(hist, schema)
+        src_df = spark.createDataFrame(
+            src, T.StructType([T.StructField("k", T.LongType()), T.StructField("v", T.StringType())])
+        )
+        got = {
+            (r["k"], r["v"], r["valid_from"], r["valid_to"], r["is_current"])
+            for r in merge.scd2_merge(hist_df, src_df, ["k"], ["v"], "2024-06-01 00:00:00").collect()
+        }
+        assert got == want, f"seed {seed}: {got ^ want}"
+        open_per_key = {}
+        for k, *_rest, cur in got:
+            if cur:
+                open_per_key[k] = open_per_key.get(k, 0) + 1
+        assert all(n == 1 for n in open_per_key.values())
