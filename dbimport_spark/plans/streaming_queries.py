@@ -337,3 +337,59 @@ def stream_interval_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         max_delay="24 hours",
     ).select("purchase_id", "signup_id", "user_id", "purchase_ts", "signup_ts")
     return _run_to_memory(joined, spark)
+
+
+def _register_stream_scd2():
+    from dbimport_spark.plans.registry import ORACLES
+
+    @register("stream_scd2_sink", ORACLES["merge_scd2"])
+    def stream_scd2_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Streaming SCD2 sink (the CDC-ingestion shape): snapshot change
+        rows arrive as a stream; each micro-batch runs the batch
+        scd2_merge via foreachBatch against a parquet history target —
+        changed keys close + reopen, new keys open, history accumulates
+        versions. Seeded with merge_scd2's fixture history and fed its
+        snapshot as a single availableNow batch, the final target equals
+        the batch merge, so it shares that oracle."""
+        import shutil
+
+        from dbimport_spark.operators.merge import scd2_merge
+        from dbimport_spark.plans.merge_queries import (
+            _SCD2_LOAD_TS,
+            scd2_history_df,
+            scd2_source_df,
+        )
+
+        work = tempfile.mkdtemp(prefix="dbimport_stream_scd2_")
+        target_path = os.path.join(work, "history")
+        src_dir = os.path.join(work, "src")
+        checkpoint = os.path.join(work, "ckpt")
+        scd2_history_df(spark, sf_dir).write.mode("overwrite").parquet(target_path)
+        scd2_source_df(spark, sf_dir).coalesce(1).write.mode("overwrite").parquet(src_dir)
+
+        src_schema = spark.read.parquet(src_dir).schema
+        stream = spark.readStream.schema(src_schema).parquet(src_dir)
+
+        def apply_batch(batch_df, batch_id):
+            s = batch_df.sparkSession
+            hist = s.read.parquet(target_path)
+            merged = scd2_merge(
+                hist, batch_df, keys=["c_custkey"],
+                tracked=["c_acctbal", "c_mktsegment"], load_ts=_SCD2_LOAD_TS,
+            )
+            tmp = target_path + f".next{batch_id}"
+            merged.write.mode("overwrite").parquet(tmp)
+            shutil.rmtree(target_path)
+            os.rename(tmp, target_path)
+
+        q = (
+            stream.writeStream.foreachBatch(apply_batch)
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return spark.read.parquet(target_path)
+
+
+_register_stream_scd2()
