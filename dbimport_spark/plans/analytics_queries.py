@@ -651,3 +651,80 @@ def events_gap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("p50_gap_us"),
         )
     )
+
+
+@register(
+    "dq_audit_orders",
+    """SELECT 'orphan_custkey' AS check_name,
+       (SELECT count(*) FROM orders o
+        WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey))
+       AS violations
+UNION ALL
+SELECT 'dup_orderkey',
+       (SELECT COALESCE(sum(n - 1), 0) FROM
+         (SELECT count(*) AS n FROM orders GROUP BY o_orderkey HAVING count(*) > 1) d)
+UNION ALL
+SELECT 'null_priority', (SELECT count(*) FROM orders WHERE o_orderpriority IS NULL)
+UNION ALL
+SELECT 'nonpositive_price', (SELECT count(*) FROM orders WHERE o_totalprice <= 0)
+UNION ALL
+SELECT 'date_out_of_range',
+       (SELECT count(*) FROM orders
+        WHERE o_orderdate < TIMESTAMP '1990-01-01 00:00:00'
+           OR o_orderdate >= TIMESTAMP '2005-01-01 00:00:00')""",
+)
+def dq_audit_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality audit: named constraint checks (referential integrity
+    via anti-join, key uniqueness via a having-count agg, nullability and
+    range scans) reported as one (check_name, violations) table — the
+    validation report a production import runs before committing a batch
+    (the set-based generalization of the reference's per-row validity
+    checks, DbImportWorker.java:1502-1566).
+
+    Scale: every check is an independent aggregation over a pruned scan;
+    the anti-join shuffles on the key, everything else is map-side
+    partials into 1-row aggs. Checks share the orders scan via Spark's
+    file-scan reuse; a 100 TB audit would fuse the single-table checks
+    into one pass (count_if per predicate) — kept separate here for
+    clarity, and the fused form is what q1-style conditional aggs show
+    elsewhere."""
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+
+    def row(name, agg_df):
+        return agg_df.select(F.lit(name).alias("check_name"), F.col("violations"))
+
+    orphan = row(
+        "orphan_custkey",
+        o.join(c, o["o_custkey"] == c["c_custkey"], "left_anti").agg(
+            F.count(F.lit(1)).alias("violations")
+        ),
+    )
+    dup = row(
+        "dup_orderkey",
+        o.groupBy("o_orderkey")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > 1)
+        .agg(F.coalesce(F.sum(F.col("n") - 1), F.lit(0)).alias("violations")),
+    )
+    nullp = row(
+        "null_priority",
+        o.agg(F.count(F.when(F.col("o_orderpriority").isNull(), 1)).alias("violations")),
+    )
+    price = row(
+        "nonpositive_price",
+        o.agg(F.count(F.when(F.col("o_totalprice") <= 0, 1)).alias("violations")),
+    )
+    dates = row(
+        "date_out_of_range",
+        o.agg(
+            F.count(
+                F.when(
+                    (F.col("o_orderdate") < F.lit("1990-01-01 00:00:00").cast("timestamp"))
+                    | (F.col("o_orderdate") >= F.lit("2005-01-01 00:00:00").cast("timestamp")),
+                    1,
+                )
+            ).alias("violations")
+        ),
+    )
+    return orphan.unionByName(dup).unionByName(nullp).unionByName(price).unionByName(dates)
