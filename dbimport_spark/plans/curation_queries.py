@@ -14,7 +14,7 @@ integer counts in the same written order on both engines.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from dbimport_spark.functions.cluster import connected_components
@@ -982,3 +982,71 @@ def dedup_bloom_static(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     contains = bloom.bloom_contains_udf(spark, bitmap, m_bits=m_bits, k=k)
     return incoming.filter(~contains(h1, h2)).select("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# sample_token_budget — quality-ranked per-source selection under a token cap
+
+_TOKEN_BUDGET = 800
+
+
+@register(
+    "sample_token_budget",
+    f"""WITH scored AS (
+  SELECT doc_id, source,
+         len(string_split({NORM_SQL}, ' ')) AS n_tokens,
+         length(regexp_replace(lower(text), '[^a-z]', '', 'g')) * 1000 // length(text)
+           AS quality_rank
+  FROM documents
+),
+ranked AS (
+  SELECT doc_id, source, n_tokens,
+         sum(n_tokens) OVER (PARTITION BY source
+                             ORDER BY quality_rank DESC, doc_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cum_tokens
+  FROM scored
+)
+SELECT doc_id, source, n_tokens, cum_tokens
+FROM ranked WHERE cum_tokens <= {_TOKEN_BUDGET}""",
+)
+def sample_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budgeted corpus selection — the data-mixing primitive: per
+    source, take documents in quality order (integer alpha-ratio rank,
+    doc_id tiebreak) until the source's token budget is exhausted; a doc
+    that would cross the budget is cut, not truncated.
+
+    Scale: one shuffle on source; the running-frame window is a single
+    sorted pass per source partition. Quality rank and token counts are
+    integers end to end, so selection boundaries are exact in both
+    engines. At 100 TB per-source budgets arrive as a broadcast config
+    table instead of a literal, and sources with billions of docs switch
+    the full sort for a two-pass quantile cut on quality_rank (select the
+    rank threshold from a histogram, then filter) — same semantics minus
+    the tail doc at the boundary."""
+    d = load(spark, sf_dir, "documents")
+    from dbimport_spark.plans.text_queries import norm_col
+
+    n_tokens = F.size(F.split(norm_col(), " "))
+    quality = F.expr(
+        "(length(regexp_replace(lower(text), '[^a-z]', '')) * 1000)"
+        " div length(text)"
+    )
+    scored = d.select(
+        "doc_id",
+        "source",
+        n_tokens.alias("n_tokens"),
+        quality.alias("quality_rank"),
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy(F.col("quality_rank").desc(), "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ranked = scored.select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        F.sum("n_tokens").over(w).alias("cum_tokens"),
+    )
+    return ranked.filter(F.col("cum_tokens") <= _TOKEN_BUDGET)

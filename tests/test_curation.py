@@ -308,3 +308,27 @@ class TestBloomDedup:
         # all planted re-keyed historical copies (doc_id >= 1e6) dropped
         assert not {d for d in kept if d >= 1000000}
         assert kept, "incoming half should survive"
+
+
+def test_sample_token_budget_binds_and_is_prefix(spark, sf_dir):
+    """Per source: cumulative tokens never exceed the budget, the kept set
+    is a PREFIX of the (quality desc, doc_id) ordering (greedy semantics,
+    not an arbitrary subset), and the budget actually drops docs."""
+    from dbimport_spark.plans.curation_queries import _TOKEN_BUDGET
+    from dbimport_spark.plans.registry import QUERIES
+
+    rows = QUERIES["sample_token_budget"](spark, sf_dir).collect()
+    assert rows
+    by_src = {}
+    for r in rows:
+        by_src.setdefault(r["source"], []).append(r)
+    total_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    assert len(rows) < total_docs  # the budget dropped something
+    for src, rs in by_src.items():
+        assert max(r["cum_tokens"] for r in rs) <= _TOKEN_BUDGET
+        # cum_tokens reconstructs from the kept rows alone -> prefix proof
+        rs.sort(key=lambda r: r["cum_tokens"])
+        run = 0
+        for r in rs:
+            run += r["n_tokens"]
+            assert r["cum_tokens"] == run
