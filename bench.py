@@ -59,6 +59,11 @@ HEADLINE = [
     "events_gap_stats",
     "doc_length_deciles",
     "pivot_priority_status",
+    "dq_audit_orders",
+    "sample_token_budget",
+    "price_histogram",
+    "approx_quantile_gate",
+    "user_value_trend",
 ]
 
 

@@ -728,3 +728,117 @@ def dq_audit_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     return orphan.unionByName(dup).unionByName(nullp).unionByName(price).unionByName(dates)
+
+
+@register(
+    "price_histogram",
+    """SELECT l_returnflag,
+       CAST(least(19, CAST(round(l_extendedprice * 100) AS BIGINT) // 50000) AS INT) AS bucket,
+       count(*) AS n_rows
+FROM lineitem GROUP BY 1, 2""",
+)
+def price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram per group (bucket = cents div 50000, capped at
+    19 — a 20-bin $500-wide histogram): the distribution-sketch that ships
+    with every profiling pass. One hash agg on (group, bucket) with
+    map-side combine; bucket boundaries are integer arithmetic so both
+    engines bin identically."""
+    l = load(spark, sf_dir, "lineitem")
+    bucket = F.least(
+        F.lit(19).cast("bigint"),
+        F.expr("CAST(round(l_extendedprice * 100) AS BIGINT) div 50000"),
+    ).cast("int")
+    return (
+        l.groupBy("l_returnflag", bucket.alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+    )
+
+
+@register(
+    "approx_quantile_gate",
+    """SELECT l_returnflag,
+       quantile_disc(CAST(round(l_extendedprice * 100) AS BIGINT), 0.5) AS p50_exact_cents,
+       TRUE AS approx_ok
+FROM lineitem GROUP BY l_returnflag""",
+)
+def approx_quantile_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate-quantile accuracy gate (the percentile sibling of
+    approx_distinct_gate): per group, the exact discrete median plus a
+    boolean asserting percentile_approx (accuracy 10000) lands within 1%
+    of it. At 100 TB the approx form is the one to run — a fixed-size
+    mergeable sketch per group instead of numeric_profile's full per-group
+    sort; this gate is what lets you trust that swap."""
+    l = load(spark, sf_dir, "lineitem")
+    cents = "CAST(round(l_extendedprice * 100) AS BIGINT)"
+    return (
+        l.groupBy("l_returnflag")
+        .agg(
+            F.expr(
+                f"CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY {cents}) AS BIGINT)"
+            ).alias("p50_exact_cents"),
+            F.expr(f"percentile_approx({cents}, 0.5, 10000)").alias("__approx"),
+        )
+        .select(
+            "l_returnflag",
+            "p50_exact_cents",
+            (
+                F.abs(F.col("__approx") - F.col("p50_exact_cents"))
+                <= 0.01 * F.col("p50_exact_cents")
+            ).alias("approx_ok"),
+        )
+    )
+
+
+@register(
+    "user_value_trend",
+    """WITH p AS (
+  SELECT user_id,
+         (epoch_us(ts) - epoch_us(TIMESTAMP '2024-01-01 00:00:00')) // 60000000 AS x,
+         CAST(round(value * 100) AS BIGINT) AS y
+  FROM events
+),
+s AS (
+  SELECT user_id, count(*) AS n,
+         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(x * y) AS BIGINT) AS sxy, CAST(sum(x * x) AS BIGINT) AS sxx
+  FROM p GROUP BY user_id
+)
+SELECT user_id, n,
+       n * sxy - sx * sy AS num,
+       n * sxx - sx * sx AS den,
+       CAST(n * sxy - sx * sy AS DOUBLE) / nullif(n * sxx - sx * sx, 0) AS slope_cents_per_min
+FROM s""",
+)
+def user_value_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user least-squares trend of event value over time — a model fit
+    as a PURE AGGREGATION: slope = (nΣxy − ΣxΣy)/(nΣx² − (Σx)²) from five
+    sufficient statistics in one hash agg (map-side combined, one shuffle
+    on user_id, no window, no per-group iteration). x is integer minutes
+    since the corpus epoch and y integer cents, so every sum fits a
+    BIGINT exactly and the only float op is one final division of
+    identical integers — bit-stable across engines and partitionings.
+    This sufficient-statistics shape is how regression/covariance/OLS run
+    at 100 TB: the model state is O(groups), never O(rows)."""
+    e = load_events(spark, sf_dir)
+    epoch0 = "unix_micros(TIMESTAMP '2024-01-01 00:00:00')"
+    p = e.select(
+        "user_id",
+        F.expr(f"(unix_micros(ts) - {epoch0}) div 60000000").alias("x"),
+        F.expr("CAST(round(value * 100) AS BIGINT)").alias("y"),
+    )
+    s = p.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    return s.select(
+        "user_id",
+        "n",
+        num.alias("num"),
+        den.alias("den"),
+        (num.cast("double") / F.nullif(den, F.lit(0))).alias("slope_cents_per_min"),
+    )
