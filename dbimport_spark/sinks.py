@@ -148,3 +148,32 @@ def compact_parquet(
     out = df.coalesce(n) if cur >= n else df.repartition(n)
     out.write.mode("overwrite").parquet(dst_path)
     return n
+
+
+def write_clustered_parquet(
+    df: DataFrame,
+    path: str,
+    cluster_cols: list[str],
+    n_files: int,
+    max_records_per_file: int | None = None,
+) -> None:
+    """Range-clustered parquet: repartitionByRange + sortWithinPartitions
+    on the cluster columns before writing, so each output file owns a
+    disjoint value range and its parquet row-group min/max stats become
+    precise zone maps — a later filter on the cluster column skips whole
+    files instead of scanning them (verified by
+    tests: test_clustered_write_produces_disjoint_ranges).
+
+    This is the scan-side twin of bucketing: bucketBy wins shuffle-free
+    JOINS on the key, range-clustering wins RANGE/point filters. At 100 TB
+    cluster the biggest fact table by its dominant filter column (usually
+    event time) at load; ``max_records_per_file`` additionally caps file
+    size (Spark splits a partition into several files when it overflows)."""
+    w = (
+        df.repartitionByRange(n_files, *cluster_cols)
+        .sortWithinPartitions(*cluster_cols)
+        .write.mode("overwrite")
+    )
+    if max_records_per_file:
+        w = w.option("maxRecordsPerFile", max_records_per_file)
+    w.parquet(path)

@@ -416,3 +416,41 @@ def test_incremental_append_boundary(spark):
     )
     out = {r["id"] for r in incremental_append(target, source, "ts").collect()}
     assert out == {1, 2, 4}  # id=3 shares the watermark ts -> not appended
+
+
+def test_clustered_write_produces_disjoint_ranges(spark, sf_dir, tmp_path):
+    """Range-clustered files own pairwise-disjoint [min, max] spans of the
+    cluster column (parquet footer stats), so a range filter can skip
+    whole files; maxRecordsPerFile caps file sizes."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from dbimport_spark.sinks import write_clustered_parquet
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    out = str(tmp_path / "orders_by_date")
+    write_clustered_parquet(orders, out, ["o_orderdate"], n_files=4)
+
+    spans = []
+    for f in glob.glob(f"{out}/part-*.parquet"):
+        md = pq.ParquetFile(f).metadata
+        idx = md.schema.names.index("o_orderdate")
+        mins, maxs = [], []
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(idx).statistics
+            mins.append(st.min)
+            maxs.append(st.max)
+        spans.append((min(mins), max(maxs)))
+    assert len(spans) == 4
+    spans.sort()
+    for (lo1, hi1), (lo2, hi2) in zip(spans, spans[1:]):
+        assert hi1 <= lo2  # disjoint up to the boundary value
+
+    # row-count preserved and file-size capping kicks in
+    assert spark.read.parquet(out).count() == orders.count()
+    capped = str(tmp_path / "orders_capped")
+    write_clustered_parquet(orders, capped, ["o_orderdate"], n_files=2,
+                            max_records_per_file=1000)
+    n_files = len(glob.glob(f"{capped}/part-*.parquet"))
+    assert n_files >= orders.count() // 1000  # 15k rows / 1000 -> >= 15 files
