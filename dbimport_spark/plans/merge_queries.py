@@ -499,3 +499,56 @@ def incremental_watermark_append(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_orderdate") < F.lit("1999-01-01 00:00:00").cast("timestamp")
     )
     return merge.incremental_append(target, o, "o_orderdate")
+
+
+@register(
+    "snapshot_diff",
+    f"""WITH {SCD2_SRC_SQL}
+SELECT COALESCE(c.c_custkey, s.c_custkey) AS c_custkey,
+       CASE WHEN c.c_custkey IS NULL THEN 'added'
+            WHEN s.c_custkey IS NULL THEN 'removed'
+            ELSE 'changed' END AS change_type,
+       c.c_acctbal AS old_acctbal, s.c_acctbal AS new_acctbal,
+       c.c_mktsegment AS old_mktsegment, s.c_mktsegment AS new_mktsegment
+FROM customer c FULL OUTER JOIN src s ON c.c_custkey = s.c_custkey
+WHERE c.c_custkey IS NULL OR s.c_custkey IS NULL
+   OR (c.c_acctbal IS DISTINCT FROM s.c_acctbal)
+   OR (c.c_mktsegment IS DISTINCT FROM s.c_mktsegment)""",
+)
+def snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff — the change-data-capture view between two imports of
+    the same table: one full-outer hash join on the key classifies every
+    key as added / removed / changed (null-safe column compares), emitting
+    old and new values side by side; unchanged keys drop out. This is the
+    audit twin of UPSERT (what WOULD change) and the input shape for an
+    SCD2 load. One shuffle on the key; both scans pruned to key + compared
+    columns."""
+    old = load(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("ok"),
+        F.col("c_acctbal").alias("old_acctbal"),
+        F.col("c_mktsegment").alias("old_mktsegment"),
+    )
+    new = scd2_source_df(spark, sf_dir).select(
+        F.col("c_custkey").alias("nk"),
+        F.col("c_acctbal").alias("new_acctbal"),
+        F.col("c_mktsegment").alias("new_mktsegment"),
+    )
+    j = old.join(new, F.col("ok") == F.col("nk"), "full_outer")
+    change = (
+        F.when(F.col("ok").isNull(), "added")
+        .when(F.col("nk").isNull(), "removed")
+        .otherwise("changed")
+    )
+    return j.filter(
+        F.col("ok").isNull()
+        | F.col("nk").isNull()
+        | ~F.col("old_acctbal").eqNullSafe(F.col("new_acctbal"))
+        | ~F.col("old_mktsegment").eqNullSafe(F.col("new_mktsegment"))
+    ).select(
+        F.coalesce("ok", "nk").alias("c_custkey"),
+        change.alias("change_type"),
+        "old_acctbal",
+        "new_acctbal",
+        "old_mktsegment",
+        "new_mktsegment",
+    )
