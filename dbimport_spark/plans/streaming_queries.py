@@ -393,3 +393,55 @@ def _register_stream_scd2():
 
 
 _register_stream_scd2()
+
+
+@register(
+    "stream_session_window",
+    """WITH wm AS (SELECT max(ts) AS w FROM events),
+g AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 1800000000
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+s AS (
+  SELECT user_id, ts,
+         sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+  FROM g
+)
+SELECT user_id, count(*) AS n_events,
+       min(ts) AS session_start, max(ts) AS last_event_ts
+FROM s GROUP BY user_id, sid
+HAVING max(ts) + INTERVAL 30 MINUTE <= (SELECT w FROM wm)""",
+)
+def stream_session_window_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native session_window streaming aggregation (Spark's built-in
+    gap-session operator — state and merging handled by the engine, vs
+    stream_sessionize's hand-rolled applyInPandasWithState). A session's
+    window.start is its first event and every session closed by the final
+    watermark is emitted once, so the availableNow run matches the batch
+    lag+cumsum sessionization (session ids dropped: the native operator
+    doesn't number sessions).
+
+    Two deliberate semantic edges vs events_sessionize: (1) the native
+    operator merges only on STRICT window overlap, so a gap of exactly
+    the session duration starts a new session (>= in the oracle; the
+    hand-rolled variants use >); (2) append mode emits a session only
+    when the watermark passes its end (last event + gap), so sessions
+    still open at end-of-stream are withheld — the oracle's HAVING
+    cutoff, which excludes 7 tail sessions at sf0.01."""
+    stream = read_events_stream(spark, _events_path(sf_dir)).select("user_id", "ts")
+    agg = (
+        stream.withWatermark("ts", "0 seconds")
+        .groupBy(F.session_window("ts", "30 minutes"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("last_event_ts"),
+        )
+        .select("user_id", "n_events", "session_start", "last_event_ts")
+    )
+    return _run_to_memory(agg, spark)
