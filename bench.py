@@ -64,6 +64,8 @@ HEADLINE = [
     "price_histogram",
     "approx_quantile_gate",
     "user_value_trend",
+    "text_lm_score",
+    "snapshot_diff",
 ]
 
 

@@ -546,3 +546,64 @@ def dup_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("n_dup_pos", F.lit(0)).alias("n_dup_pos"),
         )
     )
+
+
+@register(
+    "text_lm_score",
+    f"""WITH n AS (SELECT doc_id, {NORM_SQL} AS t FROM documents),
+tri AS (
+  SELECT doc_id, substring(t, CAST(i AS BIGINT), 3) AS g
+  FROM n, UNNEST(range(1, length(t) - 1)) AS u(i)
+  WHERE length(t) >= 3
+),
+lm AS (SELECT g, count(*) AS cnt FROM tri GROUP BY g),
+scored AS (
+  SELECT tri.doc_id, count(*) AS n_tri, CAST(sum(lm.cnt) AS BIGINT) AS sum_cnt
+  FROM tri JOIN lm USING (g) GROUP BY tri.doc_id
+)
+SELECT doc_id, n_tri, sum_cnt,
+       CAST(sum_cnt AS DOUBLE) / n_tri AS avg_tri_freq
+FROM scored""",
+)
+def text_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical language-model quality score (the CCNet/KenLM shape
+    with an exactly-reproducible statistic): the corpus's character
+    trigram counts ARE the model; a document scores the average corpus
+    frequency of its own trigrams. Gibberish (rare trigrams) scores low,
+    fluent in-distribution text high. Counts stay integer to the end —
+    the only float is one final division — so the oracle matches
+    bit-for-bit where a log-prob LM could not.
+
+    Scale: the trigram vocabulary is bounded by charset³ (≤ ~47k over
+    [a-z0-9 ]) regardless of corpus size, so the trained "model" is
+    broadcast and scoring is a broadcast-hash join + one map-side-combined
+    agg on doc_id. Training is one hash agg. The trigram array is
+    generated in-array from the let-bound normalized string (the
+    transform(array(..))[0] idiom — see NOTES.md)."""
+    d = load(spark, sf_dir, "documents")
+    tri = d.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(array(trim(lower(regexp_replace(text, '[^a-zA-Z0-9]+', ' ')))),"
+                " tt -> CASE WHEN length(tt) >= 3"
+                " THEN transform(sequence(1, length(tt) - 2), i -> substring(tt, i, 3))"
+                " ELSE array() END)[0]"
+            )
+        ).alias("g"),
+    )
+    lm = tri.groupBy("g").agg(F.count(F.lit(1)).alias("cnt"))
+    return (
+        tri.join(F.broadcast(lm), "g")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tri"),
+            F.sum("cnt").alias("sum_cnt"),
+        )
+        .select(
+            "doc_id",
+            "n_tri",
+            "sum_cnt",
+            (F.col("sum_cnt").cast("double") / F.col("n_tri")).alias("avg_tri_freq"),
+        )
+    )
