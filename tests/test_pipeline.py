@@ -454,3 +454,38 @@ def test_clustered_write_produces_disjoint_ranges(spark, sf_dir, tmp_path):
                             max_records_per_file=1000)
     n_files = len(glob.glob(f"{capped}/part-*.parquet"))
     assert n_files >= orders.count() // 1000  # 15k rows / 1000 -> >= 15 files
+
+
+def test_bucketed_upsert_merge_is_shuffle_free(spark, sf_dir):
+    """THE core merge operator on bucketed target+source: both sides of the
+    update join and the anti-join insert read bucket-aligned tables, so the
+    physical plan has NO hash-partitioning Exchange — at 100 TB this is the
+    difference between re-shuffling the fact table on every periodic import
+    and never shuffling it at all."""
+    import shutil
+
+    from dbimport_spark.operators import merge
+    from dbimport_spark.sinks import write_bucketed_table
+
+    for t in ("bm_target", "bm_source"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        shutil.rmtree(f"spark-warehouse/{t}", ignore_errors=True)
+
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    updates = cust.withColumn("c_acctbal", F.col("c_acctbal") + 1).filter(
+        F.col("c_custkey") % 2 == 0
+    )
+    write_bucketed_table(cust, "bm_target", 8, ["c_custkey"], ["c_custkey"])
+    write_bucketed_table(updates, "bm_source", 8, ["c_custkey"], ["c_custkey"])
+
+    target = spark.table("bm_target").hint("merge")
+    source = spark.table("bm_source").hint("merge")
+    out = merge.update_all_existing(target, source, ["c_custkey"])
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange hashpartitioning" not in plan
+    assert out.count() == cust.count()
+
+    upserted = merge.upsert(target, source, ["c_custkey"], materialize_source=False)
+    plan2 = upserted._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange hashpartitioning" not in plan2
+    assert upserted.count() == cust.count()  # all source keys exist
