@@ -579,8 +579,10 @@ def text_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast and scoring is a broadcast-hash join + one map-side-combined
     agg on doc_id. Training is one hash agg. The trigram array is
     generated in-array from the let-bound normalized string (the
-    transform(array(..))[0] idiom — see NOTES.md)."""
-    d = load(spark, sf_dir, "documents")
+    transform(array(..))[0] idiom — see NOTES.md); doc rows are
+    repartitioned first so the ~300×-per-doc trigram explosion isn't bound
+    to the input's file-split count (2 at local test scale)."""
+    d = load(spark, sf_dir, "documents").repartition(32, "doc_id")
     tri = d.select(
         "doc_id",
         F.explode(
