@@ -842,3 +842,35 @@ def user_value_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         den.alias("den"),
         (num.cast("double") / F.nullif(den, F.lit(0))).alias("slope_cents_per_min"),
     )
+
+
+@register(
+    "set_ops_customers",
+    """WITH big AS (SELECT c_custkey FROM customer WHERE c_acctbal > 5000),
+building AS (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+SELECT 'intersect' AS op, c_custkey FROM (SELECT c_custkey FROM big INTERSECT SELECT c_custkey FROM building) a
+UNION ALL
+SELECT 'except', c_custkey FROM (SELECT c_custkey FROM big EXCEPT SELECT c_custkey FROM building) b
+UNION ALL
+SELECT 'union_distinct', c_custkey FROM (SELECT c_custkey FROM big UNION SELECT c_custkey FROM building) c""",
+)
+def set_ops_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relational set operations (INTERSECT / EXCEPT / UNION DISTINCT)
+    over two derived key sets, tagged into one result. The reference has
+    no set operators (SURVEY §2.7) — this covers the gap a SQL user
+    expects an engine to have. Spark plans each as a distinct-aggregated
+    join/anti-join on the key; all three share the same two pruned scans."""
+    c = load(spark, sf_dir, "customer")
+    big = c.filter(F.col("c_acctbal") > 5000).select("c_custkey")
+    building = c.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    parts = [
+        big.intersect(building).select(F.lit("intersect").alias("op"), "c_custkey"),
+        big.exceptAll(building).distinct().select(F.lit("except").alias("op"), "c_custkey"),
+        big.union(building).distinct().select(
+            F.lit("union_distinct").alias("op"), "c_custkey"
+        ),
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

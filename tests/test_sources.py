@@ -638,3 +638,25 @@ def test_kdbx4_roundtrip(spark, tdir):
                         protect_passwords=False)
     got2 = {e["title"]: e for e in read_kdbx_entries(str(p2), "m")}
     assert got2["alpha"]["password"] == "s3cret"
+
+
+def test_merge_schema_reads_drifting_parquet(spark, tmp_path):
+    """Lake-read schema evolution: files written before and after a column
+    was added read back as one unified schema with NULLs for the old
+    files (the read-side complement of schema/structure.py's DDL
+    evolution). mergeSchema reconciles footers; without it Spark serves
+    the first file's schema."""
+    d = str(tmp_path / "drift")
+    spark.createDataFrame([(1, "a")], "id long, name string").write.parquet(f"{d}/f1")
+    spark.createDataFrame(
+        [(2, "b", 9.5)], "id long, name string, score double"
+    ).write.parquet(f"{d}/f2")
+
+    merged = (
+        spark.read.option("mergeSchema", "true")
+        .option("recursiveFileLookup", "true")
+        .parquet(d)
+    )
+    assert set(merged.columns) == {"id", "name", "score"}
+    rows = {r["id"]: r for r in merged.collect()}
+    assert rows[1]["score"] is None and rows[2]["score"] == 9.5
