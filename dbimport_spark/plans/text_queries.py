@@ -609,3 +609,58 @@ def text_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("sum_cnt").cast("double") / F.col("n_tri")).alias("avg_tri_freq"),
         )
     )
+
+
+_CHUNK_SIZE = 50
+_CHUNK_STRIDE = 40
+
+
+@register(
+    "text_chunk_windows",
+    f"""WITH toks AS (
+  SELECT doc_id, string_split({NORM_SQL}, ' ') AS w FROM documents
+  WHERE length({NORM_SQL}) > 0
+)
+SELECT doc_id, CAST(i AS INT) AS chunk_idx,
+       array_to_string(list_slice(w, i * {_CHUNK_STRIDE} + 1,
+                                  least(i * {_CHUNK_STRIDE} + {_CHUNK_SIZE}, len(w))), ' ')
+         AS chunk_text,
+       CAST(least(i * {_CHUNK_STRIDE} + {_CHUNK_SIZE}, len(w)) - i * {_CHUNK_STRIDE} AS INT)
+         AS n_chunk_tokens
+FROM toks, UNNEST(range(0, (len(w) + {_CHUNK_STRIDE} - 1) // {_CHUNK_STRIDE})) AS u(i)""",
+)
+def text_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window chunking: split every document into sliding
+    {size}-token windows with {stride}-token stride ({size}-{stride}
+    tokens of overlap) — the chunk step of RAG indexing and pretraining
+    sequence prep (the overlap preserves cross-boundary context; the
+    companion packer is pack_sequences).
+
+    Pure expression plan: token array let-bound once, chunk starts from a
+    sequence(), slice + concat_ws per chunk — a narrow map-only stage with
+    no shuffle at all; at 100 TB chunking is embarrassingly parallel and
+    this plan keeps it that way.""".format(size=_CHUNK_SIZE, stride=_CHUNK_STRIDE)
+    d = load(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.expr(
+            "transform(array(array_remove(split(trim(lower("
+            "regexp_replace(text, '[^a-zA-Z0-9]+', ' '))), ' '), '')), ww -> ww)[0]"
+        ).alias("w"),
+    ).filter(F.size("w") > 0)
+    n_chunks = F.expr(f"(size(w) + {_CHUNK_STRIDE} - 1) div {_CHUNK_STRIDE}")
+    return toks.select(
+        "doc_id",
+        F.posexplode(F.expr(f"sequence(0, (size(w) + {_CHUNK_STRIDE} - 1) div {_CHUNK_STRIDE} - 1)")).alias("chunk_idx", "__start"),
+        F.col("w"),
+    ).select(
+        "doc_id",
+        F.col("chunk_idx").cast("int").alias("chunk_idx"),
+        F.expr(
+            f"concat_ws(' ', slice(w, chunk_idx * {_CHUNK_STRIDE} + 1, {_CHUNK_SIZE}))"
+        ).alias("chunk_text"),
+        F.expr(
+            f"CAST(least(chunk_idx * {_CHUNK_STRIDE} + {_CHUNK_SIZE}, size(w))"
+            f" - chunk_idx * {_CHUNK_STRIDE} AS INT)"
+        ).alias("n_chunk_tokens"),
+    )
