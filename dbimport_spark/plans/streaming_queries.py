@@ -445,3 +445,51 @@ def stream_session_window_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("user_id", "n_events", "session_start", "last_event_ts")
     )
     return _run_to_memory(agg, spark)
+
+
+def _register_stream_chunk():
+    from dbimport_spark.plans.registry import ORACLES
+
+    @register("stream_chunk_windows", ORACLES["text_chunk_windows"])
+    def stream_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Streaming context-window chunking: the batch sliding-window
+        chunker applied unchanged to a readStream of documents (stateless
+        generator map — no watermark, no state store), availableNow to
+        completion. With stream_pii_redact this pins the rule that every
+        expression-only curation operator composes onto Structured
+        Streaming as-is; chunking is the one with a row-EXPANDING
+        (posexplode) shape rather than 1:1."""
+        from dbimport_spark.plans.text_queries import _CHUNK_SIZE, _CHUNK_STRIDE
+
+        sch = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+        stream = spark.readStream.schema(sch).parquet(_docs_path(sf_dir))
+        toks = stream.select(
+            "doc_id",
+            F.expr(
+                "transform(array(array_remove(split(trim(lower("
+                "regexp_replace(text, '[^a-zA-Z0-9]+', ' '))), ' '), '')), ww -> ww)[0]"
+            ).alias("w"),
+        ).filter(F.size("w") > 0)
+        chunks = toks.select(
+            "doc_id",
+            F.posexplode(
+                F.expr(
+                    f"sequence(0, (size(w) + {_CHUNK_STRIDE} - 1) div {_CHUNK_STRIDE} - 1)"
+                )
+            ).alias("chunk_idx", "__start"),
+            F.col("w"),
+        ).select(
+            "doc_id",
+            F.col("chunk_idx").cast("int").alias("chunk_idx"),
+            F.expr(
+                f"concat_ws(' ', slice(w, chunk_idx * {_CHUNK_STRIDE} + 1, {_CHUNK_SIZE}))"
+            ).alias("chunk_text"),
+            F.expr(
+                f"CAST(least(chunk_idx * {_CHUNK_STRIDE} + {_CHUNK_SIZE}, size(w))"
+                f" - chunk_idx * {_CHUNK_STRIDE} AS INT)"
+            ).alias("n_chunk_tokens"),
+        )
+        return _run_to_memory(chunks, spark)
+
+
+_register_stream_chunk()
