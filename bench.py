@@ -66,6 +66,8 @@ HEADLINE = [
     "user_value_trend",
     "text_lm_score",
     "snapshot_diff",
+    "text_chunk_windows",
+    "set_ops_customers",
 ]
 
 

@@ -648,7 +648,6 @@ def text_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
             "regexp_replace(text, '[^a-zA-Z0-9]+', ' '))), ' '), '')), ww -> ww)[0]"
         ).alias("w"),
     ).filter(F.size("w") > 0)
-    n_chunks = F.expr(f"(size(w) + {_CHUNK_STRIDE} - 1) div {_CHUNK_STRIDE}")
     return toks.select(
         "doc_id",
         F.posexplode(F.expr(f"sequence(0, (size(w) + {_CHUNK_STRIDE} - 1) div {_CHUNK_STRIDE} - 1)")).alias("chunk_idx", "__start"),
