@@ -1,0 +1,58 @@
+"""Plan audit: print a one-line physical-plan summary per headline query.
+
+Makes the ".explain and iterate" loop repeatable evidence: for every
+bench-headline query, count broadcast vs sort-merge joins and
+hash-partitioning exchanges, and check that some parquet scan carries
+pushed filters. Run it after changing any plan:
+
+    python tools/explain_audit.py [sf_dir]
+
+Counts come from the pre-execution physical plan (AQE's initial plan), so
+the audit is fast — nothing executes. At runtime AQE may further convert
+sort-merge joins to broadcast; the static counts are the conservative
+view.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+
+    from pyspark.sql import SparkSession
+
+    from bench import HEADLINE
+    from dbimport_spark.plans import QUERIES
+
+    spark = (
+        SparkSession.builder.master("local[8]")
+        .appName("dbimport_spark_plan_audit")
+        .config("spark.sql.shuffle.partitions", "8")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    print(f"{'query':34s} {'bhj':>3s} {'smj':>3s} {'exch':>4s} {'pushdown':>8s}")
+    for name in HEADLINE:
+        try:
+            plan = QUERIES[name](spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+        except Exception as e:  # streaming-only entries have no batch plan
+            print(f"{name:34s} plan-error: {type(e).__name__}")
+            continue
+        bhj = plan.count("BroadcastHashJoin")
+        smj = plan.count("SortMergeJoin")
+        ex = plan.count("Exchange hashpartitioning")
+        pushed = "yes" if ("PushedFilters: [" in plan and "PushedFilters: []" not in plan) else "-"
+        print(f"{name:34s} {bhj:3d} {smj:3d} {ex:4d} {pushed:>8s}")
+
+
+if __name__ == "__main__":
+    main()
