@@ -432,7 +432,14 @@ def sparse_tfidf_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     (df = 1 terms can't be shared — kept in norms, dropped from the
     join). Per-term fan-out is thus ≤ (N/4)²; at 100 TB you lower the
     df cap or shard hot terms like the shingle join. Everything else is
-    hash aggs on narrow keys."""
+    hash aggs on narrow keys.
+
+    The weighted-postings subtree feeds three consumers (norms + both join
+    sides) and recomputes per branch — measured FASTER locally than
+    persist() (2.0s vs 3.3s at sf0.1: recompute pipelines across cores,
+    materialization serializes). At 100 TB flip that call: persist or
+    checkpoint the postings once, since three passes over a corpus-scale
+    tf/df pipeline dominate any materialization cost."""
     corpus = corpus_df(spark, sf_dir)
     toks = corpus.select(
         "doc_id",
