@@ -1050,3 +1050,55 @@ def sample_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_tokens").over(w).alias("cum_tokens"),
     )
     return ranked.filter(F.col("cum_tokens") <= _TOKEN_BUDGET)
+
+
+# ---------------------------------------------------------------------------
+# sample_temperature — temperature-scaled rebalancing across groups
+
+
+@register(
+    "sample_temperature",
+    """WITH sizes AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+mx AS (SELECT max(n) AS n_max FROM sizes),
+b AS (
+  SELECT doc_id, lang,
+         ('0x' || substr(md5('t:' || CAST(doc_id AS VARCHAR)), 1, 4))::INTEGER % 10000
+           AS bucket
+  FROM documents
+)
+SELECT b.doc_id, b.lang, CAST(b.bucket AS INT) AS bucket
+FROM b JOIN sizes USING (lang), mx
+WHERE CAST(b.bucket AS BIGINT) * b.bucket * mx.n_max
+      < CAST(10000 AS BIGINT) * 10000 * sizes.n""",
+)
+def sample_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled downsampling (T=2) across language groups — the
+    dataset-mixing primitive that flattens a skewed group distribution:
+    each group keeps fraction sqrt(n_group / n_max), so the largest group
+    keeps everything and a 4×-smaller group keeps half, pulling the mix
+    toward balance without upsampling.
+
+    The sqrt never appears: keep iff bucket < 10000·sqrt(n/n_max), which
+    squares (both sides nonnegative, squaring monotone) into
+    bucket²·n_max < 10000²·n — pure BIGINT arithmetic, so the keep/drop
+    boundary is exactly reproducible in both engines AND across reruns
+    (bucket is a salted md5 of the stable doc id, the same shuffle-free
+    primitive as sample_hash_split). Plan: one tiny group-size aggregate
+    broadcast into a map-side filter — no shuffle of the corpus."""
+    d = load(spark, sf_dir, "documents")
+    sizes = d.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
+    n_max = sizes.agg(F.max("n").alias("n_max"))
+    bucket = F.expr(
+        "CAST(conv(substr(md5(concat('t:', CAST(doc_id AS STRING))), 1, 4), 16, 10)"
+        " AS BIGINT) % 10000"
+    )
+    b = d.select("doc_id", "lang", bucket.alias("bucket"))
+    return (
+        b.join(F.broadcast(sizes), "lang")
+        .crossJoin(F.broadcast(n_max))
+        .filter(
+            F.col("bucket") * F.col("bucket") * F.col("n_max")
+            < F.lit(10000).cast("bigint") * 10000 * F.col("n")
+        )
+        .select("doc_id", "lang", F.col("bucket").cast("int").alias("bucket"))
+    )

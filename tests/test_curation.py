@@ -332,3 +332,32 @@ def test_sample_token_budget_binds_and_is_prefix(spark, sf_dir):
         for r in rs:
             run += r["n_tokens"]
             assert r["cum_tokens"] == run
+
+
+def test_sample_temperature_flattens_groups(spark, sf_dir):
+    """The largest group keeps everything; every other group keeps a
+    fraction within binomial noise of sqrt(n/n_max); the decision is a
+    deterministic function of doc_id (rerun-stable)."""
+    import math
+
+    from dbimport_spark.plans.registry import QUERIES
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    sizes = {r["lang"]: r["n"] for r in d.groupBy("lang").count().withColumnRenamed("count", "n").collect()}
+    n_max = max(sizes.values())
+
+    rows = QUERIES["sample_temperature"](spark, sf_dir).collect()
+    kept = {}
+    for r in rows:
+        kept[r["lang"]] = kept.get(r["lang"], 0) + 1
+    big = max(sizes, key=sizes.get)
+    assert kept[big] == sizes[big]  # largest group fully kept
+    for lang, n in sizes.items():
+        expect = math.sqrt(n / n_max)
+        got = kept.get(lang, 0) / n
+        # 4-sigma binomial tolerance on small groups
+        tol = 4 * math.sqrt(expect * (1 - expect) / n) + 1e-9
+        assert abs(got - expect) <= tol, (lang, got, expect, tol)
+
+    rerun = {(r["doc_id"], r["bucket"]) for r in QUERIES["sample_temperature"](spark, sf_dir).collect()}
+    assert rerun == {(r["doc_id"], r["bucket"]) for r in rows}
