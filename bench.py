@@ -68,6 +68,7 @@ HEADLINE = [
     "snapshot_diff",
     "text_chunk_windows",
     "set_ops_customers",
+    "sample_temperature",
 ]
 
 
