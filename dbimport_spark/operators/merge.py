@@ -253,8 +253,12 @@ def scd2_merge(
     is_current (or store current separately) and this plan touches only it.
     """
     knames = list(keys)
-    cur = history.filter(F.col(current_col)).withColumn("__cur_match", F.lit(1))
-    old = history.filter(~F.col(current_col))
+    # Null-safe current/history split: a NULL is_current row is history
+    # (closed), never silently dropped — the two slices partition the input.
+    cur = history.filter(F.col(current_col).eqNullSafe(F.lit(True))).withColumn(
+        "__cur_match", F.lit(1)
+    )
+    old = history.filter(~F.col(current_col).eqNullSafe(F.lit(True)))
     src = source.select(
         *[F.col(k).alias("__src_" + k) for k in knames],
         *[F.col(c).alias("__src_" + c) for c in tracked],
@@ -313,11 +317,15 @@ def incremental_append(target: DataFrame, source: DataFrame, watermark_col: str)
     declarative, no driver collect. Strict `>` means rows sharing the
     boundary timestamp with already-imported data are treated as imported
     (choose a monotonically increasing column; ties at the watermark are
-    the caller's dedup problem, e.g. follow with insert_not_existing)."""
+    the caller's dedup problem, e.g. follow with insert_not_existing).
+
+    Bootstrap: an empty target has a NULL max-watermark; the filter treats
+    that as "no watermark yet" and appends ALL of source (first run imports
+    everything), rather than letting `> NULL` silently drop every row."""
     wm = target.agg(F.max(watermark_col).alias("__wm"))
     fresh = (
         source.crossJoin(F.broadcast(wm))
-        .filter(F.col(watermark_col) > F.col("__wm"))
+        .filter(F.col("__wm").isNull() | (F.col(watermark_col) > F.col("__wm")))
         .drop("__wm")
     )
     return target.unionByName(fresh)

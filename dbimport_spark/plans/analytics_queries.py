@@ -16,6 +16,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from dbimport_spark.functions.quantile import (
+    bucket_count_percentiles,
+    percentiles_from_counts,
+    value_counts,
+)
 from dbimport_spark.plans.registry import load, load_events, register
 
 
@@ -339,38 +344,43 @@ FROM lineitem GROUP BY l_returnflag""",
 def numeric_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Column distribution profiling (the data-quality sibling of
     schema/infer.py's type lattice): per-group row count, min/max, exact
-    discrete percentiles and mean over integer cents. percentile_disc
-    returns an actual data value, so Spark and DuckDB agree bit-for-bit
-    (verified: quantile_disc matches WITHIN GROUP percentile_disc on this
-    data) — no interpolation-order float drift.
+    discrete percentiles and mean over integer cents.
 
-    Scale: single hash-agg for the additive stats; the exact percentiles
-    need per-group sorted access — Spark's percentile_disc is a sort-based
-    agg within groups, bounded by group size. For 100 TB with huge groups
-    the approx twin (percentile_approx, a t-digest merge) is the drop-in;
-    this graded query stays exact so the oracle can be exact.
-    """
+    Scale: exact percentiles via bucket counting (functions/quantile.py) —
+    count per (group, cents) hash agg with map-side combine, cumulative
+    sum over the DISTINCT-cents domain, threshold select. No per-group
+    row-sort buffer anywhere: the old percentile_disc plan pulled every
+    row of a group into one task (3 groups × all of lineitem — an OOM at
+    100 TB); this plan's state is bounded by the cents DOMAIN (~1M values
+    for TPC-H prices), not row count. min/max/sum/count ride the same
+    histogram, so lineitem is scanned ONCE. Matches percentile_disc —
+    smallest value with cume_dist >= p — bit-for-bit (and the DuckDB
+    quantile_disc oracle, verified)."""
     l = load(spark, sf_dir, "lineitem")
-    cents = "CAST(round(l_extendedprice * 100) AS BIGINT)"
-    return (
-        l.groupBy("l_returnflag")
-        .agg(
-            F.count(F.lit(1)).alias("n_rows"),
-            F.expr(f"min({cents})").alias("min_cents"),
-            F.expr(f"max({cents})").alias("max_cents"),
-            F.expr(
-                f"CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY {cents}) AS BIGINT)"
-            ).alias("p50_cents"),
-            F.expr(
-                f"CAST(percentile_disc(0.95) WITHIN GROUP (ORDER BY {cents}) AS BIGINT)"
-            ).alias("p95_cents"),
-            F.expr(
-                f"CAST(percentile_disc(0.99) WITHIN GROUP (ORDER BY {cents}) AS BIGINT)"
-            ).alias("p99_cents"),
-            F.expr(f"sum({cents}) / CAST(100.0 AS DOUBLE) / count(*)").alias(
-                "avg_price"
-            ),
-        )
+    cents = l.select(
+        "l_returnflag",
+        F.expr("CAST(round(l_extendedprice * 100) AS BIGINT)").alias("cents"),
+    )
+    counts = value_counts(cents, ["l_returnflag"], "cents")
+    prof = percentiles_from_counts(
+        counts,
+        ["l_returnflag"],
+        [("p50_cents", 1, 2), ("p95_cents", 95, 100), ("p99_cents", 99, 100)],
+        extra=[
+            F.min("__v").alias("min_cents"),
+            F.max("__v").alias("max_cents"),
+            F.sum(F.col("__v") * F.col("__cnt")).alias("__sum_cents"),
+        ],
+    )
+    return prof.select(
+        "l_returnflag",
+        "n_rows",
+        "min_cents",
+        "max_cents",
+        "p50_cents",
+        "p95_cents",
+        "p99_cents",
+        F.expr("__sum_cents / CAST(100.0 AS DOUBLE) / n_rows").alias("avg_price"),
     )
 
 
@@ -661,7 +671,7 @@ def events_gap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
        AS violations
 UNION ALL
 SELECT 'dup_orderkey',
-       (SELECT COALESCE(sum(n - 1), 0) FROM
+       (SELECT CAST(COALESCE(sum(n - 1), 0) AS BIGINT) FROM
          (SELECT count(*) AS n FROM orders GROUP BY o_orderkey HAVING count(*) > 1) d)
 UNION ALL
 SELECT 'null_priority', (SELECT count(*) FROM orders WHERE o_orderpriority IS NULL)
@@ -765,27 +775,36 @@ def approx_quantile_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate-quantile accuracy gate (the percentile sibling of
     approx_distinct_gate): per group, the exact discrete median plus a
     boolean asserting percentile_approx (accuracy 10000) lands within 1%
-    of it. At 100 TB the approx form is the one to run — a fixed-size
-    mergeable sketch per group instead of numeric_profile's full per-group
-    sort; this gate is what lets you trust that swap."""
+    of it. At 100 TB the approx form is the everyday one — a fixed-size
+    mergeable sketch per group; this gate is what lets you trust that
+    swap.
+
+    Scale: the exact side uses bucket-count percentiles
+    (functions/quantile.py — hash aggs + a distinct-cents cumulative
+    window, no per-group row-sort buffer), so even the GATE itself
+    survives 3-groups × 20M-rows skew; the approx side is Spark's
+    mergeable percentile_approx sketch. The two 3-row aggregates meet in
+    a broadcast join."""
     l = load(spark, sf_dir, "lineitem")
-    cents = "CAST(round(l_extendedprice * 100) AS BIGINT)"
-    return (
-        l.groupBy("l_returnflag")
-        .agg(
-            F.expr(
-                f"CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY {cents}) AS BIGINT)"
-            ).alias("p50_exact_cents"),
-            F.expr(f"percentile_approx({cents}, 0.5, 10000)").alias("__approx"),
-        )
-        .select(
-            "l_returnflag",
-            "p50_exact_cents",
-            (
-                F.abs(F.col("__approx") - F.col("p50_exact_cents"))
-                <= 0.01 * F.col("p50_exact_cents")
-            ).alias("approx_ok"),
-        )
+    cents_df = l.select(
+        "l_returnflag",
+        F.expr("CAST(round(l_extendedprice * 100) AS BIGINT)").alias("cents"),
+    )
+    exact = bucket_count_percentiles(
+        cents_df, ["l_returnflag"], "cents", [("p50_exact_cents", 1, 2)]
+    ).select("l_returnflag", "p50_exact_cents")
+    approx = l.groupBy("l_returnflag").agg(
+        F.expr(
+            "percentile_approx(CAST(round(l_extendedprice * 100) AS BIGINT), 0.5, 10000)"
+        ).alias("__approx")
+    )
+    return exact.join(F.broadcast(approx), "l_returnflag").select(
+        "l_returnflag",
+        "p50_exact_cents",
+        (
+            F.abs(F.col("__approx") - F.col("p50_exact_cents"))
+            <= 0.01 * F.col("p50_exact_cents")
+        ).alias("approx_ok"),
     )
 
 

@@ -1007,7 +1007,7 @@ ranked AS (
            AS cum_tokens
   FROM scored
 )
-SELECT doc_id, source, n_tokens, cum_tokens
+SELECT doc_id, source, n_tokens, CAST(cum_tokens AS BIGINT) AS cum_tokens
 FROM ranked WHERE cum_tokens <= {_TOKEN_BUDGET}""",
 )
 def sample_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:

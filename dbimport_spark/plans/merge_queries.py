@@ -552,3 +552,97 @@ def snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         "old_mktsegment",
         "new_mktsegment",
     )
+
+
+# ------------------------------------------- partition-pruned selective rewrite
+
+PARTSRC_SQL = """psrc AS (
+  SELECT c_custkey, 'UPD_' || CAST(c_custkey AS VARCHAR) AS c_name,
+         c_nationkey, c_acctbal + 1000 AS c_acctbal, c_mktsegment
+  FROM customer WHERE c_custkey % 10 = 3 AND c_nationkey < 5
+  UNION ALL
+  SELECT c_custkey + 200000,
+         'NEW_' || CAST(c_custkey + 200000 AS VARCHAR),
+         c_nationkey, c_acctbal, c_mktsegment
+  FROM customer WHERE c_custkey % 10 = 7 AND c_nationkey < 5
+)"""
+
+
+def partitioned_merge_source_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The selective-merge batch: updates to existing keys (acctbal bump,
+    renamed) and brand-new keys, all confined to nation partitions 0-4 —
+    the shape of an incremental load that touches a few partitions of a
+    wide table. Updated rows keep their original c_nationkey, so the
+    key→partition mapping is stable (merge_into_partitioned's
+    correctness requirement)."""
+    c = load(spark, sf_dir, "customer").filter(F.col("c_nationkey") < 5)
+    upd = c.filter(F.col("c_custkey") % 10 == 3).select(
+        "c_custkey",
+        F.concat(F.lit("UPD_"), F.col("c_custkey").cast("string")).alias("c_name"),
+        "c_nationkey",
+        (F.col("c_acctbal") + 1000).alias("c_acctbal"),
+        "c_mktsegment",
+    )
+    new = c.filter(F.col("c_custkey") % 10 == 7).select(
+        (F.col("c_custkey") + 200000).alias("c_custkey"),
+        F.concat(F.lit("NEW_"), (F.col("c_custkey") + 200000).cast("string")).alias(
+            "c_name"
+        ),
+        "c_nationkey",
+        "c_acctbal",
+        "c_mktsegment",
+    )
+    return upd.unionByName(new)
+
+
+@register(
+    "merge_partitioned_rewrite",
+    f"""WITH {PARTSRC_SQL}
+SELECT t.c_custkey,
+       CASE WHEN s.c_custkey IS NOT NULL THEN s.c_name ELSE t.c_name END AS c_name,
+       CASE WHEN s.c_custkey IS NOT NULL THEN s.c_nationkey ELSE t.c_nationkey END AS c_nationkey,
+       CASE WHEN s.c_custkey IS NOT NULL THEN s.c_acctbal ELSE t.c_acctbal END AS c_acctbal,
+       CASE WHEN s.c_custkey IS NOT NULL THEN s.c_mktsegment ELSE t.c_mktsegment END AS c_mktsegment
+FROM customer t LEFT JOIN psrc s ON t.c_custkey = s.c_custkey
+UNION ALL
+SELECT s.c_custkey, s.c_name, s.c_nationkey, s.c_acctbal, s.c_mktsegment
+FROM psrc s WHERE NOT EXISTS (SELECT 1 FROM customer t WHERE t.c_custkey = s.c_custkey)""",
+)
+def merge_partitioned_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-pruned selective-rewrite UPSERT (sinks.merge_into_partitioned)
+    graded against the FULL-merge oracle: a customer table partitioned by
+    c_nationkey on disk, merged with a batch touching only nations 0-4, must
+    read back equal to an unpartitioned full upsert — while physically
+    rewriting only 5 of 25 partitions (untouched bytes proven identical by
+    tests/test_pipeline.py::test_merge_into_partitioned_selective_rewrite).
+
+    This is the missing scale piece of the reference's in-place merge
+    (DbImportWorker.java:537-578): at 100 TB a batch touching 0.1% of keys
+    rewrites O(batch partitions), not O(table). The fixture target is
+    (re)written at plan-construction time for determinism."""
+    import os
+    import re as _re
+    import shutil
+    import tempfile
+
+    path = os.path.join(
+        tempfile.gettempdir(),
+        "dbimport_spark_exports",
+        _re.sub(r"\W+", "_", sf_dir.rstrip("/")),
+        "partitioned_customer",
+    )
+    shutil.rmtree(path, ignore_errors=True)
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    target = load(spark, sf_dir, "customer").select(*CUSTOMER_COLS)
+    target.write.mode("overwrite").partitionBy("c_nationkey").parquet(path)
+
+    from dbimport_spark.sinks import merge_into_partitioned
+
+    merge_into_partitioned(
+        spark,
+        path,
+        partitioned_merge_source_df(spark, sf_dir),
+        ["c_custkey"],
+        "c_nationkey",
+    )
+    return spark.read.parquet(path).select(*CUSTOMER_COLS)

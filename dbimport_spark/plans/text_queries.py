@@ -464,12 +464,24 @@ def sparse_tfidf_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum(F.col("wa") * F.col("wb")).alias("dot"))
     )
     dec = lambda c: c.cast("decimal(38,0)")
+    # Exact integer threshold: (10*dot)^2 >= 81*na2*nb2  <=>  cosine >= 0.9.
+    # Spark caps DECIMAL products at precision 38 and yields NULL on overflow
+    # (ANSI off) — safe while |10*dot| < 1e19 and 81*na2*nb2 < 1e38, which the
+    # df > n_docs/4 stopword prune guarantees at bench scale. To make overflow
+    # LOUD-SAFE rather than a silent pair drop (DuckDB's HUGEINT side keeps
+    # going to 2^127), any NULL product falls back to the float64 comparison —
+    # approximate only in the regime where exact 38-digit math is impossible.
+    lhs = dec(F.col("dot") * 10) * dec(F.col("dot") * 10)
+    rhs = F.lit(81).cast("decimal(38,0)") * dec(F.col("na2")) * dec(F.col("nb2"))
+    lhs_f = F.col("dot").cast("double") * F.col("dot").cast("double") * F.lit(100.0)
+    rhs_f = F.lit(81.0) * F.col("na2").cast("double") * F.col("nb2").cast("double")
     out = (
         dots.join(norms.select(F.col("doc_id").alias("a_id"), F.col("n2").alias("na2")), "a_id")
         .join(norms.select(F.col("doc_id").alias("b_id"), F.col("n2").alias("nb2")), "b_id")
         .filter(
-            dec(F.col("dot") * 10) * dec(F.col("dot") * 10)
-            >= F.lit(81).cast("decimal(38,0)") * dec(F.col("na2")) * dec(F.col("nb2"))
+            F.when(lhs.isNotNull() & rhs.isNotNull(), lhs >= rhs).otherwise(
+                lhs_f >= rhs_f
+            )
         )
     )
     return out.select("a_id", "b_id", "dot", "na2", "nb2")
@@ -638,15 +650,15 @@ FROM toks, UNNEST(range(0, (len(w) + {_CHUNK_STRIDE} - 1) // {_CHUNK_STRIDE})) A
 )
 def text_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Context-window chunking: split every document into sliding
-    {size}-token windows with {stride}-token stride ({size}-{stride}
-    tokens of overlap) — the chunk step of RAG indexing and pretraining
-    sequence prep (the overlap preserves cross-boundary context; the
-    companion packer is pack_sequences).
+    50-token windows with 40-token stride (10 tokens of overlap; see
+    _CHUNK_SIZE/_CHUNK_STRIDE) — the chunk step of RAG indexing and
+    pretraining sequence prep (the overlap preserves cross-boundary
+    context; the companion packer is pack_sequences).
 
     Pure expression plan: token array let-bound once, chunk starts from a
     sequence(), slice + concat_ws per chunk — a narrow map-only stage with
     no shuffle at all; at 100 TB chunking is embarrassingly parallel and
-    this plan keeps it that way.""".format(size=_CHUNK_SIZE, stride=_CHUNK_STRIDE)
+    this plan keeps it that way."""
     d = load(spark, sf_dir, "documents")
     toks = d.select(
         "doc_id",

@@ -177,3 +177,87 @@ def write_clustered_parquet(
     if max_records_per_file:
         w = w.option("maxRecordsPerFile", max_records_per_file)
     w.parquet(path)
+
+
+def touched_partitions(source: DataFrame, partition_col: str) -> list:
+    """Distinct partition values present in a merge source — the driver-side
+    prune list. Small-by-construction: an incremental batch touches the
+    handful of partitions its rows land in, never the whole table."""
+    return [r[0] for r in source.select(partition_col).distinct().collect()]
+
+
+def merge_into_partitioned(
+    spark,
+    target_path: str,
+    source: DataFrame,
+    keys,
+    partition_col: str,
+    update_with_null_values: bool = True,
+) -> list:
+    """Partition-pruned selective-rewrite UPSERT into a partitioned parquet
+    target — the lake analogue of the reference's in-place temp-table merge
+    (DbImportWorker.java:537-578): the reference UPDATEs matched rows inside
+    the DB and leaves every other row untouched; a naive lake merge
+    recomputes and rewrites the WHOLE table even when the source touches
+    0.1% of keys. This routine rewrites only the partitions the source
+    touches:
+
+    1. prune — collect the source's distinct partition values (tiny,
+       driver-side by construction);
+    2. merge — run the standard upsert (operators/merge.py, update-then-
+       anti-insert, reference-ordered) over ONLY the pruned target slice
+       (the partition filter prunes at the parquet scan, so untouched
+       partitions are never read);
+    3. rewrite — dynamic partition overwrite writes back only the
+       partitions present in the merged slice; untouched partition files
+       are not rewritten (byte-identical, proven by
+       tests/test_pipeline.py::test_merge_into_partitioned).
+
+    CORRECTNESS REQUIREMENT: a source row's key must locate any matching
+    target row inside the source row's own partition — i.e. partition_col
+    is one of the keys, or is a stable function of them (date-partitioned
+    facts keyed by (date, id), dimension tables partitioned by a never-
+    updated attribute). If a key could match a row in an UNTOUCHED
+    partition, that row would not be updated (it was pruned); that layout
+    needs the full merge (or Delta-style MERGE with a file-level index).
+
+    At 100 TB this is the difference between rewriting ~100 TB per
+    incremental load and rewriting the O(batch) partitions the batch
+    lands in. Returns the pruned partition-value list.
+
+    An empty target path (first load) degenerates to a plain partitioned
+    write of the source.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.utils import AnalysisException
+
+    from dbimport_spark.operators.merge import upsert
+
+    parts = touched_partitions(source, partition_col)
+    try:
+        target = spark.read.parquet(target_path)
+        exists = True
+    except AnalysisException:
+        exists = False
+    if not exists:
+        source.write.mode("overwrite").partitionBy(partition_col).parquet(target_path)
+        return parts
+
+    sliced = target.filter(F.col(partition_col).isin(parts))
+    merged = upsert(
+        sliced, source, keys, update_with_null_values=update_with_null_values
+    )
+    # Cut lineage from target_path: Spark refuses to overwrite a path that
+    # the write plan also reads. localCheckpoint materializes the merged
+    # slice (O(touched partitions), not O(table)) on the executors. On a
+    # multi-tenant cluster prefer a reliable checkpoint dir; the shape of
+    # the plan is identical.
+    merged = merged.localCheckpoint(eager=True)
+
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        merged.write.mode("overwrite").partitionBy(partition_col).parquet(target_path)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    return parts

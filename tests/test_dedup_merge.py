@@ -250,6 +250,37 @@ def test_scd2_merge_semantics(spark):
     assert len(rows) == 8
 
 
+def test_scd2_merge_null_is_current_row_survives(spark):
+    """A history row with NULL is_current is neither current nor droppable:
+    it must pass through with the non-current slice, not vanish."""
+    from pyspark.sql import types as T
+    import datetime as dt
+
+    hist_schema = T.StructType([
+        T.StructField("k", T.LongType()),
+        T.StructField("v", T.StringType()),
+        T.StructField("valid_from", T.TimestampType()),
+        T.StructField("valid_to", T.TimestampType()),
+        T.StructField("is_current", T.BooleanType()),
+    ])
+    t0 = dt.datetime(2023, 1, 1)
+    hist = spark.createDataFrame(
+        [
+            (1, "weird", t0, None, None),  # NULL is_current -> history slice
+            (1, "a", t0, None, True),
+        ],
+        hist_schema,
+    )
+    src = spark.createDataFrame(
+        [(1, "a")],
+        T.StructType([T.StructField("k", T.LongType()), T.StructField("v", T.StringType())]),
+    )
+    out = merge.scd2_merge(hist, src, ["k"], ["v"], "2024-06-01 00:00:00").collect()
+    assert len(out) == 2  # nothing vanished
+    vals = sorted((r["v"], r["is_current"]) for r in out)
+    assert vals == [("a", True), ("weird", None)]
+
+
 def test_scd2_merge_matches_model_on_random_inputs(spark):
     """Model-based check: scd2_merge equals a pure-Python reference on
     seeded random histories/snapshots — keys with only closed history,

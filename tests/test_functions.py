@@ -262,3 +262,41 @@ def test_sparse_tfidf_pair_invariants(spark, sf_dir):
         assert r["a_id"] < r["b_id"]
         assert (10 * r["dot"]) ** 2 >= 81 * r["na2"] * r["nb2"]
         assert r["dot"] ** 2 <= r["na2"] * r["nb2"]  # Cauchy-Schwarz sanity
+
+
+def test_bucket_count_percentiles_match_percentile_disc(spark):
+    """The bucket-count exact percentile (two hash aggs + distinct-value
+    cumulative window) must equal Spark's sort-based percentile_disc on
+    data with heavy ties, skewed groups, singleton groups, and NULLs."""
+    import random
+
+    from dbimport_spark.functions.quantile import bucket_count_percentiles
+
+    rnd = random.Random(7)
+    rows = []
+    for g, n, dom in [("a", 997, 12), ("b", 400, 400), ("c", 1, 5), ("d", 50, 2)]:
+        for _ in range(n):
+            rows.append((g, rnd.randrange(dom)))
+    rows += [("a", None), ("b", None)]  # NULLs ignored by percentile_disc
+    df = spark.createDataFrame(rows, "g string, v long")
+
+    fr = [("p50", 1, 2), ("p90", 9, 10), ("p95", 95, 100), ("p99", 99, 100)]
+    got = {
+        r["g"]: (r["p50"], r["p90"], r["p95"], r["p99"], r["n_rows"])
+        for r in bucket_count_percentiles(df, ["g"], "v", fr).collect()
+    }
+    want = {
+        r["g"]: (r["p50"], r["p90"], r["p95"], r["p99"], r["n_rows"])
+        for r in df.groupBy("g")
+        .agg(
+            *[
+                F.expr(
+                    f"percentile_disc({num}/{den}) WITHIN GROUP (ORDER BY v)"
+                ).alias(name)
+                for name, num, den in fr
+            ],
+            F.count("v").alias("n_rows"),
+        )
+        .collect()
+    }
+    assert got == want

@@ -418,6 +418,22 @@ def test_incremental_append_boundary(spark):
     assert out == {1, 2, 4}  # id=3 shares the watermark ts -> not appended
 
 
+def test_incremental_append_empty_target_bootstraps(spark):
+    """First run against an empty target: max(watermark) is NULL, which must
+    mean 'import everything', not '> NULL drops everything'."""
+    import datetime as dt
+
+    from dbimport_spark.operators.merge import incremental_append
+
+    target = spark.createDataFrame([], "id long, ts timestamp")
+    source = spark.createDataFrame(
+        [(1, dt.datetime(2024, 1, 1)), (2, dt.datetime(2024, 1, 2))],
+        "id long, ts timestamp",
+    )
+    out = {r["id"] for r in incremental_append(target, source, "ts").collect()}
+    assert out == {1, 2}
+
+
 def test_clustered_write_produces_disjoint_ranges(spark, sf_dir, tmp_path):
     """Range-clustered files own pairwise-disjoint [min, max] spans of the
     cluster column (parquet footer stats), so a range filter can skip
@@ -489,3 +505,65 @@ def test_bucketed_upsert_merge_is_shuffle_free(spark, sf_dir):
     plan2 = upserted._jdf.queryExecution().executedPlan().toString()
     assert "Exchange hashpartitioning" not in plan2
     assert upserted.count() == cust.count()  # all source keys exist
+
+
+def test_merge_into_partitioned_selective_rewrite(spark, tmp_path):
+    """Selective-rewrite merge: equals the full upsert row-for-row, but
+    physically rewrites ONLY the partitions the source touches — untouched
+    partition files keep identical bytes and mtimes (the lake analogue of
+    the reference's in-place UPDATE leaving other rows on disk)."""
+    import glob
+    import hashlib
+    import os
+
+    from dbimport_spark.operators.merge import upsert
+    from dbimport_spark.sinks import merge_into_partitioned
+
+    path = str(tmp_path / "tgt")
+    # key k, partition p = k % 4 (stable function of the key)
+    rows = [(k, k % 4, f"v{k}") for k in range(40)]
+    spark.createDataFrame(rows, "k long, p long, v string").coalesce(1).write.partitionBy(
+        "p"
+    ).parquet(path)
+
+    def snap(part):
+        return {
+            f: (os.path.getmtime(f), hashlib.sha256(open(f, "rb").read()).hexdigest())
+            for f in glob.glob(f"{path}/p={part}/*")
+        }
+
+    before = {part: snap(part) for part in range(4)}
+    # source touches only partitions 1 and 3: updates k=1,3,5 + new keys 41,43
+    src = spark.createDataFrame(
+        [(1, 1, "u1"), (3, 3, "u3"), (5, 1, "u5"), (41, 1, "n41"), (43, 3, "n43")],
+        "k long, p long, v string",
+    )
+    original = spark.read.parquet(path).select("k", "p", "v").collect()
+    parts = merge_into_partitioned(spark, path, src, ["k"], "p")
+    assert sorted(parts) == [1, 3]
+
+    got = {(r["k"], r["p"], r["v"]) for r in spark.read.parquet(path).collect()}
+    want_df = upsert(
+        spark.createDataFrame(original, "k long, p long, v string"), src, ["k"]
+    )
+    want = {(r["k"], r["p"], r["v"]) for r in want_df.collect()}
+    assert got == want
+    assert len(got) == 42
+
+    after = {part: snap(part) for part in range(4)}
+    assert after[0] == before[0]  # untouched: same files, bytes, mtimes
+    assert after[2] == before[2]
+    assert set(after[1]) != set(before[1]) or after[1] != before[1]  # rewritten
+
+
+def test_merge_into_partitioned_bootstrap(spark, tmp_path):
+    """First load against a nonexistent target path writes the source
+    partitioned (no merge)."""
+    from dbimport_spark.sinks import merge_into_partitioned
+
+    path = str(tmp_path / "fresh")
+    src = spark.createDataFrame([(1, 0, "a"), (2, 1, "b")], "k long, p long, v string")
+    parts = merge_into_partitioned(spark, path, src, ["k"], "p")
+    assert sorted(parts) == [0, 1]
+    got = {(r["k"], r["p"], r["v"]) for r in spark.read.parquet(path).collect()}
+    assert got == {(1, 0, "a"), (2, 1, "b")}
