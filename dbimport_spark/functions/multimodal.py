@@ -1,17 +1,23 @@
 """Multimodal column plumbing: image/audio/video as opaque binary columns
 with typed metadata, processed via Arrow-batched mapInPandas.
 
-The decode/resize/frame-sample kernels would use PIL/librosa/av — none of
-which are in this container. The DECODE STEP IS STUBBED (clearly marked:
-``decode=`fake``` produces deterministic pseudo-features from a content
-hash; ``decode=`strict``` raises NotImplementedError). Everything around
-it — schema, partition sizing, UDF signature, batch shape — is the real
-production plumbing and is tested.
+Decode status (honest inventory):
+  * PNG — REAL. Pure-stdlib codec in functions/png.py (zlib inflate +
+    scanline unfilter, all 5 filters, gray/RGB/RGBA/palette). Used by
+    ``decode="png"`` and :func:`extract_image_stats`.
+  * JPEG / audio / video — STUBBED. These need PIL/librosa/av, none of
+    which are in this container: ``decode="fake"`` produces deterministic
+    pseudo-features from a content hash; ``decode="strict"`` raises
+    NotImplementedError. Everything around the stub — schema, partition
+    sizing, UDF signature, batch shape — is the real production plumbing
+    and is tested.
 """
 
 from __future__ import annotations
 
 import hashlib
+
+from dbimport_spark.functions import png as _png
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -65,16 +71,28 @@ def extract_media_features(
     """
     if decode == "strict":
         raise NotImplementedError(
-            "real image/audio decode needs PIL/librosa/av — not in this container"
+            "real JPEG/audio/video decode needs PIL/librosa/av — not in this "
+            "container (PNG has a real stdlib path: decode='png')"
         )
-    if decode != "fake":
+    if decode not in ("fake", "png"):
         raise ValueError(f"unknown decode mode {decode!r}")
 
     import pandas as pd
 
+    def _png_features(content: bytes, dim: int = FEATURE_DIM) -> list[float]:
+        # Real decode: dim-bin normalized intensity histogram of the pixels.
+        _w, _h, _ch, px = _png.decode_png(content)
+        hist = [0] * dim
+        for v in px:
+            hist[v * dim // 256] += 1
+        n = float(len(px)) or 1.0
+        return [c / n for c in hist]
+
+    feat_of = _png_features if decode == "png" else _fake_features
+
     def kernel(batches):
         for pdf in batches:
-            feats = [_fake_features(c if c is not None else b"") for c in pdf["content"]]
+            feats = [feat_of(c if c is not None else b"") for c in pdf["content"]]
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
@@ -122,6 +140,92 @@ def sample_frames(
 
     return media.select("media_id", "content").mapInPandas(
         kernel, "media_id bigint, frame_idx int, frame_sha256 string, frame_bytes bigint"
+    )
+
+
+def extract_image_stats(media: DataFrame) -> DataFrame:
+    """REAL image decode path (PNG): binary content → per-image pixel stats.
+
+    (media_id, width, height, channels, px_sum, px_mean, pixel_sha256) —
+    the pixel buffer is fully decoded (zlib inflate + unfilter), so
+    ``pixel_sha256`` proves byte-exact decode and ``px_sum``/``px_mean``
+    are true pixel statistics. Arrow-batched mapInPandas, one task per
+    input partition; blobs are not splittable, so callers size partitions
+    by bytes (same contract as extract_media_features).
+    """
+    import pandas as pd
+
+    def kernel(batches):
+        for pdf in batches:
+            rows = []
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                w, h, ch, px = _png.decode_png(content if content is not None else b"")
+                rows.append(
+                    {
+                        "media_id": mid,
+                        "width": w,
+                        "height": h,
+                        "channels": ch,
+                        "px_sum": sum(px),
+                        "px_mean": (sum(px) / len(px)) if px else 0.0,
+                        "pixel_sha256": hashlib.sha256(px).hexdigest(),
+                    }
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "width", "height", "channels",
+                    "px_sum", "px_mean", "pixel_sha256",
+                ],
+            )
+
+    return media.select("media_id", "content").mapInPandas(
+        kernel,
+        "media_id bigint, width int, height int, channels int, "
+        "px_sum bigint, px_mean double, pixel_sha256 string",
+    )
+
+
+def documents_as_png_media(documents: DataFrame, width: int = 16) -> DataFrame:
+    """Deterministic PNG fixture column at scale: each document's ASCII
+    bytes become a ``width``-wide 8-bit grayscale image (truncated to a
+    whole number of rows) and are ENCODED to real PNG bytes in the kernel.
+    The scanline filter rotates with doc_id % 5 so a corpus-level decode
+    exercises every filter path. Docs shorter than one row are dropped
+    (filter pushed to the scan)."""
+    import pandas as pd
+
+    from pyspark.sql import functions as F  # noqa: F811 (local for clarity)
+
+    src = documents.filter(F.length("text") >= width).select(
+        F.col("doc_id").alias("media_id"), "text"
+    )
+
+    def kernel(batches):
+        for pdf in batches:
+            out_content = []
+            metas = []
+            for mid, text in zip(pdf["media_id"], pdf["text"]):
+                data = text.encode("utf-8")
+                h = len(data) // width
+                px = data[: h * width]
+                out_content.append(
+                    _png.encode_png(width, h, 1, px, filter_type=int(mid) % 5)
+                )
+                metas.append((width, h))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "content": out_content,
+                    "media_type": ["image"] * len(out_content),
+                    "width": [m[0] for m in metas],
+                    "height": [m[1] for m in metas],
+                }
+            )
+
+    return src.mapInPandas(
+        kernel,
+        "media_id bigint, content binary, media_type string, width int, height int",
     )
 
 

@@ -21,4 +21,20 @@ from dbimport_spark.plans import source_queries  # noqa: E402,F401
 from dbimport_spark.plans import streaming_queries  # noqa: E402,F401
 from dbimport_spark.plans import curation_queries  # noqa: E402,F401
 
+# Re-key both dicts into the driver-rotation-stable order: the round-2
+# snapshot order first (plans/_order.py), then any later additions in
+# first-registration order. Keeps the driver's rotating correctness
+# subset aligned across rounds even when a query moves between modules.
+from dbimport_spark.plans._order import KNOWN_ORDER  # noqa: E402
+
+_ordered = [n for n in KNOWN_ORDER if n in QUERIES] + [
+    n for n in QUERIES if n not in KNOWN_ORDER
+]
+_q = {n: QUERIES[n] for n in _ordered}
+QUERIES.clear()
+QUERIES.update(_q)
+_o = {n: ORACLES[n] for n in _ordered if n in ORACLES}
+ORACLES.clear()
+ORACLES.update(_o)
+
 __all__ = ["QUERIES", "ORACLES", "register"]

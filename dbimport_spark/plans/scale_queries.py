@@ -219,6 +219,37 @@ def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return feats.select("media_id", "n_bytes", "content_sha256")
 
 
+@register(
+    "multimodal_png_roundtrip",
+    """SELECT doc_id AS media_id,
+       16 AS width,
+       CAST(strlen(text) // 16 AS INTEGER) AS height,
+       1 AS channels,
+       CAST(list_aggregate(
+              list_transform(range(1, CAST(16 * (strlen(text) // 16) + 1 AS BIGINT)),
+                             i -> ord(substring(text, CAST(i AS INTEGER), 1))),
+              'sum') AS BIGINT) AS px_sum,
+       sha256(substring(text, 1, CAST(16 * (strlen(text) // 16) AS INTEGER))) AS pixel_sha256
+FROM documents WHERE strlen(text) >= 16""",
+)
+def multimodal_png_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode, oracle-checked: document bytes → 16-wide
+    grayscale PNG (encoded in an Arrow-batched kernel, scanline filter
+    rotating doc_id % 5 so all five PNG filters are exercised) → full
+    stdlib decode (zlib inflate + unfilter, functions/png.py) → pixel
+    stats. ``pixel_sha256`` proves the decoded pixel buffer is byte-exact
+    (the oracle hashes the source ASCII slice directly — encode∘decode is
+    lossless); ``px_sum`` is a true pixel statistic the oracle recomputes
+    as a sum of char codes. One task per partition, blobs never shuffle.
+    """
+    d = load(spark, sf_dir, "documents")
+    media = multimodal.documents_as_png_media(d, width=16)
+    stats = multimodal.extract_image_stats(media)
+    return stats.select(
+        "media_id", "width", "height", "channels", "px_sum", "pixel_sha256"
+    )
+
+
 @register("ann_pq_topk")  # rows-only: approximate by design
 def ann_pq_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization ANN (16 subspaces × 16 codes, ADC scan + exact

@@ -300,3 +300,98 @@ def test_bucket_count_percentiles_match_percentile_disc(spark):
         .collect()
     }
     assert got == want
+
+
+class TestPngCodec:
+    """functions/png.py: pure-stdlib PNG encode/decode (the real multimodal
+    image kernel)."""
+
+    def _gradient(self, w, h, ch):
+        return bytes(((x * 7 + y * 13 + c * 29) & 0xFF)
+                     for y in range(h) for x in range(w) for c in range(ch))
+
+    @pytest.mark.parametrize("filter_type", [0, 1, 2, 3, 4])
+    @pytest.mark.parametrize("channels", [1, 2, 3, 4])
+    def test_roundtrip_all_filters_and_channels(self, filter_type, channels):
+        from dbimport_spark.functions import png
+
+        w, h = 9, 7  # odd sizes catch stride bugs
+        px = self._gradient(w, h, channels)
+        data = png.encode_png(w, h, channels, px, filter_type=filter_type)
+        gw, gh, gch, gpx = png.decode_png(data)
+        assert (gw, gh, gch) == (w, h, channels)
+        assert gpx == px
+
+    def test_palette_expansion(self):
+        from dbimport_spark.functions import png
+        import struct
+        import zlib
+
+        # Hand-build a 2x2 color-type-3 PNG with a 3-entry palette.
+        def chunk(ctype, body):
+            return (struct.pack(">I", len(body)) + ctype + body
+                    + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF))
+
+        ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 3, 0, 0, 0)
+        plte = bytes([255, 0, 0, 0, 255, 0, 0, 0, 255])
+        raw = bytes([0, 0, 1, 0, 2, 0])  # two scanlines, filter 0
+        data = (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+                + chunk(b"PLTE", plte) + chunk(b"IDAT", zlib.compress(raw))
+                + chunk(b"IEND", b""))
+        w, h, ch, px = png.decode_png(data)
+        assert (w, h, ch) == (2, 2, 3)
+        assert px == bytes([255, 0, 0, 0, 255, 0, 0, 0, 255, 255, 0, 0])
+
+    def test_rejects_malformed(self):
+        from dbimport_spark.functions import png
+
+        good = png.encode_png(2, 2, 1, bytes(4))
+        with pytest.raises(png.PngError):
+            png.decode_png(b"not a png")
+        bad_crc = bytearray(good)
+        bad_crc[-5] ^= 0xFF  # flip a CRC byte of IEND
+        with pytest.raises(png.PngError):
+            png.decode_png(bytes(bad_crc))
+        import struct as _s
+        interlaced = bytearray(good)
+        # IHDR body starts at offset 16; interlace flag is its last byte.
+        interlaced[16 + 12] = 1
+        # re-CRC the IHDR chunk (type+body = offsets 12..25)
+        import zlib as _z
+        crc = _z.crc32(bytes(interlaced[12:29])) & 0xFFFFFFFF
+        interlaced[29:33] = _s.pack(">I", crc)
+        with pytest.raises(png.PngError):
+            png.decode_png(bytes(interlaced))
+
+    def test_distributed_roundtrip_stats(self, spark):
+        """documents → PNG encode (kernel) → real decode → stats match the
+        plain-Python computation."""
+        docs = spark.createDataFrame(
+            [(i, "payload-%03d " % i * 4) for i in range(10)],
+            "doc_id long, text string",
+        )
+        media = multimodal.documents_as_png_media(docs, width=16)
+        stats = {r["media_id"]: r for r in multimodal.extract_image_stats(media).collect()}
+        import hashlib as _h
+        for i in range(10):
+            text = ("payload-%03d " % i * 4).encode()
+            h = len(text) // 16
+            px = text[: h * 16]
+            r = stats[i]
+            assert (r["width"], r["height"], r["channels"]) == (16, h, 1)
+            assert r["px_sum"] == sum(px)
+            assert r["pixel_sha256"] == _h.sha256(px).hexdigest()
+
+    def test_png_feature_histogram(self, spark):
+        from dbimport_spark.functions import png as _p
+
+        px = self._gradient(8, 8, 3)
+        blob = _p.encode_png(8, 8, 3, px, filter_type=4)
+        media = spark.createDataFrame([(1, blob)], "media_id long, content binary")
+        row = multimodal.extract_media_features(media, decode="png").collect()[0]
+        assert abs(sum(row["features"]) - 1.0) < 1e-9
+        expect = [0] * multimodal.FEATURE_DIM
+        for v in px:
+            expect[v * multimodal.FEATURE_DIM // 256] += 1
+        got = [f * len(px) for f in row["features"]]
+        assert all(abs(g - e) < 1e-6 for g, e in zip(got, expect))
