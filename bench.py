@@ -131,18 +131,28 @@ def main() -> None:
     # Best of 2 runs per query: first execution still carries one-time
     # costs (codegen JIT for that plan shape, GC ramp); the min is the
     # steady-state number and is far less noisy run-to-run.
-    timings: dict[str, float] = {}
-    for name in HEADLINE:
+    def time_query(name: str) -> float:
         fn = QUERIES[name]
         best = float("inf")
         for _ in range(2):
             t0 = time.time()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             best = min(best, time.time() - t0)
-        timings[name] = round(best, 3)
         # queries persist() shared subtrees; drop them between queries so
         # earlier plans' cache blocks don't pile GC pressure onto later ones
         spark.catalog.clearCache()
+        return round(best, 3)
+
+    subset = [a for a in sys.argv[1:] if not a.startswith("-")]
+    names = subset or HEADLINE
+    timings = {name: time_query(name) for name in names}
+
+    # Re-probe the 3 slowest at the end of the run: a second sample in a
+    # different time window separates a real plan regression from box
+    # contention during the main sweep (sharing this machine with other
+    # jobs is the documented ~1.5× noise source). Same best-of-2 metric.
+    slowest = sorted(timings, key=lambda n: timings[n])[-3:]
+    solo = {name: time_query(name) for name in slowest}
 
     total = round(sum(timings.values()), 3)
     print(
@@ -152,6 +162,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "solo_probe": solo,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

@@ -42,20 +42,62 @@ def minhash_signatures(
     return base.groupBy(doc_col).agg(*aggs)
 
 
+def _cap_buckets(exploded: DataFrame, keys: list[str], cap: int | None) -> DataFrame:
+    """Skew valve for bucket self-joins: drop rows in buckets larger than
+    ``cap`` BEFORE the join, so one hot bucket can never contribute O(B²)
+    candidates (the quadratic term is bounded at cap² per bucket).
+
+    Shape: one hash aggregation finds buckets above the cap (map-side
+    combined, output = #hot buckets only — few by construction, since a
+    uniform 64-bit hash doesn't build large buckets out of dissimilar
+    docs unless the band is degenerate), then a BROADCAST anti-join drops
+    their rows. This keeps the candidate self-join broadcastable and adds
+    no sort — a windowed count over the join keys was measured 1.9×
+    slower at sf0.1 because the window exchange forced the self-join out
+    of broadcast. Recall cost is negligible by design: a genuinely
+    similar pair collides in MANY independent buckets (≈ bands·s^r of 16
+    for MinHash at j=0.9, chunks−max_hamming ≥ 1 of 4 for SimHash), so
+    losing a degenerate hot bucket leaves the other collisions intact.
+    """
+    if cap is None:
+        return exploded
+    # Both branches (hot-bucket agg, anti-join probe) consume ``exploded``;
+    # callers persist the signature/fingerprint table feeding it so the
+    # expensive upstream agg computes once and only the cheap band
+    # projection runs twice.
+    hot = (
+        exploded.groupBy(*keys)
+        .agg(F.count(F.lit(1)).alias("_bsz"))
+        .filter(F.col("_bsz") > cap)
+        .select(*keys)
+    )
+    return exploded.join(F.broadcast(hot), keys, "left_anti")
+
+
 def lsh_candidate_pairs(
     signatures: DataFrame,
     doc_col: str = "doc_id",
     num_hashes: int = 64,
     bands: int = 16,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Band the signatures and bucket-join: docs sharing any band bucket
     become a candidate pair (a < b).
 
     Shuffle profile: explode to (doc, band, band_hash) — bands× the doc
     count, NOT the shingle count — then a self equi-join on (band,
-    band_hash). Bucket sizes are near-uniform (64-bit hashes), so no skew.
+    band_hash). Bucket sizes are near-uniform (64-bit hashes) on healthy
+    corpora; ``max_bucket_size`` is the skew valve for degenerate ones
+    (boilerplate storms, near-empty docs): buckets above the cap are
+    skipped in that band, bounding per-bucket work at cap² while the
+    pair's other bands keep recall (see _cap_buckets).
     """
     rows_per_band = num_hashes // bands
+    if max_bucket_size is not None:
+        # The cap's hot-bucket agg adds a second consumer of the signature
+        # table (docs × num_hashes longs — tiny next to the shingle input);
+        # cache it so the signature aggregation runs once.
+        signatures = signatures.persist()
     band_cols = []
     for b in range(bands):
         cols = [F.col(f"sig_{b * rows_per_band + r}") for r in range(rows_per_band)]
@@ -63,6 +105,7 @@ def lsh_candidate_pairs(
     exploded = signatures.select(
         F.col(doc_col), F.explode(F.array(*band_cols)).alias("bb")
     ).select(doc_col, "bb.band", "bb.bh")
+    exploded = _cap_buckets(exploded, ["band", "bh"], max_bucket_size)
     a = exploded.select(F.col(doc_col).alias("a_id"), "band", "bh")
     b = exploded.select(F.col(doc_col).alias("b_id"), "band", "bh")
     return (
@@ -106,14 +149,16 @@ def minhash_lsh_neardup_pairs(
     num_hashes: int = 64,
     bands: int = 16,
     threshold: float = 0.9,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Full MinHash→LSH→verify pipeline. With 64 hashes / 16 bands the
     probability of missing a pair at Jaccard 0.9 is (1-0.9^4)^16 ≈ 2e-9,
     so at verification threshold 0.9 the output equals the exact-Jaccard
     pair set with overwhelming probability — which is why this query can
-    share the exact SQL oracle."""
+    share the exact SQL oracle. ``max_bucket_size`` bounds hot-bucket
+    blowup at corpus scale (see lsh_candidate_pairs)."""
     sigs = minhash_signatures(shingles, doc_col, shingle_col, num_hashes)
-    cands = lsh_candidate_pairs(sigs, doc_col, num_hashes, bands)
+    cands = lsh_candidate_pairs(sigs, doc_col, num_hashes, bands, max_bucket_size)
     return verify_jaccard(cands, shingles, doc_col, shingle_col, threshold)
 
 
@@ -176,14 +221,27 @@ def simhash_neardup_pairs(
     max_hamming: int = 3,
     chunks: int = 4,
     bits: int = 64,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Pairs with hamming(simhash) ≤ max_hamming via pigeonhole banding:
     with 4 16-bit chunks, any pair within hamming 3 shares at least one
     exact chunk — candidates are an equi-join on (chunk_idx, chunk_value),
     never an all-pairs scan. The guarantee needs chunks > max_hamming,
-    independent of ``bits``."""
+    independent of ``bits``.
+
+    ``max_bucket_size`` caps hot chunk buckets (see _cap_buckets). Unlike
+    MinHash banding, the pigeonhole guarantee has only chunks−max_hamming
+    redundant collisions, so the cap here weakens the worst-case ≤hamming
+    guarantee for pairs whose ONLY shared chunk is the hot one — set it
+    well above the honest bucket ceiling (hot chunk values come from
+    fingerprint degeneracy, e.g. all-zero simhashes of tiny docs, whose
+    pairs are overwhelmingly non-duplicates anyway)."""
     width = bits // chunks
     mask = (1 << width) - 1
+    if max_bucket_size is not None:
+        # Same rationale as lsh_candidate_pairs: the cap re-reads the
+        # fingerprint table (docs × 1 long); cache it across both passes.
+        fingerprints = fingerprints.persist()
     chunk_cols = [
         F.struct(
             F.lit(i).alias("ci"),
@@ -194,6 +252,7 @@ def simhash_neardup_pairs(
     exploded = fingerprints.select(
         F.col(doc_col), F.col("simhash"), F.explode(F.array(*chunk_cols)).alias("c")
     ).select(doc_col, "simhash", "c.ci", "c.cv")
+    exploded = _cap_buckets(exploded, ["ci", "cv"], max_bucket_size)
     a = exploded.select(
         F.col(doc_col).alias("a_id"), F.col("simhash").alias("ha"), "ci", "cv"
     )

@@ -39,9 +39,13 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     probability of LSH missing a 0.9-Jaccard pair is (1-0.9^4)^16 ≈ 2e-9,
     so the verified LSH output equals the exact pair set. This is the
     query to run at 100 TB — signature agg + bucket join, no shingle
-    self-join."""
+    self-join. max_bucket_size=1000 is the skew valve: it never triggers
+    at oracle scale (bucket sizes here are ≤ a few docs, so the exact
+    oracle still holds bit-for-bit) and bounds a degenerate hot band
+    bucket at 10^6 candidate pairs on a real corpus, where the pair's 15
+    other bands keep recall (miss prob (1-0.9^4)^15 ≈ 3e-9)."""
     sh = shingles_df(spark, sf_dir).persist()  # feeds signatures + verify joins
-    return textdedup.minhash_lsh_neardup_pairs(sh, threshold=0.9)
+    return textdedup.minhash_lsh_neardup_pairs(sh, threshold=0.9, max_bucket_size=1000)
 
 
 # DuckDB twin of the 60-bit portable SimHash (functions/textdedup.py:
@@ -103,7 +107,9 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         bits=_SIMHASH_BITS,
         hash_col=textdedup.portable_hash60(F.col("tok")),
     )
-    return textdedup.simhash_neardup_pairs(fps, max_hamming=3, bits=_SIMHASH_BITS)
+    return textdedup.simhash_neardup_pairs(
+        fps, max_hamming=3, bits=_SIMHASH_BITS, max_bucket_size=1000
+    )
 
 
 @register("ann_lsh_topk")  # rows-only: approximate by design

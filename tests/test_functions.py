@@ -395,3 +395,65 @@ class TestPngCodec:
             expect[v * multimodal.FEATURE_DIM // 256] += 1
         got = [f * len(px) for f in row["features"]]
         assert all(abs(g - e) < 1e-6 for g, e in zip(got, expect))
+
+
+class TestBucketSkewValve:
+    """max_bucket_size: a planted hot bucket must not explode into O(B²)
+    candidates, while pairs with redundant collisions survive the cap."""
+
+    def test_lsh_hot_band_bucket_bounded(self, spark):
+        # 100 docs share band 0 exactly (sig_0..sig_3 identical) but have
+        # unique sig_4..sig_63 → without a cap band 0 alone yields 4950
+        # candidate pairs; with cap=50 the hot bucket is skipped entirely.
+        # Docs 200/201 agree on ALL bands (a true near-dup pair) and are
+        # in no hot bucket, so the cap must keep them.
+        rows = []
+        for d in range(100):
+            sig = [7, 7, 7, 7] + [d * 64 + i for i in range(4, 64)]
+            rows.append((d, *sig))
+        for d in (200, 201):
+            rows.append((d, *[d * 0 + 999_000 + i for i in range(64)]))
+        cols = "doc_id long, " + ", ".join(f"sig_{i} long" for i in range(64))
+        sigs = spark.createDataFrame(rows, cols)
+
+        uncapped = textdedup.lsh_candidate_pairs(sigs).collect()
+        assert len(uncapped) == 4950 + 1
+        capped = textdedup.lsh_candidate_pairs(sigs, max_bucket_size=50).collect()
+        assert {(r["a_id"], r["b_id"]) for r in capped} == {(200, 201)}
+
+    def test_simhash_hot_chunk_bucket_bounded(self, spark):
+        # 100 fingerprints share chunk 0 (low 16 bits = 0xBEEF) but are far
+        # apart overall; docs 500/501 differ by 1 bit (hamming 1) and share
+        # three non-hot chunks. cap=50 removes the hot bucket's 4950
+        # candidates and keeps the close pair.
+        # Knuth-scatter the high 31 bits so hot-bucket members are far
+        # apart (hamming ~15), sharing ONLY the planted low chunk.
+        rows = [(d, (((d * 0x9E3779B1) & 0x7FFFFFFF) << 16) | 0xBEEF) for d in range(100)]
+        rows += [(500, (77 << 32) | (0x5A5A << 16) | 0x1234),
+                 (501, (77 << 32) | (0x5A5A << 16) | 0x1235)]
+        fps = spark.createDataFrame(rows, "doc_id long, simhash long")
+
+        uncapped = textdedup.simhash_neardup_pairs(fps, max_hamming=3)
+        capped = textdedup.simhash_neardup_pairs(fps, max_hamming=3, max_bucket_size=50)
+        assert {(r["a_id"], r["b_id"]) for r in capped.collect()} == {(500, 501)}
+        # sanity: the close pair is found either way; the hot bucket only
+        # ever produced failing candidates (hamming >> 3), so outputs match.
+        assert {(r["a_id"], r["b_id"]) for r in uncapped.collect()} == {(500, 501)}
+
+    def test_graded_queries_unaffected_by_cap(self, spark, sf_dir):
+        # The graded dedup_minhash_lsh runs with max_bucket_size=1000;
+        # at test scale no bucket comes near the cap, so the pair set must
+        # equal the uncapped run (the exact-oracle guarantee).
+        from dbimport_spark.plans.text_queries import shingles_df
+
+        sh = shingles_df(spark, sf_dir).persist()
+        try:
+            capped = textdedup.minhash_lsh_neardup_pairs(
+                sh, threshold=0.9, max_bucket_size=1000
+            )
+            uncapped = textdedup.minhash_lsh_neardup_pairs(sh, threshold=0.9)
+            a = {(r["a_id"], r["b_id"]) for r in capped.collect()}
+            b = {(r["a_id"], r["b_id"]) for r in uncapped.collect()}
+            assert a == b and len(a) > 0
+        finally:
+            sh.unpersist()
