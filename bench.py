@@ -69,6 +69,9 @@ HEADLINE = [
     "text_chunk_windows",
     "set_ops_customers",
     "sample_temperature",
+    "multimodal_png_roundtrip",
+    "sample_dsir",
+    "embedding_kmeans",
 ]
 
 

@@ -1102,3 +1102,117 @@ def sample_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_id", "lang", F.col("bucket").cast("int").alias("bucket"))
     )
+
+
+# ---------------------------------------------------------------------------
+# sample_dsir — hashed-n-gram importance resampling (DSIR-style)
+
+
+@register(
+    "sample_dsir",
+    f"""WITH n AS (SELECT doc_id, {NORM_SQL} AS t FROM documents),
+w AS (SELECT doc_id, string_split(t, ' ') AS ws FROM n),
+uni AS (SELECT doc_id, unnest(ws) AS g FROM w),
+bi AS (
+  SELECT doc_id, ws[i] || ' ' || ws[i+1] AS g
+  FROM w, UNNEST(range(1, len(ws))) AS u(i)
+  WHERE len(ws) >= 2
+),
+grams AS (
+  SELECT doc_id, g FROM uni WHERE g <> ''
+  UNION ALL SELECT doc_id, g FROM bi
+),
+hb AS (
+  SELECT doc_id, ('0x' || substr(md5(g), 1, 8))::BIGINT % 4096 AS b FROM grams
+),
+tmodel AS (SELECT b, count(*) AS ct FROM hb WHERE doc_id % 50 = 0 GROUP BY b),
+rmodel AS (SELECT b, count(*) AS cr FROM hb WHERE doc_id % 50 <> 0 GROUP BY b),
+totals AS (
+  SELECT sum(CASE WHEN doc_id % 50 = 0 THEN 1 ELSE 0 END) AS nt,
+         sum(CASE WHEN doc_id % 50 <> 0 THEN 1 ELSE 0 END) AS nr
+  FROM hb
+),
+scored AS (
+  SELECT hb.doc_id, count(*) AS n_grams,
+         CAST(sum(COALESCE(t.ct, 0)) AS BIGINT) AS sum_target_cnt,
+         CAST(sum(r.cr) AS BIGINT) AS sum_raw_cnt
+  FROM hb LEFT JOIN tmodel t USING (b) JOIN rmodel r USING (b)
+  WHERE hb.doc_id % 50 <> 0
+  GROUP BY hb.doc_id
+)
+SELECT doc_id, n_grams, sum_target_cnt, sum_raw_cnt,
+       CAST(sum_target_cnt AS HUGEINT) * (SELECT nr FROM totals)
+         > CAST(sum_raw_cnt AS HUGEINT) * (SELECT nt FROM totals) AS keep
+FROM scored""",
+)
+def sample_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style data selection via hashed-n-gram importance (Xie et al.
+    2023, "Data Selection for Language Models via Importance Resampling"):
+    word uni+bigram features hashed into 4096 buckets train a bag-of-grams
+    model of the TARGET domain (here docs with doc_id % 50 == 0 play the
+    in-domain exemplar set) and of the RAW pool; each raw doc is kept iff
+    its grams are on average more likely under the target model than the
+    raw model.
+
+    Exactness convention (see sample_temperature): the published method
+    compares Σ log((ct+1)/(cr+1)) against a threshold; transcendental
+    log is not bit-reproducible across engines, so the graded statistic is
+    the integer cross-multiplied comparison of normalized average
+    frequencies — sum_target_cnt·Nr > sum_raw_cnt·Nt — the first-order
+    (linearized) form of the same evidence, computed entirely in
+    integers. Products are compared in DECIMAL(38,0)/HUGEINT so the test
+    survives corpus sizes where bigint·bigint would overflow.
+
+    Scale shape: both models are ≤4096 rows regardless of corpus size →
+    broadcast; the corpus side is explode → two broadcast-hash joins →
+    one map-side-combined agg on doc_id. No corpus-sized shuffle other
+    than the per-doc agg."""
+    d = load(spark, sf_dir, "documents").repartition(32, "doc_id")
+    ws = d.select("doc_id", F.split(text_queries.norm_col(), " ").alias("ws"))
+    uni = ws.select(
+        "doc_id", F.explode(F.array_remove(F.col("ws"), "")).alias("g")
+    )
+    bi = ws.filter(F.size("ws") >= 2).select(
+        "doc_id",
+        F.explode(
+            F.expr("transform(sequence(0, size(ws) - 2), i -> concat_ws(' ', ws[i], ws[i+1]))")
+        ).alias("g"),
+    )
+    grams = uni.unionAll(bi)
+    hb = grams.select(
+        "doc_id",
+        (
+            F.conv(F.substring(F.md5("g"), 1, 8), 16, 10).cast("bigint") % 4096
+        ).alias("b"),
+    )
+    is_target = F.col("doc_id") % 50 == 0
+    tmodel = hb.filter(is_target).groupBy("b").agg(F.count(F.lit(1)).alias("ct"))
+    rmodel = hb.filter(~is_target).groupBy("b").agg(F.count(F.lit(1)).alias("cr"))
+    totals = hb.agg(
+        F.sum(is_target.cast("bigint")).alias("nt"),
+        F.sum((~is_target).cast("bigint")).alias("nr"),
+    )
+    scored = (
+        hb.filter(~is_target)
+        .join(F.broadcast(tmodel), "b", "left")
+        .join(F.broadcast(rmodel), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(F.coalesce("ct", F.lit(0))).alias("sum_target_cnt"),
+            F.sum("cr").alias("sum_raw_cnt"),
+        )
+    )
+    return (
+        scored.crossJoin(F.broadcast(totals))
+        .select(
+            "doc_id",
+            "n_grams",
+            "sum_target_cnt",
+            "sum_raw_cnt",
+            (
+                F.col("sum_target_cnt").cast("decimal(38,0)") * F.col("nr")
+                > F.col("sum_raw_cnt").cast("decimal(38,0)") * F.col("nt")
+            ).alias("keep"),
+        )
+    )

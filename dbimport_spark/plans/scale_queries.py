@@ -272,3 +272,55 @@ def ann_pq_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 def ann_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall gate for the PQ ANN (see _ann_recall_flags)."""
     return _ann_recall_flags(spark, sf_dir, ann_pq_topk_q(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# embedding_kmeans — distributed Lloyd's k-means, fixed-iteration oracle
+
+_KM_DIST = (
+    "list_aggregate(list_transform(range(1, 65), j -> "
+    "(v[j] - cv[j]) * (v[j] - cv[j])), 'sum')"
+)
+
+_KM_ASSIGN = """SELECT vec_id, cid FROM (
+  SELECT vecs.vec_id, c.cid,
+         row_number() OVER (
+           PARTITION BY vecs.vec_id
+           ORDER BY {dist}, c.cid
+         ) AS rn
+  FROM vecs, {ctab} c
+) WHERE rn = 1"""
+
+_KM_ORACLE = f"""WITH vecs AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+),
+c0 AS (SELECT vec_id AS cid, v AS cv FROM vecs WHERE vec_id < 16),
+a0 AS ({_KM_ASSIGN.format(dist=_KM_DIST, ctab="c0")}),
+c1 AS (
+  SELECT cid, list(m ORDER BY j) AS cv FROM (
+    SELECT a0.cid, j, round(avg(v[j]), 6) AS m
+    FROM a0 JOIN vecs USING (vec_id), UNNEST(range(1, 65)) AS u(j)
+    GROUP BY a0.cid, j
+  ) GROUP BY cid
+),
+a1 AS ({_KM_ASSIGN.format(dist=_KM_DIST, ctab="c1")})
+SELECT vec_id, CAST(cid AS INTEGER) AS cluster FROM a1"""
+
+
+@register("embedding_kmeans", _KM_ORACLE)
+def embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed Lloyd's k-means (k=16, 2 assignment rounds) over the
+    embedding corpus — the training step behind IVF cells, SemDeDup
+    cluster scoping, and diversity-stratified sampling. Each round is a
+    map-side argmin against BROADCAST centroids plus one (cluster, dim)
+    hash aggregation; driver state is k×dim floats (functions/kmeans.py).
+
+    Oracle: the same two rounds unrolled as CTEs — bit-exact because
+    distances use the identical sequential fold on both engines and
+    intermediate centroids are rounded to 6 decimals before re-use
+    (collapsing partial-agg summation-order ulps)."""
+    from dbimport_spark.functions.kmeans import kmeans_assign
+
+    e = load(spark, sf_dir, "embeddings")
+    base = e.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    return kmeans_assign(base, k=16, n_iter=2)

@@ -457,3 +457,52 @@ class TestBucketSkewValve:
             assert a == b and len(a) > 0
         finally:
             sh.unpersist()
+
+
+def test_kmeans_recovers_planted_clusters(spark):
+    from dbimport_spark.functions.kmeans import kmeans_assign
+
+    # three tight planted blobs in 4-d; seeds (lowest ids 0,1,2) start one
+    # per blob, so 2 rounds converge to the exact partition.
+    import random
+
+    rng = random.Random(7)
+    centers = {0: [10.0, 0.0, 0.0, 0.0], 1: [0.0, 10.0, 0.0, 0.0], 2: [0.0, 0.0, 10.0, 0.0]}
+    rows = []
+    for i in range(90):
+        c = i % 3
+        rows.append(
+            (i, [x + rng.uniform(-0.5, 0.5) for x in centers[c]])
+        )
+    df = spark.createDataFrame(rows, "vec_id long, v array<double>")
+    got = {r["vec_id"]: r["cluster"] for r in kmeans_assign(df, k=3, n_iter=2).collect()}
+    assert set(got.values()) == {0, 1, 2}
+    for i, cl in got.items():
+        assert cl == i % 3
+
+
+def test_kmeans_handles_emptied_cluster(spark):
+    from dbimport_spark.functions.kmeans import kmeans_assign
+
+    # seeds 0 and 1 both sit in blob A; blob B is far away. After round 1
+    # one seed empties (every point nearer the other) — the survivor set
+    # must still cover all points in round 2 without error.
+    rows = [(0, [0.0, 0.0]), (1, [0.1, 0.0])] + [
+        (i, [50.0 + i * 0.01, 0.0]) for i in range(2, 40)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, v array<double>")
+    out = kmeans_assign(df, k=2, n_iter=3)
+    assert out.count() == 40
+    assert out.select("cluster").distinct().count() <= 2
+
+
+def test_sample_dsir_invariants(spark, sf_dir):
+    from dbimport_spark.plans.curation_queries import sample_dsir
+
+    out = sample_dsir(spark, sf_dir).collect()
+    assert len(out) > 0
+    for r in out[:50]:
+        assert r["doc_id"] % 50 != 0          # target docs are never scored
+        assert r["n_grams"] > 0
+        assert r["sum_raw_cnt"] >= r["n_grams"]  # each gram counts itself
+    assert any(r["keep"] for r in out) and any(not r["keep"] for r in out)
