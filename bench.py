@@ -72,6 +72,7 @@ HEADLINE = [
     "multimodal_png_roundtrip",
     "sample_dsir",
     "embedding_kmeans",
+    "text_bpe_tokens",
 ]
 
 

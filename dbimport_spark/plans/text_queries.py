@@ -682,3 +682,90 @@ def text_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
             f" - chunk_idx * {_CHUNK_STRIDE} AS INT)"
         ).alias("n_chunk_tokens"),
     )
+
+
+# ---------------------------------------------------------------------------
+# text_bpe_tokens — from-scratch BPE subword tokenizer, training + encode
+
+
+def _bpe_oracle(n_merges: int) -> str:
+    """DuckDB twin of the full BPE pipeline with the training loop
+    UNROLLED: each round extracts weighted adjacent pairs from the
+    boundary-delimited symbol strings ('||a||b||c_||'), picks the argmax
+    (ties: lexicographic), and applies the merge with a two-pass
+    replace — two passes because consecutive occurrences share the
+    boundary separator, and after one pass the missed occurrences are
+    isolated (see test_bpe_replace_equivalence). Deterministic and
+    bit-exact vs the Spark fold."""
+    rounds = []
+    for r in range(n_merges):
+        rounds.append(
+            f"""t{r} AS (SELECT cnt, list_filter(string_split(s, '||'), x -> x <> '') AS ts FROM s{r}),
+pc{r} AS (SELECT ts[i] AS a, ts[i+1] AS b, sum(cnt) AS w
+        FROM t{r}, UNNEST(range(1, len(ts))) AS u(i) GROUP BY ts[i], ts[i+1]),
+bp{r} AS (SELECT a, b FROM pc{r} ORDER BY w DESC, a, b LIMIT 1),
+s{r + 1} AS (SELECT word, cnt,
+  replace(replace(s, '||' || bp.a || '||' || bp.b || '||', '||' || bp.a || bp.b || '||'),
+                     '||' || bp.a || '||' || bp.b || '||', '||' || bp.a || bp.b || '||') AS s
+  FROM s{r}, bp{r} bp)"""
+        )
+    return f"""WITH dw AS (
+  SELECT doc_id, w FROM (
+    SELECT doc_id, unnest(string_split({NORM_SQL}, ' ')) AS w FROM documents
+  ) WHERE w <> ''
+),
+vocab AS (SELECT w AS word, count(*) AS cnt FROM dw GROUP BY w),
+s0 AS (SELECT word, cnt,
+  '||' || array_to_string(list_transform(range(1, length(word) + 1),
+      i -> substring(word, CAST(i AS INTEGER), 1) ||
+           CASE WHEN i = length(word) THEN '_' ELSE '' END), '||') || '||' AS s
+  FROM vocab),
+{','.join(rounds)},
+enc AS (SELECT word,
+          len(list_filter(string_split(s{n_merges}, '||'), x -> x <> '')) AS n_tok
+        FROM (SELECT word, s AS s{n_merges} FROM s{n_merges}))
+SELECT dw.doc_id, count(*) AS n_words, CAST(sum(e.n_tok) AS BIGINT) AS n_tokens
+FROM dw JOIN enc e ON e.word = dw.w
+GROUP BY dw.doc_id"""
+
+
+_BPE_MERGES = 8
+
+
+@register("text_bpe_tokens", _bpe_oracle(_BPE_MERGES))
+def text_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real BPE subword tokenization end-to-end (functions/bpe.py): train
+    8 merges on the corpus's distinct-word frequency table (each round =
+    one map-side-combined pair-count agg + a 1-row collect), encode every
+    distinct word with the codegen'd fold chain, and join token counts
+    back per document. The oracle replicates the ENTIRE pipeline —
+    training included — with the rounds unrolled in SQL, so merge choice,
+    tie-breaks, and the greedy leftmost merge semantics are all graded.
+
+    Scale: training and encoding touch only the distinct-word table
+    (sublinear in corpus size); the per-doc rollup is a broadcast join of
+    (word → n_tokens) onto the exploded corpus plus one agg on doc_id —
+    the corpus itself never shuffles wider than (doc_id, word)."""
+    from dbimport_spark.functions import bpe
+
+    d = load(spark, sf_dir, "documents").repartition(32, "doc_id")
+    dw = d.select(
+        "doc_id", F.explode(F.split(norm_col(), " ")).alias("w")
+    ).filter(F.col("w") != "")
+    dw = dw.persist()
+    vocab = bpe.words_with_counts(d, norm_col())
+    merges = bpe.bpe_train(vocab, _BPE_MERGES)
+    enc = vocab.select(
+        "word",
+        F.size(
+            bpe.bpe_encode_expr(bpe.SYMBOLS_SQL.format(w="word"), merges)
+        ).alias("n_tok"),
+    )
+    return (
+        dw.join(F.broadcast(enc), dw["w"] == enc["word"])
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("n_tok").alias("n_tokens"),
+        )
+    )

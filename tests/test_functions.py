@@ -506,3 +506,83 @@ def test_sample_dsir_invariants(spark, sf_dir):
         assert r["n_grams"] > 0
         assert r["sum_raw_cnt"] >= r["n_grams"]  # each gram counts itself
     assert any(r["keep"] for r in out) and any(not r["keep"] for r in out)
+
+
+class TestBpe:
+    """functions/bpe.py: from-scratch distributed BPE."""
+
+    def _py_bpe_train(self, word_counts, n):
+        # independent pure-Python reference (Sennrich's algorithm)
+        vocab = {tuple(list(w[:-1]) + [w[-1] + "_"]): c for w, c in word_counts.items()}
+        merges = []
+        for _ in range(n):
+            pairs = {}
+            for syms, c in vocab.items():
+                for i in range(len(syms) - 1):
+                    pairs[(syms[i], syms[i + 1])] = pairs.get((syms[i], syms[i + 1]), 0) + c
+            if not pairs:
+                break
+            best = min(pairs, key=lambda p: (-pairs[p], p))
+            merges.append(best)
+            nv = {}
+            for syms, c in vocab.items():
+                out, i = [], 0
+                while i < len(syms):
+                    if i + 1 < len(syms) and (syms[i], syms[i + 1]) == best:
+                        out.append(syms[i] + syms[i + 1]); i += 2
+                    else:
+                        out.append(syms[i]); i += 1
+                nv[tuple(out)] = nv.get(tuple(out), 0) + c
+            vocab = nv
+        return merges, vocab
+
+    def test_train_matches_python_reference(self, spark):
+        from dbimport_spark.functions import bpe
+
+        wc = {"low": 5, "lower": 2, "newest": 6, "widest": 3, "aaaa": 3}
+        df = spark.createDataFrame(list(wc.items()), "word string, cnt long")
+        got = bpe.bpe_train(df, 6)
+        want, _ = self._py_bpe_train(wc, 6)
+        assert got == [tuple(m) for m in want]
+
+    def test_encoders_agree_with_reference(self, spark):
+        from dbimport_spark.functions import bpe
+
+        wc = {"low": 5, "lower": 2, "newest": 6, "widest": 3, "aaaa": 3, "lowest": 1}
+        df = spark.createDataFrame(list(wc.items()), "word string, cnt long")
+        merges = bpe.bpe_train(df, 6)
+        expr_out = {
+            r["word"]: list(r["t"])
+            for r in df.select(
+                "word", bpe.bpe_encode_expr(bpe.SYMBOLS_SQL.format(w="word"), merges).alias("t")
+            ).collect()
+        }
+        udf_out = {
+            r["word"]: list(r["t"])
+            for r in df.select("word", bpe.symbols_col("word").alias("s"))
+            .select("word", bpe.bpe_encode_udf(merges)("s").alias("t"))
+            .collect()
+        }
+        assert expr_out == udf_out
+        # reference encode: sequential merges, greedy leftmost
+        for w in wc:
+            syms = list(w[:-1]) + [w[-1] + "_"]
+            for a, b in merges:
+                out, i = [], 0
+                while i < len(syms):
+                    if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                        out.append(a + b); i += 2
+                    else:
+                        out.append(syms[i]); i += 1
+                syms = out
+            assert expr_out[w] == syms, w
+
+    def test_merge_fold_consecutive_runs(self, spark):
+        from dbimport_spark.functions import bpe
+
+        df = spark.createDataFrame([("aaaaa",)], "word string")
+        out = df.select(
+            bpe.bpe_encode_expr(bpe.SYMBOLS_SQL.format(w="word"), [("a", "a")]).alias("t")
+        ).collect()[0]["t"]
+        # greedy leftmost non-overlap on [a,a,a,a,a_]: [aa, aa, a_]
+        assert list(out) == ["aa", "aa", "a_"]

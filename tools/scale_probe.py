@@ -1,0 +1,147 @@
+"""Scale-stress probe: run the scale-path queries on K× inflated inputs.
+
+The correctness gate runs at sf0.01 and bench at sf0.1; this tool answers
+the 100-TB question empirically at the largest scale this box can hold:
+inflate the driving tables K× (default 10 — i.e. sf1-equivalent row
+counts), run each probed query end-to-end, and report the per-query
+time ratio vs the sf0.1 bench run. A plan that survives scale shows a
+ratio near the data ratio (linear scan/agg/bucket-join shapes); a plan
+with a hidden quadratic or a per-group buffer blows past it.
+
+Inflation keeps value distributions intact and shifts ids per replica
+(doc_id/vec_id + i*OFFSET, orderkey + i*OFFSET) so planted-dup arithmetic
+(doc_id % / + patterns) generates proportionally more work, not
+degenerate all-equal storms. Tables a probe never touches are symlinked.
+
+Usage: python tools/scale_probe.py [factor] [query ...]
+Prints one JSON line: {"factor": K, "queries": {name: sec}, ...}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+BASE = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+PROBES = [
+    "q1_pricing_summary",
+    "dedup_exact_docs",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_bloom_static",
+    "sparse_tfidf_neardup",
+    "dup_span_coverage",
+    "heavy_hitters_shingles",
+    "text_lm_score",
+    "text_bpe_tokens",
+    "sample_dsir",
+    "embedding_kmeans",
+    "numeric_profile",
+    "approx_quantile_gate",
+    "multimodal_png_roundtrip",
+    "ann_lsh_topk",
+    "merge_upsert",
+]
+
+ID_OFFSET = 100_000_000
+
+
+def inflate(spark, factor: int, out_dir: str) -> None:
+    from pyspark.sql import functions as F
+
+    os.makedirs(out_dir, exist_ok=True)
+
+    def write(df, name):
+        df.write.mode("overwrite").parquet(f"{out_dir}/{name}.parquet")
+
+    def times(df, id_cols):
+        parts = []
+        for i in range(factor):
+            p = df
+            for c in id_cols:
+                p = p.withColumn(c, F.col(c) + F.lit(i * ID_OFFSET))
+            parts.append(p)
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
+    r = spark.read
+    write(times(r.parquet(f"{BASE}/documents.parquet"), ["doc_id"]), "documents")
+    write(times(r.parquet(f"{BASE}/embeddings.parquet"), ["vec_id"]), "embeddings")
+    write(
+        times(r.parquet(f"{BASE}/lineitem.parquet"), ["l_orderkey"]), "lineitem"
+    )
+    write(times(r.parquet(f"{BASE}/orders.parquet"), ["o_orderkey"]), "orders")
+    write(
+        times(r.parquet(f"{BASE}/customer.parquet"), ["c_custkey"]), "customer"
+    )
+    for t in ("region", "nation", "supplier", "part", "events"):
+        dst = f"{out_dir}/{t}.parquet"
+        if os.path.lexists(dst):
+            os.remove(dst) if not os.path.isdir(dst) else shutil.rmtree(dst)
+        os.symlink(f"{BASE}/{t}.parquet", dst)
+
+
+def main() -> None:
+    factor = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    subset = sys.argv[2:] or PROBES
+
+    from pyspark.sql import SparkSession
+
+    from dbimport_spark.plans import QUERIES
+
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count() or 8))
+    spark = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName("dbimport_spark_scale_probe")
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    out_dir = os.path.join(
+        tempfile.gettempdir(), f"dbimport_spark_scale/x{factor}"
+    )
+    marker = os.path.join(out_dir, "_built")
+    if not os.path.exists(marker):
+        inflate(spark, factor, out_dir)
+        open(marker, "w").close()
+
+    timings: dict[str, float] = {}
+    for name in subset:
+        t0 = time.time()
+        QUERIES[name](spark, out_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.time() - t0, 2)
+        spark.catalog.clearCache()
+        print(f"# {name}: {timings[name]}s", file=sys.stderr)
+
+    print(
+        json.dumps(
+            {
+                "metric": "scale_probe_runtime",
+                "factor": factor,
+                "base": BASE,
+                "unit": "sec",
+                "queries": timings,
+                "value": round(sum(timings.values()), 2),
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
