@@ -417,7 +417,9 @@ FROM dots JOIN norms na ON na.doc_id = a_id JOIN norms nb ON nb.doc_id = b_id
 WHERE CAST(dot * 10 AS HUGEINT) * CAST(dot * 10 AS HUGEINT)
       >= 81 * CAST(na.n2 AS HUGEINT) * CAST(nb.n2 AS HUGEINT)""",
 )
-def sparse_tfidf_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+def sparse_tfidf_neardup(
+    spark: SparkSession, sf_dir: str, strategy: str = "auto"
+) -> DataFrame:
     """Sparse TF-IDF cosine near-dup pairs via an inverted-index join —
     the bag-of-words sibling of the shingle sketches, exact and
     float-free: integer weights w = tf · (N div df), and the cosine
@@ -425,21 +427,39 @@ def sparse_tfidf_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     (10·dot)² ≥ 81·‖a‖²·‖b‖² in decimal(38) — no sqrt, no float
     boundary, so the DuckDB oracle matches bit-for-bit.
 
-    Scale design: the corpus never self-joins on documents — the join is
-    posting-list × posting-list per TERM, with two bounds applied first:
-    stopword pruning (df > N/4 terms carry no signal and create quadratic
-    fan-out — dropped from weights entirely) and singleton skipping
-    (df = 1 terms can't be shared — kept in norms, dropped from the
-    join). Per-term fan-out is thus ≤ (N/4)²; at 100 TB you lower the
-    df cap or shard hot terms like the shingle join. Everything else is
-    hash aggs on narrow keys.
+    Scale design — two EXACT physical strategies and a cost-based pick:
 
-    The weighted-postings subtree feeds three consumers (norms + both join
-    sides) and recomputes per branch — measured FASTER locally than
-    persist() (2.0s vs 3.3s at sf0.1: recompute pipelines across cores,
-    materialization serializes). At 100 TB flip that call: persist or
-    checkpoint the postings once, since three passes over a corpus-scale
-    tf/df pipeline dominate any materialization cost."""
+    * ``naive``: one posting-list self-join + hash agg. Join size is
+      Σ_term df'² — quadratic in document frequency, fine while that sum
+      is small, a scale-killer past it.
+    * ``prefix``: PREFIX FILTERING (Bayardo/Ma/Srikant 2007, "Scaling Up
+      All Pairs Similarity Search"). Each doc's terms are ordered
+      rarest-first and only the minimal head whose remaining suffix mass
+      drops below t²·‖d‖² is indexed (integer test 19·n2 ≥ 100·c_prev at
+      t=0.9). Cauchy-Schwarz: a pair sharing only suffix terms of doc a
+      has cos ≤ ‖a_suffix‖/‖a‖ < t, so every qualifying pair shares a
+      PREFIX term of its smaller-id doc → candidates from the
+      prefix × full equi-join, exact dots for candidates only. TF-IDF
+      puts norm mass in rare terms, so the high-df fan-out bombs land in
+      the unindexed suffix — on Zipf vocabularies candidates collapse to
+      ~output size.
+    * ``auto`` computes Σ df'² with one tiny term-level aggregate and
+      picks: naive below 5e7 join rows (the flat-cost regime), prefix
+      above. Measured at 10× sf0.1 — a corpus whose synthetic ~31-word
+      vocabulary is ADVERSARIAL for any inverted index (no rare terms
+      exist, 65M candidates for 58k true pairs): naive 515 s, prefix
+      406 s; at sf0.1 naive wins (1.5 s vs 3.5 s). Both are exact, so
+      the choice never touches the oracle.
+
+    Shared bounds: stopword pruning (df > N/4 dropped from weights
+    entirely) and singleton skipping (df = 1 can't be shared; shared
+    terms always have df ≥ 2, so the join sides drop them losslessly).
+    The per-doc prefix window sorts vocab-sized groups, not corpus-sized
+    ones. Integer-weight note: w = tf·(N div df) keeps w² in bigint to
+    ~N=1e8 docs; beyond that coarsen the idf quantization, not the
+    threshold algebra."""
+    from pyspark.sql import Window
+
     corpus = corpus_df(spark, sf_dir)
     toks = corpus.select(
         "doc_id",
@@ -455,14 +475,62 @@ def sparse_tfidf_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     norms = w.groupBy("doc_id").agg(F.sum(F.col("w") * F.col("w")).alias("n2"))
     j = w.filter(F.col("df") >= 2)
-    a = j.select(F.col("doc_id").alias("a_id"), "t", F.col("w").alias("wa"))
-    b = j.select(F.col("doc_id").alias("b_id"), "t", F.col("w").alias("wb"))
-    dots = (
-        a.join(b, "t")
-        .filter(F.col("a_id") < F.col("b_id"))
-        .groupBy("a_id", "b_id")
-        .agg(F.sum(F.col("wa") * F.col("wb")).alias("dot"))
-    )
+
+    if strategy == "auto":
+        # the stats job and the main plan both consume the posting prep;
+        # persist it so tf/df compute once (bench clearCache()s between
+        # queries; long-lived callers should unpersist)
+        j = j.persist()
+        full_rows = (
+            j.groupBy("t")
+            .agg(F.count(F.lit(1)).alias("nf"))
+            .agg(F.sum(F.col("nf").cast("decimal(38,0)") * F.col("nf")).alias("r"))
+            .collect()[0]["r"]
+        )
+        strategy = "naive" if full_rows is None or int(full_rows) < 5e7 else "prefix"
+
+    if strategy == "naive":
+        a = j.select(F.col("doc_id").alias("a_id"), "t", F.col("w").alias("wa"))
+        b = j.select(F.col("doc_id").alias("b_id"), "t", F.col("w").alias("wb"))
+        dots = (
+            a.join(b, "t")
+            .filter(F.col("a_id") < F.col("b_id"))
+            .groupBy("a_id", "b_id")
+            .agg(F.sum(F.col("wa") * F.col("wb")).alias("dot"))
+        )
+    else:
+        order = Window.partitionBy("doc_id").orderBy(
+            F.col("df").asc(), F.col("t").asc()
+        )
+        wp = (
+            j.join(norms, "doc_id")
+            .withColumn(
+                "c_prev",
+                F.coalesce(
+                    F.sum(F.col("w") * F.col("w")).over(
+                        order.rowsBetween(Window.unboundedPreceding, -1)
+                    ),
+                    F.lit(0),
+                ),
+            )
+            .filter(F.lit(19) * F.col("n2") >= F.lit(100) * F.col("c_prev"))
+        )
+        pre = wp.select(F.col("doc_id").alias("a_id"), "t")
+        full = j.select(F.col("doc_id").alias("b_id"), "t")
+        cand = (
+            pre.join(full, "t")
+            .filter(F.col("a_id") < F.col("b_id"))
+            .select("a_id", "b_id")
+            .distinct()
+        )
+        a = j.select(F.col("doc_id").alias("a_id"), "t", F.col("w").alias("wa"))
+        b = j.select(F.col("doc_id").alias("b_id"), "t", F.col("w").alias("wb"))
+        dots = (
+            cand.join(a, "a_id")
+            .join(b, ["b_id", "t"])
+            .groupBy("a_id", "b_id")
+            .agg(F.sum(F.col("wa") * F.col("wb")).alias("dot"))
+        )
     dec = lambda c: c.cast("decimal(38,0)")
     # Exact integer threshold: (10*dot)^2 >= 81*na2*nb2  <=>  cosine >= 0.9.
     # Spark caps DECIMAL products at precision 38 and yields NULL on overflow

@@ -11,7 +11,15 @@ with a hidden quadratic or a per-group buffer blows past it.
 Inflation keeps value distributions intact and shifts ids per replica
 (doc_id/vec_id + i*OFFSET, orderkey + i*OFFSET) so planted-dup arithmetic
 (doc_id % / + patterns) generates proportionally more work, not
-degenerate all-equal storms. Tables a probe never touches are symlinked.
+degenerate all-equal storms. Document text is additionally perturbed per
+replica (every 5th word gets a replica suffix — ~80% of unigram mass
+kept, ~60% of trigram shingles broken, so cross-replica Jaccard lands
+far below dedup thresholds): without this, K verbatim copies of every
+doc make each near-dup PAIR query's output grow ~K² — a corpus property,
+not a plan property — which is what a first probe run measured
+(sparse_tfidf 46× at K=10; 12× after the perturbation). Embeddings get
+per-replica deterministic jitter for the same reason. Tables a probe
+never touches are symlinked.
 
 Usage: python tools/scale_probe.py [factor] [query ...]
 Prints one JSON line: {"factor": K, "queries": {name: sec}, ...}
@@ -73,9 +81,45 @@ def inflate(spark, factor: int, out_dir: str) -> None:
             out = out.unionByName(p)
         return out
 
+    def times_docs(df):
+        parts = []
+        for i in range(factor):
+            p = df.withColumn("doc_id", F.col("doc_id") + F.lit(i * ID_OFFSET))
+            if i > 0:
+                p = p.withColumn(
+                    "text",
+                    F.expr(
+                        f"array_join(transform(split(text, ' '), (w, j) -> "
+                        f"CASE WHEN j % 5 = 4 THEN concat(w, 'r{i}') ELSE w END), ' ')"
+                    ),
+                )
+            parts.append(p)
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
+    def times_vecs(df):
+        parts = []
+        for i in range(factor):
+            p = df.withColumn("vec_id", F.col("vec_id") + F.lit(i * ID_OFFSET))
+            if i > 0:
+                p = p.withColumn(
+                    "embedding",
+                    F.expr(
+                        f"transform(embedding, (x, j) -> "
+                        f"x + CAST((({i} * 37 + j * 11) % 13 - 6) AS FLOAT) * 0.005f)"
+                    ),
+                )
+            parts.append(p)
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
     r = spark.read
-    write(times(r.parquet(f"{BASE}/documents.parquet"), ["doc_id"]), "documents")
-    write(times(r.parquet(f"{BASE}/embeddings.parquet"), ["vec_id"]), "embeddings")
+    write(times_docs(r.parquet(f"{BASE}/documents.parquet")), "documents")
+    write(times_vecs(r.parquet(f"{BASE}/embeddings.parquet")), "embeddings")
     write(
         times(r.parquet(f"{BASE}/lineitem.parquet"), ["l_orderkey"]), "lineitem"
     )
