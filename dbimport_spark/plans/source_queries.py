@@ -755,3 +755,27 @@ def src_kdbx4(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("username"),
         F.col("password"),
     )
+
+
+@register(
+    "src_orc_roundtrip",
+    """SELECT s_suppkey, s_name, s_nationkey, s_acctbal
+FROM supplier WHERE s_suppkey % 3 = 0""",
+)
+def src_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC columnar source/sink roundtrip via Spark's built-in connector —
+    the lake-format sibling of the file sources (the reference imports
+    whatever container lands in the drop directory; columnar parity here
+    means a user can point the import surface at ORC as readily as
+    parquet/CSV). The write is distributed (no driver materialization)
+    and the read-back plan gets the same predicate/column pushdown as a
+    parquet scan. The oracle recomputes the slice straight from the
+    parquet view — roundtrip identity IS the assertion."""
+    path = os.path.join(_export_dir(sf_dir), "supplier_orc")
+    sup = (
+        load(spark, sf_dir, "supplier")
+        .filter(F.col("s_suppkey") % 3 == 0)
+        .select("s_suppkey", "s_name", "s_nationkey", "s_acctbal")
+    )
+    sup.write.mode("overwrite").orc(path)
+    return spark.read.orc(path)

