@@ -73,6 +73,7 @@ HEADLINE = [
     "sample_dsir",
     "embedding_kmeans",
     "text_bpe_tokens",
+    "dedup_fuzzy_keys",
 ]
 
 

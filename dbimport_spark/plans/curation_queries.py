@@ -1216,3 +1216,58 @@ def sample_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("keep"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# dedup_fuzzy_keys — edit-distance-1 key matching via deletion neighborhoods
+
+
+@register(
+    "dedup_fuzzy_keys",
+    """SELECT a.c_custkey AS a_id, b.c_custkey AS b_id,
+       CAST(levenshtein(a.c_name, b.c_name) AS INTEGER) AS dist
+FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
+WHERE levenshtein(a.c_name, b.c_name) <= 1""",
+)
+def dedup_fuzzy_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy key matching at edit distance ≤ 1 — the data-cleaning sibling
+    of the exact-key duplicate detector (the reference matches import keys
+    exactly; near-key typo detection is the first thing a real customer
+    master needs on top). Blocking is the FastSS deletion neighborhood
+    (Bocek et al. 2007): each name emits itself plus its |name| delete-one
+    variants; any pair within Levenshtein 1 shares a key (substitution →
+    both delete the differing position; indel → the longer's deletion IS
+    the shorter), so candidates come from a plain equi-join on the key
+    string and exact levenshtein verifies. Unlike prefix/half blocking,
+    deletion keys have NO hot buckets on common-prefix key spaces
+    (every 'Customer#...' shares a prefix, but a deletion key pins all
+    OTHER positions, so bucket size stays O(alphabet)); cost is a
+    |name|-factor key explosion — the classic memory-for-exactness trade,
+    linear in corpus size. The oracle is the quadratic all-pairs
+    levenshtein join, fine at oracle scale."""
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    keys = c.select(
+        "c_custkey",
+        "c_name",
+        F.explode(
+            F.expr(
+                "array_union(array(c_name), "
+                "transform(sequence(1, length(c_name)), i -> "
+                "concat(substring(c_name, 1, i - 1), "
+                "substring(c_name, i + 1, length(c_name) - i))))"
+            )
+        ).alias("k"),
+    )
+    a = keys.select(F.col("c_custkey").alias("a_id"), F.col("c_name").alias("an"), "k")
+    b = keys.select(F.col("c_custkey").alias("b_id"), F.col("c_name").alias("bn"), "k")
+    cand = (
+        a.join(b, "k")
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id", "an", "bn")
+        .distinct()
+    )
+    return (
+        cand.withColumn("dist", F.levenshtein("an", "bn").cast("int"))
+        .filter(F.col("dist") <= 1)
+        .select("a_id", "b_id", "dist")
+    )
