@@ -213,3 +213,47 @@ def test_aes_ctr_cbc_involution(data, keylen):
     iv = bytes(range(16))
     padded = pkcs7_pad(data)
     assert pkcs7_unpad(cbc_decrypt(key, iv, cbc_encrypt(key, iv, padded))) == data
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    st.integers(min_value=1, max_value=12),
+    st.integers(min_value=1, max_value=12),
+    st.sampled_from([1, 2, 3, 4]),
+    st.sampled_from([0, 1, 2, 3, 4]),
+    st.randoms(),
+)
+def test_png_roundtrip_property(w, h, channels, filter_type, rnd):
+    """encode∘decode is the identity for every size × channel-count ×
+    scanline filter over random pixel buffers."""
+    from dbimport_spark.functions import png
+
+    px = bytes(rnd.randrange(256) for _ in range(w * h * channels))
+    got = png.decode_png(png.encode_png(w, h, channels, px, filter_type=filter_type))
+    assert got == (w, h, channels, px)
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.text(alphabet="abcd", min_size=1, max_size=6),
+            st.integers(min_value=1, max_value=9),
+        ),
+        min_size=1,
+        max_size=8,
+        unique_by=lambda t: t[0],
+    ),
+    st.integers(min_value=1, max_value=4),
+)
+def test_bpe_train_property_vs_reference(spark, word_counts, n_merges):
+    """Distributed BPE training equals the pure-Python Sennrich reference
+    on arbitrary small vocabularies (greedy argmax + lexicographic ties)."""
+    from dbimport_spark.functions import bpe
+    from tests.test_functions import TestBpe
+
+    wc = dict(word_counts)
+    df = spark.createDataFrame(list(wc.items()), "word string, cnt long")
+    got = bpe.bpe_train(df, n_merges)
+    want, _ = TestBpe()._py_bpe_train(wc, n_merges)
+    assert got == [tuple(m) for m in want]
