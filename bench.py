@@ -146,6 +146,10 @@ def main() -> None:
         # queries persist() shared subtrees; drop them between queries so
         # earlier plans' cache blocks don't pile GC pressure onto later ones
         spark.catalog.clearCache()
+        # ...and collect the garbage NOW, not in the middle of the next
+        # query's timed region (a 58-query sweep accumulates enough heap
+        # that lazy GC showed up as phantom 2-3 s spikes on random rows)
+        spark._jvm.System.gc()
         return round(best, 3)
 
     subset = [a for a in sys.argv[1:] if not a.startswith("-")]
