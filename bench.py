@@ -74,6 +74,7 @@ HEADLINE = [
     "embedding_kmeans",
     "text_bpe_tokens",
     "dedup_fuzzy_keys",
+    "zorder_cluster",
 ]
 
 

@@ -567,3 +567,59 @@ def test_merge_into_partitioned_bootstrap(spark, tmp_path):
     assert sorted(parts) == [0, 1]
     got = {(r["k"], r["p"], r["v"]) for r in spark.read.parquet(path).collect()}
     assert got == {(1, 0, "a"), (2, 1, "b")}
+
+
+def test_zorder_write_files_cover_rectangles(spark, sf_dir, tmp_path):
+    """Z-order clustering must make every written file a small RECTANGLE
+    of the 2-D space so min/max stats prune on either column, where a
+    single-column sort gives full-width stripes (second dimension
+    unpruned). Proven on real parquet footers."""
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from dbimport_spark.functions.zorder import zorder_write
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_custkey", (F.col("o_totalprice").cast("bigint")).alias("price")
+    )
+    lo, hi = orders.agg(F.min("price"), F.max("price")).collect()[0]
+    span_all = hi - lo + 1
+
+    zpath, spath = str(tmp_path / "z"), str(tmp_path / "s")
+    zorder_write(orders, zpath, "o_custkey", "price", n_files=16)
+    (
+        orders.repartitionByRange(16, "o_custkey")
+        .sortWithinPartitions("o_custkey")
+        .write.mode("overwrite")
+        .parquet(spath)
+    )
+
+    def price_span_fractions(path):
+        import os
+
+        out = []
+        for f in os.listdir(path):
+            if not f.endswith(".parquet"):
+                continue
+            md = pq.ParquetFile(os.path.join(path, f)).metadata
+            mn, mx = None, None
+            for rg in range(md.num_row_groups):
+                for ci in range(md.num_columns):
+                    col = md.row_group(rg).column(ci)
+                    if col.path_in_schema == "price" and col.statistics:
+                        s = col.statistics
+                        mn = s.min if mn is None else min(mn, s.min)
+                        mx = s.max if mx is None else max(mx, s.max)
+            if mn is not None:
+                out.append((mx - mn + 1) / span_all)
+        return out
+
+    z_frac = price_span_fractions(zpath)
+    s_frac = price_span_fractions(spath)
+    assert len(z_frac) >= 8 and len(s_frac) >= 8
+    z_mean = sum(z_frac) / len(z_frac)
+    s_mean = sum(s_frac) / len(s_frac)
+    # single-column sort leaves ~full price range per file; z-order
+    # shrinks it to the rectangle width (16 files → ~1/4 per dimension)
+    assert s_mean > 0.8, s_mean
+    assert z_mean < 0.55 * s_mean, (z_mean, s_mean)
