@@ -75,6 +75,7 @@ HEADLINE = [
     "text_bpe_tokens",
     "dedup_fuzzy_keys",
     "zorder_cluster",
+    "quality_label_prop",
 ]
 
 

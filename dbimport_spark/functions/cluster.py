@@ -81,3 +81,56 @@ def connected_components(
             break
     sym.unpersist()
     return labels.select("node", "component")
+
+
+def label_propagation(
+    nodes: DataFrame,
+    pairs: DataFrame,
+    rounds: int = 2,
+    node_col: str = "node",
+    label_col: str = "label",
+    a: str = "a_id",
+    b: str = "b_id",
+) -> DataFrame:
+    """Seeded label propagation over an undirected pair graph — the
+    semi-supervised step of a curation pipeline (spread trusted quality
+    labels from a small audited seed set to their near-duplicate
+    neighborhoods). ``nodes`` carries every node with an INTEGER label
+    for seeds and NULL for the rest; seeds never change, unlabeled nodes
+    take the FLOOR-average of their labeled neighbors each round (integer
+    division — deterministic and bit-identical in any engine, the same
+    exactness convention as the fixed-point sketches; labels stay
+    integers through every round, so a fixed-round run can share a plain
+    SQL oracle).
+
+    Each round is one join + one hash aggregation on the edge list (far
+    smaller than the corpus after LSH pair generation); driver holds no
+    per-node state. Unreachable nodes keep NULL.
+    """
+    sym = pairs.select(F.col(a).alias("node"), F.col(b).alias("nbr")).unionAll(
+        pairs.select(F.col(b).alias("node"), F.col(a).alias("nbr"))
+    )
+    sym = sym.persist()
+    cur = nodes.select(node_col, F.col(label_col).cast("bigint").alias("label"))
+    seeds = cur.filter(F.col("label").isNotNull()).persist()
+    for _ in range(rounds):
+        nbr_avg = (
+            sym.join(
+                cur.select(F.col(node_col).alias("nbr"), F.col("label").alias("nl")),
+                "nbr",
+            )
+            .filter(F.col("nl").isNotNull())
+            .groupBy("node")
+            .agg(F.expr("sum(nl) DIV count(nl)").alias("prop"))
+        )
+        cur = (
+            nodes.select(node_col)
+            .join(seeds.withColumnRenamed("label", "seed"), node_col, "left")
+            .join(nbr_avg.withColumnRenamed("node", node_col), node_col, "left")
+            .select(
+                node_col,
+                F.coalesce(F.col("seed"), F.col("prop")).alias("label"),
+            )
+        )
+    sym.unpersist()
+    return cur

@@ -17,7 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from dbimport_spark.functions.cluster import connected_components
+from dbimport_spark.functions.cluster import connected_components, label_propagation
 from dbimport_spark.plans.registry import load, register
 from dbimport_spark.plans import text_queries
 from dbimport_spark.plans.text_queries import CORPUS_SQL, NORM_SQL, SHINGLES_SQL
@@ -1271,3 +1271,63 @@ def dedup_fuzzy_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("dist") <= 1)
         .select("a_id", "b_id", "dist")
     )
+
+
+# ---------------------------------------------------------------------------
+# quality_label_prop — seeded label propagation over the near-dup graph
+
+_LP_ROUND = """SELECT n.doc_id,
+       COALESCE(s.label, av.prop) AS label
+FROM nodes n
+LEFT JOIN seeds s USING (doc_id)
+LEFT JOIN (
+  SELECT e.node AS doc_id, sum(l.label) // count(l.label) AS prop
+  FROM edges e JOIN {prev} l ON l.doc_id = e.nbr
+  WHERE l.label IS NOT NULL
+  GROUP BY e.node
+) av USING (doc_id)"""
+
+
+@register(
+    "quality_label_prop",
+    f"""WITH {_PAIRS_SQL},
+edges AS (
+  SELECT a_id AS node, b_id AS nbr FROM pairs
+  UNION ALL SELECT b_id, a_id FROM pairs
+),
+nodes AS (SELECT doc_id FROM corpus),
+seeds AS (
+  SELECT doc_id, CAST(strlen(text) % 1000 AS BIGINT) AS label
+  FROM corpus WHERE doc_id % 25 = 0
+),
+l0 AS (SELECT n.doc_id, s.label FROM nodes n LEFT JOIN seeds s USING (doc_id)),
+l1 AS ({_LP_ROUND.format(prev="l0")}),
+l2 AS ({_LP_ROUND.format(prev="l1")})
+SELECT doc_id, label FROM l2""",
+)
+def quality_label_prop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-supervised quality labeling: a small audited seed set (here
+    doc_id % 25 == 0, label = an integer quality proxy) spreads over the
+    near-dup pair graph by 2 rounds of seeded label propagation
+    (functions/cluster.py label_propagation) — the curation move that
+    turns a few thousand human labels into corpus-scale keep/drop hints
+    for everything similar to them. Floor-average (integer DIV) keeps
+    every round's labels integers, so the oracle unrolls the rounds as
+    plain CTEs with bit-identical arithmetic. Each round is one edge join
+    + one hash agg; the edge list (LSH pair output) is far smaller than
+    the corpus."""
+    pairs = (
+        text_queries.dedup_ngram_jaccard(spark, sf_dir)
+        .select("a_id", "b_id")
+        .persist()
+    )
+    pairs.count()
+    corpus = text_queries.corpus_df(spark, sf_dir)
+    nodes = corpus.select(
+        F.col("doc_id").alias("node"),
+        F.when(
+            F.col("doc_id") % 25 == 0, (F.length("text") % 1000).cast("bigint")
+        ).alias("label"),
+    )
+    out = label_propagation(nodes, pairs, rounds=2)
+    return out.select(F.col("node").alias("doc_id"), "label")

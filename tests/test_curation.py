@@ -361,3 +361,21 @@ def test_sample_temperature_flattens_groups(spark, sf_dir):
 
     rerun = {(r["doc_id"], r["bucket"]) for r in QUERIES["sample_temperature"](spark, sf_dir).collect()}
     assert rerun == {(r["doc_id"], r["bucket"]) for r in rows}
+
+
+def test_label_propagation_seeded_floor_avg(spark):
+    from dbimport_spark.functions.cluster import label_propagation
+
+    # graph: 1-2, 2-3, 4-5; seeds: 1→100, 3→7; node 6 isolated
+    nodes = spark.createDataFrame(
+        [(1, 100), (2, None), (3, 7), (4, None), (5, None), (6, None)],
+        "node long, label int",
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (4, 5)], "a_id long, b_id long"
+    )
+    out = {r["node"]: r["label"] for r in label_propagation(nodes, pairs, rounds=2).collect()}
+    assert out[1] == 100 and out[3] == 7          # seeds never move
+    assert out[2] == (100 + 7) // 2               # floor-average of both seeds
+    assert out[4] is None and out[5] is None      # no labeled neighbor ever
+    assert out[6] is None                         # isolated
