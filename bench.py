@@ -76,6 +76,7 @@ HEADLINE = [
     "dedup_fuzzy_keys",
     "zorder_cluster",
     "quality_label_prop",
+    "sample_cluster_split",
 ]
 
 

@@ -1331,3 +1331,64 @@ def quality_label_prop(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = label_propagation(nodes, pairs, rounds=2)
     return out.select(F.col("node").alias("doc_id"), "label")
+
+
+# ---------------------------------------------------------------------------
+# sample_cluster_split — leakage-free train/val/test over near-dup clusters
+
+
+@register(
+    "sample_cluster_split",
+    f"""WITH RECURSIVE {_PAIRS_SQL},
+edges AS (SELECT a_id AS s, b_id AS d FROM pairs UNION SELECT b_id, a_id FROM pairs),
+reach(node, r) AS (
+  SELECT s, d FROM edges
+  UNION
+  SELECT w.node, e.d FROM reach w JOIN edges e ON w.r = e.s
+),
+lbl AS (SELECT node, least(node, min(r)) AS comp FROM reach GROUP BY node),
+assigned AS (
+  SELECT c.doc_id, COALESCE(l.comp, c.doc_id) AS cluster_id
+  FROM corpus c LEFT JOIN lbl l ON l.node = c.doc_id
+)
+SELECT doc_id, cluster_id,
+       CASE WHEN ('0x' || substr(md5(CAST(cluster_id AS VARCHAR)), 1, 4))::INTEGER % 100 < 80 THEN 'train'
+            WHEN ('0x' || substr(md5(CAST(cluster_id AS VARCHAR)), 1, 4))::INTEGER % 100 < 90 THEN 'val'
+            ELSE 'test' END AS split
+FROM assigned""",
+)
+def sample_cluster_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEAKAGE-FREE dataset splitting: hash-split by near-dup CLUSTER id
+    instead of document id, so every member of a near-duplicate group
+    lands in the same train/val/test slice — the guard against the
+    classic eval contamination where a test doc's near-twin sits in
+    train (plain per-doc hash splits leak exactly this way). Clusters
+    come from connected components over the exact trigram-Jaccard pair
+    graph (singletons are their own cluster), the split rule is the same
+    shuffle-free md5-bucket primitive as sample_hash_split, keyed on the
+    canonical cluster id. Scale: CC over the (LSH-sized) pair list + one
+    map-side split assignment; the corpus shuffles once on doc_id for
+    the cluster join."""
+    pairs = (
+        text_queries.dedup_ngram_jaccard(spark, sf_dir)
+        .select("a_id", "b_id")
+        .persist()
+    )
+    pairs.count()
+    comp = connected_components(pairs)
+    corpus = text_queries.corpus_df(spark, sf_dir)
+    assigned = (
+        corpus.select("doc_id")
+        .join(comp.withColumnRenamed("node", "doc_id"), "doc_id", "left")
+        .select(
+            "doc_id", F.coalesce("component", "doc_id").alias("cluster_id")
+        )
+    )
+    bucket = (
+        F.conv(
+            F.substring(F.md5(F.col("cluster_id").cast("string")), 1, 4), 16, 10
+        ).cast("int")
+        % 100
+    )
+    split = F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+    return assigned.select("doc_id", "cluster_id", split.alias("split"))

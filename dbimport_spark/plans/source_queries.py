@@ -779,3 +779,30 @@ def src_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sup.write.mode("overwrite").orc(path)
     return spark.read.orc(path)
+
+
+@register(
+    "src_jsonl_documents",
+    """SELECT doc_id, lang, sha256(text) AS text_sha256,
+       CAST(strlen(text) AS BIGINT) AS n_chars
+FROM documents""",
+)
+def src_jsonl_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSONL (line-delimited JSON) roundtrip over the document corpus —
+    THE interchange format of LLM training data. Write is distributed
+    (spark.write.json emits one JSON object per line, splittable on
+    read); read-back goes through the same line-based reader the import
+    surface uses for `.json` drops, with an explicit schema so the scan
+    needs no inference pass. Content fidelity is graded via sha256 of the
+    roundtripped text (JSON string escaping must be lossless), recomputed
+    by the oracle straight from parquet."""
+    path = os.path.join(_export_dir(sf_dir), "documents_jsonl")
+    d = load(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    d.write.mode("overwrite").json(path)
+    back = spark.read.schema("doc_id bigint, lang string, text string").json(path)
+    return back.select(
+        "doc_id",
+        "lang",
+        F.sha2(F.col("text").cast("binary"), 256).alias("text_sha256"),
+        F.length("text").cast("bigint").alias("n_chars"),
+    )

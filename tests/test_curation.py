@@ -379,3 +379,16 @@ def test_label_propagation_seeded_floor_avg(spark):
     assert out[2] == (100 + 7) // 2               # floor-average of both seeds
     assert out[4] is None and out[5] is None      # no labeled neighbor ever
     assert out[6] is None                         # isolated
+
+
+def test_cluster_split_has_no_cross_split_pairs(spark, sf_dir):
+    """The leakage guard itself: no near-dup pair may straddle splits."""
+    from dbimport_spark.plans.curation_queries import sample_cluster_split
+    from dbimport_spark.plans.text_queries import dedup_ngram_jaccard
+
+    split = {r["doc_id"]: r["split"] for r in sample_cluster_split(spark, sf_dir).collect()}
+    pairs = dedup_ngram_jaccard(spark, sf_dir).select("a_id", "b_id").collect()
+    assert pairs
+    for r in pairs:
+        assert split[r["a_id"]] == split[r["b_id"]], (r["a_id"], r["b_id"])
+    assert {"train", "val", "test"} >= set(split.values()) and len(set(split.values())) >= 2
