@@ -1108,6 +1108,38 @@ def sample_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
 # sample_dsir — hashed-n-gram importance resampling (DSIR-style)
 
 
+def dsir_gram_buckets(docs: DataFrame) -> DataFrame:
+    """(doc_id, text) → (doc_id, b): hashed word uni+bigram feature
+    buckets (4096). Pure built-in expressions — works unchanged on batch
+    AND streaming DataFrames (the streaming twin reuses it)."""
+    ws = docs.select("doc_id", F.split(text_queries.norm_col(), " ").alias("ws"))
+    uni = ws.select("doc_id", F.explode(F.array_remove(F.col("ws"), "")).alias("g"))
+    bi = ws.filter(F.size("ws") >= 2).select(
+        "doc_id",
+        F.explode(
+            F.expr("transform(sequence(0, size(ws) - 2), i -> concat_ws(' ', ws[i], ws[i+1]))")
+        ).alias("g"),
+    )
+    grams = uni.unionAll(bi)
+    return grams.select(
+        "doc_id",
+        (F.conv(F.substring(F.md5("g"), 1, 8), 16, 10).cast("bigint") % 4096).alias("b"),
+    )
+
+
+def dsir_models(hb: DataFrame):
+    """Bucketed grams → (target model, raw model, totals): the ≤4096-row
+    broadcastable bag-of-grams models (target = doc_id % 50 == 0)."""
+    is_target = F.col("doc_id") % 50 == 0
+    tmodel = hb.filter(is_target).groupBy("b").agg(F.count(F.lit(1)).alias("ct"))
+    rmodel = hb.filter(~is_target).groupBy("b").agg(F.count(F.lit(1)).alias("cr"))
+    totals = hb.agg(
+        F.sum(is_target.cast("bigint")).alias("nt"),
+        F.sum((~is_target).cast("bigint")).alias("nr"),
+    )
+    return tmodel, rmodel, totals
+
+
 @register(
     "sample_dsir",
     f"""WITH n AS (SELECT doc_id, {NORM_SQL} AS t FROM documents),
@@ -1168,30 +1200,9 @@ def sample_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
     one map-side-combined agg on doc_id. No corpus-sized shuffle other
     than the per-doc agg."""
     d = load(spark, sf_dir, "documents").repartition(32, "doc_id")
-    ws = d.select("doc_id", F.split(text_queries.norm_col(), " ").alias("ws"))
-    uni = ws.select(
-        "doc_id", F.explode(F.array_remove(F.col("ws"), "")).alias("g")
-    )
-    bi = ws.filter(F.size("ws") >= 2).select(
-        "doc_id",
-        F.explode(
-            F.expr("transform(sequence(0, size(ws) - 2), i -> concat_ws(' ', ws[i], ws[i+1]))")
-        ).alias("g"),
-    )
-    grams = uni.unionAll(bi)
-    hb = grams.select(
-        "doc_id",
-        (
-            F.conv(F.substring(F.md5("g"), 1, 8), 16, 10).cast("bigint") % 4096
-        ).alias("b"),
-    )
+    hb = dsir_gram_buckets(d)
+    tmodel, rmodel, totals = dsir_models(hb)
     is_target = F.col("doc_id") % 50 == 0
-    tmodel = hb.filter(is_target).groupBy("b").agg(F.count(F.lit(1)).alias("ct"))
-    rmodel = hb.filter(~is_target).groupBy("b").agg(F.count(F.lit(1)).alias("cr"))
-    totals = hb.agg(
-        F.sum(is_target.cast("bigint")).alias("nt"),
-        F.sum((~is_target).cast("bigint")).alias("nr"),
-    )
     scored = (
         hb.filter(~is_target)
         .join(F.broadcast(tmodel), "b", "left")

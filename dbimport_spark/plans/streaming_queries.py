@@ -51,12 +51,14 @@ def _events_path(sf_dir: str) -> str:
     return d
 
 
-def _run_to_memory(df: DataFrame, spark: SparkSession) -> DataFrame:
+def _run_to_memory(
+    df: DataFrame, spark: SparkSession, output_mode: str = "append"
+) -> DataFrame:
     name = "strm_" + uuid.uuid4().hex[:12]
     q = (
         df.writeStream.format("memory")
         .queryName(name)
-        .outputMode("append")
+        .outputMode(output_mode)
         .trigger(availableNow=True)
         .start()
     )
@@ -493,3 +495,54 @@ def _register_stream_chunk():
 
 
 _register_stream_chunk()
+
+
+def _register_stream_dsir():
+    from dbimport_spark.plans.registry import ORACLES
+
+    @register("stream_dsir_score", ORACLES["sample_dsir"])
+    def stream_dsir_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Streaming DSIR scoring — continuous-ingest curation: documents
+        arrive on a readStream source and are scored against the
+        hashed-n-gram importance models trained on the STATIC corpus
+        (≤4096-row broadcast tables; see sample_dsir). The stream side is
+        the same built-in gram explode + two stream-static broadcast
+        joins + one grouped aggregation (complete output mode — keyed on
+        doc_id, no watermark needed under availableNow). Output equals
+        the batch query, so it shares sample_dsir's oracle verbatim."""
+        from dbimport_spark.plans.curation_queries import (
+            dsir_gram_buckets,
+            dsir_models,
+        )
+        from dbimport_spark.plans.registry import load
+
+        static = load(spark, sf_dir, "documents")
+        tmodel, rmodel, totals = dsir_models(dsir_gram_buckets(static))
+        sch = static.schema
+        stream = spark.readStream.schema(sch).parquet(_docs_path(sf_dir))
+        hb = dsir_gram_buckets(stream)
+        scored = (
+            hb.filter(~(F.col("doc_id") % 50 == 0))
+            .join(F.broadcast(tmodel), "b", "left")
+            .join(F.broadcast(rmodel), "b")
+            .groupBy("doc_id")
+            .agg(
+                F.count(F.lit(1)).alias("n_grams"),
+                F.sum(F.coalesce("ct", F.lit(0))).alias("sum_target_cnt"),
+                F.sum("cr").alias("sum_raw_cnt"),
+            )
+        )
+        out = scored.crossJoin(F.broadcast(totals)).select(
+            "doc_id",
+            "n_grams",
+            "sum_target_cnt",
+            "sum_raw_cnt",
+            (
+                F.col("sum_target_cnt").cast("decimal(38,0)") * F.col("nr")
+                > F.col("sum_raw_cnt").cast("decimal(38,0)") * F.col("nt")
+            ).alias("keep"),
+        )
+        return _run_to_memory(out, spark, output_mode="complete")
+
+
+_register_stream_dsir()
