@@ -56,6 +56,11 @@ PROBES = [
     "multimodal_png_roundtrip",
     "ann_lsh_topk",
     "merge_upsert",
+    "dedup_ngram_jaccard",
+    "dedup_fuzzy_keys",
+    "zorder_cluster",
+    "quality_label_prop",
+    "sample_cluster_split",
 ]
 
 ID_OFFSET = 100_000_000
