@@ -1,0 +1,344 @@
+"""Relational plan shapes round 2: correlated-subquery TPC-H forms and
+event-analytics (funnel, retention) with DuckDB oracles.
+
+The reference engine's query surface is import-shaped (SURVEY.md §2), but a
+drop-in analytics engine must also handle the decorrelated-subquery join
+shapes every warehouse workload leans on: EXISTS semi-joins (Q4), NOT-IN
+anti-joins with distinct aggregation (Q16), HAVING-subquery semi-joins
+(Q18), and the "exactly one of the group qualifies" double-correlation
+(Q21).  Each is expressed declaratively so Catalyst plans the semi/anti
+join itself — no manual decorrelation, no collect.
+
+Float discipline matches analytics_queries: sums over doubles run on exact
+integer cents; passthrough doubles are compared verbatim (same parquet
+bits on both sides).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dbimport_spark.plans.registry import load, load_events, register
+
+
+@register(
+    "q4_order_priority",
+    """SELECT o_orderpriority, count(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1997-04-01 00:00:00'
+  AND EXISTS (
+    SELECT 1 FROM lineitem
+    WHERE l_orderkey = o_orderkey
+      AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+GROUP BY o_orderpriority""",
+)
+def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape (adapted: no l_commitdate/l_receiptdate in this
+    schema, so "late" = shipped >60 days after order date): per-priority
+    count of orders with at least one late lineitem, via an EXISTS
+    semi-join.
+
+    Plan: the quarter filter pushes to the orders scan (~1/28 of rows);
+    the semi-join is an equi-join on orderkey with the late predicate as a
+    join-side filter — Catalyst keeps it LeftSemi, so each order is
+    emitted at most once and no duplicate-elimination shuffle is needed.
+    At 100 TB both sides shuffle once on orderkey (or the filtered orders
+    side broadcasts under AQE); the 5-row agg is a map-side partial."""
+    o = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-04-01 00:00:00").cast("timestamp"))
+    ).select("o_orderkey", "o_orderdate", "o_orderpriority")
+    l = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    late = (F.col("l_orderkey") == F.col("o_orderkey")) & (
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAY")
+    )
+    return (
+        o.join(l, late, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+@register(
+    "q16_supplier_variety",
+    """SELECT p_brand, p_type, p_size,
+       CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE p_brand <> 'Brand#9'
+  AND p_type <> 'PROMO'
+  AND p_size IN (1, 4, 9, 14, 19, 24, 29, 34)
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p_brand, p_type, p_size""",
+)
+def q16_supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape (adapted: no partsupp table here, so supplier
+    variety is counted from lineitem; the "customer complaints" NOT IN
+    becomes suppliers with negative account balance): distinct-supplier
+    count per qualifying (brand, type, size).
+
+    Plan: part is a filtered broadcast dim; the NOT IN decorrelates to a
+    broadcast left-anti join against a ~handful of excluded suppliers
+    (NULL-free key, so anti-join semantics are safe); the only shuffle is
+    the final partial_count(distinct) agg — Spark plans distinct
+    aggregation as a two-phase expand/agg that keeps map-side partials."""
+    p = load(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#9")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 4, 9, 14, 19, 24, 29, 34)
+    ).select("p_partkey", "p_brand", "p_type", "p_size")
+    bad = load(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0).select(
+        "s_suppkey"
+    )
+    l = load(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    return (
+        l.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(bad), F.col("l_suppkey") == F.col("s_suppkey"), "left_anti")
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct(F.col("l_suppkey")).alias("supplier_cnt"))
+    )
+
+
+@register(
+    "q18_large_orders",
+    """SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+       CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) / 100.0
+         AS total_qty
+FROM customer JOIN orders ON c_custkey = o_custkey
+              JOIN lineitem ON o_orderkey = l_orderkey
+WHERE o_orderkey IN (
+    SELECT l_orderkey FROM lineitem
+    GROUP BY l_orderkey
+    HAVING sum(CAST(round(l_quantity * 100) AS BIGINT)) > 30000)
+GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice""",
+)
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: orders whose total quantity exceeds a threshold
+    (HAVING-subquery → semi-join), re-aggregated with customer detail.
+
+    Plan: the HAVING aggregate runs once over lineitem (one shuffle on
+    orderkey, map-side partials); its survivors are a tiny key set that
+    broadcasts into the semi-join, so the main lineitem pass shuffles only
+    for its own orderkey agg. customer is a broadcast dim. Quantities sum
+    as exact integer cents (l_quantity is double in this schema)."""
+    l = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    qty_c = F.round(F.col("l_quantity") * 100).cast("bigint")
+    big = (
+        l.groupBy("l_orderkey")
+        .agg(F.sum(qty_c).alias("q"))
+        .filter(F.col("q") > 30000)
+        .select("l_orderkey")
+    )
+    o = load(spark, sf_dir, "orders").join(
+        F.broadcast(big), F.col("o_orderkey") == F.col("l_orderkey"), "left_semi"
+    )
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return (
+        load(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_quantity")
+        .join(
+            o.select("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg((F.sum(qty_c).cast("bigint") / F.lit(100.0)).alias("total_qty"))
+    )
+
+
+@register(
+    "q21_waiting_supplier",
+    """WITH o_sup AS (
+  SELECT l_orderkey, l_suppkey,
+         max(CASE WHEN l_shipdate > o_orderdate + INTERVAL 90 DAY
+                  THEN 1 ELSE 0 END) AS is_late
+  FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+  GROUP BY l_orderkey, l_suppkey
+), ord AS (
+  SELECT l_orderkey,
+         count(*) AS n_sup,
+         sum(is_late) AS n_late
+  FROM o_sup GROUP BY l_orderkey
+)
+SELECT s_name, count(*) AS numwait
+FROM o_sup
+JOIN ord USING (l_orderkey)
+JOIN supplier ON s_suppkey = l_suppkey
+WHERE is_late = 1 AND n_sup >= 2 AND n_late = 1
+GROUP BY s_name""",
+)
+def q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape (adapted: "kept the order waiting" = shipped >90
+    days after order date): suppliers who were the ONLY late supplier on a
+    multi-supplier order — the classic EXISTS + NOT EXISTS double
+    correlation, decorrelated into two stacked aggregations instead of two
+    self-joins.
+
+    Plan: one shuffle on (orderkey, suppkey) for the per-supplier late
+    flag, one map-side-partial re-agg to per-order counts on the same key
+    prefix (no new shuffle domain), then a join back on orderkey that AQE
+    sizes (the per-order side is output-small). supplier is a broadcast
+    dim. This is strictly fewer passes over lineitem than the textbook
+    double-EXISTS plan and has no correlated per-row probe."""
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    l = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    late = F.when(
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAY"), 1
+    ).otherwise(0)
+    o_sup = (
+        l.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(F.max(late).alias("is_late"))
+    )
+    ord_stats = o_sup.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n_sup"), F.sum("is_late").alias("n_late")
+    )
+    s = load(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        o_sup.join(ord_stats, "l_orderkey")
+        .filter((F.col("is_late") == 1) & (F.col("n_sup") >= 2) & (F.col("n_late") == 1))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )
+
+
+@register(
+    "events_funnel",
+    """WITH f AS (
+  SELECT user_id, min(ts) AS t_view
+  FROM events WHERE event_type = 'view' GROUP BY user_id
+), s2 AS (
+  SELECT e.user_id, min(ts) AS t_click
+  FROM events e JOIN f USING (user_id)
+  WHERE event_type = 'click' AND ts > t_view
+  GROUP BY e.user_id
+), s3 AS (
+  SELECT e.user_id, min(ts) AS t_purchase
+  FROM events e JOIN s2 USING (user_id)
+  WHERE event_type = 'purchase' AND ts > t_click
+  GROUP BY e.user_id
+)
+SELECT 'view' AS stage, count(*) AS users FROM f
+UNION ALL
+SELECT 'view>click' AS stage, count(*) AS users FROM s2
+UNION ALL
+SELECT 'view>click>purchase' AS stage, count(*) AS users FROM s3""",
+)
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel analysis: users reaching view → click-after-view →
+    purchase-after-that-click (strictly increasing event time, anchored at
+    the user's EARLIEST view, then earliest qualifying click, etc.).
+
+    Spark plan: ONE shuffle — collect each user's (ts, type) pairs sorted,
+    then a single aggregate() fold walks the timeline tracking the
+    furthest stage reached. The oracle decorrelates the same semantics
+    into three chained min-aggregations (each stage keyed to the previous
+    stage's timestamp). At 100 TB the fold shape wins: three
+    self-join+agg passes over the event log collapse into one
+    shuffle + per-user linear walk, and the per-user state is 3
+    timestamps, not the event list (the sorted array is transient within
+    the aggregation buffer of each user).
+
+    Reference scope note: the reference has no event analytics at all —
+    this is scale-pipeline surface, cited to SURVEY.md §2 'beyond'."""
+    e = load_events(spark, sf_dir).filter(
+        F.col("event_type").isin("view", "click", "purchase")
+    )
+    per_user = e.groupBy("user_id").agg(
+        F.sort_array(F.collect_list(F.struct("ts", "event_type"))).alias("evs")
+    )
+    # Fold state: (t_view, t_click, t_purchase) as nullable timestamps.
+    fold = F.aggregate(
+        F.col("evs"),
+        F.struct(
+            F.lit(None).cast("timestamp").alias("tv"),
+            F.lit(None).cast("timestamp").alias("tc"),
+            F.lit(None).cast("timestamp").alias("tp"),
+        ),
+        lambda acc, ev: F.struct(
+            F.when(
+                acc["tv"].isNull() & (ev["event_type"] == "view"), ev["ts"]
+            ).otherwise(acc["tv"]).alias("tv"),
+            F.when(
+                acc["tc"].isNull()
+                & (ev["event_type"] == "click")
+                & acc["tv"].isNotNull()
+                & (ev["ts"] > acc["tv"]),
+                ev["ts"],
+            ).otherwise(acc["tc"]).alias("tc"),
+            F.when(
+                acc["tp"].isNull()
+                & (ev["event_type"] == "purchase")
+                & acc["tc"].isNotNull()
+                & (ev["ts"] > acc["tc"]),
+                ev["ts"],
+            ).otherwise(acc["tp"]).alias("tp"),
+        ),
+    )
+    st = per_user.select(fold.alias("st")).select("st.tv", "st.tc", "st.tp")
+    counts = st.agg(
+        F.count("tv").alias("n1"), F.count("tc").alias("n2"), F.count("tp").alias("n3")
+    )
+    return counts.select(
+        F.explode(
+            F.array(
+                F.struct(F.lit("view").alias("stage"), F.col("n1").alias("users")),
+                F.struct(F.lit("view>click").alias("stage"), F.col("n2").alias("users")),
+                F.struct(
+                    F.lit("view>click>purchase").alias("stage"),
+                    F.col("n3").alias("users"),
+                ),
+            )
+        ).alias("s")
+    ).select("s.stage", "s.users")
+
+
+@register(
+    "events_retention_cohorts",
+    """WITH c AS (
+  SELECT user_id, CAST(date_trunc('week', min(ts)) AS DATE) AS cohort_week
+  FROM events GROUP BY user_id
+), a AS (
+  SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS act_week
+  FROM events
+)
+SELECT cohort_week,
+       CAST((act_week - cohort_week) / 7 AS BIGINT) AS week_offset,
+       count(*) AS users
+FROM a JOIN c USING (user_id)
+GROUP BY cohort_week, week_offset""",
+)
+def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retention cohort matrix: users bucketed by first-seen ISO week,
+    counted in each subsequent week of activity (classic growth-analytics
+    triangle).
+
+    Plan: one shuffle on user_id computes BOTH the cohort week (min ts)
+    and the distinct activity weeks (collect_set of truncated weeks) in a
+    single aggregation — the oracle's two-pass join shape collapses into
+    one pass + explode. The final (cohort, offset) agg is a ~25-row
+    map-side partial. Monday-start date_trunc('week') semantics agree
+    between Spark and DuckDB."""
+    e = load_events(spark, sf_dir).select(
+        "user_id", F.to_date(F.date_trunc("week", F.col("ts"))).alias("wk")
+    )
+    per_user = e.groupBy("user_id").agg(
+        F.min("wk").alias("cohort_week"), F.collect_set("wk").alias("weeks")
+    )
+    return (
+        per_user.select(
+            "cohort_week", F.explode("weeks").alias("act_week")
+        )
+        .select(
+            "cohort_week",
+            (F.datediff(F.col("act_week"), F.col("cohort_week")) / 7)
+            .cast("bigint")
+            .alias("week_offset"),
+        )
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.count(F.lit(1)).alias("users"))
+    )
