@@ -21,6 +21,7 @@ from dbimport_spark.plans import source_queries  # noqa: E402,F401
 from dbimport_spark.plans import streaming_queries  # noqa: E402,F401
 from dbimport_spark.plans import curation_queries  # noqa: E402,F401
 from dbimport_spark.plans import relational_queries  # noqa: E402,F401
+from dbimport_spark.plans import learned_queries  # noqa: E402,F401
 
 # Re-key both dicts into the driver-rotation-stable order: the round-2
 # snapshot order first (plans/_order.py), then any later additions in

@@ -1,0 +1,365 @@
+"""Learned / iterative operators with exact integer oracles.
+
+Two operator families a training-data pipeline needs beyond fixed
+transforms: a LEARNED scorer (train a model on the corpus, score every
+row — here multinomial Naive Bayes for language/quality routing, the
+linear-classifier stage of C4/CCNet-style curation) and an ITERATIVE
+graph computation (PageRank — importance propagation over a relationship
+graph, the shape of both web-graph quality weighting and
+citation/link-based sampling).
+
+Determinism discipline (what makes these ORACLE-checkable where most
+"ML in SQL" is not): every transcendental is computed ONCE per model
+parameter and immediately quantized to a fixed-point BIGINT
+(``round(1e6 * ln(p))``); all per-row scoring and all PageRank iteration
+arithmetic is then EXACT integer math (sums, products, integer division),
+so Spark and DuckDB agree bit-for-bit regardless of accumulation order.
+Float risk is confined to ~200 one-time roundings whose inputs are exact
+integer ratios — a >1e-9-wide rounding margin per value.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dbimport_spark.plans.registry import load, register
+
+_TOKEN_RE = "[a-z]+"
+_S = 1_000_000  # fixed-point scale for log-probabilities
+
+
+def nb_model(docs: DataFrame):
+    """Train multinomial NB with Laplace smoothing on the hash-split
+    training slice (doc_id % 5 != 0), labels = lang.
+
+    Returns (lp, lang_stats) where lp is the (token, lang, lp) quantized
+    log-likelihood table and lang_stats is (lang, lp0, prior) with the
+    unseen-token log-prob and the class log-prior. Both are
+    vocab/class-sized — broadcast tables at any corpus scale; training is
+    two hash aggregations over the token stream (one shuffle each)."""
+    tok = docs.select(
+        "doc_id",
+        "lang",
+        F.explode(
+            F.regexp_extract_all(F.lower(F.col("text")), F.lit(_TOKEN_RE), F.lit(0))
+        ).alias("token"),
+    )
+    train_tok = tok.filter(F.col("doc_id") % 5 != 0)
+    cnt = train_tok.groupBy("lang", "token").agg(F.count(F.lit(1)).alias("cnt"))
+    n_lang = cnt.groupBy("lang").agg(F.sum("cnt").cast("bigint").alias("n_lang"))
+    vocab = train_tok.agg(F.count_distinct("token").alias("v"))
+    train_docs = docs.filter(F.col("doc_id") % 5 != 0)
+    n_train = train_docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    prior = (
+        train_docs.groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .crossJoin(F.broadcast(n_train))
+        .select(
+            "lang",
+            F.round(
+                F.lit(_S) * F.log(F.col("c").cast("double") / F.col("n_docs"))
+            )
+            .cast("bigint")
+            .alias("prior"),
+        )
+    )
+    denom = F.col("n_lang") + F.col("v")
+    lang_stats = (
+        n_lang.crossJoin(F.broadcast(vocab))
+        .select(
+            "lang",
+            F.round(F.lit(_S) * F.log(F.lit(1.0) / denom)).cast("bigint").alias("lp0"),
+        )
+        .join(F.broadcast(prior), "lang")
+    )
+    lp = (
+        cnt.join(F.broadcast(n_lang), "lang")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "token",
+            "lang",
+            F.round(F.lit(_S) * F.log((F.col("cnt") + 1).cast("double") / denom))
+            .cast("bigint")
+            .alias("lp"),
+        )
+    )
+    return lp, lang_stats
+
+
+def nb_score(docs: DataFrame, lp: DataFrame, lang_stats: DataFrame) -> DataFrame:
+    """Score every document against every class and pick the argmax
+    (ties broken by lexicographically smallest lang — encoded as
+    min(struct(-score, lang)) so one hash agg does both).
+
+    Per-row cost: one explode + two BROADCAST joins + two hash aggs keyed
+    on doc_id — no shuffle touches the corpus except the doc_id agg, and
+    that key is unique per document (no skew)."""
+    doc_tok = (
+        docs.select(
+            "doc_id",
+            F.explode(
+                F.regexp_extract_all(
+                    F.lower(F.col("text")), F.lit(_TOKEN_RE), F.lit(0)
+                )
+            ).alias("token"),
+        )
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    tok_sum = (
+        doc_tok.crossJoin(F.broadcast(lang_stats.select("lang", "lp0")))
+        .join(F.broadcast(lp), ["token", "lang"], "left")
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.sum(F.col("n") * F.coalesce(F.col("lp"), F.col("lp0"))).alias("ts")
+        )
+    )
+    scored = (
+        docs.select("doc_id")
+        .crossJoin(F.broadcast(lang_stats.select("lang", "prior")))
+        .join(tok_sum, ["doc_id", "lang"], "left")
+        .select(
+            "doc_id",
+            "lang",
+            (F.col("prior") + F.coalesce(F.col("ts"), F.lit(0))).alias("score"),
+        )
+    )
+    best = scored.groupBy("doc_id").agg(
+        F.min(F.struct((-F.col("score")).alias("ns"), F.col("lang").alias("pl"))).alias(
+            "b"
+        )
+    )
+    return best.select(
+        "doc_id",
+        F.col("b.pl").alias("pred_lang"),
+        (-F.col("b.ns")).cast("bigint").alias("pred_score"),
+    )
+
+
+_NB_ORACLE = f"""WITH tok AS (
+  SELECT doc_id, lang,
+         unnest(regexp_extract_all(lower(text), '{_TOKEN_RE}')) AS token
+  FROM documents
+), train_tok AS (
+  SELECT lang, token, CAST(count(*) AS BIGINT) AS cnt
+  FROM tok WHERE doc_id % 5 <> 0 GROUP BY lang, token
+), n_lang AS (
+  SELECT lang, CAST(sum(cnt) AS BIGINT) AS n_lang FROM train_tok GROUP BY lang
+), vocab AS (
+  SELECT CAST(count(DISTINCT token) AS BIGINT) AS v
+  FROM tok WHERE doc_id % 5 <> 0
+), n_train AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents WHERE doc_id % 5 <> 0
+), prior AS (
+  SELECT lang,
+         CAST(round({_S} * ln(CAST(count(*) AS DOUBLE) / n_docs)) AS BIGINT)
+           AS prior
+  FROM documents CROSS JOIN n_train
+  WHERE doc_id % 5 <> 0 GROUP BY lang, n_docs
+), lang_stats AS (
+  SELECT lang,
+         CAST(round({_S} * ln(1.0 / (n_lang + v))) AS BIGINT) AS lp0,
+         prior
+  FROM n_lang CROSS JOIN vocab JOIN prior USING (lang)
+), lp AS (
+  SELECT token, lang,
+         CAST(round({_S} * ln(CAST(cnt + 1 AS DOUBLE) / (n_lang + v))) AS BIGINT)
+           AS lp
+  FROM train_tok JOIN n_lang USING (lang) CROSS JOIN vocab
+), doc_tok AS (
+  SELECT doc_id, token, CAST(count(*) AS BIGINT) AS n
+  FROM tok GROUP BY doc_id, token
+), tok_sum AS (
+  SELECT dt.doc_id, ls.lang,
+         CAST(sum(dt.n * COALESCE(lp.lp, ls.lp0)) AS BIGINT) AS ts
+  FROM doc_tok dt
+  CROSS JOIN lang_stats ls
+  LEFT JOIN lp ON lp.token = dt.token AND lp.lang = ls.lang
+  GROUP BY dt.doc_id, ls.lang
+), scored AS (
+  SELECT d.doc_id, ls.lang, ls.prior + COALESCE(t.ts, 0) AS score
+  FROM documents d
+  CROSS JOIN lang_stats ls
+  LEFT JOIN tok_sum t ON t.doc_id = d.doc_id AND t.lang = ls.lang
+), ranked AS (
+  SELECT doc_id, lang, score,
+         row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, lang ASC)
+           AS rn
+  FROM scored
+)
+SELECT doc_id, lang AS pred_lang, CAST(score AS BIGINT) AS pred_score
+FROM ranked WHERE rn = 1"""
+
+
+@register("quality_nb_classifier", _NB_ORACLE)
+def quality_nb_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multinomial Naive-Bayes language router: train on the 80%
+    hash-split slice, score EVERY document, emit the argmax class — the
+    fastText-linear-classifier stage of a C4/CCNet-style curation
+    pipeline, expressed as pure aggregations.
+
+    100-TB shape: training is two token-stream hash aggs (the model is
+    vocab×classes ≈ KBs); scoring joins only BROADCAST tables and
+    aggregates on the unique doc_id key. Nothing quadratic, no driver
+    collect, no Python UDF. All scoring math is fixed-point integer (see
+    module docstring), so the oracle match is exact."""
+    docs = load(spark, sf_dir, "documents")
+    lp, lang_stats = nb_model(docs)
+    return nb_score(docs, lp, lang_stats)
+
+
+_PR_SCALE = 1_000_000_000
+_PR_ITERS = 5
+
+
+def _pagerank_iter_sql() -> str:
+    """Unrolled r0..rN CTE chain of the fixed-point PageRank oracle."""
+    parts = []
+    for i in range(1, _PR_ITERS + 1):
+        parts.append(
+            f"""r{i} AS (
+  SELECT e.dst AS node,
+         CAST({15 * _PR_SCALE} // (100 * nn.n)
+              + sum((85 * r.r) // (100 * d.outdeg)) AS BIGINT) AS r
+  FROM edges e
+  JOIN r{i - 1} r ON e.src = r.node
+  JOIN deg d ON d.src = e.src
+  CROSS JOIN nn
+  GROUP BY e.dst, nn.n
+)"""
+        )
+    return ",\n".join(parts)
+
+
+_PR_ORACLE = f"""WITH edges0 AS (
+  SELECT DISTINCT l_partkey * 2 AS src, l_suppkey * 2 + 1 AS dst FROM lineitem
+), edges AS (
+  SELECT src, dst FROM edges0 UNION ALL SELECT dst AS src, src AS dst FROM edges0
+), deg AS (
+  SELECT src, CAST(count(*) AS BIGINT) AS outdeg FROM edges GROUP BY src
+), nodes AS (
+  SELECT DISTINCT src AS node FROM edges
+), nn AS (
+  SELECT CAST(count(*) AS BIGINT) AS n FROM nodes
+), r0 AS (
+  SELECT node, CAST({_PR_SCALE} // n AS BIGINT) AS r FROM nodes CROSS JOIN nn
+),
+{_pagerank_iter_sql()}
+SELECT node, r AS pr FROM r{_PR_ITERS}"""
+
+
+@register("graph_pagerank", _PR_ORACLE)
+def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank (d = 0.85, 5 synchronous iterations) over the
+    part–supplier co-occurrence graph mined from lineitem — the
+    link-importance primitive behind web-graph quality weighting of a
+    crawl corpus. Nodes are parts (2k) and suppliers (2k+1); every
+    distinct (part, supplier) lineitem pair is an undirected edge.
+
+    Iteration arithmetic is fixed-point integer (rank units of 1e-9):
+    r_next(v) = (15·S) div (100·N) + Σ_incoming (85·r_u) div (100·deg_u)
+    — exact on both engines, no float accumulation anywhere.
+
+    100-TB shape: each iteration is one equi-join of the edge list with
+    the rank vector on src plus one hash agg on dst — the textbook
+    distributed PageRank round. The edge list is deduplicated once and
+    persisted; degree rides along the edge row so iterations never touch
+    a second table. The driver loop is 5 plan-building steps (no
+    data on the driver); diameter-bounded iteration counts replace
+    convergence polling, matching the connected-components design in
+    functions/cluster.py."""
+    l = load(spark, sf_dir, "lineitem")
+    e0 = l.select(
+        (F.col("l_partkey") * 2).alias("src"), (F.col("l_suppkey") * 2 + 1).alias("dst")
+    ).distinct()
+    edges = e0.unionByName(e0.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    edges_w = edges.join(deg, "src").persist()
+    n_nodes = edges_w.select("src").distinct().count()
+    base = (15 * _PR_SCALE) // (100 * n_nodes)
+    ranks = edges_w.select("src").distinct().select(
+        F.col("src").alias("node"), F.lit(_PR_SCALE // n_nodes).alias("r")
+    )
+    for _ in range(_PR_ITERS):
+        contrib = edges_w.join(ranks, F.col("src") == F.col("node")).select(
+            "dst", F.expr("(85 * r) div (100 * outdeg)").alias("c")
+        )
+        ranks = (
+            contrib.groupBy("dst")
+            .agg(F.sum("c").alias("s"))
+            .select(F.col("dst").alias("node"), (F.lit(base) + F.col("s")).alias("r"))
+        )
+    return ranks.select("node", F.col("r").cast("bigint").alias("pr"))
+
+
+def _register_stream_nb():
+    """Streaming twin: score a document STREAM against the NB model
+    trained on the static corpus — continuous-ingest language routing.
+    Same output as the batch query, so it shares its oracle verbatim."""
+    from dbimport_spark.plans.registry import ORACLES
+
+    @register("stream_nb_score", ORACLES["quality_nb_classifier"])
+    def stream_nb_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Structured Streaming allows only ONE stateful aggregation per
+        query, so the batch plan's agg→join→agg argmax is re-shaped: the
+        class axis is PIVOTED into columns (the model's class set is tiny
+        and known once trained), giving explode → broadcast join → one
+        groupBy(doc_id) with K sum columns → stateless argmax over
+        columns. Semantically identical to nb_score; per-doc state is K
+        integers."""
+        from dbimport_spark.plans.streaming_queries import _docs_path, _run_to_memory
+
+        static = load(spark, sf_dir, "documents")
+        lp, lang_stats = nb_model(static)
+        stats = sorted(
+            (r["lang"], r["lp0"], r["prior"]) for r in lang_stats.collect()
+        )
+        langs = [s[0] for s in stats]
+        lp_wide = (
+            lp.groupBy("token")
+            .pivot("lang", langs)
+            .agg(F.first("lp"))
+            .toDF("token", *[f"lp_{la}" for la in langs])
+        )
+        sch = static.schema
+        stream = spark.readStream.schema(sch).parquet(_docs_path(sf_dir))
+        tok = stream.select(
+            "doc_id",
+            F.explode_outer(
+                F.regexp_extract_all(
+                    F.lower(F.col("text")), F.lit(_TOKEN_RE), F.lit(0)
+                )
+            ).alias("token"),
+        ).join(F.broadcast(lp_wide), "token", "left")
+        sums = tok.groupBy("doc_id").agg(
+            *[
+                F.sum(
+                    F.when(F.col("token").isNull(), F.lit(0)).otherwise(
+                        F.coalesce(F.col(f"lp_{la}"), F.lit(lp0))
+                    )
+                ).alias(f"s_{la}")
+                for la, lp0, _ in stats
+            ]
+        )
+        score_cols = [
+            (F.col(f"s_{la}") + F.lit(prior)).alias(f"score_{la}")
+            for la, _, prior in stats
+        ]
+        scored = sums.select("doc_id", *score_cols)
+        best = F.greatest(*[F.col(f"score_{la}") for la in langs])
+        pred = F.coalesce(
+            *[
+                F.when(F.col(f"score_{la}") == best, F.lit(la))
+                for la in langs
+            ]
+        )
+        out = scored.select(
+            "doc_id",
+            pred.alias("pred_lang"),
+            best.cast("bigint").alias("pred_score"),
+        )
+        return _run_to_memory(out, spark, output_mode="complete")
+
+
+_register_stream_nb()
