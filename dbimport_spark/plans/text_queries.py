@@ -975,3 +975,101 @@ def text_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_tok").alias("n_tokens"),
         )
     )
+
+
+@register(
+    "dedup_span_clean",
+    f"""WITH {CORPUS_SQL},
+toks AS (SELECT doc_id, string_split({NORM_SQL}, ' ') AS w FROM corpus),
+grams AS (
+  SELECT doc_id, i AS pos,
+         concat_ws(' ', w[i], w[i+1], w[i+2], w[i+3], w[i+4], w[i+5], w[i+6], w[i+7]) AS g
+  FROM toks, UNNEST(range(1, len(w) - 6)) AS u(i)
+),
+dupg AS (
+  SELECT g, min(doc_id) AS owner
+  FROM grams GROUP BY g HAVING count(DISTINCT doc_id) >= 2
+),
+drops AS (
+  SELECT DISTINCT d.doc_id, p
+  FROM (SELECT gr.doc_id, gr.pos FROM grams gr JOIN dupg USING (g)
+        WHERE gr.doc_id <> dupg.owner) d,
+       UNNEST(range(d.pos, d.pos + 8)) AS v(p)
+),
+dp AS (SELECT doc_id, list(p) AS dl FROM drops GROUP BY doc_id)
+SELECT t.doc_id,
+       CAST(len(w) AS BIGINT) AS n_words,
+       CAST(COALESCE(len(dl), 0) AS BIGINT) AS n_removed,
+       COALESCE(array_to_string(
+         list_transform(
+           list_filter(range(1, len(w) + 1),
+                       i -> dl IS NULL OR NOT list_contains(dl, i)),
+           i -> w[i]), ' '), '') AS clean_text
+FROM toks t LEFT JOIN dp ON t.doc_id = dp.doc_id""",
+)
+def dedup_span_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicated-span REMOVAL (the cut step of Lee et al.-style
+    substring dedup, downstream of dup_span_coverage's find step): every
+    word position covered by an 8-gram that also appears in another
+    document is deleted — except in the gram's canonical owner (smallest
+    doc_id), which keeps its copy so exactly one occurrence of every
+    duplicated span survives corpus-wide.
+
+    Plan shape on top of the coverage query: the duplicated-gram agg also
+    carries min(doc_id) as the owner; non-owner occurrences explode to
+    their 8 positions, distinct per doc, and collect into a per-doc drop
+    set; the cleaned text is rebuilt in-array with an index-aware filter()
+    — no per-row Python, one extra shuffle (the drop-set collect on
+    doc_id) over the coverage plan. The drop set is words-in-duplicated-
+    spans per doc (bounded by doc length), so the collected array is
+    row-sized, never corpus-sized. Grams join as full strings here (not
+    xxhash64 as in coverage): a hash collision would CUT real text, and
+    correctness of output text outranks the shuffle-width save."""
+    corpus = corpus_df(spark, sf_dir).repartition(32)
+    toks = corpus.select(
+        "doc_id",
+        F.expr(
+            "transform(array(array_remove(split(trim(lower("
+            "regexp_replace(text, '[^a-zA-Z0-9]+', ' '))), ' '), '')),"
+            " ww -> ww)[0]"
+        ).alias("w"),
+    )
+    grams = toks.filter(F.size("w") >= 8).select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                "transform(sequence(0, size(w) - 8),"
+                " i -> concat_ws(' ', slice(w, i + 1, 8)))"
+            )
+        ).alias("pos", "g"),
+    )
+    dupg = (
+        grams.groupBy("g")
+        .agg(F.countDistinct("doc_id").alias("nd"), F.min("doc_id").alias("owner"))
+        .filter(F.col("nd") >= 2)
+        .select("g", "owner")
+    )
+    drops = (
+        grams.join(dupg, "g")
+        .filter(F.col("doc_id") != F.col("owner"))
+        .select(
+            "doc_id", F.explode(F.sequence(F.col("pos"), F.col("pos") + 7)).alias("p")
+        )
+        .distinct()
+        .groupBy("doc_id")
+        .agg(F.collect_list("p").alias("dl"))
+    )
+    return (
+        toks.join(drops, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.size("w").cast("bigint").alias("n_words"),
+            F.coalesce(F.size("dl"), F.lit(0)).cast("bigint").alias("n_removed"),
+            F.expr(
+                "concat_ws(' ', transform("
+                "  filter(transform(w, (x, i) -> struct(x AS x, i AS i)),"
+                "         s -> dl IS NULL OR NOT array_contains(dl, s.i)),"
+                "  s -> s.x))"
+            ).alias("clean_text"),
+        )
+    )
