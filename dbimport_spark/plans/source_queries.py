@@ -806,3 +806,44 @@ def src_jsonl_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sha2(F.col("text").cast("binary"), 256).alias("text_sha256"),
         F.length("text").cast("bigint").alias("n_chars"),
     )
+
+
+@register(
+    "src_avro_roundtrip",
+    """SELECT s_suppkey,
+       CASE WHEN s_suppkey % 5 = 0 THEN NULL ELSE s_name END AS s_name,
+       s_nationkey, s_acctbal
+FROM supplier WHERE s_suppkey % 3 = 1""",
+)
+def src_avro_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Avro object-container roundtrip through the from-scratch stdlib
+    codec (sources/avro.py — no Avro jar ships with this pyspark): a
+    supplier slice, with s_name nulled on a sub-slice to exercise the
+    ["null","string"] union branch encoding, is written as deflate-coded
+    container part files (one per partition, distributed via mapInPandas)
+    and read back through the binaryFile source with per-file task-local
+    decode. The oracle recomputes the slice straight from parquet —
+    roundtrip identity is the assertion, including null round-tripping
+    and double bit-exactness through the little-endian IEEE encoding."""
+    from dbimport_spark.sources.avro import read_avro_dir, write_avro_dir
+
+    path = os.path.join(_export_dir(sf_dir), "supplier_avro")
+    sup = (
+        load(spark, sf_dir, "supplier")
+        .filter(F.col("s_suppkey") % 3 == 1)
+        .select(
+            "s_suppkey",
+            F.when(F.col("s_suppkey") % 5 == 0, F.lit(None))
+            .otherwise(F.col("s_name"))
+            .alias("s_name"),
+            "s_nationkey",
+            "s_acctbal",
+        )
+        .repartition(2)
+    )
+    write_avro_dir(sup, path, codec="deflate")
+    return read_avro_dir(
+        spark,
+        path,
+        "s_suppkey bigint, s_name string, s_nationkey bigint, s_acctbal double",
+    )

@@ -1,0 +1,101 @@
+"""Tests for the from-scratch Avro object-container codec.
+
+Zigzag-varint vectors come from the Avro specification's encoding table
+(https://avro.apache.org/docs/1.11.1/specification/ — "the value is
+encoded as long using variable-length zig-zag coding")."""
+
+import io
+import math
+
+import pytest
+
+from dbimport_spark.sources.avro import (
+    MAGIC,
+    _zigzag_decode,
+    _zigzag_encode,
+    read_container,
+    write_container,
+)
+
+# (value, encoded bytes) straight from the spec's example table.
+SPEC_VECTORS = [
+    (0, b"\x00"),
+    (-1, b"\x01"),
+    (1, b"\x02"),
+    (-2, b"\x03"),
+    (2, b"\x04"),
+    (-64, b"\x7f"),
+    (64, b"\x80\x01"),
+    (-65, b"\x81\x01"),
+    (65, b"\x82\x01"),
+]
+
+
+@pytest.mark.parametrize("value,enc", SPEC_VECTORS)
+def test_zigzag_spec_vectors(value, enc):
+    assert _zigzag_encode(value) == enc
+    assert _zigzag_decode(io.BytesIO(enc)) == value
+
+
+def test_zigzag_int64_extremes():
+    for v in (2**63 - 1, -(2**63), 123456789012345, -987654321098765):
+        assert _zigzag_decode(io.BytesIO(_zigzag_encode(v))) == v
+
+
+FIELDS = [
+    ("k", "long", False),
+    ("name", "string", True),
+    ("score", "double", False),
+    ("blob", "bytes", True),
+    ("flag", "boolean", False),
+]
+
+ROWS = [
+    (1, "alpha", 1.5, b"\x00\xff", True),
+    (-7, None, -0.25, None, False),
+    (2**40, "ünïcodé 中文", math.pi, b"", True),
+    (0, "", float("inf"), b"\x01" * 300, False),
+]
+
+
+@pytest.mark.parametrize("codec", ["null", "deflate"])
+def test_container_roundtrip(codec):
+    blob = write_container(ROWS, FIELDS, codec=codec, rows_per_block=3)
+    assert blob[:4] == MAGIC
+    fields, rows = read_container(blob)
+    assert fields == FIELDS
+    assert rows == ROWS
+
+
+def test_container_multi_block_boundaries():
+    rows = [(i, f"r{i}", i * 0.5, None, i % 2 == 0) for i in range(1000)]
+    blob = write_container(rows, FIELDS, codec="deflate", rows_per_block=64)
+    _, back = read_container(blob)
+    assert back == rows
+
+
+def test_corrupt_sync_detected():
+    blob = bytearray(write_container(ROWS, FIELDS, codec="null"))
+    blob[-1] ^= 0xFF  # flip last sync byte
+    with pytest.raises(ValueError, match="sync"):
+        read_container(bytes(blob))
+
+
+def test_nan_double_roundtrip():
+    rows = [(1, None, float("nan"), None, True)]
+    _, back = read_container(write_container(rows, FIELDS, codec="null"))
+    assert math.isnan(back[0][2])
+
+
+def test_spark_write_read_roundtrip(spark, tmp_path):
+    from dbimport_spark.sources.avro import read_avro_dir, write_avro_dir
+
+    df = spark.createDataFrame(
+        [(1, "a", 1.0), (2, None, -2.5), (3, "チ", 0.0)],
+        "id bigint, s string, v double",
+    ).repartition(2)
+    path = str(tmp_path / "avro_rt")
+    write_avro_dir(df, path, codec="deflate")
+    back = read_avro_dir(spark, path, "id bigint, s string, v double")
+    got = sorted((r["id"], r["s"], r["v"]) for r in back.collect())
+    assert got == [(1, "a", 1.0), (2, None, -2.5), (3, "チ", 0.0)]
