@@ -546,3 +546,85 @@ def _register_stream_dsir():
 
 
 _register_stream_dsir()
+
+
+def _register_stream_funnel():
+    @register(
+        "stream_funnel_state",
+        """WITH f AS (
+  SELECT user_id, min(ts) AS t_view
+  FROM events WHERE event_type = 'view' GROUP BY user_id
+), s2 AS (
+  SELECT e.user_id, min(ts) AS t_click
+  FROM events e JOIN f USING (user_id)
+  WHERE event_type = 'click' AND ts > t_view
+  GROUP BY e.user_id
+), s3 AS (
+  SELECT e.user_id, min(ts) AS t_purchase
+  FROM events e JOIN s2 USING (user_id)
+  WHERE event_type = 'purchase' AND ts > t_click
+  GROUP BY e.user_id
+)
+SELECT u.user_id,
+       CASE WHEN s3.user_id IS NOT NULL THEN 3
+            WHEN s2.user_id IS NOT NULL THEN 2
+            WHEN f.user_id IS NOT NULL THEN 1
+            ELSE 0 END AS stage
+FROM (SELECT DISTINCT user_id FROM events) u
+LEFT JOIN f USING (user_id)
+LEFT JOIN s2 USING (user_id)
+LEFT JOIN s3 USING (user_id)""",
+    )
+    def stream_funnel_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """CUSTOM stateful streaming operator via applyInPandasWithState —
+        the escape hatch for semantics Spark's built-in streaming
+        aggregates can't express (SURVEY.md §2.8's custom-operator path;
+        every other streaming query here uses built-ins). Per-user funnel
+        progression (view → click-after-first-view → purchase-after-that-
+        click) is tracked as 3 timestamps of keyed state; each micro-batch
+        folds its events in time order on top of the carried state, so the
+        operator is incremental across batches by construction — at 100 TB
+        /day the state per user is 24 bytes, bounded, and a real
+        deployment would add a state TTL via GroupStateTimeout.
+
+        The availableNow single-file source makes the run deterministic
+        (one batch, full timeline — same reasoning as the module
+        docstring); the oracle is the batch funnel decorrelated into
+        chained min-aggs, emitting the per-user stage reached (0-3)."""
+        from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+        stream = read_events_stream(spark, _events_path(sf_dir)).filter(
+            F.col("event_type").isin("view", "click", "purchase")
+        )
+
+        def fold(key, pdfs, state: GroupState):
+            import pandas as pd
+
+            if state.exists:
+                tv, tc, tp = state.get
+            else:
+                tv = tc = tp = None
+            evs = pd.concat(list(pdfs), ignore_index=True)
+            evs = evs.sort_values(["ts", "event_type"])
+            for ts, et in zip(evs["ts"], evs["event_type"]):
+                if tv is None and et == "view":
+                    tv = ts
+                elif tc is None and et == "click" and tv is not None and ts > tv:
+                    tc = ts
+                elif tp is None and et == "purchase" and tc is not None and ts > tc:
+                    tp = ts
+            state.update((tv, tc, tp))
+            stage = 3 if tp is not None else 2 if tc is not None else 1 if tv is not None else 0
+            yield pd.DataFrame({"user_id": [key[0]], "stage": [stage]})
+
+        out = stream.groupBy("user_id").applyInPandasWithState(
+            fold,
+            outputStructType="user_id bigint, stage int",
+            stateStructType="tv timestamp, tc timestamp, tp timestamp",
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+        return _run_to_memory(out, spark, output_mode="update")
+
+
+_register_stream_funnel()
