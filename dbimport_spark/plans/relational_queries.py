@@ -342,3 +342,111 @@ def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("cohort_week", "week_offset")
         .agg(F.count(F.lit(1)).alias("users"))
     )
+
+
+@register(
+    "q2_min_cost_supplier",
+    """WITH ps AS (
+  SELECT DISTINCT l_partkey, l_suppkey FROM lineitem
+), mn AS (
+  SELECT l_partkey, min(s_acctbal) AS min_bal
+  FROM ps JOIN supplier ON s_suppkey = l_suppkey
+  GROUP BY l_partkey
+)
+SELECT p_partkey, p_brand, s_suppkey, s_name, s_acctbal
+FROM part
+JOIN ps ON l_partkey = p_partkey
+JOIN supplier ON s_suppkey = l_suppkey
+JOIN mn ON mn.l_partkey = p_partkey AND s_acctbal = min_bal
+WHERE p_size <= 5""",
+)
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape (adapted: no partsupp/supplycost, so "cheapest
+    supplier" = lowest account balance among suppliers that shipped the
+    part): the correlated scalar-MIN subquery, decorrelated into an
+    aggregate + join-back. Ties on the min keep all tied suppliers —
+    same set semantics both engines.
+
+    Plan: the distinct part→supplier pair set is computed once (one
+    shuffle) and reused for both the min-aggregate and the final probe —
+    Spark caches nothing here, but both consumers share the same scan +
+    exchange via reused-exchange. supplier and the per-part min table
+    broadcast; the p_size filter pushes into the part scan."""
+    ps = (
+        load(spark, sf_dir, "lineitem")
+        .select("l_partkey", "l_suppkey")
+        .distinct()
+    )
+    sup = load(spark, sf_dir, "supplier").select("s_suppkey", "s_name", "s_acctbal")
+    pssup = ps.join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
+    mn = (
+        pssup.groupBy("l_partkey")
+        .agg(F.min("s_acctbal").alias("min_bal"))
+        .withColumnRenamed("l_partkey", "mn_partkey")
+    )
+    p = load(spark, sf_dir, "part").filter(F.col("p_size") <= 5).select(
+        "p_partkey", "p_brand"
+    )
+    return (
+        pssup.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(
+            mn,
+            (F.col("l_partkey") == F.col("mn_partkey"))
+            & (F.col("s_acctbal") == F.col("min_bal")),
+        )
+        .select("p_partkey", "p_brand", "s_suppkey", "s_name", "s_acctbal")
+    )
+
+
+@register(
+    "q22_idle_rich_customers",
+    """WITH stats AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS tot
+  FROM customer WHERE c_acctbal > 0
+), cand AS (
+  SELECT c_mktsegment, c_acctbal
+  FROM customer, stats
+  WHERE CAST(round(c_acctbal * 100) AS BIGINT) * n > tot
+    AND NOT EXISTS (SELECT 1 FROM orders
+                    WHERE o_custkey = c_custkey
+                      AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
+)
+SELECT c_mktsegment, count(*) AS numcust,
+       CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT) / 100.0
+         AS totacctbal
+FROM cand GROUP BY c_mktsegment""",
+)
+def q22_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: customers with above-average positive balance and
+    no RECENT orders (global-counts-scalar subquery + NOT EXISTS
+    anti-join; "recent" because this generator gives every customer at
+    least one lifetime order, which would make the textbook predicate
+    vacuously empty).
+    The average comparison is cross-multiplied into exact integer cents
+    (bal·n > total) so no float average ever exists on either engine.
+
+    Plan: the stats scalar is a 1-row broadcast cross join; the NOT
+    EXISTS decorrelates to a left-anti join against the orders key
+    projection — at 100 TB that anti join shuffles on custkey unless
+    AQE proves the filtered candidate side broadcastable; either way no
+    correlated per-row probe survives."""
+    cust = load(spark, sf_dir, "customer")
+    cents = F.round(F.col("c_acctbal") * 100).cast("bigint")
+    stats = cust.filter(F.col("c_acctbal") > 0).agg(
+        F.count(F.lit(1)).alias("n"), F.sum(cents).cast("bigint").alias("tot")
+    )
+    orders = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= F.lit("2000-01-01 00:00:00").cast("timestamp"))
+        .select("o_custkey")
+    )
+    cand = (
+        cust.crossJoin(F.broadcast(stats))
+        .filter(cents * F.col("n") > F.col("tot"))
+        .join(orders, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+    )
+    return cand.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("numcust"),
+        (F.sum(cents).cast("bigint") / F.lit(100.0)).alias("totacctbal"),
+    )
