@@ -77,6 +77,15 @@ HEADLINE = [
     "zorder_cluster",
     "quality_label_prop",
     "sample_cluster_split",
+    "q4_order_priority",
+    "q18_large_orders",
+    "q21_waiting_supplier",
+    "q2_min_cost_supplier",
+    "events_funnel",
+    "events_retention_cohorts",
+    "quality_nb_classifier",
+    "graph_pagerank",
+    "dedup_span_clean",
 ]
 
 
