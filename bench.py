@@ -86,6 +86,7 @@ HEADLINE = [
     "quality_nb_classifier",
     "graph_pagerank",
     "dedup_span_clean",
+    "embedding_pca_gate",
 ]
 
 

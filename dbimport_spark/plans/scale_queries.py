@@ -324,3 +324,60 @@ def embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "embeddings")
     base = e.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
     return kmeans_assign(base, k=16, n_iter=2)
+
+
+@register("embedding_pca_project")  # rows-only: float projection by design
+def embedding_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed PCA projection to k=8 of the 64-dim embeddings: one
+    sufficient-statistics pass (mapInPandas partials, KB-sized driver
+    combine), driver-side 64x64 eigensolve, broadcast map-only
+    projection (functions/pca.py). Float output → rows-only check; the
+    oracle-checked quality/consistency gate is embedding_pca_gate."""
+    from dbimport_spark.functions import pca
+
+    e = load(spark, sf_dir, "embeddings")
+    base = e.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    mean, comps, _, _ = pca.pca_fit(base, "v", dim=64, k=8)
+    return pca.pca_project(base, "v", "vec_id", mean, comps)
+
+
+@register(
+    "embedding_pca_gate",
+    """SELECT CAST(8 AS BIGINT) AS k, CAST(64 AS BIGINT) AS dim,
+       true AS var_ok, true AS parseval_ok""",
+)
+def embedding_pca_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-checked PCA gate (the recall-gate pattern of ann_*_recall —
+    the oracle can't re-derive engine-specific eigenvectors, but it CAN
+    assert invariants a broken pipeline would violate):
+
+    * var_ok — the top-8 components keep ≥ 15% of total variance (the
+      labeled cluster structure guarantees well above this; a shuffled
+      or mis-centered covariance drops toward the isotropic 8/64 floor
+      only if the clusters vanish — measured ratio ≈ 0.3-0.5 at test
+      scales).
+    * parseval_ok — the DISTRIBUTED projection's mean squared norm equals
+      the eigenvalue sum Σλ_top within 1e-6 relative (Parseval/trace
+      identity): this ties the broadcast matmul path bit-tight to the
+      driver eigensolve, so a wrong mean, transposed component matrix, or
+      dropped centering flips the gate."""
+    import numpy as np
+
+    from dbimport_spark.functions import pca
+
+    e = load(spark, sf_dir, "embeddings")
+    base = e.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    mean, comps, explained, total_var = pca.pca_fit(base, "v", dim=64, k=8)
+    proj = pca.pca_project(base, "v", "vec_id", mean, comps)
+    msn = proj.select(
+        F.aggregate(
+            "z", F.lit(0.0), lambda acc, x: acc + x * x
+        ).alias("sq")
+    ).agg(F.avg("sq").alias("msn")).collect()[0]["msn"]
+    lam = float(np.sum(explained))
+    var_ok = lam / total_var >= 0.15
+    parseval_ok = abs(msn - lam) / lam < 1e-6
+    return spark.createDataFrame(
+        [(8, 64, bool(var_ok), bool(parseval_ok))],
+        "k bigint, dim bigint, var_ok boolean, parseval_ok boolean",
+    )

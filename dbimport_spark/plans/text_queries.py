@@ -1024,7 +1024,14 @@ def dedup_span_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     spans per doc (bounded by doc length), so the collected array is
     row-sized, never corpus-sized. Grams join as full strings here (not
     xxhash64 as in coverage): a hash collision would CUT real text, and
-    correctness of output text outranks the shuffle-width save."""
+    correctness of output text outranks the shuffle-width save.
+
+    The token-array view is PERSISTED: three consumers read it (gram
+    generation for the dup agg, gram generation for the drop set, and the
+    final rebuild join), and without the cache each re-tokenizes the full
+    corpus — measured 92 s → 21 s at the 10× probe. At cluster scale
+    this is a disk-level cache of one corpus pass, the standard trade for
+    multi-consumer text plans (same pattern as shingles_df callers)."""
     corpus = corpus_df(spark, sf_dir).repartition(32)
     toks = corpus.select(
         "doc_id",
@@ -1033,7 +1040,7 @@ def dedup_span_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
             "regexp_replace(text, '[^a-zA-Z0-9]+', ' '))), ' '), '')),"
             " ww -> ww)[0]"
         ).alias("w"),
-    )
+    ).persist()
     grams = toks.filter(F.size("w") >= 8).select(
         "doc_id",
         F.posexplode(

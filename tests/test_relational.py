@@ -77,7 +77,7 @@ def test_nb_zero_token_docs_get_prior_argmax(spark):
     from dbimport_spark.plans.learned_queries import nb_model, nb_score
 
     rows = []
-    # 8 训 docs per lang so every lang survives the %5 train split.
+    # 8 docs per lang so every lang survives the %5 train split.
     for i in range(40):
         lang = ["en", "de", "fr", "es", "zh"][i % 5]
         text = {"en": "the cat", "de": "der hund", "fr": "le chat",
@@ -113,3 +113,37 @@ def test_pagerank_mass_and_positivity(spark, sf_dir):
     # the max-rank node must be a supplier.
     top = max(out, key=lambda r: r["pr"])
     assert top["node"] % 2 == 1
+
+
+def test_pca_matches_numpy_and_partitioning_invariant(spark):
+    import numpy as np
+
+    from dbimport_spark.functions.pca import covariance_stats, pca_fit, pca_project
+
+    rng = np.random.default_rng(7)
+    # planted 2-cluster structure in 8-dim
+    base = rng.normal(0, 0.1, size=(200, 8))
+    base[:100, 0] += 5.0
+    rows = [(i, base[i].tolist()) for i in range(200)]
+    df = spark.createDataFrame(rows, "vec_id long, v array<double>")
+    n, mean, cov = covariance_stats(df.repartition(7), "v", 8)
+    assert n == 200
+    np.testing.assert_allclose(mean, base.mean(axis=0), atol=1e-9)
+    np.testing.assert_allclose(cov, np.cov(base.T, bias=True), atol=1e-9)
+    # partition-count invariance of the combined statistics
+    _, mean1, cov1 = covariance_stats(df.coalesce(1), "v", 8)
+    np.testing.assert_allclose(cov, cov1, atol=1e-12)
+    # top component must be the planted separation axis (e_0)
+    m, comps, explained, total = pca_fit(df, "v", dim=8, k=2)
+    assert abs(comps[0][0]) > 0.99
+    assert explained[0] / total > 0.9
+    # Parseval: mean squared projected norm == sum of kept eigenvalues
+    proj = pca_project(df, "v", "vec_id", m, comps)
+    import pyspark.sql.functions as F
+
+    msn = (
+        proj.select(F.aggregate("z", F.lit(0.0), lambda a, x: a + x * x).alias("s"))
+        .agg(F.avg("s"))
+        .collect()[0][0]
+    )
+    np.testing.assert_allclose(msn, explained.sum(), rtol=1e-9)
