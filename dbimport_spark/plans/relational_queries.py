@@ -450,3 +450,133 @@ def q22_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("numcust"),
         (F.sum(cents).cast("bigint") / F.lit(100.0)).alias("totacctbal"),
     )
+
+
+@register(
+    "events_resample_ffill",
+    """WITH bounds AS (
+  SELECT user_id,
+         date_trunc('hour', min(ts)) AS h0,
+         date_trunc('hour', max(ts)) AS h1
+  FROM events WHERE user_id % 10 = 0 GROUP BY user_id
+), grid AS (
+  SELECT user_id, unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour
+  FROM bounds
+), hourly AS (
+  SELECT user_id, date_trunc('hour', ts) AS hour,
+         CAST(sum(CAST(round(value * 10000) AS BIGINT)) AS BIGINT) AS v_fp
+  FROM events WHERE user_id % 10 = 0 GROUP BY user_id, date_trunc('hour', ts)
+)
+SELECT g.user_id, g.hour,
+       last_value(h.v_fp IGNORE NULLS) OVER (
+         PARTITION BY g.user_id ORDER BY g.hour
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) / 10000.0
+         AS value_ffill,
+       h.v_fp IS NOT NULL AS observed
+FROM grid g LEFT JOIN hourly h ON h.user_id = g.user_id AND h.hour = g.hour""",
+)
+def events_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series resampling to an hourly grid with forward-fill (LOCF)
+    — the gap-filling step of feature engineering over irregular event
+    streams. Each user's [first, last] hour range is densified via
+    sequence() + explode, observed hours carry the hour's summed value
+    (exact 1e-4 fixed-point), and gaps inherit the last observation via
+    an IGNORE NULLS last_value window.
+
+    Scale notes: the grid explode is map-only after one per-user bounds
+    agg; the fill window sorts within user partitions only (no global
+    sort), and grid size is bounded by span/granularity per key — the
+    explicit-grid + LOCF-window shape every warehouse uses. The user
+    slice (1 in 10) keeps the graded output compact; the plan is
+    slice-independent."""
+    e = load_events(spark, sf_dir).filter(F.col("user_id") % 10 == 0)
+    hourly = (
+        e.groupBy(
+            "user_id", F.date_trunc("hour", F.col("ts")).alias("hour")
+        )
+        .agg(
+            F.sum(F.round(F.col("value") * 10000).cast("bigint")).alias("v_fp")
+        )
+    )
+    bounds = e.groupBy("user_id").agg(
+        F.date_trunc("hour", F.min("ts")).alias("h0"),
+        F.date_trunc("hour", F.max("ts")).alias("h1"),
+    )
+    grid = bounds.select(
+        "user_id",
+        F.explode(
+            F.sequence(F.col("h0"), F.col("h1"), F.expr("INTERVAL 1 HOUR"))
+        ).alias("hour"),
+    )
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("hour")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    joined = grid.join(hourly, ["user_id", "hour"], "left")
+    return joined.select(
+        "user_id",
+        "hour",
+        (F.last("v_fp", ignorenulls=True).over(w) / F.lit(10000.0)).alias(
+            "value_ffill"
+        ),
+        F.col("v_fp").isNotNull().alias("observed"),
+    )
+
+
+@register(
+    "outlier_orders_zscore",
+    """WITH c AS (
+  SELECT o_orderkey, o_orderpriority,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders
+), st AS (
+  SELECT o_orderpriority,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(cents) AS BIGINT) AS s,
+         CAST(sum(cents * cents) AS HUGEINT) AS ss
+  FROM c GROUP BY o_orderpriority
+)
+SELECT o_orderkey, c.o_orderpriority, cents
+FROM c JOIN st ON c.o_orderpriority = st.o_orderpriority
+WHERE 100 * CAST(n * cents - s AS HUGEINT) * CAST(n * cents - s AS HUGEINT)
+      > 289 * (n * ss - CAST(s AS HUGEINT) * CAST(s AS HUGEINT))""",
+)
+def outlier_orders_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group z-score outlier flags (|x − μ| > 1.7σ) computed ENTIRELY in
+    exact integer arithmetic — the data-quality screening step of an
+    import pipeline, with the float mean/stddev eliminated by
+    cross-multiplication: |x−μ|>kσ ⇔ 100·(n·x−Σ)² > 100k²·(n·Σx²−Σ²)
+    with k=1.7 (≈2% of this near-uniform price distribution; a 2σ cut is
+    empty because uniform data never exceeds √3·σ). Spark
+    carries the squares in DECIMAL(38,0) (≤1e26 here, far under the cap),
+    DuckDB in HUGEINT; both sides are bit-exact so the flagged set is
+    identical — no epsilon, no tie ambiguity at the threshold.
+
+    Plan: one grouped sufficient-statistics agg (5 rows) broadcast back
+    over the scan — two passes, no sort, no window; the shape that holds
+    at any scale (same sufficient-statistics pattern as user_value_trend's
+    regression)."""
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+    )
+    dec = lambda c: c.cast("decimal(38,0)")
+    st = o.groupBy(F.col("o_orderpriority").alias("pr")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("cents").cast("bigint").alias("s"),
+        F.sum(dec(F.col("cents")) * dec(F.col("cents"))).alias("ss"),
+    )
+    dev = dec(F.col("n") * F.col("cents") - F.col("s"))
+    var_n2 = dec(F.col("n")) * F.col("ss") - dec(F.col("s")) * dec(F.col("s"))
+    return (
+        o.join(F.broadcast(st), F.col("o_orderpriority") == F.col("pr"))
+        .filter(
+            F.lit(100).cast("decimal(38,0)") * dev * dev
+            > F.lit(289).cast("decimal(38,0)") * var_n2
+        )
+        .select("o_orderkey", "o_orderpriority", "cents")
+    )
