@@ -267,3 +267,49 @@ def simhash_neardup_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .distinct()
     )
+
+
+def lsh_probe_candidates(
+    index_sigs: DataFrame,
+    batch_sigs: DataFrame,
+    doc_col: str = "doc_id",
+    num_hashes: int = 64,
+    bands: int = 16,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """Incremental-ingest LSH probe: candidate pairs between a NEW batch
+    and an existing indexed corpus — the bucket join runs batch×index
+    only, never index×index, so re-ingesting N new documents against a
+    100 TB corpus costs O(batch bands + matching buckets) instead of
+    re-deriving the corpus pair set. Both sides must be banded with the
+    same (num_hashes, bands) so bucket keys align (the hash family is
+    deterministic — minhash_signatures).
+
+    Returns (a_id=index doc, b_id=batch doc) distinct candidates. At real
+    scale index_sigs is a PERSISTED table maintained across ingests
+    (signatures are append-only per doc); here both sides derive from the
+    same corpus to keep the query self-contained."""
+    rows_per_band = num_hashes // bands
+
+    def banded(sigs: DataFrame, out: str) -> DataFrame:
+        band_cols = []
+        for b in range(bands):
+            cols = [
+                F.col(f"sig_{b * rows_per_band + r}") for r in range(rows_per_band)
+            ]
+            band_cols.append(
+                F.struct(F.lit(b).alias("band"), F.xxhash64(*cols).alias("bh"))
+            )
+        e = sigs.select(
+            F.col(doc_col).alias(out), F.explode(F.array(*band_cols)).alias("bb")
+        ).select(out, "bb.band", "bb.bh")
+        return e
+
+    idx = banded(index_sigs, "a_id")
+    new = banded(batch_sigs, "b_id")
+    idx = _cap_buckets(idx, ["band", "bh"], max_bucket_size)
+    return (
+        new.join(idx, ["band", "bh"])
+        .select("a_id", "b_id")
+        .distinct()
+    )

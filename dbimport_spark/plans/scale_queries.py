@@ -381,3 +381,43 @@ def embedding_pca_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(8, 64, bool(var_ok), bool(parseval_ok))],
         "k bigint, dim bigint, var_ok boolean, parseval_ok boolean",
     )
+
+
+_NEW_BATCH_MIN = 1000000  # corpus_df plants near-dup twins at doc_id+1e6
+
+
+@register(
+    "dedup_lsh_incremental",
+    f"""WITH {CORPUS_SQL}, {SHINGLES_SQL},
+sizes AS (SELECT doc_id, count(*) AS n FROM shingles GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS n_both
+  FROM shingles a JOIN shingles b ON a.s = b.s
+  WHERE a.doc_id < {_NEW_BATCH_MIN} AND b.doc_id >= {_NEW_BATCH_MIN}
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT a_id, b_id,
+       n_both * 1.0 / (sa.n + sb.n - n_both) AS jaccard
+FROM inter JOIN sizes sa ON sa.doc_id = a_id JOIN sizes sb ON sb.doc_id = b_id
+WHERE n_both * 1.0 / (sa.n + sb.n - n_both) >= 0.9""",
+)
+def dedup_lsh_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental near-dup detection: a NEW ingest batch (the planted
+    +1e6 twins stand in for today's crawl) is probed against the already-
+    indexed corpus via batch×index LSH band join — the index×index pair
+    work of dedup_minhash_lsh never reruns. This is the run-2 shape of a
+    continuously-ingesting pipeline: signature the new docs, join into
+    the existing buckets, exact-verify the candidates (same miss-prob
+    ≈ 2e-9, so the exact restricted-pair oracle applies verbatim).
+
+    At 100 TB: the index's banded signatures are an append-only table
+    keyed by (band, bh) — a day's ingest touches only its own buckets;
+    nothing about the plan depends on corpus size except the bucket
+    probe fan-in."""
+    sh = shingles_df(spark, sf_dir).persist()
+    idx_sh = sh.filter(F.col("doc_id") < _NEW_BATCH_MIN)
+    new_sh = sh.filter(F.col("doc_id") >= _NEW_BATCH_MIN)
+    idx_sigs = textdedup.minhash_signatures(idx_sh)
+    new_sigs = textdedup.minhash_signatures(new_sh)
+    cands = textdedup.lsh_probe_candidates(idx_sigs, new_sigs, max_bucket_size=1000)
+    return textdedup.verify_jaccard(cands, sh)
