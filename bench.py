@@ -87,6 +87,9 @@ HEADLINE = [
     "graph_pagerank",
     "dedup_span_clean",
     "embedding_pca_gate",
+    "events_resample_ffill",
+    "outlier_orders_zscore",
+    "dedup_lsh_incremental",
 ]
 
 
