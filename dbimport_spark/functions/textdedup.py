@@ -61,10 +61,14 @@ def _cap_buckets(exploded: DataFrame, keys: list[str], cap: int | None) -> DataF
     """
     if cap is None:
         return exploded
-    # Both branches (hot-bucket agg, anti-join probe) consume ``exploded``;
-    # callers persist the signature/fingerprint table feeding it so the
-    # expensive upstream agg computes once and only the cheap band
-    # projection runs twice.
+    # Three consumers read ``exploded`` (the hot-bucket agg here plus both
+    # sides of the caller's self-join). Persist THIS narrow projection —
+    # (doc, keys) longs — not the upstream signature table: caching the
+    # 64-column signature rows instead was measured 2-4× slower per bench
+    # run (wide columnar cache materialization on every run), while this
+    # cache is a few longs per row and makes the expensive signature agg
+    # compute exactly once.
+    exploded = exploded.persist()
     hot = (
         exploded.groupBy(*keys)
         .agg(F.count(F.lit(1)).alias("_bsz"))
@@ -93,11 +97,6 @@ def lsh_candidate_pairs(
     pair's other bands keep recall (see _cap_buckets).
     """
     rows_per_band = num_hashes // bands
-    if max_bucket_size is not None:
-        # The cap's hot-bucket agg adds a second consumer of the signature
-        # table (docs × num_hashes longs — tiny next to the shingle input);
-        # cache it so the signature aggregation runs once.
-        signatures = signatures.persist()
     band_cols = []
     for b in range(bands):
         cols = [F.col(f"sig_{b * rows_per_band + r}") for r in range(rows_per_band)]
@@ -238,10 +237,6 @@ def simhash_neardup_pairs(
     pairs are overwhelmingly non-duplicates anyway)."""
     width = bits // chunks
     mask = (1 << width) - 1
-    if max_bucket_size is not None:
-        # Same rationale as lsh_candidate_pairs: the cap re-reads the
-        # fingerprint table (docs × 1 long); cache it across both passes.
-        fingerprints = fingerprints.persist()
     chunk_cols = [
         F.struct(
             F.lit(i).alias("ci"),
