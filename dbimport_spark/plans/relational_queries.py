@@ -580,3 +580,39 @@ def outlier_orders_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("o_orderkey", "o_orderpriority", "cents")
     )
+
+
+@register(
+    "events_props_json",
+    """SELECT event_type,
+       CAST(json_extract(props, '$.k') AS BIGINT) % 10 AS k_bucket,
+       count(*) AS n,
+       CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k
+FROM events
+WHERE json_extract(props, '$.k') IS NOT NULL
+GROUP BY event_type, k_bucket""",
+)
+def events_props_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured payload processing: the events table carries a raw
+    JSON ``props`` string (the reference's JSON import path,
+    JsonDataProvider + dataPath, applied to an embedded column instead of
+    a file); extract a typed field with the built-in JSON path reader and
+    aggregate on it.
+
+    Plan notes: ``get_json_object`` evaluates JVM-side inside codegen (no
+    UDF, no shuffle beyond the final agg); at 100 TB the right long-term
+    move is schema-on-write (from_json into a struct column at ingest) —
+    this query is the schema-on-read form that makes that migration
+    possible. Extraction runs once per row into a let-bound column, not
+    once per reference."""
+    e = load_events(spark, sf_dir)
+    k = F.get_json_object(F.col("props"), "$.k").cast("bigint")
+    return (
+        e.select("event_type", k.alias("kv"))
+        .filter(F.col("kv").isNotNull())
+        .groupBy("event_type", (F.col("kv") % 10).alias("k_bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("kv").cast("bigint").alias("sum_k"),
+        )
+    )
