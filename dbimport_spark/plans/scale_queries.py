@@ -421,3 +421,75 @@ def dedup_lsh_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     new_sigs = textdedup.minhash_signatures(new_sh)
     cands = textdedup.lsh_probe_candidates(idx_sigs, new_sigs, max_bucket_size=1000)
     return textdedup.verify_jaccard(cands, sh)
+
+
+@register(
+    "multimodal_wav_roundtrip",
+    """SELECT doc_id AS media_id,
+       8000 AS sample_rate,
+       CAST(length(text) AS INTEGER) AS n_samples,
+       CAST(list_aggregate(
+              list_transform(range(1, CAST(length(text) + 1 AS BIGINT)),
+                             i -> (ord(substring(text, CAST(i AS INTEGER), 1)) % 256 - 128) * 256),
+              'sum') AS BIGINT) AS sample_sum,
+       CAST(list_aggregate(
+              list_transform(range(1, CAST(length(text) + 1 AS BIGINT)),
+                             i -> abs((ord(substring(text, CAST(i AS INTEGER), 1)) % 256 - 128) * 256)),
+              'max') AS BIGINT) AS max_abs
+FROM documents WHERE length(text) >= 1""",
+)
+def multimodal_wav_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode path (functions/wav.py — from-scratch RIFF/PCM16
+    codec, stdlib-only like the PNG codec): each document's character
+    codepoints become deterministic int16 samples ((cp % 256 − 128)·256),
+    ENCODED to real WAV bytes in one Arrow kernel and DECODED back in
+    another; the graded columns are exact integer sample statistics the
+    oracle recomputes straight from the text. A wrong header field,
+    byte-order slip, or chunk-walk bug shifts every sample and breaks the
+    sum — byte-exactness is the assertion, as with the PNG twin.
+
+    Scale: both kernels are mapInPandas over the binary column — one task
+    per partition, no shuffle; stats aggregate per media_id only."""
+    import pandas as pd
+
+    from dbimport_spark.functions import wav as _wav
+
+    d = load(spark, sf_dir, "documents").filter(F.length("text") >= 1).select(
+        F.col("doc_id").alias("media_id"), "text"
+    )
+
+    def enc(batches):
+        for pdf in batches:
+            content = []
+            for text in pdf["text"]:
+                samples = [(ord(c) % 256 - 128) * 256 for c in text]
+                content.append(_wav.encode_wav(samples, sample_rate=8000))
+            yield pd.DataFrame({"media_id": pdf["media_id"], "content": content})
+
+    media = d.mapInPandas(enc, "media_id bigint, content binary")
+
+    def dec(batches):
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for mid, blob in zip(pdf["media_id"], pdf["content"]):
+                rate, _ch, pcm = _wav.decode_wav(bytes(blob))
+                rows.append(
+                    (
+                        mid,
+                        rate,
+                        len(pcm),
+                        int(np.sum(pcm.astype(np.int64))),
+                        int(np.max(np.abs(pcm.astype(np.int64)))),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "sample_rate", "n_samples", "sample_sum", "max_abs"],
+            )
+
+    return media.mapInPandas(
+        dec,
+        "media_id bigint, sample_rate int, n_samples int, sample_sum bigint, max_abs bigint",
+    )

@@ -99,3 +99,76 @@ def test_spark_write_read_roundtrip(spark, tmp_path):
     back = read_avro_dir(spark, path, "id bigint, s string, v double")
     got = sorted((r["id"], r["s"], r["v"]) for r in back.collect())
     assert got == [(1, "a", 1.0), (2, None, -2.5), (3, "チ", 0.0)]
+
+
+# ------------------------------------------------------------------ WAV
+
+
+class TestWavCodec:
+    def test_roundtrip_and_stdlib_cross_check(self):
+        import io
+        import wave as stdwave
+
+        import numpy as np
+
+        from dbimport_spark.functions.wav import decode_wav, encode_wav
+
+        samples = [0, 1, -1, 32767, -32768, 12345, -12345]
+        blob = encode_wav(samples, sample_rate=44100)
+        rate, ch, pcm = decode_wav(blob)
+        assert (rate, ch) == (44100, 1)
+        assert pcm.tolist() == samples
+        # stdlib wave must accept our bytes and agree on every field
+        w = stdwave.open(io.BytesIO(blob))
+        assert w.getframerate() == 44100
+        assert w.getnchannels() == 1
+        assert w.getsampwidth() == 2
+        got = np.frombuffer(w.readframes(w.getnframes()), dtype="<i2")
+        assert got.tolist() == samples
+
+    def test_decode_stdlib_written_file(self):
+        import io
+        import wave as stdwave
+
+        import numpy as np
+
+        from dbimport_spark.functions.wav import decode_wav
+
+        buf = io.BytesIO()
+        w = stdwave.open(buf, "wb")
+        w.setnchannels(2)
+        w.setsampwidth(2)
+        w.setframerate(16000)
+        frames = np.asarray([10, -10, 300, -300], dtype="<i2")
+        w.writeframes(frames.tobytes())
+        w.close()
+        rate, ch, pcm = decode_wav(buf.getvalue())
+        assert (rate, ch) == (16000, 2)
+        assert pcm.tolist() == frames.tolist()
+
+    def test_unknown_chunks_skipped(self):
+        import struct
+
+        from dbimport_spark.functions.wav import decode_wav, encode_wav
+
+        blob = bytearray(encode_wav([5, -5], sample_rate=8000))
+        # splice a LIST chunk between fmt and data (fmt ends at 12+8+16)
+        insert_at = 12 + 8 + 16
+        extra = struct.pack("<4sI", b"LIST", 4) + b"INFO"
+        blob2 = bytes(blob[:insert_at]) + extra + bytes(blob[insert_at:])
+        rate, ch, pcm = decode_wav(blob2)
+        assert pcm.tolist() == [5, -5]
+
+    def test_malformed_rejected(self):
+        import pytest as _pytest
+
+        from dbimport_spark.functions.wav import decode_wav, encode_wav
+
+        with _pytest.raises(ValueError, match="RIFF"):
+            decode_wav(b"nope")
+        blob = bytearray(encode_wav([1, 2, 3]))
+        blob[20] = 3  # format tag -> IEEE float (unsupported)
+        with _pytest.raises(ValueError, match="unsupported"):
+            decode_wav(bytes(blob))
+        with _pytest.raises(ValueError, match="truncated"):
+            decode_wav(bytes(bytearray(encode_wav([1] * 100))[:-10]))
