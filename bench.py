@@ -90,6 +90,9 @@ HEADLINE = [
     "events_resample_ffill",
     "outlier_orders_zscore",
     "dedup_lsh_incremental",
+    "events_props_json",
+    "events_rolling_hour",
+    "multimodal_wav_roundtrip",
 ]
 
 
