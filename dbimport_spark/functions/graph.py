@@ -1,0 +1,65 @@
+"""Distributed graph primitives: fixed-point PageRank.
+
+Companion to functions/cluster.py (connected components, label
+propagation). The iteration arithmetic is fixed-point integer — see
+plans/learned_queries.py for the oracle-exactness rationale — so results
+are independent of partitioning, accumulation order, and checkpointing.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+SCALE = 1_000_000_000
+
+
+def pagerank(
+    edges: DataFrame,
+    iters: int = 5,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    checkpoint_every: int | None = None,
+) -> DataFrame:
+    """Synchronous PageRank (d = 0.85) over a directed edge list;
+    returns (node, pr) with pr in fixed-point 1e-9 rank units.
+
+    Every iteration is one equi-join of the (persisted) degree-annotated
+    edge list with the rank vector plus a hash agg on the destination —
+    the canonical distributed PageRank round. ``checkpoint_every`` bounds
+    LINEAGE at high iteration counts: each rank plan nests the previous
+    one, so 50 un-checkpointed rounds build a 50-deep join tree that
+    bloats optimizer time and makes task retries recompute everything;
+    localCheckpoint(eager) every k rounds truncates the plan to the
+    materialized blocks (rank values are exact integers, so checkpointing
+    cannot change results — asserted in tests). At 5 demo iterations the
+    default (no checkpoint) is fine; real web-graph runs (30-50 rounds)
+    should set k ≈ 5-10."""
+    e0 = edges.select(src_col, dst_col)
+    deg = e0.groupBy(src_col).agg(F.count(F.lit(1)).alias("outdeg"))
+    edges_w = e0.join(deg, src_col).persist()
+    n_nodes = edges_w.select(src_col).distinct().count()
+    base = (15 * SCALE) // (100 * n_nodes)
+    ranks = (
+        edges_w.select(src_col)
+        .distinct()
+        .select(
+            F.col(src_col).alias("node"),
+            # bigint from round 0: 85·r must evaluate in long arithmetic
+            # (an INT literal overflows 32-bit under ANSI on small graphs
+            # where r0 = SCALE/N is large)
+            F.lit(SCALE // n_nodes).cast("bigint").alias("r"),
+        )
+    )
+    for i in range(iters):
+        contrib = edges_w.join(ranks, F.col(src_col) == F.col("node")).select(
+            F.col(dst_col).alias("_d"), F.expr("(85 * r) div (100 * outdeg)").alias("c")
+        )
+        ranks = (
+            contrib.groupBy("_d")
+            .agg(F.sum("c").alias("s"))
+            .select(F.col("_d").alias("node"), (F.lit(base) + F.col("s")).alias("r"))
+        )
+        if checkpoint_every and (i + 1) % checkpoint_every == 0 and i + 1 < iters:
+            ranks = ranks.localCheckpoint(eager=True)
+    return ranks.select("node", F.col("r").cast("bigint").alias("pr"))

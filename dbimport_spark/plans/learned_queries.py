@@ -272,34 +272,22 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     100-TB shape: each iteration is one equi-join of the edge list with
     the rank vector on src plus one hash agg on dst — the textbook
-    distributed PageRank round. The edge list is deduplicated once and
+    distributed PageRank round (functions/graph.py, which also provides
+    localCheckpoint lineage truncation for high iteration counts — not
+    needed at 5 rounds). The edge list is deduplicated once and
     persisted; degree rides along the edge row so iterations never touch
     a second table. The driver loop is 5 plan-building steps (no
     data on the driver); diameter-bounded iteration counts replace
     convergence polling, matching the connected-components design in
     functions/cluster.py."""
+    from dbimport_spark.functions.graph import pagerank
+
     l = load(spark, sf_dir, "lineitem")
     e0 = l.select(
         (F.col("l_partkey") * 2).alias("src"), (F.col("l_suppkey") * 2 + 1).alias("dst")
     ).distinct()
     edges = e0.unionByName(e0.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
-    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
-    edges_w = edges.join(deg, "src").persist()
-    n_nodes = edges_w.select("src").distinct().count()
-    base = (15 * _PR_SCALE) // (100 * n_nodes)
-    ranks = edges_w.select("src").distinct().select(
-        F.col("src").alias("node"), F.lit(_PR_SCALE // n_nodes).alias("r")
-    )
-    for _ in range(_PR_ITERS):
-        contrib = edges_w.join(ranks, F.col("src") == F.col("node")).select(
-            "dst", F.expr("(85 * r) div (100 * outdeg)").alias("c")
-        )
-        ranks = (
-            contrib.groupBy("dst")
-            .agg(F.sum("c").alias("s"))
-            .select(F.col("dst").alias("node"), (F.lit(base) + F.col("s")).alias("r"))
-        )
-    return ranks.select("node", F.col("r").cast("bigint").alias("pr"))
+    return pagerank(edges, iters=_PR_ITERS)
 
 
 def _register_stream_nb():

@@ -147,3 +147,27 @@ def test_pca_matches_numpy_and_partitioning_invariant(spark):
         .collect()[0][0]
     )
     np.testing.assert_allclose(msn, explained.sum(), rtol=1e-9)
+
+
+def test_pagerank_checkpoint_invariance(spark):
+    """localCheckpoint lineage truncation must not change results — the
+    arithmetic is exact integer, so 12 rounds with and without
+    checkpointing agree bit-for-bit."""
+    from pyspark.sql import functions as F
+
+    from dbimport_spark.functions.graph import pagerank
+
+    edges = spark.createDataFrame(
+        [(a, b) for a in range(20) for b in range(20) if (a * 7 + b) % 5 == 0 and a != b],
+        "src long, dst long",
+    )
+    sym = edges.unionByName(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    plain = {r["node"]: r["pr"] for r in pagerank(sym, iters=12).collect()}
+    ckpt = {
+        r["node"]: r["pr"]
+        for r in pagerank(sym, iters=12, checkpoint_every=4).collect()
+    }
+    assert plain == ckpt
+    assert len(plain) == 20
