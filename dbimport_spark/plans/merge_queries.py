@@ -646,3 +646,73 @@ def merge_partitioned_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_nationkey",
     )
     return spark.read.parquet(path).select(*CUSTOMER_COLS)
+
+
+@register(
+    "lake_txn_timetravel",
+    """WITH t0 AS (
+  SELECT * FROM customer WHERE c_custkey % 4 <> 0
+), src AS (
+  SELECT c_custkey, c_name, c_nationkey, c_acctbal * 2 AS c_acctbal,
+         c_mktsegment
+  FROM customer WHERE c_custkey % 2 = 0
+), v1 AS (
+  SELECT COALESCE(s.c_acctbal, t.c_acctbal) AS c_acctbal
+  FROM t0 t LEFT JOIN src s ON t.c_custkey = s.c_custkey
+  UNION ALL
+  SELECT s.c_acctbal FROM src s
+  WHERE NOT EXISTS (SELECT 1 FROM t0 WHERE t0.c_custkey = s.c_custkey)
+)
+SELECT CAST(0 AS BIGINT) AS version, count(*) AS n_rows,
+       CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS bal_cents
+FROM t0
+UNION ALL
+SELECT CAST(1 AS BIGINT) AS version, count(*) AS n_rows,
+       CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS bal_cents
+FROM v1""",
+)
+def lake_txn_timetravel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ACID commit log + time travel over a parquet lake table
+    (dbimport_spark/txnlog.py — the Delta/Iceberg commit-log design
+    reduced to its core): version 0 append-commits a customer slice,
+    version 1 is a TRANSACTIONAL upsert (stage merged files → atomic
+    exclusive-create of the next log entry; losers of the race retry
+    against the new snapshot). The graded output aggregates BOTH
+    versions read back via snapshot resolution — proving the upsert
+    really produced reference merge semantics AND that the pre-merge
+    state remains readable (removed files are logical deletes).
+
+    At 100 TB the exclusive create maps to an object store's
+    put-if-absent; readers never list the data directory, so partial
+    writes are invisible and reads are snapshot-consistent without any
+    lock."""
+    import os
+    import shutil
+    import tempfile
+
+    from dbimport_spark import txnlog
+
+    path = os.path.join(
+        tempfile.gettempdir(),
+        "dbimport_spark_txn",
+        sf_dir.rstrip("/").replace("/", "_"),
+    )
+    if os.path.isdir(path):
+        shutil.rmtree(path)
+    cust = load(spark, sf_dir, "customer")
+    t0 = cust.filter(F.col("c_custkey") % 4 != 0)
+    txnlog.txn_append(spark, t0, path)
+    src = cust.filter(F.col("c_custkey") % 2 == 0).withColumn(
+        "c_acctbal", F.col("c_acctbal") * 2
+    )
+    txnlog.txn_upsert(spark, src, path, ["c_custkey"])
+    cents = F.round(F.col("c_acctbal") * 100).cast("bigint")
+
+    def agg(version: int) -> DataFrame:
+        return txnlog.read_snapshot(spark, path, version).agg(
+            F.lit(version).cast("bigint").alias("version"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(cents).cast("bigint").alias("bal_cents"),
+        )
+
+    return agg(0).unionByName(agg(1))

@@ -1,0 +1,87 @@
+"""Transaction-log semantics: atomicity, isolation, time travel,
+conflict detection (dbimport_spark/txnlog.py)."""
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from dbimport_spark import txnlog
+
+
+@pytest.fixture()
+def table(tmp_path):
+    return str(tmp_path / "tbl")
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "k long, v string")
+
+
+def test_append_upsert_and_time_travel(spark, table):
+    v0 = txnlog.txn_append(spark, _df(spark, [(1, "a"), (2, "b")]), table)
+    assert v0 == 0
+    v1 = txnlog.txn_upsert(
+        spark, _df(spark, [(2, "B"), (3, "c")]), table, ["k"]
+    )
+    assert v1 == 1
+    now = {r["k"]: r["v"] for r in txnlog.read_snapshot(spark, table).collect()}
+    assert now == {1: "a", 2: "B", 3: "c"}
+    # time travel: version 0 is still exactly the pre-merge table
+    old = {r["k"]: r["v"] for r in txnlog.read_snapshot(spark, table, 0).collect()}
+    assert old == {1: "a", 2: "b"}
+
+
+def test_staged_files_invisible_until_commit(spark, table):
+    txnlog.txn_append(spark, _df(spark, [(1, "a")]), table)
+    # stage a second batch but do NOT commit it
+    txnlog._stage(_df(spark, [(99, "zz")]), table)
+    got = {r["k"] for r in txnlog.read_snapshot(spark, table).collect()}
+    assert got == {1}
+    # the physical file exists but no reader resolves it
+    data_files = os.listdir(os.path.join(table, "data"))
+    assert len(data_files) > 1
+
+
+def test_commit_conflict_detected_and_append_retries(spark, table):
+    txnlog.txn_append(spark, _df(spark, [(1, "a")]), table)
+    # a rival writer claims version 1 out from under us
+    rival = os.path.join(table, "_txn_log", f"{1:08d}.json")
+    with open(rival, "w") as fh:
+        json.dump({"version": 1, "added": [], "removed": []}, fh)
+    with pytest.raises(txnlog.TxnConflict):
+        txnlog.commit(table, ["x.parquet"], [], expect_version=0)
+    # the retry loop lands on version 2
+    v = txnlog.txn_append(spark, _df(spark, [(2, "b")]), table)
+    assert v == 2
+
+
+def test_upsert_retry_after_conflict_merges_against_new_snapshot(
+    spark, table, monkeypatch
+):
+    txnlog.txn_append(spark, _df(spark, [(1, "a"), (2, "b")]), table)
+    real_commit = txnlog.commit
+    raced = {"done": False}
+
+    def racing_commit(path, added, removed, expect_version):
+        if not raced["done"]:
+            raced["done"] = True
+            # interleave a rival append THEN let our commit attempt fail
+            txnlog.txn_append(spark, _df(spark, [(10, "x")]), table)
+            return real_commit(path, added, removed, expect_version)
+        return real_commit(path, added, removed, expect_version)
+
+    monkeypatch.setattr(txnlog, "commit", racing_commit)
+    txnlog.txn_upsert(spark, _df(spark, [(2, "B")]), table, ["k"])
+    now = {r["k"]: r["v"] for r in txnlog.read_snapshot(spark, table).collect()}
+    # the rival's row survives: the retry re-merged against its snapshot
+    assert now == {1: "a", 2: "B", 10: "x"}
+
+
+def test_missing_log_entry_is_loud(spark, table):
+    txnlog.txn_append(spark, _df(spark, [(1, "a")]), table)
+    txnlog.txn_append(spark, _df(spark, [(2, "b")]), table)
+    os.remove(os.path.join(table, "_txn_log", f"{0:08d}.json"))
+    with pytest.raises(ValueError, match="corrupt"):
+        txnlog.snapshot_files(table)
