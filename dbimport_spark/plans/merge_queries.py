@@ -716,3 +716,88 @@ def lake_txn_timetravel(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return agg(0).unionByName(agg(1))
+
+
+@register(
+    "lake_txn_partitioned_upsert",
+    """WITH t0 AS (
+  SELECT o_orderkey, o_orderpriority, o_totalprice
+  FROM orders WHERE o_orderkey % 3 <> 0
+), src AS (
+  SELECT o_orderkey, o_orderpriority, o_totalprice * 2 AS o_totalprice
+  FROM orders WHERE o_orderkey % 7 = 0 AND o_orderpriority = '1-URGENT'
+), v1 AS (
+  SELECT COALESCE(s.o_totalprice, t.o_totalprice) AS o_totalprice
+  FROM t0 t LEFT JOIN src s ON t.o_orderkey = s.o_orderkey
+  UNION ALL
+  SELECT s.o_totalprice FROM src s
+  WHERE NOT EXISTS (SELECT 1 FROM t0 WHERE t0.o_orderkey = s.o_orderkey)
+)
+SELECT CAST(0 AS BIGINT) AS version, count(*) AS n_rows,
+       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         AS price_cents
+FROM t0
+UNION ALL
+SELECT CAST(1 AS BIGINT) AS version, count(*) AS n_rows,
+       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         AS price_cents
+FROM v1""",
+)
+def lake_txn_partitioned_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-pruned TRANSACTIONAL upsert (txnlog.txn_upsert_partitioned
+    — merge_into_partitioned composed with the ACID commit log): the
+    source batch touches ONE priority partition, so the commit removes
+    and re-adds only that partition's files; the other four partitions'
+    files carry over by name (asserted in tests/test_txnlog.py) and are
+    never read during the merge. Output aggregates both versions via
+    log-driven snapshot resolution — incremental-load cost O(batch), full
+    time travel retained.
+
+    The partition column rides in the LOG, not the data files (the
+    lakehouse partitionValues convention), and the source keeps each
+    key's original partition value — the stable-partition contract of
+    merge_into_partitioned."""
+    import os
+    import shutil
+    import tempfile
+
+    from dbimport_spark import txnlog
+
+    path = os.path.join(
+        tempfile.gettempdir(),
+        "dbimport_spark_txnp",
+        sf_dir.rstrip("/").replace("/", "_"),
+    )
+    if os.path.isdir(path):
+        shutil.rmtree(path)
+    orders = load(spark, sf_dir, "orders")
+    t0 = orders.filter(F.col("o_orderkey") % 3 != 0).select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    txnlog.txn_append_partitioned(spark, t0, path, "o_orderpriority")
+    src = (
+        orders.filter(
+            (F.col("o_orderkey") % 7 == 0)
+            & (F.col("o_orderpriority") == "1-URGENT")
+        )
+        .select(
+            "o_orderkey",
+            "o_orderpriority",
+            (F.col("o_totalprice") * 2).alias("o_totalprice"),
+        )
+    )
+    txnlog.txn_upsert_partitioned(
+        spark, src, path, ["o_orderkey"], "o_orderpriority"
+    )
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+
+    def agg(version: int) -> DataFrame:
+        return txnlog.read_snapshot_partitioned(
+            spark, path, "o_orderpriority", version
+        ).agg(
+            F.lit(version).cast("bigint").alias("version"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(cents).cast("bigint").alias("price_cents"),
+        )
+
+    return agg(0).unionByName(agg(1))

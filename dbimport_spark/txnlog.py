@@ -73,8 +73,8 @@ def snapshot_files(path: str, version: int | None = None) -> list[str]:
             raise ValueError(f"missing log entry for version {v} (corrupt log)")
         with open(fp) as fh:
             entry = json.load(fh)
-        live.update(entry.get("added", []))
-        live.difference_update(entry.get("removed", []))
+        live.update(_entry_files(entry.get("added", [])))
+        live.difference_update(_entry_files(entry.get("removed", [])))
     return sorted(os.path.join(_data_dir(path), f) for f in live)
 
 
@@ -115,8 +115,13 @@ def commit(path: str, added: list[str], removed: list[str], expect_version: int)
     os.makedirs(_log_dir(path), exist_ok=True)
     new_v = expect_version + 1
     fp = os.path.join(_log_dir(path), f"{new_v:08d}.json")
+    key = lambda e: e["n"] if isinstance(e, dict) else e
     entry = json.dumps(
-        {"version": new_v, "added": sorted(added), "removed": sorted(removed)}
+        {
+            "version": new_v,
+            "added": sorted(added, key=key),
+            "removed": sorted(removed, key=key),
+        }
     )
     try:
         fd = os.open(fp, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
@@ -166,3 +171,142 @@ def txn_upsert(
             # to every reader); re-merge against the new snapshot.
             continue
     raise TxnConflict(f"gave up after {max_retries} retries upserting {path}")
+
+
+# ------------------------------------------------------- partitioned form
+
+def _entry_files(entry_list):
+    """Log entries are either bare file names (unpartitioned commits) or
+    {"n": name, "p": partition-value} dicts (partitioned commits)."""
+    return [e["n"] if isinstance(e, dict) else e for e in entry_list]
+
+
+def snapshot_partitions(path: str, version: int | None = None) -> dict[str, str]:
+    """{file name → partition value} for live files at ``version`` (files
+    from unpartitioned commits map to None)."""
+    v_max = current_version(path) if version is None else version
+    live: dict[str, str] = {}
+    for v in range(v_max + 1):
+        fp = os.path.join(_log_dir(path), f"{v:08d}.json")
+        if not os.path.exists(fp):
+            raise ValueError(f"missing log entry for version {v} (corrupt log)")
+        with open(fp) as fh:
+            entry = json.load(fh)
+        for e in entry.get("added", []):
+            if isinstance(e, dict):
+                live[e["n"]] = e["p"]
+            else:
+                live[e] = None
+        for e in _entry_files(entry.get("removed", [])):
+            live.pop(e, None)
+    return live
+
+
+def _stage_partitioned(df: DataFrame, path: str, partition_col: str):
+    """Stage df split by partition value; returns [{"n": name, "p": value}].
+    The partition column is stored in the LOG (not the file), mirroring
+    the lakehouse convention (Delta's partitionValues / hive dir layout);
+    readers re-attach it as a literal per file group."""
+    import shutil
+    import tempfile
+
+    stage_id = uuid.uuid4().hex
+    stage_dir = os.path.join(tempfile.gettempdir(), f"txn_stage_{stage_id}")
+    df.write.mode("overwrite").partitionBy(partition_col).parquet(stage_dir)
+    os.makedirs(_data_dir(path), exist_ok=True)
+    added = []
+    for sub in sorted(os.listdir(stage_dir)):
+        if not sub.startswith(f"{partition_col}="):
+            continue
+        value = sub.split("=", 1)[1]
+        for f in sorted(os.listdir(os.path.join(stage_dir, sub))):
+            if f.endswith(".parquet"):
+                name = f"part-{stage_id}-{len(added):04d}.parquet"
+                os.replace(
+                    os.path.join(stage_dir, sub, f),
+                    os.path.join(_data_dir(path), name),
+                )
+                added.append({"n": name, "p": value})
+    shutil.rmtree(stage_dir, ignore_errors=True)
+    return added
+
+
+def read_snapshot_partitioned(
+    spark, path: str, partition_col: str, version: int | None = None,
+    partition_values=None,
+) -> DataFrame:
+    """Snapshot read re-attaching the partition column; optionally pruned
+    to ``partition_values`` — the file-level partition pruning that makes
+    a selective upsert read O(touched partitions), driven entirely by the
+    LOG (no directory listing, no footer reads). Partition values are
+    compared as their directory-encoded strings."""
+    from functools import reduce
+
+    from pyspark.sql import functions as F
+
+    live = snapshot_partitions(path, version)
+    if partition_values is not None:
+        wanted = {str(v) for v in partition_values}
+        live = {n: p for n, p in live.items() if p in wanted}
+    if not live:
+        raise ValueError(f"no data for snapshot read of {path}")
+    by_value: dict[str, list[str]] = {}
+    for n, p in live.items():
+        by_value.setdefault(p, []).append(os.path.join(_data_dir(path), n))
+    parts = [
+        spark.read.parquet(*sorted(files)).withColumn(partition_col, F.lit(value))
+        for value, files in sorted(by_value.items())
+    ]
+    return reduce(lambda a, b: a.unionByName(b), parts)
+
+
+def txn_upsert_partitioned(
+    spark, source: DataFrame, path: str, keys, partition_col: str,
+    max_retries: int = 3,
+) -> int:
+    """Partition-pruned TRANSACTIONAL upsert — sinks.merge_into_partitioned
+    composed with the commit log: merge only the partitions the source
+    touches, stage their replacement files, and commit {add: new files of
+    touched partitions, remove: OLD files of touched partitions}.
+    Untouched partitions' files are not read, not rewritten, and not even
+    mentioned in the commit — an incremental load's commit is O(batch).
+    Same correctness requirement as merge_into_partitioned: the partition
+    column must be a stable function of the merge keys."""
+    from pyspark.sql import functions as F
+
+    from dbimport_spark.operators.merge import upsert
+
+    touched = [
+        str(r[0]) for r in source.select(partition_col).distinct().collect()
+    ]
+    for _ in range(max_retries):
+        base_v = current_version(path)
+        live = snapshot_partitions(path, base_v)
+        old_touched = [n for n, p in live.items() if p in set(touched)]
+        if old_touched:
+            target_slice = read_snapshot_partitioned(
+                spark, path, partition_col, base_v, partition_values=touched
+            )
+            merged = upsert(target_slice, source, keys)
+        else:
+            merged = source
+        added = _stage_partitioned(merged, path, partition_col)
+        try:
+            return commit(path, added, old_touched, base_v)
+        except TxnConflict:
+            continue
+    raise TxnConflict(f"gave up after {max_retries} retries upserting {path}")
+
+
+def txn_append_partitioned(
+    spark, df: DataFrame, path: str, partition_col: str, max_retries: int = 5
+) -> int:
+    """Append-commit df split by partition value (each staged file covers
+    exactly one value, recorded in the log entry)."""
+    added = _stage_partitioned(df, path, partition_col)
+    for _ in range(max_retries):
+        try:
+            return commit(path, added, [], current_version(path))
+        except TxnConflict:
+            continue
+    raise TxnConflict(f"gave up after {max_retries} retries appending to {path}")

@@ -85,3 +85,73 @@ def test_missing_log_entry_is_loud(spark, table):
     os.remove(os.path.join(table, "_txn_log", f"{0:08d}.json"))
     with pytest.raises(ValueError, match="corrupt"):
         txnlog.snapshot_files(table)
+
+
+def _pdf(spark, rows):
+    return spark.createDataFrame(rows, "k long, p string, v string")
+
+
+def test_partitioned_upsert_carries_untouched_files(spark, table):
+    txnlog.txn_append_partitioned(
+        spark,
+        _pdf(spark, [(1, "A", "a1"), (2, "A", "a2"), (3, "B", "b1"), (4, "C", "c1")]),
+        table,
+        "p",
+    )
+    before = txnlog.snapshot_partitions(table)
+    # upsert touches only partition A (update k=2, insert k=5)
+    txnlog.txn_upsert_partitioned(
+        spark, _pdf(spark, [(2, "A", "A2"), (5, "A", "A5")]), table, ["k"], "p"
+    )
+    after = txnlog.snapshot_partitions(table)
+    # B and C files carry over BY NAME; every A file was replaced
+    untouched_before = {n for n, p in before.items() if p in ("B", "C")}
+    untouched_after = {n for n, p in after.items() if p in ("B", "C")}
+    assert untouched_before == untouched_after
+    assert not {n for n, p in before.items() if p == "A"} & {
+        n for n, p in after.items() if p == "A"
+    }
+    now = {
+        r["k"]: (r["p"], r["v"])
+        for r in txnlog.read_snapshot_partitioned(spark, table, "p").collect()
+    }
+    assert now == {
+        1: ("A", "a1"),
+        2: ("A", "A2"),
+        3: ("B", "b1"),
+        4: ("C", "c1"),
+        5: ("A", "A5"),
+    }
+    # time travel to the pre-merge version still works
+    v0 = {
+        r["k"]: r["v"]
+        for r in txnlog.read_snapshot_partitioned(spark, table, "p", 0).collect()
+    }
+    assert v0 == {1: "a1", 2: "a2", 3: "b1", 4: "c1"}
+
+
+def test_partitioned_read_prunes_to_requested_values(spark, table):
+    txnlog.txn_append_partitioned(
+        spark, _pdf(spark, [(1, "A", "a"), (2, "B", "b")]), table, "p"
+    )
+    only_b = txnlog.read_snapshot_partitioned(
+        spark, table, "p", partition_values=["B"]
+    )
+    assert [r["k"] for r in only_b.collect()] == [2]
+    # the pruned plan reads exactly the B files
+    live = txnlog.snapshot_partitions(table)
+    n_b_files = sum(1 for p in live.values() if p == "B")
+    assert len(only_b.inputFiles()) == n_b_files
+
+
+def test_partitioned_upsert_into_new_partition(spark, table):
+    txnlog.txn_append_partitioned(spark, _pdf(spark, [(1, "A", "a")]), table, "p")
+    # source lands entirely in a partition that doesn't exist yet
+    txnlog.txn_upsert_partitioned(
+        spark, _pdf(spark, [(9, "Z", "z")]), table, ["k"], "p"
+    )
+    now = {
+        r["k"]: r["p"]
+        for r in txnlog.read_snapshot_partitioned(spark, table, "p").collect()
+    }
+    assert now == {1: "A", 9: "Z"}
