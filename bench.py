@@ -93,6 +93,8 @@ HEADLINE = [
     "events_props_json",
     "events_rolling_hour",
     "multimodal_wav_roundtrip",
+    "lake_txn_timetravel",
+    "lake_txn_partitioned_upsert",
 ]
 
 
