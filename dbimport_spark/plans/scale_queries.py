@@ -493,3 +493,77 @@ def multimodal_wav_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         dec,
         "media_id bigint, sample_rate int, n_samples int, sample_sum bigint, max_abs bigint",
     )
+
+
+@register(
+    "multimodal_gif_frames",
+    """WITH f AS (
+  SELECT doc_id, CAST(length(text) // 64 AS INTEGER) AS n_frames,
+         list_transform(range(1, CAST((length(text) // 64) * 64 + 1 AS BIGINT)),
+                        i -> ord(substring(text, CAST(i AS INTEGER), 1)) % 256) AS px
+  FROM documents WHERE length(text) >= 64
+)
+SELECT doc_id AS media_id, n_frames,
+       CAST(list_aggregate(px, 'sum') AS BIGINT) AS px_sum,
+       CAST(list_aggregate(
+              list_transform(range(1, 65),
+                i -> px[CAST(((n_frames - 1) // 2) * 64 + i AS BIGINT)]),
+              'sum') AS BIGINT) AS mid_frame_sum
+FROM f""",
+)
+def multimodal_gif_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL frame extraction from an animated container (functions/gif.py
+    — from-scratch GIF89a/LZW codec): each document becomes a multi-frame
+    8×8 grayscale GIF (frames = 64-codepoint chunks), one Arrow kernel
+    encodes, another decodes and addresses the MIDDLE frame — the
+    keyframe-sampling primitive sample_frames previously faked with byte
+    slicing, now running through a real variable-width-LZW container
+    decode. Graded columns are exact integer pixel statistics the oracle
+    recomputes from the text; a header, palette, sub-block, or LZW bug
+    shifts every pixel.
+
+    Scale: map-only mapInPandas both ways — the per-frame work is
+    embarrassingly parallel over the binary column, the multimodal
+    contract."""
+    import pandas as pd
+
+    from dbimport_spark.functions import gif as _gif
+
+    d = load(spark, sf_dir, "documents").filter(F.length("text") >= 64).select(
+        F.col("doc_id").alias("media_id"), "text"
+    )
+
+    def enc(batches):
+        for pdf in batches:
+            content = []
+            for text in pdf["text"]:
+                px = bytes(ord(c) % 256 for c in text)
+                n = len(px) // 64
+                frames = [px[i * 64 : (i + 1) * 64] for i in range(n)]
+                content.append(_gif.encode_gif(frames, 8, 8))
+            yield pd.DataFrame({"media_id": pdf["media_id"], "content": content})
+
+    media = d.mapInPandas(enc, "media_id bigint, content binary")
+
+    def dec(batches):
+        for pdf in batches:
+            rows = []
+            for mid, blob in zip(pdf["media_id"], pdf["content"]):
+                w, h, frames = _gif.decode_gif(bytes(blob))
+                assert (w, h) == (8, 8)
+                mid_f = frames[(len(frames) - 1) // 2]
+                rows.append(
+                    (
+                        mid,
+                        len(frames),
+                        sum(sum(f) for f in frames),
+                        sum(mid_f),
+                    )
+                )
+            yield pd.DataFrame(
+                rows, columns=["media_id", "n_frames", "px_sum", "mid_frame_sum"]
+            )
+
+    return media.mapInPandas(
+        dec, "media_id bigint, n_frames int, px_sum bigint, mid_frame_sum bigint"
+    )

@@ -1,0 +1,110 @@
+"""GIF codec tests: container roundtrip, the public 1×1 spec vector, and
+a REAL compressing LZW encoder (written here, textbook algorithm) driving
+the decoder through dictionary growth, width growth, and the KwKwK case
+that the literal-mode product encoder never produces."""
+
+import pytest
+
+from dbimport_spark.functions.gif import (
+    decode_gif,
+    encode_gif,
+    lzw_decode,
+    lzw_encode_literal,
+)
+
+# widely-published minimal GIF: 1×1 white pixel, 2-entry GCT
+ONE_PX = bytes.fromhex(
+    "474946383961010001008000"
+    "00ffffff000000"
+    "2c000000000100010000"
+    "0202440100"
+    "3b"
+)
+
+
+def _lzw_encode_real(data: bytes, min_code_size: int) -> bytes:
+    """Reference compressing LZW encoder (variable width, dict to 4096)."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    out = bytearray()
+    acc = 0
+    nbits = 0
+    width = min_code_size + 1
+
+    def emit(code):
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += width
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    table = {bytes([i]): i for i in range(clear)}
+    next_code = eoi + 1
+    emit(clear)
+    w = b""
+    for ch in data:
+        wc = w + bytes([ch])
+        if wc in table:
+            w = wc
+            continue
+        emit(table[w])
+        if next_code < 4096:
+            table[wc] = next_code
+            next_code += 1
+            if next_code == (1 << width) + 1 and width < 12:
+                width += 1
+        w = bytes([ch])
+    if w:
+        emit(table[w])
+    emit(eoi)
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+class TestGif:
+    def test_spec_vector_one_pixel(self):
+        w, h, frames = decode_gif(ONE_PX)
+        assert (w, h) == (1, 1)
+        assert frames == [b"\x00"]
+
+    def test_container_roundtrip_multiframe(self):
+        frames = [bytes(range(64)), bytes(reversed(range(64))), bytes([7]) * 64]
+        w, h, back = decode_gif(encode_gif(frames, 8, 8))
+        assert (w, h) == (8, 8)
+        assert back == frames
+
+    @pytest.mark.parametrize("min_code", [2, 4, 8])
+    def test_real_lzw_roundtrip_with_growth(self, min_code):
+        alphabet = 1 << min_code
+        # long repetitive data → dictionary growth through several widths
+        data = bytes((i * 7 + i // 3) % alphabet for i in range(20000))
+        assert lzw_decode(_lzw_encode_real(data, min_code), min_code) == data
+
+    def test_kwkwk_case(self):
+        # 'ababab...' produces the code==next_code corner immediately
+        data = b"\x00\x01" * 50
+        assert lzw_decode(_lzw_encode_real(data, 2), 2) == data
+
+    def test_literal_encoder_is_valid_lzw(self):
+        data = bytes(range(256)) * 10
+        assert lzw_decode(lzw_encode_literal(data, 8), 8) == data
+
+    def test_extension_blocks_skipped(self):
+        blob = bytearray(encode_gif([bytes(4)], 2, 2))
+        # splice a graphic-control extension before the image separator
+        idx = blob.index(0x2C, 13 + 768)
+        ext = bytes([0x21, 0xF9, 0x04, 0x00, 0x00, 0x00, 0x00, 0x00])
+        spliced = bytes(blob[:idx]) + ext + bytes(blob[idx:])
+        w, h, frames = decode_gif(spliced)
+        assert frames == [bytes(4)]
+
+    def test_malformed_rejected(self):
+        with pytest.raises(ValueError, match="not a GIF"):
+            decode_gif(b"PNG....")
+        blob = bytearray(encode_gif([bytes(9)], 3, 3))
+        blob[13 + 768] = 0x99  # clobber the image separator
+        with pytest.raises(ValueError, match="unknown GIF block"):
+            decode_gif(bytes(blob))
