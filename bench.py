@@ -95,6 +95,7 @@ HEADLINE = [
     "multimodal_wav_roundtrip",
     "lake_txn_timetravel",
     "lake_txn_partitioned_upsert",
+    "multimodal_gif_frames",
 ]
 
 
