@@ -21,10 +21,11 @@ snapshot metadata is the same idea) reduced to its load-bearing core:
   retries — the standard optimistic-concurrency loop (on object stores
   the exclusive create maps to a put-if-absent / conditional write).
 
-Time travel is free: resolve the snapshot at any historical version.
-VACUUM (physically deleting removed files past a retention horizon) is
-the one intentionally omitted piece — it is operational hygiene, not
-query semantics.
+Time travel is free: resolve the snapshot at any historical version down
+to the VACUUM horizon; ``vacuum`` reclaims files no retained snapshot
+references (and only files the log proves dead — concurrent writers'
+staged output is never touched) and records the horizon so deeper time
+travel fails loudly up front.
 """
 
 from __future__ import annotations
@@ -81,6 +82,11 @@ def snapshot_files(path: str, version: int | None = None) -> list[str]:
 def read_snapshot(spark, path: str, version: int | None = None) -> DataFrame:
     """DataFrame over the snapshot's file list (empty snapshot → error;
     create the table with a first commit before reading)."""
+    if version is not None and version < vacuum_horizon(path):
+        raise ValueError(
+            f"version {version} of {path} was vacuumed (horizon "
+            f"{vacuum_horizon(path)})"
+        )
     files = snapshot_files(path, version)
     if not files:
         raise ValueError(f"no data at version {version!r} of {path}")
@@ -310,3 +316,47 @@ def txn_append_partitioned(
         except TxnConflict:
             continue
     raise TxnConflict(f"gave up after {max_retries} retries appending to {path}")
+
+
+# ------------------------------------------------------------------ vacuum
+
+def vacuum(path: str, retain_versions: int = 1) -> list[str]:
+    """Physically delete data files no kept snapshot references.
+
+    Keeps every file needed by the newest ``retain_versions`` snapshots
+    (the retention horizon); files referenced only by older versions are
+    deleted and the horizon is recorded in ``_txn_log/_vacuum`` so a
+    later time-travel read below it fails LOUDLY up front instead of as a
+    missing-file error mid-scan. Files the log has never seen (a
+    concurrent writer's staged-but-uncommitted output) are left alone —
+    vacuum only reclaims what the log proves dead. Returns the deleted
+    file names."""
+    cur = current_version(path)
+    if cur < 0:
+        return []
+    cutoff = max(cur - retain_versions + 1, 0)
+    keep: set[str] = set()
+    for v in range(cutoff, cur + 1):
+        keep.update(os.path.basename(f) for f in snapshot_files(path, v))
+    ever: set[str] = set()
+    for v in range(cur + 1):
+        fp = os.path.join(_log_dir(path), f"{v:08d}.json")
+        with open(fp) as fh:
+            ever.update(_entry_files(json.load(fh).get("added", [])))
+    doomed = sorted(ever - keep)
+    for name in doomed:
+        f = os.path.join(_data_dir(path), name)
+        if os.path.exists(f):
+            os.remove(f)
+    with open(os.path.join(_log_dir(path), "_vacuum"), "w") as fh:
+        fh.write(str(cutoff))
+    return doomed
+
+
+def vacuum_horizon(path: str) -> int:
+    """Oldest version still readable (0 if never vacuumed)."""
+    fp = os.path.join(_log_dir(path), "_vacuum")
+    if not os.path.exists(fp):
+        return 0
+    with open(fp) as fh:
+        return int(fh.read().strip())

@@ -155,3 +155,24 @@ def test_partitioned_upsert_into_new_partition(spark, table):
         for r in txnlog.read_snapshot_partitioned(spark, table, "p").collect()
     }
     assert now == {1: "A", 9: "Z"}
+
+
+def test_vacuum_reclaims_only_dead_files(spark, table):
+    txnlog.txn_append(spark, _df(spark, [(1, "a"), (2, "b")]), table)
+    txnlog.txn_upsert(spark, _df(spark, [(2, "B")]), table, ["k"])
+    # stage an uncommitted batch: vacuum must NOT touch it
+    txnlog._stage(_df(spark, [(99, "z")]), table)
+    files_before = set(os.listdir(os.path.join(table, "data")))
+    deleted = txnlog.vacuum(table, retain_versions=1)
+    assert deleted  # version 0's files are dead
+    files_after = set(os.listdir(os.path.join(table, "data")))
+    assert files_before - files_after == set(deleted)
+    # the latest snapshot still reads exactly the merged table
+    now = {r["k"]: r["v"] for r in txnlog.read_snapshot(spark, table).collect()}
+    assert now == {1: "a", 2: "B"}
+    # time travel below the horizon is a loud, immediate error
+    with pytest.raises(ValueError, match="vacuumed"):
+        txnlog.read_snapshot(spark, table, 0)
+    # the staged orphan survived
+    staged = [f for f in files_after if f not in deleted]
+    assert len(staged) >= 2
