@@ -96,6 +96,7 @@ HEADLINE = [
     "lake_txn_timetravel",
     "lake_txn_partitioned_upsert",
     "multimodal_gif_frames",
+    "cube_order_stats",
 ]
 
 

@@ -616,3 +616,75 @@ def events_props_json(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("kv").cast("bigint").alias("sum_k"),
         )
     )
+
+
+@register(
+    "events_rolling_hour",
+    """SELECT event_id, user_id, ts,
+       CAST(sum(CAST(round(value * 10000) AS BIGINT)) OVER w AS BIGINT)
+         AS win_sum_fp,
+       CAST(count(*) OVER w AS BIGINT) AS win_n
+FROM events
+WHERE user_id % 10 = 3
+WINDOW w AS (PARTITION BY user_id ORDER BY ts
+             RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)""",
+)
+def events_rolling_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 1-hour window per user — the RANGE (time-interval) frame,
+    as opposed to the ROWS frames used elsewhere (orders_running_balance):
+    each event sees the exact fixed-point sum and count of its user's
+    events in the preceding hour, peers-at-equal-timestamp included (both
+    engines' RANGE semantics).
+
+    Scale: the window sorts within user partitions only; frame evaluation
+    is the streaming two-pointer pass over each sorted partition, O(rows)
+    not O(rows·frame). A 1-in-10 user slice keeps graded output compact;
+    the plan is slice-independent."""
+    e = load_events(spark, sf_dir).filter(F.col("user_id") % 10 == 3)
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros(F.col("ts")))
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    fp = F.round(F.col("value") * 10000).cast("bigint")
+    return e.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.sum(fp).over(w).cast("bigint").alias("win_sum_fp"),
+        F.count(F.lit(1)).over(w).cast("bigint").alias("win_n"),
+    )
+
+
+@register(
+    "cube_order_stats",
+    """SELECT o_orderpriority, o_orderstatus,
+       CAST(GROUPING(o_orderpriority) * 2 + GROUPING(o_orderstatus) AS BIGINT)
+         AS gid,
+       count(*) AS n_orders,
+       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         AS price_cents
+FROM orders
+GROUP BY CUBE (o_orderpriority, o_orderstatus)""",
+)
+def cube_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE grouping sets — all 2² aggregation levels (full detail, each
+    single-dimension margin, grand total) in ONE Expand + hash-agg pass,
+    disambiguated by grouping_id (ROLLUP's 3-level sibling is
+    rollup_order_totals). The Expand multiplies rows 4× BEFORE the agg,
+    but partial aggregation still combines map-side, so the shuffle
+    carries ≈4×|groups|, not 4×|rows| — the reason CUBE beats four
+    separate scans at 100 TB."""
+    o = load(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    return (
+        o.cube("o_orderpriority", "o_orderstatus")
+        .agg(
+            F.grouping_id().cast("bigint").alias("gid"),
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(cents).cast("bigint").alias("price_cents"),
+        )
+        .select("o_orderpriority", "o_orderstatus", "gid", "n_orders", "price_cents")
+    )
