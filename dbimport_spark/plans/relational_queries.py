@@ -688,3 +688,154 @@ def cube_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("o_orderpriority", "o_orderstatus", "gid", "n_orders", "price_cents")
     )
+
+
+@register(
+    "q6_forecast_revenue",
+    """SELECT CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                 * CAST(round(l_discount * 100) AS BIGINT)) AS BIGINT)
+         / 10000.0 AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+  AND round(l_discount * 100) BETWEEN 5 AND 7
+  AND l_quantity < 24""",
+)
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6: pure filter + scalar aggregate — the canonical predicate
+    -pushdown benchmark. Every predicate (date range, discount band,
+    quantity) reaches the parquet scan as a pushed filter; the product
+    sums as exact integer (cents × basis points), divided once at the
+    end. One map-side-combined scalar agg, no shuffle of data rows."""
+    l = load(spark, sf_dir, "lineitem")
+    price_c = F.round(F.col("l_extendedprice") * 100).cast("bigint")
+    disc_bp = F.round(F.col("l_discount") * 100).cast("bigint")
+    return (
+        l.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+            & disc_bp.between(5, 7)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg((F.sum(price_c * disc_bp).cast("bigint") / F.lit(10000.0)).alias("revenue"))
+    )
+
+
+@register(
+    "q12_late_shipment_class",
+    """SELECT l_returnflag,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+WHERE l_shipdate > o_orderdate + INTERVAL 45 DAY
+GROUP BY l_returnflag""",
+)
+def q12_late_shipment_class(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape (adapted: no l_shipmode column, so the grouping is
+    l_returnflag and "late" = shipped >45 days after ordering): per-group
+    conditional two-way counts of urgent vs non-urgent orders among late
+    shipments — the dual-CASE pivot counting pattern.
+
+    Plan: one fact join on orderkey (orders projected to 3 columns) with
+    the late predicate as a join filter, then a 3-row conditional agg —
+    both CASE sums ride the same map-side partial pass."""
+    l = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_returnflag", "l_shipdate"
+    )
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        l.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 45 DAY"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).cast("bigint").alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).cast("bigint").alias("low_line_count"),
+        )
+    )
+
+
+@register(
+    "q14_promo_revenue",
+    """WITH r AS (
+  SELECT CASE WHEN p_type = 'PROMO'
+              THEN CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)
+              ELSE 0 END AS promo_c,
+         CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT) AS all_c
+  FROM lineitem JOIN part ON p_partkey = l_partkey
+  WHERE l_shipdate >= TIMESTAMP '1997-03-01 00:00:00'
+    AND l_shipdate < TIMESTAMP '1997-04-01 00:00:00'
+)
+SELECT 100.0 * CAST(sum(promo_c) AS BIGINT) / CAST(sum(all_c) AS BIGINT)
+         AS promo_revenue_pct
+FROM r""",
+)
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14: promotional revenue share for one month — conditional
+    revenue ratio over a broadcast part join. Both numerator and
+    denominator are exact integer cents summed in one agg; the single
+    float division happens once, in the same written order as the
+    oracle."""
+    l = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-03-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01 00:00:00").cast("timestamp"))
+    ).select("l_partkey", "l_extendedprice", "l_discount")
+    p = load(spark, sf_dir, "part").select("p_partkey", "p_type")
+    rev_c = F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100).cast(
+        "bigint"
+    )
+    promo_c = F.when(F.col("p_type") == "PROMO", rev_c).otherwise(F.lit(0))
+    return (
+        l.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            (
+                F.lit(100.0)
+                * F.sum(promo_c).cast("bigint")
+                / F.sum(rev_c).cast("bigint")
+            ).alias("promo_revenue_pct")
+        )
+    )
+
+
+@register(
+    "q19_disjunctive_revenue",
+    """SELECT CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                       AS BIGINT)) AS BIGINT) / 100.0 AS revenue
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+       AND l_quantity BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+       AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15
+       AND l_quantity BETWEEN 20 AND 30)""",
+)
+def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19: OR-of-ANDs across both join sides — the disjunctive-
+    predicate shape optimizers historically mishandled (it cannot be
+    fully pushed to either scan alone). Catalyst extracts the common
+    per-side conjuncts: the brand IN-list and max size range prune the
+    part scan, the overall quantity envelope prunes lineitem, and the
+    exact disjunction applies after the broadcast join — same rows, far
+    smaller join input."""
+    l = load(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice", "l_discount"
+    )
+    p = load(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    rev_c = F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100).cast(
+        "bigint"
+    )
+    q = F.col("l_quantity")
+    cond = (
+        ((F.col("p_brand") == "Brand#12") & F.col("p_size").between(1, 5) & q.between(1, 11))
+        | ((F.col("p_brand") == "Brand#23") & F.col("p_size").between(1, 10) & q.between(10, 20))
+        | ((F.col("p_brand") == "Brand#34") & F.col("p_size").between(1, 15) & q.between(20, 30))
+    )
+    return (
+        l.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .filter(cond)
+        .agg((F.sum(rev_c).cast("bigint") / F.lit(100.0)).alias("revenue"))
+    )
