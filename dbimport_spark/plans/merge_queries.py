@@ -801,3 +801,46 @@ def lake_txn_partitioned_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return agg(0).unionByName(agg(1))
+
+
+@register(
+    "lake_txn_zonemap_scan",
+    """SELECT count(*) AS n_rows,
+       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         AS price_cents
+FROM orders WHERE o_orderkey BETWEEN 1000 AND 5000""",
+)
+def lake_txn_zonemap_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log-driven zone-map file skipping (txnlog.txn_append_stats /
+    read_snapshot_skipping — the Iceberg/Delta data-skipping design:
+    per-file footer min/max ride in the commit entry, selective reads
+    prune FILES from the log without opening a single footer at read
+    time). The table is range-clustered on o_orderkey at write time
+    (repartitionByRange → disjoint per-file key ranges), so the key-range
+    scan opens only the intersecting files; pytest asserts the actual
+    inputFiles() subset, and the graded aggregate proves the pruned read
+    returns exactly the full-scan answer."""
+    import os
+    import shutil
+    import tempfile
+
+    from dbimport_spark import txnlog
+
+    path = os.path.join(
+        tempfile.gettempdir(),
+        "dbimport_spark_txnz",
+        sf_dir.rstrip("/").replace("/", "_"),
+    )
+    if os.path.isdir(path):
+        shutil.rmtree(path)
+    orders = load(spark, sf_dir, "orders").repartitionByRange(8, "o_orderkey")
+    txnlog.txn_append_stats(spark, orders, path, stats_cols=["o_orderkey"])
+    pruned = txnlog.read_snapshot_skipping(spark, path, "o_orderkey", 1000, 5000)
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    return (
+        pruned.filter(F.col("o_orderkey").between(1000, 5000))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(cents).cast("bigint").alias("price_cents"),
+        )
+    )

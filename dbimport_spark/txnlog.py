@@ -360,3 +360,93 @@ def vacuum_horizon(path: str) -> int:
         return 0
     with open(fp) as fh:
         return int(fh.read().strip())
+
+
+# -------------------------------------------------------- file statistics
+
+def _footer_stats(file_path: str, cols) -> dict:
+    """Per-file [min, max] for ``cols`` straight from the parquet footer
+    (row-group statistics — no data pages read). Columns without usable
+    stats are omitted (reader treats missing as 'cannot prune')."""
+    import pyarrow.parquet as pq
+
+    md = pq.ParquetFile(file_path).metadata
+    idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
+    out = {}
+    for col in cols:
+        if col not in idx:
+            continue
+        lo = hi = None
+        ok = True
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(idx[col]).statistics
+            if st is None or not st.has_min_max:
+                ok = False
+                break
+            lo = st.min if lo is None else min(lo, st.min)
+            hi = st.max if hi is None else max(hi, st.max)
+        if ok and lo is not None:
+            out[col] = [lo, hi]
+    return out
+
+
+def txn_append_stats(
+    spark, df: DataFrame, path: str, stats_cols, max_retries: int = 5
+) -> int:
+    """Append-commit with per-file zone maps: each staged file's footer
+    min/max for ``stats_cols`` rides in the log entry, so selective reads
+    prune FILES from the log alone — the Iceberg/Delta data-skipping
+    design (their manifests/add-actions carry exactly these bounds).
+    Combine with a range-clustered write (sinks.write_clustered_parquet /
+    zorder) and a selective read touches O(matching files)."""
+    added_names = _stage(df, path)
+    added = [
+        {"n": n, "p": None, "stats": _footer_stats(os.path.join(_data_dir(path), n), stats_cols)}
+        for n in added_names
+    ]
+    for _ in range(max_retries):
+        try:
+            return commit(path, added, [], current_version(path))
+        except TxnConflict:
+            continue
+    raise TxnConflict(f"gave up after {max_retries} retries appending to {path}")
+
+
+def snapshot_stats(path: str, version: int | None = None) -> dict[str, dict]:
+    """{file name → stats dict} for live files (missing → {})."""
+    v_max = current_version(path) if version is None else version
+    live: dict[str, dict] = {}
+    for v in range(v_max + 1):
+        fp = os.path.join(_log_dir(path), f"{v:08d}.json")
+        if not os.path.exists(fp):
+            raise ValueError(f"missing log entry for version {v} (corrupt log)")
+        with open(fp) as fh:
+            entry = json.load(fh)
+        for e in entry.get("added", []):
+            if isinstance(e, dict):
+                live[e["n"]] = e.get("stats") or {}
+            else:
+                live[e] = {}
+        for e in _entry_files(entry.get("removed", [])):
+            live.pop(e, None)
+    return live
+
+
+def read_snapshot_skipping(
+    spark, path: str, col: str, lo, hi, version: int | None = None
+) -> DataFrame:
+    """Snapshot read pruned by the log's zone maps: files whose [min, max]
+    for ``col`` cannot intersect [lo, hi] are never opened (files without
+    stats are conservatively kept). The row-level predicate must still be
+    applied by the caller — zone maps prune files, not rows."""
+    if version is not None and version < vacuum_horizon(path):
+        raise ValueError(f"version {version} of {path} was vacuumed")
+    stats = snapshot_stats(path, version)
+    keep = []
+    for name, st in sorted(stats.items()):
+        rng = st.get(col)
+        if rng is None or not (rng[1] < lo or rng[0] > hi):
+            keep.append(os.path.join(_data_dir(path), name))
+    if not keep:
+        return read_snapshot(spark, path, version).limit(0)
+    return spark.read.parquet(*keep)

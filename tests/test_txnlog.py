@@ -176,3 +176,34 @@ def test_vacuum_reclaims_only_dead_files(spark, table):
     # the staged orphan survived
     staged = [f for f in files_after if f not in deleted]
     assert len(staged) >= 2
+
+
+def test_zone_map_file_skipping(spark, tmp_path):
+    table = str(tmp_path / "ztbl")
+    # range-cluster k so each of the 4 files covers a disjoint k interval
+    df = spark.createDataFrame(
+        [(i, f"v{i}") for i in range(1000)], "k long, v string"
+    ).repartitionByRange(4, "k")
+    txnlog.txn_append_stats(spark, df, table, stats_cols=["k"])
+    live = txnlog.snapshot_stats(table)
+    assert len(live) == 4 and all("k" in st for st in live.values())
+    pruned = txnlog.read_snapshot_skipping(spark, table, "k", 100, 120)
+    # the pruned plan opens exactly the files whose range intersects
+    expected = {
+        n for n, st in live.items() if not (st["k"][1] < 100 or st["k"][0] > 120)
+    }
+    assert {os.path.basename(f) for f in pruned.inputFiles()} == expected
+    assert len(expected) < 4
+    # zone maps prune files, not rows: caller's filter completes the job
+    got = sorted(
+        r["k"] for r in pruned.filter("k BETWEEN 100 AND 120").collect()
+    )
+    assert got == list(range(100, 121))
+
+
+def test_zone_map_empty_intersection(spark, tmp_path):
+    table = str(tmp_path / "ztbl2")
+    df = spark.createDataFrame([(i, "x") for i in range(50)], "k long, v string")
+    txnlog.txn_append_stats(spark, df, table, stats_cols=["k"])
+    none = txnlog.read_snapshot_skipping(spark, table, "k", 10_000, 20_000)
+    assert none.count() == 0
