@@ -97,6 +97,11 @@ HEADLINE = [
     "lake_txn_partitioned_upsert",
     "multimodal_gif_frames",
     "cube_order_stats",
+    "q6_forecast_revenue",
+    "q12_late_shipment_class",
+    "q14_promo_revenue",
+    "q19_disjunctive_revenue",
+    "lake_txn_zonemap_scan",
 ]
 
 
