@@ -257,3 +257,59 @@ def test_bpe_train_property_vs_reference(spark, word_counts, n_merges):
     got = bpe.bpe_train(df, n_merges)
     want, _ = TestBpe()._py_bpe_train(wc, n_merges)
     assert got == [tuple(m) for m in want]
+
+
+# ------------------------------------------------------------ txn log algebra
+
+
+@settings(max_examples=120, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.lists(st.integers(0, 30), min_size=1, max_size=5, unique=True),
+            st.data(),
+        ),
+        min_size=1,
+        max_size=8,
+    )
+)
+def test_txnlog_snapshot_algebra_matches_model(ops):
+    """The log fold (live = ∪added − ∪removed per version) must agree with
+    a straight set-algebra model for ANY commit sequence: random file
+    additions, random removals of currently-live files, full history
+    replayable at every version. Pure log layer — no Spark, no data
+    files."""
+    import tempfile
+
+    from dbimport_spark import txnlog
+
+    with tempfile.TemporaryDirectory() as table:
+        model_history = []
+        live_model: set[str] = set()
+        expect = -1
+        for add_ids, data in ops:
+            added = [f"f{i}.parquet" for i in add_ids if f"f{i}.parquet" not in live_model]
+            if live_model:
+                removed = data.draw(
+                    st.lists(
+                        st.sampled_from(sorted(live_model)), max_size=3, unique=True
+                    )
+                )
+            else:
+                removed = []
+            v = txnlog.commit(table, added, removed, expect)
+            assert v == expect + 1
+            expect = v
+            live_model = (live_model | set(added)) - set(removed)
+            model_history.append(set(live_model))
+        import os
+
+        for v, model in enumerate(model_history):
+            got = {os.path.basename(f) for f in txnlog.snapshot_files(table, v)}
+            assert got == model, f"version {v}"
+        # a stale-version commit must always conflict
+        import pytest as _pytest
+
+        with _pytest.raises(txnlog.TxnConflict):
+            # claiming an already-committed version (expect-1 + 1 == expect)
+            txnlog.commit(table, ["zz.parquet"], [], expect - 1)
