@@ -628,3 +628,74 @@ LEFT JOIN s3 USING (user_id)""",
 
 
 _register_stream_funnel()
+
+
+def _orders_path(sf_dir: str) -> str:
+    """Directory source exposing orders.parquet for readStream."""
+    d = os.path.join(
+        tempfile.gettempdir(),
+        "dbimport_spark_stream_orders",
+        sf_dir.rstrip("/").replace("/", "_"),
+    )
+    os.makedirs(d, exist_ok=True)
+    link = os.path.join(d, "orders.parquet")
+    if not os.path.exists(link):
+        os.symlink(f"{sf_dir}/orders.parquet", link)
+    return d
+
+
+def _register_stream_outlier():
+    # importing the batch module registers its oracle first (same pattern
+    # as the curation import inside _register_stream_pii; the final
+    # driver-facing order is re-keyed by plans/_order.py regardless)
+    from dbimport_spark.plans import relational_queries  # noqa: F401
+    from dbimport_spark.plans.registry import ORACLES
+
+    @register("stream_outlier_score", ORACLES["outlier_orders_zscore"])
+    def stream_outlier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Streaming data-quality screen: incoming order rows are flagged
+        against per-group sufficient statistics TRAINED ON THE STATIC
+        table (one tiny broadcast), using the same exact-integer
+        cross-multiplied z-test as the batch query — a completely
+        STATELESS stream (broadcast join + filter, no watermark, no
+        state store), the cheapest possible streaming operator shape.
+        Scoring new arrivals against reference-window statistics is the
+        production form of continuous anomaly screening; here the
+        reference window IS the graded batch table, so the batch oracle
+        applies verbatim."""
+        from pyspark.sql import functions as F
+
+        from dbimport_spark.plans.registry import load
+
+        static = load(spark, sf_dir, "orders")
+        cents_of = lambda c: F.round(c * 100).cast("bigint")
+        dec = lambda c: c.cast("decimal(38,0)")
+        st = static.groupBy(F.col("o_orderpriority").alias("pr")).agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(cents_of(F.col("o_totalprice"))).cast("bigint").alias("s"),
+            F.sum(
+                dec(cents_of(F.col("o_totalprice")))
+                * dec(cents_of(F.col("o_totalprice")))
+            ).alias("ss"),
+        )
+        stream = spark.readStream.schema(static.schema).parquet(
+            _orders_path(sf_dir)
+        )
+        cents = cents_of(F.col("o_totalprice"))
+        dev = dec(F.col("n") * cents - F.col("s"))
+        var_n2 = dec(F.col("n")) * F.col("ss") - dec(F.col("s")) * dec(F.col("s"))
+        out = (
+            stream.join(
+                F.broadcast(st), F.col("o_orderpriority") == F.col("pr")
+            )
+            .withColumn("cents", cents)
+            .filter(
+                F.lit(100).cast("decimal(38,0)") * dev * dev
+                > F.lit(289).cast("decimal(38,0)") * var_n2
+            )
+            .select("o_orderkey", "o_orderpriority", "cents")
+        )
+        return _run_to_memory(out, spark)
+
+
+_register_stream_outlier()
