@@ -102,6 +102,9 @@ HEADLINE = [
     "q14_promo_revenue",
     "q19_disjunctive_revenue",
     "lake_txn_zonemap_scan",
+    "q10_returned_items",
+    "q15_top_supplier",
+    "q17_small_quantity_avg",
 ]
 
 

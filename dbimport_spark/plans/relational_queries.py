@@ -839,3 +839,140 @@ def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(cond)
         .agg((F.sum(rev_c).cast("bigint") / F.lit(100.0)).alias("revenue"))
     )
+
+
+@register(
+    "q10_returned_items",
+    """WITH r AS (
+  SELECT c_custkey, c_name, n_name,
+         CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                  AS BIGINT)) AS BIGINT) AS rev_c
+  FROM customer JOIN orders ON c_custkey = o_custkey
+                JOIN lineitem ON o_orderkey = l_orderkey
+                JOIN nation ON n_nationkey = c_nationkey
+  WHERE l_returnflag = 'R'
+    AND o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+    AND o_orderdate < TIMESTAMP '1997-07-01 00:00:00'
+  GROUP BY c_custkey, c_name, n_name
+)
+SELECT c_custkey, c_name, n_name, rev_c / 100.0 AS revenue
+FROM r ORDER BY rev_c DESC, c_custkey LIMIT 20""",
+)
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10: top customers by revenue lost to returned items in a
+    half-year window — star join (customer and nation broadcast), one
+    custkey agg, global top-20 with a deterministic c_custkey tie-break
+    so LIMIT is well-defined on both engines. The global top-k is a
+    TakeOrdered over per-partition heaps, not a full sort."""
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_name", "c_nationkey")
+    n = load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    o = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-07-01 00:00:00").cast("timestamp"))
+    ).select("o_orderkey", "o_custkey")
+    l = load(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    rev_c = F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100).cast(
+        "bigint"
+    )
+    return (
+        l.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(F.sum(rev_c).cast("bigint").alias("rev_c"))
+        .orderBy(F.col("rev_c").desc(), F.col("c_custkey"))
+        .limit(20)
+        .select(
+            "c_custkey", "c_name", "n_name", (F.col("rev_c") / F.lit(100.0)).alias("revenue")
+        )
+    )
+
+
+@register(
+    "q15_top_supplier",
+    """WITH rev AS (
+  SELECT l_suppkey,
+         CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                  AS BIGINT)) AS BIGINT) AS total_c
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+    AND l_shipdate < TIMESTAMP '1997-04-01 00:00:00'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, total_c / 100.0 AS total_revenue
+FROM supplier JOIN rev ON s_suppkey = l_suppkey
+WHERE total_c = (SELECT max(total_c) FROM rev)""",
+)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15: the supplier(s) with maximum quarterly revenue — the
+    scalar-MAX-subquery shape (the original uses a view; decorrelated
+    identically): one suppkey agg, a 1-row max broadcast back as a
+    filter, ties kept. Revenue compares as exact integer cents, so the
+    max-equality join cannot float-miss."""
+    l = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01 00:00:00").cast("timestamp"))
+    ).select("l_suppkey", "l_extendedprice", "l_discount")
+    rev_c = F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100).cast(
+        "bigint"
+    )
+    rev = l.groupBy("l_suppkey").agg(F.sum(rev_c).cast("bigint").alias("total_c"))
+    mx = rev.agg(F.max("total_c").alias("mx"))
+    s = load(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        rev.crossJoin(F.broadcast(mx))
+        .filter(F.col("total_c") == F.col("mx"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            "s_suppkey", "s_name", (F.col("total_c") / F.lit(100.0)).alias("total_revenue")
+        )
+    )
+
+
+@register(
+    "q17_small_quantity_avg",
+    """WITH pa AS (
+  SELECT l_partkey AS pk,
+         CAST(count(*) AS BIGINT) AS cnt,
+         CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) AS qty_c
+  FROM lineitem GROUP BY l_partkey
+)
+SELECT CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+         / 100.0 / 7.0 AS avg_yearly
+FROM lineitem JOIN part ON p_partkey = l_partkey
+              JOIN pa ON pa.pk = l_partkey
+WHERE p_brand = 'Brand#9'
+  AND CAST(round(l_quantity * 100) AS BIGINT) * 2 * cnt < qty_c""",
+)
+def q17_small_quantity_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17: revenue impact of small-quantity orders — the
+    correlated scalar-AVG subquery (qty < 0.5·avg(qty) per part),
+    decorrelated into a per-part sufficient-statistics agg and an EXACT
+    integer cross-multiplied comparison (2·qty·n < Σqty — no float
+    average exists on either engine, so threshold ties are impossible to
+    get wrong). The brand filter prunes the part broadcast; the stats agg
+    is the only extra shuffle."""
+    l = load(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    qty_c = F.round(F.col("l_quantity") * 100).cast("bigint")
+    pa = l.groupBy(F.col("l_partkey").alias("pk")).agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum(qty_c).cast("bigint").alias("qty_c"),
+    )
+    p = load(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#9").select(
+        "p_partkey"
+    )
+    price_c = F.round(F.col("l_extendedprice") * 100).cast("bigint")
+    return (
+        l.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(pa, F.col("l_partkey") == F.col("pk"))
+        .filter(qty_c * 2 * F.col("cnt") < F.col("qty_c"))
+        .agg(
+            (F.sum(price_c).cast("bigint") / F.lit(100.0) / F.lit(7.0)).alias(
+                "avg_yearly"
+            )
+        )
+    )
