@@ -105,6 +105,8 @@ HEADLINE = [
     "q10_returned_items",
     "q15_top_supplier",
     "q17_small_quantity_avg",
+    "q7_nation_volume",
+    "q9_product_profit",
 ]
 
 

@@ -976,3 +976,133 @@ def q17_small_quantity_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
+
+
+@register(
+    "q7_nation_volume",
+    """SELECT supp_nation, cust_nation, l_year,
+       CAST(sum(rev_c) AS BIGINT) / 100.0 AS revenue
+FROM (
+  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         CAST(year(l_shipdate) AS BIGINT) AS l_year,
+         CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)
+           AS rev_c
+  FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+                JOIN supplier ON s_suppkey = l_suppkey
+                JOIN customer ON c_custkey = o_custkey
+                JOIN nation n1 ON n1.n_nationkey = s_nationkey
+                JOIN nation n2 ON n2.n_nationkey = c_nationkey
+  WHERE ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
+      OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3'))
+    AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+) shipping
+GROUP BY supp_nation, cust_nation, l_year""",
+)
+def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7: bilateral trade volume between two nations by year —
+    the two-sided symmetric-predicate star join. Both nation dims
+    broadcast pre-filtered to the two names, which transitively prunes
+    supplier and customer BEFORE the fact joins; the disjunctive
+    cross-pair condition applies post-join on broadcast columns (the
+    adapted names are this generator's NATION_k labels)."""
+    n = load(spark, sf_dir, "nation").filter(
+        F.col("n_name").isin("NATION_3", "NATION_7")
+    )
+    s = (
+        load(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(n.select(F.col("n_nationkey").alias("snk"), F.col("n_name").alias("supp_nation"))),
+            F.col("s_nationkey") == F.col("snk"),
+        )
+        .select("s_suppkey", "supp_nation")
+    )
+    c = (
+        load(spark, sf_dir, "customer")
+        .join(
+            F.broadcast(n.select(F.col("n_nationkey").alias("cnk"), F.col("n_name").alias("cust_nation"))),
+            F.col("c_nationkey") == F.col("cnk"),
+        )
+        .select("c_custkey", "cust_nation")
+    )
+    l = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+    )
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    rev_c = F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100).cast(
+        "bigint"
+    )
+    pair = (
+        (F.col("supp_nation") == "NATION_3") & (F.col("cust_nation") == "NATION_7")
+    ) | ((F.col("supp_nation") == "NATION_7") & (F.col("cust_nation") == "NATION_3"))
+    return (
+        l.join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .filter(pair)
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("bigint").alias("l_year"),
+        )
+        .agg((F.sum(rev_c).cast("bigint") / F.lit(100.0)).alias("revenue"))
+    )
+
+
+@register(
+    "q9_product_profit",
+    """SELECT n_name AS nation, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+       CAST(sum(10 * CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                     AS BIGINT)
+              - CAST(round(p_retailprice * 100) AS BIGINT)
+                * CAST(round(l_quantity) AS BIGINT)) AS BIGINT) / 1000.0
+         AS profit
+FROM lineitem JOIN part ON p_partkey = l_partkey
+              JOIN supplier ON s_suppkey = l_suppkey
+              JOIN orders ON o_orderkey = l_orderkey
+              JOIN nation ON n_nationkey = s_nationkey
+WHERE p_name LIKE '%red%'
+GROUP BY n_name, o_year""",
+)
+def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape (adapted: no ps_supplycost, so cost is modeled as
+    10% of retail price per unit): profit by supplier nation and order
+    year for parts matching a name pattern. All dims broadcast (part
+    pre-filtered by the LIKE, which prunes the join input ~an order of
+    magnitude); the only shuffles are the fact joins on their natural
+    keys and the final small agg. The cost term uses integer cents with
+    div-10 kept INSIDE the per-row expression, matching the oracle's
+    operation order exactly (integer division truncation is
+    per-row-identical on both engines)."""
+    p = load(spark, sf_dir, "part").filter(F.col("p_name").like("%red%")).select(
+        "p_partkey", "p_retailprice"
+    )
+    s = load(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    l = load(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_orderkey", "l_extendedprice", "l_discount",
+        "l_quantity",
+    )
+    rev_c = F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100).cast(
+        "bigint"
+    )
+    cost_dc = F.round(F.col("p_retailprice") * 100).cast("bigint") * F.round(
+        F.col("l_quantity")
+    ).cast("bigint")
+    return (
+        l.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("bigint").alias("o_year"),
+        )
+        .agg(
+            (F.sum(F.lit(10) * rev_c - cost_dc).cast("bigint") / F.lit(1000.0)).alias(
+                "profit"
+            )
+        )
+    )
