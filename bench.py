@@ -107,6 +107,7 @@ HEADLINE = [
     "q17_small_quantity_avg",
     "q7_nation_volume",
     "q9_product_profit",
+    "q8_market_share",
 ]
 
 

@@ -1106,3 +1106,86 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
+
+
+@register(
+    "q8_market_share",
+    """WITH all_lines AS (
+  SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+         CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)
+           AS rev_c,
+         n2.n_name AS supp_nation
+  FROM lineitem JOIN part ON p_partkey = l_partkey
+                JOIN orders ON o_orderkey = l_orderkey
+                JOIN customer ON c_custkey = o_custkey
+                JOIN nation n1 ON n1.n_nationkey = c_nationkey
+                JOIN region ON r_regionkey = n1.n_regionkey
+                JOIN supplier ON s_suppkey = l_suppkey
+                JOIN nation n2 ON n2.n_nationkey = s_nationkey
+  WHERE r_name = 'EUROPE' AND p_type = 'STANDARD'
+)
+SELECT o_year,
+       CAST(sum(CASE WHEN supp_nation = 'NATION_3' THEN rev_c ELSE 0 END)
+            AS BIGINT) * 1.0
+         / CAST(sum(rev_c) AS BIGINT) AS mkt_share
+FROM all_lines GROUP BY o_year""",
+)
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8: one nation's share of a region's market for one part
+    type, by order year — the conditional-numerator/total-denominator
+    ratio over a 7-table star. Every dim broadcasts (region→nation
+    filters customers transitively BEFORE the fact joins; part
+    pre-filtered by type); numerator and denominator accumulate in one
+    agg as exact integer cents, divided once per year row in the same
+    written order as the oracle."""
+    n1 = (
+        load(spark, sf_dir, "nation")
+        .join(
+            F.broadcast(
+                load(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+            ),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select(F.col("n_nationkey").alias("cnk"))
+    )
+    c = (
+        load(spark, sf_dir, "customer")
+        .join(F.broadcast(n1), F.col("c_nationkey") == F.col("cnk"), "left_semi")
+        .select("c_custkey")
+    )
+    p = load(spark, sf_dir, "part").filter(F.col("p_type") == "STANDARD").select(
+        "p_partkey"
+    )
+    s = (
+        load(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(
+                load(spark, sf_dir, "nation").select(
+                    F.col("n_nationkey").alias("snk"), F.col("n_name").alias("supp_nation")
+                )
+            ),
+            F.col("s_nationkey") == F.col("snk"),
+        )
+        .select("s_suppkey", "supp_nation")
+    )
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_orderdate")
+    l = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    rev_c = F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100).cast(
+        "bigint"
+    )
+    num = F.when(F.col("supp_nation") == "NATION_3", rev_c).otherwise(F.lit(0))
+    return (
+        l.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"), "left_semi")
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"), "left_semi")
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy(F.year("o_orderdate").cast("bigint").alias("o_year"))
+        .agg(
+            (
+                F.sum(num).cast("bigint") * F.lit(1.0)
+                / F.sum(rev_c).cast("bigint")
+            ).alias("mkt_share")
+        )
+    )
