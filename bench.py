@@ -108,6 +108,8 @@ HEADLINE = [
     "q7_nation_volume",
     "q9_product_profit",
     "q8_market_share",
+    "q13_customer_distribution",
+    "q20_supply_concentration",
 ]
 
 

@@ -1189,3 +1189,84 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("mkt_share")
         )
     )
+
+
+@register(
+    "q13_customer_distribution",
+    """WITH per_cust AS (
+  SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS c_count
+  FROM customer LEFT JOIN orders
+    ON c_custkey = o_custkey AND o_orderpriority <> '4-NOT SPECIFIED'
+  GROUP BY c_custkey
+)
+SELECT c_count, count(*) AS custdist
+FROM per_cust GROUP BY c_count""",
+)
+def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape (adapted: the comment-pattern exclusion becomes a
+    priority exclusion — this schema has no o_comment): distribution of
+    customers by order count, INCLUDING zero-order customers — the left
+    outer join + stacked double aggregation whose first agg key is the
+    join key (so the count agg reuses the join's partitioning; the
+    second agg is a ~dozens-row map-side partial). count(o_orderkey)
+    counts only matched rows, giving the correct 0 for order-less
+    customers."""
+    c = load(spark, sf_dir, "customer").select("c_custkey")
+    o = load(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "4-NOT SPECIFIED"
+    ).select("o_orderkey", "o_custkey")
+    return (
+        c.join(o, F.col("c_custkey") == F.col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+        .groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+    )
+
+
+@register(
+    "q20_supply_concentration",
+    """WITH vol AS (
+  SELECT l_partkey, l_suppkey,
+         CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) AS q_c
+  FROM lineitem GROUP BY l_partkey, l_suppkey
+), tot AS (
+  SELECT l_partkey AS pk, CAST(sum(q_c) AS BIGINT) AS tot_c,
+         CAST(count(*) AS BIGINT) AS n_sup
+  FROM vol GROUP BY l_partkey
+)
+SELECT s_suppkey, s_name, count(*) AS n_dominated_parts
+FROM vol JOIN tot ON pk = l_partkey
+         JOIN supplier ON s_suppkey = l_suppkey
+WHERE n_sup >= 2 AND q_c * n_sup > 2 * tot_c
+GROUP BY s_suppkey, s_name""",
+)
+def q20_supply_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape (adapted: no partsupp availqty, so "excess share"
+    = supplier shipped more than TWICE the fair 1/n share of a
+    multi-supplier part's volume): per supplier, how many parts they
+    dominate — the nested
+    per-(part,supplier) vs per-part aggregate comparison, decorrelated
+    into two stacked aggs on the same key prefix (the re-agg reuses the
+    first shuffle's partitioning) with an exact integer
+    q·n > 2·total over-share test."""
+    l = load(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey", "l_quantity")
+    qc = F.round(F.col("l_quantity") * 100).cast("bigint")
+    vol = l.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum(qc).cast("bigint").alias("q_c")
+    )
+    tot = vol.groupBy(F.col("l_partkey").alias("pk")).agg(
+        F.sum("q_c").cast("bigint").alias("tot_c"),
+        F.count(F.lit(1)).alias("n_sup"),
+    )
+    s = load(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        vol.join(tot, F.col("pk") == F.col("l_partkey"))
+        .filter(
+            (F.col("n_sup") >= 2)
+            & (F.col("q_c") * F.col("n_sup") > F.lit(2) * F.col("tot_c"))
+        )
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_suppkey", "s_name")
+        .agg(F.count(F.lit(1)).alias("n_dominated_parts"))
+    )
