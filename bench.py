@@ -200,15 +200,37 @@ def main() -> None:
     solo = {name: time_query(name) for name in slowest}
 
     total = round(sum(timings.values()), 3)
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+    full = {
+        "metric": "headline_queries_total_runtime",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "solo_probe": solo,
+        "sf": sf_val,
+    }
+    # Full per-query map: printed first AND written to a sibling file. The
+    # driver keeps only the last ~2000 chars of stdout, so the LAST line is
+    # a compact summary guaranteed to fit (total + per-query map trimmed to
+    # the slowest 15) — the r3 full-map-only line exceeded the tail and the
+    # driver recorded parsed: null.
+    print(json.dumps(full))
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_full.json"), "w") as fh:
+        json.dump(full, fh, indent=1)
+    slowest15 = dict(
+        sorted(timings.items(), key=lambda kv: kv[1], reverse=True)[:15]
+    )
     print(
         json.dumps(
             {
                 "metric": "headline_queries_total_runtime",
                 "value": total,
                 "unit": "sec",
-                "queries": timings,
+                "n": len(timings),
+                "mean": round(total / max(len(timings), 1), 3),
+                "queries": slowest15,
                 "solo_probe": solo,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "sf": sf_val,
             }
         )
     )

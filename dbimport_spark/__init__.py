@@ -23,6 +23,19 @@ from dbimport_spark.config import ColumnMapping, DuplicateMode, ImportDefinition
 from dbimport_spark.operators import dedup, merge
 from dbimport_spark.operators.stats import ImportStatistics
 
+
+def release_caches(spark) -> None:
+    """Release every DataFrame cache the library's query builders created.
+
+    Builders persist() shared subtrees (LSH bucket explosions, shingle
+    tables, PageRank edge lists) because several consumers read them within
+    one query plan; the CALLER owns the consuming action, so the caller
+    owns the release — run the action, then call this (bench.py and
+    tools/check_oracle.py do, between queries). Without it a long-lived
+    session accumulates cached blocks until LRU eviction churns."""
+    spark.catalog.clearCache()
+
+
 __all__ = [
     "ColumnMapping",
     "DuplicateMode",
@@ -31,6 +44,7 @@ __all__ = [
     "ImportStatistics",
     "dedup",
     "merge",
+    "release_caches",
 ]
 
 __version__ = "0.1.0"

@@ -38,27 +38,37 @@ def pagerank(
     e0 = edges.select(src_col, dst_col)
     deg = e0.groupBy(src_col).agg(F.count(F.lit(1)).alias("outdeg"))
     edges_w = e0.join(deg, src_col).persist()
-    n_nodes = edges_w.select(src_col).distinct().count()
-    base = (15 * SCALE) // (100 * n_nodes)
-    ranks = (
-        edges_w.select(src_col)
+    # N and the rank vector span ALL nodes (src ∪ dst), not just sources:
+    # sink-only nodes must count toward N and receive rank, and nodes with
+    # zero in-degree must keep their base rank across iterations so their
+    # OUTBOUND contribution isn't silently dropped after round 1 — the
+    # standard-PageRank behavior on arbitrary directed graphs. (Dangling
+    # mass — rank held by nodes with no out-edges — is not redistributed;
+    # that is the usual simplification and is deterministic.)
+    nodes = (
+        e0.select(F.col(src_col).alias("node"))
+        .union(e0.select(F.col(dst_col).alias("node")))
         .distinct()
-        .select(
-            F.col(src_col).alias("node"),
-            # bigint from round 0: 85·r must evaluate in long arithmetic
-            # (an INT literal overflows 32-bit under ANSI on small graphs
-            # where r0 = SCALE/N is large)
-            F.lit(SCALE // n_nodes).cast("bigint").alias("r"),
-        )
+        .persist()
+    )
+    n_nodes = nodes.count()
+    base = (15 * SCALE) // (100 * n_nodes)
+    ranks = nodes.select(
+        "node",
+        # bigint from round 0: 85·r must evaluate in long arithmetic
+        # (an INT literal overflows 32-bit under ANSI on small graphs
+        # where r0 = SCALE/N is large)
+        F.lit(SCALE // n_nodes).cast("bigint").alias("r"),
     )
     for i in range(iters):
         contrib = edges_w.join(ranks, F.col(src_col) == F.col("node")).select(
             F.col(dst_col).alias("_d"), F.expr("(85 * r) div (100 * outdeg)").alias("c")
         )
-        ranks = (
-            contrib.groupBy("_d")
-            .agg(F.sum("c").alias("s"))
-            .select(F.col("_d").alias("node"), (F.lit(base) + F.col("s")).alias("r"))
+        sums = contrib.groupBy("_d").agg(F.sum("c").alias("s"))
+        # left-join back onto the full node set: zero-in-degree nodes keep
+        # rank = base instead of vanishing from the vector
+        ranks = nodes.join(sums, nodes["node"] == sums["_d"], "left").select(
+            "node", (F.lit(base) + F.coalesce(F.col("s"), F.lit(0))).alias("r")
         )
         if checkpoint_every and (i + 1) % checkpoint_every == 0 and i + 1 < iters:
             ranks = ranks.localCheckpoint(eager=True)

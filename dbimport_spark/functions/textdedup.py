@@ -67,7 +67,10 @@ def _cap_buckets(exploded: DataFrame, keys: list[str], cap: int | None) -> DataF
     # 64-column signature rows instead was measured 2-4× slower per bench
     # run (wide columnar cache materialization on every run), while this
     # cache is a few longs per row and makes the expensive signature agg
-    # compute exactly once.
+    # compute exactly once. Lifecycle: the cache lives until the CALLER
+    # releases it after the consuming action —
+    # ``dbimport_spark.release_caches(spark)`` — since unpersisting here
+    # would evict it before the lazily-returned plan ever runs.
     exploded = exploded.persist()
     hot = (
         exploded.groupBy(*keys)

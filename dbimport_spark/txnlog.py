@@ -15,11 +15,16 @@ snapshot metadata is the same idea) reduced to its load-bearing core:
   live file set is (∪ added) − (∪ removed). Readers never list the data
   directory, so partially-written files are invisible — writes are
   atomic at commit granularity;
-* writers commit OPTIMISTICALLY: stage data files, then claim
-  ``<version>.json`` with an exclusive create (O_EXCL). A lost race
-  raises ``TxnConflict``; the caller re-reads the new snapshot and
-  retries — the standard optimistic-concurrency loop (on object stores
-  the exclusive create maps to a put-if-absent / conditional write).
+* writers commit OPTIMISTICALLY: stage data files, write the complete
+  entry to a temp file, then claim ``<version>.json`` with an exclusive
+  hard link (content exists before the name does, so readers never see
+  a partial entry). A lost race raises ``TxnConflict``; the caller
+  re-reads the new snapshot and retries — the standard
+  optimistic-concurrency loop (on object stores the exclusive link maps
+  to a put-if-absent / conditional write);
+* every ``CHECKPOINT_INTERVAL`` commits the writer folds the log into a
+  ``<version>.checkpoint.json`` so snapshot resolution reads O(interval)
+  files instead of O(versions) — Delta's periodic checkpoint.
 
 Time travel is free: resolve the snapshot at any historical version down
 to the VACUUM horizon; ``vacuum`` reclaims files no retained snapshot
@@ -62,20 +67,100 @@ def current_version(path: str) -> int:
     return max(versions, default=-1)
 
 
-def snapshot_files(path: str, version: int | None = None) -> list[str]:
-    """Live data files at ``version`` (default: latest) by folding the log."""
-    v_max = current_version(path) if version is None else version
-    if v_max < 0:
-        return []
-    live: set[str] = set()
-    for v in range(v_max + 1):
+def _checkpoint_path(path: str, version: int) -> str:
+    return os.path.join(_log_dir(path), f"{version:08d}.checkpoint.json")
+
+
+def _latest_checkpoint_at_or_below(path: str, v_max: int) -> int:
+    """Highest checkpointed version ≤ v_max, or -1 if none."""
+    d = _log_dir(path)
+    if not os.path.isdir(d):
+        return -1
+    suffix = ".checkpoint.json"
+    best = -1
+    for f in os.listdir(d):
+        if f.endswith(suffix) and f[: -len(suffix)].isdigit():
+            v = int(f[: -len(suffix)])
+            if v <= v_max:
+                best = max(best, v)
+    return best
+
+
+def _fold_log(path: str, v_max: int):
+    """Fold the log up to ``v_max`` into ``(live, ptype)`` where ``live``
+    maps file name → {"p": partition value or None, "stats": zone map or
+    {}} and ``ptype`` is the partition column's Spark DDL type (None for
+    unpartitioned/legacy commits).
+
+    Resolution starts from the newest checkpoint ≤ v_max and replays only
+    the suffix, so a long-lived table's snapshot read is O(checkpoint
+    interval) log files, not O(versions) — the Delta-checkpoint design.
+    """
+    live: dict[str, dict] = {}
+    ptype = None
+    start = 0
+    ckpt_v = _latest_checkpoint_at_or_below(path, v_max)
+    if ckpt_v >= 0:
+        with open(_checkpoint_path(path, ckpt_v)) as fh:
+            ckpt = json.load(fh)
+        live = {e["n"]: {"p": e.get("p"), "stats": e.get("stats") or {}} for e in ckpt["live"]}
+        ptype = ckpt.get("ptype")
+        start = ckpt_v + 1
+    for v in range(start, v_max + 1):
         fp = os.path.join(_log_dir(path), f"{v:08d}.json")
         if not os.path.exists(fp):
             raise ValueError(f"missing log entry for version {v} (corrupt log)")
         with open(fp) as fh:
             entry = json.load(fh)
-        live.update(_entry_files(entry.get("added", [])))
-        live.difference_update(_entry_files(entry.get("removed", [])))
+        for e in entry.get("added", []):
+            if isinstance(e, dict):
+                live[e["n"]] = {"p": e.get("p"), "stats": e.get("stats") or {}}
+                if e.get("t") is not None:
+                    ptype = e["t"]
+            else:
+                live[e] = {"p": None, "stats": {}}
+        for e in _entry_files(entry.get("removed", [])):
+            live.pop(e, None)
+    return live, ptype
+
+
+def write_checkpoint(path: str, version: int | None = None) -> str:
+    """Consolidate the log at ``version`` (default: latest) into a single
+    checkpoint file; subsequent snapshot reads replay only entries after
+    it. Deterministic content + link-claimed name → concurrent writers
+    checkpointing the same version are harmless (first one wins, the
+    content is identical)."""
+    v = current_version(path) if version is None else version
+    live, ptype = _fold_log(path, v)
+    body = json.dumps(
+        {
+            "version": v,
+            "ptype": ptype,
+            "live": [
+                {"n": n, "p": d["p"], "stats": d["stats"]}
+                for n, d in sorted(live.items())
+            ],
+        }
+    )
+    fp = _checkpoint_path(path, v)
+    tmp = os.path.join(_log_dir(path), f".tmp-{uuid.uuid4().hex}")
+    with open(tmp, "w") as fh:
+        fh.write(body)
+    try:
+        os.link(tmp, fp)
+    except FileExistsError:
+        pass
+    finally:
+        os.unlink(tmp)
+    return fp
+
+
+def snapshot_files(path: str, version: int | None = None) -> list[str]:
+    """Live data files at ``version`` (default: latest) by folding the log."""
+    v_max = current_version(path) if version is None else version
+    if v_max < 0:
+        return []
+    live, _ = _fold_log(path, v_max)
     return sorted(os.path.join(_data_dir(path), f) for f in live)
 
 
@@ -115,9 +200,26 @@ def _stage(df: DataFrame, path: str) -> list[str]:
     return names
 
 
+#: Auto-checkpoint cadence: after a successful commit of version v where
+#: ``v > 0 and v % CHECKPOINT_INTERVAL == 0``, the committing writer also
+#: writes a consolidated checkpoint so snapshot resolution stays O(interval)
+#: instead of O(versions) — Delta's periodic parquet checkpoint, reduced to
+#: the same JSON format as the log entries.
+CHECKPOINT_INTERVAL = 20
+
+
 def commit(path: str, added: list[str], removed: list[str], expect_version: int) -> int:
     """Atomically claim version ``expect_version + 1``. Raises TxnConflict
-    if another writer got there first (optimistic concurrency)."""
+    if another writer got there first (optimistic concurrency).
+
+    The entry's CONTENT is complete before its NAME exists: the JSON is
+    written to a hidden temp file first and the version is claimed with a
+    hard link (``os.link`` — fails with FileExistsError on conflict, like
+    O_EXCL, but links an already-complete file). A reader can therefore
+    never observe an empty/partial entry, and a writer crash between
+    steps leaves only an invisible temp file — never a claimed-but-empty
+    version that would wedge the table. (``current_version`` ignores the
+    temp names: they don't match the ``<digits>.json`` pattern.)"""
     os.makedirs(_log_dir(path), exist_ok=True)
     new_v = expect_version + 1
     fp = os.path.join(_log_dir(path), f"{new_v:08d}.json")
@@ -129,12 +231,19 @@ def commit(path: str, added: list[str], removed: list[str], expect_version: int)
             "removed": sorted(removed, key=key),
         }
     )
+    tmp = os.path.join(_log_dir(path), f".tmp-{uuid.uuid4().hex}")
+    with open(tmp, "w") as fh:
+        fh.write(entry)
+        fh.flush()
+        os.fsync(fh.fileno())
     try:
-        fd = os.open(fp, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        os.link(tmp, fp)
     except FileExistsError as exc:
         raise TxnConflict(f"version {new_v} already committed") from exc
-    with os.fdopen(fd, "w") as fh:
-        fh.write(entry)
+    finally:
+        os.unlink(tmp)
+    if new_v > 0 and new_v % CHECKPOINT_INTERVAL == 0:
+        write_checkpoint(path, new_v)
     return new_v
 
 
@@ -188,24 +297,56 @@ def _entry_files(entry_list):
 
 
 def snapshot_partitions(path: str, version: int | None = None) -> dict[str, str]:
-    """{file name → partition value} for live files at ``version`` (files
-    from unpartitioned commits map to None)."""
+    """{file name → directory-encoded partition value} for live files at
+    ``version`` (files from unpartitioned commits map to None)."""
     v_max = current_version(path) if version is None else version
-    live: dict[str, str] = {}
-    for v in range(v_max + 1):
-        fp = os.path.join(_log_dir(path), f"{v:08d}.json")
-        if not os.path.exists(fp):
-            raise ValueError(f"missing log entry for version {v} (corrupt log)")
-        with open(fp) as fh:
-            entry = json.load(fh)
-        for e in entry.get("added", []):
-            if isinstance(e, dict):
-                live[e["n"]] = e["p"]
-            else:
-                live[e] = None
-        for e in _entry_files(entry.get("removed", [])):
-            live.pop(e, None)
-    return live
+    live, _ = _fold_log(path, v_max)
+    return {n: d["p"] for n, d in live.items()}
+
+
+# Partition directory encoding. Spark/Hive escape a fixed character set in
+# partition directory names (ExternalCatalogUtils.escapePathName /
+# Hive FileUtils.escapePathName): ASCII control chars plus the characters
+# below, each as %XX uppercase hex; NULL partition values become the
+# __HIVE_DEFAULT_PARTITION__ sentinel directory. The log stores the
+# ENCODED form (it is lifted verbatim from the staged directory names), so
+# anything comparing user-supplied partition values against the log must
+# encode them with the same rules — a raw str() comparison misses every
+# value containing an escaped char and every NULL.
+_HIVE_NULL = "__HIVE_DEFAULT_PARTITION__"
+_ESCAPE_CHARS = frozenset('"#%\'*/:=?\\\x7f{[]^') | frozenset(
+    chr(c) for c in range(0x20)
+)
+
+
+def _escape_path_name(s: str) -> str:
+    return "".join(f"%{ord(c):02X}" if c in _ESCAPE_CHARS else c for c in s)
+
+
+def _unescape_path_name(s: str) -> str:
+    out = []
+    i = 0
+    while i < len(s):
+        if s[i] == "%" and i + 3 <= len(s):
+            try:
+                out.append(chr(int(s[i + 1 : i + 3], 16)))
+                i += 3
+                continue
+            except ValueError:
+                pass
+        out.append(s[i])
+        i += 1
+    return "".join(out)
+
+
+def _encode_partition_value(v) -> str:
+    """A Python partition value → the directory string Spark writes for it
+    (booleans lowercase, datetimes in their str() form, NULL sentinel)."""
+    if v is None:
+        return _HIVE_NULL
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    return _escape_path_name(str(v))
 
 
 def _stage_partitioned(df: DataFrame, path: str, partition_col: str):
@@ -218,6 +359,7 @@ def _stage_partitioned(df: DataFrame, path: str, partition_col: str):
 
     stage_id = uuid.uuid4().hex
     stage_dir = os.path.join(tempfile.gettempdir(), f"txn_stage_{stage_id}")
+    ptype = df.schema[partition_col].dataType.simpleString()
     df.write.mode("overwrite").partitionBy(partition_col).parquet(stage_dir)
     os.makedirs(_data_dir(path), exist_ok=True)
     added = []
@@ -232,7 +374,11 @@ def _stage_partitioned(df: DataFrame, path: str, partition_col: str):
                     os.path.join(stage_dir, sub, f),
                     os.path.join(_data_dir(path), name),
                 )
-                added.append({"n": name, "p": value})
+                # "p" is the DIRECTORY-ENCODED value exactly as Spark
+                # wrote it; "t" is the column's DDL type so readers can
+                # cast the re-attached literal back (a date/int partition
+                # must not come back as string).
+                added.append({"n": name, "p": value, "t": ptype})
     shutil.rmtree(stage_dir, ignore_errors=True)
     return added
 
@@ -244,24 +390,40 @@ def read_snapshot_partitioned(
     """Snapshot read re-attaching the partition column; optionally pruned
     to ``partition_values`` — the file-level partition pruning that makes
     a selective upsert read O(touched partitions), driven entirely by the
-    LOG (no directory listing, no footer reads). Partition values are
-    compared as their directory-encoded strings."""
+    LOG (no directory listing, no footer reads).
+
+    ``partition_values`` are PYTHON values (ints, dates, strings, None);
+    they are encoded with the same hive escaping Spark used when the
+    directories were written before comparing against the log, and the
+    re-attached literal is cast back to the partition column's original
+    type (recorded in the log at write time) — a date/int partition round
+    trips as date/int, and NULL partitions round trip as NULL."""
     from functools import reduce
 
     from pyspark.sql import functions as F
 
-    live = snapshot_partitions(path, version)
+    v_max = current_version(path) if version is None else version
+    folded, ptype = _fold_log(path, v_max)
+    live = {n: d["p"] for n, d in folded.items()}
     if partition_values is not None:
-        wanted = {str(v) for v in partition_values}
+        wanted = {_encode_partition_value(v) for v in partition_values}
         live = {n: p for n, p in live.items() if p in wanted}
     if not live:
         raise ValueError(f"no data for snapshot read of {path}")
     by_value: dict[str, list[str]] = {}
     for n, p in live.items():
         by_value.setdefault(p, []).append(os.path.join(_data_dir(path), n))
+
+    def _lit(encoded):
+        if encoded is None or encoded == _HIVE_NULL:
+            col = F.lit(None)
+        else:
+            col = F.lit(_unescape_path_name(encoded))
+        return col.cast(ptype) if ptype else col
+
     parts = [
-        spark.read.parquet(*sorted(files)).withColumn(partition_col, F.lit(value))
-        for value, files in sorted(by_value.items())
+        spark.read.parquet(*sorted(files)).withColumn(partition_col, _lit(value))
+        for value, files in sorted(by_value.items(), key=lambda kv: (kv[0] is None, kv[0]))
     ]
     return reduce(lambda a, b: a.unionByName(b), parts)
 
@@ -282,16 +444,17 @@ def txn_upsert_partitioned(
 
     from dbimport_spark.operators.merge import upsert
 
-    touched = [
-        str(r[0]) for r in source.select(partition_col).distinct().collect()
+    touched_values = [
+        r[0] for r in source.select(partition_col).distinct().collect()
     ]
+    touched = {_encode_partition_value(v) for v in touched_values}
     for _ in range(max_retries):
         base_v = current_version(path)
         live = snapshot_partitions(path, base_v)
-        old_touched = [n for n, p in live.items() if p in set(touched)]
+        old_touched = [n for n, p in live.items() if p in touched]
         if old_touched:
             target_slice = read_snapshot_partitioned(
-                spark, path, partition_col, base_v, partition_values=touched
+                spark, path, partition_col, base_v, partition_values=touched_values
             )
             merged = upsert(target_slice, source, keys)
         else:
@@ -334,7 +497,12 @@ def vacuum(path: str, retain_versions: int = 1) -> list[str]:
     cur = current_version(path)
     if cur < 0:
         return []
-    cutoff = max(cur - retain_versions + 1, 0)
+    # Clamp monotonically: a later vacuum with a LARGER retain_versions
+    # must not move the horizon backward below versions whose files were
+    # already deleted — the guard in read_snapshot would then pass and the
+    # read would die mid-scan on a missing file, exactly what the horizon
+    # exists to prevent.
+    cutoff = max(cur - retain_versions + 1, 0, vacuum_horizon(path))
     keep: set[str] = set()
     for v in range(cutoff, cur + 1):
         keep.update(os.path.basename(f) for f in snapshot_files(path, v))
@@ -415,21 +583,8 @@ def txn_append_stats(
 def snapshot_stats(path: str, version: int | None = None) -> dict[str, dict]:
     """{file name → stats dict} for live files (missing → {})."""
     v_max = current_version(path) if version is None else version
-    live: dict[str, dict] = {}
-    for v in range(v_max + 1):
-        fp = os.path.join(_log_dir(path), f"{v:08d}.json")
-        if not os.path.exists(fp):
-            raise ValueError(f"missing log entry for version {v} (corrupt log)")
-        with open(fp) as fh:
-            entry = json.load(fh)
-        for e in entry.get("added", []):
-            if isinstance(e, dict):
-                live[e["n"]] = e.get("stats") or {}
-            else:
-                live[e] = {}
-        for e in _entry_files(entry.get("removed", [])):
-            live.pop(e, None)
-    return live
+    live, _ = _fold_log(path, v_max)
+    return {n: d["stats"] for n, d in live.items()}
 
 
 def read_snapshot_skipping(

@@ -615,3 +615,68 @@ def test_tfidf_prefix_strategy_matches_naive(spark, sf_dir):
         tuple(r) for r in sparse_tfidf_neardup(spark, sf_dir, strategy="prefix").collect()
     }
     assert naive == prefix and naive
+
+
+def test_cosine_gate_exact_at_every_magnitude(spark):
+    """The cos≥0.9 cross-multiplication gate must agree with
+    arbitrary-precision integer math even where decimal(38) overflows —
+    including exact-boundary ties one unit either side. Closes the r3
+    'decimal-overflow near-miss' hard instead of by magnitude argument."""
+    from dbimport_spark.plans.text_queries import cosine_ge_09_exact
+
+    k = 4 * 10**17
+    cases = [
+        # (dot, na2, nb2) — in-range exact ties and near-ties
+        (9, 10, 10),            # 8100 == 8100 → keep
+        (9, 10, 11),            # 8100 < 8910 → drop
+        (90, 100, 100),         # tie at moderate scale → keep
+        # overflow regime: (10·dot)² ≈ 1.3e39 > decimal(38) max
+        (9 * k, 10 * k, 10 * k),       # EXACT tie under overflow → keep
+        (9 * k, 10 * k, 10 * k + 1),   # one unit over → drop
+        (9 * k, 10 * k, 10 * k - 1),   # one unit under → keep
+        (9 * k + 1, 10 * k, 10 * k),   # dot one up → keep
+        (9 * k - 1, 10 * k, 10 * k),   # dot one down → drop
+        # far-from-boundary overflow both ways
+        (9_000_000_000_000_000_000, 10**18, 10**17),
+        (10**15, 10**18, 10**18),
+    ]
+    rows = [(i, d, a, b) for i, (d, a, b) in enumerate(cases)]
+    df = spark.createDataFrame(rows, "id long, dot long, na2 long, nb2 long")
+    got = {r["id"] for r in cosine_ge_09_exact(df).collect()}
+    want = {
+        i for i, (d, a, b) in enumerate(cases) if (10 * d) ** 2 >= 81 * a * b
+    }
+    assert got == want
+    # sanity: the boundary rows really are in the decimal-overflow regime
+    assert (10 * 9 * k) ** 2 > 10**38
+
+
+def test_cosine_gate_matches_duckdb_hugeint(spark):
+    """Same adversarial rows through DuckDB's HUGEINT arithmetic — the
+    oracle engine the driver grades against must agree too. Magnitudes sit
+    in the window where Spark's decimal(38) product overflows (lhs > 1e38)
+    but int128 still holds (< 1.7e38) — the only regime where the two
+    engines COULD silently diverge; past int128 DuckDB errors loudly, so
+    no silent disagreement is possible there."""
+    import duckdb
+
+    from dbimport_spark.plans.text_queries import cosine_ge_09_exact
+
+    k = 12 * 10**16
+    cases = [(9 * k, 10 * k, 10 * k), (9 * k, 10 * k, 10 * k + 1), (9, 10, 10)]
+    assert (10 * 9 * k) ** 2 > 10**38  # decimal(38) overflow regime
+    assert (10 * 9 * k) ** 2 < 2**127  # …but representable in int128
+    rows = [(i, d, a, b) for i, (d, a, b) in enumerate(cases)]
+    df = spark.createDataFrame(rows, "id long, dot long, na2 long, nb2 long")
+    got = sorted(r["id"] for r in cosine_ge_09_exact(df).collect())
+    con = duckdb.connect()
+    vals = ", ".join(f"({i}, {d}, {a}, {b})" for i, (d, a, b) in enumerate(cases))
+    want = sorted(
+        r[0]
+        for r in con.execute(
+            f"SELECT id FROM (VALUES {vals}) t(id, dot, na2, nb2) "
+            "WHERE (CAST(dot AS HUGEINT) * 10) * (CAST(dot AS HUGEINT) * 10) "
+            ">= 81 * CAST(na2 AS HUGEINT) * CAST(nb2 AS HUGEINT)"
+        ).fetchall()
+    )
+    assert got == want

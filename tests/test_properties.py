@@ -271,14 +271,29 @@ def test_bpe_train_property_vs_reference(spark, word_counts, n_merges):
         ),
         min_size=1,
         max_size=8,
-    )
+    ),
+    st.integers(1, 5),
 )
-def test_txnlog_snapshot_algebra_matches_model(ops):
+def test_txnlog_snapshot_algebra_matches_model(ops, checkpoint_interval):
     """The log fold (live = ∪added − ∪removed per version) must agree with
     a straight set-algebra model for ANY commit sequence: random file
     additions, random removals of currently-live files, full history
-    replayable at every version. Pure log layer — no Spark, no data
-    files."""
+    replayable at every version — and for ANY checkpoint interval, since
+    a checkpoint is only a cached prefix fold and must never change the
+    resolved snapshot. Pure log layer — no Spark, no data files."""
+    import tempfile
+
+    from dbimport_spark import txnlog
+
+    saved_interval = txnlog.CHECKPOINT_INTERVAL
+    txnlog.CHECKPOINT_INTERVAL = checkpoint_interval
+    try:
+        _run_txnlog_model(ops)
+    finally:
+        txnlog.CHECKPOINT_INTERVAL = saved_interval
+
+
+def _run_txnlog_model(ops):
     import tempfile
 
     from dbimport_spark import txnlog

@@ -207,3 +207,172 @@ def test_zone_map_empty_intersection(spark, tmp_path):
     txnlog.txn_append_stats(spark, df, table, stats_cols=["k"])
     none = txnlog.read_snapshot_skipping(spark, table, "k", 10_000, 20_000)
     assert none.count() == 0
+
+
+def test_crash_between_stage_and_claim_never_wedges(spark, table, monkeypatch):
+    """A writer dying mid-commit must leave no claimed-but-empty version:
+    the entry body lands in a temp file first and the version name only
+    appears via an atomic link of the complete file, so after the 'crash'
+    the table is still readable and the SAME version is still claimable."""
+    txnlog.txn_append(spark, _df(spark, [(1, "a")]), table)
+    real_link = os.link
+
+    def dying_link(src, dst):
+        raise OSError("simulated crash during claim")
+
+    monkeypatch.setattr(txnlog.os, "link", dying_link)
+    with pytest.raises(OSError, match="simulated"):
+        txnlog.commit(table, ["x.parquet"], [], expect_version=0)
+    monkeypatch.setattr(txnlog.os, "link", real_link)
+    # no partial entry: version unchanged, snapshot resolves, v1 claimable
+    assert txnlog.current_version(table) == 0
+    assert txnlog.read_snapshot(spark, table).count() == 1
+    assert txnlog.txn_append(spark, _df(spark, [(2, "b")]), table) == 1
+    # no temp debris counted as log entries
+    logs = os.listdir(os.path.join(table, "_txn_log"))
+    assert all(f.endswith(".json") or f == "_vacuum" for f in logs)
+
+
+def test_partitioned_int_type_roundtrips(spark, table):
+    df = spark.createDataFrame(
+        [(1, 5, "a"), (2, 7, "b")], "k long, p int, v string"
+    )
+    txnlog.txn_append_partitioned(spark, df, table, "p")
+    back = txnlog.read_snapshot_partitioned(spark, table, "p")
+    # the re-attached partition column has its ORIGINAL type, not string
+    assert dict(back.dtypes)["p"] == "int"
+    assert {r["p"] for r in back.collect()} == {5, 7}
+    # upsert keyed into the int partition matches the touched files
+    txnlog.txn_upsert_partitioned(
+        spark,
+        spark.createDataFrame([(1, 5, "A")], "k long, p int, v string"),
+        table,
+        ["k"],
+        "p",
+    )
+    now = {
+        r["k"]: r["v"]
+        for r in txnlog.read_snapshot_partitioned(spark, table, "p").collect()
+    }
+    assert now == {1: "A", 2: "b"}
+
+
+def test_partitioned_date_type_roundtrips(spark, table):
+    import datetime
+
+    d = datetime.date(2024, 3, 1)
+    df = spark.createDataFrame([(1, d, "a")], "k long, p date, v string")
+    txnlog.txn_append_partitioned(spark, df, table, "p")
+    back = txnlog.read_snapshot_partitioned(spark, table, "p")
+    assert dict(back.dtypes)["p"] == "date"
+    assert back.collect()[0]["p"] == d
+    # pruning by the python date value works (encoded like Spark's dir)
+    pruned = txnlog.read_snapshot_partitioned(
+        spark, table, "p", partition_values=[d]
+    )
+    assert pruned.count() == 1
+
+
+def test_partitioned_hive_escaped_and_null_values(spark, table):
+    rows = [(1, "a:b c", "x"), (2, None, "y"), (3, "plain", "z")]
+    df = spark.createDataFrame(rows, "k long, p string, v string")
+    txnlog.txn_append_partitioned(spark, df, table, "p")
+    # the log stores the directory encoding EXACTLY as Spark wrote it —
+    # this asserts our encoder replicates Spark's escapePathName table
+    live = set(txnlog.snapshot_partitions(table).values())
+    assert txnlog._encode_partition_value("a:b c") in live
+    assert txnlog._HIVE_NULL in live
+    back = {
+        r["k"]: r["p"]
+        for r in txnlog.read_snapshot_partitioned(spark, table, "p").collect()
+    }
+    assert back == {1: "a:b c", 2: None, 3: "plain"}
+    # pruned read takes the RAW python value; escaping happens inside
+    esc = txnlog.read_snapshot_partitioned(
+        spark, table, "p", partition_values=["a:b c"]
+    )
+    assert [r["k"] for r in esc.collect()] == [1]
+    # upsert into the escaped partition replaces only its files
+    txnlog.txn_upsert_partitioned(
+        spark,
+        spark.createDataFrame([(1, "a:b c", "X")], "k long, p string, v string"),
+        table,
+        ["k"],
+        "p",
+    )
+    now = {
+        r["k"]: r["v"]
+        for r in txnlog.read_snapshot_partitioned(spark, table, "p").collect()
+    }
+    assert now == {1: "X", 2: "y", 3: "z"}
+
+
+def test_vacuum_horizon_is_monotonic(spark, table):
+    txnlog.txn_append(spark, _df(spark, [(1, "a")]), table)
+    txnlog.txn_upsert(spark, _df(spark, [(1, "b")]), table, ["k"])
+    txnlog.txn_upsert(spark, _df(spark, [(1, "c")]), table, ["k"])
+    deleted = txnlog.vacuum(table, retain_versions=1)
+    assert deleted
+    h1 = txnlog.vacuum_horizon(table)
+    # a LARGER retain window later must not move the horizon backward —
+    # versions below h1 reference already-deleted files
+    txnlog.vacuum(table, retain_versions=100)
+    assert txnlog.vacuum_horizon(table) == h1
+    with pytest.raises(ValueError, match="vacuumed"):
+        txnlog.read_snapshot(spark, table, 0)
+
+
+def test_checkpoint_resolution_matches_full_replay(spark, table, monkeypatch):
+    monkeypatch.setattr(txnlog, "CHECKPOINT_INTERVAL", 3)
+    history = {}
+    txnlog.txn_append(spark, _df(spark, [(0, "v0")]), table)
+    history[0] = {0: "v0"}
+    rows = {0: "v0"}
+    for i in range(1, 8):
+        rows = dict(rows)
+        rows[i] = f"v{i}"
+        v = txnlog.txn_upsert(spark, _df(spark, [(i, f"v{i}")]), table, ["k"])
+        history[v] = dict(rows)
+    ckpts = [
+        f
+        for f in os.listdir(os.path.join(table, "_txn_log"))
+        if f.endswith(".checkpoint.json")
+    ]
+    assert ckpts  # interval 3 over 8 versions wrote at least v3 and v6
+    # every historical version resolves identically with and without
+    # checkpoints (bypass = pretend no checkpoint exists)
+    for v, expected in history.items():
+        got = {
+            r["k"]: r["v"] for r in txnlog.read_snapshot(spark, table, v).collect()
+        }
+        assert got == expected, f"checkpointed read at v{v}"
+        with monkeypatch.context() as m:
+            m.setattr(txnlog, "_latest_checkpoint_at_or_below", lambda *_: -1)
+            raw = {os.path.basename(f) for f in txnlog.snapshot_files(table, v)}
+        assert raw == {
+            os.path.basename(f) for f in txnlog.snapshot_files(table, v)
+        }, f"full-replay parity at v{v}"
+
+
+def test_checkpoint_bounds_log_reads(table):
+    """At 1000 commits, snapshot resolution must open O(interval) log
+    files, not O(versions) — the whole point of the checkpoint."""
+    opened = []
+    real_open = open
+    for v in range(1000):
+        txnlog.commit(table, [f"f{v}.parquet"], [f"f{v-1}.parquet"] if v else [], v - 1)
+
+    import builtins
+
+    def counting_open(f, *a, **kw):
+        opened.append(str(f))
+        return real_open(f, *a, **kw)
+
+    import unittest.mock as mock
+
+    with mock.patch.object(builtins, "open", counting_open):
+        files = txnlog.snapshot_files(table)
+    assert {os.path.basename(f) for f in files} == {"f999.parquet"}
+    log_reads = [f for f in opened if "_txn_log" in f]
+    # latest checkpoint (v980 at interval 20) + ≤ interval suffix entries
+    assert len(log_reads) <= txnlog.CHECKPOINT_INTERVAL + 2

@@ -81,6 +81,10 @@ def main():
             sdf = fn(spark, sf_dir)
             scols = sorted(sdf.columns)
             srows = [r.asDict() for r in sdf.collect()]
+            # query builders persist() shared subtrees; the runner owns the
+            # consuming action, so it owns the release (see
+            # dbimport_spark.release_caches)
+            spark.catalog.clearCache()
         except Exception as e:
             failures.append(name)
             print(f"FAIL  {name}: spark error: {e}")
