@@ -110,6 +110,7 @@ HEADLINE = [
     "q8_market_share",
     "q13_customer_distribution",
     "q20_supply_concentration",
+    "multimodal_jpeg_roundtrip",
 ]
 
 

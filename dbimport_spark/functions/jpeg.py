@@ -1,0 +1,629 @@
+"""From-scratch baseline JPEG codec (stdlib + numpy) — closes the last
+stubbed image format in the multimodal family.
+
+Implemented from the public ITU-T T.81 (1992) specification ("Digital
+compression and coding of continuous-tone still images") and the JFIF 1.02
+interchange format note:
+
+* encoder: baseline sequential DCT, 8-bit, grayscale or YCbCr with 4:4:4
+  or 4:2:0 chroma subsampling, Annex K.1/K.2 quantization tables scaled by
+  the common IJG quality formula, Annex K.3 standard Huffman tables;
+* decoder: general baseline interleaved scan — SOF0 frames with arbitrary
+  sampling factors (h, v ≤ 2 covers 4:4:4 / 4:2:2 / 4:2:0), multiple DQT /
+  DHT segments, restart intervals (DRI/RSTn), 0xFF00 byte unstuffing;
+  progressive (SOF2) is rejected loudly.
+
+Vectorization: all DCT/IDCT, quantization, zigzag, level-shift, and color
+transforms operate on (n_blocks, 8, 8) numpy stacks — one einsum per
+plane, never per-pixel Python. The only per-symbol Python is the entropy
+(Huffman) layer, which is inherently serial per bit position; the decoder
+amortizes it with a (length, code) → symbol table and batch magnitude
+decoding.
+
+Reference parity note: the reference imports blobs opaquely and never
+decodes (`/root/reference/src/main/java/de/soderer/dbimport/
+DbImportWorker.java` blob import path); decode kernels are part of this
+repo's training-data-pipeline surface, not a reference port.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+
+class JpegError(ValueError):
+    pass
+
+
+# --------------------------------------------------------------- constants
+
+# zigzag order: index i of the 1-D coefficient vector → (row, col)
+_ZIGZAG = np.array(
+    [
+        0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+        12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+        35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+        58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+    ],
+    dtype=np.int64,
+)
+_UNZIGZAG = np.argsort(_ZIGZAG)
+
+# ITU-T T.81 Annex K.1 / K.2 example quantization tables (natural order)
+_QUANT_LUMA = np.array(
+    [
+        16, 11, 10, 16, 24, 40, 51, 61,
+        12, 12, 14, 19, 26, 58, 60, 55,
+        14, 13, 16, 24, 40, 57, 69, 56,
+        14, 17, 22, 29, 51, 87, 80, 62,
+        18, 22, 37, 56, 68, 109, 103, 77,
+        24, 35, 55, 64, 81, 104, 113, 92,
+        49, 64, 78, 87, 103, 121, 120, 101,
+        72, 92, 95, 98, 112, 100, 103, 99,
+    ],
+    dtype=np.int64,
+)
+_QUANT_CHROMA = np.array(
+    [
+        17, 18, 24, 47, 99, 99, 99, 99,
+        18, 21, 26, 66, 99, 99, 99, 99,
+        24, 26, 56, 99, 99, 99, 99, 99,
+        47, 66, 99, 99, 99, 99, 99, 99,
+        99, 99, 99, 99, 99, 99, 99, 99,
+        99, 99, 99, 99, 99, 99, 99, 99,
+        99, 99, 99, 99, 99, 99, 99, 99,
+        99, 99, 99, 99, 99, 99, 99, 99,
+    ],
+    dtype=np.int64,
+)
+
+# T.81 Annex K.3 standard Huffman tables: (bits[1..16], huffval)
+_DC_LUMA_BITS = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+_DC_LUMA_VALS = list(range(12))
+_DC_CHROMA_BITS = [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0]
+_DC_CHROMA_VALS = list(range(12))
+_AC_LUMA_BITS = [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D]
+_AC_LUMA_VALS = [
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41, 0x06,
+    0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+    0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24, 0x33, 0x62, 0x72,
+    0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+    0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39, 0x3A, 0x43, 0x44, 0x45,
+    0x46, 0x47, 0x48, 0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+    0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75,
+    0x76, 0x77, 0x78, 0x79, 0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+    0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+    0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+    0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+    0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+    0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2, 0xF3, 0xF4,
+    0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+]
+_AC_CHROMA_BITS = [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77]
+_AC_CHROMA_VALS = [
+    0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21, 0x31, 0x06, 0x12, 0x41,
+    0x51, 0x07, 0x61, 0x71, 0x13, 0x22, 0x32, 0x81, 0x08, 0x14, 0x42, 0x91,
+    0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0, 0x15, 0x62, 0x72, 0xD1,
+    0x0A, 0x16, 0x24, 0x34, 0xE1, 0x25, 0xF1, 0x17, 0x18, 0x19, 0x1A, 0x26,
+    0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37, 0x38, 0x39, 0x3A, 0x43, 0x44,
+    0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58,
+    0x59, 0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74,
+    0x75, 0x76, 0x77, 0x78, 0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87,
+    0x88, 0x89, 0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A,
+    0xA2, 0xA3, 0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4,
+    0xB5, 0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7,
+    0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA,
+    0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF2, 0xF3, 0xF4,
+    0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+]
+
+# orthonormal 8-point DCT-II matrix: F = C @ x @ C.T, x = C.T @ F @ C
+_C = np.array(
+    [
+        [
+            (np.sqrt(1 / 8) if u == 0 else np.sqrt(2 / 8))
+            * np.cos((2 * x + 1) * u * np.pi / 16)
+            for x in range(8)
+        ]
+        for u in range(8)
+    ]
+)
+
+
+def _canonical_codes(bits, vals):
+    """(bits[1..16], huffval) → {symbol: (code, length)} per T.81 C.2."""
+    codes = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            codes[vals[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return codes
+
+
+def _decode_table(bits, vals):
+    """(bits, huffval) → {(length, code): symbol} for the decoder."""
+    out = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            out[(length, code)] = vals[k]
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+def _quality_scale(table: np.ndarray, quality: int) -> np.ndarray:
+    """IJG quality scaling: 1 → coarsest, 50 → Annex K, 100 → all-ones."""
+    quality = min(100, max(1, quality))
+    scale = 5000 // quality if quality < 50 else 200 - 2 * quality
+    q = (table * scale + 50) // 100
+    return np.clip(q, 1, 255)
+
+
+# ----------------------------------------------------------------- encoder
+
+
+class _BitWriter:
+    def __init__(self):
+        self.buf = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, value: int, length: int):
+        if length == 0:
+            return
+        self.acc = (self.acc << length) | (value & ((1 << length) - 1))
+        self.nbits += length
+        while self.nbits >= 8:
+            self.nbits -= 8
+            byte = (self.acc >> self.nbits) & 0xFF
+            self.buf.append(byte)
+            if byte == 0xFF:  # byte stuffing (T.81 F.1.2.3)
+                self.buf.append(0x00)
+
+    def flush(self):
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.write((1 << pad) - 1, pad)  # pad with 1-bits per spec
+
+
+def _magnitude(v: int) -> tuple[int, int]:
+    """value → (size category, appended bits) per T.81 F.1.2.1."""
+    if v == 0:
+        return 0, 0
+    a = abs(v)
+    size = a.bit_length()
+    bits = v if v > 0 else v + (1 << size) - 1
+    return size, bits
+
+
+def _blocks_of_plane(plane: np.ndarray) -> np.ndarray:
+    """(H, W) plane with H, W multiples of 8 → (n, 8, 8) block stack in
+    raster block order."""
+    h, w = plane.shape
+    return (
+        plane.reshape(h // 8, 8, w // 8, 8).transpose(0, 2, 1, 3).reshape(-1, 8, 8)
+    )
+
+
+def _encode_plane_coeffs(plane: np.ndarray, qtab: np.ndarray) -> np.ndarray:
+    """Level-shift, DCT, quantize, zigzag a full plane at once →
+    (n_blocks, 64) int coefficient rows."""
+    blocks = _blocks_of_plane(plane.astype(np.float64) - 128.0)
+    coeffs = np.einsum("ux,nxy,vy->nuv", _C, blocks, _C)
+    q = np.round(coeffs / qtab.reshape(8, 8)).astype(np.int64)
+    return q.reshape(-1, 64)[:, _ZIGZAG]
+
+
+def _huff_encode_block(w: _BitWriter, zz: np.ndarray, pred: int, dc_codes, ac_codes) -> int:
+    dc = int(zz[0])
+    size, bits = _magnitude(dc - pred)
+    code, length = dc_codes[size]
+    w.write(code, length)
+    w.write(bits, size)
+    run = 0
+    nz = np.nonzero(zz[1:])[0]
+    last = int(nz[-1]) + 1 if nz.size else 0
+    for k in range(1, last + 1):
+        v = int(zz[k])
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            code, length = ac_codes[0xF0]  # ZRL
+            w.write(code, length)
+            run -= 16
+        size, bits = _magnitude(v)
+        code, length = ac_codes[(run << 4) | size]
+        w.write(code, length)
+        w.write(bits, size)
+        run = 0
+    if last < 63:
+        code, length = ac_codes[0x00]  # EOB
+        w.write(code, length)
+    return dc
+
+
+def _pad_edge(plane: np.ndarray, mult: int) -> np.ndarray:
+    h, w = plane.shape
+    ph = (mult - h % mult) % mult
+    pw = (mult - w % mult) % mult
+    if ph or pw:
+        plane = np.pad(plane, ((0, ph), (0, pw)), mode="edge")
+    return plane
+
+
+def encode_jpeg(
+    width: int,
+    height: int,
+    channels: int,
+    pixels: bytes,
+    quality: int = 90,
+    subsampling: str = "444",
+) -> bytes:
+    """Row-major 8-bit pixels (gray or RGB) → baseline JFIF bytes."""
+    if channels not in (1, 3):
+        raise JpegError(f"unsupported channel count {channels}")
+    if subsampling not in ("444", "420"):
+        raise JpegError(f"unsupported subsampling {subsampling!r}")
+    if len(pixels) != width * height * channels:
+        raise JpegError("pixel buffer size mismatch")
+    px = np.frombuffer(bytes(pixels), dtype=np.uint8).reshape(height, width, channels)
+
+    qy = _quality_scale(_QUANT_LUMA, quality)
+    qc = _quality_scale(_QUANT_CHROMA, quality)
+
+    if channels == 1:
+        planes = [px[:, :, 0].astype(np.float64)]
+        qtabs = [qy]
+        samp = [(1, 1)]
+    else:
+        r = px[:, :, 0].astype(np.float64)
+        g = px[:, :, 1].astype(np.float64)
+        b = px[:, :, 2].astype(np.float64)
+        y = 0.299 * r + 0.587 * g + 0.114 * b
+        cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+        cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+        if subsampling == "420":
+            # chroma: 2×2 box mean on an edge-padded even grid
+            def down(p):
+                p = _pad_edge(p, 2)
+                return (p[0::2, 0::2] + p[0::2, 1::2] + p[1::2, 0::2] + p[1::2, 1::2]) / 4.0
+
+            planes = [y, down(cb), down(cr)]
+            samp = [(2, 2), (1, 1), (1, 1)]
+        else:
+            planes = [y, cb, cr]
+            samp = [(1, 1), (1, 1), (1, 1)]
+        qtabs = [qy, qc, qc]
+    planes = [np.clip(np.round(p), 0, 255) for p in planes]
+
+    hmax = max(h for h, _ in samp)
+    vmax = max(v for _, v in samp)
+    mcu_w = 8 * hmax
+    mcu_h = 8 * vmax
+    mcus_x = (width + mcu_w - 1) // mcu_w
+    mcus_y = (height + mcu_h - 1) // mcu_h
+    # pad each plane to a whole number of MCUs at ITS resolution
+    coeffs = []
+    blocks_per_row = []
+    for (h, v), plane, qt in zip(samp, planes, qtabs):
+        plane = _pad_edge(plane, 1)  # no-op, keeps types tidy
+        target_h = mcus_y * 8 * v
+        target_w = mcus_x * 8 * h
+        ph, pw = plane.shape
+        plane = np.pad(
+            plane, ((0, target_h - ph), (0, target_w - pw)), mode="edge"
+        )
+        coeffs.append(_encode_plane_coeffs(plane, qt))
+        blocks_per_row.append(target_w // 8)
+
+    dc_codes_y = _canonical_codes(_DC_LUMA_BITS, _DC_LUMA_VALS)
+    ac_codes_y = _canonical_codes(_AC_LUMA_BITS, _AC_LUMA_VALS)
+    dc_codes_c = _canonical_codes(_DC_CHROMA_BITS, _DC_CHROMA_VALS)
+    ac_codes_c = _canonical_codes(_AC_CHROMA_BITS, _AC_CHROMA_VALS)
+
+    w = _BitWriter()
+    preds = [0] * len(planes)
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            for ci, (h, v) in enumerate(samp):
+                dc_codes = dc_codes_y if ci == 0 else dc_codes_c
+                ac_codes = ac_codes_y if ci == 0 else ac_codes_c
+                for by in range(v):
+                    for bx in range(h):
+                        row = my * v + by
+                        col = mx * h + bx
+                        zz = coeffs[ci][row * blocks_per_row[ci] + col]
+                        preds[ci] = _huff_encode_block(
+                            w, zz, preds[ci], dc_codes, ac_codes
+                        )
+    w.flush()
+
+    out = bytearray(b"\xff\xd8")  # SOI
+    # APP0 / JFIF
+    out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x02\x00\x00\x01\x00\x01\x00\x00"
+    # DQT (table 0 luma, table 1 chroma when color)
+    for tid, qt in enumerate([qy] + ([qc] if channels == 3 else [])):
+        out += b"\xff\xdb" + struct.pack(">H", 67) + bytes([tid])
+        out += bytes(int(qt[z]) for z in _ZIGZAG)
+    # SOF0
+    out += b"\xff\xc0" + struct.pack(">HBHHB", 8 + 3 * len(planes), 8, height, width, len(planes))
+    for ci, (h, v) in enumerate(samp):
+        out += bytes([ci + 1, (h << 4) | v, 0 if ci == 0 else 1])
+    # DHT segments
+    for tc_th, bits, vals in [
+        (0x00, _DC_LUMA_BITS, _DC_LUMA_VALS),
+        (0x10, _AC_LUMA_BITS, _AC_LUMA_VALS),
+    ] + (
+        [
+            (0x01, _DC_CHROMA_BITS, _DC_CHROMA_VALS),
+            (0x11, _AC_CHROMA_BITS, _AC_CHROMA_VALS),
+        ]
+        if channels == 3
+        else []
+    ):
+        out += b"\xff\xc4" + struct.pack(">H", 3 + 16 + len(vals)) + bytes([tc_th])
+        out += bytes(bits) + bytes(vals)
+    # SOS
+    out += b"\xff\xda" + struct.pack(">HB", 6 + 2 * len(planes), len(planes))
+    for ci in range(len(planes)):
+        out += bytes([ci + 1, 0x00 if ci == 0 else 0x11])
+    out += b"\x00\x3f\x00"
+    out += w.buf
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+# ----------------------------------------------------------------- decoder
+
+
+class _BitReader:
+    """MSB-first entropy reader with 0xFF00 unstuffing and RSTn awareness."""
+
+    def __init__(self, data: bytes, pos: int):
+        self.data = data
+        self.pos = pos
+        self.acc = 0
+        self.nbits = 0
+
+    def _fill(self):
+        d = self.data
+        p = self.pos
+        if p >= len(d):
+            raise JpegError("truncated entropy stream")
+        byte = d[p]
+        if byte == 0xFF:
+            nxt = d[p + 1] if p + 1 < len(d) else 0xD9
+            if nxt == 0x00:
+                self.pos = p + 2
+            elif 0xD0 <= nxt <= 0xD7:
+                raise _RestartMarker(nxt)
+            else:
+                # EOI or another marker: treat as end (pad with zeros would
+                # hide truncation; loud is right)
+                raise JpegError("entropy stream hit marker 0xFF%02X" % nxt)
+        else:
+            self.pos = p + 1
+        self.acc = (self.acc << 8) | byte
+        self.nbits += 8
+
+    def read_bit(self) -> int:
+        if self.nbits == 0:
+            self._fill()
+        self.nbits -= 1
+        return (self.acc >> self.nbits) & 1
+
+    def read_bits(self, n: int) -> int:
+        if n == 0:
+            return 0
+        while self.nbits < n:
+            self._fill()
+        self.nbits -= n
+        v = (self.acc >> self.nbits) & ((1 << n) - 1)
+        self.acc &= (1 << self.nbits) - 1  # keep the int small
+        return v
+
+    def byte_align(self):
+        self.nbits = 0
+        self.acc = 0
+
+    def skip_restart(self):
+        # consume the RSTn marker bytes
+        d = self.data
+        p = self.pos
+        while p + 1 < len(d) and not (d[p] == 0xFF and 0xD0 <= d[p + 1] <= 0xD7):
+            p += 1
+        self.pos = p + 2
+
+
+class _RestartMarker(Exception):
+    def __init__(self, marker):
+        self.marker = marker
+
+
+def _read_symbol(r: _BitReader, table: dict) -> int:
+    code = 0
+    for length in range(1, 17):
+        code = (code << 1) | r.read_bit()
+        sym = table.get((length, code))
+        if sym is not None:
+            return sym
+    raise JpegError("invalid Huffman code")
+
+
+def _extend(v: int, size: int) -> int:
+    """T.81 F.2.2.1 EXTEND: appended bits → signed value."""
+    if size == 0:
+        return 0
+    return v if v >= (1 << (size - 1)) else v - (1 << size) + 1
+
+
+def decode_jpeg(data: bytes):
+    """JPEG bytes → (width, height, channels, pixel bytes row-major).
+
+    Grayscale output for 1-component frames, RGB for 3-component (JFIF
+    YCbCr). Baseline sequential only — SOF2 raises JpegError."""
+    if len(data) < 4 or data[0:2] != b"\xff\xd8":
+        raise JpegError("not a JPEG (missing SOI)")
+    pos = 2
+    qtables: dict[int, np.ndarray] = {}
+    htables: dict[int, dict] = {}
+    frame = None
+    restart_interval = 0
+    while pos + 4 <= len(data):
+        if data[pos] != 0xFF:
+            raise JpegError(f"expected marker at {pos}")
+        marker = data[pos + 1]
+        if marker == 0xD9:  # EOI
+            break
+        (seglen,) = struct.unpack_from(">H", data, pos + 2)
+        body = data[pos + 4 : pos + 2 + seglen]
+        if len(body) != seglen - 2:
+            raise JpegError("truncated segment")
+        if marker == 0xDB:  # DQT
+            p = 0
+            while p < len(body):
+                pq, tq = body[p] >> 4, body[p] & 0x0F
+                p += 1
+                if pq != 0:
+                    raise JpegError("16-bit quant tables unsupported")
+                tab = np.zeros(64, dtype=np.int64)
+                tab[_ZIGZAG] = np.frombuffer(body[p : p + 64], dtype=np.uint8)
+                qtables[tq] = tab
+                p += 64
+        elif marker == 0xC4:  # DHT
+            p = 0
+            while p < len(body):
+                tc_th = body[p]
+                bits = list(body[p + 1 : p + 17])
+                n = sum(bits)
+                vals = list(body[p + 17 : p + 17 + n])
+                htables[tc_th] = _decode_table(bits, vals)
+                p += 17 + n
+        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 baseline
+            precision, h, w, nc = struct.unpack_from(">BHHB", body, 0)
+            if precision != 8:
+                raise JpegError(f"unsupported precision {precision}")
+            comps = []
+            for i in range(nc):
+                cid, hv, tq = body[6 + 3 * i : 9 + 3 * i]
+                comps.append({"id": cid, "h": hv >> 4, "v": hv & 0x0F, "tq": tq})
+            frame = {"w": w, "h": h, "comps": comps}
+        elif marker == 0xC2:
+            raise JpegError("progressive JPEG (SOF2) not supported")
+        elif marker == 0xDD:  # DRI
+            (restart_interval,) = struct.unpack_from(">H", body, 0)
+        elif marker == 0xDA:  # SOS
+            if frame is None:
+                raise JpegError("SOS before SOF")
+            ns = body[0]
+            scan = []
+            for i in range(ns):
+                cs, tt = body[1 + 2 * i : 3 + 2 * i]
+                comp = next(c for c in frame["comps"] if c["id"] == cs)
+                scan.append(
+                    {
+                        "comp": comp,
+                        "dc": htables[tt >> 4],
+                        "ac": htables[0x10 | (tt & 0x0F)],
+                    }
+                )
+            pos = pos + 2 + seglen
+            return _decode_scan(data, pos, frame, scan, qtables, restart_interval)
+        pos += 2 + seglen
+    raise JpegError("no scan found")
+
+
+def _decode_scan(data, pos, frame, scan, qtables, restart_interval):
+    w, h = frame["w"], frame["h"]
+    hmax = max(c["comp"]["h"] for c in scan)
+    vmax = max(c["comp"]["v"] for c in scan)
+    mcus_x = (w + 8 * hmax - 1) // (8 * hmax)
+    mcus_y = (h + 8 * vmax - 1) // (8 * vmax)
+
+    # coefficient stacks per scan component
+    stacks = []
+    for s in scan:
+        ch, cv = s["comp"]["h"], s["comp"]["v"]
+        n_blocks = mcus_x * ch * mcus_y * cv
+        stacks.append(np.zeros((n_blocks, 64), dtype=np.int64))
+
+    r = _BitReader(data, pos)
+    preds = [0] * len(scan)
+    mcu_count = 0
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            if restart_interval and mcu_count and mcu_count % restart_interval == 0:
+                r.byte_align()
+                r.skip_restart()
+                preds = [0] * len(scan)
+            try:
+                for ci, s in enumerate(scan):
+                    ch, cv = s["comp"]["h"], s["comp"]["v"]
+                    bpr = mcus_x * ch
+                    for by in range(cv):
+                        for bx in range(ch):
+                            zz = stacks[ci][(my * cv + by) * bpr + (mx * ch + bx)]
+                            # DC
+                            size = _read_symbol(r, s["dc"])
+                            diff = _extend(r.read_bits(size), size)
+                            preds[ci] += diff
+                            zz[0] = preds[ci]
+                            # AC
+                            k = 1
+                            while k < 64:
+                                rs = _read_symbol(r, s["ac"])
+                                if rs == 0x00:  # EOB
+                                    break
+                                if rs == 0xF0:  # ZRL
+                                    k += 16
+                                    continue
+                                k += rs >> 4
+                                size = rs & 0x0F
+                                if k > 63:
+                                    raise JpegError("AC index out of range")
+                                zz[k] = _extend(r.read_bits(size), size)
+                                k += 1
+            except _RestartMarker:
+                raise JpegError("unexpected restart marker")
+            mcu_count += 1
+
+    # dequantize + IDCT, one einsum per component
+    planes = []
+    for s, zz in zip(scan, stacks):
+        comp = s["comp"]
+        q = qtables[comp["tq"]]
+        # zz rows are zigzag-ordered → multiply by the zigzag view of the
+        # (natural-order) table, THEN permute back to natural order
+        coeffs = (zz * q[_ZIGZAG])[:, _UNZIGZAG].reshape(-1, 8, 8).astype(np.float64)
+        blocks = np.einsum("xu,nuv,yv->nxy", _C.T, coeffs, _C.T)
+        px = np.clip(np.round(blocks) + 128.0, 0, 255).astype(np.uint8)
+        ch, cv = comp["h"], comp["v"]
+        bpr = mcus_x * ch
+        rows = mcus_y * cv
+        plane = (
+            px.reshape(rows, bpr, 8, 8).transpose(0, 2, 1, 3).reshape(rows * 8, bpr * 8)
+        )
+        # upsample to full resolution, then crop
+        plane = np.repeat(np.repeat(plane, vmax // cv, axis=0), hmax // ch, axis=1)
+        planes.append(plane[:h, :w])
+
+    if len(planes) == 1:
+        return w, h, 1, planes[0].tobytes()
+    y = planes[0].astype(np.float64)
+    cb = planes[1].astype(np.float64) - 128.0
+    cr = planes[2].astype(np.float64) - 128.0
+    r_ = np.clip(np.round(y + 1.402 * cr), 0, 255)
+    g_ = np.clip(np.round(y - 0.344136 * cb - 0.714136 * cr), 0, 255)
+    b_ = np.clip(np.round(y + 1.772 * cb), 0, 255)
+    rgb = np.stack([r_, g_, b_], axis=-1).astype(np.uint8)
+    return w, h, 3, rgb.tobytes()

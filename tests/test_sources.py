@@ -660,3 +660,103 @@ def test_merge_schema_reads_drifting_parquet(spark, tmp_path):
     assert set(merged.columns) == {"id", "name", "score"}
     rows = {r["id"]: r for r in merged.collect()}
     assert rows[1]["score"] is None and rows[2]["score"] == 9.5
+
+
+# ------------------------------- format-faithful erroneous-row extraction
+
+
+class TestFilterDataItems:
+    """filter_data_items must re-emit erred items in the ORIGINAL format +
+    compression (reference contract: DataProvider.filterDataItems, e.g.
+    CsvDataProvider.java:227-284 incl. the .errors.csv.gz/.zip naming)."""
+
+    CSV = (
+        "a;b;c\n"
+        "1;one;x\n"
+        '2;"se;mi";y\n'
+        "3;three;z\n"
+        '4;"qu""ote";w\n'
+    )
+
+    def _check_csv_rows(self, spark, path, expect_ids):
+        from dbimport_spark.sources import CsvSource
+
+        plain = decompress_if_needed(path, for_spark_text_reader=False)
+        df = CsvSource().read(spark, plain, with_order=False)
+        assert df.columns == ["a", "b", "c"]
+        assert sorted(r["a"] for r in df.collect()) == expect_ids
+
+    def test_plain_csv(self, spark, tdir):
+        from dbimport_spark.operators.errors import filter_data_items
+
+        src = tdir / "data.csv"
+        src.write_text(self.CSV)
+        out = filter_data_items(str(src), [2, 4])
+        assert out == str(src) + ".errors.csv"
+        # quoted separator and doubled quote survive the round trip
+        self._check_csv_rows(spark, out, ["2", "4"])
+        text = open(out).read()
+        assert '"se;mi"' in text and '"qu""ote"' in text
+
+    def test_gz_csv_rewrapped(self, spark, tdir):
+        from dbimport_spark.operators.errors import filter_data_items
+
+        src = tdir / "data.csv.gz"
+        with gzip.open(src, "wt") as fh:
+            fh.write(self.CSV)
+        out = filter_data_items(str(src), [1, 3])
+        assert out == str(src) + ".errors.csv.gz"
+        with gzip.open(out, "rt") as fh:
+            assert fh.read().startswith("a;b;c\n1;one;x\n3;three;z\n")
+        self._check_csv_rows(spark, out, ["1", "3"])
+
+    def test_zip_csv_rewrapped(self, spark, tdir):
+        from dbimport_spark.operators.errors import filter_data_items
+
+        src = tdir / "data.csv.zip"
+        with zipfile.ZipFile(src, "w") as zf:
+            zf.writestr("data.csv", self.CSV)
+        out = filter_data_items(str(src), [2])
+        assert out == str(src) + ".errors.csv.zip"
+        with zipfile.ZipFile(out) as zf:
+            names = zf.namelist()
+            assert len(names) == 1  # single entry, like the source contract
+        self._check_csv_rows(spark, out, ["2"])
+
+    def test_tgz_csv_rewrapped(self, spark, tdir):
+        from dbimport_spark.operators.errors import filter_data_items
+
+        src = tdir / "data.csv.tgz"
+        inner = tdir / "data.csv"
+        inner.write_text(self.CSV)
+        with tarfile.open(src, "w:gz") as tf:
+            tf.add(inner, arcname="data.csv")
+        out = filter_data_items(str(src), [4])
+        assert out == str(src) + ".errors.csv.tgz"
+        self._check_csv_rows(spark, out, ["4"])
+
+    def test_xml_faithful(self, spark, tdir):
+        from dbimport_spark.operators.errors import filter_data_items
+
+        src = tdir / "data.xml"
+        src.write_text(
+            "<rows><row><id>1</id><v>a</v></row>"
+            "<row><id>2</id><v>b</v></row>"
+            "<row><id>3</id><v>c</v></row></rows>"
+        )
+        out = filter_data_items(str(src), [2, 3])
+        assert out == str(src) + ".errors.xml"
+        # the errors file is itself a valid XML source for our reader
+        df = read_xml(spark, out, with_order=False)
+        assert sorted(r["id"] for r in df.collect()) == ["2", "3"]
+
+    def test_json_faithful_with_data_path(self, spark, tdir):
+        import json
+
+        from dbimport_spark.operators.errors import filter_data_items
+
+        src = tdir / "data.json"
+        src.write_text(json.dumps({"payload": [{"id": 1}, {"id": 2}, {"id": 3}]}))
+        out = filter_data_items(str(src), [3], data_path="payload")
+        assert out == str(src) + ".errors.json"
+        assert json.load(open(out)) == [{"id": 3}]
