@@ -171,40 +171,6 @@ def _quality_scale(table: np.ndarray, quality: int) -> np.ndarray:
 # ----------------------------------------------------------------- encoder
 
 
-class _BitWriter:
-    def __init__(self):
-        self.buf = bytearray()
-        self.acc = 0
-        self.nbits = 0
-
-    def write(self, value: int, length: int):
-        if length == 0:
-            return
-        self.acc = (self.acc << length) | (value & ((1 << length) - 1))
-        self.nbits += length
-        while self.nbits >= 8:
-            self.nbits -= 8
-            byte = (self.acc >> self.nbits) & 0xFF
-            self.buf.append(byte)
-            if byte == 0xFF:  # byte stuffing (T.81 F.1.2.3)
-                self.buf.append(0x00)
-
-    def flush(self):
-        if self.nbits:
-            pad = 8 - self.nbits
-            self.write((1 << pad) - 1, pad)  # pad with 1-bits per spec
-
-
-def _magnitude(v: int) -> tuple[int, int]:
-    """value → (size category, appended bits) per T.81 F.1.2.1."""
-    if v == 0:
-        return 0, 0
-    a = abs(v)
-    size = a.bit_length()
-    bits = v if v > 0 else v + (1 << size) - 1
-    return size, bits
-
-
 def _blocks_of_plane(plane: np.ndarray) -> np.ndarray:
     """(H, W) plane with H, W multiples of 8 → (n, 8, 8) block stack in
     raster block order."""
@@ -223,33 +189,70 @@ def _encode_plane_coeffs(plane: np.ndarray, qtab: np.ndarray) -> np.ndarray:
     return q.reshape(-1, 64)[:, _ZIGZAG]
 
 
-def _huff_encode_block(w: _BitWriter, zz: np.ndarray, pred: int, dc_codes, ac_codes) -> int:
+def _huff_encode_block(out: bytearray, acc: int, nbits: int, zz, pred: int, dc_codes, ac_codes):
+    """Entropy-encode one zigzag block; bit state is threaded through plain
+    ints and whole bytes flush once per block (with 0xFF00 stuffing) — the
+    per-symbol method-call writer this replaces was the encode bottleneck.
+    Returns (acc, nbits, dc)."""
     dc = int(zz[0])
-    size, bits = _magnitude(dc - pred)
-    code, length = dc_codes[size]
-    w.write(code, length)
-    w.write(bits, size)
-    run = 0
+    v = dc - pred
+    if v == 0:
+        size = 0
+    else:
+        size = abs(v).bit_length()
+        bits = v if v > 0 else v + (1 << size) - 1
+    code, ln = dc_codes[size]
+    acc = (acc << ln) | code
+    nbits += ln
+    if size:
+        acc = (acc << size) | bits
+        nbits += size
     nz = np.nonzero(zz[1:])[0]
-    last = int(nz[-1]) + 1 if nz.size else 0
-    for k in range(1, last + 1):
-        v = int(zz[k])
-        if v == 0:
-            run += 1
-            continue
-        while run > 15:
-            code, length = ac_codes[0xF0]  # ZRL
-            w.write(code, length)
-            run -= 16
-        size, bits = _magnitude(v)
-        code, length = ac_codes[(run << 4) | size]
-        w.write(code, length)
-        w.write(bits, size)
-        run = 0
-    if last < 63:
-        code, length = ac_codes[0x00]  # EOB
-        w.write(code, length)
-    return dc
+    if nz.size:
+        positions = (nz + 1).tolist()
+        values = zz[nz + 1].tolist()
+        prev_pos = 0
+        for pos, v in zip(positions, values):
+            run = pos - prev_pos - 1
+            prev_pos = pos
+            while run > 15:
+                code, ln = ac_codes[0xF0]  # ZRL
+                acc = (acc << ln) | code
+                nbits += ln
+                run -= 16
+            size = abs(v).bit_length()
+            bits = v if v > 0 else v + (1 << size) - 1
+            code, ln = ac_codes[(run << 4) | size]
+            acc = (acc << (ln + size)) | (code << size) | bits
+            nbits += ln + size
+        if positions[-1] < 63:
+            code, ln = ac_codes[0x00]  # EOB
+            acc = (acc << ln) | code
+            nbits += ln
+    else:
+        code, ln = ac_codes[0x00]
+        acc = (acc << ln) | code
+        nbits += ln
+    while nbits >= 8:
+        nbits -= 8
+        byte = (acc >> nbits) & 0xFF
+        out.append(byte)
+        if byte == 0xFF:  # byte stuffing (T.81 F.1.2.3)
+            out.append(0x00)
+    acc &= (1 << nbits) - 1
+    return acc, nbits, dc
+
+
+def _flush_bits(out: bytearray, acc: int, nbits: int):
+    """Pad the residual bits to a byte boundary with 1-bits (T.81 F.1.2.3)
+    and append; returns the reset (acc, nbits)."""
+    if nbits:
+        pad = 8 - nbits
+        byte = ((acc << pad) | ((1 << pad) - 1)) & 0xFF
+        out.append(byte)
+        if byte == 0xFF:
+            out.append(0x00)
+    return 0, 0
 
 
 def _pad_edge(plane: np.ndarray, mult: int) -> np.ndarray:
@@ -268,8 +271,11 @@ def encode_jpeg(
     pixels: bytes,
     quality: int = 90,
     subsampling: str = "444",
+    restart_interval: int = 0,
 ) -> bytes:
-    """Row-major 8-bit pixels (gray or RGB) → baseline JFIF bytes."""
+    """Row-major 8-bit pixels (gray or RGB) → baseline JFIF bytes.
+    ``restart_interval`` > 0 writes a DRI segment and RSTn markers every
+    that many MCUs (error-resilience feature real encoders emit)."""
     if channels not in (1, 3):
         raise JpegError(f"unsupported channel count {channels}")
     if subsampling not in ("444", "420"):
@@ -331,10 +337,20 @@ def encode_jpeg(
     dc_codes_c = _canonical_codes(_DC_CHROMA_BITS, _DC_CHROMA_VALS)
     ac_codes_c = _canonical_codes(_AC_CHROMA_BITS, _AC_CHROMA_VALS)
 
-    w = _BitWriter()
+    ebuf = bytearray()
+    acc = 0
+    nbits = 0
     preds = [0] * len(planes)
+    mcu_count = 0
+    rst_n = 0
     for my in range(mcus_y):
         for mx in range(mcus_x):
+            if restart_interval and mcu_count and mcu_count % restart_interval == 0:
+                # byte-align, emit RSTn, reset DC predictors (T.81 E.2.4)
+                acc, nbits = _flush_bits(ebuf, acc, nbits)
+                ebuf += bytes((0xFF, 0xD0 + rst_n))
+                rst_n = (rst_n + 1) % 8
+                preds = [0] * len(planes)
             for ci, (h, v) in enumerate(samp):
                 dc_codes = dc_codes_y if ci == 0 else dc_codes_c
                 ac_codes = ac_codes_y if ci == 0 else ac_codes_c
@@ -343,10 +359,11 @@ def encode_jpeg(
                         row = my * v + by
                         col = mx * h + bx
                         zz = coeffs[ci][row * blocks_per_row[ci] + col]
-                        preds[ci] = _huff_encode_block(
-                            w, zz, preds[ci], dc_codes, ac_codes
+                        acc, nbits, preds[ci] = _huff_encode_block(
+                            ebuf, acc, nbits, zz, preds[ci], dc_codes, ac_codes
                         )
-    w.flush()
+            mcu_count += 1
+    acc, nbits = _flush_bits(ebuf, acc, nbits)
 
     out = bytearray(b"\xff\xd8")  # SOI
     # APP0 / JFIF
@@ -373,12 +390,15 @@ def encode_jpeg(
     ):
         out += b"\xff\xc4" + struct.pack(">H", 3 + 16 + len(vals)) + bytes([tc_th])
         out += bytes(bits) + bytes(vals)
+    # DRI
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
     # SOS
     out += b"\xff\xda" + struct.pack(">HB", 6 + 2 * len(planes), len(planes))
     for ci in range(len(planes)):
         out += bytes([ci + 1, 0x00 if ci == 0 else 0x11])
     out += b"\x00\x3f\x00"
-    out += w.buf
+    out += ebuf
     out += b"\xff\xd9"  # EOI
     return bytes(out)
 
@@ -386,85 +406,51 @@ def encode_jpeg(
 # ----------------------------------------------------------------- decoder
 
 
-class _BitReader:
-    """MSB-first entropy reader with 0xFF00 unstuffing and RSTn awareness."""
-
-    def __init__(self, data: bytes, pos: int):
-        self.data = data
-        self.pos = pos
-        self.acc = 0
-        self.nbits = 0
-
-    def _fill(self):
-        d = self.data
-        p = self.pos
-        if p >= len(d):
-            raise JpegError("truncated entropy stream")
-        byte = d[p]
-        if byte == 0xFF:
-            nxt = d[p + 1] if p + 1 < len(d) else 0xD9
-            if nxt == 0x00:
-                self.pos = p + 2
-            elif 0xD0 <= nxt <= 0xD7:
-                raise _RestartMarker(nxt)
-            else:
-                # EOI or another marker: treat as end (pad with zeros would
-                # hide truncation; loud is right)
-                raise JpegError("entropy stream hit marker 0xFF%02X" % nxt)
+def _clean_entropy(data: bytes, pos: int):
+    """Strip 0xFF00 byte stuffing from the entropy segment in ONE pass and
+    record restart-marker boundaries as offsets into the cleaned stream.
+    Returns (clean bytes, restart offsets). The per-byte exception-driven
+    reader this replaces was the decode bottleneck on long scans."""
+    out = bytearray()
+    restarts = []
+    i = pos
+    n = len(data)
+    while i < n:
+        j = data.find(b"\xff", i)
+        if j == -1:
+            out += data[i:]
+            break
+        out += data[i:j]
+        nxt = data[j + 1] if j + 1 < n else 0xD9
+        if nxt == 0x00:
+            out.append(0xFF)
+            i = j + 2
+        elif 0xD0 <= nxt <= 0xD7:
+            restarts.append(len(out))
+            i = j + 2
         else:
-            self.pos = p + 1
-        self.acc = (self.acc << 8) | byte
-        self.nbits += 8
-
-    def read_bit(self) -> int:
-        if self.nbits == 0:
-            self._fill()
-        self.nbits -= 1
-        return (self.acc >> self.nbits) & 1
-
-    def read_bits(self, n: int) -> int:
-        if n == 0:
-            return 0
-        while self.nbits < n:
-            self._fill()
-        self.nbits -= n
-        v = (self.acc >> self.nbits) & ((1 << n) - 1)
-        self.acc &= (1 << self.nbits) - 1  # keep the int small
-        return v
-
-    def byte_align(self):
-        self.nbits = 0
-        self.acc = 0
-
-    def skip_restart(self):
-        # consume the RSTn marker bytes
-        d = self.data
-        p = self.pos
-        while p + 1 < len(d) and not (d[p] == 0xFF and 0xD0 <= d[p + 1] <= 0xD7):
-            p += 1
-        self.pos = p + 2
+            break  # EOI or next marker: end of entropy data
+    return bytes(out), restarts
 
 
-class _RestartMarker(Exception):
-    def __init__(self, marker):
-        self.marker = marker
+_LUT_CACHE: dict = {}
 
 
-def _read_symbol(r: _BitReader, table: dict) -> int:
-    code = 0
-    for length in range(1, 17):
-        code = (code << 1) | r.read_bit()
-        sym = table.get((length, code))
-        if sym is not None:
-            return sym
-    raise JpegError("invalid Huffman code")
-
-
-def _extend(v: int, size: int) -> int:
-    """T.81 F.2.2.1 EXTEND: appended bits → signed value."""
-    if size == 0:
-        return 0
-    return v if v >= (1 << (size - 1)) else v - (1 << size) + 1
+def _huff_lut(table: dict) -> list:
+    """(length, code)→symbol table → a flat 2^16 lookup: peek 16 bits,
+    one list index gives (symbol << 5 | code_length); 0 marks invalid.
+    Cached globally — real streams almost always carry the Annex K.3
+    standard tables, so the build cost is paid once per process."""
+    key = tuple(sorted(table.items()))
+    lut = _LUT_CACHE.get(key)
+    if lut is None:
+        lut = [0] * 65536
+        for (length, code), sym in table.items():
+            base = code << (16 - length)
+            span = 1 << (16 - length)
+            lut[base : base + span] = [(sym << 5) | length] * span
+        _LUT_CACHE[key] = lut
+    return lut
 
 
 def decode_jpeg(data: bytes):
@@ -550,38 +536,82 @@ def _decode_scan(data, pos, frame, scan, qtables, restart_interval):
     mcus_x = (w + 8 * hmax - 1) // (8 * hmax)
     mcus_y = (h + 8 * vmax - 1) // (8 * vmax)
 
-    # coefficient stacks per scan component
-    stacks = []
+    # coefficient stacks per scan component, filled by sparse scatter
+    n_blocks_of = []
+    coo_idx: list[list[int]] = []
+    coo_val: list[list[int]] = []
     for s in scan:
         ch, cv = s["comp"]["h"], s["comp"]["v"]
-        n_blocks = mcus_x * ch * mcus_y * cv
-        stacks.append(np.zeros((n_blocks, 64), dtype=np.int64))
+        n_blocks_of.append(mcus_x * ch * mcus_y * cv)
+        coo_idx.append([])
+        coo_val.append([])
 
-    r = _BitReader(data, pos)
+    clean, restarts = _clean_entropy(data, pos)
+    clean += b"\x00\x00\x00\x00"  # pad so the final peeks never IndexError
+    limit = len(clean)
+    # flattened per-MCU plan: (ci, dc_lut, ac_lut, block_index) per block
+    plan = []
+    for ci, s in enumerate(scan):
+        ch, cv = s["comp"]["h"], s["comp"]["v"]
+        plan.append((ci, _huff_lut(s["dc"]), _huff_lut(s["ac"]), ch, cv, mcus_x * ch))
+
+    acc = 0
+    nbits = 0
+    p = 0
+    next_restart = iter(restarts)
     preds = [0] * len(scan)
     mcu_count = 0
-    for my in range(mcus_y):
-        for mx in range(mcus_x):
-            if restart_interval and mcu_count and mcu_count % restart_interval == 0:
-                r.byte_align()
-                r.skip_restart()
-                preds = [0] * len(scan)
-            try:
-                for ci, s in enumerate(scan):
-                    ch, cv = s["comp"]["h"], s["comp"]["v"]
-                    bpr = mcus_x * ch
+    try:
+        for my in range(mcus_y):
+            for mx in range(mcus_x):
+                if restart_interval and mcu_count and mcu_count % restart_interval == 0:
+                    # byte-align and resume at the recorded RST boundary
+                    p = next(next_restart)
+                    acc = 0
+                    nbits = 0
+                    preds = [0] * len(scan)
+                for ci, dc_lut, ac_lut, ch, cv, bpr in plan:
+                    idx_list = coo_idx[ci]
+                    val_list = coo_val[ci]
                     for by in range(cv):
                         for bx in range(ch):
-                            zz = stacks[ci][(my * cv + by) * bpr + (mx * ch + bx)]
-                            # DC
-                            size = _read_symbol(r, s["dc"])
-                            diff = _extend(r.read_bits(size), size)
+                            bbase = ((my * cv + by) * bpr + (mx * ch + bx)) * 64
+                            # ---- DC
+                            while nbits < 16:
+                                acc = (acc << 8) | clean[p]
+                                p += 1
+                                nbits += 8
+                            packed = dc_lut[(acc >> (nbits - 16)) & 0xFFFF]
+                            if packed == 0:
+                                raise JpegError("invalid Huffman code")
+                            size = packed >> 5
+                            nbits -= packed & 31
+                            if size:
+                                while nbits < size:
+                                    acc = (acc << 8) | clean[p]
+                                    p += 1
+                                    nbits += 8
+                                nbits -= size
+                                v = (acc >> nbits) & ((1 << size) - 1)
+                                diff = v if v >= (1 << (size - 1)) else v - (1 << size) + 1
+                            else:
+                                diff = 0
                             preds[ci] += diff
-                            zz[0] = preds[ci]
-                            # AC
+                            idx_list.append(bbase)
+                            val_list.append(preds[ci])
+                            acc &= (1 << nbits) - 1
+                            # ---- AC
                             k = 1
                             while k < 64:
-                                rs = _read_symbol(r, s["ac"])
+                                while nbits < 16:
+                                    acc = (acc << 8) | clean[p]
+                                    p += 1
+                                    nbits += 8
+                                packed = ac_lut[(acc >> (nbits - 16)) & 0xFFFF]
+                                if packed == 0:
+                                    raise JpegError("invalid Huffman code")
+                                rs = packed >> 5
+                                nbits -= packed & 31
                                 if rs == 0x00:  # EOB
                                     break
                                 if rs == 0xF0:  # ZRL
@@ -591,11 +621,30 @@ def _decode_scan(data, pos, frame, scan, qtables, restart_interval):
                                 size = rs & 0x0F
                                 if k > 63:
                                     raise JpegError("AC index out of range")
-                                zz[k] = _extend(r.read_bits(size), size)
+                                while nbits < size:
+                                    acc = (acc << 8) | clean[p]
+                                    p += 1
+                                    nbits += 8
+                                nbits -= size
+                                v = (acc >> nbits) & ((1 << size) - 1)
+                                idx_list.append(bbase + k)
+                                val_list.append(
+                                    v if v >= (1 << (size - 1)) else v - (1 << size) + 1
+                                )
                                 k += 1
-            except _RestartMarker:
-                raise JpegError("unexpected restart marker")
-            mcu_count += 1
+                            acc &= (1 << nbits) - 1
+                mcu_count += 1
+    except IndexError:
+        raise JpegError("truncated entropy stream") from None
+    if p > limit:
+        raise JpegError("truncated entropy stream")
+
+    stacks = []
+    for nb, idxs, vals in zip(n_blocks_of, coo_idx, coo_val):
+        flat = np.zeros(nb * 64, dtype=np.int64)
+        if idxs:
+            flat[np.asarray(idxs, dtype=np.int64)] = np.asarray(vals, dtype=np.int64)
+        stacks.append(flat.reshape(-1, 64))
 
     # dequantize + IDCT, one einsum per component
     planes = []

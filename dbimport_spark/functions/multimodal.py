@@ -270,8 +270,12 @@ def documents_as_png_media(documents: DataFrame, width: int = 16) -> DataFrame:
 
     from pyspark.sql import functions as F  # noqa: F811 (local for clarity)
 
-    src = documents.filter(F.length("text") >= width).select(
-        F.col("doc_id").alias("media_id"), "text"
+    src = (
+        documents.filter(F.length("text") >= width)
+        .select(F.col("doc_id").alias("media_id"), "text")
+        # blobs are encoded per-row in Python: spread the work over every
+        # core even when the source parquet arrives as one input split
+        .repartition(documents.sparkSession.sparkContext.defaultParallelism)
     )
 
     def kernel(batches):
@@ -313,8 +317,10 @@ def documents_as_jpeg_media(
     pushed to the scan)."""
     import pandas as pd
 
-    src = documents.filter(F.length("text") >= width).select(
-        F.col("doc_id").alias("media_id"), "text"
+    src = (
+        documents.filter(F.length("text") >= width)
+        .select(F.col("doc_id").alias("media_id"), "text")
+        .repartition(documents.sparkSession.sparkContext.defaultParallelism)
     )
 
     def kernel(batches):

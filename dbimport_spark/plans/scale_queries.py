@@ -454,8 +454,11 @@ def multimodal_wav_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from dbimport_spark.functions import wav as _wav
 
-    d = load(spark, sf_dir, "documents").filter(F.length("text") >= 1).select(
-        F.col("doc_id").alias("media_id"), "text"
+    d = (
+        load(spark, sf_dir, "documents")
+        .filter(F.length("text") >= 1)
+        .select(F.col("doc_id").alias("media_id"), "text")
+        .repartition(spark.sparkContext.defaultParallelism)
     )
 
     def enc(batches):
@@ -521,8 +524,13 @@ def multimodal_jpeg_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from dbimport_spark.functions import jpeg as _jpeg
 
-    d = load(spark, sf_dir, "documents").filter(F.length("text") >= 16).select(
-        F.col("doc_id").alias("media_id"), "text"
+    d = (
+        load(spark, sf_dir, "documents")
+        .filter(F.length("text") >= 16)
+        .select(F.col("doc_id").alias("media_id"), "text")
+        # per-row Python codec work: spread over all cores even from a
+        # single-split parquet source
+        .repartition(spark.sparkContext.defaultParallelism)
     )
 
     def enc(batches):
@@ -596,8 +604,11 @@ def multimodal_gif_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from dbimport_spark.functions import gif as _gif
 
-    d = load(spark, sf_dir, "documents").filter(F.length("text") >= 64).select(
-        F.col("doc_id").alias("media_id"), "text"
+    d = (
+        load(spark, sf_dir, "documents")
+        .filter(F.length("text") >= 64)
+        .select(F.col("doc_id").alias("media_id"), "text")
+        .repartition(spark.sparkContext.defaultParallelism)
     )
 
     def enc(batches):

@@ -95,3 +95,18 @@ class TestJpegRobustness:
         _, _, _, px = decode_jpeg(encode_jpeg(24, 24, 1, img.tobytes(), quality=50))
         mx, _ = _err(img, np.frombuffer(px, np.uint8).reshape(24, 24))
         assert mx <= 4
+
+
+def test_restart_interval_roundtrip():
+    """DRI + RSTn markers: encoder emits them every N MCUs with DC-pred
+    reset; decoder byte-aligns and resumes at each boundary. A slip in
+    either side shifts every block after the first boundary."""
+    rng = np.random.default_rng(11)
+    img = rng.integers(0, 256, (40, 64), dtype=np.uint8)  # 5x8 = 40 MCUs
+    blob = encode_jpeg(64, 40, 1, img.tobytes(), quality=92, restart_interval=3)
+    assert b"\xff\xdd" in blob  # DRI present
+    assert any(bytes((0xFF, 0xD0 + i)) in blob for i in range(8))
+    dw, dh, dc, px = decode_jpeg(blob)
+    assert (dw, dh, dc) == (64, 40, 1)
+    d = np.abs(np.frombuffer(px, np.uint8).reshape(40, 64).astype(int) - img.astype(int))
+    assert d.max() <= 16

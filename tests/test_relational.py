@@ -171,3 +171,29 @@ def test_pagerank_checkpoint_invariance(spark):
     }
     assert plain == ckpt
     assert len(plain) == 20
+
+
+def test_pagerank_directed_sinks_and_sources(spark):
+    """r3 advice: on a DIRECTED graph, sink-only nodes must count toward N
+    and receive rank, and zero-in-degree nodes must keep their base rank
+    (and keep CONTRIBUTING it) every iteration — standard PageRank, not
+    just the symmetrized special case the registered query exercises."""
+    from dbimport_spark.functions.graph import SCALE, pagerank
+
+    # 1 → 2 → 3 (3 is a pure sink; 1 has zero in-degree)
+    edges = spark.createDataFrame([(1, 2), (2, 3)], "src long, dst long")
+    pr = {r["node"]: r["pr"] for r in pagerank(edges, iters=3).collect()}
+    assert set(pr) == {1, 2, 3}  # N=3: sink node 3 is in the vector
+    n = 3
+    base = (15 * SCALE) // (100 * n)
+    # node 1 never receives: pinned at base every iteration
+    assert pr[1] == base
+    # fixed-point replay of the synchronous update (d=0.85, div semantics)
+    r = {1: SCALE // n, 2: SCALE // n, 3: SCALE // n}
+    for _ in range(3):
+        r = {
+            1: base,
+            2: base + (85 * r[1]) // 100,
+            3: base + (85 * r[2]) // 100,
+        }
+    assert pr == r
