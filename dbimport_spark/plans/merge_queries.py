@@ -844,3 +844,51 @@ def lake_txn_zonemap_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(cents).cast("bigint").alias("price_cents"),
         )
     )
+
+
+@register(
+    "lake_txn_compact",
+    """SELECT count(*) AS n_rows,
+       CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS bal_cents,
+       TRUE AS compacted
+FROM customer WHERE c_custkey % 5 <> 0""",
+)
+def lake_txn_compact_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transactional small-file compaction (txnlog.txn_compact — Delta/
+    Iceberg OPTIMIZE reduced to its core): four append commits produce a
+    fragmented file layout, one compaction commit rewrites the same rows
+    as a single file atomically ({add, remove-all} in one version). The
+    graded columns prove CONTENT invariance against the raw source
+    (count + exact balance cents — a compaction that drops/dupes any row
+    breaks both) and that the file count really shrank; pre-compaction
+    versions stay time-travelable (pinned in tests/test_txnlog.py).
+
+    At 100 TB this is the maintenance job that keeps a streaming-ingested
+    lake scannable: many small commit-sized files → few scan-sized files,
+    without blocking readers (snapshot isolation) and without losing
+    history (logical removes until vacuum)."""
+    import os
+    import shutil
+    import tempfile
+
+    from dbimport_spark import txnlog
+
+    path = os.path.join(
+        tempfile.gettempdir(),
+        "dbimport_spark_txn_compact",
+        sf_dir.rstrip("/").replace("/", "_"),
+    )
+    if os.path.isdir(path):
+        shutil.rmtree(path)
+    cust = load(spark, sf_dir, "customer").filter(F.col("c_custkey") % 5 != 0)
+    for m in range(4):
+        txnlog.txn_append(spark, cust.filter(F.col("c_custkey") % 4 == m), path)
+    n_before = len(txnlog.snapshot_files(path))
+    txnlog.txn_compact(spark, path, target_file_bytes=1 << 40)
+    n_after = len(txnlog.snapshot_files(path))
+    cents = F.round(F.col("c_acctbal") * 100).cast("bigint")
+    return txnlog.read_snapshot(spark, path).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(cents).cast("bigint").alias("bal_cents"),
+        F.lit(n_after < n_before).alias("compacted"),
+    )

@@ -481,6 +481,43 @@ def txn_append_partitioned(
     raise TxnConflict(f"gave up after {max_retries} retries appending to {path}")
 
 
+# ------------------------------------------------------------ compaction
+
+def txn_compact(
+    spark, path: str, target_file_bytes: int = 128 << 20, min_files: int = 2,
+    max_retries: int = 3,
+) -> int:
+    """Transactional small-file compaction — Delta/Iceberg OPTIMIZE reduced
+    to its core: read the current snapshot's files, rewrite the same rows
+    as ⌈total_bytes / target_file_bytes⌉ files, and commit
+    {add: new files, remove: all old files} as ONE version. Readers see
+    the old or the new layout, never a mix; the table's CONTENT is
+    invariant (asserted by the lake_txn_compact oracle query), and time
+    travel to pre-compaction versions still resolves the old files until
+    vacuum. A lost commit race leaves the staged files unreferenced and
+    retries against the new snapshot, like txn_upsert. Returns the new
+    version (or the current one if there was nothing to compact)."""
+    import math
+
+    for _ in range(max_retries):
+        base_v = current_version(path)
+        files = snapshot_files(path, base_v)
+        if len(files) < min_files:
+            return base_v
+        total = sum(os.path.getsize(f) for f in files)
+        n_out = max(1, math.ceil(total / target_file_bytes))
+        if n_out >= len(files):
+            return base_v  # already at or below target granularity
+        df = spark.read.parquet(*files).coalesce(n_out)
+        added = _stage(df, path)
+        old = [os.path.basename(f) for f in files]
+        try:
+            return commit(path, added, old, base_v)
+        except TxnConflict:
+            continue
+    raise TxnConflict(f"gave up after {max_retries} retries compacting {path}")
+
+
 # ------------------------------------------------------------------ vacuum
 
 def vacuum(path: str, retain_versions: int = 1) -> list[str]:

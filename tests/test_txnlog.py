@@ -376,3 +376,44 @@ def test_checkpoint_bounds_log_reads(table):
     log_reads = [f for f in opened if "_txn_log" in f]
     # latest checkpoint (v980 at interval 20) + ≤ interval suffix entries
     assert len(log_reads) <= txnlog.CHECKPOINT_INTERVAL + 2
+
+
+def test_compact_preserves_content_and_history(spark, table):
+    for m in range(4):
+        txnlog.txn_append(spark, _df(spark, [(m * 10 + i, f"v{m}_{i}") for i in range(3)]), table)
+    files_before = txnlog.snapshot_files(table)
+    assert len(files_before) >= 4
+    pre = {r["k"]: r["v"] for r in txnlog.read_snapshot(spark, table).collect()}
+    v = txnlog.txn_compact(spark, table, target_file_bytes=1 << 40)
+    assert v == 4
+    files_after = txnlog.snapshot_files(table)
+    assert len(files_after) < len(files_before)
+    # content invariant
+    post = {r["k"]: r["v"] for r in txnlog.read_snapshot(spark, table).collect()}
+    assert post == pre
+    # pre-compaction versions still time travel to the OLD layout
+    old = {r["k"] for r in txnlog.read_snapshot(spark, table, 3).collect()}
+    assert old == set(pre)
+    assert set(txnlog.snapshot_files(table, 3)) == set(files_before)
+    # compacting an already-compact table is a no-op (no empty commit)
+    assert txnlog.txn_compact(spark, table, target_file_bytes=1 << 40) == 4
+
+
+def test_compact_retries_after_conflict(spark, table, monkeypatch):
+    txnlog.txn_append(spark, _df(spark, [(1, "a")]), table)
+    txnlog.txn_append(spark, _df(spark, [(2, "b")]), table)
+    real_commit = txnlog.commit
+    raced = {"done": False}
+
+    def racing_commit(path, added, removed, expect_version):
+        if not raced["done"]:
+            raced["done"] = True
+            txnlog.txn_append(spark, _df(spark, [(9, "z")]), table)
+            return real_commit(path, added, removed, expect_version)
+        return real_commit(path, added, removed, expect_version)
+
+    monkeypatch.setattr(txnlog, "commit", racing_commit)
+    txnlog.txn_compact(spark, table, target_file_bytes=1 << 40)
+    now = {r["k"] for r in txnlog.read_snapshot(spark, table).collect()}
+    # the rival's append survives: compaction re-read the new snapshot
+    assert now == {1, 2, 9}

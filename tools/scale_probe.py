@@ -129,9 +129,26 @@ def inflate(spark, factor: int, out_dir: str) -> None:
         times(r.parquet(f"{BASE}/lineitem.parquet"), ["l_orderkey"]), "lineitem"
     )
     write(times(r.parquet(f"{BASE}/orders.parquet"), ["o_orderkey"]), "orders")
-    write(
-        times(r.parquet(f"{BASE}/customer.parquet"), ["c_custkey"]), "customer"
-    )
+
+    def times_customer(df):
+        # Perturb c_name per replica (same reason as the document-text
+        # perturbation above): K verbatim name copies put every name in a
+        # K-sized edit-distance-0 clique, so fuzzy-key PAIR output grows
+        # ~K² — a corpus property that measured as a fake 18× at K=10.
+        # A 2-char replica suffix pushes cross-replica distance past the
+        # ≤1 threshold, so pair output scales linearly like a real corpus.
+        parts = []
+        for i in range(factor):
+            p = df.withColumn("c_custkey", F.col("c_custkey") + F.lit(i * ID_OFFSET))
+            if i > 0:
+                p = p.withColumn("c_name", F.concat(F.col("c_name"), F.lit(f"x{i:02d}")))
+            parts.append(p)
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
+    write(times_customer(r.parquet(f"{BASE}/customer.parquet")), "customer")
     for t in ("region", "nation", "supplier", "part", "events"):
         dst = f"{out_dir}/{t}.parquet"
         if os.path.lexists(dst):
@@ -148,10 +165,17 @@ def main() -> None:
     from dbimport_spark.plans import QUERIES
 
     cpus = os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count() or 8))
+    # Shuffle partitions scale WITH the data (the brief's sizing rule:
+    # partitions must fit executor memory at the target SF) — keeping them
+    # pinned at |cores| while inflating K× makes every partition K× larger
+    # and measures spill, not plan shape. AQE coalesces the excess when a
+    # stage is small, so oversizing is cheap.
+    shuffle_parts = int(cpus) * max(1, factor // 2)
     spark = (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName("dbimport_spark_scale_probe")
-        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.sql.shuffle.partitions", shuffle_parts)
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
