@@ -114,6 +114,7 @@ HEADLINE = [
     "lake_txn_compact",
     "multimodal_resize",
     "audio_spectral_gate",
+    "lake_txn_cdf",
 ]
 
 

@@ -892,3 +892,76 @@ def lake_txn_compact_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(cents).cast("bigint").alias("bal_cents"),
         F.lit(n_after < n_before).alias("compacted"),
     )
+
+
+@register(
+    "lake_txn_cdf",
+    """WITH t0 AS (
+  SELECT c_custkey, c_acctbal FROM customer WHERE c_custkey % 4 <> 0
+), src AS (
+  SELECT c_custkey, c_acctbal * 2 AS c_acctbal
+  FROM customer WHERE c_custkey % 2 = 0
+), v1 AS (
+  SELECT t.c_custkey, COALESCE(s.c_acctbal, t.c_acctbal) AS c_acctbal
+  FROM t0 t LEFT JOIN src s ON t.c_custkey = s.c_custkey
+  UNION ALL
+  SELECT s.c_custkey, s.c_acctbal FROM src s
+  WHERE NOT EXISTS (SELECT 1 FROM t0 WHERE t0.c_custkey = s.c_custkey)
+), v2 AS (
+  SELECT * FROM v1 WHERE c_custkey % 10 <> 3
+)
+SELECT c_custkey,
+       CAST(round(c_acctbal * 100) AS BIGINT) AS bal_cents,
+       _change_type
+FROM (
+  SELECT v2.c_custkey, v2.c_acctbal, 'insert' AS _change_type
+  FROM v2 WHERE NOT EXISTS (SELECT 1 FROM t0 WHERE t0.c_custkey = v2.c_custkey)
+  UNION ALL
+  SELECT v2.c_custkey, v2.c_acctbal, 'update'
+  FROM v2 JOIN t0 ON t0.c_custkey = v2.c_custkey
+  WHERE v2.c_acctbal <> t0.c_acctbal
+  UNION ALL
+  SELECT t0.c_custkey, t0.c_acctbal, 'delete'
+  FROM t0 WHERE NOT EXISTS (SELECT 1 FROM v2 WHERE v2.c_custkey = t0.c_custkey)
+)""",
+)
+def lake_txn_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level CHANGE DATA FEED over the commit log (txnlog.read_changes
+    — Delta CDF computed from snapshot time travel): version 0 appends a
+    customer slice, version 1 transactionally UPSERTS doubled balances,
+    version 2 transactionally DELETES a key stripe (txn_delete — the
+    lake's row-level delete). The feed v0→v2 classifies every key as
+    insert / update / delete with exact integer cents, and the oracle
+    re-derives the same feed relationally — a wrong join side, a missed
+    delete, or preimage/postimage confusion flips rows.
+
+    At 100 TB the CDF is how downstream consumers (index refresh,
+    aggregate maintenance, replication) subscribe to a lake table without
+    rescanning it; one key-shuffle full-outer join between two pruned
+    snapshots."""
+    import os
+    import shutil
+    import tempfile
+
+    from dbimport_spark import txnlog
+
+    path = os.path.join(
+        tempfile.gettempdir(),
+        "dbimport_spark_txn_cdf",
+        sf_dir.rstrip("/").replace("/", "_"),
+    )
+    if os.path.isdir(path):
+        shutil.rmtree(path)
+    cust = load(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    txnlog.txn_append(spark, cust.filter(F.col("c_custkey") % 4 != 0), path)
+    src = cust.filter(F.col("c_custkey") % 2 == 0).withColumn(
+        "c_acctbal", F.col("c_acctbal") * 2
+    )
+    txnlog.txn_upsert(spark, src, path, ["c_custkey"])
+    txnlog.txn_delete(spark, F.col("c_custkey") % 10 == 3, path)
+    feed = txnlog.read_changes(spark, path, ["c_custkey"], from_version=0)
+    return feed.select(
+        "c_custkey",
+        F.round(F.col("c_acctbal") * 100).cast("bigint").alias("bal_cents"),
+        "_change_type",
+    )

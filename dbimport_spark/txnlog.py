@@ -166,7 +166,12 @@ def snapshot_files(path: str, version: int | None = None) -> list[str]:
 
 def read_snapshot(spark, path: str, version: int | None = None) -> DataFrame:
     """DataFrame over the snapshot's file list (empty snapshot → error;
-    create the table with a first commit before reading)."""
+    create the table with a first commit before reading).
+
+    Reads with mergeSchema so commits carrying EVOLVED schemas (columns
+    added over the table's lifetime) union into one superset schema with
+    NULL backfill — the read-side half of schema evolution; cost is one
+    footer read per live file, which the snapshot already enumerates."""
     if version is not None and version < vacuum_horizon(path):
         raise ValueError(
             f"version {version} of {path} was vacuumed (horizon "
@@ -175,7 +180,7 @@ def read_snapshot(spark, path: str, version: int | None = None) -> DataFrame:
     files = snapshot_files(path, version)
     if not files:
         raise ValueError(f"no data at version {version!r} of {path}")
-    return spark.read.parquet(*files)
+    return spark.read.option("mergeSchema", "true").parquet(*files)
 
 
 def _stage(df: DataFrame, path: str) -> list[str]:
@@ -479,6 +484,90 @@ def txn_append_partitioned(
         except TxnConflict:
             continue
     raise TxnConflict(f"gave up after {max_retries} retries appending to {path}")
+
+
+def txn_delete(spark, source_pred, path: str, max_retries: int = 3) -> int:
+    """Transactional row-level DELETE: rewrite the current snapshot
+    without the rows matching ``source_pred`` (a Column predicate) and
+    commit {add: kept-row files, remove: all previous files} as one
+    version. Same optimistic-retry shape as txn_upsert; deleted rows stay
+    time-travelable until vacuum. Returns the new version."""
+    for _ in range(max_retries):
+        base_v = current_version(path)
+        target = read_snapshot(spark, path, base_v)
+        old_files = [os.path.basename(f) for f in snapshot_files(path, base_v)]
+        kept = target.filter(~source_pred)
+        added = _stage(kept, path)
+        try:
+            return commit(path, added, old_files, base_v)
+        except TxnConflict:
+            continue
+    raise TxnConflict(f"gave up after {max_retries} retries deleting from {path}")
+
+
+def read_changes(
+    spark, path: str, keys, from_version: int, to_version: int | None = None
+) -> DataFrame:
+    """Row-level CHANGE DATA FEED between two snapshots — the Delta-CDF
+    idea computed from the log's time travel instead of per-commit change
+    files: full-outer-join the two snapshots on the merge keys and emit
+
+    * ``insert``  — key only in the newer snapshot (new row values),
+    * ``update``  — key in both with any non-key column changed (new
+      values; consumers wanting the preimage time-travel to from_version),
+    * ``delete``  — key only in the older snapshot (old row values).
+
+    Unchanged rows are not emitted. One shuffle on the key columns; at
+    100 TB pair this with the partitioned form so only touched partitions'
+    files are read on either side."""
+    from functools import reduce
+
+    from pyspark.sql import functions as F
+
+    keys = list(keys)
+    old = read_snapshot(spark, path, from_version)
+    new = read_snapshot(spark, path, to_version)
+    val_cols = [c for c in new.columns if c not in keys]
+    o = old.select(
+        F.lit(True).alias("_o_present"),
+        *[F.col(k).alias(f"_ok_{k}") for k in keys],
+        *[F.col(c).alias(f"_ov_{c}") for c in val_cols],
+    )
+    n = new.select(
+        F.lit(True).alias("_n_present"),
+        *[F.col(k).alias(f"_nk_{k}") for k in keys],
+        *[F.col(c).alias(f"_nv_{c}") for c in val_cols],
+    )
+    cond = reduce(
+        lambda a, b: a & b,
+        [o[f"_ok_{k}"].eqNullSafe(n[f"_nk_{k}"]) for k in keys],
+    )
+    j = o.join(n, cond, "full_outer")
+    # presence markers, not key-null checks: a legitimately-NULL key
+    # column must not read as "row absent"
+    in_old = F.col("_o_present").isNotNull()
+    in_new = F.col("_n_present").isNotNull()
+    changed = reduce(
+        lambda a, b: a | b,
+        [~F.col(f"_ov_{c}").eqNullSafe(F.col(f"_nv_{c}")) for c in val_cols],
+        F.lit(False),
+    )
+    change_type = (
+        F.when(in_old & ~in_new, F.lit("delete"))
+        .when(~in_old & in_new, F.lit("insert"))
+        .when(changed, F.lit("update"))
+    )
+    out_cols = [
+        F.coalesce(F.col(f"_nk_{k}"), F.col(f"_ok_{k}")).alias(k) for k in keys
+    ] + [
+        # delete rows carry the OLD values; insert/update carry the NEW
+        F.when(in_new, F.col(f"_nv_{c}")).otherwise(F.col(f"_ov_{c}")).alias(c)
+        for c in val_cols
+    ]
+    return (
+        j.select(*out_cols, change_type.alias("_change_type"))
+        .filter(F.col("_change_type").isNotNull())
+    )
 
 
 # ------------------------------------------------------------ compaction

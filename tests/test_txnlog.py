@@ -417,3 +417,41 @@ def test_compact_retries_after_conflict(spark, table, monkeypatch):
     now = {r["k"] for r in txnlog.read_snapshot(spark, table).collect()}
     # the rival's append survives: compaction re-read the new snapshot
     assert now == {1, 2, 9}
+
+
+def test_delete_and_change_feed(spark, table):
+    txnlog.txn_append(spark, _df(spark, [(1, "a"), (2, "b"), (3, "c")]), table)
+    txnlog.txn_upsert(spark, _df(spark, [(2, "B"), (4, "d")]), table, ["k"])
+    txnlog.txn_delete(spark, F.col("k") == 3, table)
+    # latest = {1:a, 2:B, 4:d}; feed v0→latest
+    feed = {
+        (r["k"], r["_change_type"]): r["v"]
+        for r in txnlog.read_changes(spark, table, ["k"], from_version=0).collect()
+    }
+    assert feed == {
+        (2, "update"): "B",   # new value
+        (4, "insert"): "d",
+        (3, "delete"): "c",   # old value rides on deletes
+    }
+    # unchanged key 1 is NOT emitted
+    assert not any(k == 1 for k, _t in feed)
+    # a versioned window: v1→v2 sees only the delete
+    w = {
+        (r["k"], r["_change_type"])
+        for r in txnlog.read_changes(spark, table, ["k"], 1, 2).collect()
+    }
+    assert w == {(3, "delete")}
+    # deleted rows stay time-travelable until vacuum
+    assert {r["k"] for r in txnlog.read_snapshot(spark, table, 1).collect()} == {1, 2, 3, 4}
+
+
+def test_schema_evolution_across_commits(spark, table):
+    txnlog.txn_append(spark, _df(spark, [(1, "a")]), table)
+    evolved = spark.createDataFrame([(2, "b", 99)], "k long, v string, extra long")
+    txnlog.txn_append(spark, evolved, table)
+    snap = txnlog.read_snapshot(spark, table)
+    assert set(snap.columns) == {"k", "v", "extra"}
+    rows = {r["k"]: r["extra"] for r in snap.collect()}
+    assert rows == {1: None, 2: 99}  # old files NULL-backfill the new column
+    # time travel to v0 shows the ORIGINAL schema
+    assert set(txnlog.read_snapshot(spark, table, 0).columns) == {"k", "v"}
