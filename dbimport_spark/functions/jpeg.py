@@ -489,10 +489,14 @@ def decode_jpeg(data: bytes):
         elif marker == 0xC4:  # DHT
             p = 0
             while p < len(body):
+                if p + 17 > len(body):
+                    raise JpegError("truncated DHT segment")
                 tc_th = body[p]
                 bits = list(body[p + 1 : p + 17])
                 n = sum(bits)
                 vals = list(body[p + 17 : p + 17 + n])
+                if len(vals) != n:
+                    raise JpegError("DHT declares more codes than it carries")
                 htables[tc_th] = _decode_table(bits, vals)
                 p += 17 + n
         elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 baseline
@@ -514,8 +518,17 @@ def decode_jpeg(data: bytes):
             ns = body[0]
             scan = []
             for i in range(ns):
-                cs, tt = body[1 + 2 * i : 3 + 2 * i]
-                comp = next(c for c in frame["comps"] if c["id"] == cs)
+                pair = body[1 + 2 * i : 3 + 2 * i]
+                if len(pair) != 2:
+                    raise JpegError("truncated SOS header")
+                cs, tt = pair
+                comp = next(
+                    (c for c in frame["comps"] if c["id"] == cs), None
+                )
+                if comp is None:
+                    raise JpegError(f"scan references unknown component {cs}")
+                if tt >> 4 not in htables or (0x10 | (tt & 0x0F)) not in htables:
+                    raise JpegError("scan references undefined Huffman table")
                 scan.append(
                     {
                         "comp": comp,
@@ -566,7 +579,12 @@ def _decode_scan(data, pos, frame, scan, qtables, restart_interval):
             for mx in range(mcus_x):
                 if restart_interval and mcu_count and mcu_count % restart_interval == 0:
                     # byte-align and resume at the recorded RST boundary
-                    p = next(next_restart)
+                    try:
+                        p = next(next_restart)
+                    except StopIteration:
+                        raise JpegError(
+                            "DRI declared but RST marker missing"
+                        ) from None
                     acc = 0
                     nbits = 0
                     preds = [0] * len(scan)

@@ -5,6 +5,7 @@ quantization tables), never byte equality."""
 
 import numpy as np
 import pytest
+from struct import error as struct_error
 
 from dbimport_spark.functions.jpeg import JpegError, decode_jpeg, encode_jpeg
 
@@ -110,3 +111,51 @@ def test_restart_interval_roundtrip():
     assert (dw, dh, dc) == (64, 40, 1)
     d = np.abs(np.frombuffer(px, np.uint8).reshape(40, 64).astype(int) - img.astype(int))
     assert d.max() <= 16
+
+
+def test_missing_rst_after_dri_is_loud():
+    rng = np.random.default_rng(12)
+    img = rng.integers(0, 256, (40, 64), dtype=np.uint8)
+    blob = bytearray(encode_jpeg(64, 40, 1, img.tobytes(), quality=92, restart_interval=3))
+    # strip every RST marker from the entropy stream: the decoder must
+    # fail loudly, not leak StopIteration
+    for i in range(8):
+        blob = bytearray(bytes(blob).replace(bytes((0xFF, 0xD0 + i)), b""))
+    with pytest.raises(JpegError):
+        decode_jpeg(bytes(blob))
+
+
+class TestJpegFuzz:
+    def test_random_bytes_never_crash_uncontrolled(self):
+        """Decoding garbage must raise a controlled error (JpegError /
+        ValueError family), never hang, IndexError, or succeed."""
+        import random
+
+        rnd = random.Random(1234)
+        for trial in range(200):
+            n = rnd.choice([0, 1, 3, 16, 200, 2000])
+            blob = bytes(rnd.randrange(256) for _ in range(n))
+            try:
+                decode_jpeg(blob)
+            except (JpegError, ValueError, struct_error):
+                continue
+            except Exception as e:  # pragma: no cover
+                raise AssertionError(f"uncontrolled {type(e).__name__} on trial {trial}")
+
+    def test_mutated_valid_stream_fails_controlled(self):
+        """Bit-flips in a real stream: decode either still returns a frame
+        of the declared geometry or raises a controlled error."""
+        import random
+
+        rnd = random.Random(99)
+        img = (np.arange(64 * 24) % 256).astype(np.uint8).reshape(24, 64)
+        blob = bytearray(encode_jpeg(64, 24, 1, img.tobytes(), quality=85))
+        for trial in range(150):
+            mut = bytearray(blob)
+            for _ in range(rnd.randrange(1, 4)):
+                mut[rnd.randrange(2, len(mut))] ^= 1 << rnd.randrange(8)
+            try:
+                w, h, c, px = decode_jpeg(bytes(mut))
+            except (JpegError, ValueError, struct_error, KeyError):
+                continue
+            assert len(px) == w * h * c
