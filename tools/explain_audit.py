@@ -40,7 +40,9 @@ def main() -> None:
     )
     spark.sparkContext.setLogLevel("ERROR")
 
-    print(f"{'query':34s} {'bhj':>3s} {'smj':>3s} {'exch':>4s} {'pushdown':>8s}")
+    print(
+        f"{'query':34s} {'bhj':>3s} {'smj':>3s} {'exch':>4s} {'imts':>4s} {'pushdown':>8s}"
+    )
     for name in HEADLINE:
         try:
             plan = QUERIES[name](spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
@@ -50,8 +52,15 @@ def main() -> None:
         bhj = plan.count("BroadcastHashJoin")
         smj = plan.count("SortMergeJoin")
         ex = plan.count("Exchange hashpartitioning")
+        # InMemoryTableScan reads a materialized cache: iterative queries
+        # (connected components, label propagation) legitimately show huge
+        # bhj/smj counts because InMemoryRelation PRINTS its whole cached
+        # lineage — the runtime reads the cache, not those joins. A
+        # non-zero imts says "discount the join counts; audit the
+        # per-round operator instead".
+        imts = plan.count("InMemoryTableScan")
         pushed = "yes" if ("PushedFilters: [" in plan and "PushedFilters: []" not in plan) else "-"
-        print(f"{name:34s} {bhj:3d} {smj:3d} {ex:4d} {pushed:>8s}")
+        print(f"{name:34s} {bhj:3d} {smj:3d} {ex:4d} {imts:4d} {pushed:>8s}")
 
 
 if __name__ == "__main__":
