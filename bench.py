@@ -115,6 +115,7 @@ HEADLINE = [
     "multimodal_resize",
     "audio_spectral_gate",
     "lake_txn_cdf",
+    "lake_cdf_incremental_agg",
 ]
 
 

@@ -506,7 +506,8 @@ def txn_delete(spark, source_pred, path: str, max_retries: int = 3) -> int:
 
 
 def read_changes(
-    spark, path: str, keys, from_version: int, to_version: int | None = None
+    spark, path: str, keys, from_version: int, to_version: int | None = None,
+    include_preimage: bool = False,
 ) -> DataFrame:
     """Row-level CHANGE DATA FEED between two snapshots — the Delta-CDF
     idea computed from the log's time travel instead of per-commit change
@@ -516,6 +517,13 @@ def read_changes(
     * ``update``  — key in both with any non-key column changed (new
       values; consumers wanting the preimage time-travel to from_version),
     * ``delete``  — key only in the older snapshot (old row values).
+
+    With ``include_preimage`` the update row splits into Delta's pair —
+    ``update_preimage`` (old values) + ``update_postimage`` (new values) —
+    which is what DELTA-APPLYING consumers need: an incremental aggregate
+    refresh subtracts preimages and deletes, adds postimages and inserts,
+    and never rescans the base table (★lake_cdf_incremental_agg proves
+    the algebra against a from-scratch recompute).
 
     Unchanged rows are not emitted. One shuffle on the key columns; at
     100 TB pair this with the partitioned form so only touched partitions'
@@ -552,22 +560,37 @@ def read_changes(
         [~F.col(f"_ov_{c}").eqNullSafe(F.col(f"_nv_{c}")) for c in val_cols],
         F.lit(False),
     )
-    change_type = (
-        F.when(in_old & ~in_new, F.lit("delete"))
-        .when(~in_old & in_new, F.lit("insert"))
-        .when(changed, F.lit("update"))
-    )
-    out_cols = [
+    key_cols = [
         F.coalesce(F.col(f"_nk_{k}"), F.col(f"_ok_{k}")).alias(k) for k in keys
-    ] + [
-        # delete rows carry the OLD values; insert/update carry the NEW
-        F.when(in_new, F.col(f"_nv_{c}")).otherwise(F.col(f"_ov_{c}")).alias(c)
-        for c in val_cols
     ]
-    return (
-        j.select(*out_cols, change_type.alias("_change_type"))
-        .filter(F.col("_change_type").isNotNull())
+    new_vals = [F.col(f"_nv_{c}").alias(c) for c in val_cols]
+    old_vals = [F.col(f"_ov_{c}").alias(c) for c in val_cols]
+    if not include_preimage:
+        change_type = (
+            F.when(in_old & ~in_new, F.lit("delete"))
+            .when(~in_old & in_new, F.lit("insert"))
+            .when(changed, F.lit("update"))
+        )
+        out_cols = key_cols + [
+            # delete rows carry the OLD values; insert/update carry the NEW
+            F.when(in_new, F.col(f"_nv_{c}")).otherwise(F.col(f"_ov_{c}")).alias(c)
+            for c in val_cols
+        ]
+        return (
+            j.select(*out_cols, change_type.alias("_change_type"))
+            .filter(F.col("_change_type").isNotNull())
+        )
+    j = j.persist()  # four classification branches; caller releases
+    inserts = j.filter(~in_old & in_new).select(
+        *key_cols, *new_vals, F.lit("insert").alias("_change_type")
     )
+    deletes = j.filter(in_old & ~in_new).select(
+        *key_cols, *old_vals, F.lit("delete").alias("_change_type")
+    )
+    upd = j.filter(in_old & in_new & changed)
+    pre = upd.select(*key_cols, *old_vals, F.lit("update_preimage").alias("_change_type"))
+    post = upd.select(*key_cols, *new_vals, F.lit("update_postimage").alias("_change_type"))
+    return inserts.unionByName(deletes).unionByName(pre).unionByName(post)
 
 
 # ------------------------------------------------------------ compaction

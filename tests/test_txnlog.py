@@ -455,3 +455,17 @@ def test_schema_evolution_across_commits(spark, table):
     assert rows == {1: None, 2: 99}  # old files NULL-backfill the new column
     # time travel to v0 shows the ORIGINAL schema
     assert set(txnlog.read_snapshot(spark, table, 0).columns) == {"k", "v"}
+
+
+def test_change_feed_preimage_postimage(spark, table):
+    txnlog.txn_append(spark, _df(spark, [(1, "a"), (2, "b")]), table)
+    txnlog.txn_upsert(spark, _df(spark, [(2, "B"), (3, "c")]), table, ["k"])
+    feed = txnlog.read_changes(
+        spark, table, ["k"], from_version=0, include_preimage=True
+    )
+    got = {(r["k"], r["_change_type"]): r["v"] for r in feed.collect()}
+    assert got == {
+        (2, "update_preimage"): "b",
+        (2, "update_postimage"): "B",
+        (3, "insert"): "c",
+    }
