@@ -116,6 +116,7 @@ HEADLINE = [
     "audio_spectral_gate",
     "lake_txn_cdf",
     "lake_cdf_incremental_agg",
+    "multimodal_video_frames",
 ]
 
 

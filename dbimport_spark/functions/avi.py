@@ -1,0 +1,241 @@
+"""From-scratch AVI (RIFF) container codec for MJPEG video — the video
+sibling of the PNG/GIF/WAV/JPEG codecs.
+
+Implements the public AVI RIFF layout (Microsoft "AVI RIFF File
+Reference" / OpenDML AVI spec): a ``RIFF/AVI `` envelope holding a
+``LIST hdrl`` (an ``avih`` MainAVIHeader plus one ``LIST strl`` with an
+``strh`` stream header and an ``strf`` BITMAPINFOHEADER), a ``LIST movi``
+of ``00dc`` compressed-frame chunks, and an ``idx1`` index. Frames are
+Motion-JPEG: each ``00dc`` payload is a standalone baseline JPEG that
+functions/jpeg.py decodes for real, so a decoded AVI yields true pixels —
+no stub anywhere on the video path.
+
+Reference parity note: hudeany/dbimport treats media as opaque blob
+columns (no codecs); this module is beyond-reference scope from the
+builder's brief (multimodal frame sampling). Like png.py/gif.py it is
+stdlib+numpy only: struct packing, explicit chunk walking, loud
+``AviError`` on malformed input (fuzz-tested like the JPEG decoder).
+
+Scale contract: codecs run inside Arrow-batched ``mapInPandas`` kernels —
+one task per partition, blobs never shuffle; callers size partitions by
+bytes. Decode cost is dominated by the per-frame JPEG IDCT, which is
+numpy-vectorized (see functions/jpeg.py).
+"""
+
+from __future__ import annotations
+
+import struct
+
+#: MainAVIHeader / stream-header flag: the file carries an idx1 index.
+_AVIF_HASINDEX = 0x00000010
+#: idx1 entry flag: the chunk is a key frame (every MJPEG frame is).
+_AVIIF_KEYFRAME = 0x00000010
+
+
+class AviError(ValueError):
+    """Malformed or unsupported AVI payload (loud, never a guess)."""
+
+
+def _chunk(cid: bytes, payload: bytes) -> bytes:
+    """RIFF chunk: id + size + payload, padded to word alignment."""
+    pad = b"\x00" if len(payload) & 1 else b""
+    return struct.pack("<4sI", cid, len(payload)) + payload + pad
+
+
+def _list(list_type: bytes, payload: bytes) -> bytes:
+    return _chunk(b"LIST", list_type + payload)
+
+
+def encode_avi(
+    width: int,
+    height: int,
+    frames: list[bytes],
+    fps: int = 10,
+) -> bytes:
+    """MJPEG frames (each a complete baseline-JPEG blob) → AVI bytes.
+
+    One 'vids'/'MJPG' stream; every frame is a key frame. ``fps`` is
+    stored as rate/scale = fps/1 in the stream header and as
+    microseconds-per-frame in the main header, so a decoder can recover
+    it from either (decode_avi cross-checks both).
+    """
+    if not frames:
+        raise AviError("cannot encode an AVI with zero frames")
+    if width <= 0 or height <= 0 or fps <= 0:
+        raise AviError("width, height and fps must be positive")
+
+    max_frame = max(len(f) for f in frames)
+
+    avih = _chunk(
+        b"avih",
+        struct.pack(
+            "<IIIIIIIIIIIIII",
+            1_000_000 // fps,  # dwMicroSecPerFrame
+            max_frame * fps,  # dwMaxBytesPerSec (upper bound)
+            0,  # dwPaddingGranularity
+            _AVIF_HASINDEX,  # dwFlags
+            len(frames),  # dwTotalFrames
+            0,  # dwInitialFrames
+            1,  # dwStreams
+            max_frame,  # dwSuggestedBufferSize
+            width,
+            height,
+            0, 0, 0, 0,  # dwReserved[4]
+        ),
+    )
+    strh = _chunk(
+        b"strh",
+        struct.pack(
+            "<4s4sIHHIIIIIIIIhhhh",
+            b"vids",
+            b"MJPG",
+            0,  # dwFlags
+            0,  # wPriority
+            0,  # wLanguage
+            0,  # dwInitialFrames
+            1,  # dwScale
+            fps,  # dwRate  (rate/scale = fps)
+            0,  # dwStart
+            len(frames),  # dwLength (in frames)
+            max_frame,  # dwSuggestedBufferSize
+            0xFFFFFFFF,  # dwQuality (default)
+            0,  # dwSampleSize (0: variable-size frames)
+            0, 0, width, height,  # rcFrame
+        ),
+    )
+    # strf for a video stream is a BITMAPINFOHEADER (40 bytes).
+    strf = _chunk(
+        b"strf",
+        struct.pack(
+            "<IiiHH4sIiiII",
+            40,  # biSize
+            width,
+            height,
+            1,  # biPlanes
+            24,  # biBitCount (nominal for MJPG)
+            b"MJPG",  # biCompression
+            width * height * 3,  # biSizeImage (nominal)
+            0, 0, 0, 0,
+        ),
+    )
+    hdrl = _list(b"hdrl", avih + _list(b"strl", strh + strf))
+
+    movi_parts: list[bytes] = []
+    idx_entries: list[bytes] = []
+    # idx1 offsets point at the chunk ID, measured from the start of the
+    # 'movi' fourcc (the dominant historical convention; decode_avi also
+    # accepts absolute-from-file offsets, both exist in the wild).
+    off = 4
+    for f in frames:
+        ck = _chunk(b"00dc", f)
+        movi_parts.append(ck)
+        idx_entries.append(
+            struct.pack("<4sIII", b"00dc", _AVIIF_KEYFRAME, off, len(f))
+        )
+        off += len(ck)
+    movi = _list(b"movi", b"".join(movi_parts))
+    idx1 = _chunk(b"idx1", b"".join(idx_entries))
+
+    return _chunk(b"RIFF", b"AVI " + hdrl + movi + idx1)
+
+
+def _walk(blob: bytes, pos: int, end: int):
+    """Yield (fourcc, list_type_or_None, payload_start, payload_size)
+    for each chunk in blob[pos:end]; validates sizes loudly."""
+    while pos + 8 <= end:
+        cid, size = struct.unpack_from("<4sI", blob, pos)
+        body = pos + 8
+        if body + size > end:
+            raise AviError(
+                f"chunk {cid!r} at {pos} overruns its parent "
+                f"(size {size}, available {end - body})"
+            )
+        if cid in (b"LIST", b"RIFF"):
+            if size < 4:
+                raise AviError(f"{cid!r} chunk too short for a list type")
+            yield cid, blob[body : body + 4], body + 4, size - 4
+        else:
+            yield cid, None, body, size
+        pos = body + size + (size & 1)
+
+
+def decode_avi(blob: bytes):
+    """AVI bytes → (width, height, fps, frames) where frames is the list
+    of raw compressed payloads (JPEG blobs for MJPG).
+
+    Walks the RIFF tree structurally — never trusts idx1 to locate
+    frames, but when an index is present its per-frame sizes are
+    cross-checked against the movi chunks (a mismatch is corruption).
+    Accepts both '00dc' (compressed) and '00db' (uncompressed DIB named
+    by some muxers) frame ids and nested 'rec ' groups, per spec.
+    """
+    if len(blob) < 12 or blob[:4] != b"RIFF":
+        raise AviError("not a RIFF file")
+    riff_size = struct.unpack_from("<I", blob, 4)[0]
+    if 8 + riff_size > len(blob):
+        raise AviError("truncated RIFF envelope")
+    if blob[8:12] != b"AVI ":
+        raise AviError(f"RIFF form is {blob[8:12]!r}, not 'AVI '")
+
+    width = height = None
+    fps_hdr = fps_strh = None
+    declared_frames = None
+    frames: list[bytes] = []
+    idx_sizes: list[int] = []
+
+    def scan_movi(start: int, size: int) -> None:
+        for cid, ltype, body, csize in _walk(blob, start, start + size):
+            if cid == b"LIST" and ltype == b"rec ":
+                scan_movi(body, csize)
+            elif cid[2:4] in (b"dc", b"db") and cid[:2].isdigit():
+                frames.append(blob[body : body + csize])
+
+    for cid, ltype, body, size in _walk(blob, 12, 8 + riff_size):
+        if cid == b"LIST" and ltype == b"hdrl":
+            for c2, l2, b2, s2 in _walk(blob, body, body + size):
+                if c2 == b"avih":
+                    if s2 < 40:
+                        raise AviError("avih header too short")
+                    (us_per_frame, _, _, _, declared_frames, _, _, _,
+                     width, height) = struct.unpack_from("<10I", blob, b2)
+                    if us_per_frame:
+                        fps_hdr = round(1_000_000 / us_per_frame)
+                elif c2 == b"LIST" and l2 == b"strl":
+                    for c3, _l3, b3, s3 in _walk(blob, b2, b2 + s2):
+                        if c3 == b"strh":
+                            if s3 < 48:
+                                raise AviError("strh header too short")
+                            fcc_type, handler = struct.unpack_from("<4s4s", blob, b3)
+                            if fcc_type != b"vids":
+                                continue  # audio/text streams: skip
+                            if handler not in (b"MJPG", b"mjpg"):
+                                raise AviError(
+                                    f"unsupported video codec {handler!r} "
+                                    "(only MJPG decodes here)"
+                                )
+                            scale, rate = struct.unpack_from("<II", blob, b3 + 20)
+                            if scale:
+                                fps_strh = rate // scale
+        elif cid == b"LIST" and ltype == b"movi":
+            scan_movi(body, size)
+        elif cid == b"idx1":
+            for off in range(0, size - size % 16, 16):
+                _ckid, _flags, _ofs, csize = struct.unpack_from(
+                    "<4sIII", blob, body + off
+                )
+                idx_sizes.append(csize)
+
+    if width is None or height is None:
+        raise AviError("no avih main header found")
+    if not frames:
+        raise AviError("no movi frame chunks found")
+    if declared_frames is not None and declared_frames != len(frames):
+        raise AviError(
+            f"avih declares {declared_frames} frames, movi holds {len(frames)}"
+        )
+    if idx_sizes and idx_sizes != [len(f) for f in frames]:
+        raise AviError("idx1 frame sizes disagree with movi chunks")
+    fps = fps_strh if fps_strh is not None else fps_hdr
+    if fps_strh is not None and fps_hdr is not None and fps_strh != fps_hdr:
+        raise AviError(f"strh fps {fps_strh} != avih fps {fps_hdr}")
+    return width, height, fps or 0, frames

@@ -7,20 +7,24 @@ Decode status (honest inventory):
   * JPEG — REAL. From-scratch baseline codec in functions/jpeg.py
     (T.81 DCT + Huffman, 4:4:4/4:2:0, restart intervals).
   * GIF — REAL. functions/gif.py (multi-frame LZW container).
-  * WAV — REAL. functions/wav.py (RIFF/PCM16).
-  * Compressed audio (mp3/aac) and video codecs (h264 …) — STUBBED.
-    Those need librosa/av, absent in this container: ``decode="fake"``
-    produces deterministic pseudo-features from a content hash for the
-    pipeline plumbing; ``decode="strict"`` raises NotImplementedError for
-    payloads no real decoder here covers. Images never fall through to
-    the fake path: every image format this module claims is decoded for
-    real.
+  * WAV — REAL. functions/wav.py (RIFF/PCM16 + G.711 companded).
+  * Video (MJPEG-in-AVI) — REAL. functions/avi.py walks the RIFF/AVI
+    container structurally and every frame decodes through the real JPEG
+    codec (sample_video_frames below).
+  * Inter-frame-compressed video (h264 …) and perceptual audio (mp3/aac)
+    — STUBBED. Those need libav, absent in this container:
+    ``decode="fake"`` produces deterministic pseudo-features from a
+    content hash for the pipeline plumbing; ``decode="strict"`` raises
+    NotImplementedError for payloads no real decoder here covers. Images
+    and AVI video never fall through to the fake path: every format this
+    module claims is decoded for real.
 """
 
 from __future__ import annotations
 
 import hashlib
 
+from dbimport_spark.functions import avi as _avi
 from dbimport_spark.functions import gif as _gif
 from dbimport_spark.functions import jpeg as _jpeg
 from dbimport_spark.functions import png as _png
@@ -75,6 +79,8 @@ def sniff_format(content: bytes) -> str | None:
         return "gif"
     if content[:4] == b"RIFF" and content[8:12] == b"WAVE":
         return "wav"
+    if content[:4] == b"RIFF" and content[8:12] == b"AVI ":
+        return "avi"
     return None
 
 
@@ -91,6 +97,9 @@ def _decode_pixels(content: bytes):
         if not frames:
             raise ValueError("GIF with no frames")
         return w, h, 1, frames[0]
+    if fmt == "avi":
+        _w, _h, _fps, frames = _avi.decode_avi(content)
+        return _jpeg.decode_jpeg(frames[0])
     raise ValueError(f"not a decodable image (sniffed {fmt!r})")
 
 
@@ -145,12 +154,13 @@ def extract_media_features(
         fmt = sniff_format(content)
         if fmt == "wav":
             return _wav_features(content, dim)
-        if fmt in ("png", "jpeg", "gif"):
+        if fmt in ("png", "jpeg", "gif", "avi"):
             return _image_features(content, dim)
         if decode == "strict":
             raise NotImplementedError(
-                "payload is none of PNG/JPEG/GIF/WAV — compressed audio/"
-                "video decode needs librosa/av, not in this container"
+                "payload is none of PNG/JPEG/GIF/WAV/AVI — perceptual audio"
+                " / inter-frame video decode needs libav, not in this"
+                " container"
             )
         return _fake_features(content, dim)
 
@@ -187,9 +197,11 @@ def sample_frames(
     media: DataFrame,
     n_frames: int = 4,
 ) -> DataFrame:
-    """'Video' frame sampling stub: split the binary payload into n_frames
-    evenly-spaced slices (deterministic stand-in for real keyframe
-    extraction; the explode/row-shape matches the real thing)."""
+    """Byte-slice frame sampling: split the binary payload into n_frames
+    evenly-spaced slices. This is the PLUMBING-SHAPE variant for opaque
+    payloads no codec here covers (explode/row-shape matches the real
+    thing); for actual video use ``sample_video_frames``, which parses
+    the AVI container and decodes real MJPEG frames."""
     import pandas as pd
 
     def kernel(batches):
@@ -212,6 +224,139 @@ def sample_frames(
 
     return media.select("media_id", "content").mapInPandas(
         kernel, "media_id bigint, frame_idx int, frame_sha256 string, frame_bytes bigint"
+    )
+
+
+def sample_video_frames(
+    media: DataFrame,
+    n_frames: int = 3,
+) -> DataFrame:
+    """REAL video keyframe sampling: parse each binary payload as an
+    MJPEG-in-AVI container (functions/avi.py — structural RIFF walk, no
+    index trusting), pick ``n_frames`` evenly-spaced frames across the
+    stream (always including first and last when there are enough), and
+    DECODE each sampled frame through the from-scratch JPEG codec to true
+    pixel statistics.
+
+    Returns one row per sampled frame: (media_id, fps, total_frames,
+    frame_idx, width, height, px_sum, pixel_sha256). ``pixel_sha256``
+    hashes the DECODED pixel buffer — proof the frame really ran through
+    entropy decode + IDCT, not a byte slice of the container.
+
+    Scale: Arrow-batched mapInPandas, one task per input partition, blobs
+    never shuffle; output rows are tiny (stats only), so the expensive
+    bytes stay columnar inside the kernel. Size input partitions by bytes
+    — the same contract as every other media kernel here.
+    """
+    import pandas as pd
+
+    def kernel(batches):
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                blob = bytes(content) if content is not None else b""
+                w, h, fps, frames = _avi.decode_avi(blob)
+                total = len(frames)
+                k = min(n_frames, total)
+                # evenly spaced incl. endpoints, in INTEGER arithmetic
+                # (floor division) so an external oracle can replicate the
+                # pick set without float/rounding-mode drift:
+                # idx_j = (j * (T - 1)) // (k - 1)
+                picks = (
+                    sorted({(j * (total - 1)) // (k - 1) for j in range(k)})
+                    if k > 1
+                    else [0]
+                )
+                for idx in picks:
+                    fw, fh, _ch, px = _jpeg.decode_jpeg(frames[idx])
+                    arr = np.frombuffer(px, dtype=np.uint8)
+                    rows.append(
+                        {
+                            "media_id": mid,
+                            "fps": fps,
+                            "total_frames": total,
+                            "frame_idx": idx,
+                            "width": fw,
+                            "height": fh,
+                            "px_sum": int(arr.sum()),
+                            "pixel_sha256": hashlib.sha256(px).hexdigest(),
+                        }
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "fps", "total_frames", "frame_idx",
+                    "width", "height", "px_sum", "pixel_sha256",
+                ],
+            )
+
+    return media.select("media_id", "content").mapInPandas(
+        kernel,
+        "media_id bigint, fps int, total_frames int, frame_idx int, "
+        "width int, height int, px_sum bigint, pixel_sha256 string",
+    )
+
+
+def documents_as_avi_media(
+    documents: DataFrame,
+    width: int = 16,
+    frame_h: int = 8,
+    max_frames: int = 6,
+    quality: int = 95,
+    fps: int = 10,
+) -> DataFrame:
+    """Deterministic VIDEO fixture column at scale: each document's bytes
+    become consecutive ``width``×``frame_h`` grayscale frames (capped at
+    ``max_frames``), each encoded as a real baseline JPEG, muxed into a
+    real AVI container by functions/avi.py. Docs shorter than one frame
+    are dropped (filter pushed to the scan). The source pixel bytes ride
+    along as ``src`` so consumers can grade reconstruction error — JPEG
+    is lossy, so byte equality is the wrong assertion downstream."""
+    import pandas as pd
+
+    frame_px = width * frame_h
+
+    src = (
+        documents.filter(F.length("text") >= frame_px)
+        .select(F.col("doc_id").alias("media_id"), "text")
+        # per-row Python codec work: spread over all cores even when the
+        # source parquet arrives as a single input split
+        .repartition(documents.sparkSession.sparkContext.defaultParallelism)
+    )
+
+    def kernel(batches):
+        for pdf in batches:
+            out, srcs, nfr = [], [], []
+            for text in pdf["text"]:
+                data = text.encode("utf-8")
+                n = min(max_frames, len(data) // frame_px)
+                frames = [
+                    _jpeg.encode_jpeg(
+                        width, frame_h, 1,
+                        data[i * frame_px : (i + 1) * frame_px],
+                        quality=quality,
+                    )
+                    for i in range(n)
+                ]
+                out.append(_avi.encode_avi(width, frame_h, frames, fps=fps))
+                srcs.append(data[: n * frame_px])
+                nfr.append(n)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "content": out,
+                    "src": srcs,
+                    "n_frames": nfr,
+                    "media_type": ["video"] * len(out),
+                }
+            )
+
+    return src.mapInPandas(
+        kernel,
+        "media_id bigint, content binary, src binary, n_frames int, "
+        "media_type string",
     )
 
 
