@@ -117,6 +117,7 @@ HEADLINE = [
     "lake_txn_cdf",
     "lake_cdf_incremental_agg",
     "multimodal_video_frames",
+    "audio_g711_roundtrip",
 ]
 
 

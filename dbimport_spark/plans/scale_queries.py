@@ -873,3 +873,89 @@ def multimodal_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "audio_g711_roundtrip",
+    """WITH c AS (
+  SELECT doc_id AS media_id,
+         CASE WHEN doc_id % 2 = 0 THEN 'mu' ELSE 'a' END AS law,
+         CAST(i AS INTEGER) AS i,
+         (ord(substring(text, CAST(i + 1 AS INTEGER), 1)) * 7 + CAST(i AS INTEGER)) % 256 AS code
+  FROM documents, UNNEST(range(least(strlen(text), 200))) AS u(i)
+  WHERE strlen(text) >= 1
+),
+d AS (
+  SELECT media_id, law,
+    CASE WHEN law = 'mu' THEN
+      CASE WHEN 255 - code >= 128
+           THEN 132 - (((255 - code) % 16) * 8 + 132) * (1 << (((255 - code) // 16) % 8))
+           ELSE (((255 - code) % 16) * 8 + 132) * (1 << (((255 - code) // 16) % 8)) - 132 END
+    ELSE
+      (CASE WHEN xor(code, 85) >= 128 THEN 1 ELSE -1 END) *
+      (CASE WHEN (xor(code, 85) // 16) % 8 = 0
+            THEN (xor(code, 85) % 16) * 16 + 8
+            ELSE ((xor(code, 85) % 16) * 16 + 264) * (1 << ((xor(code, 85) // 16) % 8 - 1)) END)
+    END AS s
+  FROM c
+)
+SELECT media_id, law,
+       CAST(count(*) AS INTEGER) AS n_samples,
+       CAST(sum(s) AS BIGINT) AS sample_sum,
+       CAST(min(s) AS INTEGER) AS min_s,
+       CAST(max(s) AS INTEGER) AS max_s
+FROM d GROUP BY media_id, law""",
+)
+def audio_g711_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL compressed-audio decode, oracle-checked EXACTLY: per document,
+    derive a deterministic G.711 code stream ((byte·7 + i) mod 256 over
+    the first 200 bytes — covers the full 8-bit code space), mux it into
+    a real WAV container (format tag 7 = μ-law on even doc_ids, 6 =
+    A-law on odd), then decode through functions/wav.py: chunk walk +
+    vectorized LUT expansion to int16. Unlike JPEG, G.711 expansion is
+    BIT-EXACT, so the oracle recomputes every decoded sample from the
+    published segment formulas in pure integer SQL and the aggregate
+    (sum/min/max per doc) must match to the last unit — a LUT slip,
+    sign-bit swap, or fmt-tag mix-up flips nearly every row.
+
+    This de-stubs 'compressed audio' honestly: μ-law/A-law are the ITU
+    telephony compression formats; only perceptual codecs (mp3/aac)
+    remain gated on absent libraries. Scale: one map-only Arrow kernel,
+    stats-only output rows, blobs never shuffle."""
+    import pandas as pd
+
+    from dbimport_spark.functions import wav as _wav
+
+    d = (
+        load(spark, sf_dir, "documents")
+        .filter(F.length("text") >= 1)
+        .select(F.col("doc_id").alias("media_id"), "text")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+
+    def kernel(batches):
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for mid, text in zip(pdf["media_id"], pdf["text"]):
+                data = text.encode("utf-8")[:200]
+                arr = np.frombuffer(data, np.uint8).astype(np.int32)
+                codes = ((arr * 7 + np.arange(arr.size)) % 256).astype(np.uint8).tobytes()
+                law = "mu" if int(mid) % 2 == 0 else "a"
+                blob = _wav.encode_wav_g711(codes, law, sample_rate=8000)
+                _rate, _ch, pcm = _wav.decode_wav(blob)
+                s = pcm.astype(np.int64)
+                rows.append(
+                    (int(mid), law, int(s.size), int(s.sum()), int(s.min()), int(s.max()))
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "law", "n_samples", "sample_sum", "min_s", "max_s"],
+            )
+
+    return d.mapInPandas(
+        kernel,
+        "media_id bigint, law string, n_samples int, sample_sum bigint, "
+        "min_s int, max_s int",
+    )

@@ -172,3 +172,82 @@ class TestWavCodec:
             decode_wav(bytes(blob))
         with _pytest.raises(ValueError, match="truncated"):
             decode_wav(bytes(bytearray(encode_wav([1] * 100))[:-10]))
+
+
+class TestG711:
+    """G.711 μ-law/A-law companded audio (ITU-T G.711 segment formulas)."""
+
+    def test_code_identity_all_256(self):
+        # each code decodes to its reconstruction level, which compresses
+        # back to the same code — for every code except μ-law 0x7F, the
+        # spec's "negative zero" (decodes to 0; the canonical encoder maps
+        # 0 to positive-zero 0xFF).
+        import numpy as np
+
+        from dbimport_spark.functions.wav import g711_decode, g711_encode
+
+        codes = np.arange(256, dtype=np.uint8)
+        for law, exceptions in (("mu", {0x7F}), ("a", set())):
+            re = np.frombuffer(g711_encode(g711_decode(codes.tobytes(), law), law), np.uint8)
+            mismatch = set(np.nonzero(re != codes)[0].tolist())
+            assert mismatch == exceptions, (law, mismatch)
+
+    def test_known_extremes_and_zero(self):
+        import numpy as np
+
+        from dbimport_spark.functions.wav import g711_decode, g711_encode
+
+        # published extremes: mu +/-32124, A +/-32256 (13-bit x 16 scale)
+        mu = g711_decode(bytes(range(256)), "mu")
+        al = g711_decode(bytes(range(256)), "a")
+        assert (int(mu.min()), int(mu.max())) == (-32124, 32124)
+        assert (int(al.min()), int(al.max())) == (-32256, 32256)
+        # mu-law zero: code 0xFF decodes to 0; encoding 0 yields 0xFF
+        assert int(mu[0xFF]) == 0
+        assert g711_encode(np.array([0], dtype=np.int16), "mu") == b"\xff"
+
+    def test_quantization_error_bound(self):
+        # compress->expand error is bounded by half the top-segment step:
+        # mu 128/2 x 8 = 512... the published worst-case relative error is
+        # what matters; assert the absolute bound per segment instead.
+        import numpy as np
+
+        from dbimport_spark.functions.wav import g711_decode, g711_encode
+
+        rng = np.random.default_rng(5)
+        x = rng.integers(-32124, 32124, size=20000).astype(np.int16)
+        for law, step in (("mu", 1024), ("a", 1024)):
+            y = g711_decode(g711_encode(x, law), law)
+            err = np.abs(x.astype(np.int32) - y.astype(np.int32))
+            # worst step: top segment quantum (mu: 256*8/2=1024; A: 1024)
+            assert int(err.max()) <= step, (law, int(err.max()))
+
+    def test_wav_container_g711_roundtrip(self):
+        import numpy as np
+
+        from dbimport_spark.functions.wav import (
+            decode_wav,
+            encode_wav_g711,
+            g711_decode,
+        )
+
+        codes = bytes(range(256)) + b"\x01\x02\x03"  # odd data size
+        for law in ("mu", "a"):
+            rate, ch, pcm = decode_wav(encode_wav_g711(codes, law, 16000))
+            assert (rate, ch, len(pcm)) == (16000, 1, 259)
+            assert (pcm == g711_decode(codes, law)).all()
+
+    def test_unknown_law_and_bad_tag_loud(self):
+        import struct
+
+        import pytest as _pytest
+
+        from dbimport_spark.functions.wav import decode_wav, encode_wav_g711
+
+        with _pytest.raises(ValueError, match="unknown companding law"):
+            encode_wav_g711(b"\x00", "gsm")
+        blob = bytearray(encode_wav_g711(b"\x00\x01", "mu", 8000))
+        at = bytes(blob).index(b"fmt ") + 8
+        struct.pack_into("<H", blob, at, 2)  # tag 2 = ADPCM, unsupported
+        with _pytest.raises(ValueError, match="unsupported WAV encoding"):
+            decode_wav(bytes(blob))
