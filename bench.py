@@ -118,6 +118,7 @@ HEADLINE = [
     "lake_cdf_incremental_agg",
     "multimodal_video_frames",
     "audio_g711_roundtrip",
+    "curation_boilerplate_strip",
 ]
 
 

@@ -1446,3 +1446,109 @@ def sample_cluster_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     split = F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
     return assigned.select("doc_id", "cluster_id", split.alias("split"))
+
+
+# ---------------------------------------------------------------------------
+# curation_boilerplate_strip — CCNet/C4-style repeated-paragraph removal
+
+
+@register(
+    "curation_boilerplate_strip",
+    """WITH docs AS (
+  SELECT doc_id, source,
+         CASE WHEN doc_id % 5 = 0
+              THEN 'all rights reserved terms of service cookie notice here ' || text
+              ELSE text END AS text
+  FROM documents
+),
+chunks AS (
+  SELECT d.doc_id, d.source, CAST(j AS INTEGER) AS pos,
+         array_to_string(list_slice(string_split(d.text, ' '), j * 8 + 1, j * 8 + 8), ' ') AS chunk
+  FROM docs d,
+       UNNEST(range((len(string_split(d.text, ' ')) + 7) // 8)) AS u(j)
+),
+freq AS (
+  SELECT source, chunk, count(DISTINCT doc_id) AS df
+  FROM chunks GROUP BY source, chunk
+),
+flagged AS (
+  SELECT c.doc_id, c.pos, c.chunk, f.df >= 3 AS is_boiler
+  FROM chunks c JOIN freq f ON c.source = f.source AND c.chunk = f.chunk
+)
+SELECT doc_id,
+       CAST(count(*) AS INTEGER) AS n_chunks,
+       CAST(sum(CASE WHEN is_boiler THEN 1 ELSE 0 END) AS INTEGER) AS n_dropped,
+       md5(coalesce(string_agg(CASE WHEN NOT is_boiler THEN chunk END, ' ' ORDER BY pos), '')) AS clean_md5
+FROM flagged GROUP BY doc_id""",
+)
+def curation_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet/C4-style boilerplate removal: segment every document into
+    consecutive 8-word pseudo-paragraphs, count each paragraph's document
+    frequency WITHIN its source (the shard-local counting CCNet does per
+    Common Crawl dump), drop paragraphs appearing in ≥3 distinct docs of
+    the same source, and emit the cleaned document fingerprint. Following
+    the module's planted-data discipline (the synthetic corpus tops out
+    at df=2), every 5th document is prefixed with an identical 8-word
+    legal-boilerplate header on BOTH engines, giving ~5 docs per source
+    a genuinely repeated paragraph that must be stripped.
+
+    Scale design: paragraphs join the frequency table on
+    (source, xxhash64(chunk)) — the 8-byte key cuts shuffle bandwidth vs
+    shipping the paragraph text twice, exactly how you'd run a 100 TB
+    CCNet pass (collision odds ~n²/2⁶⁴ per source, immaterial; the
+    DuckDB oracle joins on the full strings, so a collision would be
+    caught as a hash mismatch). Document reassembly is one hash-agg with
+    an order-pinning array_sort — no windows, no skew (chunk counts per
+    doc are bounded by doc length)."""
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        # planted boilerplate (corpus has no organic df>=3 chunks): every
+        # 5th doc gets the same 8-word legal header, so ~5 docs per
+        # source share its chunk -- well past the threshold, and the
+        # header length is a chunk multiple so following chunks realign
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(
+                F.lit("all rights reserved terms of service cookie notice here "),
+                F.col("text"),
+            ),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    chunks = (
+        d.select(
+            "doc_id",
+            "source",
+            F.posexplode(
+                F.expr(
+                    "transform(sequence(0, CAST((size(split(text, ' ')) + 7) / 8 AS INT) - 1), "
+                    "j -> array_join(slice(split(text, ' '), j * 8 + 1, 8), ' '))"
+                )
+            ).alias("pos", "chunk"),
+        )
+        .withColumn("ck", F.xxhash64("chunk"))
+    )
+    freq = (
+        chunks.groupBy("source", "ck")
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .filter(F.col("df") >= 3)
+    )
+    flagged = chunks.join(freq, ["source", "ck"], "left").select(
+        "doc_id", "pos", "chunk", F.col("df").isNotNull().alias("is_boiler")
+    )
+    return flagged.groupBy("doc_id").agg(
+        F.count("*").cast("int").alias("n_chunks"),
+        F.sum(F.when(F.col("is_boiler"), 1).otherwise(0)).cast("int").alias("n_dropped"),
+        F.md5(
+            F.coalesce(
+                F.expr(
+                    "array_join(transform(array_sort(collect_list("
+                    "CASE WHEN NOT is_boiler THEN struct(pos, chunk) END)), "
+                    "x -> x.chunk), ' ')"
+                ),
+                F.lit(""),
+            ).cast("binary")
+        ).alias("clean_md5"),
+    )
