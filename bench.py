@@ -119,6 +119,7 @@ HEADLINE = [
     "multimodal_video_frames",
     "audio_g711_roundtrip",
     "curation_boilerplate_strip",
+    "multimodal_frame_dedup",
 ]
 
 

@@ -959,3 +959,112 @@ def audio_g711_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         "media_id bigint, law string, n_samples int, sample_sum bigint, "
         "min_s int, max_s int",
     )
+
+
+@register(
+    "multimodal_frame_dedup",
+    """WITH docs AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 7 = 0
+              THEN substring(repeat('intro frame please stand by ', 5), 1, 128) || text
+              ELSE text END AS text
+  FROM documents
+),
+frames AS (
+  SELECT d.doc_id, CAST(j AS INTEGER) AS frame_idx,
+         substring(d.text, CAST(j * 128 + 1 AS BIGINT), 128) AS frame
+  FROM docs d, UNNEST(range(least(6, strlen(d.text) // 128))) AS u(j)
+),
+grp AS (
+  SELECT frame,
+         CAST(count(DISTINCT doc_id) AS INTEGER) AS n_docs,
+         CAST(count(*) AS INTEGER) AS n_frames,
+         min(doc_id) AS rep_doc
+  FROM frames GROUP BY frame
+)
+SELECT rep_doc, n_docs, n_frames FROM grp WHERE n_docs >= 2""",
+)
+def multimodal_frame_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-level exact dedup of a VIDEO corpus — the composed pipeline a
+    media curation run needs before feature extraction: mux each doc's
+    bytes into a real MJPEG/AVI (planted duplicate: every 7th doc opens
+    with the same station-ident frame, mirrored by the oracle), decode
+    EVERY frame back through the container + JPEG path, key frames by the
+    sha256 of their DECODED PIXELS, and group across the corpus.
+
+    Identity-by-decoded-pixels is sound here because the encoder is
+    deterministic and decode∘encode is a pure function of the source
+    chunk — equal chunks always collide; distinct chunks would have to
+    land on identical quantized-DCT blocks to false-merge (never observed;
+    the oracle, grouping by raw chunk text, would flag it loudly as a
+    hash mismatch). Output is (rep_doc, n_docs, n_frames) per duplicated
+    frame — the shape a curation pass feeds to a drop-list join.
+
+    Scale: encode and decode are two map-only Arrow kernels; the groupBy
+    ships 32-byte pixel digests, never pixels or blobs; the agg is one
+    hash shuffle keyed by digest — no skew (a hot frame is exactly the
+    boilerplate case, bounded by corpus membership, and the agg is
+    map-side combined)."""
+    import pandas as pd
+
+    from dbimport_spark.functions import avi as _avi
+    from dbimport_spark.functions import jpeg as _jpeg
+
+    d = (
+        load(spark, sf_dir, "documents")
+        .select(
+            F.col("doc_id").alias("media_id"),
+            F.when(
+                F.col("doc_id") % 7 == 0,
+                F.concat(
+                    F.expr("substring(repeat('intro frame please stand by ', 5), 1, 128)"),
+                    F.col("text"),
+                ),
+            )
+            .otherwise(F.col("text"))
+            .alias("text"),
+        )
+        .filter(F.length("text") >= 128)
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+
+    def enc(batches):
+        for pdf in batches:
+            out = []
+            for text in pdf["text"]:
+                data = text.encode("utf-8")
+                n = min(6, len(data) // 128)
+                frames = [
+                    _jpeg.encode_jpeg(16, 8, 1, data[i * 128 : (i + 1) * 128], quality=95)
+                    for i in range(n)
+                ]
+                out.append(_avi.encode_avi(16, 8, frames, fps=10))
+            yield pd.DataFrame({"media_id": pdf["media_id"], "content": out})
+
+    media = d.mapInPandas(enc, "media_id bigint, content binary")
+
+    def dec(batches):
+        import hashlib as _hashlib
+
+        for pdf in batches:
+            rows = []
+            for mid, blob in zip(pdf["media_id"], pdf["content"]):
+                _w, _h, _fps, frames = _avi.decode_avi(bytes(blob))
+                for idx, fr in enumerate(frames):
+                    _fw, _fh, _ch, px = _jpeg.decode_jpeg(fr)
+                    rows.append((mid, idx, _hashlib.sha256(px).hexdigest()))
+            yield pd.DataFrame(rows, columns=["media_id", "frame_idx", "pixel_sha"])
+
+    frames = media.mapInPandas(
+        dec, "media_id bigint, frame_idx int, pixel_sha string"
+    )
+    return (
+        frames.groupBy("pixel_sha")
+        .agg(
+            F.countDistinct("media_id").cast("int").alias("n_docs"),
+            F.count("*").cast("int").alias("n_frames"),
+            F.min("media_id").alias("rep_doc"),
+        )
+        .filter(F.col("n_docs") >= 2)
+        .select("rep_doc", "n_docs", "n_frames")
+    )

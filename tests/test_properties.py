@@ -389,3 +389,29 @@ def test_jpeg_roundtrip_property(w, h, channels, quality, subsampling, rst, rnd)
         # image grows: at 64x64 the slack is under 2.
         n = w * h * channels
         assert float(np.abs(a - b).mean()) <= 45.0 + 150.0 / (n ** 0.5)
+
+
+# ---------------------------------------------------------------- AVI codec
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.integers(min_value=1, max_value=4096),
+    st.integers(min_value=1, max_value=4096),
+    st.integers(min_value=1, max_value=60),
+    st.lists(st.binary(min_size=0, max_size=300), min_size=1, max_size=12),
+)
+def test_avi_container_roundtrip_property(w, h, fps, frames):
+    """The container is lossless for ANY frame payloads (it never
+    inspects JPEG bytes): every geometry/fps/frame-list combination must
+    round-trip to byte-identical frames and exact header fields —
+    including empty frames and odd sizes (word-alignment padding)."""
+    from dbimport_spark.functions.avi import decode_avi, encode_avi
+
+    blob = encode_avi(w, h, frames, fps=fps)
+    dw, dh, dfps, out = decode_avi(blob)
+    assert (dw, dh, len(out)) == (w, h, len(frames))
+    assert out == frames
+    # fps survives via strh rate/scale exactly (avih stores a rounded
+    # microsecond period; decode prefers strh)
+    assert dfps == fps

@@ -760,3 +760,26 @@ class TestFilterDataItems:
         out = filter_data_items(str(src), [3], data_path="payload")
         assert out == str(src) + ".errors.json"
         assert json.load(open(out)) == [{"id": 3}]
+
+
+def test_orc_roundtrip_pushdown(spark, tmp_path):
+    """ORC native write/read: values survive bit-exactly and the read-side
+    predicate reaches the ORC scan as a pushed filter."""
+    import pandas as pd
+
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "k": [1, 2, 3, 4],
+                "name": ["a", "b", "c", "d"],
+                "bal": [1.25, -0.5, 3.75, 2.125],
+            }
+        )
+    )
+    path = str(tmp_path / "orc_tbl")
+    df.write.mode("overwrite").orc(path)
+    back = spark.read.orc(path).filter("k < 3").orderBy("k")
+    rows = back.collect()
+    assert [(r.k, r.name, r.bal) for r in rows] == [(1, "a", 1.25), (2, "b", -0.5)]
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [" in plan and "LessThan(k,3)" in plan, plan

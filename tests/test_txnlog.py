@@ -469,3 +469,69 @@ def test_change_feed_preimage_postimage(spark, table):
         (2, "update_postimage"): "B",
         (3, "insert"): "c",
     }
+
+
+def test_concurrent_multiprocess_commits_linearize(tmp_path):
+    """TRUE cross-process race on the link-claimed commit protocol:
+    8 processes each try to commit 5 versions with retry-on-conflict.
+    Every process's commits must land on distinct versions, the final
+    version count must equal total successful commits, and every log
+    entry must be complete, parseable JSON (the complete-before-named
+    guarantee) — no reader can ever observe a half-written entry."""
+    import json
+    import multiprocessing as mp
+    import os
+
+    from dbimport_spark import txnlog
+
+    table = str(tmp_path / "race_tbl")
+    os.makedirs(os.path.join(table, "_txn_log"), exist_ok=True)
+
+    def worker(wid, out_q):
+        got = []
+        for i in range(5):
+            for _attempt in range(200):
+                cur = txnlog.current_version(table)
+                try:
+                    v = txnlog.commit(
+                        table, [f"w{wid}_f{i}.parquet"], [], cur
+                    )
+                    got.append(v)
+                    break
+                except txnlog.TxnConflict:
+                    continue
+            else:
+                raise AssertionError(f"worker {wid} starved on commit {i}")
+        out_q.put((wid, got))
+
+    ctx = mp.get_context("fork")
+    q = ctx.Queue()
+    procs = [ctx.Process(target=worker, args=(w, q)) for w in range(8)]
+    for p in procs:
+        p.start()
+    results = [q.get(timeout=120) for _ in procs]
+    for p in procs:
+        p.join(timeout=120)
+        assert p.exitcode == 0
+
+    all_versions = [v for _w, got in results for v in got]
+    # linearized: 40 successful commits claimed 40 DISTINCT versions
+    assert len(all_versions) == 40
+    assert sorted(all_versions) == list(range(40))
+    assert txnlog.current_version(table) == 39
+
+    # every entry on disk is complete JSON with its adds intact
+    log_dir = os.path.join(table, "_txn_log")
+    added_files = set()
+    for fn in sorted(os.listdir(log_dir)):
+        if not fn.endswith(".json") or "checkpoint" in fn or not fn[:8].isdigit():
+            continue
+        with open(os.path.join(log_dir, fn)) as fh:
+            entry = json.load(fh)  # never partial
+        added_files.update(entry["added"])
+    assert len(added_files) == 40  # every commit's file visible exactly once
+
+    # the resolved snapshot equals the union of all committed files
+    # (snapshot_files returns absolute data paths; compare basenames)
+    snap = {os.path.basename(p) for p in txnlog.snapshot_files(table)}
+    assert snap == added_files
