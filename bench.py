@@ -120,6 +120,7 @@ HEADLINE = [
     "audio_g711_roundtrip",
     "curation_boilerplate_strip",
     "multimodal_frame_dedup",
+    "src_tfrecord_roundtrip",
 ]
 
 

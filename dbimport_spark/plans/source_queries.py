@@ -880,3 +880,102 @@ def src_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("s_acctbal").cast("double"),
         )
     )
+
+
+# ---------------------------------------------------------------- TFRecord
+
+
+@register(
+    "src_tfrecord_roundtrip",
+    """SELECT s_suppkey, s_name, s_nationkey,
+       CAST(round(s_acctbal * 100) AS BIGINT) AS bal_cents,
+       CAST(s_nationkey * 0.5 AS DOUBLE) AS score
+FROM supplier""",
+)
+def src_tfrecord_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TFRecord + tf.Example roundtrip — the training-data container,
+    implemented from the public wire formats alone (sources/tfrecord.py:
+    masked-CRC32C framing, varint/length-delimited proto fields, packed
+    numeric lists). The supplier table is sharded round-robin into 4
+    TFRecord files (a FILE is the format's unit of parallelism), each row
+    one tf.Example with int64/bytes/float features; the distributed read
+    maps one task per shard and projects typed columns in an Arrow
+    kernel. Exactness: money rides as int64 cents (float_list is f32 —
+    the wrong place for money, so the fixture keeps a separate f32-exact
+    score column to exercise FloatList: n·0.5 is exact in every float
+    width). A CRC slip, varint bug, or packed-list misparse corrupts
+    every downstream value."""
+    import pandas as pd
+
+    from dbimport_spark.sources.tfrecord import (
+        dict_to_example,
+        example_to_dict,
+        read_tfrecords,
+        write_tfrecords,
+    )
+
+    n_shards = 4
+    shard_dir = os.path.join(_export_dir(sf_dir), "supplier_tfrecord")
+    os.makedirs(shard_dir, exist_ok=True)
+    rows = (
+        load(spark, sf_dir, "supplier")
+        .select(
+            "s_suppkey",
+            "s_name",
+            "s_nationkey",
+            F.round(F.col("s_acctbal") * 100).cast("bigint").alias("bal_cents"),
+        )
+        .orderBy("s_suppkey")
+        .collect()
+    )
+    shards: list[list[bytes]] = [[] for _ in range(n_shards)]
+    for r in rows:
+        shards[r.s_suppkey % n_shards].append(
+            dict_to_example(
+                {
+                    "s_suppkey": [int(r.s_suppkey)],
+                    "s_name": [r.s_name.encode("utf-8")],
+                    "s_nationkey": [int(r.s_nationkey)],
+                    "bal_cents": [int(r.bal_cents)],
+                    "score": [float(r.s_nationkey) * 0.5],
+                }
+            )
+        )
+    paths = []
+    for i, recs in enumerate(shards):
+        p = os.path.join(shard_dir, f"part-{i:05d}.tfrecord")
+        with open(p, "wb") as fh:
+            fh.write(write_tfrecords(recs))
+        paths.append(p)
+
+    files = spark.createDataFrame(
+        [(p,) for p in paths], "path string"
+    ).repartition(n_shards)
+
+    def kernel(batches):
+        for pdf in batches:
+            out = []
+            for path in pdf["path"]:
+                with open(path, "rb") as fh:
+                    blob = fh.read()
+                for rec in read_tfrecords(blob):
+                    d = example_to_dict(rec)
+                    out.append(
+                        (
+                            d["s_suppkey"][0],
+                            d["s_name"][0].decode("utf-8"),
+                            d["s_nationkey"][0],
+                            d["bal_cents"][0],
+                            float(d["score"][0]),
+                        )
+                    )
+            yield pd.DataFrame(
+                out,
+                columns=["s_suppkey", "s_name", "s_nationkey", "bal_cents", "score"],
+            )
+
+    return files.mapInPandas(
+        kernel,
+        "s_suppkey bigint, s_name string, s_nationkey int, "
+        "bal_cents bigint, score double",
+    )
