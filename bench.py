@@ -121,6 +121,8 @@ HEADLINE = [
     "curation_boilerplate_strip",
     "multimodal_frame_dedup",
     "src_tfrecord_roundtrip",
+    "audio_resample_gate",
+    "src_webdataset_roundtrip",
 ]
 
 

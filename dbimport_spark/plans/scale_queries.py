@@ -1068,3 +1068,89 @@ def multimodal_frame_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_docs") >= 2)
         .select("rep_doc", "n_docs", "n_frames")
     )
+
+
+@register(
+    "audio_resample_gate",
+    """WITH s AS (
+  SELECT doc_id AS media_id, CAST(i AS INTEGER) AS i,
+         CASE WHEN 255 - ((ord(substring(text, CAST(i + 1 AS INTEGER), 1)) * 7 + CAST(i AS INTEGER)) % 256) >= 128
+              THEN 132 - (((255 - ((ord(substring(text, CAST(i + 1 AS INTEGER), 1)) * 7 + CAST(i AS INTEGER)) % 256)) % 16) * 8 + 132)
+                   * (1 << (((255 - ((ord(substring(text, CAST(i + 1 AS INTEGER), 1)) * 7 + CAST(i AS INTEGER)) % 256)) // 16) % 8))
+              ELSE (((255 - ((ord(substring(text, CAST(i + 1 AS INTEGER), 1)) * 7 + CAST(i AS INTEGER)) % 256)) % 16) * 8 + 132)
+                   * (1 << (((255 - ((ord(substring(text, CAST(i + 1 AS INTEGER), 1)) * 7 + CAST(i AS INTEGER)) % 256)) // 16) % 8)) - 132 END AS v
+  FROM documents, UNNEST(range(least(strlen(text), 64))) AS u(i)
+  WHERE strlen(text) >= 2
+),
+pairs AS (
+  SELECT a.media_id, a.i, a.v AS v0, b.v AS v1
+  FROM s a JOIN s b ON a.media_id = b.media_id AND b.i = a.i + 1
+),
+up AS (
+  SELECT media_id, i * 2 AS j, v FROM s
+  UNION ALL
+  SELECT media_id, i * 2 + 1 AS j,
+         CAST(floor((v0 + v1) / 2.0) AS BIGINT) AS v
+  FROM pairs
+)
+SELECT media_id,
+       CAST(count(*) AS INTEGER) AS n_out,
+       CAST(sum(v) AS BIGINT) AS out_sum,
+       CAST(sum(CASE WHEN j % 2 = 1 THEN v ELSE 0 END) AS BIGINT) AS interp_sum
+FROM up GROUP BY media_id""",
+)
+def audio_resample_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio resampling, exact-integer oracle: per document, build a
+    μ-law-decoded int16 stream (same full-code-space derivation as
+    audio_g711_roundtrip, first 64 codes), then 2× UPSAMPLE by linear
+    interpolation — out[2i] = x[i], out[2i+1] = floor((x[i]+x[i+1])/2) —
+    entirely in numpy inside one Arrow kernel (the resampling primitive
+    of a speech-corpus pipeline: unify 8 kHz telephony and 16 kHz mic
+    audio before featurization). Midpoint interpolation at ratio 2 is
+    exact integer arithmetic, so the oracle reproduces EVERY output
+    sample via a self-join (i, i+1) and the per-doc aggregate must match
+    to the unit. The odd-index interp_sum isolates the interpolated
+    samples: an off-by-one in the interleave flips it while leaving
+    out_sum nearly unchanged.
+
+    Scale: map-only Arrow kernel, stats-only output rows; the oracle's
+    quadratic-looking self-join is per-doc sequential — Spark-side cost
+    is pure vectorized arithmetic with no shuffle at all."""
+    import pandas as pd
+
+    from dbimport_spark.functions import wav as _wav
+
+    d = (
+        load(spark, sf_dir, "documents")
+        .filter(F.length("text") >= 2)
+        .select(F.col("doc_id").alias("media_id"), "text")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+
+    def kernel(batches):
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for mid, text in zip(pdf["media_id"], pdf["text"]):
+                data = text.encode("utf-8")[:64]
+                arr = np.frombuffer(data, np.uint8).astype(np.int32)
+                codes = ((arr * 7 + np.arange(arr.size)) % 256).astype(np.uint8)
+                x = _wav.g711_decode(codes.tobytes(), "mu").astype(np.int64)
+                # 2x linear-interp upsample: evens carry the input, odds
+                # the floor-midpoint of each consecutive pair
+                out = np.empty(2 * x.size - 1, dtype=np.int64)
+                out[0::2] = x
+                mids = np.floor((x[:-1] + x[1:]) / 2.0).astype(np.int64)
+                out[1::2] = mids
+                rows.append(
+                    (int(mid), int(out.size), int(out.sum()), int(mids.sum()))
+                )
+            yield pd.DataFrame(
+                rows, columns=["media_id", "n_out", "out_sum", "interp_sum"]
+            )
+
+    return d.mapInPandas(
+        kernel,
+        "media_id bigint, n_out int, out_sum bigint, interp_sum bigint",
+    )

@@ -979,3 +979,77 @@ def src_tfrecord_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         "s_suppkey bigint, s_name string, s_nationkey int, "
         "bal_cents bigint, score double",
     )
+
+
+# --------------------------------------------------------------- WebDataset
+
+
+@register(
+    "src_webdataset_roundtrip",
+    """SELECT doc_id, text, lang, n_chars FROM documents""",
+)
+def src_webdataset_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WebDataset tar-shard roundtrip — the multimodal training-data
+    layout (sample = adjacent tar members sharing a stem:
+    00000042.txt / .cls / .json). The documents table is packed into 4
+    shards round-robin (sources/webdataset.py, deterministic bytes), read
+    back one-task-per-shard, and each sample's fields are projected to
+    typed columns: the text body, the .cls label, and n_chars parsed out
+    of the .json metadata — so the oracle is simply the original table.
+    Shards are the unit of parallelism AND of corpus shuffling in this
+    layout; at 100 TB you add shards, never bigger tars."""
+    import json as _json
+
+    import pandas as pd
+
+    from dbimport_spark.sources.webdataset import read_webdataset, write_shard
+
+    n_shards = 4
+    shard_dir = os.path.join(_export_dir(sf_dir), "documents_wds")
+    os.makedirs(shard_dir, exist_ok=True)
+    rows = (
+        load(spark, sf_dir, "documents")
+        .select("doc_id", "text", "lang", "n_chars")
+        .orderBy("doc_id")
+        .collect()
+    )
+    shards: list[list] = [[] for _ in range(n_shards)]
+    for r in rows:
+        shards[r.doc_id % n_shards].append(
+            (
+                f"{r.doc_id:08d}",
+                {
+                    "txt": r.text.encode("utf-8"),
+                    "cls": r.lang.encode("utf-8"),
+                    "json": _json.dumps({"n_chars": r.n_chars}).encode("utf-8"),
+                },
+            )
+        )
+    paths = []
+    for i, samples in enumerate(shards):
+        p = os.path.join(shard_dir, f"shard-{i:05d}.tar")
+        write_shard(p, samples)
+        paths.append(p)
+
+    wds = read_webdataset(spark, paths, ["txt", "cls", "json"])
+
+    def project(batches):
+        for pdf in batches:
+            out = []
+            for key, txt, cls, js in zip(
+                pdf["key"], pdf["txt"], pdf["cls"], pdf["json"]
+            ):
+                meta = _json.loads(bytes(js).decode("utf-8"))
+                out.append(
+                    (
+                        int(key),
+                        bytes(txt).decode("utf-8"),
+                        bytes(cls).decode("utf-8"),
+                        int(meta["n_chars"]),
+                    )
+                )
+            yield pd.DataFrame(out, columns=["doc_id", "text", "lang", "n_chars"])
+
+    return wds.mapInPandas(
+        project, "doc_id bigint, text string, lang string, n_chars bigint"
+    )

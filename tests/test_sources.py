@@ -783,3 +783,74 @@ def test_orc_roundtrip_pushdown(spark, tmp_path):
     assert [(r.k, r.name, r.bal) for r in rows] == [(1, "a", 1.25), (2, "b", -0.5)]
     plan = back._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters: [" in plan and "LessThan(k,3)" in plan, plan
+
+
+class TestWebDataset:
+    def _shard(self, tmp_path, samples):
+        from dbimport_spark.sources.webdataset import write_shard
+
+        p = str(tmp_path / "s.tar")
+        write_shard(p, samples)
+        return p
+
+    def test_sample_grouping_and_field_selection(self, tmp_path):
+        from dbimport_spark.sources.webdataset import iter_samples
+
+        p = self._shard(
+            tmp_path,
+            [
+                ("a", {"txt": b"hello", "cls": b"en", "ignored": b"x"}),
+                ("b", {"txt": b"welt", "cls": b"de"}),
+            ],
+        )
+        got = list(iter_samples(open(p, "rb").read(), ["txt", "cls"]))
+        assert got == [
+            ("a", {"txt": b"hello", "cls": b"en"}),
+            ("b", {"txt": b"welt", "cls": b"de"}),
+        ]
+
+    def test_first_dot_rule_multi_part_extension(self, tmp_path):
+        from dbimport_spark.sources.webdataset import iter_samples
+
+        p = self._shard(tmp_path, [("x", {"seg.png": b"\x01", "txt": b"t"})])
+        got = list(iter_samples(open(p, "rb").read(), ["seg.png"]))
+        assert got == [("x", {"seg.png": b"\x01"})]
+
+    def test_missing_field_is_none_and_duplicates_loud(self, tmp_path):
+        import pytest as _pytest
+
+        from dbimport_spark.sources.webdataset import WebDatasetError, iter_samples
+
+        p = self._shard(tmp_path, [("a", {"txt": b"only-text"})])
+        got = list(iter_samples(open(p, "rb").read(), ["txt", "cls"]))
+        assert got == [("a", {"txt": b"only-text", "cls": None})]
+
+        import io as _io
+        import tarfile as _tarfile
+
+        buf = _io.BytesIO()
+        with _tarfile.open(fileobj=buf, mode="w") as tf:
+            for _ in range(2):  # same key+ext twice
+                info = _tarfile.TarInfo(name="a.txt")
+                info.size = 1
+                tf.addfile(info, _io.BytesIO(b"x"))
+        with _pytest.raises(WebDatasetError, match="duplicate member"):
+            list(iter_samples(buf.getvalue(), ["txt"]))
+
+    def test_spark_read_one_task_per_shard(self, spark, tmp_path):
+        from dbimport_spark.sources.webdataset import read_webdataset, write_shard
+
+        paths = []
+        for i in range(3):
+            p = str(tmp_path / f"shard-{i}.tar")
+            write_shard(
+                p, [(f"{i}{j}", {"txt": f"doc{i}{j}".encode()}) for j in range(4)]
+            )
+            paths.append(p)
+        df = read_webdataset(spark, paths, ["txt"])
+        rows = df.collect()
+        assert len(rows) == 12
+        assert df.rdd.getNumPartitions() == 3
+        assert {bytes(r.txt).decode() for r in rows} == {
+            f"doc{i}{j}" for i in range(3) for j in range(4)
+        }
