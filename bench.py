@@ -123,6 +123,7 @@ HEADLINE = [
     "src_tfrecord_roundtrip",
     "audio_resample_gate",
     "src_webdataset_roundtrip",
+    "multimodal_flip_gate",
 ]
 
 

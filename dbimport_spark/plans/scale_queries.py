@@ -1154,3 +1154,69 @@ def audio_resample_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         kernel,
         "media_id bigint, n_out int, out_sum bigint, interp_sum bigint",
     )
+
+
+@register(
+    "multimodal_flip_gate",
+    """WITH m AS (
+  SELECT doc_id, text, CAST(strlen(text) // 16 AS INTEGER) AS h
+  FROM documents WHERE strlen(text) >= 16
+),
+rows_rev AS (
+  SELECT doc_id, h, CAST(r AS INTEGER) AS r,
+         reverse(substring(text, CAST(r * 16 + 1 AS BIGINT), 16)) AS rev_row
+  FROM m, UNNEST(range(h)) AS u(r)
+)
+SELECT doc_id AS media_id, 16 AS width, h AS height,
+       sha256(string_agg(rev_row, '' ORDER BY r)) AS flip_sha
+FROM rows_rev GROUP BY doc_id, h""",
+)
+def multimodal_flip_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image augmentation, byte-exact oracle: document bytes →
+    16-wide grayscale PNG (real encode) → real decode → HORIZONTAL FLIP
+    (numpy axis-1 reverse) → re-encode to PNG → decode AGAIN → sha256 of
+    the final pixels. Flipping is a bijection on bytes and PNG is
+    lossless, so the hash must equal the oracle's sha over each source
+    row reversed — the full augment-and-rewrite path of an image-corpus
+    pipeline (mirror augmentation before training), graded to the byte
+    through two encode/decode cycles. A filter bug, stride slip, or
+    row-order error in any of the four codec passes flips every hash.
+
+    Scale: one map-only Arrow kernel per doc-partition; only 32-byte
+    digests leave the executors."""
+    import pandas as pd
+
+    from dbimport_spark.functions import png as _png
+
+    d = (
+        load(spark, sf_dir, "documents")
+        .filter(F.length("text") >= 16)
+        .select(F.col("doc_id").alias("media_id"), "text")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+
+    def kernel(batches):
+        import hashlib as _hashlib
+
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for mid, text in zip(pdf["media_id"], pdf["text"]):
+                data = text.encode("utf-8")
+                h = len(data) // 16
+                src = data[: h * 16]
+                blob = _png.encode_png(16, h, 1, src, filter_type=int(mid) % 5)
+                _w, _h, _ch, px = _png.decode_png(blob)
+                arr = np.frombuffer(px, np.uint8).reshape(h, 16)
+                flipped = arr[:, ::-1].tobytes()
+                blob2 = _png.encode_png(16, h, 1, flipped, filter_type=(int(mid) + 2) % 5)
+                _w2, _h2, _ch2, px2 = _png.decode_png(blob2)
+                rows.append(
+                    (int(mid), 16, h, _hashlib.sha256(px2).hexdigest())
+                )
+            yield pd.DataFrame(rows, columns=["media_id", "width", "height", "flip_sha"])
+
+    return d.mapInPandas(
+        kernel, "media_id bigint, width int, height int, flip_sha string"
+    )
