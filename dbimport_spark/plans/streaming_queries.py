@@ -699,3 +699,33 @@ def _register_stream_outlier():
 
 
 _register_stream_outlier()
+
+
+def _register_stream_media():
+    # shares the batch oracle: the media kernels are stateless Arrow maps,
+    # so an availableNow streaming run over the same files must produce
+    # byte-identical pixel statistics
+    from dbimport_spark.functions import multimodal
+    from dbimport_spark.plans.registry import ORACLES
+
+    @register("stream_media_stats", ORACLES["multimodal_png_roundtrip"])
+    def stream_media_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Streaming MEDIA ingest: the PNG fixture-encode and the full
+        image-decode kernels (two mapInPandas Arrow stages) applied
+        UNCHANGED to a readStream source — the graded proof that the
+        multimodal codec path composes onto Structured Streaming (the
+        shape of a continuously-arriving image-corpus ingest: decode,
+        stat, fingerprint per micro-batch; stateless, so no watermark or
+        state store). Shares multimodal_png_roundtrip's byte-exact
+        oracle."""
+        sch = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+        stream = spark.readStream.schema(sch).parquet(_docs_path(sf_dir))
+        media = multimodal.documents_as_png_media(stream, width=16)
+        stats = multimodal.extract_image_stats(media)
+        out = stats.select(
+            "media_id", "width", "height", "channels", "px_sum", "pixel_sha256"
+        )
+        return _run_to_memory(out, spark)
+
+
+_register_stream_media()

@@ -415,3 +415,40 @@ def test_avi_container_roundtrip_property(w, h, fps, frames):
     # fps survives via strh rate/scale exactly (avih stores a rounded
     # microsecond period; decode prefers strh)
     assert dfps == fps
+
+
+# ------------------------------------------------------------- WebDataset
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.text(string.ascii_lowercase + string.digits, min_size=1, max_size=10),
+            st.dictionaries(
+                st.sampled_from(["txt", "cls", "json", "seg.png"]),
+                st.binary(max_size=64),
+                min_size=1,
+                max_size=4,
+            ),
+        ),
+        min_size=1,
+        max_size=8,
+        unique_by=lambda t: t[0],
+    )
+)
+def test_webdataset_shard_roundtrip_property(samples):
+    """Any key/field/payload combination survives write_shard →
+    iter_samples with order, grouping, and bytes intact (incl. empty
+    payloads and multi-dot extensions)."""
+    import tempfile
+
+    from dbimport_spark.sources.webdataset import iter_samples, write_shard
+
+    exts = ["txt", "cls", "json", "seg.png"]
+    with tempfile.NamedTemporaryFile(suffix=".tar") as f:
+        write_shard(f.name, samples)
+        got = list(iter_samples(open(f.name, "rb").read(), exts))
+    assert [k for k, _ in got] == [k for k, _ in samples]
+    for (k, fields), (_, want) in zip(got, samples):
+        assert fields == {e: want.get(e) for e in exts}
