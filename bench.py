@@ -124,6 +124,7 @@ HEADLINE = [
     "audio_resample_gate",
     "src_webdataset_roundtrip",
     "multimodal_flip_gate",
+    "multimodal_video_dib",
 ]
 
 

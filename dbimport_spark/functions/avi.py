@@ -46,24 +46,68 @@ def _list(list_type: bytes, payload: bytes) -> bytes:
     return _chunk(b"LIST", list_type + payload)
 
 
+def _dib_stride(width: int) -> int:
+    """BI_RGB rows are padded to 4-byte boundaries (24-bit: 3·w bytes)."""
+    return (width * 3 + 3) & ~3
+
+
+def _rgb_to_dib(width: int, height: int, rgb: bytes) -> bytes:
+    """Top-down RGB pixels → one BI_RGB frame payload: bottom-up row
+    order, BGR channel order, 4-byte row stride — the DIB layout."""
+    import numpy as np
+
+    if len(rgb) != width * height * 3:
+        raise AviError(
+            f"DIB frame needs {width * height * 3} RGB bytes, got {len(rgb)}"
+        )
+    a = np.frombuffer(rgb, np.uint8).reshape(height, width, 3)
+    stride = _dib_stride(width)
+    out = np.zeros((height, stride), dtype=np.uint8)
+    out[:, : width * 3] = a[::-1, :, ::-1].reshape(height, width * 3)
+    return out.tobytes()
+
+
+def _dib_to_rgb(width: int, height: int, frame: bytes) -> bytes:
+    """Inverse of _rgb_to_dib, validating the stride-padded size."""
+    import numpy as np
+
+    stride = _dib_stride(width)
+    if len(frame) != stride * height:
+        raise AviError(
+            f"DIB frame size {len(frame)} != stride {stride} × height {height}"
+        )
+    rows = np.frombuffer(frame, np.uint8).reshape(height, stride)
+    a = rows[:, : width * 3].reshape(height, width, 3)
+    return a[::-1, :, ::-1].tobytes()
+
+
 def encode_avi(
     width: int,
     height: int,
     frames: list[bytes],
     fps: int = 10,
+    codec: str = "MJPG",
 ) -> bytes:
-    """MJPEG frames (each a complete baseline-JPEG blob) → AVI bytes.
+    """Video frames → AVI bytes.
 
-    One 'vids'/'MJPG' stream; every frame is a key frame. ``fps`` is
-    stored as rate/scale = fps/1 in the stream header and as
-    microseconds-per-frame in the main header, so a decoder can recover
-    it from either (decode_avi cross-checks both).
+    ``codec="MJPG"`` (default): each frame is a complete baseline-JPEG
+    blob, stored as-is in '00dc' chunks. ``codec="DIB"``: each frame is
+    top-down RGB pixels (w·h·3 bytes) stored UNCOMPRESSED as BI_RGB —
+    bottom-up, BGR, 4-byte row stride — in '00db' chunks; lossless, the
+    classic uncompressed-AVI layout. One 'vids' stream; every frame is a
+    key frame. ``fps`` is stored as rate/scale = fps/1 in the stream
+    header and as microseconds-per-frame in the main header, so a
+    decoder can recover it from either (decode cross-checks both).
     """
+    if codec not in ("MJPG", "DIB"):
+        raise AviError(f"unsupported encode codec {codec!r}")
     if not frames:
         raise AviError("cannot encode an AVI with zero frames")
     if width <= 0 or height <= 0 or fps <= 0:
         raise AviError("width, height and fps must be positive")
 
+    if codec == "DIB":
+        frames = [_rgb_to_dib(width, height, f) for f in frames]
     max_frame = max(len(f) for f in frames)
 
     avih = _chunk(
@@ -88,7 +132,7 @@ def encode_avi(
         struct.pack(
             "<4s4sIHHIIIIIIIIhhhh",
             b"vids",
-            b"MJPG",
+            b"MJPG" if codec == "MJPG" else b"DIB ",
             0,  # dwFlags
             0,  # wPriority
             0,  # wLanguage
@@ -112,8 +156,8 @@ def encode_avi(
             width,
             height,
             1,  # biPlanes
-            24,  # biBitCount (nominal for MJPG)
-            b"MJPG",  # biCompression
+            24,  # biBitCount
+            b"MJPG" if codec == "MJPG" else b"\x00\x00\x00\x00",  # biCompression (0 = BI_RGB)
             width * height * 3,  # biSizeImage (nominal)
             0, 0, 0, 0,
         ),
@@ -126,11 +170,12 @@ def encode_avi(
     # 'movi' fourcc (the dominant historical convention; decode_avi also
     # accepts absolute-from-file offsets, both exist in the wild).
     off = 4
+    ckid = b"00dc" if codec == "MJPG" else b"00db"
     for f in frames:
-        ck = _chunk(b"00dc", f)
+        ck = _chunk(ckid, f)
         movi_parts.append(ck)
         idx_entries.append(
-            struct.pack("<4sIII", b"00dc", _AVIIF_KEYFRAME, off, len(f))
+            struct.pack("<4sIII", ckid, _AVIIF_KEYFRAME, off, len(f))
         )
         off += len(ck)
     movi = _list(b"movi", b"".join(movi_parts))
@@ -159,15 +204,15 @@ def _walk(blob: bytes, pos: int, end: int):
         pos = body + size + (size & 1)
 
 
-def decode_avi(blob: bytes):
-    """AVI bytes → (width, height, fps, frames) where frames is the list
-    of raw compressed payloads (JPEG blobs for MJPG).
+def _parse_avi(blob: bytes):
+    """Structural RIFF walk shared by the public decoders: returns
+    (width, height, fps, handler, frames) with frames as raw payloads.
 
-    Walks the RIFF tree structurally — never trusts idx1 to locate
-    frames, but when an index is present its per-frame sizes are
-    cross-checked against the movi chunks (a mismatch is corruption).
-    Accepts both '00dc' (compressed) and '00db' (uncompressed DIB named
-    by some muxers) frame ids and nested 'rec ' groups, per spec.
+    Never trusts idx1 to locate frames, but when an index is present its
+    per-frame sizes are cross-checked against the movi chunks (a
+    mismatch is corruption). Accepts both '00dc' (compressed) and
+    '00db' (uncompressed DIB) frame ids and nested 'rec ' groups, per
+    spec.
     """
     if len(blob) < 12 or blob[:4] != b"RIFF":
         raise AviError("not a RIFF file")
@@ -178,6 +223,7 @@ def decode_avi(blob: bytes):
         raise AviError(f"RIFF form is {blob[8:12]!r}, not 'AVI '")
 
     width = height = None
+    vid_handler = None
     fps_hdr = fps_strh = None
     declared_frames = None
     frames: list[bytes] = []
@@ -208,11 +254,7 @@ def decode_avi(blob: bytes):
                             fcc_type, handler = struct.unpack_from("<4s4s", blob, b3)
                             if fcc_type != b"vids":
                                 continue  # audio/text streams: skip
-                            if handler not in (b"MJPG", b"mjpg"):
-                                raise AviError(
-                                    f"unsupported video codec {handler!r} "
-                                    "(only MJPG decodes here)"
-                                )
+                            vid_handler = handler
                             scale, rate = struct.unpack_from("<II", blob, b3 + 20)
                             if scale:
                                 fps_strh = rate // scale
@@ -238,4 +280,29 @@ def decode_avi(blob: bytes):
     fps = fps_strh if fps_strh is not None else fps_hdr
     if fps_strh is not None and fps_hdr is not None and fps_strh != fps_hdr:
         raise AviError(f"strh fps {fps_strh} != avih fps {fps_hdr}")
-    return width, height, fps or 0, frames
+    return width, height, fps or 0, vid_handler, frames
+
+
+def decode_avi(blob: bytes):
+    """AVI bytes → (width, height, fps, frames) for an MJPG stream;
+    frames are the raw JPEG blobs. See _parse_avi for the walk rules."""
+    width, height, fps, handler, frames = _parse_avi(blob)
+    if handler not in (b"MJPG", b"mjpg"):
+        raise AviError(
+            f"unsupported video codec {handler!r} (decode_avi handles "
+            "MJPG; uncompressed BI_RGB decodes via decode_avi_dib)"
+        )
+    return width, height, fps, frames
+
+
+def decode_avi_dib(blob: bytes):
+    """AVI bytes → (width, height, fps, frames) for an UNCOMPRESSED
+    BI_RGB ('DIB ') stream; each frame comes back as top-down RGB pixels
+    (w·h·3 bytes) — stride padding stripped, rows re-flipped, BGR→RGB.
+    Lossless end to end."""
+    width, height, fps, handler, frames = _parse_avi(blob)
+    if handler not in (b"DIB ", b"\x00\x00\x00\x00", None):
+        raise AviError(
+            f"stream {handler!r} is not an uncompressed-DIB video"
+        )
+    return width, height, fps, [_dib_to_rgb(width, height, f) for f in frames]

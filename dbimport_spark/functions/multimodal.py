@@ -8,9 +8,10 @@ Decode status (honest inventory):
     (T.81 DCT + Huffman, 4:4:4/4:2:0, restart intervals).
   * GIF — REAL. functions/gif.py (multi-frame LZW container).
   * WAV — REAL. functions/wav.py (RIFF/PCM16 + G.711 companded).
-  * Video (MJPEG-in-AVI) — REAL. functions/avi.py walks the RIFF/AVI
-    container structurally and every frame decodes through the real JPEG
-    codec (sample_video_frames below).
+  * Video (MJPEG-in-AVI and uncompressed BI_RGB DIB-in-AVI) — REAL.
+    functions/avi.py walks the RIFF/AVI container structurally; MJPEG
+    frames decode through the real JPEG codec (sample_video_frames
+    below), DIB frames unpack losslessly (stride/row-flip/BGR).
   * Inter-frame-compressed video (h264 …) and perceptual audio (mp3/aac)
     — STUBBED. Those need libav, absent in this container:
     ``decode="fake"`` produces deterministic pseudo-features from a

@@ -1220,3 +1220,85 @@ def multimodal_flip_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.mapInPandas(
         kernel, "media_id bigint, width int, height int, flip_sha string"
     )
+
+
+@register(
+    "multimodal_video_dib",
+    """WITH m AS (
+  SELECT doc_id, text, CAST(least(4, strlen(text) // 120) AS INTEGER) AS n
+  FROM documents WHERE strlen(text) >= 120
+),
+px AS (
+  SELECT doc_id, n, ord(substring(text, CAST(i + 1 AS INTEGER), 1)) AS c
+  FROM m, UNNEST(range(n * 120)) AS u(i)
+)
+SELECT doc_id AS media_id, 15 AS width, 8 AS height, 12 AS fps,
+       n AS n_frames,
+       CAST(sum((3 * c) % 256) AS BIGINT) AS sum_r,
+       CAST(sum((2 * c) % 256) AS BIGINT) AS sum_g,
+       CAST(sum(c) AS BIGINT) AS sum_b
+FROM px GROUP BY doc_id, n""",
+)
+def multimodal_video_dib(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNCOMPRESSED video (BI_RGB DIB-in-AVI), byte-exact oracle: each
+    document's chars become ≤4 color frames of 15×8 RGB pixels
+    (R = 3c mod 256, G = 2c mod 256, B = c — three distinct channel
+    transforms so a BGR/RGB swap or channel-order bug flips two sums
+    while leaving the third), muxed as bottom-up stride-padded BGR DIB
+    rows (width 15 → stride 45 padded to 48: every frame exercises the
+    4-byte-alignment rule) and decoded back losslessly. Unlike the MJPEG
+    twin this needs no tolerance: every channel sum must match the
+    oracle exactly, covering the second of the two classic AVI payload
+    layouts. Scale: one map-only Arrow kernel, stats-only rows."""
+    import pandas as pd
+
+    from dbimport_spark.functions import avi as _avi
+
+    frame_px = 15 * 8
+
+    d = (
+        load(spark, sf_dir, "documents")
+        .filter(F.length("text") >= frame_px)
+        .select(F.col("doc_id").alias("media_id"), "text")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+
+    def kernel(batches):
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for mid, text in zip(pdf["media_id"], pdf["text"]):
+                data = text.encode("utf-8")
+                n = min(4, len(data) // frame_px)
+                frames = []
+                for i in range(n):
+                    c = np.frombuffer(
+                        data[i * frame_px : (i + 1) * frame_px], np.uint8
+                    ).astype(np.int32)
+                    rgb = np.stack(
+                        [(3 * c) % 256, (2 * c) % 256, c], axis=1
+                    ).astype(np.uint8)
+                    frames.append(rgb.tobytes())
+                blob = _avi.encode_avi(15, 8, frames, fps=12, codec="DIB")
+                dw, dh, fps, out = _avi.decode_avi_dib(blob)
+                px = np.frombuffer(b"".join(out), np.uint8).reshape(-1, 3).astype(np.int64)
+                rows.append(
+                    (
+                        int(mid), dw, dh, fps, n,
+                        int(px[:, 0].sum()), int(px[:, 1].sum()), int(px[:, 2].sum()),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "width", "height", "fps", "n_frames",
+                    "sum_r", "sum_g", "sum_b",
+                ],
+            )
+
+    return d.mapInPandas(
+        kernel,
+        "media_id bigint, width int, height int, fps int, n_frames int, "
+        "sum_r bigint, sum_g bigint, sum_b bigint",
+    )
