@@ -125,6 +125,7 @@ HEADLINE = [
     "src_webdataset_roundtrip",
     "multimodal_flip_gate",
     "multimodal_video_dib",
+    "multimodal_av_demux",
 ]
 
 

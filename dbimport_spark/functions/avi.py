@@ -224,9 +224,11 @@ def _parse_avi(blob: bytes):
 
     width = height = None
     vid_handler = None
+    audio_fmt = None
     fps_hdr = fps_strh = None
     declared_frames = None
     frames: list[bytes] = []
+    audio_parts: list[bytes] = []
     idx_sizes: list[int] = []
 
     def scan_movi(start: int, size: int) -> None:
@@ -235,6 +237,8 @@ def _parse_avi(blob: bytes):
                 scan_movi(body, csize)
             elif cid[2:4] in (b"dc", b"db") and cid[:2].isdigit():
                 frames.append(blob[body : body + csize])
+            elif cid[2:4] == b"wb" and cid[:2].isdigit():
+                audio_parts.append(blob[body : body + csize])
 
     for cid, ltype, body, size in _walk(blob, 12, 8 + riff_size):
         if cid == b"LIST" and ltype == b"hdrl":
@@ -247,25 +251,39 @@ def _parse_avi(blob: bytes):
                     if us_per_frame:
                         fps_hdr = round(1_000_000 / us_per_frame)
                 elif c2 == b"LIST" and l2 == b"strl":
+                    stream_type = None
                     for c3, _l3, b3, s3 in _walk(blob, b2, b2 + s2):
                         if c3 == b"strh":
                             if s3 < 48:
                                 raise AviError("strh header too short")
                             fcc_type, handler = struct.unpack_from("<4s4s", blob, b3)
+                            stream_type = fcc_type
                             if fcc_type != b"vids":
-                                continue  # audio/text streams: skip
+                                continue  # auds strf parsed below
                             vid_handler = handler
                             scale, rate = struct.unpack_from("<II", blob, b3 + 20)
                             if scale:
                                 fps_strh = rate // scale
+                        elif c3 == b"strf" and stream_type == b"auds":
+                            # WAVEFORMAT(EX): the audio stream's format
+                            if s3 < 16:
+                                raise AviError("auds strf too short")
+                            tag, ch, rate, _avg, _align, bits = struct.unpack_from(
+                                "<HHIIHH", blob, b3
+                            )
+                            audio_fmt = {
+                                "tag": tag, "channels": ch,
+                                "rate": rate, "bits": bits,
+                            }
         elif cid == b"LIST" and ltype == b"movi":
             scan_movi(body, size)
         elif cid == b"idx1":
             for off in range(0, size - size % 16, 16):
-                _ckid, _flags, _ofs, csize = struct.unpack_from(
+                ckid, _flags, _ofs, csize = struct.unpack_from(
                     "<4sIII", blob, body + off
                 )
-                idx_sizes.append(csize)
+                if ckid[2:4] in (b"dc", b"db"):  # video entries only
+                    idx_sizes.append(csize)
 
     if width is None or height is None:
         raise AviError("no avih main header found")
@@ -280,13 +298,13 @@ def _parse_avi(blob: bytes):
     fps = fps_strh if fps_strh is not None else fps_hdr
     if fps_strh is not None and fps_hdr is not None and fps_strh != fps_hdr:
         raise AviError(f"strh fps {fps_strh} != avih fps {fps_hdr}")
-    return width, height, fps or 0, vid_handler, frames
+    return width, height, fps or 0, vid_handler, frames, audio_fmt, b"".join(audio_parts)
 
 
 def decode_avi(blob: bytes):
     """AVI bytes → (width, height, fps, frames) for an MJPG stream;
     frames are the raw JPEG blobs. See _parse_avi for the walk rules."""
-    width, height, fps, handler, frames = _parse_avi(blob)
+    width, height, fps, handler, frames, _afmt, _audio = _parse_avi(blob)
     if handler not in (b"MJPG", b"mjpg"):
         raise AviError(
             f"unsupported video codec {handler!r} (decode_avi handles "
@@ -300,9 +318,135 @@ def decode_avi_dib(blob: bytes):
     BI_RGB ('DIB ') stream; each frame comes back as top-down RGB pixels
     (w·h·3 bytes) — stride padding stripped, rows re-flipped, BGR→RGB.
     Lossless end to end."""
-    width, height, fps, handler, frames = _parse_avi(blob)
+    width, height, fps, handler, frames, _afmt, _audio = _parse_avi(blob)
     if handler not in (b"DIB ", b"\x00\x00\x00\x00", None):
         raise AviError(
             f"stream {handler!r} is not an uncompressed-DIB video"
         )
     return width, height, fps, [_dib_to_rgb(width, height, f) for f in frames]
+
+
+def encode_avi_av(
+    width: int,
+    height: int,
+    video_frames: list[bytes],
+    audio_codes: bytes,
+    fps: int = 10,
+    law: str = "mu",
+    sample_rate: int = 8000,
+) -> bytes:
+    """Interleaved audio+video AVI: one uncompressed BI_RGB 'vids' stream
+    (top-down RGB input frames, stored as DIB) plus one G.711 'auds'
+    stream (format tag 7 = μ-law / 6 = A-law, 8-bit codes), audio split
+    into per-frame '01wb' chunks of sample_rate // fps samples (remainder
+    rides with the last frame) — the classic interleaved-AVI layout, so a
+    demuxer can stream both tracks in one pass."""
+    if not video_frames:
+        raise AviError("cannot encode an AVI with zero frames")
+    if width <= 0 or height <= 0 or fps <= 0:
+        raise AviError("width, height and fps must be positive")
+    tag = {"mu": 7, "a": 6}.get(law)
+    if tag is None:
+        raise AviError(f"unknown companding law {law!r}")
+
+    dib_frames = [_rgb_to_dib(width, height, f) for f in video_frames]
+    max_frame = max(len(f) for f in dib_frames)
+    n = len(video_frames)
+    spf = max(1, sample_rate // fps)
+
+    avih = _chunk(
+        b"avih",
+        struct.pack(
+            "<IIIIIIIIIIIIII",
+            1_000_000 // fps, max_frame * fps, 0, _AVIF_HASINDEX,
+            n, 0, 2, max_frame, width, height, 0, 0, 0, 0,
+        ),
+    )
+    strh_v = _chunk(
+        b"strh",
+        struct.pack(
+            "<4s4sIHHIIIIIIIIhhhh",
+            b"vids", b"DIB ", 0, 0, 0, 0, 1, fps, 0, n,
+            max_frame, 0xFFFFFFFF, 0, 0, 0, width, height,
+        ),
+    )
+    strf_v = _chunk(
+        b"strf",
+        struct.pack(
+            "<IiiHH4sIiiII",
+            40, width, height, 1, 24, b"\x00\x00\x00\x00",
+            width * height * 3, 0, 0, 0, 0,
+        ),
+    )
+    strh_a = _chunk(
+        b"strh",
+        struct.pack(
+            "<4s4sIHHIIIIIIIIhhhh",
+            b"auds", b"\x00\x00\x00\x00", 0, 0, 0, 0,
+            1, sample_rate,  # scale/rate: samples per second
+            0, len(audio_codes),  # dwLength in samples (1 byte each)
+            spf, 0xFFFFFFFF, 1,  # dwSampleSize = 1 byte
+            0, 0, 0, 0,
+        ),
+    )
+    strf_a = _chunk(
+        b"strf",
+        struct.pack(
+            "<HHIIHHH", tag, 1, sample_rate, sample_rate, 1, 8, 0
+        ),
+    )
+    hdrl = _list(
+        b"hdrl",
+        avih + _list(b"strl", strh_v + strf_v) + _list(b"strl", strh_a + strf_a),
+    )
+
+    movi_parts: list[bytes] = []
+    idx_entries: list[bytes] = []
+    off = 4
+    for i, f in enumerate(dib_frames):
+        for cid, payload in (
+            (b"00db", f),
+            (
+                b"01wb",
+                audio_codes[i * spf : (i + 1) * spf]
+                if i < n - 1
+                else audio_codes[i * spf :],
+            ),
+        ):
+            ck = _chunk(cid, payload)
+            movi_parts.append(ck)
+            idx_entries.append(
+                struct.pack("<4sIII", cid, _AVIIF_KEYFRAME, off, len(payload))
+            )
+            off += len(ck)
+    movi = _list(b"movi", b"".join(movi_parts))
+    idx1 = _chunk(b"idx1", b"".join(idx_entries))
+    return _chunk(b"RIFF", b"AVI " + hdrl + movi + idx1)
+
+
+def decode_avi_av(blob: bytes):
+    """Interleaved AVI → (width, height, fps, rgb_frames, sample_rate,
+    pcm16 numpy samples): DIB video unpacked losslessly, the audio track
+    reassembled across its '01wb' chunks and expanded through the G.711
+    (or PCM16) decoder in functions/wav.py. The A+V demux primitive of a
+    video-corpus pipeline."""
+    from dbimport_spark.functions import wav as _wav
+
+    width, height, fps, handler, frames, afmt, audio = _parse_avi(blob)
+    if handler not in (b"DIB ", b"\x00\x00\x00\x00", None):
+        raise AviError(f"video stream {handler!r} is not uncompressed DIB")
+    if afmt is None:
+        raise AviError("no audio stream found (use decode_avi_dib)")
+    tag = afmt["tag"]
+    if tag == 7:
+        pcm = _wav.g711_decode(audio, "mu")
+    elif tag == 6:
+        pcm = _wav.g711_decode(audio, "a")
+    elif tag == 1 and afmt["bits"] == 16:
+        import numpy as np
+
+        pcm = np.frombuffer(audio, dtype="<i2")
+    else:
+        raise AviError(f"unsupported audio format tag {tag}")
+    rgb = [_dib_to_rgb(width, height, f) for f in frames]
+    return width, height, fps, rgb, afmt["rate"], pcm

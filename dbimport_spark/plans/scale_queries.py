@@ -1302,3 +1302,113 @@ def multimodal_video_dib(spark: SparkSession, sf_dir: str) -> DataFrame:
         "media_id bigint, width int, height int, fps int, n_frames int, "
         "sum_r bigint, sum_g bigint, sum_b bigint",
     )
+
+
+@register(
+    "multimodal_av_demux",
+    """WITH m AS (
+  SELECT doc_id, text,
+         CAST(least(3, strlen(text) // 120) AS INTEGER) AS n,
+         CAST(least(strlen(text), 100) AS INTEGER) AS na
+  FROM documents WHERE strlen(text) >= 120
+),
+vpx AS (
+  SELECT doc_id, ord(substring(text, CAST(i + 1 AS INTEGER), 1)) AS c
+  FROM m, UNNEST(range(n * 120)) AS u(i)
+),
+v AS (
+  SELECT doc_id, CAST(sum((3 * c) % 256) AS BIGINT) AS sum_r FROM vpx GROUP BY doc_id
+),
+apx AS (
+  SELECT doc_id,
+         (ord(substring(text, CAST(i + 1 AS INTEGER), 1)) * 7 + CAST(i AS INTEGER)) % 256 AS code
+  FROM m, UNNEST(range(na)) AS u(i)
+),
+a AS (
+  SELECT doc_id,
+         CAST(count(*) AS INTEGER) AS n_samples,
+         CAST(sum(
+           CASE WHEN 255 - code >= 128
+                THEN 132 - (((255 - code) % 16) * 8 + 132) * (1 << (((255 - code) // 16) % 8))
+                ELSE (((255 - code) % 16) * 8 + 132) * (1 << (((255 - code) // 16) % 8)) - 132 END
+         ) AS BIGINT) AS audio_sum
+  FROM apx GROUP BY doc_id
+)
+SELECT m.doc_id AS media_id, m.n AS n_frames, 10 AS fps, 8000 AS sr,
+       v.sum_r, a.n_samples, a.audio_sum
+FROM m JOIN v ON v.doc_id = m.doc_id JOIN a ON a.doc_id = m.doc_id""",
+)
+def multimodal_av_demux(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interleaved AUDIO+VIDEO demux, fully exact oracle: each document
+    becomes ONE AVI holding two streams — ≤3 uncompressed BI_RGB frames
+    (R = 3c mod 256 channel transform, width 15 so every row exercises
+    stride padding) interleaved with a μ-law audio track (full-code-space
+    derivation over the first 100 bytes, split into per-frame '01wb'
+    chunks). decode_avi_av demuxes both tracks in one structural walk:
+    DIB video unpacks losslessly and G.711 expands bit-exactly, so the
+    oracle recomputes the video channel sum AND every audio sample from
+    the source chars — a chunk-routing bug (video bytes in the audio
+    track or vice versa), a WAVEFORMAT misparse, or an interleave slip
+    breaks one of the two sums on every row. This is the A+V ingest
+    primitive of a video-corpus pipeline: one pass, both modalities.
+
+    Scale: one map-only Arrow kernel; only integer stats leave the
+    executors."""
+    import pandas as pd
+
+    from dbimport_spark.functions import avi as _avi
+
+    frame_px = 15 * 8
+
+    d = (
+        load(spark, sf_dir, "documents")
+        .filter(F.length("text") >= frame_px)
+        .select(F.col("doc_id").alias("media_id"), "text")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+
+    def kernel(batches):
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for mid, text in zip(pdf["media_id"], pdf["text"]):
+                data = text.encode("utf-8")
+                n = min(3, len(data) // frame_px)
+                vf = []
+                for i in range(n):
+                    c = np.frombuffer(
+                        data[i * frame_px : (i + 1) * frame_px], np.uint8
+                    ).astype(np.int32)
+                    rgb = np.stack(
+                        [(3 * c) % 256, (2 * c) % 256, c], axis=1
+                    ).astype(np.uint8)
+                    vf.append(rgb.tobytes())
+                arr = np.frombuffer(data[:100], np.uint8).astype(np.int32)
+                codes = ((arr * 7 + np.arange(arr.size)) % 256).astype(np.uint8).tobytes()
+                blob = _avi.encode_avi_av(
+                    15, 8, vf, codes, fps=10, law="mu", sample_rate=8000
+                )
+                dw, dh, fps, rgb_out, sr, pcm = _avi.decode_avi_av(blob)
+                px = np.frombuffer(b"".join(rgb_out), np.uint8).reshape(-1, 3)
+                rows.append(
+                    (
+                        int(mid), len(rgb_out), fps, sr,
+                        int(px[:, 0].astype(np.int64).sum()),
+                        int(pcm.size),
+                        int(pcm.astype(np.int64).sum()),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "n_frames", "fps", "sr",
+                    "sum_r", "n_samples", "audio_sum",
+                ],
+            )
+
+    return d.mapInPandas(
+        kernel,
+        "media_id bigint, n_frames int, fps int, sr int, "
+        "sum_r bigint, n_samples int, audio_sum bigint",
+    )

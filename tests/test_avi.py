@@ -244,3 +244,56 @@ class TestDib:
             decode_avi_dib(bytes(blob))
         except AviError:
             pass  # either the walk or the size check flags it — loud is loud
+
+
+class TestAudioVideo:
+    """Interleaved A+V: two-stream header, chunk routing, demux."""
+
+    def test_av_roundtrip_both_tracks_exact(self):
+        import random
+
+        import numpy as np
+
+        from dbimport_spark.functions.avi import decode_avi_av, encode_avi_av
+        from dbimport_spark.functions.wav import g711_decode
+
+        rnd = random.Random(21)
+        vf = [bytes(rnd.randrange(256) for _ in range(15 * 8 * 3)) for _ in range(4)]
+        codes = bytes(rnd.randrange(256) for _ in range(3203))  # non-multiple of spf
+        blob = encode_avi_av(15, 8, vf, codes, fps=10, law="a", sample_rate=8000)
+        w, h, fps, rgb, rate, pcm = decode_avi_av(blob)
+        assert (w, h, fps, rate) == (15, 8, 10, 8000)
+        assert rgb == vf
+        assert (pcm == g711_decode(codes, "a")).all()
+        assert pcm.dtype == np.int16
+
+    def test_av_no_audio_stream_is_loud(self):
+        import pytest as _pytest
+
+        from dbimport_spark.functions.avi import decode_avi_av, encode_avi
+
+        blob = encode_avi(2, 2, [bytes(12)], fps=10, codec="DIB")
+        with _pytest.raises(AviError, match="no audio stream"):
+            decode_avi_av(blob)
+
+    def test_av_unknown_audio_tag_is_loud(self):
+        import pytest as _pytest
+
+        from dbimport_spark.functions.avi import decode_avi_av, encode_avi_av
+
+        blob = bytearray(
+            encode_avi_av(2, 2, [bytes(12)], b"\x00\x01", fps=10, law="mu")
+        )
+        # the auds strf is the SECOND strf; its wFormatTag leads the chunk
+        at = bytes(blob).index(b"strf", bytes(blob).index(b"auds")) + 8
+        struct.pack_into("<H", blob, at, 2)  # ADPCM: unsupported
+        with _pytest.raises(AviError, match="unsupported audio format"):
+            decode_avi_av(bytes(blob))
+
+    def test_av_video_only_decoders_ignore_audio_chunks(self):
+        from dbimport_spark.functions.avi import decode_avi_dib, encode_avi_av
+
+        vf = [bytes(range(12))]
+        blob = encode_avi_av(2, 2, vf, b"\x10\x20\x30", fps=10)
+        # a pure-video decoder on an A+V file sees just the video track
+        assert decode_avi_dib(blob)[3] == vf
