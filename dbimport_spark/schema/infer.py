@@ -64,6 +64,28 @@ def _counts_for(col: str, fmt: str | None):
         "n": F.sum(nonempty.cast("long")),
         "max_bytes": F.max(F.octet_length(c)),
     }
+    if fmt in (",", "."):
+        # numeric format info (reference: ',' = EU decimal comma, '.' =
+        # decimal point; the other separator is thousands): normalize,
+        # then count how many values are numeric / integral
+        if fmt == ",":
+            norm = F.replace(F.replace(s, F.lit("."), F.lit("")), F.lit(","), F.lit("."))
+        else:
+            norm = F.replace(s, F.lit(","), F.lit(""))
+        exprs["n_pattern"] = F.sum(
+            (nonempty & norm.try_cast("double").isNotNull()).cast("long")
+        )
+        exprs["n_pattern_int"] = F.sum(
+            (
+                nonempty
+                & norm.rlike(INT_GRAMMAR_RE)
+                & norm.try_cast("bigint").isNotNull()
+            ).cast("long")
+        )
+        return exprs
+    if fmt in ("lc", "uc", "email"):
+        # string-transform infos: the column is textual by declaration
+        return exprs
     if fmt and fmt != "file":
         # explicit date pattern: does every non-empty value parse?
         parsed = F.try_to_timestamp(s, F.lit(fmt))
@@ -115,6 +137,17 @@ def infer_schema(
             continue
         if n == 0:
             out.append(InferredColumn(c, "VARCHAR", size=max(max_bytes, 1)))
+            continue
+        if fmt in ("lc", "uc", "email"):
+            out.append(InferredColumn(c, "VARCHAR", size=max_bytes))
+            continue
+        if fmt in (",", "."):
+            if g.get("n_pattern_int", 0) == n:
+                out.append(InferredColumn(c, "BIGINT"))
+            elif g.get("n_pattern", 0) == n:
+                out.append(InferredColumn(c, "DOUBLE"))
+            else:
+                out.append(InferredColumn(c, "VARCHAR", size=max_bytes))
             continue
         if fmt:
             if g.get("n_pattern", 0) == n:
