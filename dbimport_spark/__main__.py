@@ -138,22 +138,7 @@ def _read_source(spark, args):
     raise SystemExit(f"unsupported import format {fmt!r}")
 
 
-def main(argv: list[str] | None = None) -> int:
-    args = build_parser().parse_args(argv)
-
-    from pyspark.sql import SparkSession
-
-    cpus = args.cpus or "*"
-    spark = (
-        SparkSession.builder.master(f"local[{cpus}]")
-        .appName("dbimport_spark_cli")
-        .config("spark.sql.session.timeZone", "UTC")
-        .config("spark.sql.adaptive.enabled", "true")
-        .config("spark.ui.enabled", "false")
-        .getOrCreate()
-    )
-    spark.sparkContext.setLogLevel("ERROR")
-
+def _build_definition(args) -> ImportDefinition:
     definition = ImportDefinition(
         import_mode=ImportMode(args.mode),
         key_columns=[parse_key_column(k) for k in args.keys.split(",")] if args.keys else [],
@@ -171,7 +156,71 @@ def main(argv: list[str] | None = None) -> int:
     )
     if args.duplicate:
         definition.duplicate_mode = DuplicateMode(args.duplicate)
+    return definition
 
+
+def main(argv: list[str] | None = None) -> int:
+    args = build_parser().parse_args(argv)
+
+    from pyspark.sql import SparkSession
+
+    cpus = args.cpus or "*"
+    spark = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName("dbimport_spark_cli")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+
+    # §3.2 multi-file wildcard import: expand, then run one import per
+    # file in file-name-sorted order; table '*' derives each target from
+    # its file name (reference: DbImport.java:907-923, importData loop)
+    if args.importfile and any(ch in os.path.basename(args.importfile) for ch in "*?"):
+        from dbimport_spark.sources.wildcard import expand_wildcard, table_name_for_file
+
+        files = expand_wildcard(args.importfile)
+        if not files:
+            print(json.dumps({"ok": False, "error": f"no files match {args.importfile!r}"}))
+            return 2
+        results = []
+        rc = 0
+        for f in files:
+            sub = argparse.Namespace(**vars(args))
+            sub.importfile = f
+            sub.table = table_name_for_file(f) if args.table == "*" else args.table
+            code = _run_one(spark, sub, results)
+            rc = rc or code
+        print(json.dumps({"ok": rc == 0, "files": len(files), "imports": results}))
+        return rc
+
+    # §3.3 SQL script execution: statements run against the warehouse
+    # tables registered as temp views; changed views are NOT written back
+    # (scripts here are queries/DDL checks, reference: DbSqlWorker)
+    if args.importfile and (args.format or "").lower() == "sql" or (
+        args.importfile and args.importfile.lower().endswith(".sql")
+    ):
+        from dbimport_spark.sources.sqlscript import run_sql_script
+
+        for entry in sorted(os.listdir(args.warehouse)):
+            tdir = os.path.join(args.warehouse, entry)
+            if os.path.isdir(tdir):
+                spark.read.parquet(tdir).createOrReplaceTempView(entry)
+        with open(args.importfile, encoding="utf-8") as fh:
+            script = fh.read()
+        res = run_sql_script(spark, script, complete_commit=args.complete_commit)
+        ok = not res.errors
+        print(json.dumps({"ok": ok, "executed": res.executed, "errors": res.errors}))
+        return 0 if ok else 2
+
+    return _run_one(spark, args, None)
+
+
+def _run_one(spark, args, results: list | None) -> int:
+    definition = _build_definition(args)
     source = _read_source(spark, args)
 
     table_dir = os.path.join(args.warehouse, args.table)
@@ -202,7 +251,11 @@ def main(argv: list[str] | None = None) -> int:
     try:
         new_target, invalid, stats = run_import(definition, source, target)
     except ImportError_ as exc:
-        print(json.dumps({"ok": False, "error": str(exc)}))
+        err = {"ok": False, "table": args.table, "error": str(exc)}
+        if results is not None:
+            results.append(err)
+        else:
+            print(json.dumps(err))
         return 2
 
     # Atomic swap: write the shadow dir, then two renames. The old table
@@ -257,7 +310,10 @@ def main(argv: list[str] | None = None) -> int:
         "error_file": error_file,
         **stats.as_dict(),
     }
-    print(json.dumps(out))
+    if results is not None:
+        results.append(out)
+    else:
+        print(json.dumps(out))
     return 0
 
 

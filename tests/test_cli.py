@@ -80,3 +80,30 @@ def test_cli_inline_data_and_flag_grammar(spark, tmp_path, capsys):
     assert ns.no_null_update and ns.trim and ns.null_value == "NULL"
     with pytest.raises(SystemExit):
         p.parse_args([wh, "x"])  # importfile/-data required
+
+
+def test_cli_wildcard_multifile_table_per_file(spark, tmp_path, capsys):
+    wh = str(tmp_path / "wh")
+    os.makedirs(wh)
+    (tmp_path / "m_one.csv").write_text("id;v\n1;10\n")
+    (tmp_path / "m_two.csv").write_text("id;v\n2;20\n")
+    rc, st = _run(capsys, wh, "*", "-importfile", str(tmp_path / "m_*.csv"))
+    assert rc == 0 and st["ok"] and st["files"] == 2
+    assert [i["table"] for i in st["imports"]] == ["m_one", "m_two"]
+    assert {r.id for r in spark.read.parquet(os.path.join(wh, "m_two")).collect()} == {2}
+
+
+def test_cli_sql_script_over_warehouse_views(spark, tmp_path, capsys):
+    wh = str(tmp_path / "wh")
+    os.makedirs(wh)
+    (tmp_path / "t.csv").write_text("id;v\n1;10\n")
+    rc, _ = _run(capsys, wh, "base", "-importfile", str(tmp_path / "t.csv"))
+    assert rc == 0
+    script = tmp_path / "s.sql"
+    script.write_text("SELECT count(*) FROM base; SELECT 1;")
+    rc, st = _run(capsys, wh, "x", "-importfile", str(script))
+    assert rc == 0 and st == {"ok": True, "executed": 2, "errors": []}
+    bad = tmp_path / "bad.sql"
+    bad.write_text("SELECT * FROM does_not_exist;")
+    rc, st = _run(capsys, wh, "x", "-importfile", str(bad))
+    assert rc == 2 and not st["ok"] and st["errors"]
