@@ -58,7 +58,7 @@ def build_parser() -> argparse.ArgumentParser:
     )
     p.add_argument("warehouse", help="warehouse directory (one parquet dir per table)")
     p.add_argument("table", help="target table name")
-    src = p.add_mutually_exclusive_group(required=True)
+    src = p.add_mutually_exclusive_group()
     src.add_argument("-importfile", help="source file path")
     src.add_argument("-data", help="inline data (reference -data)")
     p.add_argument("-x", dest="format", help="format override (CSV JSON YAML XML XLSX XLS ODS VCF); default: detect from extension")
@@ -83,6 +83,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-insvalues", default=None)
     p.add_argument("-updvalues", default=None)
     p.add_argument("-noerrorfile", action="store_true", help="skip erroneous-row re-extraction")
+    p.add_argument("-connectiontest", default=None, metavar="N", help="utility mode: run the check statement N times against the warehouse session (DbImport.java:1042-1126)")
+    p.add_argument("-blobimport", nargs=2, default=None, metavar=("COLUMN", "WHERE"), help="utility mode: UPDATE table SET column = bytes(-importfile) WHERE ... (DbImport.java:822-835)")
     p.add_argument("-cpus", default=None, help="local[<cpus>] (default: all cores)")
     return p
 
@@ -130,6 +132,12 @@ def _read_source(spark, args):
         from dbimport_spark.sources.vcf import read_vcf
 
         return read_vcf(spark, plain)
+    if fmt == "kdbx":
+        if not args.zippassword:
+            raise SystemExit("KDBX import needs -zippassword")
+        from dbimport_spark.sources.kdbx import read_kdbx
+
+        return read_kdbx(spark, plain, args.zippassword)
     if fmt in ("xlsx", "xls", "ods"):
         from dbimport_spark.sources.excel import read_excel
 
@@ -175,6 +183,43 @@ def main(argv: list[str] | None = None) -> int:
     )
     spark.sparkContext.setLogLevel("ERROR")
 
+
+    # §3.4 utility modes ------------------------------------------------
+    if args.connectiontest is not None:
+        from dbimport_spark.sinks import connection_test
+
+        ok_list = connection_test(spark, iterations=int(args.connectiontest))
+        print(json.dumps({"ok": all(ok_list), "iterations": ok_list}))
+        return 0 if all(ok_list) else 2
+
+    if args.blobimport is not None:
+        if not args.importfile:
+            print(json.dumps({"ok": False, "error": "-blobimport needs -importfile"}))
+            return 2
+        from dbimport_spark.operators.blobimport import import_blob
+
+        column, where = args.blobimport
+        table_dir = os.path.join(args.warehouse, args.table)
+        target = spark.read.parquet(table_dir)
+        shadow = table_dir + ".__import__"
+        shutil.rmtree(shadow, ignore_errors=True)
+        try:
+            updated = import_blob(spark, target, args.importfile, column, where)
+            updated.write.mode("overwrite").parquet(shadow)
+        except Exception as exc:  # noqa: BLE001 — CLI boundary: JSON error line
+            print(json.dumps({"ok": False, "error": str(exc).splitlines()[0]}))
+            return 2
+        backup = table_dir + ".__old__"
+        shutil.rmtree(backup, ignore_errors=True)
+        os.rename(table_dir, backup)
+        os.rename(shadow, table_dir)
+        shutil.rmtree(backup, ignore_errors=True)
+        print(json.dumps({"ok": True, "table": args.table, "column": column}))
+        return 0
+
+    if not args.importfile and args.data is None:
+        print(json.dumps({"ok": False, "error": "one of -importfile / -data is required"}))
+        return 2
 
     # §3.2 multi-file wildcard import: expand, then run one import per
     # file in file-name-sorted order; table '*' derives each target from

@@ -78,8 +78,10 @@ def test_cli_inline_data_and_flag_grammar(spark, tmp_path, capsys):
     p = build_parser()
     ns = p.parse_args([wh, "x", "-importfile", "f.csv", "-u", "-t", "-n", "NULL"])
     assert ns.no_null_update and ns.trim and ns.null_value == "NULL"
-    with pytest.raises(SystemExit):
-        p.parse_args([wh, "x"])  # importfile/-data required
+    # missing source is a clean runtime JSON error now that utility
+    # modes (-connectiontest) legitimately run without one
+    rc, st = _run(capsys, wh, "x")
+    assert rc == 2 and not st["ok"] and "required" in st["error"]
 
 
 def test_cli_wildcard_multifile_table_per_file(spark, tmp_path, capsys):
@@ -107,3 +109,28 @@ def test_cli_sql_script_over_warehouse_views(spark, tmp_path, capsys):
     bad.write_text("SELECT * FROM does_not_exist;")
     rc, st = _run(capsys, wh, "x", "-importfile", str(bad))
     assert rc == 2 and not st["ok"] and st["errors"]
+
+
+def test_cli_utility_modes(spark, tmp_path, capsys):
+    """§3.4: connectiontest and importblob (DbImport.java:1042-1126, :822-835)."""
+    wh = str(tmp_path / "wh")
+    os.makedirs(wh)
+    rc, st = _run(capsys, wh, "x", "-connectiontest", "2")
+    assert rc == 0 and st == {"ok": True, "iterations": [True, True]}
+
+    spark.createDataFrame([(1, None), (2, None)], "id int, payload binary").write.parquet(
+        os.path.join(wh, "blobs")
+    )
+    blob = tmp_path / "b.bin"
+    blob.write_bytes(b"\x01\x02payload")
+    rc, st = _run(
+        capsys, wh, "blobs", "-importfile", str(blob), "-blobimport", "payload", "id = 2",
+    )
+    assert rc == 0 and st["ok"]
+    rows = {r.id: r.payload for r in spark.read.parquet(os.path.join(wh, "blobs")).collect()}
+    assert bytes(rows[2]) == b"\x01\x02payload" and rows[1] is None
+    # type mismatch surfaces as a clean JSON error, not a traceback
+    rc, st = _run(
+        capsys, wh, "blobs", "-importfile", str(blob), "-blobimport", "id", "id = 2",
+    )
+    assert rc == 2 and not st["ok"] and "DATATYPE_MISMATCH" in st["error"]
