@@ -1007,8 +1007,9 @@ _TOKEN_BUDGET = 800
     f"""WITH scored AS (
   SELECT doc_id, source,
          len(string_split({NORM_SQL}, ' ')) AS n_tokens,
-         length(regexp_replace(lower(text), '[^a-z]', '', 'g')) * 1000 // length(text)
-           AS quality_rank
+         CASE WHEN length(text) = 0 THEN 0
+              ELSE length(regexp_replace(lower(text), '[^a-z]', '', 'g')) * 1000 // length(text)
+         END AS quality_rank
   FROM documents
 ),
 ranked AS (
@@ -1040,9 +1041,13 @@ def sample_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dbimport_spark.plans.text_queries import norm_col
 
     n_tokens = F.size(F.split(norm_col(), " "))
+    # empty documents have no alpha mass: rank 0, not a divide-by-zero
+    # (ANSI mode makes the unguarded `div` a hard error — caught by the
+    # adversarial-corpus differential suite)
     quality = F.expr(
+        "CASE WHEN length(text) = 0 THEN 0 ELSE "
         "(length(regexp_replace(lower(text), '[^a-z]', '')) * 1000)"
-        " div length(text)"
+        " div length(text) END"
     )
     scored = d.select(
         "doc_id",

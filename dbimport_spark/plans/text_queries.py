@@ -746,7 +746,9 @@ def cosine_ge_09_exact(pairs: DataFrame) -> DataFrame:
 @register(
     "dup_span_coverage",
     f"""WITH {CORPUS_SQL},
-toks AS (SELECT doc_id, string_split({NORM_SQL}, ' ') AS w FROM corpus),
+-- empty-token filter mirrors the Spark side's array_remove(…, ''):
+-- an empty/whitespace-only document has ZERO words, not one '' token
+toks AS (SELECT doc_id, list_filter(string_split({NORM_SQL}, ' '), x -> x <> '') AS w FROM corpus),
 n AS (SELECT doc_id, len(w) AS n_words FROM toks),
 grams AS (
   SELECT doc_id, i AS pos,
@@ -1030,7 +1032,9 @@ def text_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "dedup_span_clean",
     f"""WITH {CORPUS_SQL},
-toks AS (SELECT doc_id, string_split({NORM_SQL}, ' ') AS w FROM corpus),
+-- empty-token filter mirrors the Spark side's array_remove(…, ''):
+-- an empty/whitespace-only document has ZERO words, not one '' token
+toks AS (SELECT doc_id, list_filter(string_split({NORM_SQL}, ' '), x -> x <> '') AS w FROM corpus),
 grams AS (
   SELECT doc_id, i AS pos,
          concat_ws(' ', w[i], w[i+1], w[i+2], w[i+3], w[i+4], w[i+5], w[i+6], w[i+7]) AS g

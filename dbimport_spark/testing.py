@@ -61,3 +61,47 @@ def readout_table(df: DataFrame, key_columns: list[str] | None = None) -> str:
     lines = [";".join(_cell(c) for c in cols)]
     lines += [";".join(_cell(v) for v in row) for row in body]
     return "\n".join(lines) + "\n"
+
+
+# ------------------------------------------------------- oracle differ
+
+
+def canon_rows(rows: list[dict], cols: list[str]) -> list[str]:
+    """Order-insensitive canonical form shared with tools/check_oracle:
+    floats via repr (NaN pinned), bytes as hex, everything else str."""
+    import math
+
+    out = []
+    for r in rows:
+        vals = []
+        for c in cols:
+            v = r[c]
+            if isinstance(v, float):
+                vals.append("NaN" if math.isnan(v) else repr(v))
+            elif isinstance(v, (bytes, bytearray)):
+                vals.append(v.hex())
+            else:
+                vals.append(str(v))
+        out.append("\x1f".join(vals))
+    out.sort()
+    return out
+
+
+def assert_matches_oracle(spark, duck_con, fn, oracle_sql: str, sf_dir: str, name: str = "?"):
+    """Run one queries()-style callable and its DuckDB oracle over the
+    same data and assert row count + sorted schema + canonical values —
+    the driver's gate, reusable against ANY corpus directory."""
+    sdf = fn(spark, sf_dir)
+    scols = sorted(sdf.columns)
+    srows = [r.asDict() for r in sdf.collect()]
+    spark.catalog.clearCache()
+    rel = duck_con.execute(oracle_sql)
+    ocols_full = [d[0] for d in rel.description]
+    orows = [dict(zip(ocols_full, row)) for row in rel.fetchall()]
+    assert scols == sorted(ocols_full), f"{name}: cols {scols} != {sorted(ocols_full)}"
+    assert len(srows) == len(orows), f"{name}: rows {len(srows)} != {len(orows)}"
+    sc = canon_rows(srows, scols)
+    oc = canon_rows(orows, scols)
+    if sc != oc:
+        diff = [(a, b) for a, b in zip(sc, oc) if a != b]
+        raise AssertionError(f"{name}: {len(diff)}/{len(sc)} values differ, e.g. {diff[:2]}")

@@ -1,0 +1,132 @@
+"""Adversarial-corpus differential testing: the driver's oracle gate,
+re-run over a corpus the fixed testdata can't produce — empty strings,
+exact duplicates, single-char docs, punctuation-only text, massive
+repetition, a 40k-char document, whitespace runs. The fixed sf corpora
+have comfortable statistics; latent bugs (division guards, empty-array
+folds, chunk boundaries at 0, hash-of-empty) only surface here.
+
+Scope: text/dedup/curation/multimodal queries whose inputs are the
+documents table and whose oracle contract is ASCII-safe (the documented
+fixture assumption — ord(char) == byte — is kept, so any mismatch is a
+real engine bug, not an encoding artifact)."""
+
+import os
+
+import pytest
+
+# Query subset: documents-driven, deterministic, ASCII-contract.
+QUERIES = [
+    "text_token_count",
+    "text_lang_id",
+    "text_quality_score",
+    "text_fingerprint",
+    "dedup_exact_docs",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_ngram_jaccard",
+    "curation_boilerplate_strip",
+    "multimodal_meta",
+    "multimodal_frames",
+    "multimodal_png_roundtrip",
+    "multimodal_flip_gate",
+    "multimodal_video_frames",
+    "multimodal_video_dib",
+    "multimodal_av_demux",
+    "multimodal_frame_dedup",
+    "audio_g711_roundtrip",
+    "audio_resample_gate",
+    "text_repetition_signals",
+    "dup_span_coverage",
+    "pii_redact_docs",
+    "text_top_terms",
+    "text_chunk_windows",
+    "heavy_hitters_shingles",
+    "dedup_cluster_canonical",
+    "dedup_span_clean",
+    "text_winnow_fingerprint",
+    "pack_sequences",
+    "sample_token_budget",
+    "sample_temperature",
+    "decontam_ngram_overlap",
+    "text_lm_score",
+    "text_bpe_tokens",
+    "dedup_bloom_static",
+    "dedup_lsh_incremental",
+    "sparse_tfidf_neardup",
+    "quality_label_prop",
+    "dedup_minhash_cluster",
+    "curation_pipeline",
+    "semantic_dedup_pairs",
+    "sample_hash_split",
+]
+
+DOCS = [
+    # (doc_id, text) — lang/source assigned round-robin below
+    (0, ""),                                   # empty document
+    (1, "a"),                                  # single char
+    (2, " " * 300),                            # whitespace only
+    (3, "!!! ??? ;;; ,,, ... ### $$$ %%% &&&" * 8),  # punctuation-heavy
+    (4, "word " * 3000),                       # massive repetition, 15k chars
+    (5, "the quick brown fox jumps over the lazy dog " * 900),  # 39.6k chars
+    (6, "dup dup dup identical body shared by three docs exactly"),
+    (7, "dup dup dup identical body shared by three docs exactly"),
+    (8, "dup dup dup identical body shared by three docs exactly"),
+    (9, "near duplicate text body differing by exactly one tokenX here ok"),
+    (10, "near duplicate text body differing by exactly one tokenY here ok"),
+    (11, "x" * 127),                           # one under the video frame size
+    (12, "y" * 128),                           # exactly one frame
+    (13, "mixed   runs\tof\twhitespace  and   words scattered through here"),
+    (14, "1234567890 " * 40),                  # digits
+    (15, "short"),
+]
+
+
+@pytest.fixture(scope="module")
+def adversarial_dir(spark, tmp_path_factory):
+    d = tmp_path_factory.mktemp("adversarial_sf")
+    rows = [
+        (i, t, ["en", "de", "fr"][i % 3], f"src{i % 4}", len(t))
+        for i, t in DOCS
+    ]
+    spark.createDataFrame(
+        rows, "doc_id bigint, text string, lang string, source string, n_chars bigint"
+    ).coalesce(1).write.parquet(str(d / "documents.parquet"))
+
+    # adversarial embeddings: exact-duplicate vectors (3 == 4), an
+    # all-zeros vector (cosine's divide-by-zero edge), tiny magnitudes
+    vecs = []
+    for i in range(16):
+        if i == 7:
+            v = [0.0] * 64
+        elif i == 4:
+            v = [((3 * 37 + j * 11) % 13 - 6) / 8.0 for j in range(64)]  # == vec 3
+        else:
+            v = [((i * 37 + j * 11) % 13 - 6) / 8.0 for j in range(64)]
+        vecs.append((i, [float(x) for x in v], i % 3))
+    spark.createDataFrame(
+        vecs, "vec_id bigint, embedding array<float>, label int"
+    ).coalesce(1).write.parquet(str(d / "embeddings.parquet"))
+    return str(d)
+
+
+@pytest.fixture(scope="module")
+def duck(adversarial_dir):
+    import duckdb
+
+    con = duckdb.connect()
+    for t in ("documents", "embeddings"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"'{adversarial_dir}/{t}.parquet/*.parquet'"
+        )
+    return con
+
+
+@pytest.mark.parametrize("name", QUERIES)
+def test_query_matches_oracle_on_adversarial_corpus(spark, adversarial_dir, duck, name):
+    import __spark_entry__ as entry
+    from dbimport_spark.testing import assert_matches_oracle
+
+    fn = entry.queries()[name]
+    sql = entry.oracle_sql()[name]
+    assert_matches_oracle(spark, duck, fn, sql, adversarial_dir, name=name)
