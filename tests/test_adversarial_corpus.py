@@ -130,3 +130,81 @@ def test_query_matches_oracle_on_adversarial_corpus(spark, adversarial_dir, duck
     fn = entry.queries()[name]
     sql = entry.oracle_sql()[name]
     assert_matches_oracle(spark, duck, fn, sql, adversarial_dir, name=name)
+
+
+# ------------------------------------------------------------ events edge
+
+
+EVENT_QUERIES = [
+    "events_window_agg",
+    "events_sessionize",
+    "events_gap_stats",
+    "events_rolling_hour",
+    "events_resample_ffill",
+    "events_props_json",
+    "events_funnel",
+    "events_retention_cohorts",
+]
+
+
+@pytest.fixture(scope="module")
+def adversarial_events_dir(spark, tmp_path_factory):
+    """Edge-case event log: exact-tie timestamps, a gap exactly at the
+    30-min sessionize threshold, events on exact hour boundaries, a
+    single-event user, empty/odd JSON props, zero/negative values."""
+    import datetime as dt
+
+    d = tmp_path_factory.mktemp("adversarial_events")
+    base = dt.datetime(2024, 3, 1, 0, 0, 0)
+
+    rows = []
+
+    def ev(eid, sec, user, etype, value, props):
+        rows.append((eid, base + dt.timedelta(seconds=sec), user, etype, value, props))
+
+    # user 1: two events at the SAME microsecond (tie), then one at an
+    # exact 30-minute gap (the sessionize threshold boundary)
+    ev(0, 0, 1, "click", 1.0, '{"k": 1}')
+    ev(1, 0, 1, "view", 2.0, '{"k": 2}')
+    ev(2, 1800, 1, "click", 0.0, '{"k": 3}')
+    # user 2: events exactly one hour apart on exact hour boundaries
+    for i in range(4):
+        ev(3 + i, 3600 * i, 2, "click", float(i - 2), '{"k": ' + str(i) + "}")
+    # user 3: single lonely event, empty props object
+    ev(7, 5000, 3, "purchase", 1e9, "{}")
+    # user 4: dense burst (1s apart) crossing a 5-min window boundary
+    for i in range(20):
+        ev(8 + i, 295 + i, 4, "view" if i % 2 else "click", 0.5, '{"k": 0}')
+    # user 5: the funnel sequence in exact order at tie-ish spacing
+    for i, et in enumerate(["view", "click", "purchase"]):
+        ev(28 + i, 100 + i, 5, et, 10.0, '{"k": 9}')
+    spark.createDataFrame(
+        rows,
+        "event_id bigint, ts timestamp, user_id bigint, event_type string, "
+        "value double, props string",
+    ).coalesce(1).write.parquet(str(d / "events.parquet"))
+    return str(d)
+
+
+@pytest.fixture(scope="module")
+def duck_events(adversarial_events_dir):
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        f"'{adversarial_events_dir}/events.parquet/*.parquet'"
+    )
+    return con
+
+
+@pytest.mark.parametrize("name", EVENT_QUERIES)
+def test_event_query_matches_oracle_on_edge_log(
+    spark, adversarial_events_dir, duck_events, name
+):
+    import __spark_entry__ as entry
+    from dbimport_spark.testing import assert_matches_oracle
+
+    fn = entry.queries()[name]
+    sql = entry.oracle_sql()[name]
+    assert_matches_oracle(spark, duck_events, fn, sql, adversarial_events_dir, name=name)
