@@ -208,3 +208,109 @@ def test_event_query_matches_oracle_on_edge_log(
     fn = entry.queries()[name]
     sql = entry.oracle_sql()[name]
     assert_matches_oracle(spark, duck_events, fn, sql, adversarial_events_dir, name=name)
+
+
+# --------------------------------------------------------- relational edge
+
+
+REL_QUERIES = [
+    "q1_pricing_summary",
+    "topk_orders_per_customer",
+    "rollup_order_totals",
+    "orders_running_balance",
+    "price_histogram",
+    "dq_audit_orders",
+    "numeric_profile",
+    "pivot_priority_status",
+    "cube_order_stats",
+    "q4_order_priority",
+    "q18_large_orders",
+    "set_ops_customers",
+    # outlier_orders_zscore / user_value_trend additionally scan events —
+    # covered by the standard gate; the tie corpus stays 3-table
+]
+
+
+@pytest.fixture(scope="module")
+def adversarial_rel_dir(spark, tmp_path_factory):
+    """Tie-heavy relational tables: identical o_totalprice across a
+    customer's orders (top-k tie-break), same-date order bursts, zero
+    and negative prices/quantities/discount=1.0, a customer with no
+    orders, an order with no lineitems, duplicate customer names."""
+    import datetime as dt
+
+    d = tmp_path_factory.mktemp("adversarial_rel")
+    base = dt.datetime(2024, 1, 1)
+
+    cust = [
+        (1, "Customer#A", 0, 0.0, "BUILDING"),     # zero balance
+        (2, "Customer#A", 1, -999.99, "AUTOMOBILE"),  # duplicate name, negative
+        (3, "Customer#B", 2, 1e7, "MACHINERY"),
+        (4, "Customer#C", 0, 5.55, "BUILDING"),    # will have NO orders
+        (5, "Customer#D", 1, 5.55, "FURNITURE"),   # balance tie with 4
+    ]
+    spark.createDataFrame(
+        cust, "c_custkey bigint, c_name string, c_nationkey int, c_acctbal double, c_mktsegment string"
+    ).coalesce(1).write.parquet(str(d / "customer.parquet"))
+
+    orders = []
+    # customer 1: four orders with IDENTICAL totalprice and same date (full tie)
+    for i in range(4):
+        orders.append((10 + i, 1, "O", 100.0, base, "1-URGENT"))
+    # customer 2: same-date burst, ascending keys, mixed priorities
+    for i in range(3):
+        orders.append((20 + i, 2, "F", float(i) * 0.01, base + dt.timedelta(days=1), f"{i+1}-X"))
+    # customer 3: one huge, one zero, one negative order
+    orders += [
+        (30, 3, "O", 1e9, base + dt.timedelta(days=40), "5-LOW"),
+        (31, 3, "F", 0.0, base + dt.timedelta(days=41), "5-LOW"),
+        (32, 3, "P", -10.0, base + dt.timedelta(days=42), "2-HIGH"),
+    ]
+    # customer 5: single order with NO lineitems
+    orders.append((50, 5, "O", 42.42, base + dt.timedelta(days=90), "3-MEDIUM"))
+    spark.createDataFrame(
+        orders, "o_orderkey bigint, o_custkey bigint, o_orderstatus string, o_totalprice double, o_orderdate timestamp, o_orderpriority string"
+    ).coalesce(1).write.parquet(str(d / "orders.parquet"))
+
+    li = []
+    # order 10: discount = 1.0 (free), tax 0; qty tie across lines
+    li.append((10, 1, 1, 1, 5.0, 100.0, 1.0, 0.0, "N", "O", base + dt.timedelta(days=3)))
+    li.append((10, 2, 1, 2, 5.0, 100.0, 0.0, 0.0, "N", "O", base + dt.timedelta(days=3)))
+    # order 11: zero quantity line; negative extendedprice
+    li.append((11, 1, 2, 1, 0.0, 0.0, 0.1, 0.05, "R", "F", base + dt.timedelta(days=5)))
+    li.append((11, 3, 2, 2, 2.0, -50.0, 0.2, 0.1, "A", "F", base + dt.timedelta(days=6)))
+    # order 30: many identical lines (agg tie mass)
+    for ln in range(1, 8):
+        li.append((30, 4, 3, ln, 7.0, 1000.0, 0.05, 0.08, "N", "O", base + dt.timedelta(days=45)))
+    spark.createDataFrame(
+        li,
+        "l_orderkey bigint, l_partkey bigint, l_suppkey bigint, l_linenumber int, "
+        "l_quantity double, l_extendedprice double, l_discount double, l_tax double, "
+        "l_returnflag string, l_linestatus string, l_shipdate timestamp",
+    ).coalesce(1).write.parquet(str(d / "lineitem.parquet"))
+    return str(d)
+
+
+@pytest.fixture(scope="module")
+def duck_rel(adversarial_rel_dir):
+    import duckdb
+
+    con = duckdb.connect()
+    for t in ("customer", "orders", "lineitem"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"'{adversarial_rel_dir}/{t}.parquet/*.parquet'"
+        )
+    return con
+
+
+@pytest.mark.parametrize("name", REL_QUERIES)
+def test_relational_query_matches_oracle_on_tie_corpus(
+    spark, adversarial_rel_dir, duck_rel, name
+):
+    import __spark_entry__ as entry
+    from dbimport_spark.testing import assert_matches_oracle
+
+    fn = entry.queries()[name]
+    sql = entry.oracle_sql()[name]
+    assert_matches_oracle(spark, duck_rel, fn, sql, adversarial_rel_dir, name=name)
