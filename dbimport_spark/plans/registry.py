@@ -46,6 +46,12 @@ def register(name: str, oracle: str | None = None):
             ensure_package_on_workers(spark)
             return fn(spark, sf_dir)
 
+        if name in QUERIES:
+            raise ValueError(
+                f"duplicate query registration: {name!r} — the registry is "
+                "latest-wins by dict semantics, which silently shadows the "
+                "earlier query; rename one of them"
+            )
         QUERIES[name] = wrapped
         if oracle is not None:
             ORACLES[name] = oracle

@@ -849,39 +849,6 @@ def src_avro_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# --------------------------------------------------------------------- ORC
-
-
-@register(
-    "src_orc_roundtrip",
-    """SELECT s_suppkey, s_name, s_nationkey, s_acctbal
-FROM supplier WHERE s_nationkey < 10""",
-)
-def src_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ORC lake-format roundtrip: the supplier table is written to ORC by
-    Spark's native distributed writer and read back with a pushed-down
-    predicate — covering the second columnar lake format beside parquet
-    with zero custom code (the point: Catalyst/ORC push filters and prune
-    columns exactly like parquet, so every operator in this repo runs
-    unchanged on ORC-resident data). The read-side filter lands in the
-    ORC reader as PushedFilters (plan-asserted in
-    tests/test_sources.py::test_orc_roundtrip_pushdown); the oracle
-    recomputes the slice straight from the parquet view. Doubles survive
-    bit-exactly — both formats store IEEE754."""
-    path = os.path.join(_export_dir(sf_dir), "supplier_orc")
-    load(spark, sf_dir, "supplier").write.mode("overwrite").orc(path)
-    return (
-        spark.read.orc(path)
-        .filter(F.col("s_nationkey") < 10)
-        .select(
-            F.col("s_suppkey").cast("bigint"),
-            "s_name",
-            F.col("s_nationkey").cast("int"),
-            F.col("s_acctbal").cast("double"),
-        )
-    )
-
-
 # ---------------------------------------------------------------- TFRecord
 
 
