@@ -78,13 +78,16 @@ def _export_customer_csv(spark: SparkSession, sf_dir: str) -> str:
         for r in rows:
             acct = ("%.2f" % r.c_acctbal).replace(".", ",")
             mkt = "NULL" if r.c_nationkey % 5 == 0 else r.c_mktsegment
-            f.write(f"{r.c_custkey}; {r.c_name} ;{r.c_nationkey};{acct};{mkt}\n")
+            f.write(
+                f"{r.c_custkey};{_csv_cell(' ' + r.c_name + ' ')};"
+                f"{r.c_nationkey};{acct};{mkt}\n"
+            )
     return path
 
 
 @register(
     "src_csv_import",
-    """SELECT c_custkey, c_name, c_nationkey,
+    """SELECT c_custkey, trim(c_name) AS c_name, c_nationkey,
        CAST(printf('%.2f', c_acctbal) AS DOUBLE) AS c_acctbal,
        CASE WHEN c_nationkey % 5 = 0 THEN NULL ELSE c_mktsegment END AS c_mktsegment
 FROM customer WHERE c_custkey <= 200""",
@@ -281,10 +284,25 @@ def src_inline_data(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ----------------------------------------------------------- compression
 
 
+def _csv_cell(v, sep: str = ";") -> str:
+    """RFC-4180-style quoting for fixture writers: a value containing the
+    separator, a quote, or a newline is wrapped in double quotes with
+    internal quotes doubled. (The adversarial hostile-strings suite
+    caught the unquoted f-string writers truncating 'semi;colon' values
+    at read time — every fixture writer now routes through this.)"""
+    s = str(v)
+    if sep in s or '"' in s or "\n" in s or "\r" in s:
+        return '"' + s.replace('"', '""') + '"'
+    return s
+
+
 def _write_nation_csv_text(spark: SparkSession, sf_dir: str) -> str:
     rows = load(spark, sf_dir, "nation").orderBy("n_nationkey").collect()
     lines = ["n_nationkey;n_name;n_regionkey"]
-    lines += [f"{r.n_nationkey};{r.n_name};{r.n_regionkey}" for r in rows]
+    lines += [
+        ";".join(_csv_cell(v) for v in (r.n_nationkey, r.n_name, r.n_regionkey))
+        for r in rows
+    ]
     return "\n".join(lines) + "\n"
 
 
@@ -311,7 +329,7 @@ def src_csv_zip(spark: SparkSession, sf_dir: str) -> DataFrame:
     single-zip-entry enforcement lives in decompress_if_needed)."""
     rows = load(spark, sf_dir, "region").orderBy("r_regionkey").collect()
     text = "r_regionkey;r_name\n" + "".join(
-        f"{r.r_regionkey};{r.r_name}\n" for r in rows
+        f"{_csv_cell(r.r_regionkey)};{_csv_cell(r.r_name)}\n" for r in rows
     )
     path = os.path.join(_export_dir(sf_dir), "region.csv.zip")
     with zipfile.ZipFile(path, "w") as zf:
@@ -330,7 +348,7 @@ def src_csv_zip_aes(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     rows = load(spark, sf_dir, "nation").orderBy("n_nationkey").collect()
     text = "n_nationkey;n_name\n" + "".join(
-        f"{r.n_nationkey};{r.n_name}\n" for r in rows
+        f"{_csv_cell(r.n_nationkey)};{_csv_cell(r.n_name)}\n" for r in rows
     )
     path = os.path.join(_export_dir(sf_dir), "nation.csv.zip")
     write_aes_zip(path, "nation.csv", text.encode("utf-8"), "dbimport-pw", strength=3)
@@ -399,7 +417,7 @@ def src_wildcard_multifile(spark: SparkSession, sf_dir: str) -> DataFrame:
         with open(os.path.join(d, f"sup_p{i}.csv"), "w", encoding="utf-8") as f:
             f.write("s_suppkey;s_name\n")
             for r in rs:
-                f.write(f"{r.s_suppkey};{r.s_name}\n")
+                f.write(f"{r.s_suppkey};{_csv_cell(r.s_name)}\n")
     files = expand_wildcard(os.path.join(d, "sup_p*.csv"))
     parts = []
     for fpath in files:
@@ -559,7 +577,9 @@ def _export_updates_csv(spark: SparkSession, sf_dir: str) -> str:
         for r in rows:
             acct = ("%.2f" % r.c_acctbal).replace(".", ",")
             mkt = "NULL" if r.c_mktsegment is None else r.c_mktsegment
-            f.write(f"{r.c_custkey};{r.c_name};{r.c_nationkey};{acct};{mkt}\n")
+            f.write(
+                f"{r.c_custkey};{_csv_cell(r.c_name)};{r.c_nationkey};{acct};{mkt}\n"
+            )
     return path
 
 

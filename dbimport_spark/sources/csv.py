@@ -79,6 +79,21 @@ class CsvSource:
             .schema(schema)
             .csv(path)
         )
+        if self.trim:
+            # The reference's CsvReader.withAlwaysTrim(trimData) trims EVERY
+            # parsed value, quoted or not (CsvDataProvider.java:89). Spark's
+            # ignoreLeading/TrailingWhiteSpace options only trim UNQUOTED
+            # values, so a quoted padded cell would keep its padding —
+            # finish the job JVM-side, then re-apply the null sentinel so a
+            # quoted/padded sentinel still nulls (reference order: trim at
+            # parse, sentinel compare after — DataProvider null handling).
+            for c in names:
+                col = F.trim(F.col(c))
+                if self.null_value_string:
+                    col = F.when(
+                        col == self.null_value_string, F.lit(None)
+                    ).otherwise(col)
+                df = df.withColumn(c, col)
         if self.interpret_escape_sequences:
             # reference interprets \n \t \r inside CSV values
             # (DbImportDefinition.java:139-141)

@@ -243,11 +243,11 @@ def adversarial_rel_dir(spark, tmp_path_factory):
     base = dt.datetime(2024, 1, 1)
 
     cust = [
-        (1, "Customer#A", 0, 0.0, "BUILDING"),     # zero balance
-        (2, "Customer#A", 1, -999.99, "AUTOMOBILE"),  # duplicate name, negative
-        (3, "Customer#B", 2, 1e7, "MACHINERY"),
+        (1, "Cust;semi", 0, 0.0, "BUILDING"),      # CSV/VCF structural ';'
+        (2, "Cust;semi", 1, -999.99, "AUTOMOBILE"),  # duplicate hostile name
+        (3, 'Cu"st,B', 2, 1e7, "MACHINERY"),       # quote + comma
         (4, "Customer#C", 0, 5.55, "BUILDING"),    # will have NO orders
-        (5, "Customer#D", 1, 5.55, "FURNITURE"),   # balance tie with 4
+        (5, " pad ", 1, 5.55, "FURNITURE"),        # leading/trailing spaces
     ]
     spark.createDataFrame(
         cust, "c_custkey bigint, c_name string, c_nationkey int, c_acctbal double, c_mktsegment string"
@@ -314,3 +314,131 @@ def test_relational_query_matches_oracle_on_tie_corpus(
     fn = entry.queries()[name]
     sql = entry.oracle_sql()[name]
     assert_matches_oracle(spark, duck_rel, fn, sql, adversarial_rel_dir, name=name)
+
+
+# ------------------------------------------------------ source-layer edge
+
+
+SRC_QUERIES = [
+    "src_csv_import",
+    "src_json_datapath",
+    "src_xml_datapath",
+    "src_yaml_datapath",
+    "src_inline_data",
+    "src_csv_gz",
+    "src_csv_zip",
+    "src_csv_zip_aes",
+    "src_vcf_contacts",
+    "src_xlsx_import",
+    "src_ods_import",
+    "src_xls_import",
+    "src_sql_script",
+    "src_wildcard_multifile",
+    "src_orc_roundtrip",
+    "src_avro_roundtrip",
+    "src_jsonl_documents",
+    "src_tfrecord_roundtrip",
+    "src_webdataset_roundtrip",
+    "pipeline_csv_upsert",
+    "schema_infer_lattice",
+    "dedup_drop_first",
+    "merge_insert",
+    "merge_upsert",
+    "merge_update_first",
+    "merge_scd2",
+    "import_stats",
+    "snapshot_diff",
+]
+
+#: strings chosen to break naive format writers: structural separators,
+#: quotes, tabs, XML/JSON metachars, VCF-structural ; and , — ASCII only
+_HOSTILE = [
+    "plain",
+    "semi;colon",
+    'quo"ted"x',
+    "comma,val",
+    " lead-and-trail ",
+    "tab\tsep",
+    "<xml&amp>'",
+    "back\\slash",
+    "{json:\"ish\"}",
+    "",
+]
+
+
+@pytest.fixture(scope="module")
+def adversarial_src_dir(spark, adversarial_rel_dir, adversarial_dir, tmp_path_factory):
+    """Extends the tie-heavy relational corpus with supplier/nation/
+    region/part tables whose string values are format-hostile, plus the
+    documents/embeddings edge tables (jsonl/tfrecord/webdataset sources
+    scan documents). The source-layer queries export THESE rows through
+    the real writers and re-read them — every separator/quote/escape
+    path in the from-scratch codecs gets hit."""
+    import shutil as _sh
+
+    d = tmp_path_factory.mktemp("adversarial_src")
+    for t in ("customer", "orders", "lineitem"):
+        _sh.copytree(
+            os.path.join(adversarial_rel_dir, f"{t}.parquet"),
+            str(d / f"{t}.parquet"),
+        )
+    for t in ("documents", "embeddings"):
+        _sh.copytree(
+            os.path.join(adversarial_dir, f"{t}.parquet"), str(d / f"{t}.parquet")
+        )
+
+    sup = [
+        (i, f"Supplier#{_HOSTILE[i % len(_HOSTILE)]}", i % 3, [0.0, -1.25, 1e6, 0.005, 2.675][i % 5])
+        for i in range(10)
+    ]
+    spark.createDataFrame(
+        sup, "s_suppkey bigint, s_name string, s_nationkey int, s_acctbal double"
+    ).coalesce(1).write.parquet(str(d / "supplier.parquet"))
+
+    nat = [(i, f"NATION {_HOSTILE[i % len(_HOSTILE)]}", i % 2) for i in range(6)]
+    spark.createDataFrame(
+        nat, "n_nationkey int, n_name string, n_regionkey int"
+    ).coalesce(1).write.parquet(str(d / "nation.parquet"))
+
+    reg = [(i, f"REGION {_HOSTILE[(i * 3) % len(_HOSTILE)]}") for i in range(4)]
+    spark.createDataFrame(reg, "r_regionkey int, r_name string").coalesce(1).write.parquet(
+        str(d / "region.parquet")
+    )
+
+    prt = [
+        (i, f"part {_HOSTILE[i % len(_HOSTILE)]}", f"Brand#{i%3}", "TYPE A", i % 7, 9.99 + i)
+        for i in range(8)
+    ]
+    spark.createDataFrame(
+        prt,
+        "p_partkey bigint, p_name string, p_brand string, p_type string, p_size int, p_retailprice double",
+    ).coalesce(1).write.parquet(str(d / "part.parquet"))
+    return str(d)
+
+
+@pytest.fixture(scope="module")
+def duck_src(adversarial_src_dir):
+    import duckdb
+
+    con = duckdb.connect()
+    for t in (
+        "customer", "orders", "lineitem", "supplier", "nation", "region",
+        "part", "documents", "embeddings",
+    ):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"'{adversarial_src_dir}/{t}.parquet/*.parquet'"
+        )
+    return con
+
+
+@pytest.mark.parametrize("name", SRC_QUERIES)
+def test_source_query_matches_oracle_on_hostile_strings(
+    spark, adversarial_src_dir, duck_src, name
+):
+    import __spark_entry__ as entry
+    from dbimport_spark.testing import assert_matches_oracle
+
+    fn = entry.queries()[name]
+    sql = entry.oracle_sql()[name]
+    assert_matches_oracle(spark, duck_src, fn, sql, adversarial_src_dir, name=name)
