@@ -126,6 +126,7 @@ HEADLINE = [
     "multimodal_flip_gate",
     "multimodal_video_dib",
     "multimodal_av_demux",
+    "audio_adpcm_roundtrip",
 ]
 
 

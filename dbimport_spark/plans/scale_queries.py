@@ -962,6 +962,132 @@ def audio_g711_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "audio_adpcm_roundtrip",
+    """WITH RECURSIVE nib AS (
+  SELECT doc_id AS media_id, CAST(i AS INTEGER) AS i,
+         (ord(substring(text, CAST(i + 1 AS INTEGER), 1)) * 7 + CAST(i AS INTEGER)) % 16 AS n
+  FROM documents, UNNEST(range(least(strlen(text), 120))) AS u(i)
+  WHERE strlen(text) >= 1
+),
+steps AS (
+  SELECT CAST(unnest(range(89)) AS INTEGER) AS si, unnest([
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34, 37,
+    41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143, 157, 173,
+    190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544, 598, 658,
+    724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066,
+    2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894,
+    6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899, 15289,
+    16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767]) AS sv
+),
+dec AS (
+  SELECT media_id, -1 AS i, 0 AS pred, CAST(media_id % 89 AS INTEGER) AS idx
+  FROM (SELECT DISTINCT media_id FROM nib)
+  UNION ALL
+  SELECT d.media_id, n.i,
+    CAST(GREATEST(-32768, LEAST(32767, d.pred +
+      (CASE WHEN n.n >= 8 THEN -1 ELSE 1 END) *
+      (s.sv // 8
+       + CASE WHEN (n.n % 8) >= 4 THEN s.sv ELSE 0 END
+       + CASE WHEN (n.n % 4) >= 2 THEN s.sv // 2 ELSE 0 END
+       + CASE WHEN (n.n % 2) = 1 THEN s.sv // 4 ELSE 0 END))) AS INTEGER),
+    CAST(GREATEST(0, LEAST(88, d.idx +
+      CASE WHEN (n.n % 8) = 4 THEN 2 WHEN (n.n % 8) = 5 THEN 4
+           WHEN (n.n % 8) = 6 THEN 6 WHEN (n.n % 8) = 7 THEN 8
+           ELSE -1 END)) AS INTEGER)
+  FROM dec d
+  JOIN nib n ON n.media_id = d.media_id AND n.i = d.i + 1
+  JOIN steps s ON s.si = d.idx
+)
+SELECT media_id,
+       CAST(count(*) AS INTEGER) AS n_samples,
+       CAST(sum(pred) AS BIGINT) AS sample_sum,
+       CAST(min(pred) AS INTEGER) AS min_s,
+       CAST(max(pred) AS INTEGER) AS max_s,
+       CAST(sum(pred * (i + 2)) AS BIGINT) AS wsum
+FROM dec GROUP BY media_id""",
+)
+def audio_adpcm_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL ADPCM decode, oracle-checked EXACTLY by a recursive CTE.
+
+    Per document, derive a deterministic 4-bit code stream ((byte·7 + i)
+    mod 16 over the first 120 bytes), assemble a genuine
+    WAVE_FORMAT_IMA_ADPCM file around it (one 64-byte block: header
+    predictor 0, step index doc_id mod 89 — sweeping the whole 89-entry
+    step table across the corpus — low-nibble-first payload, ``fact``
+    chunk trimming the padded tail), and decode it through
+    functions/wav.py's block-vectorized IMA expander. ADPCM decode is a
+    bit-exact integer STATE MACHINE (predictor + step-index recurrence),
+    so the oracle replays the exact recurrence as a recursive CTE over
+    the published step/index-adjust tables: every decoded sample must
+    match to the last unit, and the order-weighted checksum (wsum) makes
+    a transposed or off-by-one sample stream loud. This completes the
+    telephony-codec family for real: PCM16, G.711 μ/A-law, and IMA ADPCM
+    all decode from scratch; only perceptual codecs (mp3/aac) remain
+    honestly gated.
+
+    Scale: one map-only Arrow kernel (blobs built and decoded inside the
+    task, never shuffled), stats-only output rows; the decoder
+    vectorizes across blocks, so a real multi-hour recording splits into
+    independent 64-byte blocks decoded as one numpy batch."""
+    import pandas as pd
+
+    from dbimport_spark.functions import wav as _wav
+
+    d = (
+        load(spark, sf_dir, "documents")
+        .filter(F.length("text") >= 1)
+        .select(F.col("doc_id").alias("media_id"), "text")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+
+    def kernel(batches):
+        import struct as _struct
+
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for mid, text in zip(pdf["media_id"], pdf["text"]):
+                data = text.encode("utf-8")[:120]
+                arr = np.frombuffer(data, np.uint8).astype(np.int32)
+                nib = ((arr * 7 + np.arange(arr.size)) % 16).astype(np.uint8)
+                payload = np.zeros(60, dtype=np.uint8)
+                pairs = np.zeros(120, dtype=np.uint8)
+                pairs[: nib.size] = nib
+                pairs = pairs.reshape(-1, 2)
+                payload[:] = (pairs[:, 1] << 4) | pairs[:, 0]
+                block = _struct.pack("<hBB", 0, int(mid) % 89, 0) + payload.tobytes()
+                blob = _wav.encode_wav_adpcm(
+                    block, n_samples=int(nib.size) + 1, block_align=64
+                )
+                _rate, _ch, pcm = _wav.decode_wav(blob)
+                s = pcm.astype(np.int64)
+                w = np.arange(1, s.size + 1, dtype=np.int64)
+                rows.append(
+                    (
+                        int(mid),
+                        int(s.size),
+                        int(s.sum()),
+                        int(s.min()),
+                        int(s.max()),
+                        int((s * w).sum()),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "n_samples", "sample_sum", "min_s", "max_s", "wsum",
+                ],
+            )
+
+    return d.mapInPandas(
+        kernel,
+        "media_id bigint, n_samples int, sample_sum bigint, "
+        "min_s int, max_s int, wsum bigint",
+    )
+
+
+@register(
     "multimodal_frame_dedup",
     """WITH docs AS (
   SELECT doc_id,
