@@ -127,6 +127,7 @@ HEADLINE = [
     "multimodal_video_dib",
     "multimodal_av_demux",
     "audio_adpcm_roundtrip",
+    "audio_flac_roundtrip",
 ]
 
 

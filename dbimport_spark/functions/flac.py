@@ -1,0 +1,501 @@
+"""From-scratch FLAC codec (mono, 16-bit) — LOSSLESS compressed audio.
+
+Implements the public FLAC format (now RFC 9639; the same layout the
+reference xiph documentation has published for two decades) with zero
+magic tables: every constant here derives from the spec's structure —
+CRC-8 (poly x^8+x^2+x+1 → 0x07) and CRC-16 (x^16+x^15+x^2+1 → 0x8005)
+tables are generated from their polynomials, the fixed predictors are
+the binomial-difference filters (orders 0-4), and Rice coding is pure
+bit structure. Nothing perceptual, nothing lossy: decode(encode(x)) is
+bit-for-bit x, verified three ways (sample equality, frame CRC-16, and
+the STREAMINFO MD5 of the decoded stream).
+
+Layout written/read:
+  * ``fLaC`` marker + STREAMINFO metadata block (last-block flag set):
+    blocksize/framesize bounds, rate, channels, bits-per-sample, total
+    samples, MD5 of the unencoded little-endian sample stream.
+  * Frames of ``block_size`` samples: header (sync 0b111111111111100 +
+    blocking bit, blocksize/rate codes, channel mode, sample size,
+    UTF-8-style coded frame number, CRC-8 over the header), one subframe
+    (CONSTANT / VERBATIM / FIXED order 0-4, chosen per frame by residual
+    cost), frame CRC-16.
+  * Residuals: partitioned-Rice method 0, partition order 0, 4-bit Rice
+    parameter chosen per frame (escape 0b1111 → verbatim residuals when
+    Rice would expand).
+
+Scale shape: the stream is unpacked to a bit vector ONCE
+(``np.unpackbits``) and set-bit positions are precomputed with
+``np.flatnonzero``, so the Rice decoder's unary scans are amortized O(1)
+index increments into that positions array rather than per-bit scans;
+the remaining per-sample Python work is a handful of integer ops,
+Arrow-batched across documents in the Spark kernels (blobs decode inside
+the task that holds them — map-only, nothing shuffles).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import struct
+
+import numpy as np
+
+
+class FlacError(ValueError):
+    """Structural FLAC error (bad magic, CRC mismatch, malformed frame)."""
+
+
+# ------------------------------------------------------------------ CRCs
+
+
+def _crc_table(poly: int, width: int) -> np.ndarray:
+    table = np.zeros(256, dtype=np.uint32)
+    top = 1 << (width - 1)
+    mask = (1 << width) - 1
+    for byte in range(256):
+        r = byte << (width - 8)
+        for _ in range(8):
+            r = ((r << 1) ^ poly) if r & top else (r << 1)
+        table[byte] = r & mask
+    return table
+
+
+_CRC8_TABLE = _crc_table(0x07, 8)
+_CRC16_TABLE = _crc_table(0x8005, 16)
+
+
+def crc8(data: bytes) -> int:
+    r = 0
+    for b in data:
+        r = int(_CRC8_TABLE[(r ^ b) & 0xFF])
+    return r
+
+
+def crc16(data: bytes) -> int:
+    r = 0
+    for b in data:
+        r = ((r << 8) ^ int(_CRC16_TABLE[((r >> 8) ^ b) & 0xFF])) & 0xFFFF
+    return r
+
+
+# ------------------------------------------------------------- bit I/O
+
+
+class _BitWriter:
+    def __init__(self) -> None:
+        self._out = bytearray()
+        self._acc = 0
+        self._nbits = 0
+
+    def write(self, value: int, nbits: int) -> None:
+        self._acc = (self._acc << nbits) | (value & ((1 << nbits) - 1))
+        self._nbits += nbits
+        while self._nbits >= 8:
+            self._nbits -= 8
+            self._out.append((self._acc >> self._nbits) & 0xFF)
+        self._acc &= (1 << self._nbits) - 1
+
+    def write_unary(self, q: int) -> None:
+        # q zero bits then a one bit
+        while q >= 32:
+            self.write(0, 32)
+            q -= 32
+        self.write(1, q + 1)
+
+    def align(self) -> None:
+        if self._nbits:
+            self.write(0, 8 - self._nbits)
+
+    def getvalue(self) -> bytes:
+        assert self._nbits == 0, "unaligned"
+        return bytes(self._out)
+
+
+class _BitReader:
+    def __init__(self, data: bytes, pos_bits: int = 0) -> None:
+        self._bits = np.unpackbits(np.frombuffer(data, dtype=np.uint8))
+        self.pos = pos_bits
+        # set-bit positions, consumed in order by the Rice unary scans
+        self._ones = np.flatnonzero(self._bits)
+        self._ones_idx = 0
+
+    def read(self, nbits: int) -> int:
+        if self.pos + nbits > self._bits.size:
+            raise FlacError("truncated FLAC bitstream")
+        chunk = self._bits[self.pos : self.pos + nbits]
+        self.pos += nbits
+        v = 0
+        for b in chunk.tolist():
+            v = (v << 1) | b
+        return v
+
+    def read_unary(self) -> int:
+        # next set bit at/after pos; the ones array is consumed in order,
+        # so advancing the cursor is amortized O(1) per call
+        ones = self._ones
+        i = self._ones_idx
+        n = ones.size
+        while i < n and ones[i] < self.pos:
+            i += 1
+        if i >= n:
+            raise FlacError("unterminated unary code")
+        self._ones_idx = i
+        q = int(ones[i]) - self.pos
+        self.pos = int(ones[i]) + 1
+        return q
+
+    def align(self) -> None:
+        if self.pos % 8:
+            self.pos += 8 - self.pos % 8
+
+    def byte_pos(self) -> int:
+        assert self.pos % 8 == 0
+        return self.pos // 8
+
+
+# ------------------------------------------------- fixed predictors
+
+#: residual[order] = order-th finite difference of the signal — the FLAC
+#: fixed predictors ARE the binomial difference filters.
+def _fixed_residual(x: np.ndarray, order: int) -> np.ndarray:
+    r = x.astype(np.int64)
+    for _ in range(order):
+        r = np.diff(r)
+    return r
+
+
+def _unfix(residual: np.ndarray, warmup: np.ndarray, order: int) -> np.ndarray:
+    """Invert the order-th difference: each integration level's seed is
+    the first element of that level's difference sequence, recovered from
+    the warm-up samples (diff^j(x)[0] == diff^j(x[:order])[0] for
+    j < order). Pure cumsum — vectorized reconstruction."""
+    cur = residual.astype(np.int64)
+    for j in range(order - 1, -1, -1):
+        seed = _fixed_residual(warmup, j)[0]
+        cur = np.concatenate(([seed], cur)).cumsum()
+    return cur
+
+
+# ------------------------------------------------------------ encoding
+
+
+def _zigzag(res: np.ndarray) -> np.ndarray:
+    return np.where(res >= 0, res << 1, (-res << 1) - 1).astype(np.int64)
+
+
+def _best_rice_param(u: np.ndarray) -> int:
+    if u.size == 0:
+        return 0
+    best_k, best_cost = 0, None
+    for k in range(15):
+        cost = int((u >> k).sum()) + u.size * (k + 1)
+        if best_cost is None or cost < best_cost:
+            best_k, best_cost = k, cost
+    return best_k
+
+
+def _write_utf8_number(w: _BitWriter, n: int) -> None:
+    """FLAC's UTF-8-style frame-number coding: k continuation bytes give
+    6-k lead payload bits + 6k continuation bits = 6+5k payload bits."""
+    if n < 0x80:
+        w.write(n, 8)
+        return
+    k = 1
+    while n >= (1 << (6 + 5 * k)) and k < 6:
+        k += 1
+    w.write(((0xFF << (7 - k)) & 0xFF) | (n >> (6 * k)), 8)
+    for i in range(k - 1, -1, -1):
+        w.write(0x80 | ((n >> (6 * i)) & 0x3F), 8)
+
+
+def _read_utf8_number(r: _BitReader) -> int:
+    lead = r.read(8)
+    if lead < 0x80:
+        return lead
+    n_follow = 0
+    mask = 0x40
+    while lead & mask:
+        n_follow += 1
+        mask >>= 1
+    if n_follow == 0 or n_follow > 6:
+        raise FlacError("bad UTF-8-coded frame number")
+    value = lead & (mask - 1)
+    for _ in range(n_follow):
+        b = r.read(8)
+        if b & 0xC0 != 0x80:
+            raise FlacError("bad UTF-8 continuation in frame number")
+        value = (value << 6) | (b & 0x3F)
+    return value
+
+
+_BLOCKSIZE_CODES = {256: 0b1000, 512: 0b1001, 1024: 0b1010, 2048: 0b1011, 4096: 0b1100}
+
+
+def flac_encode(samples, sample_rate: int = 8000, block_size: int = 1024) -> bytes:
+    """int16 mono samples → FLAC bytes (STREAMINFO + fixed-predictor
+    frames). Per frame the cheapest of CONSTANT / FIXED(0-4) / VERBATIM
+    is chosen by exact Rice cost; the result always round-trips
+    bit-exactly (lossless by construction, and the embedded MD5 lets the
+    decoder prove it)."""
+    x = np.asarray(samples, dtype=np.int16)
+    if x.size == 0:
+        raise FlacError("cannot encode an empty sample stream")
+    if block_size not in _BLOCKSIZE_CODES:
+        raise FlacError(f"unsupported block size {block_size}")
+    md5 = hashlib.md5(x.astype("<i2").tobytes()).digest()
+
+    frames = bytearray()
+    n_frames = -(-x.size // block_size)
+    for fi in range(n_frames):
+        blk = x[fi * block_size : (fi + 1) * block_size].astype(np.int64)
+        frames += _encode_frame(blk, fi, block_size, sample_rate)
+
+    streaminfo = _pack_streaminfo(
+        block_size, sample_rate, bits=16, total=x.size, md5=md5
+    )
+    # metadata block header: last-block flag | type 0 (STREAMINFO) | len24
+    header = b"fLaC" + struct.pack(">I", (1 << 31) | len(streaminfo)) + streaminfo
+    return header + bytes(frames)
+
+
+def _pack_streaminfo(block_size, rate, bits, total, md5) -> bytes:
+    w = _BitWriter()
+    w.write(block_size, 16)  # min block
+    w.write(block_size, 16)  # max block
+    w.write(0, 24)  # min frame size unknown
+    w.write(0, 24)  # max frame size unknown
+    w.write(rate, 20)
+    w.write(0, 3)  # channels - 1
+    w.write(bits - 1, 5)
+    w.write(total, 36)
+    w.align()
+    return w.getvalue() + md5
+
+
+def _encode_frame(blk: np.ndarray, frame_no: int, block_size: int, rate: int) -> bytes:
+    n = blk.size
+    w = _BitWriter()
+    w.write(0b11111111111110, 14)
+    w.write(0, 1)  # reserved
+    w.write(0, 1)  # fixed blocksize stream
+    if n == block_size:
+        bs_code, bs_tail = _BLOCKSIZE_CODES[block_size], None
+    else:
+        bs_code, bs_tail = 0b0111, n - 1  # 16-bit blocksize at end of header
+    w.write(bs_code, 4)
+    w.write(0b0000, 4)  # sample rate: from STREAMINFO
+    w.write(0b0000, 4)  # channels: mono
+    w.write(0b100, 3)  # sample size: 16-bit
+    w.write(0, 1)  # reserved
+    _write_utf8_number(w, frame_no)
+    if bs_tail is not None:
+        w.write(bs_tail, 16)
+    w.align()
+    hdr = w.getvalue()
+    hdr += bytes([crc8(hdr)])
+
+    # pick the best subframe encoding by exact cost
+    best = None  # (cost_bits, kind, order, k, payload arrays)
+    if (blk == blk[0]).all():
+        best = (16, "constant", 0, 0, None)
+    else:
+        max_order = min(4, n - 1)
+        for order in range(max_order + 1):
+            res = _fixed_residual(blk, order)
+            u = _zigzag(res)
+            k = _best_rice_param(u)
+            cost = order * 16 + 6 + int((u >> k).sum()) + u.size * (k + 1)
+            if best is None or cost < best[0]:
+                best = (cost, "fixed", order, k, res)
+        if best[0] > 16 * n:
+            best = (16 * n, "verbatim", 0, 0, None)
+
+    sw = _BitWriter()
+    for b in hdr:
+        sw.write(b, 8)
+    _cost, kind, order, k, res = best
+    sw.write(0, 1)  # zero padding bit
+    if kind == "constant":
+        sw.write(0b000000, 6)
+        sw.write(0, 1)  # wasted bits flag
+        sw.write(int(blk[0]) & 0xFFFF, 16)
+    elif kind == "verbatim":
+        sw.write(0b000001, 6)
+        sw.write(0, 1)
+        for v in blk.tolist():
+            sw.write(v & 0xFFFF, 16)
+    else:
+        sw.write(0b001000 | order, 6)
+        sw.write(0, 1)
+        for v in blk[:order].tolist():
+            sw.write(v & 0xFFFF, 16)
+        sw.write(0b00, 2)  # residual method: 4-bit Rice
+        sw.write(0, 4)  # partition order 0
+        sw.write(k, 4)
+        for uval in _zigzag(res).tolist():
+            sw.write_unary(uval >> k)
+            if k:
+                sw.write(uval & ((1 << k) - 1), k)
+    sw.align()
+    body = sw.getvalue()
+    return body + struct.pack(">H", crc16(body))
+
+
+# ------------------------------------------------------------ decoding
+
+
+def flac_decode(blob: bytes) -> tuple[int, np.ndarray]:
+    """FLAC bytes → (sample_rate, int16 samples). Verifies the frame
+    sync, header CRC-8, frame CRC-16, and the STREAMINFO MD5 of the
+    decoded stream — a decoder bug cannot return quietly wrong samples."""
+    if len(blob) < 8 or blob[:4] != b"fLaC":
+        raise FlacError("not a FLAC stream")
+    pos = 4
+    rate = bits = total = None
+    md5_expect = None
+    block_size = None
+    last = False
+    while not last:
+        if pos + 4 > len(blob):
+            raise FlacError("truncated metadata")
+        hdr = struct.unpack_from(">I", blob, pos)[0]
+        last = bool(hdr >> 31)
+        btype = (hdr >> 24) & 0x7F
+        size = hdr & 0xFFFFFF
+        pos += 4
+        if pos + size > len(blob):
+            raise FlacError("truncated metadata block")
+        if btype == 0:
+            r = _BitReader(blob[pos : pos + size])
+            _minb = r.read(16)
+            block_size = r.read(16)
+            r.read(24)
+            r.read(24)
+            rate = r.read(20)
+            channels = r.read(3) + 1
+            bits = r.read(5) + 1
+            total = r.read(36)
+            if channels != 1 or bits != 16:
+                raise FlacError("only mono 16-bit FLAC is supported")
+            md5_expect = blob[pos + size - 16 : pos + size]
+        pos += size
+    if rate is None:
+        raise FlacError("missing STREAMINFO")
+
+    out: list[np.ndarray] = []
+    got = 0
+    # ONE bit reader over the whole frame region (unpackbits runs once,
+    # not once per frame); CRC slices use absolute byte offsets into blob
+    r = _BitReader(blob[pos:])
+    while got < total:
+        frame = _decode_frame(r, blob, pos)
+        out.append(frame)
+        got += frame.size
+    samples = np.concatenate(out)[:total].astype(np.int16)
+    if md5_expect != b"\x00" * 16:
+        if hashlib.md5(samples.astype("<i2").tobytes()).digest() != md5_expect:
+            raise FlacError("decoded stream fails the STREAMINFO MD5 check")
+    return rate, samples
+
+
+def _decode_frame(r: _BitReader, blob: bytes, base: int) -> np.ndarray:
+    """Decode one frame from the shared reader; ``base`` is the absolute
+    byte offset of the reader's underlying buffer within ``blob`` (used
+    for the CRC slices). The reader must be byte-aligned on entry."""
+    start = base + r.byte_pos()
+    if r.read(14) != 0b11111111111110:
+        raise FlacError("lost frame sync")
+    r.read(1)
+    r.read(1)
+    bs_code = r.read(4)
+    sr_code = r.read(4)
+    ch_code = r.read(4)
+    ss_code = r.read(3)
+    r.read(1)
+    if ch_code != 0:
+        raise FlacError("only mono FLAC frames are supported")
+    if ss_code != 0b100:
+        raise FlacError("only 16-bit FLAC frames are supported")
+    _frame_no = _read_utf8_number(r)
+    if bs_code == 0b0110:
+        n = r.read(8) + 1
+    elif bs_code == 0b0111:
+        n = r.read(16) + 1
+    elif 0b1000 <= bs_code <= 0b1100:
+        n = 256 << (bs_code - 0b1000)
+    elif bs_code == 0b0001:
+        n = 192
+    elif 0b0010 <= bs_code <= 0b0101:
+        n = 576 << (bs_code - 0b0010)
+    else:
+        raise FlacError(f"bad blocksize code {bs_code:04b}")
+    if sr_code in (0b1100, 0b1101, 0b1110):  # rate-at-end-of-header forms
+        r.read(8 if sr_code == 0b1100 else 16)
+    elif sr_code == 0b1111:
+        raise FlacError("invalid sample-rate code")
+    r.align()
+    hdr_end = base + r.byte_pos()
+    crc_byte = r.read(8)
+    if crc8(blob[start:hdr_end]) != crc_byte:
+        raise FlacError("frame header CRC-8 mismatch")
+
+    # subframe
+    if r.read(1) != 0:
+        raise FlacError("bad subframe padding bit")
+    sf_type = r.read(6)
+    wasted = 0
+    if r.read(1):  # wasted-bits flag: unary count follows
+        wasted = r.read_unary() + 1
+    eff_bits = 16 - wasted
+
+    def _signed(v: int, nb: int) -> int:
+        return v - (1 << nb) if v >= 1 << (nb - 1) else v
+
+    if sf_type == 0b000000:
+        blk = np.full(n, _signed(r.read(eff_bits), eff_bits), dtype=np.int64)
+    elif sf_type == 0b000001:
+        blk = np.array([_signed(r.read(eff_bits), eff_bits) for _ in range(n)], dtype=np.int64)
+    elif 0b001000 <= sf_type <= 0b001100:
+        order = sf_type & 0x07
+        warm = np.array(
+            [_signed(r.read(eff_bits), eff_bits) for _ in range(order)], dtype=np.int64
+        )
+        res = _read_residual(r, n, order)
+        blk = _unfix(res, warm, order) if order else res
+    else:
+        raise FlacError(f"unsupported subframe type {sf_type:06b} (LPC not emitted by this encoder)")
+    if wasted:
+        blk = blk << wasted
+    r.align()
+    body_end = base + r.byte_pos()
+    crc_expect = r.read(16)
+    if crc16(blob[start:body_end]) != crc_expect:
+        raise FlacError("frame CRC-16 mismatch")
+    return blk
+
+
+def _read_residual(r: _BitReader, n: int, order: int) -> np.ndarray:
+    method = r.read(2)
+    if method not in (0, 1):
+        raise FlacError(f"reserved residual method {method}")
+    kbits = 4 if method == 0 else 5
+    part_order = r.read(4)
+    n_parts = 1 << part_order
+    if n % n_parts:
+        raise FlacError("partition count does not divide block size")
+    out = np.empty(n - order, dtype=np.int64)
+    w = 0
+    for p in range(n_parts):
+        count = n // n_parts - (order if p == 0 else 0)
+        k = r.read(kbits)
+        if k == (1 << kbits) - 1:  # escape: raw nbits residuals
+            nb = r.read(5)
+            for i in range(count):
+                v = r.read(nb)
+                out[w + i] = v - (1 << nb) if nb and v >= 1 << (nb - 1) else v
+        else:
+            for i in range(count):
+                q = r.read_unary()
+                u = (q << k) | (r.read(k) if k else 0)
+                out[w + i] = (u >> 1) ^ -(u & 1)
+        w += count
+    return out

@@ -7,7 +7,10 @@ Decode status (honest inventory):
   * JPEG — REAL. From-scratch baseline codec in functions/jpeg.py
     (T.81 DCT + Huffman, 4:4:4/4:2:0, restart intervals).
   * GIF — REAL. functions/gif.py (multi-frame LZW container).
-  * WAV — REAL. functions/wav.py (RIFF/PCM16 + G.711 companded).
+  * WAV — REAL. functions/wav.py (RIFF/PCM16 + G.711 companded + IMA
+    ADPCM 4-bit adaptive blocks).
+  * FLAC — REAL. functions/flac.py (lossless: fixed predictors + Rice
+    residuals, CRC-8/16 + MD5 verified; bit-exact round-trip).
   * Video (MJPEG-in-AVI and uncompressed BI_RGB DIB-in-AVI) — REAL.
     functions/avi.py walks the RIFF/AVI container structurally; MJPEG
     frames decode through the real JPEG codec (sample_video_frames

@@ -1088,6 +1088,93 @@ def audio_adpcm_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "audio_flac_roundtrip",
+    """WITH d AS (
+  SELECT doc_id AS media_id, CAST(i AS INTEGER) AS i,
+         ((ord(substring(text, CAST(i + 1 AS INTEGER), 1)) * 7 + CAST(i AS INTEGER)) % 31) - 15 AS delta
+  FROM documents, UNNEST(range(least(strlen(text), 800))) AS u(i)
+  WHERE strlen(text) >= 1
+),
+s AS (
+  SELECT media_id, i,
+         CAST(sum(delta) OVER (PARTITION BY media_id ORDER BY i) AS BIGINT) AS v
+  FROM d
+)
+SELECT media_id,
+       CAST(count(*) AS INTEGER) AS n_samples,
+       CAST(sum(v) AS BIGINT) AS sample_sum,
+       CAST(min(v) AS INTEGER) AS min_s,
+       CAST(max(v) AS INTEGER) AS max_s,
+       CAST(sum(v * (i + 1)) AS BIGINT) AS wsum
+FROM s GROUP BY media_id""",
+)
+def audio_flac_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LOSSLESS compressed audio through a from-scratch FLAC codec
+    (functions/flac.py: STREAMINFO + fixed-predictor frames, Rice
+    residuals, CRC-8/CRC-16/MD5 verified). Per document, derive a
+    bounded random-walk sample stream (delta = (byte·7+i) mod 31 − 15,
+    cumulatively summed — smooth enough that the order-1/2 fixed
+    predictors actually engage), FLAC-encode it at block size 256 (so
+    multi-frame streams and a partial final frame are exercised), decode
+    it back, and emit stats OF THE DECODED SAMPLES. Because FLAC is
+    lossless the oracle needs no codec at all: it reconstructs the
+    source walk with a window sum and the stats must match exactly —
+    any codec bug (predictor seed, Rice sign fold, CRC slice) flips the
+    order-weighted checksum loudly.
+
+    Scale: map-only Arrow kernel, blobs never shuffle; the codec's bit
+    vector is unpacked once per stream and Rice unary scans are
+    amortized-O(1) index steps, so per-doc cost is linear in samples."""
+    import pandas as pd
+
+    from dbimport_spark.functions import flac as _flac
+
+    d = (
+        load(spark, sf_dir, "documents")
+        .filter(F.length("text") >= 1)
+        .select(F.col("doc_id").alias("media_id"), "text")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+
+    def kernel(batches):
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for mid, text in zip(pdf["media_id"], pdf["text"]):
+                data = text.encode("utf-8")[:800]
+                arr = np.frombuffer(data, np.uint8).astype(np.int64)
+                delta = (arr * 7 + np.arange(arr.size)) % 31 - 15
+                x = np.cumsum(delta).astype(np.int16)
+                blob = _flac.flac_encode(x, sample_rate=8000, block_size=256)
+                _rate, y = _flac.flac_decode(blob)
+                s = y.astype(np.int64)
+                w = np.arange(1, s.size + 1, dtype=np.int64)
+                rows.append(
+                    (
+                        int(mid),
+                        int(s.size),
+                        int(s.sum()),
+                        int(s.min()),
+                        int(s.max()),
+                        int((s * w).sum()),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "n_samples", "sample_sum", "min_s", "max_s", "wsum",
+                ],
+            )
+
+    return d.mapInPandas(
+        kernel,
+        "media_id bigint, n_samples int, sample_sum bigint, "
+        "min_s int, max_s int, wsum bigint",
+    )
+
+
+@register(
     "multimodal_frame_dedup",
     """WITH docs AS (
   SELECT doc_id,
