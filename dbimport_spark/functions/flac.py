@@ -230,12 +230,62 @@ def _read_utf8_number(r: _BitReader) -> int:
 _BLOCKSIZE_CODES = {256: 0b1000, 512: 0b1001, 1024: 0b1010, 2048: 0b1011, 4096: 0b1100}
 
 
-def flac_encode(samples, sample_rate: int = 8000, block_size: int = 1024) -> bytes:
-    """int16 mono samples → FLAC bytes (STREAMINFO + fixed-predictor
-    frames). Per frame the cheapest of CONSTANT / FIXED(0-4) / VERBATIM
-    is chosen by exact Rice cost; the result always round-trips
-    bit-exactly (lossless by construction, and the embedded MD5 lets the
-    decoder prove it)."""
+def _lpc_coeffs(x: np.ndarray, max_order: int = 8):
+    """Levinson-Durbin on the block's autocorrelation → quantized integer
+    LPC predictor (coefficients, shift, order), or None when the block is
+    too short/degenerate. Quantization to 12-bit signed coefficients with
+    a non-negative shift, the common FLAC encoder choice; the RESIDUAL is
+    then computed with the QUANTIZED integer predictor, so losslessness
+    never depends on float precision."""
+    n = x.size
+    order = min(max_order, n - 1)
+    if order < 1:
+        return None
+    xf = x.astype(np.float64)
+    ac = np.array([np.dot(xf[: n - k], xf[k:]) for k in range(order + 1)])
+    if ac[0] == 0:
+        return None  # all-zero block: CONSTANT wins anyway
+    err = ac[0]
+    a = np.zeros(order, dtype=np.float64)
+    for i in range(order):
+        acc = ac[i + 1] - np.dot(a[:i], ac[i:0:-1][:i])
+        k = acc / err
+        a[: i + 1] = np.concatenate((a[:i] - k * a[:i][::-1], [k]))
+        err *= 1 - k * k
+        if err <= 0:
+            break
+    cmax = np.abs(a).max()
+    if not np.isfinite(cmax) or cmax == 0:
+        return None
+    precision = 12  # qlp coefficients are (precision)-bit signed
+    shift = precision - 1 - max(0, int(np.floor(np.log2(cmax))) + 1)
+    shift = max(0, min(15, shift))
+    q = np.clip(
+        np.round(a * (1 << shift)), -(1 << (precision - 1)), (1 << (precision - 1)) - 1
+    ).astype(np.int64)
+    if not q.any():
+        return None
+    return q, shift, order
+
+
+def _lpc_residual(x: np.ndarray, q: np.ndarray, shift: int, order: int) -> np.ndarray:
+    """Exact integer LPC residual: res[i] = x[i] − ((Σ q[j]·x[i−1−j]) >>
+    shift) for i ≥ order (numpy's ``>>`` on int64 is the arithmetic shift
+    the format requires)."""
+    # correlation of x with the reversed coefficient vector gives the
+    # predictor sum for every position in one vectorized pass
+    pred = np.convolve(x, q, mode="full")[order - 1 : x.size - 1] >> shift
+    return x[order:] - pred
+
+
+def flac_encode(
+    samples, sample_rate: int = 8000, block_size: int = 1024, use_lpc: bool = True
+) -> bytes:
+    """int16 mono samples → FLAC bytes. Per frame the cheapest of
+    CONSTANT / FIXED(0-4) / LPC(≤8) / VERBATIM is chosen by exact Rice
+    cost; the result always round-trips bit-exactly (lossless by
+    construction — LPC residuals are computed with the QUANTIZED integer
+    predictor — and the embedded MD5 lets the decoder prove it)."""
     x = np.asarray(samples, dtype=np.int16)
     if x.size == 0:
         raise FlacError("cannot encode an empty sample stream")
@@ -247,7 +297,7 @@ def flac_encode(samples, sample_rate: int = 8000, block_size: int = 1024) -> byt
     n_frames = -(-x.size // block_size)
     for fi in range(n_frames):
         blk = x[fi * block_size : (fi + 1) * block_size].astype(np.int64)
-        frames += _encode_frame(blk, fi, block_size, sample_rate)
+        frames += _encode_frame(blk, fi, block_size, sample_rate, use_lpc)
 
     streaminfo = _pack_streaminfo(
         block_size, sample_rate, bits=16, total=x.size, md5=md5
@@ -271,7 +321,9 @@ def _pack_streaminfo(block_size, rate, bits, total, md5) -> bytes:
     return w.getvalue() + md5
 
 
-def _encode_frame(blk: np.ndarray, frame_no: int, block_size: int, rate: int) -> bytes:
+def _encode_frame(
+    blk: np.ndarray, frame_no: int, block_size: int, rate: int, use_lpc: bool = True
+) -> bytes:
     n = blk.size
     w = _BitWriter()
     w.write(0b11111111111110, 14)
@@ -294,9 +346,9 @@ def _encode_frame(blk: np.ndarray, frame_no: int, block_size: int, rate: int) ->
     hdr += bytes([crc8(hdr)])
 
     # pick the best subframe encoding by exact cost
-    best = None  # (cost_bits, kind, order, k, payload arrays)
+    best = None  # (cost_bits, kind, order, k, residual, lpc (q, shift))
     if (blk == blk[0]).all():
-        best = (16, "constant", 0, 0, None)
+        best = (16, "constant", 0, 0, None, None)
     else:
         max_order = min(4, n - 1)
         for order in range(max_order + 1):
@@ -305,15 +357,38 @@ def _encode_frame(blk: np.ndarray, frame_no: int, block_size: int, rate: int) ->
             k = _best_rice_param(u)
             cost = order * 16 + 6 + int((u >> k).sum()) + u.size * (k + 1)
             if best is None or cost < best[0]:
-                best = (cost, "fixed", order, k, res)
+                best = (cost, "fixed", order, k, res, None)
+        if use_lpc:
+            lpc = _lpc_coeffs(blk)
+            if lpc is not None:
+                q, shift, order = lpc
+                res = _lpc_residual(blk, q, shift, order)
+                u = _zigzag(res)
+                k = _best_rice_param(u)
+                cost = (
+                    order * 16 + 4 + 5 + order * 12 + 6
+                    + int((u >> k).sum()) + u.size * (k + 1)
+                )
+                if cost < best[0]:
+                    best = (cost, "lpc", order, k, res, (q, shift))
         if best[0] > 16 * n:
-            best = (16 * n, "verbatim", 0, 0, None)
+            best = (16 * n, "verbatim", 0, 0, None, None)
 
     sw = _BitWriter()
     for b in hdr:
         sw.write(b, 8)
-    _cost, kind, order, k, res = best
+    _cost, kind, order, k, res, lpc = best
     sw.write(0, 1)  # zero padding bit
+
+    def _write_rice(res_arr, kk):
+        sw.write(0b00, 2)  # residual method: 4-bit Rice
+        sw.write(0, 4)  # partition order 0
+        sw.write(kk, 4)
+        for uval in _zigzag(res_arr).tolist():
+            sw.write_unary(uval >> kk)
+            if kk:
+                sw.write(uval & ((1 << kk) - 1), kk)
+
     if kind == "constant":
         sw.write(0b000000, 6)
         sw.write(0, 1)  # wasted bits flag
@@ -323,18 +398,23 @@ def _encode_frame(blk: np.ndarray, frame_no: int, block_size: int, rate: int) ->
         sw.write(0, 1)
         for v in blk.tolist():
             sw.write(v & 0xFFFF, 16)
+    elif kind == "lpc":
+        q, shift = lpc
+        sw.write(0b100000 | (order - 1), 6)
+        sw.write(0, 1)
+        for v in blk[:order].tolist():
+            sw.write(v & 0xFFFF, 16)
+        sw.write(12 - 1, 4)  # qlp precision − 1
+        sw.write(shift, 5)
+        for c in q.tolist():
+            sw.write(c & 0xFFF, 12)
+        _write_rice(res, k)
     else:
         sw.write(0b001000 | order, 6)
         sw.write(0, 1)
         for v in blk[:order].tolist():
             sw.write(v & 0xFFFF, 16)
-        sw.write(0b00, 2)  # residual method: 4-bit Rice
-        sw.write(0, 4)  # partition order 0
-        sw.write(k, 4)
-        for uval in _zigzag(res).tolist():
-            sw.write_unary(uval >> k)
-            if k:
-                sw.write(uval & ((1 << k) - 1), k)
+        _write_rice(res, k)
     sw.align()
     body = sw.getvalue()
     return body + struct.pack(">H", crc16(body))
@@ -461,8 +541,24 @@ def _decode_frame(r: _BitReader, blob: bytes, base: int) -> np.ndarray:
         )
         res = _read_residual(r, n, order)
         blk = _unfix(res, warm, order) if order else res
+    elif sf_type & 0b100000:
+        order = (sf_type & 0x1F) + 1
+        warm = [_signed(r.read(eff_bits), eff_bits) for _ in range(order)]
+        precision = r.read(4) + 1
+        if precision == 16:
+            raise FlacError("invalid qlp precision code")
+        shift = _signed(r.read(5), 5)
+        if shift < 0:
+            raise FlacError("negative LPC shift not supported")
+        q = [_signed(r.read(precision), precision) for _ in range(order)]
+        res = _read_residual(r, n, order)
+        blk = np.empty(n, dtype=np.int64)
+        blk[:order] = warm
+        qa = np.array(q[::-1], dtype=np.int64)  # x[i-order..i-1] dot q reversed
+        for i in range(order, n):
+            blk[i] = res[i - order] + (int(np.dot(blk[i - order : i], qa)) >> shift)
     else:
-        raise FlacError(f"unsupported subframe type {sf_type:06b} (LPC not emitted by this encoder)")
+        raise FlacError(f"unsupported subframe type {sf_type:06b}")
     if wasted:
         blk = blk << wasted
     r.align()

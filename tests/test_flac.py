@@ -122,3 +122,20 @@ def test_encode_validates_inputs():
         flac_encode([], 8000)
     with pytest.raises(FlacError, match="block size"):
         flac_encode([1, 2], 8000, block_size=1000)
+
+
+def test_lpc_subframes_win_on_correlated_signals_and_stay_lossless():
+    rng = np.random.default_rng(0)
+    t = np.arange(20000)
+    x = (
+        8000 * np.sin(t / 100) + 2000 * np.sin(t / 13) + rng.normal(0, 30, t.size)
+    ).astype(np.int16)
+    blob_lpc = flac_encode(x, 8000, 4096, use_lpc=True)
+    blob_fix = flac_encode(x, 8000, 4096, use_lpc=False)
+    # the quantized-integer LPC predictor must (a) be chosen when it is
+    # cheaper, (b) never cost losslessness
+    assert len(blob_lpc) < len(blob_fix)
+    _, y = flac_decode(blob_lpc)
+    assert (y == x).all()
+    _, y2 = flac_decode(blob_fix)
+    assert (y2 == x).all()
