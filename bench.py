@@ -128,6 +128,7 @@ HEADLINE = [
     "multimodal_av_demux",
     "audio_adpcm_roundtrip",
     "audio_flac_roundtrip",
+    "multimodal_jpeg_progressive",
 ]
 
 

@@ -5,13 +5,19 @@ Implemented from the public ITU-T T.81 (1992) specification ("Digital
 compression and coding of continuous-tone still images") and the JFIF 1.02
 interchange format note:
 
-* encoder: baseline sequential DCT, 8-bit, grayscale or YCbCr with 4:4:4
-  or 4:2:0 chroma subsampling, Annex K.1/K.2 quantization tables scaled by
-  the common IJG quality formula, Annex K.3 standard Huffman tables;
+* encoder: baseline sequential DCT (SOF0) and PROGRESSIVE (SOF2, 6-stage
+  scan script: DC first + spectral-selection AC bands + successive-
+  approximation refinements per Annex G), 8-bit, grayscale or YCbCr with
+  4:4:4 or 4:2:0 chroma subsampling, Annex K.1/K.2 quantization tables
+  scaled by the common IJG quality formula, Annex K.3 Huffman tables;
 * decoder: general baseline interleaved scan — SOF0 frames with arbitrary
   sampling factors (h, v ≤ 2 covers 4:4:4 / 4:2:2 / 4:2:0), multiple DQT /
-  DHT segments, restart intervals (DRI/RSTn), 0xFF00 byte unstuffing;
-  progressive (SOF2) is rejected loudly.
+  DHT segments, restart intervals (DRI/RSTn), 0xFF00 byte unstuffing —
+  plus full progressive decode (SOF2): DC first/refinement, AC spectral
+  bands with EOB runs, AC successive-approximation correction-bit passes,
+  arbitrary scan scripts, coefficient state accumulated across scans.
+  Progressive and baseline encodings of one image decode to IDENTICAL
+  pixels (same quantized coefficients) — the suite's differential gate.
 
 Vectorization: all DCT/IDCT, quantization, zigzag, level-shift, and color
 transforms operate on (n_blocks, 8, 8) numpy stacks — one einsum per
@@ -255,6 +261,112 @@ def _flush_bits(out: bytearray, acc: int, nbits: int):
     return 0, 0
 
 
+class _ProgWriter:
+    """Entropy bit writer for progressive scans (0xFF00 stuffing, 1-bit
+    padding flush) — the refinement passes interleave Huffman codes, sign
+    bits, and buffered correction bits, so a stateful writer beats the
+    baseline path's inlined accumulator here."""
+
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def bits(self, v: int, n: int) -> None:
+        self.acc = (self.acc << n) | (v & ((1 << n) - 1))
+        self.n += n
+        while self.n >= 8:
+            self.n -= 8
+            byte = (self.acc >> self.n) & 0xFF
+            self.out.append(byte)
+            if byte == 0xFF:
+                self.out.append(0x00)
+        self.acc &= (1 << self.n) - 1
+
+    def code(self, table, sym: int) -> None:
+        c, ln = table[sym]
+        self.bits(c, ln)
+
+    def flush(self) -> None:
+        if self.n:
+            pad = 8 - self.n
+            self.bits((1 << pad) - 1, pad)
+
+
+def _prog_ac_first(pw, zz, ss, se, al, ac_codes):
+    """AC first pass for one block (T.81 G.1.2.2): band-limited baseline
+    coding of the point-transformed magnitudes, per-block EOB (EOB runs
+    are a size optimization the decoder supports; the encoder keeps runs
+    local so correction state never crosses blocks)."""
+    run = 0
+    for k in range(ss, se + 1):
+        v = int(zz[k])
+        a = abs(v) >> al
+        if a == 0:
+            run += 1
+            continue
+        while run > 15:
+            pw.code(ac_codes, 0xF0)
+            run -= 16
+        size = a.bit_length()
+        sval = a if v > 0 else -a
+        bits = sval if sval > 0 else sval + (1 << size) - 1
+        pw.code(ac_codes, (run << 4) | size)
+        pw.bits(bits, size)
+        run = 0
+    if run > 0:
+        pw.code(ac_codes, 0x00)
+
+
+def _prog_ac_refine(pw, zz, ss, se, al, ac_codes):
+    """AC refinement for one block (G.1.2.3): newly-significant
+    coefficients (|v|>>Al == 1) are coded as run/1 + sign; coefficients
+    significant in earlier scans contribute one buffered correction bit
+    (bit Al of |v|). Bit ORDER must mirror the decoder's walk exactly:
+    after a ZRL the decoder consumes correction bits only for history
+    coefficients up to the 16th zero of that window (it then resumes at
+    the next symbol), so the buffered bits are kept as an ordered queue
+    interleaved with zero markers and flushed per window — flushing the
+    whole buffer after the first ZRL desyncs any block with a history
+    coefficient between the 16th zero and the next significant one."""
+    run = 0
+    events: list[int | None] = []  # None = zero position, int = correction bit
+    for k in range(ss, se + 1):
+        v = int(zz[k])
+        a = abs(v) >> al
+        if a == 0:
+            run += 1
+            events.append(None)
+            continue
+        if a == 1:
+            while run > 15:
+                pw.code(ac_codes, 0xF0)
+                zcount = 0
+                while events:
+                    ev = events.pop(0)
+                    if ev is None:
+                        zcount += 1
+                        if zcount == 16:
+                            break
+                    else:
+                        pw.bits(ev, 1)
+                run -= 16
+            pw.code(ac_codes, (run << 4) | 1)
+            pw.bits(1 if v > 0 else 0, 1)
+            for ev in events:
+                if ev is not None:
+                    pw.bits(ev, 1)
+            events = []
+            run = 0
+        else:
+            events.append(a & 1)
+    if events:
+        pw.code(ac_codes, 0x00)  # EOB, run length 1
+        for ev in events:
+            if ev is not None:
+                pw.bits(ev, 1)
+
+
 def _pad_edge(plane: np.ndarray, mult: int) -> np.ndarray:
     h, w = plane.shape
     ph = (mult - h % mult) % mult
@@ -272,10 +384,16 @@ def encode_jpeg(
     quality: int = 90,
     subsampling: str = "444",
     restart_interval: int = 0,
+    progressive: bool = False,
 ) -> bytes:
-    """Row-major 8-bit pixels (gray or RGB) → baseline JFIF bytes.
+    """Row-major 8-bit pixels (gray or RGB) → JFIF bytes.
     ``restart_interval`` > 0 writes a DRI segment and RSTn markers every
-    that many MCUs (error-resilience feature real encoders emit)."""
+    that many MCUs/blocks (error-resilience feature real encoders emit).
+    ``progressive`` emits an SOF2 stream with a 6-stage scan script
+    (DC first at Al=1, two spectral AC bands at Al=2, two AC refinement
+    passes, DC refinement) — the same QUANTIZED coefficients as the
+    baseline stream, so baseline and progressive encodings of one image
+    decode to IDENTICAL pixels (the differential test the suite runs)."""
     if channels not in (1, 3):
         raise JpegError(f"unsupported channel count {channels}")
     if subsampling not in ("444", "420"):
@@ -336,34 +454,44 @@ def encode_jpeg(
     ac_codes_y = _canonical_codes(_AC_LUMA_BITS, _AC_LUMA_VALS)
     dc_codes_c = _canonical_codes(_DC_CHROMA_BITS, _DC_CHROMA_VALS)
     ac_codes_c = _canonical_codes(_AC_CHROMA_BITS, _AC_CHROMA_VALS)
+    ncomp = len(planes)
+    dc_tabs = [dc_codes_y if ci == 0 else dc_codes_c for ci in range(ncomp)]
+    ac_tabs = [ac_codes_y if ci == 0 else ac_codes_c for ci in range(ncomp)]
 
-    ebuf = bytearray()
-    acc = 0
-    nbits = 0
-    preds = [0] * len(planes)
-    mcu_count = 0
-    rst_n = 0
-    for my in range(mcus_y):
-        for mx in range(mcus_x):
-            if restart_interval and mcu_count and mcu_count % restart_interval == 0:
-                # byte-align, emit RSTn, reset DC predictors (T.81 E.2.4)
-                acc, nbits = _flush_bits(ebuf, acc, nbits)
-                ebuf += bytes((0xFF, 0xD0 + rst_n))
-                rst_n = (rst_n + 1) % 8
-                preds = [0] * len(planes)
-            for ci, (h, v) in enumerate(samp):
-                dc_codes = dc_codes_y if ci == 0 else dc_codes_c
-                ac_codes = ac_codes_y if ci == 0 else ac_codes_c
-                for by in range(v):
-                    for bx in range(h):
-                        row = my * v + by
-                        col = mx * h + bx
-                        zz = coeffs[ci][row * blocks_per_row[ci] + col]
-                        acc, nbits, preds[ci] = _huff_encode_block(
-                            ebuf, acc, nbits, zz, preds[ci], dc_codes, ac_codes
-                        )
-            mcu_count += 1
-    acc, nbits = _flush_bits(ebuf, acc, nbits)
+    if progressive:
+        scans = _progressive_scans(
+            coeffs, samp, blocks_per_row, mcus_x, mcus_y, width, height,
+            hmax, vmax, dc_tabs, ac_tabs, restart_interval,
+        )
+        ebuf = None
+    else:
+        ebuf = bytearray()
+        acc = 0
+        nbits = 0
+        preds = [0] * len(planes)
+        mcu_count = 0
+        rst_n = 0
+        for my in range(mcus_y):
+            for mx in range(mcus_x):
+                if restart_interval and mcu_count and mcu_count % restart_interval == 0:
+                    # byte-align, emit RSTn, reset DC predictors (T.81 E.2.4)
+                    acc, nbits = _flush_bits(ebuf, acc, nbits)
+                    ebuf += bytes((0xFF, 0xD0 + rst_n))
+                    rst_n = (rst_n + 1) % 8
+                    preds = [0] * len(planes)
+                for ci, (h, v) in enumerate(samp):
+                    dc_codes = dc_tabs[ci]
+                    ac_codes = ac_tabs[ci]
+                    for by in range(v):
+                        for bx in range(h):
+                            row = my * v + by
+                            col = mx * h + bx
+                            zz = coeffs[ci][row * blocks_per_row[ci] + col]
+                            acc, nbits, preds[ci] = _huff_encode_block(
+                                ebuf, acc, nbits, zz, preds[ci], dc_codes, ac_codes
+                            )
+                mcu_count += 1
+        acc, nbits = _flush_bits(ebuf, acc, nbits)
 
     out = bytearray(b"\xff\xd8")  # SOI
     # APP0 / JFIF
@@ -372,8 +500,10 @@ def encode_jpeg(
     for tid, qt in enumerate([qy] + ([qc] if channels == 3 else [])):
         out += b"\xff\xdb" + struct.pack(">H", 67) + bytes([tid])
         out += bytes(int(qt[z]) for z in _ZIGZAG)
-    # SOF0
-    out += b"\xff\xc0" + struct.pack(">HBHHB", 8 + 3 * len(planes), 8, height, width, len(planes))
+    # SOF0 baseline / SOF2 progressive
+    out += (b"\xff\xc2" if progressive else b"\xff\xc0") + struct.pack(
+        ">HBHHB", 8 + 3 * len(planes), 8, height, width, len(planes)
+    )
     for ci, (h, v) in enumerate(samp):
         out += bytes([ci + 1, (h << 4) | v, 0 if ci == 0 else 1])
     # DHT segments
@@ -393,14 +523,104 @@ def encode_jpeg(
     # DRI
     if restart_interval:
         out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
-    # SOS
-    out += b"\xff\xda" + struct.pack(">HB", 6 + 2 * len(planes), len(planes))
-    for ci in range(len(planes)):
-        out += bytes([ci + 1, 0x00 if ci == 0 else 0x11])
-    out += b"\x00\x3f\x00"
-    out += ebuf
+    if progressive:
+        for sos, entropy in scans:
+            out += sos + entropy
+    else:
+        # SOS
+        out += b"\xff\xda" + struct.pack(">HB", 6 + 2 * len(planes), len(planes))
+        for ci in range(len(planes)):
+            out += bytes([ci + 1, 0x00 if ci == 0 else 0x11])
+        out += b"\x00\x3f\x00"
+        out += ebuf
     out += b"\xff\xd9"  # EOI
     return bytes(out)
+
+
+def _progressive_scans(
+    coeffs, samp, blocks_per_row, mcus_x, mcus_y, width, height,
+    hmax, vmax, dc_tabs, ac_tabs, restart_interval,
+):
+    """Build the 6-stage progressive scan sequence as (SOS bytes, entropy
+    bytes) pairs. Script: DC first (Al=1, interleaved) → per-component
+    spectral AC bands 1-5 and 6-63 at Al=2 → AC refinements Al=1 and
+    Al=0 → DC refinement — every Annex-G decode path (first, refinement,
+    ZRL-with-corrections, EOB) gets exercised by real streams."""
+    ncomp = len(samp)
+
+    def sos_header(comp_specs, ss, se, ah, al):
+        b = b"\xff\xda" + struct.pack(">HB", 6 + 2 * len(comp_specs), len(comp_specs))
+        for cid, tt in comp_specs:
+            b += bytes([cid, tt])
+        return b + bytes([ss, se, (ah << 4) | al])
+
+    def emit_dc(ah, al):
+        pw = _ProgWriter()
+        preds = [0] * ncomp
+        rst = 0
+        cnt = 0
+        for my in range(mcus_y):
+            for mx in range(mcus_x):
+                if restart_interval and cnt and cnt % restart_interval == 0:
+                    pw.flush()
+                    pw.out += bytes((0xFF, 0xD0 + rst))
+                    rst = (rst + 1) % 8
+                    preds = [0] * ncomp
+                for ci, (h, v) in enumerate(samp):
+                    for by in range(v):
+                        for bx in range(h):
+                            row = my * v + by
+                            col = mx * h + bx
+                            c0 = int(coeffs[ci][row * blocks_per_row[ci] + col][0])
+                            if ah == 0:
+                                val = c0 >> al  # DC: arithmetic point transform
+                                diff = val - preds[ci]
+                                preds[ci] = val
+                                if diff == 0:
+                                    pw.code(dc_tabs[ci], 0)
+                                else:
+                                    size = abs(diff).bit_length()
+                                    bits = diff if diff > 0 else diff + (1 << size) - 1
+                                    pw.code(dc_tabs[ci], size)
+                                    pw.bits(bits, size)
+                            else:
+                                pw.bits((c0 >> al) & 1, 1)
+                cnt += 1
+        pw.flush()
+        return pw.out
+
+    def emit_ac(ci, ss, se, ah, al):
+        pw = _ProgWriter()
+        h, v = samp[ci]
+        cw = -(-width * h // hmax)
+        chh = -(-height * v // vmax)
+        bw, bh = -(-cw // 8), -(-chh // 8)
+        bpr = blocks_per_row[ci]
+        rst = 0
+        cnt = 0
+        for by in range(bh):
+            for bx in range(bw):
+                if restart_interval and cnt and cnt % restart_interval == 0:
+                    pw.flush()
+                    pw.out += bytes((0xFF, 0xD0 + rst))
+                    rst = (rst + 1) % 8
+                zz = coeffs[ci][by * bpr + bx]
+                if ah == 0:
+                    _prog_ac_first(pw, zz, ss, se, al, ac_tabs[ci])
+                else:
+                    _prog_ac_refine(pw, zz, ss, se, al, ac_tabs[ci])
+                cnt += 1
+        pw.flush()
+        return pw.out
+
+    dc_specs = [(ci + 1, (0x00 if ci == 0 else 0x01) << 4) for ci in range(ncomp)]
+    scans = [(sos_header(dc_specs, 0, 0, 0, 1), emit_dc(0, 1))]
+    for ss, se, ah, al in ((1, 5, 0, 2), (6, 63, 0, 2), (1, 63, 2, 1), (1, 63, 1, 0)):
+        for ci in range(ncomp):
+            spec = [(ci + 1, 0x00 if ci == 0 else 0x01)]
+            scans.append((sos_header(spec, ss, se, ah, al), emit_ac(ci, ss, se, ah, al)))
+    scans.append((sos_header(dc_specs, 0, 0, 1, 0), emit_dc(1, 0)))
+    return scans
 
 
 # ----------------------------------------------------------------- decoder
@@ -409,12 +629,16 @@ def encode_jpeg(
 def _clean_entropy(data: bytes, pos: int):
     """Strip 0xFF00 byte stuffing from the entropy segment in ONE pass and
     record restart-marker boundaries as offsets into the cleaned stream.
-    Returns (clean bytes, restart offsets). The per-byte exception-driven
-    reader this replaces was the decode bottleneck on long scans."""
+    Returns (clean bytes, restart offsets, end) where ``end`` is the
+    absolute offset of the terminating marker (the 0xFF of EOI / the next
+    header marker), letting multi-scan (progressive) streams resume the
+    marker loop after the scan. The per-byte exception-driven reader this
+    replaces was the decode bottleneck on long scans."""
     out = bytearray()
     restarts = []
     i = pos
     n = len(data)
+    end = n
     while i < n:
         j = data.find(b"\xff", i)
         if j == -1:
@@ -429,8 +653,9 @@ def _clean_entropy(data: bytes, pos: int):
             restarts.append(len(out))
             i = j + 2
         else:
-            break  # EOI or next marker: end of entropy data
-    return bytes(out), restarts
+            end = j  # EOI or next marker: end of entropy data
+            break
+    return bytes(out), restarts, end
 
 
 _LUT_CACHE: dict = {}
@@ -457,13 +682,18 @@ def decode_jpeg(data: bytes):
     """JPEG bytes → (width, height, channels, pixel bytes row-major).
 
     Grayscale output for 1-component frames, RGB for 3-component (JFIF
-    YCbCr). Baseline sequential only — SOF2 raises JpegError."""
+    YCbCr). Baseline sequential (SOF0/1) and progressive (SOF2, spectral
+    selection + successive approximation per T.81 Annex G) both decode
+    for real; a progressive stream accumulates coefficient state across
+    its scans and renders at EOI."""
     if len(data) < 4 or data[0:2] != b"\xff\xd8":
         raise JpegError("not a JPEG (missing SOI)")
     pos = 2
     qtables: dict[int, np.ndarray] = {}
     htables: dict[int, dict] = {}
     frame = None
+    progressive = False
+    prog_state = None  # per-component coefficient lists + EOB run
     restart_interval = 0
     while pos + 4 <= len(data):
         if data[pos] != 0xFF:
@@ -499,7 +729,7 @@ def decode_jpeg(data: bytes):
                     raise JpegError("DHT declares more codes than it carries")
                 htables[tc_th] = _decode_table(bits, vals)
                 p += 17 + n
-        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 baseline
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 baseline, SOF2 progressive
             precision, h, w, nc = struct.unpack_from(">BHHB", body, 0)
             if precision != 8:
                 raise JpegError(f"unsupported precision {precision}")
@@ -508,37 +738,53 @@ def decode_jpeg(data: bytes):
                 cid, hv, tq = body[6 + 3 * i : 9 + 3 * i]
                 comps.append({"id": cid, "h": hv >> 4, "v": hv & 0x0F, "tq": tq})
             frame = {"w": w, "h": h, "comps": comps}
-        elif marker == 0xC2:
-            raise JpegError("progressive JPEG (SOF2) not supported")
+            progressive = marker == 0xC2
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack_from(">H", body, 0)
         elif marker == 0xDA:  # SOS
             if frame is None:
                 raise JpegError("SOS before SOF")
             ns = body[0]
+            if len(body) < 1 + 2 * ns + 3:
+                raise JpegError("truncated SOS header")
+            ss, se, ahal = body[1 + 2 * ns : 4 + 2 * ns]
+            ah, al = ahal >> 4, ahal & 0x0F
             scan = []
             for i in range(ns):
-                pair = body[1 + 2 * i : 3 + 2 * i]
-                if len(pair) != 2:
-                    raise JpegError("truncated SOS header")
-                cs, tt = pair
+                cs, tt = body[1 + 2 * i : 3 + 2 * i]
                 comp = next(
                     (c for c in frame["comps"] if c["id"] == cs), None
                 )
                 if comp is None:
                     raise JpegError(f"scan references unknown component {cs}")
-                if tt >> 4 not in htables or (0x10 | (tt & 0x0F)) not in htables:
-                    raise JpegError("scan references undefined Huffman table")
-                scan.append(
-                    {
-                        "comp": comp,
-                        "dc": htables[tt >> 4],
-                        "ac": htables[0x10 | (tt & 0x0F)],
-                    }
-                )
+                entry = {"comp": comp, "ci": frame["comps"].index(comp)}
+                # validate exactly what the scan will use: DC-first scans
+                # need the DC table, AC scans (first AND refinement) the
+                # AC table, DC refinement neither (raw bits only)
+                need_dc = (not progressive) or (ss == 0 and ah == 0)
+                need_ac = (not progressive) or ss > 0
+                if need_dc:
+                    if tt >> 4 not in htables:
+                        raise JpegError("scan references undefined Huffman table")
+                    entry["dc"] = htables[tt >> 4]
+                if need_ac:
+                    if (0x10 | (tt & 0x0F)) not in htables:
+                        raise JpegError("scan references undefined Huffman table")
+                    entry["ac"] = htables[0x10 | (tt & 0x0F)]
+                scan.append(entry)
             pos = pos + 2 + seglen
-            return _decode_scan(data, pos, frame, scan, qtables, restart_interval)
+            if not progressive:
+                return _decode_scan(data, pos, frame, scan, qtables, restart_interval)
+            if prog_state is None:
+                prog_state = _new_prog_state(frame)
+            pos = _decode_scan_progressive(
+                data, pos, frame, scan, prog_state, ss, se, ah, al,
+                restart_interval,
+            )
+            continue
         pos += 2 + seglen
+    if progressive and prog_state is not None:
+        return _finish_progressive(frame, prog_state, qtables)
     raise JpegError("no scan found")
 
 
@@ -559,7 +805,7 @@ def _decode_scan(data, pos, frame, scan, qtables, restart_interval):
         coo_idx.append([])
         coo_val.append([])
 
-    clean, restarts = _clean_entropy(data, pos)
+    clean, restarts, _end = _clean_entropy(data, pos)
     clean += b"\x00\x00\x00\x00"  # pad so the final peeks never IndexError
     limit = len(clean)
     # flattened per-MCU plan: (ci, dc_lut, ac_lut, block_index) per block
@@ -664,10 +910,19 @@ def _decode_scan(data, pos, frame, scan, qtables, restart_interval):
             flat[np.asarray(idxs, dtype=np.int64)] = np.asarray(vals, dtype=np.int64)
         stacks.append(flat.reshape(-1, 64))
 
-    # dequantize + IDCT, one einsum per component
+    return _render_planes(
+        [s["comp"] for s in scan], stacks, qtables, mcus_x, mcus_y, hmax, vmax, w, h
+    )
+
+
+def _render_planes(comps, stacks, qtables, mcus_x, mcus_y, hmax, vmax, w, h):
+    """Shared back half of decoding (baseline and progressive): zigzag
+    coefficient stacks → dequantize + IDCT (one einsum per component) →
+    upsample → crop → grayscale or JFIF YCbCr→RGB pixels."""
     planes = []
-    for s, zz in zip(scan, stacks):
-        comp = s["comp"]
+    for comp, zz in zip(comps, stacks):
+        if comp["tq"] not in qtables:
+            raise JpegError("frame references undefined quantization table")
         q = qtables[comp["tq"]]
         # zz rows are zigzag-ordered → multiply by the zigzag view of the
         # (natural-order) table, THEN permute back to natural order
@@ -694,3 +949,242 @@ def _decode_scan(data, pos, frame, scan, qtables, restart_interval):
     b_ = np.clip(np.round(y + 1.772 * cb), 0, 255)
     rgb = np.stack([r_, g_, b_], axis=-1).astype(np.uint8)
     return w, h, 3, rgb.tobytes()
+
+
+# ------------------------------------------------------------- progressive
+
+def _new_prog_state(frame):
+    """Per-component zigzag coefficient storage (flat Python lists — the
+    progressive passes update scattered entries) on the interleaved MCU
+    grid, shared by every scan of the stream."""
+    hmax = max(c["h"] for c in frame["comps"])
+    vmax = max(c["v"] for c in frame["comps"])
+    mcus_x = (frame["w"] + 8 * hmax - 1) // (8 * hmax)
+    mcus_y = (frame["h"] + 8 * vmax - 1) // (8 * vmax)
+    coefs = []
+    bpr = []
+    for c in frame["comps"]:
+        bpr.append(mcus_x * c["h"])
+        coefs.append([0] * (mcus_x * c["h"] * mcus_y * c["v"] * 64))
+    return {
+        "hmax": hmax, "vmax": vmax, "mcus_x": mcus_x, "mcus_y": mcus_y,
+        "coefs": coefs, "bpr": bpr,
+    }
+
+
+def _comp_block_dims(frame, comp, st):
+    """Non-interleaved scan traversal dims: the component's own block grid
+    (T.81 A.2.2), ≤ the MCU-padded storage grid."""
+    cw = -(-frame["w"] * comp["h"] // st["hmax"])
+    chh = -(-frame["h"] * comp["v"] // st["vmax"])
+    return -(-cw // 8), -(-chh // 8)
+
+
+def _decode_scan_progressive(
+    data, pos, frame, scan, st, ss, se, ah, al, restart_interval
+):
+    """One progressive scan (T.81 Annex G.2): updates ``st['coefs']`` in
+    place, returns the stream position after the scan's entropy data.
+
+    DC scans (Ss=Se=0) are MCU-interleaved when they carry several
+    components; AC scans are single-component over the component's own
+    block grid. Ah=0 scans establish coefficients at precision Al; Ah>0
+    scans refine one bit (Al = Ah−1 by spec, trusted as given)."""
+    if ss == 0 and se != 0:
+        raise JpegError("progressive scan mixes DC and AC coefficients")
+    if ss > 0 and len(scan) != 1:
+        raise JpegError("progressive AC scan must be single-component")
+    if se > 63 or ss > se:
+        raise JpegError("bad spectral selection bounds")
+
+    clean, restarts, end = _clean_entropy(data, pos)
+    clean += b"\x00\x00\x00\x00"
+    reader = {"acc": 0, "nbits": 0, "p": 0}
+
+    def receive(n):
+        acc, nbits, p = reader["acc"], reader["nbits"], reader["p"]
+        while nbits < n:
+            acc = (acc << 8) | clean[p]
+            p += 1
+            nbits += 8
+        nbits -= n
+        reader["acc"] = acc & ((1 << nbits) - 1)
+        reader["nbits"] = nbits
+        reader["p"] = p
+        return (acc >> nbits) & ((1 << n) - 1)
+
+    def huff(lut):
+        acc, nbits, p = reader["acc"], reader["nbits"], reader["p"]
+        while nbits < 16:
+            acc = (acc << 8) | clean[p]
+            p += 1
+            nbits += 8
+        packed = lut[(acc >> (nbits - 16)) & 0xFFFF]
+        if packed == 0:
+            raise JpegError("invalid Huffman code")
+        nbits -= packed & 31
+        reader["acc"] = acc & ((1 << nbits) - 1)
+        reader["nbits"] = nbits
+        reader["p"] = p
+        return packed >> 5
+
+    next_restart = iter(restarts)
+    eobrun = 0
+    preds = [0] * len(scan)
+
+    def maybe_restart(unit_count):
+        nonlocal eobrun, preds
+        if restart_interval and unit_count and unit_count % restart_interval == 0:
+            try:
+                reader["p"] = next(next_restart)
+            except StopIteration:
+                raise JpegError("DRI declared but RST marker missing") from None
+            reader["acc"] = 0
+            reader["nbits"] = 0
+            eobrun = 0
+            preds = [0] * len(scan)
+
+    try:
+        if ss == 0 and ah == 0:
+            # ---- DC first pass (interleaved like a baseline scan)
+            for unit, blocks in enumerate(_scan_blocks(frame, scan, st)):
+                maybe_restart(unit)
+                for si, bbase in blocks:
+                    size = huff(_huff_lut(scan[si]["dc"]))
+                    if size:
+                        v = receive(size)
+                        diff = v if v >= (1 << (size - 1)) else v - (1 << size) + 1
+                    else:
+                        diff = 0
+                    preds[si] += diff
+                    st["coefs"][scan[si]["ci"]][bbase] = preds[si] << al
+        elif ss == 0:
+            # ---- DC refinement: one raw bit per block
+            for unit, blocks in enumerate(_scan_blocks(frame, scan, st)):
+                maybe_restart(unit)
+                for si, bbase in blocks:
+                    if receive(1):
+                        st["coefs"][scan[si]["ci"]][bbase] |= 1 << al
+        else:
+            s0 = scan[0]
+            coef = st["coefs"][s0["ci"]]
+            ac_lut = _huff_lut(s0["ac"])
+            bw, bh = _comp_block_dims(frame, s0["comp"], st)
+            bpr = st["bpr"][s0["ci"]]
+            p1 = 1 << al
+            unit = 0
+            for by in range(bh):
+                for bx in range(bw):
+                    maybe_restart(unit)
+                    unit += 1
+                    bbase = (by * bpr + bx) * 64
+                    if ah == 0:
+                        # ---- AC first pass with EOB runs
+                        if eobrun:
+                            eobrun -= 1
+                            continue
+                        k = ss
+                        while k <= se:
+                            rs = huff(ac_lut)
+                            r, s = rs >> 4, rs & 0x0F
+                            if s == 0:
+                                if r == 15:
+                                    k += 16
+                                    continue
+                                eobrun = (1 << r) - 1
+                                if r:
+                                    eobrun += receive(r)
+                                break
+                            k += r
+                            if k > se:
+                                raise JpegError("AC index out of band")
+                            v = receive(s)
+                            v = v if v >= (1 << (s - 1)) else v - (1 << s) + 1
+                            coef[bbase + k] = v << al
+                            k += 1
+                    else:
+                        # ---- AC refinement (G.2's correction-bit pass)
+                        k = ss
+                        if eobrun == 0:
+                            while k <= se:
+                                rs = huff(ac_lut)
+                                r, s = rs >> 4, rs & 0x0F
+                                if s == 0:
+                                    if r < 15:
+                                        eobrun = 1 << r
+                                        if r:
+                                            eobrun += receive(r)
+                                        break
+                                    newval = 0  # ZRL: skip 16 zero-history
+                                elif s == 1:
+                                    newval = p1 if receive(1) else -p1
+                                else:
+                                    raise JpegError(
+                                        "refinement magnitude must be 1"
+                                    )
+                                while k <= se:
+                                    idx = bbase + k
+                                    c = coef[idx]
+                                    if c != 0:
+                                        if receive(1) and not (c & p1):
+                                            coef[idx] = c + (p1 if c > 0 else -p1)
+                                    else:
+                                        r -= 1
+                                        if r < 0:
+                                            break
+                                    k += 1
+                                if s and k <= se:
+                                    coef[bbase + k] = newval
+                                k += 1
+                        if eobrun > 0:
+                            while k <= se:
+                                idx = bbase + k
+                                c = coef[idx]
+                                if c != 0:
+                                    if receive(1) and not (c & p1):
+                                        coef[idx] = c + (p1 if c > 0 else -p1)
+                                k += 1
+                            eobrun -= 1
+    except IndexError:
+        raise JpegError("truncated entropy stream") from None
+    # the 16-bit Huffman prefetch may pull ≤2 bytes past the final real
+    # byte of a valid stream; anything beyond that consumed pad bytes
+    if reader["p"] > len(clean) - 4 + 2:
+        raise JpegError("truncated entropy stream")
+    return end
+
+
+def _scan_blocks(frame, scan, st):
+    """Yield per-unit lists of (scan index, coefficient base offset) for a
+    DC scan: MCU-interleaved when several components, the component's own
+    block grid when single (T.81 A.2)."""
+    if len(scan) > 1:
+        for my in range(st["mcus_y"]):
+            for mx in range(st["mcus_x"]):
+                unit = []
+                for si, s in enumerate(scan):
+                    ch, cv = s["comp"]["h"], s["comp"]["v"]
+                    bpr = st["bpr"][s["ci"]]
+                    for by in range(cv):
+                        for bx in range(ch):
+                            unit.append(
+                                (si, ((my * cv + by) * bpr + (mx * ch + bx)) * 64)
+                            )
+                yield unit
+    else:
+        bw, bh = _comp_block_dims(frame, scan[0]["comp"], st)
+        bpr = st["bpr"][scan[0]["ci"]]
+        for by in range(bh):
+            for bx in range(bw):
+                yield [(0, (by * bpr + bx) * 64)]
+
+
+def _finish_progressive(frame, st, qtables):
+    stacks = [
+        np.asarray(c, dtype=np.int64).reshape(-1, 64) for c in st["coefs"]
+    ]
+    return _render_planes(
+        frame["comps"], stacks, qtables,
+        st["mcus_x"], st["mcus_y"], st["hmax"], st["vmax"],
+        frame["w"], frame["h"],
+    )

@@ -1088,6 +1088,70 @@ def audio_adpcm_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_jpeg_progressive",
+    """SELECT doc_id AS media_id,
+       16 AS width,
+       CAST(least(strlen(text) // 16, 64) AS INTEGER) AS height,
+       CAST(16 * least(strlen(text) // 16, 64) AS BIGINT) AS n_px,
+       TRUE AS identical
+FROM documents WHERE strlen(text) >= 16""",
+)
+def multimodal_jpeg_progressive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PROGRESSIVE JPEG (SOF2) decode, gated by an exactness invariant:
+    baseline and progressive encodings of one image carry the SAME
+    quantized DCT coefficients, so their decodes must be pixel-identical
+    — a far sharper assertion than any tolerance bound. Per document the
+    kernel encodes the derived grayscale image twice (functions/jpeg.py:
+    baseline SOF0, and the 6-stage progressive scan script — DC first,
+    two spectral AC bands, two successive-approximation refinement
+    passes, DC refinement), runs both through the full decoder (the
+    progressive path accumulates coefficient state across scans, EOB
+    runs, correction-bit walks), and emits ``identical`` = byte equality
+    of the decoded pixels. The oracle pins geometry and asserts identical
+    = TRUE on every row; any desync in the refinement bit order or scan
+    state flips rows loudly. Scale: one map-only Arrow kernel, blobs
+    never shuffle."""
+    import pandas as pd
+
+    from dbimport_spark.functions import jpeg as _jpeg
+
+    d = (
+        load(spark, sf_dir, "documents")
+        .filter(F.length("text") >= 16)
+        .select(F.col("doc_id").alias("media_id"), "text")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+
+    def kernel(batches):
+        for pdf in batches:
+            rows = []
+            for mid, text in zip(pdf["media_id"], pdf["text"]):
+                data = text.encode("utf-8")
+                h = min(len(data) // 16, 64)
+                px = data[: h * 16]
+                base = _jpeg.encode_jpeg(16, h, 1, px, quality=90)
+                prog = _jpeg.encode_jpeg(
+                    16, h, 1, px, quality=90, progressive=True
+                )
+                wb, hb, _cb, pb = _jpeg.decode_jpeg(base)
+                wp, hp, _cp, pp = _jpeg.decode_jpeg(prog)
+                rows.append(
+                    (
+                        int(mid), wb, hb, wb * hb,
+                        (wb, hb) == (wp, hp) and pb == pp,
+                    )
+                )
+            yield pd.DataFrame(
+                rows, columns=["media_id", "width", "height", "n_px", "identical"]
+            )
+
+    return d.mapInPandas(
+        kernel,
+        "media_id bigint, width int, height int, n_px bigint, identical boolean",
+    )
+
+
+@register(
     "audio_flac_roundtrip",
     """WITH d AS (
   SELECT doc_id AS media_id, CAST(i AS INTEGER) AS i,

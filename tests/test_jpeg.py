@@ -78,7 +78,10 @@ class TestJpegRobustness:
         with pytest.raises(JpegError, match="SOI"):
             decode_jpeg(b"\x89PNG\r\n\x1a\n")
 
-    def test_progressive_rejected(self):
+    def test_baseline_scan_in_sof2_frame_rejected(self):
+        # flipping SOF0→SOF2 makes the full-band interleaved scan illegal
+        # for a progressive frame (a progressive scan may not mix DC and
+        # AC) — the decoder must say so, not desync
         blob = bytearray(encode_jpeg(8, 8, 1, bytes(64), quality=90))
         idx = blob.find(b"\xff\xc0")
         blob[idx + 1] = 0xC2  # flip SOF0 → SOF2
@@ -159,3 +162,94 @@ class TestJpegFuzz:
             except (JpegError, ValueError, struct_error, KeyError):
                 continue
             assert len(px) == w * h * c
+
+
+class TestProgressive:
+    """SOF2 progressive: spectral selection + successive approximation.
+    The load-bearing gate is DIFFERENTIAL: baseline and progressive
+    encodings carry the same quantized coefficients, so their decodes
+    must be pixel-IDENTICAL — any scan-state, EOB-run, or correction-bit
+    slip breaks equality somewhere."""
+
+    @staticmethod
+    def _gradient(w, h, ch, seed=0):
+        rng = np.random.default_rng(seed)
+        if ch == 1:
+            return (np.add.outer(np.arange(h), np.arange(w)) * 3 % 256).astype(
+                np.uint8
+            ).tobytes()
+        img = np.zeros((h, w, 3), np.uint8)
+        img[..., 0] = np.add.outer(np.arange(h), np.arange(w)) % 256
+        img[..., 1] = (np.arange(w) * 5 % 256)[None, :]
+        img[..., 2] = rng.integers(0, 256, (h, w))
+        return img.tobytes()
+
+    @pytest.mark.parametrize(
+        "w,h,ch,sub,q",
+        [
+            (16, 16, 1, "444", 90),
+            (33, 17, 1, "444", 90),
+            (64, 48, 3, "444", 85),
+            (64, 48, 3, "420", 85),
+            (37, 29, 3, "420", 95),
+            (129, 65, 3, "420", 60),
+        ],
+    )
+    def test_identical_to_baseline(self, w, h, ch, sub, q):
+        px = self._gradient(w, h, ch)
+        base = decode_jpeg(encode_jpeg(w, h, ch, px, quality=q, subsampling=sub))
+        prog = decode_jpeg(
+            encode_jpeg(w, h, ch, px, quality=q, subsampling=sub, progressive=True)
+        )
+        assert base == prog
+
+    def test_identical_on_random_images(self):
+        # noise maximizes coefficient density: every refinement path
+        # (ZRL-with-corrections, EOB tails, sign bits) gets exercised
+        rng = np.random.default_rng(7)
+        for _ in range(10):
+            w = int(rng.integers(8, 80))
+            h = int(rng.integers(8, 80))
+            ch = int(rng.choice([1, 3]))
+            sub = str(rng.choice(["444", "420"])) if ch == 3 else "444"
+            q = int(rng.integers(10, 100))
+            px = rng.integers(0, 256, (h, w, ch)).astype(np.uint8).tobytes()
+            base = decode_jpeg(encode_jpeg(w, h, ch, px, quality=q, subsampling=sub))
+            prog = decode_jpeg(
+                encode_jpeg(w, h, ch, px, quality=q, subsampling=sub, progressive=True)
+            )
+            assert base == prog, (w, h, ch, sub, q)
+
+    def test_progressive_with_restart_markers(self):
+        rng = np.random.default_rng(4)
+        px = rng.integers(0, 256, (48, 64, 3)).astype(np.uint8).tobytes()
+        want = decode_jpeg(encode_jpeg(64, 48, 3, px, quality=80))
+        for ri in (1, 3):
+            got = decode_jpeg(
+                encode_jpeg(
+                    64, 48, 3, px, quality=80, progressive=True, restart_interval=ri
+                )
+            )
+            assert got == want, ri
+
+    def test_truncated_progressive_is_loud(self):
+        px = self._gradient(64, 48, 3)
+        blob = encode_jpeg(64, 48, 3, px, quality=85, progressive=True)
+        with pytest.raises(JpegError):
+            decode_jpeg(blob[: len(blob) // 3])
+
+    def test_progressive_fuzz_controlled(self):
+        import random
+
+        rnd = random.Random(5)
+        px = self._gradient(32, 24, 1)
+        blob = bytearray(encode_jpeg(32, 24, 1, px, quality=85, progressive=True))
+        for trial in range(120):
+            mut = bytearray(blob)
+            for _ in range(rnd.randrange(1, 4)):
+                mut[rnd.randrange(2, len(mut))] ^= 1 << rnd.randrange(8)
+            try:
+                w, h, c, out = decode_jpeg(bytes(mut))
+            except (JpegError, ValueError, struct_error, KeyError):
+                continue
+            assert len(out) == w * h * c
