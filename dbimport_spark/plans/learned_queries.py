@@ -227,7 +227,7 @@ def _pagerank_iter_sql() -> str:
     parts = []
     for i in range(1, _PR_ITERS + 1):
         parts.append(
-            f"""r{i} AS (
+            f"""r{i} AS MATERIALIZED (
   SELECT e.dst AS node,
          CAST({15 * _PR_SCALE} // (100 * nn.n)
               + sum((85 * r.r) // (100 * d.outdeg)) AS BIGINT) AS r
@@ -241,17 +241,17 @@ def _pagerank_iter_sql() -> str:
     return ",\n".join(parts)
 
 
-_PR_ORACLE = f"""WITH edges0 AS (
+_PR_ORACLE = f"""WITH edges0 AS MATERIALIZED (
   SELECT DISTINCT l_partkey * 2 AS src, l_suppkey * 2 + 1 AS dst FROM lineitem
-), edges AS (
+), edges AS MATERIALIZED (
   SELECT src, dst FROM edges0 UNION ALL SELECT dst AS src, src AS dst FROM edges0
-), deg AS (
+), deg AS MATERIALIZED (
   SELECT src, CAST(count(*) AS BIGINT) AS outdeg FROM edges GROUP BY src
-), nodes AS (
+), nodes AS MATERIALIZED (
   SELECT DISTINCT src AS node FROM edges
-), nn AS (
+), nn AS MATERIALIZED (
   SELECT CAST(count(*) AS BIGINT) AS n FROM nodes
-), r0 AS (
+), r0 AS MATERIALIZED (
   SELECT node, CAST({_PR_SCALE} // n AS BIGINT) AS r FROM nodes CROSS JOIN nn
 ),
 {_pagerank_iter_sql()}
