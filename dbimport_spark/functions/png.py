@@ -10,7 +10,9 @@ Scope (the subset a data pipeline actually meets for raster blobs):
   * bit depth 8; color types 0 (gray), 2 (RGB), 4 (gray+alpha), 6 (RGBA),
     and 3 (palette, via PLTE expansion to RGB)
   * all five scanline filters (None/Sub/Up/Average/Paeth), decode + encode
-  * multiple IDAT chunks, non-interlaced only (Adam7 rejected explicitly)
+  * multiple IDAT chunks; Adam7 INTERLACED images decode and encode for
+    real (7 reduced sub-images, each filtered at its own width, scattered
+    into place with strided numpy assignment — no per-pixel Python)
 
 Reference parity note: the reference imports blobs as opaque bytes
 (``/root/reference/src/main/java/de/soderer/dbimport/DbImportWorker.java``
@@ -111,11 +113,29 @@ def _unfilter(raw: bytes, width: int, height: int, bpp: int) -> bytearray:
     return bytearray(out.tobytes())
 
 
+#: Adam7 pass geometry: (x_start, y_start, x_step, y_step) per PNG spec
+#: (the 8×8 tile reads 1 6 4 6 2 6 4 6 on its first row)
+_ADAM7 = (
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+)
+
+
+def _adam7_dims(width: int, height: int):
+    """Per-pass (pw, ph) reduced-image dimensions (0 if the pass is empty)."""
+    return [
+        (max(0, -(-(width - x0) // dx)), max(0, -(-(height - y0) // dy)))
+        for x0, y0, dx, dy in _ADAM7
+    ]
+
+
 def decode_png(data: bytes) -> tuple[int, int, int, bytes]:
     """PNG bytes → (width, height, channels, pixel bytes row-major).
 
-    Palette images are expanded to 3-channel RGB. Raises PngError on
-    malformed input, non-8-bit depth, or interlaced images.
+    Palette images are expanded to 3-channel RGB. Adam7 interlaced
+    streams decode each of the 7 reduced images with the shared unfilter
+    kernel and scatter them into place with strided assignment. Raises
+    PngError on malformed input or non-8-bit depth.
     """
     if len(data) < 8 or data[:8] != _SIGNATURE:
         raise PngError("not a PNG (bad signature)")
@@ -150,14 +170,34 @@ def decode_png(data: bytes) -> tuple[int, int, int, bytes]:
         raise PngError(f"unsupported bit depth {bit_depth} (only 8)")
     if color_type not in _CHANNELS:
         raise PngError(f"unsupported color type {color_type}")
-    if interlace != 0:
-        raise PngError("interlaced (Adam7) PNG not supported")
+    if interlace not in (0, 1):
+        raise PngError(f"bad interlace method {interlace}")
     bpp = _CHANNELS[color_type]
     raw = zlib.decompress(bytes(idat))
-    expect = height * (1 + width * bpp)
-    if len(raw) != expect:
-        raise PngError(f"decompressed size {len(raw)} != expected {expect}")
-    pixels = _unfilter(raw, width, height, bpp)
+    if interlace == 0:
+        expect = height * (1 + width * bpp)
+        if len(raw) != expect:
+            raise PngError(f"decompressed size {len(raw)} != expected {expect}")
+        pixels = _unfilter(raw, width, height, bpp)
+    else:
+        import numpy as np
+
+        dims = _adam7_dims(width, height)
+        expect = sum(ph * (1 + pw * bpp) for pw, ph in dims if pw and ph)
+        if len(raw) != expect:
+            raise PngError(f"decompressed size {len(raw)} != expected {expect}")
+        out = np.zeros((height, width, bpp), dtype=np.uint8)
+        off = 0
+        for (x0, y0, dx, dy), (pw, ph) in zip(_ADAM7, dims):
+            if not pw or not ph:
+                continue
+            nbytes = ph * (1 + pw * bpp)
+            sub = _unfilter(raw[off : off + nbytes], pw, ph, bpp)
+            off += nbytes
+            out[y0::dy, x0::dx] = np.frombuffer(bytes(sub), dtype=np.uint8).reshape(
+                ph, pw, bpp
+            )
+        pixels = bytearray(out.tobytes())
     if color_type == 3:
         import numpy as np
 
@@ -181,36 +221,15 @@ def _chunk(ctype: bytes, body: bytes) -> bytes:
     )
 
 
-def encode_png(
-    width: int,
-    height: int,
-    channels: int,
-    pixels: bytes,
-    filter_type: int = 0,
-    compress_level: int = 6,
-) -> bytes:
-    """Row-major 8-bit pixels → PNG bytes.
+def _filter_rows(px, bpp: int, filter_type: int):
+    """Filter a (h, w·bpp) pixel matrix → (h, 1 + w·bpp) raw scanlines.
 
-    ``filter_type`` applies one filter to every scanline (0..4); a real
-    encoder would pick per-row, but a fixed filter keeps the stream small
-    and exercises the decoder's filter paths symmetrically in tests.
-    """
+    Filtering on the ENCODE side is embarrassingly vectorizable for all
+    five filters: every predictor reads ORIGINAL pixel values (unlike
+    decode, which reads already-reconstructed output), so left/up/
+    upper-left are just shifted views of the pixel matrix."""
     import numpy as np
 
-    color_type = {1: 0, 2: 4, 3: 2, 4: 6}.get(channels)
-    if color_type is None:
-        raise PngError(f"unsupported channel count {channels}")
-    stride = width * channels
-    if len(pixels) != height * stride:
-        raise PngError(f"pixel buffer {len(pixels)} != {height}x{stride}")
-    if not 0 <= filter_type <= 4:
-        raise PngError(f"bad filter {filter_type}")
-    bpp = channels
-    # Filtering on the ENCODE side is embarrassingly vectorizable for all
-    # five filters: every predictor reads ORIGINAL pixel values (unlike
-    # decode, which reads already-reconstructed output), so left/up/
-    # upper-left are just shifted views of the pixel matrix.
-    px = np.frombuffer(bytes(pixels), dtype=np.uint8).reshape(height, stride)
     up = np.zeros_like(px)
     up[1:] = px[:-1]
     left = np.zeros_like(px)
@@ -236,11 +255,54 @@ def encode_png(
             (pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c)
         ).astype(np.uint8)
         filtered = px - pred
-    raw_rows = np.empty((height, 1 + stride), dtype=np.uint8)
+    raw_rows = np.empty((px.shape[0], 1 + px.shape[1]), dtype=np.uint8)
     raw_rows[:, 0] = filter_type
     raw_rows[:, 1:] = filtered
-    raw = raw_rows.tobytes()
-    ihdr = struct.pack(">IIBBBBB", width, height, 8, color_type, 0, 0, 0)
+    return raw_rows
+
+
+def encode_png(
+    width: int,
+    height: int,
+    channels: int,
+    pixels: bytes,
+    filter_type: int = 0,
+    compress_level: int = 6,
+    interlace: bool = False,
+) -> bytes:
+    """Row-major 8-bit pixels → PNG bytes.
+
+    ``filter_type`` applies one filter to every scanline (0..4); a real
+    encoder would pick per-row, but a fixed filter keeps the stream small
+    and exercises the decoder's filter paths symmetrically in tests.
+    ``interlace`` writes an Adam7 stream: the 7 reduced images extracted
+    by strided slicing, each filtered independently at its own width."""
+    import numpy as np
+
+    color_type = {1: 0, 2: 4, 3: 2, 4: 6}.get(channels)
+    if color_type is None:
+        raise PngError(f"unsupported channel count {channels}")
+    stride = width * channels
+    if len(pixels) != height * stride:
+        raise PngError(f"pixel buffer {len(pixels)} != {height}x{stride}")
+    if not 0 <= filter_type <= 4:
+        raise PngError(f"bad filter {filter_type}")
+    bpp = channels
+    px = np.frombuffer(bytes(pixels), dtype=np.uint8).reshape(height, stride)
+    if not interlace:
+        raw = _filter_rows(px, bpp, filter_type).tobytes()
+    else:
+        cube = px.reshape(height, width, bpp)
+        parts = []
+        for (x0, y0, dx, dy), (pw, ph) in zip(_ADAM7, _adam7_dims(width, height)):
+            if not pw or not ph:
+                continue
+            sub = np.ascontiguousarray(cube[y0::dy, x0::dx]).reshape(ph, pw * bpp)
+            parts.append(_filter_rows(sub, bpp, filter_type).tobytes())
+        raw = b"".join(parts)
+    ihdr = struct.pack(
+        ">IIBBBBB", width, height, 8, color_type, 0, 0, 1 if interlace else 0
+    )
     return (
         _SIGNATURE
         + _chunk(b"IHDR", ihdr)

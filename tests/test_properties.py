@@ -221,16 +221,35 @@ def test_aes_ctr_cbc_involution(data, keylen):
     st.integers(min_value=1, max_value=12),
     st.sampled_from([1, 2, 3, 4]),
     st.sampled_from([0, 1, 2, 3, 4]),
+    st.booleans(),
     st.randoms(),
 )
-def test_png_roundtrip_property(w, h, channels, filter_type, rnd):
+def test_png_roundtrip_property(w, h, channels, filter_type, interlace, rnd):
     """encode∘decode is the identity for every size × channel-count ×
-    scanline filter over random pixel buffers."""
+    scanline filter × interlace mode over random pixel buffers (Adam7
+    sizes ≤ 12 exercise empty and single-pixel reduced passes)."""
     from dbimport_spark.functions import png
 
     px = bytes(rnd.randrange(256) for _ in range(w * h * channels))
-    got = png.decode_png(png.encode_png(w, h, channels, px, filter_type=filter_type))
+    got = png.decode_png(
+        png.encode_png(w, h, channels, px, filter_type=filter_type, interlace=interlace)
+    )
     assert got == (w, h, channels, px)
+
+
+def test_adam7_pass_geometry_partitions_every_image():
+    """The 7 strided pass grids must tile the pixel plane exactly once —
+    the spec's 8×8 tile ("1 6 4 6 2 6 4 6" first row) as an invariant,
+    not a trusted constant."""
+    import numpy as np
+
+    from dbimport_spark.functions.png import _ADAM7
+
+    for w, h in [(1, 1), (8, 8), (13, 7), (31, 9), (2, 2), (16, 16)]:
+        cover = np.zeros((h, w), dtype=int)
+        for x0, y0, dx, dy in _ADAM7:
+            cover[y0::dy, x0::dx] += 1
+        assert (cover == 1).all(), (w, h)
 
 
 @settings(max_examples=10, deadline=None)
