@@ -203,9 +203,22 @@ def _sub_blocks(payload: bytes) -> bytes:
 
 # ------------------------------------------------------------ container
 
-def encode_gif(frames, width: int, height: int) -> bytes:
+def _interlace_order(height: int) -> list[int]:
+    """GIF89a interlaced row transmission order: rows 0,8,16,… then
+    4,12,…, then 2,6,10,…, then every odd row (spec appendix E)."""
+    return (
+        list(range(0, height, 8))
+        + list(range(4, height, 8))
+        + list(range(2, height, 4))
+        + list(range(1, height, 2))
+    )
+
+
+def encode_gif(frames, width: int, height: int, interlace: bool = False) -> bytes:
     """Encode 8-bit grayscale frames (each ``bytes`` of w*h pixels) as an
-    animated GIF with a 256-gray global color table."""
+    animated GIF with a 256-gray global color table. ``interlace`` writes
+    each frame in the spec's 4-pass row order with the interlace flag
+    set."""
     out = bytearray(HEADER)
     # logical screen descriptor: GCT present, 8 bits/px, 256-entry table
     out += struct.pack("<HHBBB", width, height, 0xF7, 0, 0)
@@ -214,8 +227,14 @@ def encode_gif(frames, width: int, height: int) -> bytes:
     for px in frames:
         if len(px) != width * height:
             raise ValueError("frame size mismatch")
+        if interlace:
+            px = b"".join(
+                px[r * width : (r + 1) * width] for r in _interlace_order(height)
+            )
         out.append(IMAGE_SEP)
-        out += struct.pack("<HHHHB", 0, 0, width, height, 0)  # no LCT
+        out += struct.pack(
+            "<HHHHB", 0, 0, width, height, 0x40 if interlace else 0
+        )  # no LCT
         out.append(8)  # LZW min code size
         out += _sub_blocks(lzw_encode_literal(px, 8))
     out.append(TRAILER)
@@ -245,8 +264,6 @@ def decode_gif(blob: bytes):
         elif b == IMAGE_SEP:
             fx, fy, fw, fh, iflags = struct.unpack_from("<HHHHB", blob, pos)
             pos += 9
-            if iflags & 0x40:
-                raise ValueError("interlaced GIF not supported")
             if iflags & 0x80:
                 pos += 3 * (2 << (iflags & 0x07))  # local color table
             min_code = blob[pos]
@@ -260,7 +277,15 @@ def decode_gif(blob: bytes):
             px = lzw_decode(bytes(data), min_code)
             if len(px) < fw * fh:
                 raise ValueError("truncated LZW pixel data")
-            frames.append(px[: fw * fh])
+            px = px[: fw * fh]
+            if iflags & 0x40:
+                # interlaced: transmitted rows are the 4-pass permutation;
+                # scatter them back to natural order
+                restored = bytearray(fw * fh)
+                for tr, r in enumerate(_interlace_order(fh)):
+                    restored[r * fw : (r + 1) * fw] = px[tr * fw : (tr + 1) * fw]
+                px = bytes(restored)
+            frames.append(px)
         else:
             raise ValueError(f"unknown GIF block 0x{b:02x}")
     return w, h, frames

@@ -167,3 +167,19 @@ class TestVectorizedLzwEquivalence:
             else:
                 px = bytes(rnd.randrange(256) for _ in range(n))
             assert lzw_decode(_lzw_encode_real(px, 8), 8) == px
+
+
+def test_interlaced_gif_roundtrip():
+    """GIF89a 4-pass interlacing: encode permutes rows into transmission
+    order and sets the flag; decode scatters them back — identity for
+    every geometry including heights where late passes are empty."""
+    import numpy as np
+
+    from dbimport_spark.functions.gif import decode_gif, encode_gif
+
+    rng = np.random.default_rng(3)
+    for (w, h, n) in [(13, 9, 2), (8, 8, 1), (1, 1, 1), (20, 17, 3), (5, 2, 2)]:
+        frames = [rng.integers(0, 256, w * h).astype(np.uint8).tobytes() for _ in range(n)]
+        plain = decode_gif(encode_gif(frames, w, h))
+        inter = decode_gif(encode_gif(frames, w, h, interlace=True))
+        assert plain == inter == (w, h, frames)
