@@ -682,3 +682,47 @@ def test_cosine_gate_matches_duckdb_hugeint(spark):
         ).fetchall()
     )
     assert got == want
+
+
+def test_png_adaptive_filter_selection():
+    """filter_type='adaptive' picks per-row argmin of the spec's
+    sum-of-absolute-differences heuristic: never worse than the best
+    fixed filter on homogeneous content, still an exact roundtrip on
+    mixed content where different rows pick different filters."""
+    import numpy as np
+    import zlib
+
+    from dbimport_spark.functions.png import decode_png, encode_png
+
+    rng = np.random.default_rng(1)
+    h, w = 60, 80
+    smooth = (np.add.outer(np.arange(h), np.arange(w) * 2) % 256).astype(np.uint8)
+    px = smooth.tobytes()
+    fixed_best = min(
+        len(encode_png(w, h, 1, px, filter_type=f)) for f in range(5)
+    )
+    blob = encode_png(w, h, 1, px, filter_type="adaptive")
+    assert len(blob) <= fixed_best + 16  # zlib jitter guard; measured smaller
+    assert decode_png(blob) == (w, h, 1, px)
+
+    mixed = np.vstack(
+        [
+            smooth[:20],
+            rng.integers(0, 256, (20, w), dtype=np.uint8),
+            np.tile(np.arange(w) % 256, (20, 1)).astype(np.uint8),
+        ]
+    ).astype(np.uint8)
+    blob2 = encode_png(w, 60, 1, mixed.tobytes(), filter_type="adaptive")
+    assert decode_png(blob2) == (w, 60, 1, mixed.tobytes())
+    # the stream really mixes filters: inspect the raw scanline bytes
+    import struct
+
+    at = blob2.index(b"IDAT")
+    (n,) = struct.unpack(">I", blob2[at - 4 : at])
+    raw = zlib.decompress(blob2[at + 4 : at + 4 + n])
+    fts = {raw[r * (1 + w)] for r in range(60)}
+    assert len(fts) >= 2, fts
+    # interlaced + adaptive compose
+    assert decode_png(
+        encode_png(w, h, 1, px, filter_type="adaptive", interlace=True)
+    ) == (w, h, 1, px)
