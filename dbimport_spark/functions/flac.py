@@ -1,4 +1,4 @@
-"""From-scratch FLAC codec (mono, 16-bit) — LOSSLESS compressed audio.
+"""From-scratch FLAC codec (mono + stereo, 16-bit) — LOSSLESS compressed audio.
 
 Implements the public FLAC format (now RFC 9639; the same layout the
 reference xiph documentation has published for two decades) with zero
@@ -17,8 +17,11 @@ Layout written/read:
   * Frames of ``block_size`` samples: header (sync 0b111111111111100 +
     blocking bit, blocksize/rate codes, channel mode, sample size,
     UTF-8-style coded frame number, CRC-8 over the header), one subframe
-    (CONSTANT / VERBATIM / FIXED order 0-4, chosen per frame by residual
-    cost), frame CRC-16.
+    per channel (CONSTANT / VERBATIM / FIXED order 0-4 / LPC, chosen per
+    frame by residual cost), frame CRC-16. Stereo frames use the cheaper
+    of independent channels or integer MID/SIDE decorrelation (the side
+    channel carries the spec's extra bit); the decoder additionally
+    undoes LEFT/SIDE and RIGHT/SIDE assignments.
   * Residuals: partitioned-Rice method 0, partition order 0, 4-bit Rice
     parameter chosen per frame (escape 0b1111 → verbatim residuals when
     Rice would expand).
@@ -281,81 +284,86 @@ def _lpc_residual(x: np.ndarray, q: np.ndarray, shift: int, order: int) -> np.nd
 def flac_encode(
     samples, sample_rate: int = 8000, block_size: int = 1024, use_lpc: bool = True
 ) -> bytes:
-    """int16 mono samples → FLAC bytes. Per frame the cheapest of
-    CONSTANT / FIXED(0-4) / LPC(≤8) / VERBATIM is chosen by exact Rice
-    cost; the result always round-trips bit-exactly (lossless by
-    construction — LPC residuals are computed with the QUANTIZED integer
-    predictor — and the embedded MD5 lets the decoder prove it)."""
+    """int16 samples → FLAC bytes. Mono input is a 1-D array; STEREO is
+    an (n, 2) array — each stereo frame is coded with the cheaper of
+    independent channels or MID/SIDE decorrelation (the side channel gets
+    the spec's 17th bit), chosen by actual encoded size. Per channel the
+    cheapest of CONSTANT / FIXED(0-4) / LPC(≤8) / VERBATIM is chosen by
+    exact Rice cost; the result always round-trips bit-exactly (lossless
+    by construction — LPC residuals and the mid/side transform are pure
+    integer — and the embedded MD5 lets the decoder prove it)."""
     x = np.asarray(samples, dtype=np.int16)
+    stereo = x.ndim == 2
+    if stereo and x.shape[1] != 2:
+        raise FlacError("only mono (1-D) or stereo (n, 2) input is supported")
     if x.size == 0:
         raise FlacError("cannot encode an empty sample stream")
     if block_size not in _BLOCKSIZE_CODES:
         raise FlacError(f"unsupported block size {block_size}")
+    # MD5 is over the interleaved little-endian sample stream (the spec's
+    # unencoded-stream digest); C-order tobytes of (n, 2) interleaves
     md5 = hashlib.md5(x.astype("<i2").tobytes()).digest()
 
     frames = bytearray()
-    n_frames = -(-x.size // block_size)
+    n_samp = x.shape[0]
+    n_frames = -(-n_samp // block_size)
     for fi in range(n_frames):
         blk = x[fi * block_size : (fi + 1) * block_size].astype(np.int64)
-        frames += _encode_frame(blk, fi, block_size, sample_rate, use_lpc)
+        if not stereo:
+            frames += _encode_frame([blk], fi, block_size, sample_rate, use_lpc)
+        else:
+            l, r = blk[:, 0], blk[:, 1]
+            indep = _encode_frame(
+                [l, r], fi, block_size, sample_rate, use_lpc,
+                ch_code=0b0001, side_bits=(16, 16),
+            )
+            mid = (l + r) >> 1
+            side = l - r
+            ms = _encode_frame(
+                [mid, side], fi, block_size, sample_rate, use_lpc,
+                ch_code=0b1010, side_bits=(16, 17),
+            )
+            frames += ms if len(ms) < len(indep) else indep
 
     streaminfo = _pack_streaminfo(
-        block_size, sample_rate, bits=16, total=x.size, md5=md5
+        block_size, sample_rate, bits=16, total=n_samp, md5=md5,
+        channels=2 if stereo else 1,
     )
     # metadata block header: last-block flag | type 0 (STREAMINFO) | len24
     header = b"fLaC" + struct.pack(">I", (1 << 31) | len(streaminfo)) + streaminfo
     return header + bytes(frames)
 
 
-def _pack_streaminfo(block_size, rate, bits, total, md5) -> bytes:
+def _pack_streaminfo(block_size, rate, bits, total, md5, channels=1) -> bytes:
     w = _BitWriter()
     w.write(block_size, 16)  # min block
     w.write(block_size, 16)  # max block
     w.write(0, 24)  # min frame size unknown
     w.write(0, 24)  # max frame size unknown
     w.write(rate, 20)
-    w.write(0, 3)  # channels - 1
+    w.write(channels - 1, 3)
     w.write(bits - 1, 5)
     w.write(total, 36)
     w.align()
     return w.getvalue() + md5
 
 
-def _encode_frame(
-    blk: np.ndarray, frame_no: int, block_size: int, rate: int, use_lpc: bool = True
-) -> bytes:
+def _write_subframe(sw: _BitWriter, blk: np.ndarray, bits: int, use_lpc: bool) -> None:
+    """Choose and write one subframe (CONSTANT / FIXED / LPC / VERBATIM by
+    exact Rice cost) at sample width ``bits`` — 16 for plain channels, 17
+    for the side channel of a decorrelated stereo frame."""
     n = blk.size
-    w = _BitWriter()
-    w.write(0b11111111111110, 14)
-    w.write(0, 1)  # reserved
-    w.write(0, 1)  # fixed blocksize stream
-    if n == block_size:
-        bs_code, bs_tail = _BLOCKSIZE_CODES[block_size], None
-    else:
-        bs_code, bs_tail = 0b0111, n - 1  # 16-bit blocksize at end of header
-    w.write(bs_code, 4)
-    w.write(0b0000, 4)  # sample rate: from STREAMINFO
-    w.write(0b0000, 4)  # channels: mono
-    w.write(0b100, 3)  # sample size: 16-bit
-    w.write(0, 1)  # reserved
-    _write_utf8_number(w, frame_no)
-    if bs_tail is not None:
-        w.write(bs_tail, 16)
-    w.align()
-    hdr = w.getvalue()
-    hdr += bytes([crc8(hdr)])
-
-    # pick the best subframe encoding by exact cost
+    mask = (1 << bits) - 1
     best = None  # (cost_bits, kind, order, k, residual, lpc (q, shift))
     if (blk == blk[0]).all():
-        best = (16, "constant", 0, 0, None, None)
+        best = (bits, "constant", 0, 0, None, None)
     else:
         max_order = min(4, n - 1)
         for order in range(max_order + 1):
             res = _fixed_residual(blk, order)
             u = _zigzag(res)
             k = _best_rice_param(u)
-            cost = order * 16 + 6 + int((u >> k).sum()) + u.size * (k + 1)
+            cost = order * bits + 6 + int((u >> k).sum()) + u.size * (k + 1)
             if best is None or cost < best[0]:
                 best = (cost, "fixed", order, k, res, None)
         if use_lpc:
@@ -366,17 +374,14 @@ def _encode_frame(
                 u = _zigzag(res)
                 k = _best_rice_param(u)
                 cost = (
-                    order * 16 + 4 + 5 + order * 12 + 6
+                    order * bits + 4 + 5 + order * 12 + 6
                     + int((u >> k).sum()) + u.size * (k + 1)
                 )
                 if cost < best[0]:
                     best = (cost, "lpc", order, k, res, (q, shift))
-        if best[0] > 16 * n:
-            best = (16 * n, "verbatim", 0, 0, None, None)
+        if best[0] > bits * n:
+            best = (bits * n, "verbatim", 0, 0, None, None)
 
-    sw = _BitWriter()
-    for b in hdr:
-        sw.write(b, 8)
     _cost, kind, order, k, res, lpc = best
     sw.write(0, 1)  # zero padding bit
 
@@ -392,18 +397,18 @@ def _encode_frame(
     if kind == "constant":
         sw.write(0b000000, 6)
         sw.write(0, 1)  # wasted bits flag
-        sw.write(int(blk[0]) & 0xFFFF, 16)
+        sw.write(int(blk[0]) & mask, bits)
     elif kind == "verbatim":
         sw.write(0b000001, 6)
         sw.write(0, 1)
         for v in blk.tolist():
-            sw.write(v & 0xFFFF, 16)
+            sw.write(v & mask, bits)
     elif kind == "lpc":
         q, shift = lpc
         sw.write(0b100000 | (order - 1), 6)
         sw.write(0, 1)
         for v in blk[:order].tolist():
-            sw.write(v & 0xFFFF, 16)
+            sw.write(v & mask, bits)
         sw.write(12 - 1, 4)  # qlp precision − 1
         sw.write(shift, 5)
         for c in q.tolist():
@@ -413,8 +418,42 @@ def _encode_frame(
         sw.write(0b001000 | order, 6)
         sw.write(0, 1)
         for v in blk[:order].tolist():
-            sw.write(v & 0xFFFF, 16)
+            sw.write(v & mask, bits)
         _write_rice(res, k)
+
+
+def _encode_frame(
+    blks, frame_no: int, block_size: int, rate: int, use_lpc: bool = True,
+    ch_code: int = 0b0000, side_bits=(16,),
+) -> bytes:
+    """One frame: header (channel-assignment ``ch_code``) + one subframe
+    per channel (widths from ``side_bits``) + CRC-16."""
+    n = blks[0].size
+    w = _BitWriter()
+    w.write(0b11111111111110, 14)
+    w.write(0, 1)  # reserved
+    w.write(0, 1)  # fixed blocksize stream
+    if n == block_size:
+        bs_code, bs_tail = _BLOCKSIZE_CODES[block_size], None
+    else:
+        bs_code, bs_tail = 0b0111, n - 1  # 16-bit blocksize at end of header
+    w.write(bs_code, 4)
+    w.write(0b0000, 4)  # sample rate: from STREAMINFO
+    w.write(ch_code, 4)
+    w.write(0b100, 3)  # sample size: 16-bit
+    w.write(0, 1)  # reserved
+    _write_utf8_number(w, frame_no)
+    if bs_tail is not None:
+        w.write(bs_tail, 16)
+    w.align()
+    hdr = w.getvalue()
+    hdr += bytes([crc8(hdr)])
+
+    sw = _BitWriter()
+    for b in hdr:
+        sw.write(b, 8)
+    for blk, bits in zip(blks, side_bits):
+        _write_subframe(sw, blk, bits, use_lpc)
     sw.align()
     body = sw.getvalue()
     return body + struct.pack(">H", crc16(body))
@@ -454,8 +493,8 @@ def flac_decode(blob: bytes) -> tuple[int, np.ndarray]:
             channels = r.read(3) + 1
             bits = r.read(5) + 1
             total = r.read(36)
-            if channels != 1 or bits != 16:
-                raise FlacError("only mono 16-bit FLAC is supported")
+            if channels not in (1, 2) or bits != 16:
+                raise FlacError("only mono/stereo 16-bit FLAC is supported")
             md5_expect = blob[pos + size - 16 : pos + size]
         pos += size
     if rate is None:
@@ -467,20 +506,25 @@ def flac_decode(blob: bytes) -> tuple[int, np.ndarray]:
     # not once per frame); CRC slices use absolute byte offsets into blob
     r = _BitReader(blob[pos:])
     while got < total:
-        frame = _decode_frame(r, blob, pos)
+        frame = _decode_frame(r, blob, pos, channels)
         out.append(frame)
-        got += frame.size
+        got += frame.shape[0]
     samples = np.concatenate(out)[:total].astype(np.int16)
+    if channels == 1:
+        samples = samples.reshape(-1)
     if md5_expect != b"\x00" * 16:
         if hashlib.md5(samples.astype("<i2").tobytes()).digest() != md5_expect:
             raise FlacError("decoded stream fails the STREAMINFO MD5 check")
     return rate, samples
 
 
-def _decode_frame(r: _BitReader, blob: bytes, base: int) -> np.ndarray:
+def _decode_frame(r: _BitReader, blob: bytes, base: int, channels: int = 1) -> np.ndarray:
     """Decode one frame from the shared reader; ``base`` is the absolute
     byte offset of the reader's underlying buffer within ``blob`` (used
-    for the CRC slices). The reader must be byte-aligned on entry."""
+    for the CRC slices). The reader must be byte-aligned on entry.
+    Returns an (n, channels) sample matrix (stereo decorrelation — left/
+    side, right/side, mid/side — undone per the channel-assignment
+    code)."""
     start = base + r.byte_pos()
     if r.read(14) != 0b11111111111110:
         raise FlacError("lost frame sync")
@@ -491,8 +535,20 @@ def _decode_frame(r: _BitReader, blob: bytes, base: int) -> np.ndarray:
     ch_code = r.read(4)
     ss_code = r.read(3)
     r.read(1)
-    if ch_code != 0:
-        raise FlacError("only mono FLAC frames are supported")
+    # channel assignment: 0b0000-0b0111 = (code+1) independent channels;
+    # 0b1000 left/side, 0b1001 right/side, 0b1010 mid/side (stereo only)
+    if ch_code <= 0b0111:
+        n_sub = ch_code + 1
+        extra = [0] * n_sub
+    elif ch_code in (0b1000, 0b1001, 0b1010):
+        n_sub = 2
+        # the DIFFERENCE channel carries one extra bit: ch1 for left/side
+        # and mid/side, ch0 for right/side
+        extra = [1, 0] if ch_code == 0b1001 else [0, 1]
+    else:
+        raise FlacError(f"reserved channel assignment {ch_code:04b}")
+    if n_sub != channels:
+        raise FlacError("frame channel count disagrees with STREAMINFO")
     if ss_code != 0b100:
         raise FlacError("only 16-bit FLAC frames are supported")
     _frame_no = _read_utf8_number(r)
@@ -518,14 +574,34 @@ def _decode_frame(r: _BitReader, blob: bytes, base: int) -> np.ndarray:
     if crc8(blob[start:hdr_end]) != crc_byte:
         raise FlacError("frame header CRC-8 mismatch")
 
-    # subframe
+    subs = [_read_subframe(r, n, 16 + extra[c]) for c in range(n_sub)]
+    r.align()
+    body_end = base + r.byte_pos()
+    crc_expect = r.read(16)
+    if crc16(blob[start:body_end]) != crc_expect:
+        raise FlacError("frame CRC-16 mismatch")
+
+    if ch_code <= 0b0111:
+        return np.stack(subs, axis=1)
+    if ch_code == 0b1000:  # left/side: side = l - r
+        left, side = subs
+        return np.stack([left, left - side], axis=1)
+    if ch_code == 0b1001:  # right/side
+        side, right = subs
+        return np.stack([side + right, right], axis=1)
+    mid, side = subs  # mid/side: mid = (l+r)>>1, side = l-r
+    total = (mid << 1) | (side & 1)  # l+r (parity of l+r equals side's)
+    return np.stack([(total + side) >> 1, (total - side) >> 1], axis=1)
+
+
+def _read_subframe(r: _BitReader, n: int, bits: int) -> np.ndarray:
     if r.read(1) != 0:
         raise FlacError("bad subframe padding bit")
     sf_type = r.read(6)
     wasted = 0
     if r.read(1):  # wasted-bits flag: unary count follows
         wasted = r.read_unary() + 1
-    eff_bits = 16 - wasted
+    eff_bits = bits - wasted
 
     def _signed(v: int, nb: int) -> int:
         return v - (1 << nb) if v >= 1 << (nb - 1) else v
@@ -561,11 +637,6 @@ def _decode_frame(r: _BitReader, blob: bytes, base: int) -> np.ndarray:
         raise FlacError(f"unsupported subframe type {sf_type:06b}")
     if wasted:
         blk = blk << wasted
-    r.align()
-    body_end = base + r.byte_pos()
-    crc_expect = r.read(16)
-    if crc16(blob[start:body_end]) != crc_expect:
-        raise FlacError("frame CRC-16 mismatch")
     return blk
 
 

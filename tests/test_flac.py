@@ -106,14 +106,14 @@ def test_corruption_is_loud():
         flac_decode(bytes(bad))
 
 
-def test_stereo_and_wide_samples_rejected():
+def test_multichannel_beyond_stereo_rejected():
     x = np.arange(10, dtype=np.int16)
     blob = bytearray(flac_encode(x, 8000, 1024))
     # STREAMINFO bit layout: 16+16+24+24+20 = 100 bits, so the 3 channel
     # bits sit at mask 0b00001110 of body byte 12 (blob byte 4+4+12)
     byte_at = 4 + 4 + 12
-    blob[byte_at] = (blob[byte_at] & 0b11110001) | (1 << 1)  # channels=2
-    with pytest.raises(FlacError, match="mono"):
+    blob[byte_at] = (blob[byte_at] & 0b11110001) | (2 << 1)  # channels=3
+    with pytest.raises(FlacError, match="mono/stereo"):
         flac_decode(bytes(blob))
 
 
@@ -139,3 +139,85 @@ def test_lpc_subframes_win_on_correlated_signals_and_stay_lossless():
     assert (y == x).all()
     _, y2 = flac_decode(blob_fix)
     assert (y2 == x).all()
+
+
+class TestStereo:
+    """Stereo FLAC: mid/side decorrelation (17-bit side channel) chosen
+    against independent coding by actual size; all three decorrelated
+    channel assignments decode."""
+
+    def test_stereo_roundtrip_correlated_and_noise(self):
+        rng = np.random.default_rng(0)
+        t = np.arange(8000)
+        l = (6000 * np.sin(t / 60) + rng.normal(0, 40, t.size)).astype(np.int16)
+        r = (
+            (l.astype(np.int32) + rng.integers(-60, 60, t.size))
+            .clip(-32768, 32767)
+            .astype(np.int16)
+        )
+        st = np.stack([l, r], axis=1)
+        rate, y = flac_decode(flac_encode(st, 44100, 1024))
+        assert rate == 44100 and y.shape == st.shape and (y == st).all()
+        noise = rng.integers(-32768, 32767, (3000, 2)).astype(np.int16)
+        _, y2 = flac_decode(flac_encode(noise, 8000, 256))
+        assert (y2 == noise).all()
+
+    def test_midside_actually_engages_and_wins(self):
+        # identical channels: side ≡ 0 (one CONSTANT subframe), so
+        # mid/side must cost barely more than mono while independent
+        # coding would pay for the sine twice
+        l = (5000 * np.sin(np.arange(6000) / 50)).astype(np.int16)
+        st = np.stack([l, l], axis=1)
+        blob = flac_encode(st, 8000, 1024)
+        mono = flac_encode(l, 8000, 1024)
+        assert len(blob) < 1.25 * len(mono), (len(blob), len(mono))
+        _, y = flac_decode(blob)
+        assert (y == st).all()
+
+    def test_left_side_and_right_side_assignments_decode(self):
+        # hand-build frames with ch_code 0b1000 (left/side) and 0b1001
+        # (right/side) — our encoder never emits them, real encoders do
+        import dbimport_spark.functions.flac as FL
+
+        rng = np.random.default_rng(2)
+        l = rng.integers(-1000, 1000, 256).astype(np.int64)
+        r = rng.integers(-1000, 1000, 256).astype(np.int64)
+        side = l - r
+        md5 = __import__("hashlib").md5(
+            np.stack([l, r], axis=1).astype("<i2").tobytes()
+        ).digest()
+        for ch_code, blks, bits in [
+            (0b1000, [l, side], (16, 17)),
+            (0b1001, [side, r], (17, 16)),
+        ]:
+            frame = FL._encode_frame(
+                blks, 0, 256, 8000, True, ch_code=ch_code, side_bits=bits
+            )
+            streaminfo = FL._pack_streaminfo(256, 8000, 16, 256, md5, channels=2)
+            blob = (
+                b"fLaC"
+                + __import__("struct").pack(">I", (1 << 31) | len(streaminfo))
+                + streaminfo
+                + frame
+            )
+            rate, y = flac_decode(blob)
+            assert (y[:, 0] == l).all() and (y[:, 1] == r).all(), bin(ch_code)
+
+    def test_bad_channel_shapes_rejected(self):
+        with pytest.raises(FlacError, match="stereo"):
+            flac_encode(np.zeros((4, 3), dtype=np.int16), 8000)
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(-32768, 32767), st.integers(-32768, 32767)),
+        min_size=1,
+        max_size=400,
+    ),
+    st.sampled_from([256, 1024]),
+)
+def test_stereo_roundtrip_property(pairs, block_size):
+    x = np.asarray(pairs, dtype=np.int16)
+    rate, y = flac_decode(flac_encode(x, 22050, block_size))
+    assert rate == 22050 and y.shape == x.shape and (y == x).all()
