@@ -129,6 +129,7 @@ HEADLINE = [
     "audio_adpcm_roundtrip",
     "audio_flac_roundtrip",
     "multimodal_jpeg_progressive",
+    "audio_flac_stereo",
 ]
 
 

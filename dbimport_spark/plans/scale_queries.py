@@ -1239,6 +1239,92 @@ def audio_flac_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "audio_flac_stereo",
+    """WITH d AS (
+  SELECT doc_id AS media_id, CAST(i AS INTEGER) AS i,
+         ((ord(substring(text, CAST(i + 1 AS INTEGER), 1)) * 7 + CAST(i AS INTEGER)) % 31) - 15 AS delta
+  FROM documents, UNNEST(range(least(strlen(text), 600))) AS u(i)
+  WHERE strlen(text) >= 1
+),
+s AS (
+  SELECT media_id, i,
+         CAST(sum(delta) OVER (PARTITION BY media_id ORDER BY i) AS BIGINT) AS l
+  FROM d
+),
+ch AS (
+  SELECT media_id, i, l,
+         l + ((media_id + i) % 7) - 3 AS r
+  FROM s
+)
+SELECT media_id,
+       CAST(count(*) AS INTEGER) AS n_samples,
+       CAST(sum(l) AS BIGINT) AS left_sum,
+       CAST(sum(r) AS BIGINT) AS right_sum,
+       CAST(sum(l * (i + 1)) AS BIGINT) AS left_wsum,
+       CAST(sum(r * (i + 1)) AS BIGINT) AS right_wsum
+FROM ch GROUP BY media_id""",
+)
+def audio_flac_stereo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STEREO FLAC with mid/side decorrelation, oracle-checked exactly.
+    Per document: left = the bounded random walk (as audio_flac_roundtrip),
+    right = left + a small deterministic offset ((doc_id+i) mod 7 − 3) —
+    highly correlated channels, so the encoder's mid/side frames actually
+    engage (side values in [−3, 3]). Encode → decode → per-channel stats
+    and order-weighted checksums; losslessness means the oracle just
+    reconstructs both channels arithmetically. A sign slip in the side
+    reconstruction, a 17-bit width bug, or a channel swap flips the
+    left/right sums loudly. Scale: map-only Arrow kernel, stats-only
+    rows."""
+    import pandas as pd
+
+    from dbimport_spark.functions import flac as _flac
+
+    d = (
+        load(spark, sf_dir, "documents")
+        .filter(F.length("text") >= 1)
+        .select(F.col("doc_id").alias("media_id"), "text")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+
+    def kernel(batches):
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for mid, text in zip(pdf["media_id"], pdf["text"]):
+                data = text.encode("utf-8")[:600]
+                arr = np.frombuffer(data, np.uint8).astype(np.int64)
+                i = np.arange(arr.size)
+                left = np.cumsum((arr * 7 + i) % 31 - 15)
+                right = left + (int(mid) + i) % 7 - 3
+                st = np.stack([left, right], axis=1).astype(np.int16)
+                blob = _flac.flac_encode(st, sample_rate=8000, block_size=256)
+                _rate, y = _flac.flac_decode(blob)
+                ll = y[:, 0].astype(np.int64)
+                rr = y[:, 1].astype(np.int64)
+                w = np.arange(1, ll.size + 1, dtype=np.int64)
+                rows.append(
+                    (
+                        int(mid), int(ll.size), int(ll.sum()), int(rr.sum()),
+                        int((ll * w).sum()), int((rr * w).sum()),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "n_samples", "left_sum", "right_sum",
+                    "left_wsum", "right_wsum",
+                ],
+            )
+
+    return d.mapInPandas(
+        kernel,
+        "media_id bigint, n_samples int, left_sum bigint, right_sum bigint, "
+        "left_wsum bigint, right_wsum bigint",
+    )
+
+
+@register(
     "multimodal_frame_dedup",
     """WITH docs AS (
   SELECT doc_id,
