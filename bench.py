@@ -130,6 +130,7 @@ HEADLINE = [
     "audio_flac_roundtrip",
     "multimodal_jpeg_progressive",
     "audio_flac_stereo",
+    "multimodal_container_sweep",
 ]
 
 

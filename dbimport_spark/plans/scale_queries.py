@@ -1325,6 +1325,140 @@ def audio_flac_stereo(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_container_sweep",
+    """WITH base AS (
+  SELECT doc_id AS media_id, doc_id % 5 AS fmt, text, strlen(text) AS len
+  FROM documents WHERE strlen(text) >= 48
+),
+img AS (
+  SELECT media_id,
+         CASE fmt WHEN 0 THEN 'png' WHEN 1 THEN 'gif' ELSE 'bmp' END AS container,
+         CASE WHEN fmt IN (0, 1) THEN 16 * least(len // 16, 48)
+              ELSE 48 * least(len // 48, 16) END AS n,
+         text
+  FROM base WHERE fmt <= 2
+),
+img_units AS (
+  SELECT media_id, container, CAST(u.i AS INTEGER) AS i,
+         CAST(ord(substring(text, CAST(u.i + 1 AS INTEGER), 1)) AS BIGINT) AS v
+  FROM img, UNNEST(range(n)) AS u(i)
+),
+aud AS (
+  SELECT media_id, CASE fmt WHEN 3 THEN 'wav' ELSE 'aiff' END AS container,
+         text, least(len, 400) AS n
+  FROM base WHERE fmt >= 3
+),
+aud_delta AS (
+  SELECT media_id, container, CAST(u.i AS INTEGER) AS i,
+         ((ord(substring(text, CAST(u.i + 1 AS INTEGER), 1)) * 7 + CAST(u.i AS INTEGER)) % 31) - 15 AS delta
+  FROM aud, UNNEST(range(n)) AS u(i)
+),
+aud_units AS (
+  SELECT media_id, container, i,
+         CAST(sum(delta) OVER (PARTITION BY media_id ORDER BY i) AS BIGINT) AS v
+  FROM aud_delta
+),
+units AS (
+  SELECT * FROM img_units UNION ALL SELECT * FROM aud_units
+)
+SELECT media_id, container,
+       CAST(count(*) AS INTEGER) AS n_units,
+       CAST(sum(v) AS BIGINT) AS unit_sum,
+       CAST(sum(v * (i + 1)) AS BIGINT) AS unit_wsum
+FROM units GROUP BY media_id, container""",
+)
+def multimodal_container_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixed-container ingest — the realistic shape of a scraped-media
+    corpus: every document becomes one of FIVE real containers by
+    doc_id mod 5 (PNG with adaptive per-row filters, interlaced GIF,
+    24-bit BMP, PCM WAV, AIFF with its 80-bit-extended sample rate), is
+    encoded and decoded through the from-scratch codecs, and reports
+    stats of the DECODED payload. Every format in the sweep is lossless,
+    so the oracle reconstructs all payloads arithmetically (image bytes
+    verbatim; audio as the standard bounded walk) and the per-container
+    sums and order-weighted checksums must match exactly — one query
+    gating five codec families at once, including the Adam7/adaptive/
+    interlace paths added this round.
+
+    Scale: one map-only Arrow kernel; format dispatch is per-row inside
+    the task; nothing shuffles but the final stats agg."""
+    import pandas as pd
+
+    from dbimport_spark.functions import aiff as _aiff
+    from dbimport_spark.functions import bmp as _bmp
+    from dbimport_spark.functions import gif as _gif
+    from dbimport_spark.functions import png as _png
+    from dbimport_spark.functions import wav as _wav
+
+    d = (
+        load(spark, sf_dir, "documents")
+        .filter(F.length("text") >= 48)
+        .select(F.col("doc_id").alias("media_id"), "text")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+
+    def kernel(batches):
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for mid, text in zip(pdf["media_id"], pdf["text"]):
+                data = text.encode("utf-8")
+                fmt = int(mid) % 5
+                if fmt <= 2:
+                    if fmt in (0, 1):
+                        h = min(len(data) // 16, 48)
+                        px = data[: 16 * h]
+                        if fmt == 0:
+                            container = "png"
+                            blob = _png.encode_png(
+                                16, h, 1, px, filter_type="adaptive"
+                            )
+                            _w, _h, _c, out = _png.decode_png(blob)
+                        else:
+                            container = "gif"
+                            blob = _gif.encode_gif([px], 16, h, interlace=True)
+                            _w, _h, frames = _gif.decode_gif(blob)
+                            out = frames[0]
+                    else:
+                        container = "bmp"
+                        rows_n = min(len(data) // 48, 16)
+                        rgb = data[: 48 * rows_n]
+                        blob = _bmp.encode_bmp(16, rows_n, rgb)
+                        _w, _h, out = _bmp.decode_bmp(blob)
+                    vals = np.frombuffer(out, np.uint8).astype(np.int64)
+                else:
+                    n = min(len(data), 400)
+                    arr = np.frombuffer(data[:n], np.uint8).astype(np.int64)
+                    i = np.arange(n)
+                    x = np.cumsum((arr * 7 + i) % 31 - 15).astype(np.int16)
+                    if fmt == 3:
+                        container = "wav"
+                        _r, _ch, pcm = _wav.decode_wav(_wav.encode_wav(x, 8000))
+                    else:
+                        container = "aiff"
+                        _r, pcm = _aiff.decode_aiff(_aiff.encode_aiff(x, 8000))
+                    vals = pcm.astype(np.int64)
+                w = np.arange(1, vals.size + 1, dtype=np.int64)
+                rows.append(
+                    (
+                        int(mid), container, int(vals.size),
+                        int(vals.sum()), int((vals * w).sum()),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "container", "n_units", "unit_sum", "unit_wsum"],
+            )
+
+    return d.mapInPandas(
+        kernel,
+        "media_id bigint, container string, n_units int, "
+        "unit_sum bigint, unit_wsum bigint",
+    )
+
+
+@register(
     "multimodal_frame_dedup",
     """WITH docs AS (
   SELECT doc_id,
