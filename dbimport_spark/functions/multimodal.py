@@ -9,8 +9,12 @@ Decode status (honest inventory):
   * GIF — REAL. functions/gif.py (multi-frame LZW container).
   * WAV — REAL. functions/wav.py (RIFF/PCM16 + G.711 companded + IMA
     ADPCM 4-bit adaptive blocks).
-  * FLAC — REAL. functions/flac.py (lossless: fixed predictors + Rice
-    residuals, CRC-8/16 + MD5 verified; bit-exact round-trip).
+  * FLAC — REAL. functions/flac.py (lossless: fixed + LPC predictors,
+    Rice residuals, stereo mid/side decorrelation, CRC-8/16 + MD5
+    verified; bit-exact round-trip). IMA ADPCM rides in WAV (tag 0x11).
+  * BMP / AIFF — REAL. functions/bmp.py (24-bit + 8-bit palette over the
+    shared DIB kernels), functions/aiff.py (big-endian PCM, 80-bit
+    extended sample rate).
   * Video (MJPEG-in-AVI and uncompressed BI_RGB DIB-in-AVI) — REAL.
     functions/avi.py walks the RIFF/AVI container structurally; MJPEG
     frames decode through the real JPEG codec (sample_video_frames
@@ -85,6 +89,12 @@ def sniff_format(content: bytes) -> str | None:
         return "wav"
     if content[:4] == b"RIFF" and content[8:12] == b"AVI ":
         return "avi"
+    if content[:2] == b"BM" and len(content) >= 54:
+        return "bmp"
+    if content[:4] == b"FORM" and content[8:12] == b"AIFF":
+        return "aiff"
+    if content[:4] == b"fLaC":
+        return "flac"
     return None
 
 
@@ -104,6 +114,11 @@ def _decode_pixels(content: bytes):
     if fmt == "avi":
         _w, _h, _fps, frames = _avi.decode_avi(content)
         return _jpeg.decode_jpeg(frames[0])
+    if fmt == "bmp":
+        from dbimport_spark.functions import bmp as _bmp
+
+        w, h, rgb = _bmp.decode_bmp(content)
+        return w, h, 3, rgb
     raise ValueError(f"not a decodable image (sniffed {fmt!r})")
 
 
@@ -144,27 +159,41 @@ def extract_media_features(
         n = float(arr.size) or 1.0
         return (hist / n).tolist()
 
-    def _wav_features(content: bytes, dim: int = FEATURE_DIM) -> list[float]:
+    def _pcm_features(pcm, dim: int = FEATURE_DIM) -> list[float]:
         import numpy as np
 
-        _rate, _ch, pcm = _wav.decode_wav(content)
+        pcm = np.asarray(pcm).reshape(-1)
         if pcm.size == 0:
             return [0.0] * dim
         bins = ((pcm.astype(np.int64) + 32768) * dim) // 65536
         hist = np.bincount(bins, minlength=dim)[:dim]
         return (hist / float(pcm.size)).tolist()
 
+    def _wav_features(content: bytes, dim: int = FEATURE_DIM) -> list[float]:
+        _rate, _ch, pcm = _wav.decode_wav(content)
+        return _pcm_features(pcm, dim)
+
     def _auto_features(content: bytes, dim: int = FEATURE_DIM) -> list[float]:
         fmt = sniff_format(content)
         if fmt == "wav":
             return _wav_features(content, dim)
-        if fmt in ("png", "jpeg", "gif", "avi"):
+        if fmt == "aiff":
+            from dbimport_spark.functions import aiff as _aiff
+
+            _rate, pcm = _aiff.decode_aiff(content)
+            return _pcm_features(pcm, dim)
+        if fmt == "flac":
+            from dbimport_spark.functions import flac as _flac
+
+            _rate, pcm = _flac.flac_decode(content)
+            return _pcm_features(pcm, dim)
+        if fmt in ("png", "jpeg", "gif", "avi", "bmp"):
             return _image_features(content, dim)
         if decode == "strict":
             raise NotImplementedError(
-                "payload is none of PNG/JPEG/GIF/WAV/AVI — perceptual audio"
-                " / inter-frame video decode needs libav, not in this"
-                " container"
+                "payload is none of PNG/JPEG/GIF/BMP/AVI/WAV/AIFF/FLAC —"
+                " perceptual audio / inter-frame video decode needs libav,"
+                " not in this container"
             )
         return _fake_features(content, dim)
 

@@ -125,7 +125,7 @@ def test_multimodal_features_and_frames(spark):
     assert by_id[1]["content_sha256"] == hashlib.sha256(b"hello world").hexdigest()
     # strict: raw text bytes are no sniffable media format → loud error at
     # execution (surfaces as a PythonException from the Arrow kernel)
-    with pytest.raises(Exception, match="none of PNG/JPEG/GIF/WAV"):
+    with pytest.raises(Exception, match="none of PNG/JPEG/GIF"):
         multimodal.extract_media_features(media, decode="strict").collect()
     frames = multimodal.sample_frames(media, n_frames=4)
     rows = frames.filter(F.col("media_id") == 1).collect()
