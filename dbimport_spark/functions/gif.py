@@ -242,14 +242,45 @@ def encode_gif(frames, width: int, height: int, interlace: bool = False) -> byte
 
 
 def decode_gif(blob: bytes):
-    """→ (width, height, [frame pixel bytes]); pixels are palette indices
-    (gray value, for images from encode_gif)."""
+    """→ (width, height, [frame pixel bytes]); pixels are palette INDICES
+    (equal to gray intensity for images from encode_gif's identity
+    palette). Use decode_gif_rgb when true pixel VALUES are needed for a
+    GIF whose palette may not be the grayscale identity."""
+    w, h, frames_pal = decode_gif_full(blob)
+    return w, h, [px for px, _pal in frames_pal]
+
+
+def decode_gif_rgb(blob: bytes):
+    """→ (width, height, [frame RGB bytes]): palette indices mapped
+    through each frame's effective color table (local if present, else
+    global), so downstream histograms/hashes see pixel values, not
+    indices."""
+    import numpy as np
+
+    w, h, frames_pal = decode_gif_full(blob)
+    out = []
+    for px, pal in frames_pal:
+        if pal is None:
+            raise ValueError("GIF frame without any color table")
+        table = np.frombuffer(pal, dtype=np.uint8).reshape(-1, 3)
+        idx = np.frombuffer(px, dtype=np.uint8)
+        out.append(table[idx].tobytes())
+    return w, h, out
+
+
+def decode_gif_full(blob: bytes):
+    """→ (width, height, [(frame palette-index bytes, color table bytes)])
+    where the color table is the frame's local table when present, else
+    the global one (3 bytes/entry RGB), or None if neither exists."""
     if blob[:6] not in (b"GIF89a", b"GIF87a"):
         raise ValueError("not a GIF file")
     w, h, flags, _bg, _ar = struct.unpack_from("<HHBBB", blob, 6)
     pos = 13
+    gct = None
     if flags & 0x80:  # global color table
-        pos += 3 * (2 << (flags & 0x07))
+        n = 3 * (2 << (flags & 0x07))
+        gct = bytes(blob[pos : pos + n])
+        pos += n
     frames = []
     while pos < len(blob):
         b = blob[pos]
@@ -264,8 +295,11 @@ def decode_gif(blob: bytes):
         elif b == IMAGE_SEP:
             fx, fy, fw, fh, iflags = struct.unpack_from("<HHHHB", blob, pos)
             pos += 9
-            if iflags & 0x80:
-                pos += 3 * (2 << (iflags & 0x07))  # local color table
+            lct = None
+            if iflags & 0x80:  # local color table
+                n = 3 * (2 << (iflags & 0x07))
+                lct = bytes(blob[pos : pos + n])
+                pos += n
             min_code = blob[pos]
             pos += 1
             data = bytearray()
@@ -285,7 +319,7 @@ def decode_gif(blob: bytes):
                 for tr, r in enumerate(_interlace_order(fh)):
                     restored[r * fw : (r + 1) * fw] = px[tr * fw : (tr + 1) * fw]
                 px = bytes(restored)
-            frames.append(px)
+            frames.append((px, lct if lct is not None else gct))
         else:
             raise ValueError(f"unknown GIF block 0x{b:02x}")
     return w, h, frames

@@ -107,10 +107,26 @@ def _decode_pixels(content: bytes):
     if fmt == "jpeg":
         return _jpeg.decode_jpeg(content)
     if fmt == "gif":
-        w, h, frames = _gif.decode_gif(content)
-        if not frames:
+        w, h, frames_pal = _gif.decode_gif_full(content)
+        if not frames_pal:
             raise ValueError("GIF with no frames")
-        return w, h, 1, frames[0]
+        px, pal = frames_pal[0]
+        # Map palette indices through the color table so stats/hashes see
+        # pixel VALUES. A grayscale identity palette (encode_gif's) stays
+        # single-channel with index==intensity; anything else becomes RGB.
+        if pal is None:
+            raise ValueError("GIF frame without any color table")
+        import numpy as np
+
+        table = np.frombuffer(pal, dtype=np.uint8).reshape(-1, 3)
+        idents = np.arange(len(table), dtype=np.uint8)
+        if (
+            len(table) == 256
+            and (table == idents[:, None]).all()
+        ):
+            return w, h, 1, px
+        idx = np.frombuffer(px, dtype=np.uint8)
+        return w, h, 3, table[idx].tobytes()
     if fmt == "avi":
         _w, _h, _fps, frames = _avi.decode_avi(content)
         return _jpeg.decode_jpeg(frames[0])

@@ -93,19 +93,34 @@ def _csv_parse(text: str, sep: str, quote: str, escape: str | None):
     return [row for row in rdr if row]
 
 
-def _csv_field(v: str, sep: str, quote: str, escape: str | None) -> str:
+def _csv_field(
+    v: str | None, sep: str, quote: str, escape: str | None,
+    null_value: str = "",
+) -> str:
     if v is None:
-        v = ""
-    needs_quote = sep in v or quote in v or "\n" in v or "\r" in v
+        # the reference's null sentinel round-trips: a None field is
+        # re-emitted as the configured sentinel text
+        v = null_value
+    needs_quote = (
+        sep in v or quote in v or "\n" in v or "\r" in v
+        or (escape is not None and escape in v)
+    )
     if not needs_quote:
         return v
-    body = v.replace(quote, (escape or quote) + quote)
+    if escape is not None:
+        # escape the escape char itself first, then the quote char, so
+        # values containing a bare escape character round-trip
+        body = v.replace(escape, escape + escape).replace(quote, escape + quote)
+    else:
+        body = v.replace(quote, quote + quote)
     return quote + body + quote
 
 
-def _csv_serialize(rows, sep: str, quote: str, escape: str | None) -> str:
+def _csv_serialize(
+    rows, sep: str, quote: str, escape: str | None, null_value: str = ""
+) -> str:
     return "".join(
-        sep.join(_csv_field(v, sep, quote, escape) for v in row) + "\n"
+        sep.join(_csv_field(v, sep, quote, escape, null_value) for v in row) + "\n"
         for row in rows
     )
 
@@ -150,7 +165,9 @@ def filter_data_items(
         data_rows = rows[1:] if has_header else rows
         picked = [r for i, r in enumerate(data_rows, start=1) if i in wanted]
         out_rows = ([header] if header is not None else []) + picked
-        payload = _csv_serialize(out_rows, separator, quote, escape).encode("utf-8")
+        payload = _csv_serialize(
+            out_rows, separator, quote, escape, null_value
+        ).encode("utf-8")
         ext = "csv"
     elif fmt == "json":
         import json as _json
@@ -183,6 +200,69 @@ def filter_data_items(
                 out_root.append(entry)
         payload = ET.tostring(out_root, encoding="utf-8", xml_declaration=True)
         ext = "xml"
+    elif fmt == "excel":
+        import tempfile
+
+        from dbimport_spark.sources.excel import (
+            _read_xlsx_stdlib,
+            sniff_excel_kind,
+            write_xlsx_minimal,
+        )
+        from dbimport_spark.sources.xls import read_xls_rows, write_xls_minimal
+
+        kind = sniff_excel_kind(plain)
+        rows = (
+            read_xls_rows(plain) if kind == "xls" else _read_xlsx_stdlib(plain, None)
+        )
+        header = [str(c) for c in rows[0]] if has_header and rows else []
+        data_rows = rows[1:] if has_header else rows
+        picked = [r for i, r in enumerate(data_rows, start=1) if i in wanted]
+        ext = kind  # xlsx or xls
+        writer = write_xls_minimal if kind == "xls" else write_xlsx_minimal
+        with tempfile.NamedTemporaryFile(suffix="." + ext, delete=False) as tmp:
+            tmp_path = tmp.name
+        try:
+            writer(tmp_path, header, picked)
+            with open(tmp_path, "rb") as fh:
+                payload = fh.read()
+        finally:
+            os.unlink(tmp_path)
+    elif fmt == "ods":
+        import tempfile
+
+        from dbimport_spark.sources.excel import _read_ods_stdlib, write_ods_minimal
+
+        rows = _read_ods_stdlib(plain, None)
+        header = [str(c) for c in rows[0]] if has_header and rows else []
+        data_rows = rows[1:] if has_header else rows
+        picked = [r for i, r in enumerate(data_rows, start=1) if i in wanted]
+        ext = "ods"
+        with tempfile.NamedTemporaryFile(suffix=".ods", delete=False) as tmp:
+            tmp_path = tmp.name
+        try:
+            write_ods_minimal(tmp_path, header, picked)
+            with open(tmp_path, "rb") as fh:
+                payload = fh.read()
+        finally:
+            os.unlink(tmp_path)
+    elif fmt == "vcf":
+        # re-emit the original vCard blocks byte-faithfully: split on
+        # BEGIN:VCARD … END:VCARD and keep the wanted 1-based card indexes
+        with open(plain, encoding="utf-8", newline="") as fh:
+            text = fh.read()
+        cards, cur, in_card = [], [], False
+        for line in text.splitlines(keepends=True):
+            if line.strip().upper() == "BEGIN:VCARD":
+                in_card, cur = True, [line]
+            elif line.strip().upper() == "END:VCARD" and in_card:
+                cur.append(line)
+                cards.append("".join(cur))
+                in_card = False
+            elif in_card:
+                cur.append(line)
+        picked = [c for i, c in enumerate(cards, start=1) if i in wanted]
+        payload = "".join(picked).encode("utf-8")
+        ext = "vcf"
     else:
         raise ValueError(f"filter_data_items: unsupported format {fmt!r}")
 

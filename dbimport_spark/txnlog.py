@@ -248,7 +248,15 @@ def commit(path: str, added: list[str], removed: list[str], expect_version: int)
     finally:
         os.unlink(tmp)
     if new_v > 0 and new_v % CHECKPOINT_INTERVAL == 0:
-        write_checkpoint(path, new_v)
+        # The commit is already durable (version file linked); the
+        # checkpoint is a pure read-path optimization. A transient IO
+        # failure here must not propagate as a commit failure — callers
+        # in optimistic-retry loops would re-apply already-committed
+        # work. The next interval commit retries the checkpoint.
+        try:
+            write_checkpoint(path, new_v)
+        except OSError:
+            pass
     return new_v
 
 
@@ -491,12 +499,20 @@ def txn_delete(spark, source_pred, path: str, max_retries: int = 3) -> int:
     without the rows matching ``source_pred`` (a Column predicate) and
     commit {add: kept-row files, remove: all previous files} as one
     version. Same optimistic-retry shape as txn_upsert; deleted rows stay
-    time-travelable until vacuum. Returns the new version."""
+    time-travelable until vacuum. Returns the new version.
+
+    SQL DELETE (and Delta's) removes only rows where the predicate is
+    TRUE; rows where it evaluates to NULL (e.g. ``status == 'spam'`` on a
+    NULL status) must be KEPT — so the keep-filter coalesces the
+    predicate to FALSE before negating, rather than using ``~pred``
+    (which is NULL for NULL inputs and would silently drop those rows)."""
+    from pyspark.sql import functions as F
+
     for _ in range(max_retries):
         base_v = current_version(path)
         target = read_snapshot(spark, path, base_v)
         old_files = [os.path.basename(f) for f in snapshot_files(path, base_v)]
-        kept = target.filter(~source_pred)
+        kept = target.filter(~F.coalesce(source_pred, F.lit(False)))
         added = _stage(kept, path)
         try:
             return commit(path, added, old_files, base_v)
@@ -536,16 +552,38 @@ def read_changes(
     old = read_snapshot(spark, path, from_version)
     new = read_snapshot(spark, path, to_version)
     val_cols = [c for c in new.columns if c not in keys]
+    # Schema evolution: a column added between from_version and
+    # to_version is absent from the OLD snapshot (and a dropped column
+    # absent from the NEW) — project NULL for the missing side instead
+    # of selecting a nonexistent column, mirroring mergeSchema reads.
+    old_types = dict(old.dtypes)
+    new_types = dict(new.dtypes)
+    all_vals = val_cols + [
+        c for c in old.columns if c not in keys and c not in new_types
+    ]
+
+    def _side(c, have, other):
+        if c in have:
+            return F.col(c)
+        return F.lit(None).cast(other[c])
+
     o = old.select(
         F.lit(True).alias("_o_present"),
         *[F.col(k).alias(f"_ok_{k}") for k in keys],
-        *[F.col(c).alias(f"_ov_{c}") for c in val_cols],
+        *[
+            _side(c, old_types, new_types).alias(f"_ov_{c}")
+            for c in all_vals
+        ],
     )
     n = new.select(
         F.lit(True).alias("_n_present"),
         *[F.col(k).alias(f"_nk_{k}") for k in keys],
-        *[F.col(c).alias(f"_nv_{c}") for c in val_cols],
+        *[
+            _side(c, new_types, old_types).alias(f"_nv_{c}")
+            for c in all_vals
+        ],
     )
+    val_cols = all_vals
     cond = reduce(
         lambda a, b: a & b,
         [o[f"_ok_{k}"].eqNullSafe(n[f"_nk_{k}"]) for k in keys],

@@ -183,3 +183,68 @@ def test_interlaced_gif_roundtrip():
         plain = decode_gif(encode_gif(frames, w, h))
         inter = decode_gif(encode_gif(frames, w, h, interlace=True))
         assert plain == inter == (w, h, frames)
+
+
+class TestGifPalette:
+    """Non-identity palettes: decode must map indices through the color
+    table so downstream stats see pixel VALUES (r4 ADVICE)."""
+
+    def _non_identity_gif(self):
+        """A 2x2 GIF whose global color table maps index i → reversed
+        gray (255-i): identity-palette assumptions break loudly."""
+        blob = bytearray(encode_gif([bytes([0, 1, 2, 3])], 2, 2))
+        # rewrite the 256-entry grayscale GCT in place (starts at byte 13)
+        for i in range(256):
+            g = 255 - i
+            blob[13 + 3 * i : 13 + 3 * i + 3] = bytes((g, g, g))
+        return bytes(blob)
+
+    def test_decode_gif_rgb_applies_palette(self):
+        from dbimport_spark.functions.gif import decode_gif_rgb
+
+        w, h, frames = decode_gif_rgb(self._non_identity_gif())
+        assert (w, h) == (2, 2)
+        px = frames[0]
+        # index 0 → (255,255,255), index 3 → (252,252,252)
+        assert px[:3] == bytes((255, 255, 255))
+        assert px[9:12] == bytes((252, 252, 252))
+
+    def test_decode_pixels_uses_palette(self):
+        from dbimport_spark.functions.multimodal import _decode_pixels
+
+        w, h, ch, px = _decode_pixels(self._non_identity_gif())
+        assert ch == 3  # non-identity palette → RGB values, not indices
+        assert px[:3] == bytes((255, 255, 255))
+
+    def test_identity_palette_stays_single_channel(self):
+        from dbimport_spark.functions.multimodal import _decode_pixels
+
+        blob = encode_gif([bytes([0, 1, 2, 3])], 2, 2)
+        w, h, ch, px = _decode_pixels(blob)
+        # encode_gif's identity grayscale palette: unchanged fast path,
+        # index == intensity, so existing fixture hashes are stable
+        assert ch == 1 and px == bytes([0, 1, 2, 3])
+
+    def test_local_color_table_preferred(self):
+        from dbimport_spark.functions.gif import decode_gif_full
+
+        import struct as _s
+
+        # hand-build a GIF with NO global table and a 4-entry local one
+        out = bytearray(b"GIF89a")
+        out += _s.pack("<HHBBB", 2, 1, 0x00, 0, 0)  # no GCT
+        out.append(0x2C)
+        out += _s.pack("<HHHHB", 0, 0, 2, 1, 0x81)  # LCT present, 4 entries
+        out += bytes((10, 10, 10, 20, 20, 20, 30, 30, 30, 40, 40, 40))
+        out.append(2)  # LZW min code size
+        from dbimport_spark.functions.gif import lzw_encode_literal
+
+        data = lzw_encode_literal(bytes([1, 3]), 2)
+        out.append(len(data))
+        out += data
+        out.append(0)  # sub-block terminator
+        out.append(0x3B)
+        w, h, frames_pal = decode_gif_full(bytes(out))
+        px, pal = frames_pal[0]
+        assert px == bytes([1, 3])
+        assert pal[3:6] == bytes((20, 20, 20))  # the LOCAL table

@@ -761,6 +761,95 @@ class TestFilterDataItems:
         assert out == str(src) + ".errors.json"
         assert json.load(open(out)) == [{"id": 3}]
 
+    def test_csv_escape_char_roundtrip(self, tdir):
+        """A bare escape character inside a value must itself be escaped
+        on re-serialization (reference CsvWriter escape contract)."""
+        from dbimport_spark.operators.errors import (
+            _csv_parse,
+            _csv_serialize,
+            filter_data_items,
+        )
+
+        rows = [["a", "b"], ["1", "back\\slash"], ["2", 'q"uote'], ["3", "pl;ain"]]
+        text = _csv_serialize(rows, ";", '"', "\\")
+        assert _csv_parse(text, ";", '"', "\\") == rows
+        src = tdir / "esc.csv"
+        src.write_text(text)
+        out = filter_data_items(str(src), [1, 2], escape="\\")
+        back = _csv_parse(open(out).read(), ";", '"', "\\")
+        assert back == [["a", "b"], ["1", "back\\slash"], ["2", 'q"uote']]
+
+    def test_csv_null_sentinel_serialized(self):
+        """None fields are emitted as the configured null sentinel."""
+        from dbimport_spark.operators.errors import _csv_serialize
+
+        out = _csv_serialize([["1", None]], ";", '"', None, null_value="<null>")
+        assert out == "1;<null>\n"
+
+    def test_xlsx_faithful(self, tdir):
+        from dbimport_spark.operators.errors import filter_data_items
+        from dbimport_spark.sources.excel import (
+            _read_xlsx_stdlib,
+            write_xlsx_minimal,
+        )
+
+        src = tdir / "data.xlsx"
+        write_xlsx_minimal(
+            str(src), ["id", "v"], [[1, "a"], [2, "b"], [3, "c"]]
+        )
+        out = filter_data_items(str(src), [1, 3])
+        assert out == str(src) + ".errors.xlsx"
+        rows = _read_xlsx_stdlib(out, None)
+        assert rows[0] == ["id", "v"]
+        assert [r[1] for r in rows[1:]] == ["a", "c"]
+
+    def test_xls_faithful(self, tdir):
+        from dbimport_spark.operators.errors import filter_data_items
+        from dbimport_spark.sources.xls import read_xls_rows, write_xls_minimal
+
+        src = tdir / "data.xls"
+        write_xls_minimal(str(src), ["id", "v"], [[1, "a"], [2, "b"], [3, "c"]])
+        out = filter_data_items(str(src), [2])
+        assert out == str(src) + ".errors.xls"
+        rows = read_xls_rows(out)
+        assert rows[0] == ["id", "v"] and [r[1] for r in rows[1:]] == ["b"]
+
+    def test_ods_faithful_gz(self, tdir):
+        """ODS source wrapped in gzip: re-extraction re-wraps the envelope."""
+        from dbimport_spark.operators.errors import filter_data_items
+        from dbimport_spark.sources.excel import _read_ods_stdlib, write_ods_minimal
+
+        inner = tdir / "data.ods"
+        write_ods_minimal(
+            str(inner), ["id", "v"], [[1, "a"], [2, "b"], [3, "c"]]
+        )
+        src = tdir / "data.ods.gz"
+        with gzip.open(src, "wb") as fh:
+            fh.write(inner.read_bytes())
+        out = filter_data_items(str(src), [2, 3])
+        assert out == str(src) + ".errors.ods.gz"
+        plain = decompress_if_needed(out, for_spark_text_reader=False)
+        rows = _read_ods_stdlib(plain, None)
+        assert rows[0] == ["id", "v"] and [r[1] for r in rows[1:]] == ["b", "c"]
+
+    def test_vcf_faithful(self, spark, tdir):
+        """VCF re-extraction keeps the original vCard blocks byte-exactly."""
+        from dbimport_spark.operators.errors import filter_data_items
+        from dbimport_spark.sources.vcf import read_vcf
+
+        cards = "".join(
+            f"BEGIN:VCARD\nVERSION:3.0\nFN:Person {i}\nEMAIL:p{i}@x.io\nEND:VCARD\n"
+            for i in (1, 2, 3)
+        )
+        src = tdir / "data.vcf"
+        src.write_text(cards)
+        out = filter_data_items(str(src), [1, 3])
+        assert out == str(src) + ".errors.vcf"
+        text = open(out).read()
+        assert "Person 1" in text and "Person 3" in text and "Person 2" not in text
+        df = read_vcf(spark, out, with_order=False)
+        assert df.count() == 2
+
 
 def test_orc_roundtrip_pushdown(spark, tmp_path):
     """ORC native write/read: values survive bit-exactly and the read-side

@@ -535,3 +535,76 @@ def test_concurrent_multiprocess_commits_linearize(tmp_path):
     # (snapshot_files returns absolute data paths; compare basenames)
     snap = {os.path.basename(p) for p in txnlog.snapshot_files(table)}
     assert snap == added_files
+
+
+def test_delete_keeps_null_predicate_rows(spark, table):
+    """SQL DELETE semantics: only rows where the predicate is TRUE are
+    removed; a NULL-evaluating predicate (nullable column) KEEPS the row
+    (r4 ADVICE: ~pred is NULL for NULL inputs and filter would drop it)."""
+    df = spark.createDataFrame(
+        [(1, "spam"), (2, "ham"), (3, None)], "k long, status string"
+    )
+    txnlog.txn_append(spark, df, table)
+    txnlog.txn_delete(spark, F.col("status") == "spam", table)
+    now = {r["k"] for r in txnlog.read_snapshot(spark, table).collect()}
+    assert now == {2, 3}  # NULL-status row 3 survives
+
+
+def test_change_feed_across_schema_evolution(spark, table):
+    """read_changes over a window where a column was ADDED: old-side rows
+    project NULL for the new column instead of raising (r4 ADVICE)."""
+    txnlog.txn_append(spark, _df(spark, [(1, "a"), (2, "b")]), table)  # v0
+    evolved = spark.createDataFrame(
+        [(1, "a", None), (2, "b", 99), (3, "c", 7)],
+        "k long, v string, extra long",
+    )
+    # replace-all commit: v1 snapshot carries the ADDED `extra` column
+    old_files = [os.path.basename(f) for f in txnlog.snapshot_files(table, 0)]
+    txnlog.commit(table, txnlog._stage(evolved, table), old_files, 0)  # v1
+    feed = {
+        (r["k"], r["_change_type"]): (r["v"], r["extra"])
+        for r in txnlog.read_changes(spark, table, ["k"], 0, 1).collect()
+    }
+    # key 2: value cols (v unchanged, extra NULL→99) → update; key 3: insert;
+    # key 1: v unchanged and extra NULL on both sides → not emitted
+    assert feed == {(2, "update"): ("b", 99), (3, "insert"): ("c", 7)}
+    # preimage form also survives evolution
+    pre = txnlog.read_changes(
+        spark, table, ["k"], 0, 1, include_preimage=True
+    )
+    got = {(r["k"], r["_change_type"]): r["extra"] for r in pre.collect()}
+    assert got[(2, "update_preimage")] is None
+    assert got[(2, "update_postimage")] == 99
+    pre.unpersist()
+
+
+def test_change_feed_dropped_column(spark, table):
+    """A column present in FROM but absent in TO (dropped via clearinsert
+    of a narrower schema) appears in the feed with NULL on the new side."""
+    wide = spark.createDataFrame([(1, "a", 5)], "k long, v string, extra long")
+    txnlog.txn_append(spark, wide, table)  # v0
+    narrow = _df(spark, [(1, "a")])
+    # replace-all commit: remove old files, add narrow snapshot
+    old_files = [os.path.basename(f) for f in txnlog.snapshot_files(table, 0)]
+    added = txnlog._stage(narrow, table)
+    txnlog.commit(table, added, old_files, 0)  # v1
+    feed = {
+        (r["k"], r["_change_type"]): r["extra"]
+        for r in txnlog.read_changes(spark, table, ["k"], 0, 1).collect()
+    }
+    # extra 5 → NULL counts as a change; new-side value is NULL
+    assert feed == {(1, "update"): None}
+
+
+def test_commit_survives_checkpoint_failure(spark, table, monkeypatch):
+    """A checkpoint-write failure after the version link must NOT
+    propagate: the commit is already durable (r4 ADVICE)."""
+    def boom(path, v):
+        raise OSError("transient checkpoint IO failure")
+
+    monkeypatch.setattr(txnlog, "write_checkpoint", boom)
+    last_v = -1
+    for i in range(txnlog.CHECKPOINT_INTERVAL + 1):
+        last_v = txnlog.txn_append(spark, _df(spark, [(i, "x")]), table)
+    assert last_v == txnlog.CHECKPOINT_INTERVAL
+    assert txnlog.read_snapshot(spark, table).count() == last_v + 1
