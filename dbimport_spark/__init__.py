@@ -24,6 +24,34 @@ from dbimport_spark.operators import dedup, merge
 from dbimport_spark.operators.stats import ImportStatistics
 
 
+def recommended_confs(shuffle_partitions: int | None = None) -> dict:
+    """Session configs every harness (bench, oracle checker, scale probe,
+    CLI) applies; a cluster deployment would set the same ones.
+
+    The non-obvious member is
+    ``spark.sql.optimizer.canChangeCachedPlanOutputPartitioning=true``:
+    by default AQE never re-optimizes a plan that feeds an
+    InMemoryRelation, so a ``persist()``ed intermediate inherits the full
+    ``spark.sql.shuffle.partitions`` even when it holds a few MB — and
+    every later pass over the cache (LSH bucket joins, CC rounds) pays
+    that task count with no coalescing. Letting AQE size cached plans
+    measured 1.8× on the LSH dedup chain at the 10× probe and shrinks
+    cache memory on a real cluster; the trade (cached partitioning may
+    not match a later join's expectation, costing one exchange) is the
+    right default for this workload where caches are small relative to
+    the tables they summarize."""
+    confs = {
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.coalescePartitions.enabled": "true",
+        "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning": "true",
+        "spark.sql.session.timeZone": "UTC",
+        "spark.sql.execution.arrow.pyspark.enabled": "true",
+    }
+    if shuffle_partitions is not None:
+        confs["spark.sql.shuffle.partitions"] = str(shuffle_partitions)
+    return confs
+
+
 def release_caches(spark) -> None:
     """Release every DataFrame cache the library's query builders created.
 
@@ -37,6 +65,7 @@ def release_caches(spark) -> None:
 
 
 __all__ = [
+    "recommended_confs",
     "ColumnMapping",
     "DuplicateMode",
     "ImportDefinition",

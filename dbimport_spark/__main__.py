@@ -173,14 +173,16 @@ def main(argv: list[str] | None = None) -> int:
     from pyspark.sql import SparkSession
 
     cpus = args.cpus or "*"
-    spark = (
+    from dbimport_spark import recommended_confs
+
+    builder = (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName("dbimport_spark_cli")
-        .config("spark.sql.session.timeZone", "UTC")
-        .config("spark.sql.adaptive.enabled", "true")
         .config("spark.ui.enabled", "false")
-        .getOrCreate()
     )
+    for k, v in recommended_confs().items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
 

@@ -39,15 +39,35 @@ def connected_components(
     Callers left-join this onto the full corpus and coalesce to self for
     singletons.
     """
-    sym = pairs.select(F.col(a).alias("node"), F.col(b).alias("nbr")).unionAll(
-        pairs.select(F.col(b).alias("node"), F.col(a).alias("nbr"))
+    # Pre-aggregate to DISTINCT canonical edges before symmetrizing:
+    # LSH/banding pair generators can emit the same pair from several
+    # bands (and both orientations); every duplicate would be carried
+    # through EVERY propagation round otherwise.
+    edges = (
+        pairs.select(
+            F.least(F.col(a), F.col(b)).alias("lo"),
+            F.greatest(F.col(a), F.col(b)).alias("hi"),
+        )
+        .distinct()
     )
-    sym = sym.persist()
+    sym = edges.select(F.col("lo").alias("node"), F.col("hi").alias("nbr")).unionAll(
+        edges.select(F.col("hi").alias("node"), F.col("lo").alias("nbr"))
+    )
+    # Materialize the edge list pre-partitioned on the per-round JOIN key
+    # (nbr) and CUT ITS LINEAGE with an eager localCheckpoint: pair
+    # generators arrive with deep plan trees (an LSH chain embeds the
+    # shingle/signature subtree ~25×, since logical plans are trees, not
+    # DAGs), and every propagation round would otherwise re-canonicalize
+    # that whole forest — measured as ~12 s of pure driver-side planning
+    # PER ROUND on an 8 k-pair graph. After the cut, each round plans
+    # against a LogicalRDD leaf. (Trade: checkpointed blocks skip
+    # fault-tolerant recompute — standard for iterative graph loops.)
+    sym = sym.repartition("nbr").localCheckpoint()
     labels = (
         sym.groupBy("node")
         .agg(F.min("nbr").alias("m"))
         .select("node", F.least(F.col("node"), F.col("m")).alias("component"))
-        .persist()
+        .localCheckpoint()
     )
     for _ in range(max_iter):
         nbr_min = (
@@ -61,6 +81,14 @@ def connected_components(
         # probe is a filter on the already-joined result — one join per
         # round instead of two (the probe re-join was measurably ~25% of
         # round cost and grows with the label set at scale).
+        # Eager localCheckpoint per round: materializes the round FULLY
+        # (a lazy persist + limit(1) probe left partitions unfilled and
+        # recomputed the whole chain at consumption) and keeps the next
+        # round's plan anchored at a leaf instead of nesting this round's
+        # joins — without the cut the label plan doubles per round
+        # (labels appears twice in the round expression), giving 2^r
+        # planning blowup. Old rounds' blocks are freed by the
+        # ContextCleaner when the previous DataFrame goes out of scope.
         new_labels = (
             labels.join(nbr_min, "node", "left")
             .select(
@@ -70,16 +98,12 @@ def connected_components(
                 ),
                 F.col("component").alias("_old"),
             )
-            .persist()
+            .localCheckpoint()
         )
-        changed = (
-            new_labels.filter(F.col("component") != F.col("_old")).limit(1).count()
-        )
-        labels.unpersist()
+        changed = new_labels.filter(F.col("component") != F.col("_old")).count()
         labels = new_labels
         if changed == 0:
             break
-    sym.unpersist()
     return labels.select("node", "component")
 
 
@@ -107,18 +131,31 @@ def label_propagation(
     smaller than the corpus after LSH pair generation); driver holds no
     per-node state. Unreachable nodes keep NULL.
     """
-    sym = pairs.select(F.col(a).alias("node"), F.col(b).alias("nbr")).unionAll(
-        pairs.select(F.col(b).alias("node"), F.col(a).alias("nbr"))
+    # Distinct canonical edges first (band-duplicate pairs otherwise ride
+    # through every round), then symmetrize and persist PRE-PARTITIONED on
+    # the per-round join key (nbr) so each round's edge join reuses the
+    # cached partitioning instead of re-shuffling the edge list.
+    edges = (
+        pairs.select(
+            F.least(F.col(a), F.col(b)).alias("lo"),
+            F.greatest(F.col(a), F.col(b)).alias("hi"),
+        )
+        .distinct()
     )
-    # Caches released by the CALLER after the consuming action
-    # (dbimport_spark.release_caches) — an unpersist() here would run
-    # EAGERLY at plan-build time, evicting the cache before the lazy
-    # query ever executes (which is exactly what an earlier version did:
-    # every round then re-derived the edge list).
-    sym = sym.persist()
-    node_ids = nodes.select(node_col).persist()
+    sym = edges.select(F.col("lo").alias("node"), F.col("hi").alias("nbr")).unionAll(
+        edges.select(F.col("hi").alias("node"), F.col("lo").alias("nbr"))
+    )
+    # Eager localCheckpoint, not persist: cuts the pair generator's deep
+    # plan tree (see connected_components) so each round plans against a
+    # LogicalRDD leaf, and pre-partitions on the per-round join keys.
+    sym = sym.repartition("nbr").localCheckpoint()
+    node_ids = nodes.select(node_col).repartition(node_col).localCheckpoint()
     cur = nodes.select(node_col, F.col(label_col).cast("bigint").alias("label"))
-    seeds = cur.filter(F.col("label").isNotNull()).persist()
+    seeds = (
+        cur.filter(F.col("label").isNotNull())
+        .repartition(node_col)
+        .localCheckpoint()
+    )
     for r in range(rounds):
         nbr_avg = (
             sym.join(
@@ -139,7 +176,8 @@ def label_propagation(
             )
         )
         if r + 1 < rounds:
-            # one (node, label) row per node: cheap to cache, and without
-            # it round r+1's plan nests round r's joins wholesale
-            cur = cur.persist()
+            # one (node, label) row per node: cheap to materialize, and
+            # without the lineage cut round r+1's plan nests round r's
+            # joins wholesale (2^r planning blowup)
+            cur = cur.localCheckpoint()
     return cur

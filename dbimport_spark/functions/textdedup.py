@@ -62,16 +62,18 @@ def _cap_buckets(exploded: DataFrame, keys: list[str], cap: int | None) -> DataF
     if cap is None:
         return exploded
     # Three consumers read ``exploded`` (the hot-bucket agg here plus both
-    # sides of the caller's self-join). Persist THIS narrow projection —
-    # (doc, keys) longs — not the upstream signature table: caching the
+    # sides of the caller's self-join). Materialize THIS narrow projection
+    # — (doc, keys) longs — not the upstream signature table: caching the
     # 64-column signature rows instead was measured 2-4× slower per bench
     # run (wide columnar cache materialization on every run), while this
-    # cache is a few longs per row and makes the expensive signature agg
-    # compute exactly once. Lifecycle: the cache lives until the CALLER
-    # releases it after the consuming action —
-    # ``dbimport_spark.release_caches(spark)`` — since unpersisting here
-    # would evict it before the lazily-returned plan ever runs.
-    exploded = exploded.persist()
+    # is a few longs per row and makes the expensive signature agg compute
+    # exactly once. Eager localCheckpoint rather than persist: it also
+    # CUTS THE LOGICAL PLAN at this point, so the three consumers embed a
+    # LogicalRDD leaf instead of three copies of the 64-expression
+    # signature-aggregation tree — downstream consumers (verify, CC,
+    # split assignment) otherwise multiply that tree combinatorially and
+    # pay seconds of driver-side plan canonicalization per action.
+    exploded = exploded.localCheckpoint()
     hot = (
         exploded.groupBy(*keys)
         .agg(F.count(F.lit(1)).alias("_bsz"))
@@ -111,7 +113,10 @@ def lsh_candidate_pairs(
     a = exploded.select(F.col(doc_col).alias("a_id"), "band", "bh")
     b = exploded.select(F.col(doc_col).alias("b_id"), "band", "bh")
     return (
-        a.join(b, ["band", "bh"])
+        # shuffle-hash, not sort-merge: (band, bh) is a near-unique
+        # 64-bit key, so sorting both sides buys nothing and the hash
+        # build per tiny bucket is O(rows) — two sorts saved per run
+        a.join(b.hint("shuffle_hash"), ["band", "bh"])
         .filter(F.col("a_id") < F.col("b_id"))
         .select("a_id", "b_id")
         .distinct()
@@ -125,13 +130,31 @@ def verify_jaccard(
     shingle_col: str = "s",
     threshold: float = 0.9,
 ) -> DataFrame:
-    """Exact Jaccard on candidate pairs only (semi-join pruned)."""
-    sizes = shingles.groupBy(doc_col).agg(F.count(F.lit(1)).alias("n"))
-    sh_a = shingles.select(F.col(doc_col).alias("a_id"), F.col(shingle_col).alias("s"))
-    sh_b = shingles.select(F.col(doc_col).alias("b_id"), F.col(shingle_col).alias("s"))
+    """Exact Jaccard on candidate pairs only, semi-join pruned FIRST:
+    the corpus shingle table is reduced to candidate docs' shingles via a
+    broadcast semi-join before anything shuffles — at 100 TB the full
+    (doc, shingle) table never moves, only the candidate neighborhoods
+    do (candidate doc count is bounded by 2·|pairs|, orders of magnitude
+    under the corpus after banding + the skew valve). The per-doc size
+    aggregation runs on the pruned set too, not the corpus.
+
+    ``candidates`` is materialized with an eager localCheckpoint (three
+    consumers: the doc-list build and both pair joins) — the lineage cut
+    keeps the self-join tree from appearing three times in the final
+    plan."""
+    candidates = candidates.localCheckpoint()
+    cand_docs = (
+        candidates.select(F.col("a_id").alias(doc_col))
+        .unionAll(candidates.select(F.col("b_id").alias(doc_col)))
+        .distinct()
+    )
+    pruned = shingles.join(F.broadcast(cand_docs), doc_col, "left_semi").persist()
+    sizes = pruned.groupBy(doc_col).agg(F.count(F.lit(1)).alias("n"))
+    sh_a = pruned.select(F.col(doc_col).alias("a_id"), F.col(shingle_col).alias("s"))
+    sh_b = pruned.select(F.col(doc_col).alias("b_id"), F.col(shingle_col).alias("s"))
     inter = (
-        candidates.join(sh_a, "a_id")
-        .join(sh_b, ["b_id", "s"])
+        sh_a.join(F.broadcast(candidates), "a_id")
+        .join(sh_b.hint("shuffle_hash"), ["b_id", "s"])
         .groupBy("a_id", "b_id")
         .agg(F.count(F.lit(1)).alias("n_both"))
     )

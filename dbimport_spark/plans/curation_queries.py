@@ -1274,35 +1274,58 @@ def dedup_fuzzy_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     linear in corpus size. The oracle is the quadratic all-pairs
     levenshtein join, fine at oracle scale."""
     c = load(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    # Shuffle 8-byte HASHES of the deletion variants, not the variant
+    # strings: the |name|-factor explosion means the bucket join moves
+    # |corpus|·|name| rows, and shipping ~18-char strings was the
+    # residual shuffle-bandwidth cost the 10× probe flagged (~24×).
+    # xxhash64 collisions only ADD candidates; the levenshtein verify
+    # removes them, so exactness is preserved.
     keys = c.select(
         "c_custkey",
-        "c_name",
         F.explode(
             F.expr(
-                "array_union(array(c_name), "
+                "transform(array_union(array(c_name), "
                 "transform(sequence(1, length(c_name)), i -> "
                 "concat(substring(c_name, 1, i - 1), "
-                "substring(c_name, i + 1, length(c_name) - i))))"
+                "substring(c_name, i + 1, length(c_name) - i)))), "
+                "v -> xxhash64(v))"
             )
-        ).alias("k"),
+        ).alias("kh"),
     )
-    a = keys.select(F.col("c_custkey").alias("a_id"), F.col("c_name").alias("an"), "k")
-    b = keys.select(F.col("c_custkey").alias("b_id"), F.col("c_name").alias("bn"), "k")
+    a = keys.select(F.col("c_custkey").alias("a_id"), "kh")
+    b = keys.select(F.col("c_custkey").alias("b_id"), "kh")
     # Catalyst sizes this self-join from the CUSTOMER scan and misses the
     # |name|-factor explode, so left alone it BROADCASTS the exploded key
     # table — fine at bench scale, a >1 GB broadcast build at 10× (the
     # 87 s cliff the scale probe caught; 9 s with the hint). A shuffled
-    # hash join on the deletion key is the plan that survives any corpus
-    # size: both sides partition by k, buckets stay O(alphabet) by the
-    # FastSS construction, nothing is built whole on one executor.
+    # hash join on the deletion-key hash is the plan that survives any
+    # corpus size: both sides partition by kh, buckets stay O(alphabet)
+    # by the FastSS construction, nothing is built whole on one executor.
     cand = (
-        a.join(b.hint("shuffle_hash"), "k")
+        a.join(b.hint("shuffle_hash"), "kh")
         .filter(F.col("a_id") < F.col("b_id"))
-        .select("a_id", "b_id", "an", "bn")
+        .select("a_id", "b_id")
+        .distinct()
+        .localCheckpoint()  # 3 consumers below + cuts the explode tree
+    )
+    # Names re-enter only for the exact verify, semi-join pruned to the
+    # candidate id set (bounded by 2·|candidate pairs| ≪ corpus).
+    ids = (
+        cand.select(F.col("a_id").alias("c_custkey"))
+        .unionAll(cand.select(F.col("b_id").alias("c_custkey")))
         .distinct()
     )
+    pruned = c.join(F.broadcast(ids), "c_custkey", "left_semi")
     return (
-        cand.withColumn("dist", F.levenshtein("an", "bn").cast("int"))
+        cand.join(
+            pruned.select(F.col("c_custkey").alias("a_id"), F.col("c_name").alias("an")),
+            "a_id",
+        )
+        .join(
+            pruned.select(F.col("c_custkey").alias("b_id"), F.col("c_name").alias("bn")),
+            "b_id",
+        )
+        .withColumn("dist", F.levenshtein("an", "bn").cast("int"))
         .filter(F.col("dist") <= 1)
         .select("a_id", "b_id", "dist")
     )

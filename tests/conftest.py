@@ -8,18 +8,18 @@ SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
 
 @pytest.fixture(scope="session")
 def spark():
+    from dbimport_spark import recommended_confs
+
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "8")
-    s = (
+    builder = (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName("dbimport_spark_tests")
-        .config("spark.sql.shuffle.partitions", "8")
-        .config("spark.sql.adaptive.enabled", "true")
-        .config("spark.sql.session.timeZone", "UTC")
-        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", "8g")
-        .getOrCreate()
     )
+    for k, v in recommended_confs(shuffle_partitions=8).items():
+        builder = builder.config(k, v)
+    s = builder.getOrCreate()
     s.sparkContext.setLogLevel("ERROR")
     yield s
 

@@ -52,16 +52,17 @@ def main():
 
     import __spark_entry__ as entrymod
 
-    spark = (
+    from dbimport_spark import recommended_confs
+
+    builder = (
         SparkSession.builder.master(f"local[{os.environ.get('SPARK_GRAFT_CPUS', '16')}]")
         .appName("check_oracle")
-        .config("spark.sql.shuffle.partitions", "16")
-        .config("spark.sql.adaptive.enabled", "true")
-        .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", "16g")
-        .getOrCreate()
     )
+    for k, v in recommended_confs(shuffle_partitions=16).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
     con = duckdb.connect()

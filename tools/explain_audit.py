@@ -29,15 +29,16 @@ def main() -> None:
     from bench import HEADLINE
     from dbimport_spark.plans import QUERIES
 
-    spark = (
+    from dbimport_spark import recommended_confs
+
+    builder = (
         SparkSession.builder.master("local[8]")
         .appName("dbimport_spark_plan_audit")
-        .config("spark.sql.shuffle.partitions", "8")
-        .config("spark.sql.adaptive.enabled", "true")
-        .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
-        .getOrCreate()
     )
+    for k, v in recommended_confs(shuffle_partitions=8).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
     print(

@@ -135,13 +135,18 @@ def inflate(spark, factor: int, out_dir: str) -> None:
         # perturbation above): K verbatim name copies put every name in a
         # K-sized edit-distance-0 clique, so fuzzy-key PAIR output grows
         # ~K² — a corpus property that measured as a fake 18× at K=10.
-        # A 2-char replica suffix pushes cross-replica distance past the
-        # ≤1 threshold, so pair output scales linearly like a real corpus.
+        # The replica suffix must differ from every OTHER replica's suffix
+        # in ≥2 positions or cross-replica pairs stay within the ≤1
+        # threshold (an earlier f"x{i:02d}" suffix made replica 1 vs 2
+        # "x01"/"x02" — distance 1! — which quadratically inflated the
+        # TRUE output and read as a fake 24× plan regression). A doubled
+        # distinct letter ("bb", "cc", …) guarantees pairwise distance 2.
         parts = []
         for i in range(factor):
             p = df.withColumn("c_custkey", F.col("c_custkey") + F.lit(i * ID_OFFSET))
             if i > 0:
-                p = p.withColumn("c_name", F.concat(F.col("c_name"), F.lit(f"x{i:02d}")))
+                ch = chr(97 + i)  # 'b', 'c', ... distinct per replica
+                p = p.withColumn("c_name", F.concat(F.col("c_name"), F.lit(ch * 2)))
             parts.append(p)
         out = parts[0]
         for p in parts[1:]:
@@ -171,18 +176,17 @@ def main() -> None:
     # and measures spill, not plan shape. AQE coalesces the excess when a
     # stage is small, so oversizing is cheap.
     shuffle_parts = int(cpus) * max(1, factor // 2)
-    spark = (
+    from dbimport_spark import recommended_confs
+
+    builder = (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName("dbimport_spark_scale_probe")
-        .config("spark.sql.shuffle.partitions", shuffle_parts)
-        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
-        .config("spark.sql.adaptive.enabled", "true")
-        .config("spark.sql.session.timeZone", "UTC")
-        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
-        .getOrCreate()
     )
+    for k, v in recommended_confs(shuffle_partitions=shuffle_parts).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
     out_dir = os.path.join(
