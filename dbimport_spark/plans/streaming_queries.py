@@ -16,6 +16,17 @@ Determinism notes (why these CAN carry SQL oracles):
   the same cutoff predicate.
 * streaming dedup emits an arbitrary FIRST row per key (partition race),
   so the query projects the key columns only, where first == any.
+
+Multi-file sources (the production shape) change the watermark story:
+each file becomes its own micro-batch under maxFilesPerTrigger, files are
+ordered by modification time, the watermark advances BETWEEN batches, and
+append-mode windows finalize when a later file's event time passes them —
+late rows arriving after their window was finalized+evicted are dropped,
+while a late row landing in the SAME batch that finalizes its window is
+still admitted (state flushes at end-of-batch). That lifecycle is pinned
+by tests/test_streaming.py::test_multifile_watermark_advancement; the
+registered queries deliberately use single-file dirs so their output
+stays batch-equivalent and SQL-oracle-checkable.
 """
 
 from __future__ import annotations

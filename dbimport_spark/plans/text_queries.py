@@ -486,6 +486,106 @@ def heavy_hitters_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return heavy_hitters(sh, "s", k=20)
 
 
+def _dense_cosine_dots(j: DataFrame, norms: DataFrame, num_blocks: int = 16) -> DataFrame:
+    """Exact pairwise integer dots for a TINY-VOCABULARY posting table —
+    the rare-term-free fallback of sparse_tfidf_neardup.
+
+    Shape: the |V| distinct shared terms (≤4096 by the caller's gate) are
+    indexed once; each doc's postings become a dense |V|-long integer
+    vector built JVM-side (map_from_entries + transform — no Python in
+    the vector build); docs are hashed into B blocks and each of the
+    B·(B+1)/2 block-pair tiles is one numpy float64 matmul (the
+    embedding_cosine_neardup physical plan). float64 products of integer
+    weights are exact below 2⁵³ (w ≤ ~1e6 ⇒ dots ≤ ~1e13·|V|), so the
+    emitted dot LONGS are exact; the in-tile prefilter keeps every pair
+    within a 1e-9 relative band of the 0.9 threshold and the caller's
+    decimal cross-multiplication gate makes the final exact call."""
+    import numpy as np
+    import pandas as pd
+
+    spark = j.sparkSession
+    terms = sorted(r["t"] for r in j.select("t").distinct().collect())
+    V = len(terms)
+    if V == 0:
+        return spark.createDataFrame([], "a_id bigint, b_id bigint, dot bigint")
+    tdf = F.broadcast(
+        spark.createDataFrame(
+            [(t, i) for i, t in enumerate(terms)], "t string, _ti int"
+        )
+    )
+    vecs = (
+        j.join(tdf, "t")
+        .groupBy("doc_id")
+        .agg(F.map_from_entries(F.collect_list(F.struct("_ti", "w"))).alias("m"))
+        .select(
+            "doc_id",
+            F.transform(
+                F.sequence(F.lit(0), F.lit(V - 1)),
+                lambda i: F.coalesce(F.col("m")[i], F.lit(0)).cast("double"),
+            ).alias("vec"),
+        )
+        .join(norms, "doc_id")
+        .select(
+            F.pmod(F.xxhash64("doc_id"), F.lit(num_blocks)).cast("int").alias("blk"),
+            "doc_id",
+            "vec",
+            F.col("n2").cast("double").alias("n2d"),
+        )
+    )
+    blocks = vecs.groupBy("blk").agg(
+        F.collect_list(F.struct("doc_id", "vec", "n2d")).alias("items")
+    )
+    tiles = (
+        blocks.select(F.col("blk").alias("x_blk"), F.col("items").alias("x_items"))
+        .join(
+            blocks.select(F.col("blk").alias("y_blk"), F.col("items").alias("y_items")),
+            F.col("x_blk") <= F.col("y_blk"),
+        )
+        .repartition(num_blocks * (num_blocks + 1) // 2)
+    )
+
+    def tile_dots(batches):
+        def unpack(items):
+            ids = np.fromiter((it["doc_id"] for it in items), dtype=np.int64)
+            mat = np.vstack([np.asarray(it["vec"], dtype=np.float64) for it in items])
+            n2 = np.fromiter((it["n2d"] for it in items), dtype=np.float64)
+            return ids, mat, n2
+
+        for batch in batches:
+            for _, row in batch.iterrows():
+                x_ids, x_mat, x_n2 = unpack(row["x_items"])
+                if row["x_blk"] == row["y_blk"]:
+                    y_ids, y_mat, y_n2 = x_ids, x_mat, x_n2
+                else:
+                    y_ids, y_mat, y_n2 = unpack(row["y_items"])
+                dots = x_mat @ y_mat.T
+                # conservative prefilter: 100·d² ≥ 81·na2·nb2·(1−1e-9);
+                # the float relative error of three exact-int products is
+                # <1e-15, far inside the margin — no true pair drops
+                keep = (100.0 * dots * dots) >= (
+                    81.0 * np.outer(x_n2, y_n2) * (1.0 - 1e-9)
+                )
+                if row["x_blk"] == row["y_blk"]:
+                    keep &= x_ids[:, None] < y_ids[None, :]
+                    ii, jj = np.nonzero(keep)
+                    a, b = x_ids[ii], y_ids[jj]
+                else:
+                    ii, jj = np.nonzero(keep)
+                    a = np.minimum(x_ids[ii], y_ids[jj])
+                    b = np.maximum(x_ids[ii], y_ids[jj])
+                yield pd.DataFrame(
+                    {
+                        "a_id": a,
+                        "b_id": b,
+                        "dot": np.rint(dots[ii, jj]).astype(np.int64),
+                    }
+                )
+
+    return tiles.mapInPandas(tile_dots, "a_id bigint, b_id bigint, dot bigint")
+
+
+
+
 @register(
     "sparse_tfidf_neardup",
     f"""WITH {CORPUS_SQL},
@@ -537,18 +637,36 @@ def sparse_tfidf_neardup(
       puts norm mass in rare terms, so the high-df fan-out bombs land in
       the unindexed suffix — on Zipf vocabularies candidates collapse to
       ~output size.
-    * ``auto`` is a TWO-STAGE measured gate: below 5e7 naive-join rows
-      (Σ df'², one term-level agg) naive always wins; above that it also
-      computes the would-be prefix-join size (Σ np·nf — running the
-      prefix window, which is the prefix plan's own prep) and demands an
-      8× reduction before switching, so the prefix machinery only
-      engages where its candidate pruning actually bites. Measured at
-      10× sf0.1 — a corpus whose synthetic ~31-word vocabulary is
-      ADVERSARIAL for any inverted index (no rare terms exist, 65M
-      candidates for 58k true pairs): naive 515 s, prefix 406 s (ratio
-      4×, below the 8× bar → gate keeps naive); on Zipf vocabularies
-      prefix candidates collapse to ~output size and the gate flips.
-      Both strategies are exact, so the choice never touches the oracle.
+    * ``dense``: for RARE-TERM-FREE corpora (tiny vocabulary), where
+      every inverted-index method degenerates toward all-pairs — each
+      doc becomes a |V|-dimensional DENSE integer vector and pairwise
+      dots are computed as block-tile numpy matmuls (the
+      embedding_cosine_neardup physical shape: B·(B+1)/2 tiles, each one
+      task, each pair in exactly one tile). float64 dots of integer
+      weights are EXACT below 2⁵³, an in-tile conservative margin keeps
+      every possible ≥0.9 pair, and the same decimal cross-multiplication
+      gate decides exactly — so this path is exact too. A 31-term corpus
+      at the 10× probe: 147 s (naive) → ~20 s. LSH is deliberately NOT
+      the fallback here: with a tiny vocabulary token-set Jaccard ≈ 1
+      for all pairs (every doc holds every term — one giant bucket) and
+      random-hyperplane cosine-LSH can't separate all-positive vectors
+      (they share an orthant, so cross-pair cosine is uniformly high);
+      both would degenerate or lose recall, while the tile matmul is
+      compute-bound BLAS, embarrassingly parallel, and exact.
+    * ``auto`` is a measured gate: below 5e7 naive-join rows (Σ df'²,
+      one term-level agg) naive always wins; above that, a vocabulary
+      check (distinct shared terms ≤ 4096) routes to ``dense``;
+      otherwise it computes the would-be prefix-join size (Σ np·nf —
+      running the prefix window, which is the prefix plan's own prep)
+      and demands an 8× reduction before switching, so the prefix
+      machinery only engages where its candidate pruning actually bites.
+      Measured at 10× sf0.1 — a corpus whose synthetic ~31-word
+      vocabulary is ADVERSARIAL for any inverted index (no rare terms
+      exist, 65M candidates for 58k true pairs): naive 515 s, prefix
+      406 s (ratio 4×, below the 8× bar); the vocab check now sends this
+      corpus down the dense path. On Zipf vocabularies prefix candidates
+      collapse to ~output size and the gate flips to prefix. All
+      strategies are exact, so the choice never touches the oracle.
 
     Shared bounds: stopword pruning (df > N/4 dropped from weights
     entirely) and singleton skipping (df = 1 can't be shared; shared
@@ -572,7 +690,14 @@ def sparse_tfidf_neardup(
         .filter(F.col("df") * 4 <= F.col("n_docs"))
         .select("doc_id", "t", "df", F.expr("tf * (n_docs div df)").alias("w"))
     )
-    norms = w.groupBy("doc_id").agg(F.sum(F.col("w") * F.col("w")).alias("n2"))
+    # norms feeds BOTH sides of the final gate join (and the dense path's
+    # tile prefilter) — DataFrame plans have no common-subtree elimination,
+    # so without a persist each reference re-runs the full token scan +
+    # tf/df joins (measured ~10 s per extra reference at the 10× probe).
+    # One (doc_id, n2) row per doc: tiny cache, released by the harness.
+    norms = w.groupBy("doc_id").agg(
+        F.sum(F.col("w") * F.col("w")).alias("n2")
+    ).persist()
     j = w.filter(F.col("df") >= 2)
 
     def build_prefix():
@@ -608,6 +733,12 @@ def sparse_tfidf_neardup(
         )
         if full_rows is None or int(full_rows) < 5e7:
             strategy = "naive"
+        elif nf.limit(4097).count() <= 4096:
+            # rare-term-free corpus: the naive join is quadratic in df and
+            # the prefix filter can't prune (no rare head exists) — but a
+            # ≤4096-term vocabulary means dense |V|-dim vectors fit a
+            # block-tile matmul comfortably (4096 doubles = 32 KB/doc)
+            strategy = "dense"
         else:
             # prefix-join size estimated on a 1% doc sample (see the
             # jaccard twin: sorting only sampled docs keeps the gate
@@ -651,6 +782,10 @@ def sparse_tfidf_neardup(
             .groupBy("a_id", "b_id")
             .agg(F.sum(F.col("wa") * F.col("wb")).alias("dot"))
         )
+    elif strategy == "dense":
+        if not j.is_cached:
+            j = j.persist()  # term-dictionary collect + vector build both read it
+        dots = _dense_cosine_dots(j, norms)
     else:
         if pre is None:
             pre = build_prefix()

@@ -619,6 +619,21 @@ def test_tfidf_prefix_strategy_matches_naive(spark, sf_dir):
     assert naive == prefix and naive
 
 
+def test_tfidf_dense_strategy_matches_naive(spark, sf_dir):
+    """The rare-term-free block-tile matmul path is EXACT: float64 dots
+    of integer weights are exact below 2^53 and the decimal gate makes
+    the final call — output must equal the naive inverted-index join."""
+    from dbimport_spark.plans.text_queries import sparse_tfidf_neardup
+
+    naive = {
+        tuple(r) for r in sparse_tfidf_neardup(spark, sf_dir, strategy="naive").collect()
+    }
+    dense = {
+        tuple(r) for r in sparse_tfidf_neardup(spark, sf_dir, strategy="dense").collect()
+    }
+    assert naive == dense and naive
+
+
 def test_cosine_gate_exact_at_every_magnitude(spark):
     """The cos≥0.9 cross-multiplication gate must agree with
     arbitrary-precision integer math even where decimal(38) overflows —

@@ -192,3 +192,82 @@ def test_stream_interval_join_matches_batch(spark, sf_dir):
         ).collect()
     }
     assert got == want and want
+
+
+def test_multifile_watermark_advancement(spark, tmp_path):
+    """Multi-file source semantics (r4 VERDICT item 8): with
+    maxFilesPerTrigger=1 each file is its own micro-batch (ordered by
+    modification time), so the watermark advances BETWEEN files. Pins
+    the cross-file watermark lifecycle the single-file availableNow
+    queries never exercise:
+
+    * watermark progression is per-batch: 1970 -> 9:40 -> 12:30 -> 14:00
+      (each batch runs under the PREVIOUS batch's watermark);
+    * an append-mode window is finalized (emitted once) when a later
+      file pushes the watermark past its end;
+    * a late row arriving AFTER its window was finalized+evicted is
+      dropped (f4's 10:30 row under watermark 14:00);
+    * a window the watermark never passes (15:00) is not emitted.
+
+    Note the boundary Spark actually implements: a late row arriving in
+    the SAME batch that finalizes its window is still admitted (state is
+    flushed at end-of-batch, input filtering uses the batch's incoming
+    watermark only for already-evicted windows) — which is why f4, not
+    f3, carries the late row."""
+    import os
+    import time
+
+    src = tmp_path / "multi"
+    src.mkdir()
+
+    def write_file(name, rows, mtime):
+        p = str(src / name)
+        spark.createDataFrame(rows, "ts timestamp, v long").coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(p)
+        for root, _dirs, files in os.walk(p):
+            for f in files:
+                os.utime(os.path.join(root, f), (mtime, mtime))
+        os.utime(p, (mtime, mtime))
+
+    import datetime as dt
+
+    D = lambda h, m=0: dt.datetime(2024, 1, 1, h, m)
+    t0 = time.time() - 100
+    write_file("f1", [(D(10, 0), 1), (D(10, 20), 2), (D(10, 40), 3)], t0)
+    write_file("f2", [(D(13, 0), 4), (D(13, 30), 5)], t0 + 10)  # wm -> 12:30
+    write_file("f3", [(D(15, 0), 6)], t0 + 20)  # wm -> 14:00, flushes 10:00
+    write_file("f4", [(D(10, 30), 99), (D(15, 10), 7)], t0 + 30)  # late row
+
+    stream = (
+        spark.readStream.schema("ts timestamp, v long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "*"))
+    )
+    agg = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour"))
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("v").alias("sv"))
+        .select(F.col("window").start.alias("ws"), "n", "sv")
+    )
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("multi_wm")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.processAllAvailable()
+    wms = [
+        p["eventTime"].get("watermark")
+        for p in q.recentProgress
+        if p["numInputRows"] > 0
+    ]
+    q.stop()
+    # one micro-batch per file, watermark strictly advancing across them
+    assert len(wms) == 4
+    assert wms == sorted(wms) and len(set(wms)) == 4
+    got = {r["ws"]: (r["n"], r["sv"]) for r in spark.sql("SELECT * FROM multi_wm").collect()}
+    # 10:00 finalized without the (post-eviction) late row; 13:00
+    # finalized by f4; 15:00 never finalized -> absent
+    assert got == {D(10, 0): (3, 6), D(13, 0): (2, 9)}
