@@ -81,14 +81,16 @@ def connected_components(
         # probe is a filter on the already-joined result — one join per
         # round instead of two (the probe re-join was measurably ~25% of
         # round cost and grows with the label set at scale).
-        # Eager localCheckpoint per round: materializes the round FULLY
-        # (a lazy persist + limit(1) probe left partitions unfilled and
-        # recomputed the whole chain at consumption) and keeps the next
-        # round's plan anchored at a leaf instead of nesting this round's
-        # joins — without the cut the label plan doubles per round
-        # (labels appears twice in the round expression), giving 2^r
-        # planning blowup. Old rounds' blocks are freed by the
-        # ContextCleaner when the previous DataFrame goes out of scope.
+        # localCheckpoint per round + a FULL-count convergence probe: the
+        # count computes every partition, so the checkpoint is completely
+        # filled each round (an earlier persist + limit(1) probe left
+        # partitions unfilled and recomputed the whole chain at
+        # consumption), and the next round's plan anchors at a leaf
+        # instead of nesting this round's joins — without the cut the
+        # label plan doubles per round (labels appears twice in the round
+        # expression), giving 2^r planning blowup. Old rounds' blocks are
+        # freed by the ContextCleaner when the DataFrame goes out of
+        # scope.
         new_labels = (
             labels.join(nbr_min, "node", "left")
             .select(
@@ -145,7 +147,7 @@ def label_propagation(
     sym = edges.select(F.col("lo").alias("node"), F.col("hi").alias("nbr")).unionAll(
         edges.select(F.col("hi").alias("node"), F.col("lo").alias("nbr"))
     )
-    # Eager localCheckpoint, not persist: cuts the pair generator's deep
+    # localCheckpoint, not persist: cuts the pair generator's deep
     # plan tree (see connected_components) so each round plans against a
     # LogicalRDD leaf, and pre-partitions on the per-round join keys.
     sym = sym.repartition("nbr").localCheckpoint()
