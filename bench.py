@@ -131,6 +131,9 @@ HEADLINE = [
     "multimodal_jpeg_progressive",
     "audio_flac_stereo",
     "multimodal_container_sweep",
+    "decontam_minhash",
+    "dedup_containment",
+    "text_bm25_topk",
 ]
 
 

@@ -67,7 +67,7 @@ def _cap_buckets(exploded: DataFrame, keys: list[str], cap: int | None) -> DataF
     # 64-column signature rows instead was measured 2-4× slower per bench
     # run (wide columnar cache materialization on every run), while this
     # is a few longs per row and makes the expensive signature agg compute
-    # exactly once. Eager localCheckpoint rather than persist: it also
+    # exactly once. localCheckpoint rather than persist: it also
     # CUTS THE LOGICAL PLAN at this point, so the three consumers embed a
     # LogicalRDD leaf instead of three copies of the 64-expression
     # signature-aggregation tree — downstream consumers (verify, CC,
@@ -138,10 +138,9 @@ def verify_jaccard(
     under the corpus after banding + the skew valve). The per-doc size
     aggregation runs on the pruned set too, not the corpus.
 
-    ``candidates`` is materialized with an eager localCheckpoint (three
-    consumers: the doc-list build and both pair joins) — the lineage cut
-    keeps the self-join tree from appearing three times in the final
-    plan."""
+    ``candidates`` is localCheckpoint-ed (three consumers: the doc-list
+    build and both pair joins) — the lineage cut keeps the self-join
+    tree from appearing three times in the final plan."""
     candidates = candidates.localCheckpoint()
     cand_docs = (
         candidates.select(F.col("a_id").alias(doc_col))
@@ -297,6 +296,7 @@ def lsh_probe_candidates(
     num_hashes: int = 64,
     bands: int = 16,
     max_bucket_size: int | None = None,
+    broadcast_batch: bool = False,
 ) -> DataFrame:
     """Incremental-ingest LSH probe: candidate pairs between a NEW batch
     and an existing indexed corpus — the bucket join runs batch×index
@@ -309,7 +309,13 @@ def lsh_probe_candidates(
     Returns (a_id=index doc, b_id=batch doc) distinct candidates. At real
     scale index_sigs is a PERSISTED table maintained across ingests
     (signatures are append-only per doc); here both sides derive from the
-    same corpus to keep the query self-contained."""
+    same corpus to keep the query self-contained.
+
+    ``broadcast_batch=True`` broadcasts the banded batch side — the shape
+    for decontamination probes, where the batch is a fixed eval suite
+    (thousands of docs, bands× rows) and the index is the full training
+    corpus: the bucket join then runs map-side against each index
+    partition with NO shuffle of the corpus bands."""
     rows_per_band = num_hashes // bands
 
     def banded(sigs: DataFrame, out: str) -> DataFrame:
@@ -329,6 +335,8 @@ def lsh_probe_candidates(
     idx = banded(index_sigs, "a_id")
     new = banded(batch_sigs, "b_id")
     idx = _cap_buckets(idx, ["band", "bh"], max_bucket_size)
+    if broadcast_batch:
+        new = F.broadcast(new)
     return (
         new.join(idx, ["band", "bh"])
         .select("a_id", "b_id")

@@ -1909,3 +1909,60 @@ def multimodal_av_demux(spark: SparkSession, sf_dir: str) -> DataFrame:
         "media_id bigint, n_frames int, fps int, sr int, "
         "sum_r bigint, n_samples int, audio_sum bigint",
     )
+
+
+# ---------------------------------------------------------------------------
+# decontam_minhash — fuzzy benchmark decontamination (train×eval LSH probe)
+
+
+@register(
+    "decontam_minhash",
+    f"""WITH {CORPUS_SQL}, {SHINGLES_SQL},
+sizes AS (SELECT doc_id, count(*) AS n FROM shingles GROUP BY doc_id),
+inter AS (
+  SELECT t.doc_id AS train_id, e.doc_id AS eval_id, count(*) AS n_both
+  FROM shingles t JOIN shingles e ON t.s = e.s
+  WHERE t.doc_id % 97 <> 0 AND e.doc_id % 97 = 0
+  GROUP BY t.doc_id, e.doc_id
+)
+SELECT train_id, eval_id,
+       n_both * 1.0 / (st.n + se.n - n_both) AS jaccard
+FROM inter JOIN sizes st ON st.doc_id = train_id
+           JOIN sizes se ON se.doc_id = eval_id
+WHERE n_both * 1.0 / (st.n + se.n - n_both) >= 0.9""",
+)
+def decontam_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FUZZY decontamination: flag training docs whose trigram-shingle
+    Jaccard against any eval-suite doc is >= 0.9 — the near-duplicate
+    complement of decontam_ngram_overlap's exact-n-gram test (real
+    pipelines run both: exact overlap catches verbatim quotes, MinHash
+    catches lightly paraphrased / whitespace-mangled benchmark leakage).
+    Eval suite = doc_id % 97 == 0 over the planted corpus (the planted
+    near-dup of an eval doc lands in train: 1000000 % 97 != 0, so the
+    output provably contains those cross-split pairs).
+
+    Scale shape (reference: the dedup family contract, SURVEY.md §2.4;
+    beyond-reference LLM-pipeline surface): eval suites are tiny and
+    FIXED while the training corpus is the 100 TB side, so the banded
+    eval signatures are BROADCAST (lsh_probe_candidates broadcast_batch)
+    and the corpus bands stream map-side through the bucket join — no
+    corpus shuffle, no index×index work, exactly the incremental-probe
+    shape. Candidates then get the exact-Jaccard verify (semi-join
+    pruned to candidate docs only). With 64 hashes / 16 bands the miss
+    probability at Jaccard 0.9 is (1-0.9^4)^16 ≈ 2e-9, so the output
+    equals the exact all-pairs oracle."""
+    sh = shingles_df(spark, sf_dir)
+    is_eval = F.col("doc_id") % 97 == 0
+    sigs = textdedup.minhash_signatures(sh).localCheckpoint()
+    cands = textdedup.lsh_probe_candidates(
+        sigs.filter(~is_eval),
+        sigs.filter(is_eval),
+        max_bucket_size=1000,
+        broadcast_batch=True,
+    )
+    pairs = textdedup.verify_jaccard(cands, sh, threshold=0.9)
+    return pairs.select(
+        F.col("a_id").alias("train_id"),
+        F.col("b_id").alias("eval_id"),
+        "jaccard",
+    )

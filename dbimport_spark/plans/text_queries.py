@@ -919,6 +919,10 @@ def dup_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     one span). The doc rows are repartitioned before gram generation so
     the HOF-heavy projection isn't bound to the input's file-split count."""
     corpus = corpus_df(spark, sf_dir).repartition(32)
+    # toks feeds BOTH n_words and the gram generator; grams feeds BOTH
+    # the dup-gram agg and the coverage join — without persists each
+    # extra reference re-runs the regex tokenization / the HOF gram
+    # projection (no common-subtree elimination in DataFrame plans).
     toks = corpus.select(
         "doc_id",
         F.expr(
@@ -926,7 +930,7 @@ def dup_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             "regexp_replace(text, '[^a-zA-Z0-9]+', ' '))), ' '), '')),"
             " ww -> ww)[0]"
         ).alias("w"),
-    )
+    ).persist()
     n = toks.select("doc_id", F.size("w").alias("n_words"))
     grams = toks.filter(F.size("w") >= 8).select(
         "doc_id",
@@ -936,7 +940,7 @@ def dup_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
                 " i -> xxhash64(concat_ws(' ', slice(w, i + 1, 8))))"
             )
         ).alias("pos", "g"),
-    )
+    ).persist()
     dupg = (
         grams.groupBy("g")
         .agg(F.countDistinct("doc_id").alias("nd"))
@@ -1268,4 +1272,232 @@ def dedup_span_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "  s -> s.x))"
             ).alias("clean_text"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# dedup_containment — directional near-dup containment (quote/subset pairs)
+
+
+@register(
+    "dedup_containment",
+    f"""WITH {CORPUS_SQL}, {SHINGLES_SQL},
+sizes AS (SELECT doc_id, count(*) AS n FROM shingles GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS n_both
+  FROM shingles a JOIN shingles b ON a.s = b.s AND a.doc_id <> b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT a_id, b_id,
+       CAST(n_both AS BIGINT) AS n_both,
+       CAST(sa.n AS BIGINT) AS n_a,
+       n_both * 1.0 / sa.n AS containment
+FROM inter JOIN sizes sa ON sa.doc_id = a_id
+WHERE n_both * 5 >= sa.n * 4""",
+)
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directional containment near-dup: pairs (a, b), a != b, where at
+    least 80% of a's distinct word-trigram shingles also occur in b —
+    the asymmetric complement of Jaccard dedup that catches QUOTES and
+    SUBSET documents (a short doc embedded in a long one has tiny
+    Jaccard but containment ~1; real pipelines drop the contained doc).
+    The planted corpus guarantees both directions appear: orig ⊂ planted
+    copy gives containment(orig→copy) = 1.0 and (copy→orig) = n/(n+3).
+
+    EXACT via prefix filtering (the containment analog of the Bayardo
+    prefix filter): if |A∩B| >= 0.8|A| then A has at most floor(0.2|A|)
+    shingles outside B, so ANY floor(0.2|A|)+1 of A's shingles must hit
+    B — probe with A's floor(|A|/5)+1 globally RAREST shingles (df
+    ascending; the choice only affects cost, never recall) against the
+    full posting lists, then verify candidates exactly. The corpus-sized
+    shingle table is never self-joined: the probe side is ~1/5 of it and
+    biased to short posting lists, and the verify runs on the semi-join
+    pruned candidate neighborhood only (same shape as verify_jaccard).
+    Skew story: a probe shingle with a hot posting list only arises when
+    a doc's RAREST shingles are still corpus-common (boilerplate-only
+    docs) — the LSH family (dedup_minhash_lsh) is the documented routing
+    for such corpora, as with dedup_ngram_jaccard."""
+    from pyspark.sql import Window
+
+    sh = shingles_df(spark, sf_dir).localCheckpoint()
+    dfg = sh.groupBy("s").agg(F.count(F.lit(1)).alias("_df"))
+    w = Window.partitionBy("doc_id").orderBy("_df", "s")
+    wall = Window.partitionBy("doc_id")
+    probes = (
+        sh.join(dfg, "s")
+        .select(
+            "doc_id",
+            "s",
+            F.row_number().over(w).alias("_rn"),
+            F.count(F.lit(1)).over(wall).alias("_na"),
+        )
+        .filter(F.col("_rn") <= F.floor(F.col("_na") / 5) + 1)
+        .select(F.col("doc_id").alias("a_id"), "s")
+    )
+    cands = (
+        probes.join(
+            sh.select(F.col("doc_id").alias("b_id"), "s").hint("shuffle_hash"), "s"
+        )
+        .filter(F.col("a_id") != F.col("b_id"))
+        .select("a_id", "b_id")
+        .distinct()
+        .localCheckpoint()
+    )
+    cand_docs = (
+        cands.select(F.col("a_id").alias("doc_id"))
+        .unionAll(cands.select(F.col("b_id").alias("doc_id")))
+        .distinct()
+    )
+    pruned = sh.join(F.broadcast(cand_docs), "doc_id", "left_semi").persist()
+    sizes = pruned.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    inter = (
+        pruned.select(F.col("doc_id").alias("a_id"), "s")
+        .join(F.broadcast(cands), "a_id")
+        .join(
+            pruned.select(F.col("doc_id").alias("b_id"), "s").hint("shuffle_hash"),
+            ["b_id", "s"],
+        )
+        .groupBy("a_id", "b_id")
+        .agg(F.count(F.lit(1)).alias("n_both"))
+    )
+    return (
+        inter.join(sizes.select(F.col("doc_id").alias("a_id"), F.col("n").alias("n_a")), "a_id")
+        .filter(F.col("n_both") * 5 >= F.col("n_a") * 4)
+        .select(
+            "a_id",
+            "b_id",
+            F.col("n_both").cast("bigint").alias("n_both"),
+            F.col("n_a").cast("bigint").alias("n_a"),
+            (F.col("n_both") * F.lit(1.0) / F.col("n_a")).alias("containment"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# text_bm25_topk — BM25 retrieval: eval queries against the corpus index
+
+_BM25_SCORE_SQL = """CAST(floor(
+           (((CAST(s.n - f.df AS DOUBLE) + CAST(0.5 AS DOUBLE))
+             / (CAST(f.df AS DOUBLE) + CAST(0.5 AS DOUBLE)))
+            * ((CAST(p.tf AS DOUBLE) * CAST(2.2 AS DOUBLE))
+               / (CAST(p.tf AS DOUBLE)
+                  + CAST(1.2 AS DOUBLE)
+                    * (CAST(0.25 AS DOUBLE)
+                       + (CAST(0.75 AS DOUBLE) * CAST(d.dl AS DOUBLE))
+                         / (CAST(s.total AS DOUBLE) / CAST(s.n AS DOUBLE))))))
+           * CAST(1000000.0 AS DOUBLE)) AS BIGINT)"""
+
+
+@register(
+    "text_bm25_topk",
+    f"""WITH toks AS (
+  SELECT doc_id, string_split({NORM_SQL}, ' ') AS w FROM documents
+  WHERE length({NORM_SQL}) > 0
+),
+corpus_toks AS (SELECT * FROM toks WHERE doc_id % 101 <> 0),
+postings AS (
+  SELECT doc_id, tok, count(*) AS tf
+  FROM (SELECT doc_id, unnest(w) AS tok FROM corpus_toks)
+  GROUP BY doc_id, tok
+),
+dl AS (SELECT doc_id, len(w) AS dl FROM corpus_toks),
+stats AS (SELECT count(*) AS n, CAST(sum(len(w)) AS BIGINT) AS total FROM corpus_toks),
+dfreq AS (SELECT tok, count(*) AS df FROM postings GROUP BY tok),
+qterms AS (
+  SELECT doc_id AS query_id, unnest(list_distinct(w)) AS tok
+  FROM toks WHERE doc_id % 101 = 0
+),
+contrib AS (
+  SELECT q.query_id, p.doc_id,
+         {_BM25_SCORE_SQL} AS micro
+  FROM qterms q
+  JOIN dfreq f USING (tok)
+  JOIN postings p USING (tok)
+  JOIN dl d ON d.doc_id = p.doc_id
+  CROSS JOIN stats s
+),
+scored AS (
+  SELECT query_id, doc_id, CAST(sum(micro) AS BIGINT) AS score_micro
+  FROM contrib GROUP BY query_id, doc_id
+)
+SELECT query_id, doc_id, score_micro, CAST(rnk AS INTEGER) AS rnk
+FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY score_micro DESC, doc_id
+  ) AS rnk FROM scored
+)
+WHERE rnk <= 5""",
+)
+def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-5 retrieval: each query doc (doc_id % 101 == 0) scores
+    the rest of the corpus through an inverted index; k1=1.2, b=0.75,
+    with the RATIONAL idf (N-df+0.5)/(df+0.5) — the classic ln() is a
+    monotone per-term transform whose libm rounding differs across
+    engines, while this variant keeps every arithmetic step an IEEE
+    operation on identical operands, so the doubles are bit-identical
+    in Spark and DuckDB. Per-term contributions are floored to integer
+    micros BEFORE summation (floor of an identical double is exact;
+    integer sums are order-independent), making the score and the
+    (score desc, doc_id) top-5 ranking fully deterministic cross-engine.
+
+    Scale shape: the postings index is built with ONE shuffle on
+    (doc, tok) with map-side combine; document lengths and the global
+    (N, total_len) scalars derive from the same token arrays (the
+    scalar is a broadcast 1-row cross join). The query side — an eval/
+    retrieval workload is tiny next to a 100 TB corpus — is distinct-ed
+    per query and BROADCAST twice: once against the df table to price
+    idf, once against postings to select candidate (query, doc, tf)
+    triples, so the corpus-side postings never shuffle again; the final
+    per-query top-5 is a window over the scored frame, whose size is
+    bounded by queries × docs-sharing-a-term, partitioned on query_id."""
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = d.select(
+        "doc_id",
+        F.array_remove(F.split(F.lower(F.col("text")), "[^a-z0-9]+"), "").alias("w"),
+    ).filter(F.size("w") >= 1)
+    is_q = F.col("doc_id") % 101 == 0
+    ctoks = toks.filter(~is_q)
+    postings = (
+        ctoks.select("doc_id", F.explode("w").alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dl = ctoks.select("doc_id", F.size("w").cast("bigint").alias("dl"))
+    stats = ctoks.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.size("w")).cast("bigint").alias("total"),
+    )
+    dfreq = postings.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    qterms = toks.filter(is_q).select(
+        F.col("doc_id").alias("query_id"),
+        F.explode(F.array_distinct("w")).alias("tok"),
+    )
+    qidf = dfreq.join(F.broadcast(qterms), "tok")
+    dbl = lambda c: F.col(c).cast("double")  # noqa: E731
+    idf = ((F.col("n") - F.col("df")).cast("double") + F.lit(0.5)) / (
+        dbl("df") + F.lit(0.5)
+    )
+    avgdl = dbl("total") / dbl("n")
+    tf_part = (dbl("tf") * F.lit(2.2)) / (
+        dbl("tf") + F.lit(1.2) * (F.lit(0.25) + (F.lit(0.75) * dbl("dl")) / avgdl)
+    )
+    micro = F.floor((idf * tf_part) * F.lit(1000000.0)).cast("bigint")
+    scored = (
+        postings.join(F.broadcast(qidf), "tok")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select("query_id", "doc_id", micro.alias("micro"))
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum("micro").cast("bigint").alias("score_micro"))
+    )
+    from pyspark.sql import Window
+
+    rnk = F.row_number().over(
+        Window.partitionBy("query_id").orderBy(
+            F.col("score_micro").desc(), F.col("doc_id")
+        )
+    )
+    return (
+        scored.select("query_id", "doc_id", "score_micro", rnk.alias("rnk"))
+        .filter(F.col("rnk") <= 5)
     )
