@@ -1309,17 +1309,32 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingles outside B, so ANY floor(0.2|A|)+1 of A's shingles must hit
     B — probe with A's floor(|A|/5)+1 globally RAREST shingles (df
     ascending; the choice only affects cost, never recall) against the
-    full posting lists, then verify candidates exactly. The corpus-sized
-    shingle table is never self-joined: the probe side is ~1/5 of it and
-    biased to short posting lists, and the verify runs on the semi-join
-    pruned candidate neighborhood only (same shape as verify_jaccard).
+    full posting lists. The candidate join runs on xxhash64(shingle)
+    bigints, not strings — a hash collision can only ADD a candidate,
+    which the exact verify then rejects, so the shortcut costs nothing.
+    Candidates are then size-pruned (containment >= 0.8 forces
+    n_b >= 0.8*n_a) and verified exactly by one of two strategies:
+
+    * map-side (taken when the candidate docs' shingle sets fit a
+      broadcast): the per-doc shingle-STRING sets ship to every task and
+      an Arrow-batched kernel streams the pair list through set
+      intersection — the only shuffle is the 16-byte pair ids. This is
+      the verify twin of the decontamination probe shape.
+    * join-side (the general 100 TB path, same shape as verify_jaccard):
+      semi-join prune the shingle table to candidate docs, explode pairs
+      against a-shingles, shuffle-hash join b-postings, count matches.
+
     Skew story: a probe shingle with a hot posting list only arises when
     a doc's RAREST shingles are still corpus-common (boilerplate-only
     docs) — the LSH family (dedup_minhash_lsh) is the documented routing
     for such corpora, as with dedup_ngram_jaccard."""
     from pyspark.sql import Window
 
-    sh = shingles_df(spark, sf_dir).localCheckpoint()
+    # persist, not localCheckpoint: sh has ~5 references but they all sit
+    # inside ONE action's plan and the columnar cache scan wins (the
+    # round-5 rule of thumb in NOTES.md); the candidate PAIR list below is
+    # the many-downstream-plans barrier that gets the eager checkpoint.
+    sh = shingles_df(spark, sf_dir).persist()
     dfg = sh.groupBy("s").agg(F.count(F.lit(1)).alias("_df"))
     w = Window.partitionBy("doc_id").orderBy("_df", "s")
     wall = Window.partitionBy("doc_id")
@@ -1327,20 +1342,30 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         sh.join(dfg, "s")
         .select(
             "doc_id",
-            "s",
+            F.xxhash64("s").alias("_h"),
             F.row_number().over(w).alias("_rn"),
             F.count(F.lit(1)).over(wall).alias("_na"),
         )
         .filter(F.col("_rn") <= F.floor(F.col("_na") / 5) + 1)
-        .select(F.col("doc_id").alias("a_id"), "s")
+        .select(F.col("doc_id").alias("a_id"), "_h", F.col("_na").alias("n_a"))
     )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     cands = (
         probes.join(
-            sh.select(F.col("doc_id").alias("b_id"), "s").hint("shuffle_hash"), "s"
+            sh.select(F.col("doc_id").alias("b_id"), F.xxhash64("s").alias("_h")).hint(
+                "shuffle_hash"
+            ),
+            "_h",
         )
         .filter(F.col("a_id") != F.col("b_id"))
-        .select("a_id", "b_id")
+        .select("a_id", "b_id", "n_a")
         .distinct()
+        .join(
+            F.broadcast(sizes.select(F.col("doc_id").alias("b_id"), F.col("n").alias("_nb"))),
+            "b_id",
+        )
+        .filter(F.col("_nb") * 5 >= F.col("n_a") * 4)
+        .select("a_id", "b_id", "n_a")
         .localCheckpoint()
     )
     cand_docs = (
@@ -1348,11 +1373,47 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(cands.select(F.col("b_id").alias("doc_id")))
         .distinct()
     )
+    n_cand_docs = cand_docs.count()
+    containment = F.col("n_both") * F.lit(1.0) / F.col("n_a")
+    if n_cand_docs <= 2_000_000:
+        # Map-side verify: per-doc shingle sets are small enough to ship
+        # to every task (candidate docs × avg shingles; gate at 2M docs ≈
+        # low-GB broadcast). The pair list streams through an Arrow
+        # kernel; no shingle ever shuffles.
+        import pandas as pd
+
+        doc_sets = {
+            r["doc_id"]: frozenset(r["ss"])
+            for r in sh.join(F.broadcast(cand_docs), "doc_id", "left_semi")
+            .groupBy("doc_id")
+            .agg(F.collect_list("s").alias("ss"))
+            .collect()
+        }
+        bsets = spark.sparkContext.broadcast(doc_sets)
+
+        def kernel(batches):
+            ds = bsets.value
+            for pdf in batches:
+                n_both = [
+                    len(ds[a] & ds[b]) for a, b in zip(pdf["a_id"], pdf["b_id"])
+                ]
+                out = pdf.assign(n_both=pd.Series(n_both, index=pdf.index))
+                yield out[out["n_both"] * 5 >= out["n_a"] * 4]
+
+        inter = cands.mapInPandas(
+            kernel, "a_id bigint, b_id bigint, n_a bigint, n_both bigint"
+        )
+        return inter.select(
+            "a_id",
+            "b_id",
+            F.col("n_both").cast("bigint").alias("n_both"),
+            F.col("n_a").cast("bigint").alias("n_a"),
+            containment.alias("containment"),
+        )
     pruned = sh.join(F.broadcast(cand_docs), "doc_id", "left_semi").persist()
-    sizes = pruned.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     inter = (
         pruned.select(F.col("doc_id").alias("a_id"), "s")
-        .join(F.broadcast(cands), "a_id")
+        .join(F.broadcast(cands.select("a_id", "b_id")), "a_id")
         .join(
             pruned.select(F.col("doc_id").alias("b_id"), "s").hint("shuffle_hash"),
             ["b_id", "s"],
@@ -1368,7 +1429,7 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
             "b_id",
             F.col("n_both").cast("bigint").alias("n_both"),
             F.col("n_a").cast("bigint").alias("n_a"),
-            (F.col("n_both") * F.lit(1.0) / F.col("n_a")).alias("containment"),
+            containment.alias("containment"),
         )
     )
 
@@ -1440,16 +1501,29 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer sums are order-independent), making the score and the
     (score desc, doc_id) top-5 ranking fully deterministic cross-engine.
 
-    Scale shape: the postings index is built with ONE shuffle on
-    (doc, tok) with map-side combine; document lengths and the global
-    (N, total_len) scalars derive from the same token arrays (the
-    scalar is a broadcast 1-row cross join). The query side — an eval/
-    retrieval workload is tiny next to a 100 TB corpus — is distinct-ed
-    per query and BROADCAST twice: once against the df table to price
-    idf, once against postings to select candidate (query, doc, tf)
-    triples, so the corpus-side postings never shuffle again; the final
-    per-query top-5 is a window over the scored frame, whose size is
-    bounded by queries × docs-sharing-a-term, partitioned on query_id."""
+    Scale shape — two strategies behind a vocabulary gate, both exact
+    (per-(term, doc) micros are query-independent, so both sum the same
+    integers):
+
+    * dense (vocab <= 2048 and the query workload collectable, which is
+      THIS corpus: 31 distinct words, so every query term matches ~80%
+      of all docs and any postings-join plan is inherently quadratic in
+      (queries × docs) SHUFFLED rows — the 10× probe measured 38× on
+      the sparse plan): per-doc integer micro VECTORS are computed in an
+      Arrow kernel straight from the token arrays and multiplied against
+      the broadcast query indicator matrix (BLAS matmul, proven exact:
+      every product and partial sum is an integer below 2^53, checked
+      from the idf bound at build time with an int64 fallback); each
+      block emits only its per-query top-5, so NOTHING quadratic ever
+      shuffles — the cross-block merge is queries × 5 × blocks rows.
+      The same corpus-shape gate and block-tile strategy as
+      sparse_tfidf_neardup's dense path.
+    * sparse (the general Zipfian-corpus path): postings built with ONE
+      shuffle on (doc, tok) with map-side combine; the tiny query side
+      is BROADCAST twice (df pricing, postings selection) so the
+      corpus-side postings never shuffle again; per-query top-5 is a
+      window partitioned on query_id over the scored frame, bounded by
+      queries × docs-sharing-a-term."""
     d = load(spark, sf_dir, "documents").select("doc_id", "text")
     toks = d.select(
         "doc_id",
@@ -1468,6 +1542,95 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.size("w")).cast("bigint").alias("total"),
     )
     dfreq = postings.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+
+    from pyspark.sql import Window
+
+    rnk = F.row_number().over(
+        Window.partitionBy("query_id").orderBy(
+            F.col("score_micro").desc(), F.col("doc_id")
+        )
+    )
+
+    vocab_rows = dfreq.limit(2049).collect()
+    if len(vocab_rows) <= 2048:
+        import numpy as np
+        import pandas as pd
+
+        n, total = stats.collect()[0]
+        vocab = sorted((r["tok"], r["df"]) for r in vocab_rows)
+        tok_ix = {t: i for i, (t, _) in enumerate(vocab)}
+        nv = len(vocab)
+        dfv = np.array([df for _, df in vocab], dtype=np.float64)
+        # identical op tree to the SQL oracle, elementwise float64
+        idf_v = ((np.float64(n) - dfv) + np.float64(0.5)) / (dfv + np.float64(0.5))
+        avg = np.float64(total) / np.float64(n)
+        # tf_part < 2.2, so sum-of-micros is bounded by sum(floor(idf*2.2e6));
+        # below 2^53 every BLAS float64 product/partial-sum is an exact
+        # integer — otherwise fall back to (slower) int64 matmul
+        exact_f64 = float(np.floor(idf_v * 2.2 * 1e6).sum()) < 2.0**53
+        qrows = toks.filter(is_q).select("doc_id", "w").collect()
+        qids = np.array([r["doc_id"] for r in qrows], dtype=np.int64)
+        qind = np.zeros((nv, len(qrows)), dtype=np.float64 if exact_f64 else np.int64)
+        for j, r in enumerate(qrows):
+            for t in set(r["w"]):
+                i = tok_ix.get(t)
+                if i is not None:
+                    qind[i, j] = 1
+        bq = spark.sparkContext.broadcast((qids, qind, idf_v, float(avg), nv, tok_ix))
+
+        def kernel(batches):
+            qids_, qind_, idf_, avg_, nv_, ix_ = bq.value
+            for pdf in batches:
+                nd = len(pdf)
+                if nd == 0 or len(qids_) == 0:
+                    continue
+                tf = np.zeros((nd, nv_), dtype=np.float64)
+                dl_ = np.empty(nd, dtype=np.float64)
+                docs = pdf["doc_id"].to_numpy(dtype=np.int64)
+                for r, ws in enumerate(pdf["w"]):
+                    dl_[r] = len(ws)
+                    row = tf[r]
+                    for t in ws:
+                        row[ix_[t]] += 1.0
+                k_d = np.float64(1.2) * (
+                    np.float64(0.25) + (np.float64(0.75) * dl_) / np.float64(avg_)
+                )
+                micro = np.floor(
+                    (idf_[None, :] * ((tf * np.float64(2.2)) / (tf + k_d[:, None])))
+                    * np.float64(1e6)
+                )
+                if qind_.dtype == np.int64:
+                    micro = micro.astype(np.int64)
+                    matched = (tf > 0).astype(np.int64)
+                else:
+                    matched = (tf > 0).astype(np.float64)
+                scores = micro @ qind_  # docs × queries, exact integers
+                nmatch = matched @ qind_
+                out_q, out_d, out_s = [], [], []
+                for j in range(len(qids_)):
+                    valid = np.nonzero(nmatch[:, j] > 0)[0]
+                    if valid.size == 0:
+                        continue
+                    order = np.lexsort((docs[valid], -scores[valid, j]))[:5]
+                    pick = valid[order]
+                    out_q.extend([qids_[j]] * len(pick))
+                    out_d.extend(docs[pick])
+                    out_s.extend(scores[pick, j])
+                yield pd.DataFrame(
+                    {
+                        "query_id": np.array(out_q, dtype=np.int64),
+                        "doc_id": np.array(out_d, dtype=np.int64),
+                        "score_micro": np.array(out_s, dtype=np.int64),
+                    }
+                )
+
+        block_top = ctoks.mapInPandas(
+            kernel, "query_id bigint, doc_id bigint, score_micro bigint"
+        )
+        return block_top.select(
+            "query_id", "doc_id", "score_micro", rnk.alias("rnk")
+        ).filter(F.col("rnk") <= 5)
+
     qterms = toks.filter(is_q).select(
         F.col("doc_id").alias("query_id"),
         F.explode(F.array_distinct("w")).alias("tok"),
@@ -1489,13 +1652,6 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "doc_id", micro.alias("micro"))
         .groupBy("query_id", "doc_id")
         .agg(F.sum("micro").cast("bigint").alias("score_micro"))
-    )
-    from pyspark.sql import Window
-
-    rnk = F.row_number().over(
-        Window.partitionBy("query_id").orderBy(
-            F.col("score_micro").desc(), F.col("doc_id")
-        )
     )
     return (
         scored.select("query_id", "doc_id", "score_micro", rnk.alias("rnk"))
