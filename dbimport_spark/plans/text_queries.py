@@ -1551,78 +1551,124 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
 
-    vocab_rows = dfreq.limit(2049).collect()
-    if len(vocab_rows) <= 2048:
+    vocab_rows = dfreq.limit(65537).collect()
+    if len(vocab_rows) <= 65536 and toks.filter(is_q).count() <= 100_000:
         import numpy as np
         import pandas as pd
 
         n, total = stats.collect()[0]
-        vocab = sorted((r["tok"], r["df"]) for r in vocab_rows)
-        tok_ix = {t: i for i, (t, _) in enumerate(vocab)}
-        nv = len(vocab)
-        dfv = np.array([df for _, df in vocab], dtype=np.float64)
-        # identical op tree to the SQL oracle, elementwise float64
-        idf_v = ((np.float64(n) - dfv) + np.float64(0.5)) / (dfv + np.float64(0.5))
-        avg = np.float64(total) / np.float64(n)
-        # tf_part < 2.2, so sum-of-micros is bounded by sum(floor(idf*2.2e6));
-        # below 2^53 every BLAS float64 product/partial-sum is an exact
-        # integer — otherwise fall back to (slower) int64 matmul
-        exact_f64 = float(np.floor(idf_v * 2.2 * 1e6).sum()) < 2.0**53
+        df_map = {r["tok"]: r["df"] for r in vocab_rows}
         qrows = toks.filter(is_q).select("doc_id", "w").collect()
         qids = np.array([r["doc_id"] for r in qrows], dtype=np.int64)
-        qind = np.zeros((nv, len(qrows)), dtype=np.float64 if exact_f64 else np.int64)
+        q_post: dict = {}
         for j, r in enumerate(qrows):
             for t in set(r["w"]):
-                i = tok_ix.get(t)
-                if i is not None:
-                    qind[i, j] = 1
-        bq = spark.sparkContext.broadcast((qids, qind, idf_v, float(avg), nv, tok_ix))
+                if t in df_map:
+                    q_post.setdefault(t, []).append(j)
+        q_post = {t: np.array(js, dtype=np.int64) for t, js in q_post.items()}
+        bq = spark.sparkContext.broadcast((qids, q_post, df_map, int(n), int(total)))
+        CHUNK = 2048
 
         def kernel(batches):
-            qids_, qind_, idf_, avg_, nv_, ix_ = bq.value
+            qids_, qpost_, dfm_, n_, total_ = bq.value
+            nq = len(qids_)
+            if nq == 0:
+                return
+            avg_ = np.float64(total_) / np.float64(n_)
             for pdf in batches:
-                nd = len(pdf)
-                if nd == 0 or len(qids_) == 0:
-                    continue
-                tf = np.zeros((nd, nv_), dtype=np.float64)
-                dl_ = np.empty(nd, dtype=np.float64)
-                docs = pdf["doc_id"].to_numpy(dtype=np.int64)
-                for r, ws in enumerate(pdf["w"]):
-                    dl_[r] = len(ws)
-                    row = tf[r]
-                    for t in ws:
-                        row[ix_[t]] += 1.0
-                k_d = np.float64(1.2) * (
-                    np.float64(0.25) + (np.float64(0.75) * dl_) / np.float64(avg_)
-                )
-                micro = np.floor(
-                    (idf_[None, :] * ((tf * np.float64(2.2)) / (tf + k_d[:, None])))
-                    * np.float64(1e6)
-                )
-                if qind_.dtype == np.int64:
-                    micro = micro.astype(np.int64)
-                    matched = (tf > 0).astype(np.int64)
-                else:
-                    matched = (tf > 0).astype(np.float64)
-                scores = micro @ qind_  # docs × queries, exact integers
-                nmatch = matched @ qind_
-                out_q, out_d, out_s = [], [], []
-                for j in range(len(qids_)):
-                    valid = np.nonzero(nmatch[:, j] > 0)[0]
-                    if valid.size == 0:
+                for lo in range(0, len(pdf), CHUNK):
+                    chunk = pdf.iloc[lo : lo + CHUNK]
+                    docs = chunk["doc_id"].to_numpy(dtype=np.int64)
+                    nd = len(docs)
+                    toks_list = list(chunk["w"])
+                    # block-LOCAL vocabulary: only terms present in this
+                    # chunk get a dense column, so the matmul width is
+                    # bounded by chunk content, not the global vocab
+                    ix: dict = {}
+                    for ws in toks_list:
+                        for t in ws:
+                            if t not in ix:
+                                ix[t] = len(ix)
+                    bv = len(ix)
+                    tf = np.zeros((nd, bv), dtype=np.float64)
+                    dl_ = np.empty(nd, dtype=np.float64)
+                    for r, ws in enumerate(toks_list):
+                        dl_[r] = len(ws)
+                        row = tf[r]
+                        for t in ws:
+                            row[ix[t]] += 1.0
+                    dfv = np.empty(bv, dtype=np.float64)
+                    qind = np.zeros((bv, nq), dtype=np.float64)
+                    has_q = False
+                    for t, i in ix.items():
+                        dfv[i] = dfm_[t]
+                        js = qpost_.get(t)
+                        if js is not None:
+                            qind[i, js] = 1.0
+                            has_q = True
+                    if not has_q:
                         continue
-                    order = np.lexsort((docs[valid], -scores[valid, j]))[:5]
-                    pick = valid[order]
-                    out_q.extend([qids_[j]] * len(pick))
-                    out_d.extend(docs[pick])
-                    out_s.extend(scores[pick, j])
-                yield pd.DataFrame(
-                    {
-                        "query_id": np.array(out_q, dtype=np.int64),
-                        "doc_id": np.array(out_d, dtype=np.int64),
-                        "score_micro": np.array(out_s, dtype=np.int64),
-                    }
-                )
+                    # identical op tree to the SQL oracle, elementwise f64
+                    idf_v = ((np.float64(n_) - dfv) + np.float64(0.5)) / (
+                        dfv + np.float64(0.5)
+                    )
+                    k_d = np.float64(1.2) * (
+                        np.float64(0.25) + (np.float64(0.75) * dl_) / avg_
+                    )
+                    micro = np.floor(
+                        (idf_v[None, :] * ((tf * np.float64(2.2)) / (tf + k_d[:, None])))
+                        * np.float64(1e6)
+                    )
+                    # tf_part < 2.2 bounds sum-of-micros by
+                    # sum(floor(idf*2.2e6)); below 2^53 every BLAS f64
+                    # product/partial-sum is an exact integer — otherwise
+                    # the (slower) int64 matmul keeps exactness
+                    if float(np.floor(idf_v * 2.2 * 1e6).sum()) < 2.0**53:
+                        scores = micro @ qind
+                        nmatch = (tf > 0).astype(np.float64) @ qind
+                    else:
+                        scores = micro.astype(np.int64) @ qind.astype(np.int64)
+                        nmatch = (tf > 0).astype(np.int64) @ qind.astype(np.int64)
+                    # -1 sentinel marks non-candidates (true scores are
+                    # >= 0); np.where preserves the scores dtype, keeping
+                    # the int64 fallback exact through the sort
+                    sm = np.where(nmatch > 0, scores, -1)
+                    # ONE vectorized argpartition across all query columns,
+                    # then per-query exact (score desc, doc_id asc) resolve
+                    # over <= 16 candidates; a tie at the candidate boundary
+                    # falls back to the full column (rare), so tie-breaks
+                    # are exact even when ties spill past the partition
+                    if nd > 16:
+                        cand = np.argpartition(-sm, 15, axis=0)[:16, :]
+                    else:
+                        cand = np.tile(np.arange(nd)[:, None], (1, nq))
+                    out_q, out_d, out_s = [], [], []
+                    for j in range(nq):
+                        cj = cand[:, j]
+                        scj = sm[cj, j]
+                        if scj.max() < 0:
+                            continue
+                        order = np.lexsort((docs[cj], -scj))
+                        top = cj[order[:5]]
+                        if (
+                            nd > 16
+                            and len(top) == 5
+                            and sm[top[-1], j] == scj.min()
+                        ):
+                            valid = np.nonzero(sm[:, j] >= 0)[0]
+                            o2 = np.lexsort((docs[valid], -sm[valid, j]))[:5]
+                            top = valid[o2]
+                        top = top[sm[top, j] >= 0]
+                        out_q.extend([qids_[j]] * len(top))
+                        out_d.extend(docs[top])
+                        out_s.extend(scores[top, j])
+                    yield pd.DataFrame(
+                        {
+                            "query_id": np.array(out_q, dtype=np.int64),
+                            "doc_id": np.array(out_d, dtype=np.int64),
+                            "score_micro": np.array(out_s, dtype=np.int64),
+                        }
+                    )
 
         block_top = ctoks.mapInPandas(
             kernel, "query_id bigint, doc_id bigint, score_micro bigint"
