@@ -134,6 +134,7 @@ HEADLINE = [
     "decontam_minhash",
     "dedup_containment",
     "text_bm25_topk",
+    "stream_decontam_minhash",
 ]
 
 

@@ -108,3 +108,19 @@ def test_decontam_minhash_broadcasts_eval_side(spark, sf_dir):
         spark, sf_dir
     )._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+def test_stream_decontam_matches_batch(spark, sf_dir):
+    """The stateless streaming probe must emit exactly the batch
+    decontam_minhash pair set (same xxhash64 family, same exact
+    verify)."""
+    batch = {
+        (r.train_id, r.eval_id, r.jaccard)
+        for r in QUERIES["decontam_minhash"](spark, sf_dir).collect()
+    }
+    stream = {
+        (r.train_id, r.eval_id, r.jaccard)
+        for r in QUERIES["stream_decontam_minhash"](spark, sf_dir).collect()
+    }
+    assert stream == batch
+    assert stream, "planted eval near-dups must be flagged"
