@@ -135,6 +135,8 @@ HEADLINE = [
     "dedup_containment",
     "text_bm25_topk",
     "stream_decontam_minhash",
+    "graph_triangle_count",
+    "sketch_countmin_probe",
 ]
 
 

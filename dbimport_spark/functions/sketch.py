@@ -107,3 +107,83 @@ def heavy_hitters(items: DataFrame, item_col: str, k: int, local_cap: int = 6553
         exact.withColumn("rk", F.row_number().over(w).cast("bigint"))
         .filter(F.col("rk") <= k)
     )
+
+
+def _portable_bucket(col, row_i: int, width: int):
+    """Portable CMS bucket: first 15 hex digits of md5(f'{row}:{item}')
+    mod width. Spark and DuckDB compute the identical integer (same
+    pattern as the simhash oracle hash in functions/textdedup.py), so
+    the whole sketch — not just the final estimates — is cross-engine
+    reproducible. xxhash64 would be ~3× faster; use it in production
+    where the oracle isn't replaying the hashes."""
+    h = F.conv(F.substring(F.md5(F.concat(F.lit(f"{row_i}:"), col)), 1, 15), 16, 10)
+    return (h.cast("long") % width).alias(f"b{row_i}")
+
+
+def count_min_sketch(
+    items: DataFrame, item_col: str, depth: int = 4, width: int = 2048
+) -> DataFrame:
+    """Build a Count-Min sketch (Cormode & Muthukrishnan '05) of the item
+    stream: returns the (i, bucket, c) counter table, depth×width rows.
+
+    Why this exists next to heavy_hitters (exact top-k): CMS answers
+    POINT frequency queries with a one-sided bound (estimate >= true,
+    overshoot <= e/width · N with prob 1 - (1/2)^depth) out of O(depth ×
+    width) integers of state, INDEPENDENT of key cardinality. At 100 TB
+    the counter table is built by one hash agg whose map-side combine
+    bounds every partition's output at depth×width rows — nothing
+    cardinality-shaped ever reaches the shuffle, which is the whole
+    point: exact counting of a shingle/URL stream shuffles billions of
+    distinct keys; the sketch shuffles at most 8 K rows per partition.
+    The table is mergeable by bucket-wise addition (how partial aggs
+    combine it here, and how cross-day sketches would combine in a lake).
+    """
+    col = F.col(item_col)
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("i"), _portable_bucket(col, i, width).alias("bucket")
+            )
+            for i in range(depth)
+        ]
+    )
+    return (
+        items.select(F.explode(rows).alias("rb"))
+        .select("rb.i", "rb.bucket")
+        .groupBy("i", "bucket")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+
+
+def count_min_estimate(
+    probes: DataFrame, sketch: DataFrame, item_col: str, depth: int = 4, width: int = 2048
+) -> DataFrame:
+    """Estimate each probe item's frequency from a CMS counter table:
+    min over the depth rows of the counter each hash selects. Returns
+    the probe frame plus an ``n_cms`` column. The sketch is broadcast
+    (≤ depth×width rows by construction) so probing is map-side — no
+    shuffle of the probe set, which can itself be large (e.g. re-scoring
+    every distinct URL of a new crawl against last month's sketch).
+    Absent buckets count 0 via the coalesce (an item whose bucket nobody
+    touched has true count 0 <= estimate 0)."""
+    col = F.col(item_col)
+    exploded = probes.select(
+        "*",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("i"),
+                        _portable_bucket(col, i, width).alias("bucket"),
+                    )
+                    for i in range(depth)
+                ]
+            )
+        ).alias("rb"),
+    ).select("*", "rb.i", "rb.bucket").drop("rb")
+    joined = exploded.join(F.broadcast(sketch), ["i", "bucket"], "left")
+    keys = [c for c in probes.columns]
+    return (
+        joined.groupBy(*keys)
+        .agg(F.min(F.coalesce(F.col("c"), F.lit(0).cast("bigint"))).alias("n_cms"))
+    )

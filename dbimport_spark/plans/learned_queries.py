@@ -360,3 +360,48 @@ def _register_stream_nb():
 
 
 _register_stream_nb()
+
+
+_TRI_ORACLE = """WITH op AS MATERIALIZED (
+  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+), e AS MATERIALIZED (
+  SELECT DISTINCT x.p AS a, y.p AS b FROM op x JOIN op y ON x.o = y.o AND x.p < y.p
+), tri AS MATERIALIZED (
+  SELECT e1.a AS u, e1.b AS v, e2.b AS w
+  FROM e e1
+  JOIN e e2 ON e2.a = e1.b
+  JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+), pts AS (
+  SELECT u AS node FROM tri
+  UNION ALL SELECT v FROM tri
+  UNION ALL SELECT w FROM tri
+)
+SELECT node, CAST(count(*) AS BIGINT) AS n_tri FROM pts GROUP BY node"""
+
+
+@register("graph_triangle_count", _TRI_ORACLE)
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle counts over the part co-occurrence graph (parts
+    that appear in the same order are connected) — the local-clustering
+    primitive behind community detection, link-spam demotion, and
+    kNN-graph coherence checks on a crawl corpus.
+
+    Graph construction is itself distributed: one self-join of the
+    distinct (order, part) list on the order key yields raw co-occurrence
+    pairs (parts per order is small and bounded by basket size, so the
+    per-key blowup is quadratic only in a ~4-element group). Counting is
+    functions/graph.py triangle_counts — DEGREE-ORIENTED wedge join +
+    closure semi-join, the O(m^1.5)-bounded plan that survives power-law
+    degree skew at 100 TB; the DuckDB oracle counts the same triangles by
+    the natural a < b orientation, which provably enumerates the same
+    set (each triangle once), so per-node counts match exactly."""
+    from dbimport_spark.functions.graph import triangle_counts
+
+    l = load(spark, sf_dir, "lineitem")
+    op = l.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")).distinct()
+    pairs = (
+        op.join(op.select(F.col("o"), F.col("p").alias("p2")), "o")
+        .filter(F.col("p") < F.col("p2"))
+        .select(F.col("p").alias("src"), F.col("p2").alias("dst"))
+    )
+    return triangle_counts(pairs)

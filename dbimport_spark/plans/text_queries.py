@@ -1703,3 +1703,78 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.select("query_id", "doc_id", "score_micro", rnk.alias("rnk"))
         .filter(F.col("rnk") <= 5)
     )
+
+
+# ---------------------------------------------------------------------------
+# sketch_countmin_probe — Count-Min point-frequency estimates, exact gate
+
+
+@register(
+    "sketch_countmin_probe",
+    f"""WITH tok AS (
+  SELECT t FROM (
+    SELECT unnest(string_split({NORM_SQL}, ' ')) AS t FROM documents
+  ) WHERE t <> ''
+),
+cnt AS (SELECT t, CAST(count(*) AS BIGINT) AS n_exact FROM tok GROUP BY t),
+top AS (
+  SELECT t, n_exact,
+         CAST(row_number() OVER (ORDER BY n_exact DESC, t ASC) AS BIGINT) AS rk
+  FROM cnt QUALIFY rk <= 20
+),
+sk AS (
+  SELECT i,
+         ('0x' || substr(md5(CAST(i AS VARCHAR) || ':' || t), 1, 15))::BIGINT
+             % 2048 AS bucket,
+         CAST(count(*) AS BIGINT) AS c
+  FROM tok CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS i)
+  GROUP BY 1, 2
+)
+SELECT top.t AS token, top.n_exact, top.rk, min(sk.c) AS n_cms,
+       (min(sk.c) >= top.n_exact) AS cms_upper_ok
+FROM top
+CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS i) h
+JOIN sk ON sk.i = h.i
+       AND sk.bucket = ('0x' || substr(md5(CAST(h.i AS VARCHAR) || ':' || top.t),
+                                       1, 15))::BIGINT % 2048
+GROUP BY top.t, top.n_exact, top.rk""",
+)
+def sketch_countmin_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch point-frequency estimates for the corpus's exact
+    top-20 tokens, with the one-sided CMS guarantee surfaced as a graded
+    column (cms_upper_ok: estimate >= truth, always true by construction).
+
+    Composes the repo's two frequency sketches: heavy_hitters
+    (functions/sketch.py — mergeable-summary pruning, exact top-k)
+    selects the probes; count_min_sketch builds the depth=4 × width=2048
+    counter table in ONE hash agg whose map-side combine caps every
+    partition's shuffle output at 8 K rows regardless of vocabulary
+    size — the fixed-state property that lets a 100 TB shingle/URL
+    stream be frequency-screened without a distinct-key shuffle (exact
+    counting shuffles billions of keys; the sketch ships kilobytes).
+    Estimates probe the BROADCAST counter table map-side.
+
+    The bucket hashes are the portable md5-prefix integers (same
+    cross-engine pattern as the simhash oracle), so DuckDB rebuilds the
+    identical sketch and the oracle match is exact — estimates included,
+    overshoot and all, not just the exact counts."""
+    from dbimport_spark.functions.sketch import (
+        count_min_estimate,
+        count_min_sketch,
+        heavy_hitters,
+    )
+
+    d = load(spark, sf_dir, "documents")
+    tok = d.select(F.explode(F.split(norm_col(), " ")).alias("t")).filter(
+        F.col("t") != ""
+    ).persist()
+    probes = heavy_hitters(tok, "t", k=20).withColumnRenamed("n", "n_exact")
+    sketch = count_min_sketch(tok, "t", depth=4, width=2048)
+    est = count_min_estimate(probes, sketch, "t", depth=4, width=2048)
+    return est.select(
+        F.col("t").alias("token"),
+        "n_exact",
+        "rk",
+        "n_cms",
+        (F.col("n_cms") >= F.col("n_exact")).alias("cms_upper_ok"),
+    )

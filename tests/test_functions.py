@@ -741,3 +741,49 @@ def test_png_adaptive_filter_selection():
     assert decode_png(
         encode_png(w, h, 1, px, filter_type="adaptive", interlace=True)
     ) == (w, h, 1, px)
+
+
+def test_triangle_counts_hand_graph(spark):
+    """K4 on {1,2,3,4} (every vertex in C(3,2)=3 triangles) plus a
+    pendant vertex 5 and one isolated edge (6,7); input is messy on
+    purpose: mixed directions, a duplicate edge, and a self-loop."""
+    from dbimport_spark.functions.graph import triangle_counts
+
+    edges = [
+        (1, 2), (2, 1), (1, 3), (1, 4), (2, 3), (3, 4), (2, 4),
+        (4, 5),          # pendant: in no triangle
+        (6, 7),          # isolated edge
+        (3, 3),          # self-loop: dropped
+    ]
+    df = spark.createDataFrame(edges, "src bigint, dst bigint")
+    got = {r["node"]: r["n_tri"] for r in triangle_counts(df).collect()}
+    assert got == {1: 3, 2: 3, 3: 3, 4: 3}
+
+
+def test_count_min_upper_bound_and_exactness(spark):
+    """CMS estimates are >= exact counts always; with width >> distinct
+    items and no collisions they are exactly equal. Also checks the
+    absent-bucket probe path (unseen item -> estimate 0 when its buckets
+    are empty ... or a collision overcount, never an undercount)."""
+    from dbimport_spark.functions.sketch import count_min_estimate, count_min_sketch
+
+    rows = [("a",)] * 5 + [("b",)] * 3 + [("c",)] * 2 + [("d",)] * 1
+    items = spark.createDataFrame(rows, "t string")
+    exact = {"a": 5, "b": 3, "c": 2, "d": 1, "zz_unseen": 0}
+    probes = spark.createDataFrame(
+        [(t, n) for t, n in exact.items()], "t string, n_exact long"
+    )
+
+    # wide sketch: 4 items over 4096 buckets x 4 rows -> collisions
+    # essentially impossible, estimates exact
+    sk = count_min_sketch(items, "t", depth=4, width=4096)
+    got = {
+        r["t"]: r["n_cms"]
+        for r in count_min_estimate(probes, sk, "t", depth=4, width=4096).collect()
+    }
+    assert got == exact
+
+    # brutally narrow sketch (width=2): estimates still never undercount
+    sk2 = count_min_sketch(items, "t", depth=4, width=2)
+    for r in count_min_estimate(probes, sk2, "t", depth=4, width=2).collect():
+        assert r["n_cms"] >= exact[r["t"]], r
