@@ -137,6 +137,7 @@ HEADLINE = [
     "stream_decontam_minhash",
     "graph_triangle_count",
     "sketch_countmin_probe",
+    "sample_weighted_systematic",
 ]
 
 

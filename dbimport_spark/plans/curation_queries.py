@@ -1580,3 +1580,69 @@ def curation_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("binary")
         ).alias("clean_md5"),
     )
+
+
+# ---------------------------------------------------------------------------
+# sample_weighted_systematic — every S-th token of corpus mass, exact scan
+
+_SYS_STEP = 500
+
+
+@register(
+    "sample_weighted_systematic",
+    f"""WITH t AS (
+  SELECT doc_id,
+         CAST(len(string_split({NORM_SQL}, ' ')) AS BIGINT) AS n_tokens
+  FROM documents
+),
+c AS (
+  SELECT doc_id, n_tokens,
+         CAST(COALESCE(sum(n_tokens) OVER (
+           ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+           AS cum_before
+  FROM t
+)
+SELECT doc_id, n_tokens, cum_before,
+       CAST(cum_before // {_SYS_STEP} + 1 AS BIGINT) AS grid_k
+FROM c
+WHERE (cum_before + n_tokens) // {_SYS_STEP} > cum_before // {_SYS_STEP}""",
+)
+def sample_weighted_systematic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted systematic sampling: lay the corpus out on its token-mass
+    axis in doc_id order and pick the document covering every {_SYS_STEP}-th
+    token — the deterministic size-proportional (PPS) downsampler: a
+    doc's selection probability is proportional to its token weight,
+    docs heavier than the step are always selected, and the sample is
+    evenly spread through the corpus (no clumping, unlike Bernoulli
+    sampling at the same rate).
+
+    The interesting operator is the EXCLUSIVE GLOBAL RUNNING SUM of
+    token weights: the naive Window.orderBy(doc_id) with no partition
+    key executes in ONE task — the canonical driver-shaped trap. This
+    uses functions/prefix.py global_prefix_sum: order-contiguous value
+    buckets scanned in parallel, a num_buckets-long total vector
+    exclusive-scanned on the driver, offsets broadcast back (the
+    Blelloch two-pass scan in DataFrame form). Integer end to end; the
+    oracle's single-threaded window cumsum matches bit-for-bit. A doc is
+    picked iff its [cum_before, cum_before + n_tokens) interval contains
+    a grid point; grid_k names which one (ties impossible: intervals are
+    disjoint)."""
+    from dbimport_spark.functions.prefix import global_prefix_sum
+
+    d = load(spark, sf_dir, "documents")
+    t = d.select(
+        "doc_id",
+        F.size(F.split(text_queries.norm_col(), " ")).cast("bigint").alias("n_tokens"),
+    )
+    c = global_prefix_sum(t, "doc_id", "n_tokens")
+    # `/` is float division in Spark SQL — integer `div` keeps the grid
+    # arithmetic exact at any corpus mass
+    return c.filter(
+        F.expr(f"(cum_before + n_tokens) div {_SYS_STEP} > cum_before div {_SYS_STEP}")
+    ).select(
+        "doc_id",
+        "n_tokens",
+        "cum_before",
+        F.expr(f"cast(cum_before div {_SYS_STEP} + 1 as bigint)").alias("grid_k"),
+    )

@@ -787,3 +787,30 @@ def test_count_min_upper_bound_and_exactness(spark):
     sk2 = count_min_sketch(items, "t", depth=4, width=2)
     for r in count_min_estimate(probes, sk2, "t", depth=4, width=2).collect():
         assert r["n_cms"] >= exact[r["t"]], r
+
+
+def test_global_prefix_sum_matches_sequential(spark):
+    """Two-pass distributed scan == single-threaded exclusive cumsum,
+    for gappy non-contiguous order keys and any bucket count."""
+    import random
+
+    from dbimport_spark.functions.prefix import global_prefix_sum
+
+    rng = random.Random(7)
+    ids = sorted(rng.sample(range(0, 100000), 500))
+    rows = [(i, rng.randint(0, 50)) for i in ids]
+    df = spark.createDataFrame(rows, "k bigint, w bigint").repartition(13)
+    for nb in (1, 3, 64):
+        got = {
+            r["k"]: r["cum_before"]
+            for r in global_prefix_sum(df, "k", "w", num_buckets=nb).collect()
+        }
+        acc, want = 0, {}
+        for k, w in rows:
+            want[k] = acc
+            acc += w
+        assert got == want, f"num_buckets={nb}"
+    # empty input: zero rows out, schema intact
+    empty = spark.createDataFrame([], "k bigint, w bigint")
+    out = global_prefix_sum(empty, "k", "w")
+    assert out.count() == 0 and out.columns == ["k", "w", "cum_before"]
