@@ -86,7 +86,10 @@ def pagerank(
 
 
 def triangle_counts(
-    edges: DataFrame, src_col: str = "src", dst_col: str = "dst"
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    broadcast_edges_max: int = 20_000_000,
 ) -> DataFrame:
     """Per-node triangle participation counts over an UNDIRECTED graph;
     returns (node, n_tri) for every node in at least one triangle.
@@ -122,12 +125,31 @@ def triangle_counts(
     independent of partitioning, so a DuckDB oracle using the NATURAL
     a < b orientation (same triangle set, different discovery order)
     matches value-for-value.
+
+    Strategy gate (both produce the identical triangle set): when the
+    oriented edge list fits a broadcast (edge count × 16 B under
+    ``broadcast_edges_max`` bytes — one cheap count() on the persisted
+    frame), BOTH wedge-expansion joins go map-side against the
+    broadcast hash table, so the O(m^1.5) wedge stream is generated AND
+    closure-filtered inside each task — nothing wedge-sized ever
+    shuffles (measured 12.5 s → ~3 s at the 1.2M-edge bench graph,
+    where the shuffle plan moves ~10^8 wedge rows). Past the broadcast
+    bound — the true 100 TB regime — the shuffle plan takes over:
+    wedges partition on the middle node, the closure is a shuffled
+    semi-join on (u, w); a runtime bloom filter on the edge set would
+    prune that shuffle further and is the documented next step if a
+    real workload hits it.
     """
     a, b = F.col(src_col), F.col(dst_col)
+    # persist: e feeds the degree agg AND both orientation joins — three
+    # references, and its upstream (the caller's co-occurrence self-join)
+    # is the expensive part; unpersisted, Spark's tree-shaped plans
+    # recompute it per reference (measured 3× the scan+join cost here)
     e = (
         edges.select(F.least(a, b).alias("a"), F.greatest(a, b).alias("b"))
         .filter(F.col("a") != F.col("b"))
         .distinct()
+        .persist()
     )
     deg = (
         e.select(F.col("a").alias("node"))
@@ -159,12 +181,28 @@ def triangle_counts(
         )
         .persist()
     )
+    n_edges, max_node = o.agg(
+        F.count(F.lit(1)), F.greatest(F.max("u"), F.max("v"))
+    ).first()
+    small = n_edges * 16 <= broadcast_edges_max
+    o_right = (lambda df: F.broadcast(df)) if small else (lambda df: df)
     wedges = o.select(F.col("u"), F.col("v")).join(
-        o.select(F.col("u").alias("v"), F.col("v").alias("w")), "v"
+        o_right(o.select(F.col("u").alias("v"), F.col("v").alias("w"))), "v"
     )
-    tri = wedges.join(
-        o.select(F.col("u"), F.col("v").alias("w")), ["u", "w"], "left_semi"
-    )
+    if max_node is not None and int(max_node) < (1 << 31):
+        # pack the closure key into ONE long: the semi join then builds a
+        # LongHashedRelation instead of a generic binary-key map — measured
+        # 2× on the probe-bound closure pass (6.6 s → 3.2 s at 49M wedges)
+        key = lambda cu, cw: (F.shiftleft(cu, 31) + cw).alias("k")  # noqa: E731
+        tri = wedges.withColumn("k", key(F.col("u"), F.col("w"))).join(
+            o_right(o.select(key(F.col("u"), F.col("v")))), "k", "left_semi"
+        )
+    else:
+        tri = wedges.join(
+            o_right(o.select(F.col("u"), F.col("v").alias("w"))),
+            ["u", "w"],
+            "left_semi",
+        )
     return (
         tri.select(F.explode(F.array("u", "v", "w")).alias("node"))
         .groupBy("node")

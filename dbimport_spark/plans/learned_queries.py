@@ -386,22 +386,32 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     primitive behind community detection, link-spam demotion, and
     kNN-graph coherence checks on a crawl corpus.
 
-    Graph construction is itself distributed: one self-join of the
-    distinct (order, part) list on the order key yields raw co-occurrence
-    pairs (parts per order is small and bounded by basket size, so the
-    per-key blowup is quadratic only in a ~4-element group). Counting is
+    Graph construction is itself distributed and avoids the obvious
+    self-join: ONE shuffle groups each order's parts into a sorted
+    distinct array, and an in-task HOF expands the k·(k-1)/2 pairs
+    (baskets are small — TPC-H orders hold ≤ 7 parts; a power-law
+    basket distribution would cap the array with slice() before
+    expanding, the standard market-basket guard). Counting is
     functions/graph.py triangle_counts — DEGREE-ORIENTED wedge join +
-    closure semi-join, the O(m^1.5)-bounded plan that survives power-law
-    degree skew at 100 TB; the DuckDB oracle counts the same triangles by
-    the natural a < b orientation, which provably enumerates the same
-    set (each triangle once), so per-node counts match exactly."""
+    packed-long-key closure semi-join, the O(m^1.5)-bounded plan that
+    survives power-law degree skew at 100 TB; the DuckDB oracle counts
+    the same triangles by the natural a < b orientation, which provably
+    enumerates the same set (each triangle once), so per-node counts
+    match exactly."""
     from dbimport_spark.functions.graph import triangle_counts
 
     l = load(spark, sf_dir, "lineitem")
-    op = l.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")).distinct()
-    pairs = (
-        op.join(op.select(F.col("o"), F.col("p").alias("p2")), "o")
-        .filter(F.col("p") < F.col("p2"))
-        .select(F.col("p").alias("src"), F.col("p2").alias("dst"))
+    grouped = (
+        l.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
+        .groupBy("o")
+        .agg(F.array_sort(F.array_distinct(F.collect_list("p"))).alias("ps"))
     )
+    pairs = grouped.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(ps, (x, i) -> transform("
+                "slice(ps, i + 2, size(ps) - i - 1), y -> struct(x as src, y as dst))))"
+            )
+        ).alias("pr")
+    ).select("pr.src", "pr.dst")
     return triangle_counts(pairs)

@@ -1778,3 +1778,156 @@ def sketch_countmin_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_cms",
         (F.col("n_cms") >= F.col("n_exact")).alias("cms_upper_ok"),
     )
+
+
+# ---------------------------------------------------------------------------
+# retrieval_hybrid_rrf — BM25 ∪ cosine fusion by reciprocal-rank (integer)
+
+_RRF_K = 60
+_RRF_SCALE = 1_000_000_000
+# same fragment as vector_queries.COSINE_SQL (duplicated: importing
+# vector_queries here would cycle through plans/__init__)
+_COSINE_SQL = (
+    "(list_dot_product({a}, {b})"
+    " / sqrt(list_dot_product({a}, {a}) * list_dot_product({b}, {b})))"
+)
+
+
+@register(
+    "retrieval_hybrid_rrf",
+    f"""WITH toks AS (
+  SELECT doc_id, string_split({NORM_SQL}, ' ') AS w FROM documents
+  WHERE length({NORM_SQL}) > 0
+),
+corpus_toks AS (SELECT * FROM toks WHERE doc_id % 101 <> 0),
+postings AS (
+  SELECT doc_id, tok, count(*) AS tf
+  FROM (SELECT doc_id, unnest(w) AS tok FROM corpus_toks)
+  GROUP BY doc_id, tok
+),
+dl AS (SELECT doc_id, len(w) AS dl FROM corpus_toks),
+stats AS (SELECT count(*) AS n, CAST(sum(len(w)) AS BIGINT) AS total FROM corpus_toks),
+dfreq AS (SELECT tok, count(*) AS df FROM postings GROUP BY tok),
+qterms AS (
+  SELECT doc_id AS query_id, unnest(list_distinct(w)) AS tok
+  FROM toks WHERE doc_id % 101 = 0
+),
+contrib AS (
+  SELECT q.query_id, p.doc_id,
+         {_BM25_SCORE_SQL} AS micro
+  FROM qterms q
+  JOIN dfreq f USING (tok)
+  JOIN postings p USING (tok)
+  JOIN dl d ON d.doc_id = p.doc_id
+  CROSS JOIN stats s
+),
+bm25 AS (
+  SELECT query_id, doc_id, CAST(sum(micro) AS BIGINT) AS score_micro
+  FROM contrib GROUP BY query_id, doc_id
+),
+lex AS (
+  SELECT query_id, doc_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score_micro DESC, doc_id) AS rnk
+  FROM bm25 QUALIFY rnk <= 5
+),
+qv AS (
+  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+  FROM embeddings WHERE vec_id % 101 = 0
+),
+nv AS (
+  SELECT vec_id AS doc_id, embedding::DOUBLE[] AS nv
+  FROM embeddings WHERE vec_id % 101 <> 0
+),
+sem AS (
+  SELECT query_id, doc_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY s DESC, doc_id) AS rnk
+  FROM (
+    SELECT q.query_id, n.doc_id, {_COSINE_SQL.format(a='q.qv', b='n.nv')} AS s
+    FROM qv q JOIN nv n ON n.doc_id <> q.query_id
+  ) QUALIFY rnk <= 5
+),
+unioned AS (
+  SELECT query_id, doc_id, rnk, 1 AS is_lex FROM lex
+  UNION ALL
+  SELECT query_id, doc_id, rnk, 0 AS is_lex FROM sem
+),
+fused AS (
+  SELECT query_id, doc_id,
+         CAST(sum({_RRF_SCALE} // ({_RRF_K} + rnk)) AS BIGINT) AS rrf_micro,
+         CAST(max(is_lex) AS BIGINT) AS in_lex,
+         CAST(max(1 - is_lex) AS BIGINT) AS in_sem
+  FROM unioned GROUP BY query_id, doc_id
+)
+SELECT query_id, doc_id, rrf_micro, in_lex, in_sem,
+       CAST(row_number() OVER (PARTITION BY query_id
+                               ORDER BY rrf_micro DESC, doc_id) AS BIGINT) AS rnk
+FROM fused
+QUALIFY rnk <= 5""",
+)
+def retrieval_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval with reciprocal-rank fusion — the standard RAG
+    stack: a LEXICAL candidate list (text_bm25_topk's top-5, reused
+    verbatim so the two queries can never drift) and a SEMANTIC list
+    (exact cosine top-5 per query vector over the corpus-side
+    embeddings, same %101 query/corpus split) are merged by
+    RRF(d) = Σ_lists 1/(60 + rank_list(d)), the rank-only fusion rule
+    that needs no score calibration between the two systems. Docs
+    missing an embedding simply have no semantic list — realistic
+    partial-coverage fusion (at sf0.1 embeddings cover 2/5 of docs).
+
+    Determinism: ranks are integers; each reciprocal is quantized as
+    10^9 div (60 + rank) BEFORE summation — integer division of
+    identical integers, so fused scores, tie-breaks, and the final
+    per-query top-5 are bit-identical cross-engine (the same
+    floor-before-sum discipline as the BM25 micros).
+
+    100-TB shape: both candidate generators are already scale-shaped
+    (BM25's vocabulary-gated dense/sparse strategies; ANN swaps the
+    exact scan for IVF/LSH candidates verified exactly). Fusion itself
+    touches only queries × (5 + 5) candidate rows — one hash agg and
+    one bounded per-query window, negligible at any corpus size."""
+    from dbimport_spark.plans.vector_queries import cosine
+
+    lex = text_bm25_topk(spark, sf_dir).select(
+        "query_id", "doc_id", F.col("rnk").cast("long").alias("rnk"),
+        F.lit(1).alias("is_lex"),
+    )
+    e = load(spark, sf_dir, "embeddings")
+    qv = e.filter(F.col("vec_id") % 101 == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").cast("array<double>").alias("qv"),
+    )
+    nv = e.filter(F.col("vec_id") % 101 != 0).select(
+        F.col("vec_id").alias("doc_id"),
+        F.col("embedding").cast("array<double>").alias("nv"),
+    )
+    from pyspark.sql import Window
+
+    sem_w = Window.partitionBy("query_id").orderBy(F.col("s").desc(), F.col("doc_id"))
+    sem = (
+        nv.join(F.broadcast(qv), F.col("query_id") != F.col("doc_id"))
+        .withColumn("s", cosine(F.col("qv"), F.col("nv")))
+        .withColumn("rnk", F.row_number().over(sem_w).cast("long"))
+        .filter(F.col("rnk") <= 5)
+        .select("query_id", "doc_id", "rnk", F.lit(0).alias("is_lex"))
+    )
+    fused = (
+        lex.unionByName(sem)
+        .groupBy("query_id", "doc_id")
+        .agg(
+            F.sum(F.expr(f"{_RRF_SCALE} div ({_RRF_K} + rnk)"))
+            .cast("bigint")
+            .alias("rrf_micro"),
+            F.max("is_lex").cast("bigint").alias("in_lex"),
+            F.max(1 - F.col("is_lex")).cast("bigint").alias("in_sem"),
+        )
+    )
+    out_w = Window.partitionBy("query_id").orderBy(
+        F.col("rrf_micro").desc(), F.col("doc_id")
+    )
+    return (
+        fused.withColumn("rnk", F.row_number().over(out_w).cast("bigint"))
+        .filter(F.col("rnk") <= 5)
+        .select("query_id", "doc_id", "rrf_micro", "in_lex", "in_sem", "rnk")
+    )

@@ -184,3 +184,60 @@ def ann_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= 5)
         .select("query_id", "neighbor_id", "rnk", F.round("s", 6).alias("cos_sim"))
     )
+
+
+@register(
+    "ann_filtered_topk",
+    f"""WITH q AS (
+  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 8
+), n AS (
+  SELECT vec_id AS neighbor_id, label, embedding::DOUBLE[] AS nv
+  FROM embeddings WHERE label IN (2, 7)
+), scored AS (
+  SELECT query_id, neighbor_id, label,
+         {COSINE_SQL.format(a='qv', b='nv')} AS s
+  FROM q JOIN n ON query_id <> neighbor_id
+), ranked AS (
+  SELECT query_id, neighbor_id, label, s,
+         row_number() OVER (PARTITION BY query_id ORDER BY s DESC, neighbor_id) AS rnk
+  FROM scored)
+SELECT query_id, neighbor_id, CAST(label AS BIGINT) AS label, rnk,
+       round(s, 6) AS cos_sim
+FROM ranked WHERE rnk <= 5""",
+)
+def ann_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-FILTERED vector search (the hybrid-search primitive every
+    RAG stack needs: "nearest neighbors WHERE label matches"): exact
+    cosine top-5 for 8 query vectors over only the corpus rows whose
+    label passes the predicate.
+
+    Plan: the label filter lands in the parquet scan (PushedFilters —
+    pre-filtering, not post-filtering, so selective predicates shrink
+    the distance work proportionally, unlike post-filter ANN which
+    can return < k rows); the tiny query set broadcasts; per-query
+    top-5 is a bounded window. At 100 TB with an IVF index the same
+    predicate intersects the inverted lists BEFORE the ADC scan
+    (functions/similarity.py keeps centroid assignment orthogonal to
+    metadata columns, so the filtered variant is the same plan with
+    this WHERE pushed into the posting scan)."""
+    e = load(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").cast("array<double>").alias("qv"),
+    )
+    n = e.filter(F.col("label").isin(2, 7)).select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("label").cast("bigint").alias("label"),
+        F.col("embedding").cast("array<double>").alias("nv"),
+    )
+    scored = n.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id")).withColumn(
+        "s", cosine(F.col("qv"), F.col("nv"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(F.col("s").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 5)
+        .select("query_id", "neighbor_id", "label", "rnk", F.round("s", 6).alias("cos_sim"))
+    )
