@@ -138,6 +138,9 @@ HEADLINE = [
     "graph_triangle_count",
     "sketch_countmin_probe",
     "sample_weighted_systematic",
+    "ann_filtered_topk",
+    "retrieval_hybrid_rrf",
+    "graph_kcore",
 ]
 
 

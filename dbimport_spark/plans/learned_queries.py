@@ -415,3 +415,69 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("pr")
     ).select("pr.src", "pr.dst")
     return triangle_counts(pairs)
+
+
+_KCORE_K = 75
+_KCORE_ROUNDS = 3
+
+
+def _kcore_round_sql() -> str:
+    parts = []
+    for i in range(1, _KCORE_ROUNDS + 1):
+        parts.append(
+            f"""d{i} AS MATERIALIZED (
+  SELECT node, count(*) AS c
+  FROM (SELECT a AS node FROM e{i - 1} UNION ALL SELECT b FROM e{i - 1})
+  GROUP BY node
+), k{i} AS MATERIALIZED (
+  SELECT node FROM d{i} WHERE c >= {_KCORE_K}
+), e{i} AS MATERIALIZED (
+  SELECT e.a, e.b FROM e{i - 1} e
+  JOIN k{i} x ON e.a = x.node
+  JOIN k{i} y ON e.b = y.node
+)"""
+        )
+    return ",\n".join(parts)
+
+
+_KCORE_ORACLE = f"""WITH op AS MATERIALIZED (
+  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+), e0 AS MATERIALIZED (
+  SELECT DISTINCT a.p AS a, b.p AS b FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
+),
+{_kcore_round_sql()}
+SELECT node, CAST(count(*) AS BIGINT) AS deg
+FROM (SELECT a AS node FROM e{_KCORE_ROUNDS} UNION ALL SELECT b FROM e{_KCORE_ROUNDS})
+GROUP BY node"""
+
+
+@register("graph_kcore", _KCORE_ORACLE)
+def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """{_KCORE_ROUNDS} peeling rounds toward the {_KCORE_K}-core of the
+    part co-occurrence graph — the dense-subgraph extractor behind spam
+    cluster mining, community nuclei, and graph sparsification before
+    expensive per-node work (run the costly operator only inside the
+    core). Same graph as graph_triangle_count; functions/graph.py
+    kcore_peel does one degree hash-agg + two survivor semi-joins per
+    round — survivor sets are runtime agg outputs that AQE broadcasts
+    when small, and each round's edge list persists exactly one
+    generation. The oracle unrolls the identical three rounds as CTEs
+    (the pagerank unrolling discipline), so the surviving (node, degree)
+    table matches exactly."""
+    from dbimport_spark.functions.graph import kcore_peel
+
+    l = load(spark, sf_dir, "lineitem")
+    grouped = (
+        l.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
+        .groupBy("o")
+        .agg(F.array_sort(F.array_distinct(F.collect_list("p"))).alias("ps"))
+    )
+    pairs = grouped.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(ps, (x, i) -> transform("
+                "slice(ps, i + 2, size(ps) - i - 1), y -> struct(x as src, y as dst))))"
+            )
+        ).alias("pr")
+    ).select("pr.src", "pr.dst")
+    return kcore_peel(pairs, k=_KCORE_K, rounds=_KCORE_ROUNDS)

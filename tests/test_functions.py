@@ -814,3 +814,18 @@ def test_global_prefix_sum_matches_sequential(spark):
     empty = spark.createDataFrame([], "k bigint, w bigint")
     out = global_prefix_sum(empty, "k", "w")
     assert out.count() == 0 and out.columns == ["k", "w", "cum_before"]
+
+
+def test_kcore_peel_hand_graph(spark):
+    """K4 on {1..4} plus a tail 4-5-6: one round of k=2 peeling removes
+    6 (deg 1) but keeps 5 (deg 2 pre-peel); the second round removes 5
+    (deg 1 after 6 left); K4 survives any number of rounds."""
+    from dbimport_spark.functions.graph import kcore_peel
+
+    edges = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4), (4, 5), (5, 6)]
+    df = spark.createDataFrame(edges, "src bigint, dst bigint")
+    one = {r["node"]: r["deg"] for r in kcore_peel(df, k=2, rounds=1).collect()}
+    assert one == {1: 3, 2: 3, 3: 3, 4: 4, 5: 1}
+    two = {r["node"]: r["deg"] for r in kcore_peel(df, k=2, rounds=2).collect()}
+    assert two == {1: 3, 2: 3, 3: 3, 4: 3}
+    assert two == {r["node"]: r["deg"] for r in kcore_peel(df, k=2, rounds=3).collect()}
