@@ -141,6 +141,7 @@ HEADLINE = [
     "ann_filtered_topk",
     "retrieval_hybrid_rrf",
     "graph_kcore",
+    "stream_novelty_cms",
 ]
 
 

@@ -35,6 +35,10 @@ import os
 import tempfile
 import uuid
 
+# module-level so pandas_udf type hints resolve under postponed annotations
+# (get_type_hints evaluates hint strings in MODULE globals)
+import pandas as pd
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -882,3 +886,116 @@ transform(array(array_distinct(transform(sequence(0, size(w) - 3),
 
 
 _register_stream_decontam()
+
+
+def _register_stream_novelty_cms():
+    from dbimport_spark.plans.text_queries import NORM_SQL
+
+    oracle = f"""WITH hist_tok AS (
+  SELECT t FROM (
+    SELECT unnest(string_split({NORM_SQL}, ' ')) AS t
+    FROM documents WHERE doc_id % 2 = 0
+  ) WHERE t <> ''
+),
+sk AS (
+  SELECT i,
+         ('0x' || substr(md5(CAST(i AS VARCHAR) || ':' || t), 1, 15))::BIGINT
+             % 2048 AS bucket,
+         CAST(count(*) AS BIGINT) AS c
+  FROM hist_tok CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS i)
+  GROUP BY 1, 2
+),
+stok AS (
+  SELECT doc_id, unnest(list_distinct(string_split({NORM_SQL}, ' '))) AS t
+  FROM documents WHERE doc_id % 2 = 1 AND length({NORM_SQL}) > 0
+),
+est AS (
+  SELECT s.doc_id, s.t, min(COALESCE(sk.c, 0)) AS e
+  FROM stok s
+  CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS i) h
+  LEFT JOIN sk ON sk.i = h.i
+    AND sk.bucket = ('0x' || substr(md5(CAST(h.i AS VARCHAR) || ':' || s.t), 1, 15))::BIGINT % 2048
+  GROUP BY s.doc_id, s.t
+)
+SELECT doc_id, CAST(min(e) AS BIGINT) AS novelty FROM est GROUP BY doc_id"""
+
+    @register("stream_novelty_cms", oracle)
+    def stream_novelty_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Streaming novelty screen against a historical Count-Min
+        sketch: each incoming doc (the odd-doc_id stream) is annotated
+        with the CMS-estimated corpus frequency of its RAREST token —
+        near-zero novelty means every token is historically common
+        (boilerplate/spam shape), high novelty flags genuinely new
+        vocabulary worth routing to curation.
+
+        Same continuous-ingest shape as stream_dedup_bloom: the sketch
+        is built ONCE from the historical (even) half by the batch
+        count_min_sketch hash agg, collected (8 K integers — the whole
+        point of a sketch), and probed inside a STATELESS Arrow-batched
+        pandas UDF — no state store, no stream-static join, constant
+        executor memory however large history grows. CMS estimates only
+        ever overcount, so a "novel" verdict (low estimate) is reliable;
+        the DuckDB oracle rebuilds the identical sketch through the
+        portable md5-prefix hashes and matches estimate-for-estimate."""
+        import hashlib
+        import re as _re
+
+        import numpy as np
+        from pyspark.sql.functions import pandas_udf
+
+        from dbimport_spark.functions.sketch import count_min_sketch
+
+        depth, width = 4, 2048
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        norm = F.trim(F.lower(F.regexp_replace(F.col("text"), "[^a-zA-Z0-9]+", " ")))
+        hist_tok = (
+            docs.filter(F.col("doc_id") % 2 == 0)
+            .select(F.explode(F.split(norm, " ")).alias("t"))
+            .filter(F.col("t") != "")
+        )
+        table = np.zeros((depth, width), dtype=np.int64)
+        for r in count_min_sketch(hist_tok, "t", depth=depth, width=width).collect():
+            table[r["i"], r["bucket"]] = r["c"]
+
+        @pandas_udf("long")
+        def novelty(texts: pd.Series) -> pd.Series:
+            out = []
+            for text in texts:
+                s = _re.sub("[^a-zA-Z0-9]+", " ", text or "").lower().strip()
+                toks = {t for t in s.split(" ") if t}
+                if not toks:
+                    out.append(None)
+                    continue
+                best = None
+                for t in toks:
+                    est = min(
+                        int(
+                            table[
+                                i,
+                                int(
+                                    hashlib.md5(f"{i}:{t}".encode()).hexdigest()[:15],
+                                    16,
+                                )
+                                % width,
+                            ]
+                        )
+                        for i in range(depth)
+                    )
+                    best = est if best is None else min(best, est)
+                    if best == 0:
+                        break
+                out.append(best)
+            return pd.Series(out, dtype="object")
+
+        sch = docs.schema
+        stream = (
+            spark.readStream.schema(sch)
+            .parquet(_docs_path(sf_dir))
+            .filter(F.col("doc_id") % 2 == 1)
+            .select("doc_id", novelty(F.col("text")).alias("novelty"))
+            .filter(F.col("novelty").isNotNull())
+        )
+        return _run_to_memory(stream, spark)
+
+
+_register_stream_novelty_cms()
