@@ -990,6 +990,9 @@ SELECT doc_id, CAST(min(e) AS BIGINT) AS novelty FROM est GROUP BY doc_id"""
         sch = docs.schema
         stream = (
             spark.readStream.schema(sch)
+            # documents.parquet may itself be a directory of part files
+            # (anything Spark wrote); recurse like stream_dedup_bloom does
+            .option("recursiveFileLookup", "true")
             .parquet(_docs_path(sf_dir))
             .filter(F.col("doc_id") % 2 == 1)
             .select("doc_id", novelty(F.col("text")).alias("novelty"))

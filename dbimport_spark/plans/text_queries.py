@@ -1833,11 +1833,13 @@ lex AS (
 ),
 qv AS (
   SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
-  FROM embeddings WHERE vec_id % 101 = 0
+  FROM embeddings
+  WHERE vec_id % 101 = 0 AND list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0
 ),
 nv AS (
   SELECT vec_id AS doc_id, embedding::DOUBLE[] AS nv
-  FROM embeddings WHERE vec_id % 101 <> 0
+  FROM embeddings
+  WHERE vec_id % 101 <> 0 AND list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0
 ),
 sem AS (
   SELECT query_id, doc_id,
@@ -1893,14 +1895,19 @@ def retrieval_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         "query_id", "doc_id", F.col("rnk").cast("long").alias("rnk"),
         F.lit(1).alias("is_lex"),
     )
+    # zero-norm vectors have no defined cosine: exclude them on BOTH
+    # sides (under ANSI a 0/0 double division is a hard error, and a NaN
+    # rank would be engine-dependent anyway) — mirrored in the oracle
+    from dbimport_spark.plans.vector_queries import dot
+
     e = load(spark, sf_dir, "embeddings")
-    qv = e.filter(F.col("vec_id") % 101 == 0).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("embedding").cast("array<double>").alias("qv"),
+    ev = e.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    nonzero = ev.filter(dot(F.col("v"), F.col("v")) > 0)
+    qv = nonzero.filter(F.col("vec_id") % 101 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
     )
-    nv = e.filter(F.col("vec_id") % 101 != 0).select(
-        F.col("vec_id").alias("doc_id"),
-        F.col("embedding").cast("array<double>").alias("nv"),
+    nv = nonzero.filter(F.col("vec_id") % 101 != 0).select(
+        F.col("vec_id").alias("doc_id"), F.col("v").alias("nv")
     )
     from pyspark.sql import Window
 

@@ -58,6 +58,15 @@ QUERIES = [
     "curation_pipeline",
     "semantic_dedup_pairs",
     "sample_hash_split",
+    "text_bm25_topk",
+    "dedup_containment",
+    "sketch_countmin_probe",
+    "sample_weighted_systematic",
+    "retrieval_hybrid_rrf",
+    "stream_novelty_cms",
+    # ann_filtered_topk deliberately absent (like ann_topk_cosine): the
+    # planted all-zeros vector makes a QUERY-side cosine 0/0 = NaN, whose
+    # cross-engine ordering is not part of the operator contract
 ]
 
 DOCS = [
@@ -228,6 +237,10 @@ REL_QUERIES = [
     "set_ops_customers",
     # outlier_orders_zscore / user_value_trend additionally scan events —
     # covered by the standard gate; the tie corpus stays 3-table
+    "graph_triangle_count",  # exactly one triangle (order 60's 3-part basket
+    #                          closes the 1-2 / 1-3 co-occurrence wedge)
+    "graph_kcore",  # k=75 peels this tiny graph to EMPTY — pins the
+    #                 all-rounds-empty path on both engines
 ]
 
 
@@ -268,6 +281,8 @@ def adversarial_rel_dir(spark, tmp_path_factory):
     ]
     # customer 5: single order with NO lineitems
     orders.append((50, 5, "O", 42.42, base + dt.timedelta(days=90), "3-MEDIUM"))
+    # customer 3: 3-part basket closing a co-occurrence triangle (graph ops)
+    orders.append((60, 3, "O", 7.0, base + dt.timedelta(days=91), "4-NOT SPECIFIED"))
     spark.createDataFrame(
         orders, "o_orderkey bigint, o_custkey bigint, o_orderstatus string, o_totalprice double, o_orderdate timestamp, o_orderpriority string"
     ).coalesce(1).write.parquet(str(d / "orders.parquet"))
@@ -282,6 +297,11 @@ def adversarial_rel_dir(spark, tmp_path_factory):
     # order 30: many identical lines (agg tie mass)
     for ln in range(1, 8):
         li.append((30, 4, 3, ln, 7.0, 1000.0, 0.05, 0.08, "N", "O", base + dt.timedelta(days=45)))
+    # order 60: parts 1, 2, 3 together — closes the triangle over the
+    # (1,2)/(1,3) edges from orders 10/11; duplicate part 3 line exercises
+    # the distinct in the pair expansion
+    for ln, pk in ((1, 1), (2, 2), (3, 3), (4, 3)):
+        li.append((60, pk, 1, ln, 1.0, 10.0, 0.0, 0.0, "N", "O", base + dt.timedelta(days=92)))
     spark.createDataFrame(
         li,
         "l_orderkey bigint, l_partkey bigint, l_suppkey bigint, l_linenumber int, "
