@@ -90,9 +90,13 @@ def triangle_counts(
     src_col: str = "src",
     dst_col: str = "dst",
     broadcast_edges_max: int = 20_000_000,
+    include_degrees: bool = False,
 ) -> DataFrame:
     """Per-node triangle participation counts over an UNDIRECTED graph;
     returns (node, n_tri) for every node in at least one triangle.
+    With ``include_degrees`` the output is (node, deg, n_tri) over EVERY
+    node (n_tri coalesced to 0) — the inputs of the local clustering
+    coefficient, reusing the degree table the orientation already built.
 
     The input edge list may contain either or both directions and
     self-loops; it is canonicalized (a < b), self-loops dropped, and
@@ -203,10 +207,17 @@ def triangle_counts(
             ["u", "w"],
             "left_semi",
         )
-    return (
+    counts = (
         tri.select(F.explode(F.array("u", "v", "w")).alias("node"))
         .groupBy("node")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_tri"))
+    )
+    if not include_degrees:
+        return counts
+    return deg.join(counts, "node", "left").select(
+        "node",
+        F.col("deg").cast("bigint").alias("deg"),
+        F.coalesce(F.col("n_tri"), F.lit(0)).cast("bigint").alias("n_tri"),
     )
 
 

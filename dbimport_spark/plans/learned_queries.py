@@ -481,3 +481,67 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("pr")
     ).select("pr.src", "pr.dst")
     return kcore_peel(pairs, k=_KCORE_K, rounds=_KCORE_ROUNDS)
+
+
+_CC_SCALE = 1_000_000
+
+
+_CCOEFF_ORACLE = f"""WITH op AS MATERIALIZED (
+  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+), e AS MATERIALIZED (
+  SELECT DISTINCT a.p AS a, b.p AS b FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
+), tri AS MATERIALIZED (
+  SELECT e1.a AS u, e1.b AS v, e2.b AS w
+  FROM e e1
+  JOIN e e2 ON e2.a = e1.b
+  JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+), nt AS (
+  SELECT node, CAST(count(*) AS BIGINT) AS n_tri
+  FROM (SELECT u AS node FROM tri UNION ALL SELECT v FROM tri UNION ALL SELECT w FROM tri)
+  GROUP BY node
+), deg AS (
+  SELECT node, CAST(count(*) AS BIGINT) AS deg
+  FROM (SELECT a AS node FROM e UNION ALL SELECT b FROM e)
+  GROUP BY node
+)
+SELECT d.node, d.deg, COALESCE(nt.n_tri, 0) AS n_tri,
+       CAST((2 * {_CC_SCALE} * COALESCE(nt.n_tri, 0)) // (d.deg * (d.deg - 1)) AS BIGINT)
+         AS coeff_micro
+FROM deg d LEFT JOIN nt USING (node)
+WHERE d.deg >= 2"""
+
+
+@register("graph_clustering_coeff", _CCOEFF_ORACLE)
+def graph_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local clustering coefficient per node — 2·triangles(v) scaled by
+    deg(v)·(deg(v)−1) in exact integer micros — the per-node community
+    cohesion signal (spam farms score near 1e6, hub pages near 0) that
+    composes directly from triangle_counts(include_degrees=True): the
+    degree table built for the orientation is reused, so the only cost
+    beyond the triangle pipeline is one left join and a div. Integer
+    floor-division both sides — no float anywhere."""
+    from dbimport_spark.functions.graph import triangle_counts
+
+    l = load(spark, sf_dir, "lineitem")
+    grouped = (
+        l.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
+        .groupBy("o")
+        .agg(F.array_sort(F.array_distinct(F.collect_list("p"))).alias("ps"))
+    )
+    pairs = grouped.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(ps, (x, i) -> transform("
+                "slice(ps, i + 2, size(ps) - i - 1), y -> struct(x as src, y as dst))))"
+            )
+        ).alias("pr")
+    ).select("pr.src", "pr.dst")
+    nd = triangle_counts(pairs, include_degrees=True)
+    return nd.filter(F.col("deg") >= 2).select(
+        "node",
+        "deg",
+        "n_tri",
+        F.expr(f"cast((2 * {_CC_SCALE} * n_tri) div (deg * (deg - 1)) as bigint)").alias(
+            "coeff_micro"
+        ),
+    )
