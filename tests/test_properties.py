@@ -506,3 +506,72 @@ def test_adpcm_roundtrip_property(samples, block_align):
     # decode exactly (idempotence of the reconstruction levels is NOT
     # guaranteed by ADPCM, so assert the decoder is deterministic).
     assert (adpcm_decode(data, block_align, n) == y).all()
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 24), st.integers(0, 24)),
+        min_size=1,
+        max_size=60,
+    ),
+    st.integers(2, 5),
+)
+@settings(max_examples=25, deadline=None)
+def test_triangle_and_kcore_match_bruteforce(spark, edges, k):
+    """Random small graphs (dup edges, self-loops, both directions all
+    allowed): degree-oriented distributed triangle counts == brute-force
+    combinations; 2-round k-core peeling == a sequential peel."""
+    from itertools import combinations
+
+    from dbimport_spark.functions.graph import kcore_peel, triangle_counts
+
+    df = spark.createDataFrame(edges, "src bigint, dst bigint")
+    adj = {}
+    eset = {(min(a, b), max(a, b)) for a, b in edges if a != b}
+    for a, b in eset:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+
+    want_tri = {}
+    for u, v, w in combinations(sorted(adj), 3):
+        if v in adj[u] and w in adj[u] and w in adj[v]:
+            for n in (u, v, w):
+                want_tri[n] = want_tri.get(n, 0) + 1
+    got_tri = {r["node"]: r["n_tri"] for r in triangle_counts(df).collect()}
+    assert got_tri == want_tri
+
+    cur = {frozenset(e) for e in eset}
+    for _ in range(2):
+        deg = {}
+        for e in cur:
+            for n in e:
+                deg[n] = deg.get(n, 0) + 1
+        keep = {n for n, d in deg.items() if d >= k}
+        cur = {e for e in cur if all(n in keep for n in e)}
+    want_core = {}
+    for e in cur:
+        for n in e:
+            want_core[n] = want_core.get(n, 0) + 1
+    got_core = {r["node"]: r["deg"] for r in kcore_peel(df, k=k, rounds=2).collect()}
+    assert got_core == want_core
+
+
+@given(
+    st.lists(st.integers(0, 1000), min_size=0, max_size=40, unique=True),
+    st.integers(1, 7),
+)
+@settings(max_examples=20, deadline=None)
+def test_prefix_sum_property(spark, keys, nb):
+    from dbimport_spark.functions.prefix import global_prefix_sum
+
+    rows = [(k, (k * 7919) % 23) for k in sorted(keys)]
+    df = spark.createDataFrame(rows, "k bigint, w bigint")
+    got = {
+        r["k"]: r["cum_before"]
+        for r in global_prefix_sum(df, "k", "w", num_buckets=nb).collect()
+    }
+    acc, want = 0, {}
+    for k, w in rows:
+        want[k] = acc
+        acc += w
+    assert got == want
