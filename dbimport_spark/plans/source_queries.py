@@ -1040,3 +1040,66 @@ def src_webdataset_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return wds.mapInPandas(
         project, "doc_id bigint, text string, lang string, n_chars bigint"
     )
+
+
+@register(
+    "src_webdataset_datasource",
+    """SELECT doc_id, text, lang, n_chars FROM documents""",
+)
+def src_webdataset_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WebDataset shards read through the REGISTERED Spark data source
+    (Python DataSource API, Spark 4): spark.read.format("webdataset") —
+    the catalog-native spelling of the reference's format-name dispatch
+    (DataProvider factory). Spark plans ONE input partition per tar
+    shard (sources/pyds.py partitions()), so parallelism is the
+    layout's own unit without a hand-built path DataFrame; the field
+    projection back to typed columns is all JVM-side (decode +
+    get_json_object), no Python kernel after the source itself. Same
+    shard bytes and the same oracle as src_webdataset_roundtrip — only
+    the READ PATH differs, which is the point: one operator, two API
+    surfaces, identical results."""
+    import json as _json
+
+    from dbimport_spark.sources.pyds import register_webdataset
+    from dbimport_spark.sources.webdataset import write_shard
+
+    register_webdataset(spark)
+
+    n_shards = 4
+    shard_dir = os.path.join(_export_dir(sf_dir), "documents_wds_ds")
+    os.makedirs(shard_dir, exist_ok=True)
+    rows = (
+        load(spark, sf_dir, "documents")
+        .select("doc_id", "text", "lang", "n_chars")
+        .orderBy("doc_id")
+        .collect()
+    )
+    shards: list[list] = [[] for _ in range(n_shards)]
+    for r in rows:
+        shards[r.doc_id % n_shards].append(
+            (
+                f"{r.doc_id:08d}",
+                {
+                    "txt": r.text.encode("utf-8"),
+                    "cls": r.lang.encode("utf-8"),
+                    "json": _json.dumps({"n_chars": r.n_chars}).encode("utf-8"),
+                },
+            )
+        )
+    for i, samples in enumerate(shards):
+        write_shard(os.path.join(shard_dir, f"shard-{i:05d}.tar"), samples)
+
+    wds = (
+        spark.read.format("webdataset")
+        .option("path", os.path.join(shard_dir, "*.tar"))
+        .option("exts", "txt,cls,json")
+        .load()
+    )
+    return wds.select(
+        F.col("key").cast("bigint").alias("doc_id"),
+        F.decode(F.col("txt"), "utf-8").alias("text"),
+        F.decode(F.col("cls"), "utf-8").alias("lang"),
+        F.get_json_object(F.decode(F.col("json"), "utf-8"), "$.n_chars")
+        .cast("bigint")
+        .alias("n_chars"),
+    )

@@ -943,3 +943,33 @@ class TestWebDataset:
         assert {bytes(r.txt).decode() for r in rows} == {
             f"doc{i}{j}" for i in range(3) for j in range(4)
         }
+
+
+def test_webdataset_datasource_format(spark, tmp_path):
+    """Registered Python DataSource (format('webdataset')): one input
+    partition per shard, field selection via exts, missing-field None."""
+    from dbimport_spark.sources.pyds import register_webdataset
+    from dbimport_spark.sources.webdataset import write_shard
+
+    register_webdataset(spark)
+    register_webdataset(spark)  # idempotent
+    p1 = str(tmp_path / "s-0.tar")
+    p2 = str(tmp_path / "s-1.tar")
+    write_shard(p1, [("k0", {"txt": b"hello", "cls": b"en"}),
+                     ("k1", {"txt": b"welt"})])  # k1 missing .cls
+    write_shard(p2, [("k2", {"txt": b"abc", "cls": b"de", "bin": b"\x00\xff"})])
+
+    df = (
+        spark.read.format("webdataset")
+        .option("path", str(tmp_path / "*.tar"))
+        .option("exts", "txt,cls")
+        .load()
+    )
+    assert df.rdd.getNumPartitions() == 2  # one per shard
+    rows = {r["key"]: (bytes(r["txt"]), r["cls"] and bytes(r["cls"]), r["shard"])
+            for r in df.collect()}
+    assert rows == {
+        "k0": (b"hello", b"en", "s-0.tar"),
+        "k1": (b"welt", None, "s-0.tar"),
+        "k2": (b"abc", b"de", "s-1.tar"),
+    }
