@@ -1002,3 +1002,4 @@ SELECT doc_id, CAST(min(e) AS BIGINT) AS novelty FROM est GROUP BY doc_id"""
 
 
 _register_stream_novelty_cms()
+

@@ -256,3 +256,57 @@ def stream_interval_join(
         & (F.col(left_ts) <= F.expr(f"{right_ts} + INTERVAL {max_delay}"))
     )
     return l.join(r, cond, "inner")
+
+
+def user_totals_tws(stream: DataFrame) -> DataFrame:
+    """Per-user running totals through transformWithStateInPandas —
+    Spark 4's arbitrary-stateful-processing API (the successor to the
+    applyInPandasWithState used by stream_sessionize / the funnel): a
+    StatefulProcessor holds one ValueState of (n, total) per user, folds
+    each micro-batch's Arrow rows into it, and emits the running
+    snapshot. State is two integers per key — the ENGINE owns layout,
+    checkpointing, and TTL (RocksDB-backed on a real cluster), which is
+    what makes this shape survive unbounded key spaces at 100 TB where a
+    hand-rolled dict cannot.
+
+    ENVIRONMENT-GATED: the API's driver worker speaks protobuf to the
+    JVM state server and needs the ``protobuf`` Python package, which
+    this container lacks (import raises — see COVERAGE.md). The code
+    path is exercised by tests/test_streaming.py::test_user_totals_tws,
+    skipped where protobuf is absent; the registered stream_* queries
+    deliberately do NOT include a transformWithState twin so the driver
+    registry never depends on an optional package (conditional
+    registration would shift the pinned query order).
+
+    Input stream schema: (user_id bigint, e4 bigint) — values pre-scaled
+    to exact 1e-4 integer units so the single-batch availableNow run
+    equals the batch GROUP BY bit-for-bit."""
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class UserTotals(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._st = handle.getValueState("tot", "n bigint, total bigint")
+
+        def handleInputRows(self, key, rows, timerValues):
+            n, total = self._st.get() if self._st.exists() else (0, 0)
+            for pdf in rows:
+                n += len(pdf)
+                total += int(pdf["e4"].sum())
+            self._st.update((int(n), int(total)))
+            yield pd.DataFrame(
+                {"user_id": [key[0]], "n_events": [n], "total_e4": [total]}
+            )
+
+        def close(self) -> None:
+            pass
+
+    return stream.groupBy("user_id").transformWithStateInPandas(
+        UserTotals(),
+        "user_id bigint, n_events bigint, total_e4 bigint",
+        outputMode="Update",
+        timeMode="None",
+    )

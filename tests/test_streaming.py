@@ -271,3 +271,45 @@ def test_multifile_watermark_advancement(spark, tmp_path):
     # 10:00 finalized without the (post-eviction) late row; 13:00
     # finalized by f4; 15:00 never finalized -> absent
     assert got == {D(10, 0): (3, 6), D(13, 0): (2, 9)}
+
+
+def _protobuf_available() -> bool:
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+@pytest.mark.skipif(
+    not _protobuf_available(),
+    reason="transformWithStateInPandas needs the protobuf package "
+    "(absent in this container; gate documented in COVERAGE.md)",
+)
+def test_user_totals_tws(spark, tmp_path):
+    from dbimport_spark.plans.registry import load_events
+    from dbimport_spark.plans.streaming_queries import _events_path, _run_to_memory
+    from dbimport_spark.streaming.ops import user_totals_tws
+    from dbimport_spark.streaming.ops import read_events_stream
+    from pyspark.sql import functions as F
+
+    sf_dir = "/root/testdata/sf0.001"
+    stream = read_events_stream(spark, _events_path(sf_dir)).select(
+        "user_id", F.round(F.col("value") * 10000).cast("bigint").alias("e4")
+    )
+    got = {
+        r["user_id"]: (r["n_events"], r["total_e4"])
+        for r in _run_to_memory(user_totals_tws(stream), spark, "update").collect()
+    }
+    want = {
+        r["user_id"]: (r["n"], r["t"])
+        for r in load_events(spark, sf_dir)
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.round(F.col("value") * 10000).cast("bigint")).alias("t"),
+        )
+        .collect()
+    }
+    assert got == want
