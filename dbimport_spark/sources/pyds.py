@@ -24,7 +24,13 @@ from __future__ import annotations
 import glob as _glob
 import os
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceWriter,
+    InputPartition,
+    WriterCommitMessage,
+)
 
 
 class _ShardPartition(InputPartition):
@@ -49,6 +55,14 @@ class WebDatasetDataSource(DataSource):
 
     def reader(self, schema) -> "WebDatasetShardReader":
         return WebDatasetShardReader(self.options.get("path", ""), self._exts())
+
+    def writer(self, schema, overwrite: bool) -> "WebDatasetShardWriter":
+        out = self.options.get("path", "")
+        os.makedirs(out or ".", exist_ok=True)
+        if overwrite:
+            for f in _glob.glob(os.path.join(out, "shard-*.tar")):
+                os.remove(f)
+        return WebDatasetShardWriter(out, schema)
 
 
 class WebDatasetShardReader(DataSourceReader):
@@ -86,3 +100,51 @@ def register_webdataset(spark) -> None:
         return
     spark.dataSource.register(WebDatasetDataSource)
     spark._dbimport_wds_registered = True
+
+
+class _ShardCommit(WriterCommitMessage):
+    def __init__(self, path: str, n: int):
+        self.path = path
+        self.n = n
+
+
+class WebDatasetShardWriter(DataSourceWriter):
+    """Distributed shard writer: EACH TASK packs its partition's rows
+    into one tar shard (``shard-<partition>-<uuid>.tar``) — the write
+    path that replaces the driver-side collect the survey flagged as
+    known-hard for single-file formats: shards are many-file by design,
+    so the natural parallel unit writes them with no driver data path.
+    Rows: a ``key`` string column plus one BINARY column per member
+    extension (``_`` → ``.``, the reader's naming inverse); NULL fields
+    are skipped (samples may lack members). Commit is rename-free —
+    shard names are unique per task attempt, and Spark only invokes
+    commit() once per partition's winning attempt."""
+
+    def __init__(self, path: str, schema):
+        if not path:
+            raise ValueError("webdataset sink needs option('path', <dir>)")
+        self._dir = path
+        self._cols = [f.name for f in schema.fields if f.name != "key"]
+        if "key" not in [f.name for f in schema.fields]:
+            raise ValueError("webdataset sink needs a 'key' string column")
+
+    def write(self, iterator):
+        import uuid as _uuid
+
+        from pyspark import TaskContext
+
+        from dbimport_spark.sources.webdataset import write_shard
+
+        pid = TaskContext.get().partitionId()
+        samples = []
+        for row in iterator:
+            fields = {
+                c.replace("_", "."): bytes(row[c])
+                for c in self._cols
+                if row[c] is not None
+            }
+            samples.append((row["key"], fields))
+        path = os.path.join(self._dir, f"shard-{pid:05d}-{_uuid.uuid4().hex[:8]}.tar")
+        if samples:
+            write_shard(path, samples)
+        return _ShardCommit(path, len(samples))

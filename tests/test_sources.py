@@ -973,3 +973,38 @@ def test_webdataset_datasource_format(spark, tmp_path):
         "k1": (b"welt", None, "s-0.tar"),
         "k2": (b"abc", b"de", "s-1.tar"),
     }
+
+
+def test_webdataset_datasource_write(spark, tmp_path):
+    """df.write.format('webdataset'): one shard per partition, overwrite
+    clears stale shards, null member skipped, roundtrip exact."""
+    from dbimport_spark.sources.pyds import register_webdataset
+    from pyspark.sql import functions as F
+
+    register_webdataset(spark)
+    out = str(tmp_path / "shards")
+    rows = [("k%02d" % i, b"T%d" % i, b"L%d" % i if i % 2 else None) for i in range(8)]
+    df = spark.createDataFrame(rows, "key string, txt binary, cls binary")
+    df.repartition(3, F.col("key")).write.format("webdataset").option(
+        "path", out
+    ).mode("overwrite").save()
+    import glob
+
+    first = sorted(glob.glob(out + "/shard-*.tar"))
+    assert 1 <= len(first) <= 3
+    # overwrite replaces, not appends
+    df.repartition(2, F.col("key")).write.format("webdataset").option(
+        "path", out
+    ).mode("overwrite").save()
+    second = sorted(glob.glob(out + "/shard-*.tar"))
+    assert not set(first) & set(second)
+
+    back = (
+        spark.read.format("webdataset")
+        .option("path", out + "/*.tar")
+        .option("exts", "txt,cls")
+        .load()
+    )
+    got = {r["key"]: (bytes(r["txt"]), r["cls"] and bytes(r["cls"])) for r in back.collect()}
+    want = {k: (t, c) for k, t, c in rows}
+    assert got == want
