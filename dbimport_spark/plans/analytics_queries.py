@@ -924,3 +924,60 @@ def zorder_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey",
         _z_value("o_custkey", "dayofyear(o_orderdate)").alias("zval"),
     )
+
+
+_PROFILE_COLS = [
+    "o_orderkey",
+    "o_custkey",
+    "o_orderstatus",
+    "o_totalprice",
+    "o_orderdate",
+    "o_orderpriority",
+]
+
+
+@register(
+    "table_profile_orders",
+    "\nUNION ALL\n".join(
+        f"""SELECT '{c}' AS col_name,
+       CAST(count(*) FILTER (WHERE {c} IS NULL) AS BIGINT) AS n_null,
+       CAST(count(DISTINCT {c}) AS BIGINT) AS ndv
+FROM orders"""
+        for c in _PROFILE_COLS
+    ),
+)
+def table_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE-style whole-table column profile — null count and EXACT
+    distinct count for every column of orders, the statistics a
+    cost-based optimizer (or a data-quality dashboard) collects before
+    planning joins. ONE aggregation pass over the table: Spark plans
+    the multi-distinct aggregate with a single Expand (each input row
+    fans out once per column), so the scan happens once however many
+    columns are profiled — the right shape at 100 TB, where per-column
+    ANALYZE loops re-scan the table N times. The single stats row is
+    then unpivoted to (col_name, n_null, ndv) rows driver-free via an
+    inline struct-array explode. The reference's gatherTableStats
+    (DbImportWorker.java) is the single-node ancestor of this shape."""
+    o = load(spark, sf_dir, "orders")
+    aggs = []
+    for c in _PROFILE_COLS:
+        aggs.append(
+            F.count(F.when(F.col(c).isNull(), F.lit(1))).cast("bigint").alias(f"nn_{c}")
+        )
+        aggs.append(F.count_distinct(F.col(c)).cast("bigint").alias(f"nd_{c}"))
+    row = o.agg(*aggs)
+    stacked = row.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("col_name"),
+                        F.col(f"nn_{c}").alias("n_null"),
+                        F.col(f"nd_{c}").alias("ndv"),
+                    )
+                    for c in _PROFILE_COLS
+                ]
+            )
+        ).alias("s")
+    )
+    return stacked.select("s.col_name", "s.n_null", "s.ndv")
