@@ -142,6 +142,8 @@ HEADLINE = [
     "retrieval_hybrid_rrf",
     "graph_kcore",
     "stream_novelty_cms",
+    "src_webdataset_distributed_write",
+    "table_profile_orders",
 ]
 
 
