@@ -144,6 +144,7 @@ HEADLINE = [
     "stream_novelty_cms",
     "src_webdataset_distributed_write",
     "table_profile_orders",
+    "lake_txn_clone",
 ]
 
 

@@ -1051,3 +1051,65 @@ def lake_cdf_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_rows") > 0)
     )
     return refreshed
+
+
+@register(
+    "lake_txn_clone",
+    """WITH base AS (
+  SELECT * FROM customer WHERE c_custkey % 3 <> 0
+), delta AS (
+  SELECT c_custkey + 10000000 AS c_custkey, c_name, c_nationkey,
+         c_acctbal, c_mktsegment
+  FROM customer WHERE c_custkey % 7 = 0
+)
+SELECT 'source' AS side, CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS bal_cents
+FROM base
+UNION ALL
+SELECT 'clone' AS side, CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS bal_cents
+FROM (SELECT * FROM base UNION ALL SELECT * FROM delta)""",
+)
+def lake_txn_clone(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ZERO-COPY shallow clone of a lake table (txnlog.txn_clone): the
+    clone hard-links the source snapshot's files — no bytes move — then
+    DIVERGES with its own append while the source stays untouched; the
+    graded output aggregates both sides after divergence. Unlike Delta's
+    path-reference shallow clones, a later VACUUM of the source cannot
+    break this clone (links are independent names for shared inodes) —
+    pinned by tests/test_txnlog.py::test_clone_zero_copy_and_divergence.
+    At 100 TB the clone is O(live files) metadata operations: the
+    instant-dev-copy / experiment-branch primitive."""
+    import os
+    import shutil
+    import tempfile
+
+    from dbimport_spark import txnlog
+
+    root = os.path.join(
+        tempfile.gettempdir(),
+        "dbimport_spark_txn_clone",
+        sf_dir.rstrip("/").replace("/", "_"),
+    )
+    if os.path.isdir(root):
+        shutil.rmtree(root)
+    src_path = os.path.join(root, "src")
+    clone_path = os.path.join(root, "clone")
+    cust = load(spark, sf_dir, "customer")
+    base = cust.filter(F.col("c_custkey") % 3 != 0)
+    txnlog.txn_append(spark, base, src_path)
+    txnlog.txn_clone(src_path, clone_path)
+    delta = cust.filter(F.col("c_custkey") % 7 == 0).withColumn(
+        "c_custkey", F.col("c_custkey") + 10000000
+    )
+    txnlog.txn_append(spark, delta, clone_path)
+    cents = F.round(F.col("c_acctbal") * 100).cast("bigint")
+
+    def agg(side: str, path: str) -> DataFrame:
+        return txnlog.read_snapshot(spark, path).agg(
+            F.lit(side).alias("side"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(cents).cast("bigint").alias("bal_cents"),
+        )
+
+    return agg("source", src_path).unionByName(agg("clone", clone_path))

@@ -792,3 +792,55 @@ def read_snapshot_skipping(
     if not keep:
         return read_snapshot(spark, path, version).limit(0)
     return spark.read.parquet(*keep)
+
+
+def txn_clone(src: str, dst: str, version: int | None = None) -> int:
+    """ZERO-COPY table clone at a snapshot (Delta's SHALLOW CLONE, made
+    divergence-safe): every live data file of ``src`` at ``version``
+    (default: latest) is HARD-LINKED into ``dst``'s data dir — no bytes
+    move, O(files) metadata ops — and one commit publishes them with
+    their full per-file metadata (partition values and zone-map stats
+    ride along, so partition pruning and file skipping work on the clone
+    immediately).
+
+    Why links instead of path references (what Delta shallow clones
+    use): a reference breaks the moment the source VACUUMs the file;
+    a hard link is an independent NAME for the same inode, so source
+    and clone diverge safely in BOTH directions — vacuum/delete/append
+    on either side never disturbs the other, while still sharing every
+    unchanged byte on disk. On an object store the equivalent is a
+    manifest-level copy (names are cheap, bytes are shared by the
+    store's immutability); the log format here is identical either way.
+
+    The clone starts its own history at version 0: time travel below
+    the clone point belongs to the source table, which keeps lineage
+    queries unambiguous (same rule as Delta).
+    """
+    v = current_version(src) if version is None else version
+    if v < 0:
+        raise ValueError(f"cannot clone {src!r}: no committed version")
+    if current_version(dst) >= 0:
+        raise ValueError(f"clone target {dst!r} already has a log")
+    h = vacuum_horizon(src)
+    if v < h:
+        # same loud contract as time travel: files below the horizon are
+        # physically reclaimed, a clone of that version would be partial
+        raise ValueError(
+            f"cannot clone version {v}: below the vacuum horizon {h} of {src!r}"
+        )
+    live, ptype = _fold_log(src, v)
+    os.makedirs(_data_dir(dst), exist_ok=True)
+    added: list = []
+    for n, d in sorted(live.items()):
+        os.link(os.path.join(_data_dir(src), n), os.path.join(_data_dir(dst), n))
+        if d["p"] is None and not d["stats"]:
+            added.append(n)
+        else:
+            e: dict = {"n": n}
+            if d["p"] is not None:
+                e["p"] = d["p"]
+                e["t"] = ptype
+            if d["stats"]:
+                e["stats"] = d["stats"]
+            added.append(e)
+    return commit(dst, added, [], -1)

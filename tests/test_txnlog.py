@@ -608,3 +608,70 @@ def test_commit_survives_checkpoint_failure(spark, table, monkeypatch):
         last_v = txnlog.txn_append(spark, _df(spark, [(i, "x")]), table)
     assert last_v == txnlog.CHECKPOINT_INTERVAL
     assert txnlog.read_snapshot(spark, table).count() == last_v + 1
+
+
+def test_clone_zero_copy_and_divergence(spark, table, tmp_path):
+    """Shallow clone: no bytes copied (hard links), snapshot equality at
+    the clone point, divergence safe in BOTH directions, and a vacuum of
+    the SOURCE never breaks the clone (the Delta-shallow-clone failure
+    mode this design removes)."""
+    clone = str(tmp_path / "clone")
+    txnlog.txn_append(spark, _df(spark, [(1, "a"), (2, "b")]), table)
+    txnlog.txn_upsert(spark, _df(spark, [(2, "B"), (3, "c")]), table, ["k"])
+
+    v = txnlog.txn_clone(table, clone)
+    assert v == 0
+    got = {r["k"]: r["v"] for r in txnlog.read_snapshot(spark, clone).collect()}
+    assert got == {1: "a", 2: "B", 3: "c"}
+    # zero-copy: every cloned data file shares its inode with the source
+    src_inodes = {
+        os.path.basename(p): os.stat(p).st_ino
+        for p in txnlog.snapshot_files(table)
+    }
+    for p in txnlog.snapshot_files(clone):
+        assert os.stat(p).st_ino == src_inodes[os.path.basename(p)]
+
+    # diverge the clone; the source must not move
+    txnlog.txn_append(spark, _df(spark, [(9, "z")]), clone)
+    assert {r["k"] for r in txnlog.read_snapshot(spark, clone).collect()} == {1, 2, 3, 9}
+    assert {r["k"] for r in txnlog.read_snapshot(spark, table).collect()} == {1, 2, 3}
+
+    # diverge the source with a rewrite + vacuum below the clone point
+    txnlog.txn_delete(spark, F.col("k") == 1, table)
+    txnlog.vacuum(table, retain_versions=1)
+    # clone still reads every original row (hard links outlive the
+    # source's name removal)
+    got2 = {r["k"]: r["v"] for r in txnlog.read_snapshot(spark, clone).collect()}
+    assert got2 == {1: "a", 2: "B", 3: "c", 9: "z"}
+
+    # refusal paths: existing target, empty source, below-horizon version
+    with pytest.raises(ValueError):
+        txnlog.txn_clone(table, clone)
+    with pytest.raises(ValueError):
+        txnlog.txn_clone(str(tmp_path / "nope"), str(tmp_path / "dst2"))
+    with pytest.raises(ValueError, match="vacuum horizon"):
+        txnlog.txn_clone(table, str(tmp_path / "dst3"), version=0)
+
+
+def test_clone_older_version_time_travels(spark, table, tmp_path):
+    txnlog.txn_append(spark, _df(spark, [(1, "a"), (2, "b")]), table)
+    txnlog.txn_upsert(spark, _df(spark, [(2, "B")]), table, ["k"])
+    clone0 = str(tmp_path / "clone0")
+    txnlog.txn_clone(table, clone0, version=0)
+    assert {r["v"] for r in txnlog.read_snapshot(spark, clone0).collect()} == {"a", "b"}
+
+
+def test_clone_partitioned_carries_pruning_metadata(spark, tmp_path):
+    """Cloning a partitioned table preserves partitionValues (pruning
+    works on the clone without touching un-asked partitions)."""
+    src = str(tmp_path / "psrc")
+    dst = str(tmp_path / "pdst")
+    df = spark.createDataFrame(
+        [(1, "eu", "a"), (2, "us", "b"), (3, "eu", "c")], "k int, region string, v string"
+    )
+    txnlog.txn_append_partitioned(spark, df, src, "region")
+    txnlog.txn_clone(src, dst)
+    out = txnlog.read_snapshot_partitioned(
+        spark, dst, "region", partition_values=["eu"]
+    )
+    assert {r["k"] for r in out.collect()} == {1, 3}
