@@ -44,8 +44,14 @@ def canon(rows, cols):
 
 
 def main():
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    json_out = None
+    for a in sys.argv[1:]:
+        if a.startswith("--json="):
+            json_out = a.split("=", 1)[1]
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    only = set(args[1:])
+    results = {}
 
     import duckdb
     from pyspark.sql import SparkSession
@@ -88,9 +94,14 @@ def main():
             spark.catalog.clearCache()
         except Exception as e:
             failures.append(name)
+            results[name] = {"status": "fail", "error": f"spark: {e}"[:300]}
             print(f"FAIL  {name}: spark error: {e}")
             continue
         if name not in oracles:
+            results[name] = {
+                "status": "rows_only", "rows": len(srows),
+                "sec": round(time.time() - t0, 1),
+            }
             print(f"ROWS  {name}: {len(srows)} rows (no oracle) [{time.time()-t0:.1f}s]")
             continue
         try:
@@ -99,6 +110,7 @@ def main():
             orows = [dict(zip(ocols_full, row)) for row in rel.fetchall()]
         except Exception as e:
             failures.append(name)
+            results[name] = {"status": "fail", "error": f"duckdb: {e}"[:300]}
             print(f"FAIL  {name}: duckdb error: {e}")
             continue
         ocols = sorted(ocols_full)
@@ -116,9 +128,28 @@ def main():
                 status.append(f"values {nd}/{len(sc)} differ, e.g. {diff[:1]}")
         if status:
             failures.append(name)
+            results[name] = {"status": "fail", "error": "; ".join(status)[:300]}
             print(f"FAIL  {name}: {'; '.join(status)} [{time.time()-t0:.1f}s]")
         else:
+            results[name] = {
+                "status": "match", "rows": len(srows),
+                "sec": round(time.time() - t0, 1),
+            }
             print(f"OK    {name}: {len(srows)} rows [{time.time()-t0:.1f}s]")
+    if json_out:
+        import json as _json
+
+        summary = {
+            "sf_dir": sf_dir,
+            "n_queries": len(results),
+            "n_match": sum(1 for r in results.values() if r["status"] == "match"),
+            "n_rows_only": sum(1 for r in results.values() if r["status"] == "rows_only"),
+            "n_fail": len(failures),
+            "queries": results,
+        }
+        with open(json_out, "w") as fh:
+            fh.write(_json.dumps(summary, indent=1, sort_keys=True))
+        print(f"wrote {json_out}")
     print(f"\n{len(failures)} failures" + (f": {failures}" if failures else ""))
     sys.exit(1 if failures else 0)
 
