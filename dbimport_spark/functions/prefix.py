@@ -44,9 +44,23 @@ def global_prefix_sum(
     cumsum'd under a per-bucket window sort, then shifted by the
     broadcast exclusive bucket offsets. Driver state: num_buckets longs.
     """
-    lo, hi = df.agg(F.min(order_col), F.max(order_col)).first()
+    lo, hi, n, nd = df.agg(
+        F.min(order_col),
+        F.max(order_col),
+        F.count(order_col),
+        F.count_distinct(F.col(order_col)),
+    ).first()
     if lo is None:
         return df.select("*", F.lit(0).cast("bigint").alias(out_col)).limit(0)
+    if n != nd:
+        # a duplicated order key makes the scan order — and thus every
+        # partial sum after the tie — undefined; fail loudly rather than
+        # return partitioning-dependent numbers (the check rides the same
+        # single stats pass as min/max, so it costs no extra scan)
+        raise ValueError(
+            f"global_prefix_sum: order column {order_col!r} must be unique "
+            f"per row ({n - nd} duplicate keys found)"
+        )
     width = max(1, (int(hi) - int(lo)) // num_buckets + 1)
     bucketed = df.select(
         "*", ((F.col(order_col) - F.lit(int(lo))).cast("long") / width).cast("long").alias("_pb")

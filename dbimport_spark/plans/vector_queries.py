@@ -189,10 +189,14 @@ def ann_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "ann_filtered_topk",
     f"""WITH q AS (
-  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 8
+  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings
+  WHERE vec_id < 8
+    AND list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0
 ), n AS (
   SELECT vec_id AS neighbor_id, label, embedding::DOUBLE[] AS nv
-  FROM embeddings WHERE label IN (2, 7)
+  FROM embeddings
+  WHERE label IN (2, 7)
+    AND list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0
 ), scored AS (
   SELECT query_id, neighbor_id, label,
          {COSINE_SQL.format(a='qv', b='nv')} AS s
@@ -220,15 +224,19 @@ def ann_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     (functions/similarity.py keeps centroid assignment orthogonal to
     metadata columns, so the filtered variant is the same plan with
     this WHERE pushed into the posting scan)."""
-    e = load(spark, sf_dir, "embeddings")
+    # zero-norm vectors have no defined cosine (ANSI 0/0 errors; NaN
+    # ordering is engine-dependent) — excluded on both sides, mirrored
+    # in the oracle, same rule as retrieval_hybrid_rrf
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
+    ).filter(dot(F.col("v"), F.col("v")) > 0)
     q = e.filter(F.col("vec_id") < 8).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("embedding").cast("array<double>").alias("qv"),
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
     )
     n = e.filter(F.col("label").isin(2, 7)).select(
         F.col("vec_id").alias("neighbor_id"),
         F.col("label").cast("bigint").alias("label"),
-        F.col("embedding").cast("array<double>").alias("nv"),
+        F.col("v").alias("nv"),
     )
     scored = n.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id")).withColumn(
         "s", cosine(F.col("qv"), F.col("nv"))

@@ -64,9 +64,10 @@ QUERIES = [
     "sample_weighted_systematic",
     "retrieval_hybrid_rrf",
     "stream_novelty_cms",
-    # ann_filtered_topk deliberately absent (like ann_topk_cosine): the
-    # planted all-zeros vector makes a QUERY-side cosine 0/0 = NaN, whose
-    # cross-engine ordering is not part of the operator contract
+    "ann_filtered_topk",  # zero-norm vectors excluded on both sides now
+    # ann_topk_cosine remains absent: its registered oracle predates the
+    # zero-norm exclusion rule and the planted all-zeros vector makes a
+    # query-side cosine 0/0, whose ordering is not part of that contract
 ]
 
 DOCS = [

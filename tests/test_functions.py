@@ -829,3 +829,13 @@ def test_kcore_peel_hand_graph(spark):
     two = {r["node"]: r["deg"] for r in kcore_peel(df, k=2, rounds=2).collect()}
     assert two == {1: 3, 2: 3, 3: 3, 4: 3}
     assert two == {r["node"]: r["deg"] for r in kcore_peel(df, k=2, rounds=3).collect()}
+
+
+def test_global_prefix_sum_rejects_duplicate_keys(spark):
+    import pytest as _pytest
+
+    from dbimport_spark.functions.prefix import global_prefix_sum
+
+    df = spark.createDataFrame([(1, 5), (1, 7), (2, 1)], "k bigint, w bigint")
+    with _pytest.raises(ValueError, match="unique"):
+        global_prefix_sum(df, "k", "w").collect()
