@@ -185,19 +185,32 @@ def triangle_counts(
         )
         .persist()
     )
-    n_edges, max_node = o.agg(
-        F.count(F.lit(1)), F.greatest(F.max("u"), F.max("v"))
+    n_edges, max_node, min_node = o.agg(
+        F.count(F.lit(1)),
+        F.greatest(F.max("u"), F.max("v")),
+        F.least(F.min("u"), F.min("v")),
     ).first()
     small = n_edges * 16 <= broadcast_edges_max
     o_right = (lambda df: F.broadcast(df)) if small else (lambda df: df)
     wedges = o.select(F.col("u"), F.col("v")).join(
         o_right(o.select(F.col("u").alias("v"), F.col("v").alias("w"))), "v"
     )
-    if max_node is not None and int(max_node) < (1 << 31):
+    if (
+        max_node is not None
+        and int(max_node) < (1 << 31)
+        and min_node is not None
+        and int(min_node) >= 0
+    ):
         # pack the closure key into ONE long: the semi join then builds a
         # LongHashedRelation instead of a generic binary-key map — measured
-        # 2× on the probe-bound closure pass (6.6 s → 3.2 s at 49M wedges)
-        key = lambda cu, cw: (F.shiftleft(cu, 31) + cw).alias("k")  # noqa: E731
+        # 2× on the probe-bound closure pass (6.6 s → 3.2 s at 49M wedges).
+        # The cast to long is load-bearing: on IntegerType ids shiftleft
+        # would stay 32-bit and overflow, collapsing distinct (u, w) keys
+        # into false wedge closures. Negative ids (excluded by the
+        # min_node >= 0 gate) would collide the same way.
+        key = lambda cu, cw: (  # noqa: E731
+            F.shiftleft(cu.cast("long"), 31) + cw.cast("long")
+        ).alias("k")
         tri = wedges.withColumn("k", key(F.col("u"), F.col("w"))).join(
             o_right(o.select(key(F.col("u"), F.col("v")))), "k", "left_semi"
         )

@@ -165,7 +165,21 @@ def count_min_estimate(
     shuffle of the probe set, which can itself be large (e.g. re-scoring
     every distinct URL of a new crawl against last month's sketch).
     Absent buckets count 0 via the coalesce (an item whose bucket nobody
-    touched has true count 0 <= estimate 0)."""
+    touched has true count 0 <= estimate 0).
+
+    Contract: the probe frame's ROWS MUST BE DISTINCT — the final
+    re-assembly groups by all probe columns, so duplicate probe rows
+    collapse to one output row (by design: a probe is a membership
+    question, not a weighted one; pre-aggregate a count column if you
+    need multiplicity). Internal columns are ``_cms_``-prefixed so probe
+    frames with ``i``/``bucket``/``c`` columns pass through untouched;
+    a probe column that itself starts with ``_cms_`` is rejected."""
+    clash = [c for c in probes.columns if c.startswith("_cms_") or c == "n_cms"]
+    if clash:
+        raise ValueError(
+            f"count_min_estimate: probe columns {clash} collide with internal "
+            "names (_cms_* / n_cms) — rename them before probing"
+        )
     col = F.col(item_col)
     exploded = probes.select(
         "*",
@@ -173,17 +187,22 @@ def count_min_estimate(
             F.array(
                 *[
                     F.struct(
-                        F.lit(i).alias("i"),
-                        _portable_bucket(col, i, width).alias("bucket"),
+                        F.lit(i).alias("_cms_i"),
+                        _portable_bucket(col, i, width).alias("_cms_bucket"),
                     )
                     for i in range(depth)
                 ]
             )
-        ).alias("rb"),
-    ).select("*", "rb.i", "rb.bucket").drop("rb")
-    joined = exploded.join(F.broadcast(sketch), ["i", "bucket"], "left")
+        ).alias("_cms_rb"),
+    ).select("*", "_cms_rb._cms_i", "_cms_rb._cms_bucket").drop("_cms_rb")
+    counters = sketch.select(
+        F.col("i").alias("_cms_i"),
+        F.col("bucket").alias("_cms_bucket"),
+        F.col("c").alias("_cms_c"),
+    )
+    joined = exploded.join(F.broadcast(counters), ["_cms_i", "_cms_bucket"], "left")
     keys = [c for c in probes.columns]
     return (
         joined.groupBy(*keys)
-        .agg(F.min(F.coalesce(F.col("c"), F.lit(0).cast("bigint"))).alias("n_cms"))
+        .agg(F.min(F.coalesce(F.col("_cms_c"), F.lit(0).cast("bigint"))).alias("n_cms"))
     )

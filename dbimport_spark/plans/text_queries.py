@@ -1373,19 +1373,24 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(cands.select(F.col("b_id").alias("doc_id")))
         .distinct()
     )
-    n_cand_docs = cand_docs.count()
+    cand_sh = sh.join(F.broadcast(cand_docs), "doc_id", "left_semi")
+    # Gate the map-side verify on TOTAL SHINGLE VOLUME, not doc count:
+    # a frozenset of Python strings costs ~10-20x the raw bytes, so a
+    # doc-count gate lets pathologically long docs OOM the driver long
+    # before 2M docs. 6M shingles ≈ 1-2 GB of driver sets worst case —
+    # inside the 100 TB capacity plan's driver budget, and still covers
+    # every non-adversarial corpus the probes measured.
+    n_cand_shingles = cand_sh.count()
     containment = F.col("n_both") * F.lit(1.0) / F.col("n_a")
-    if n_cand_docs <= 2_000_000:
+    if n_cand_shingles <= 6_000_000:
         # Map-side verify: per-doc shingle sets are small enough to ship
-        # to every task (candidate docs × avg shingles; gate at 2M docs ≈
-        # low-GB broadcast). The pair list streams through an Arrow
-        # kernel; no shingle ever shuffles.
+        # to every task. The pair list streams through an Arrow kernel;
+        # no shingle ever shuffles.
         import pandas as pd
 
         doc_sets = {
             r["doc_id"]: frozenset(r["ss"])
-            for r in sh.join(F.broadcast(cand_docs), "doc_id", "left_semi")
-            .groupBy("doc_id")
+            for r in cand_sh.groupBy("doc_id")
             .agg(F.collect_list("s").alias("ss"))
             .collect()
         }
@@ -1410,7 +1415,7 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_a").cast("bigint").alias("n_a"),
             containment.alias("containment"),
         )
-    pruned = sh.join(F.broadcast(cand_docs), "doc_id", "left_semi").persist()
+    pruned = cand_sh.persist()
     inter = (
         pruned.select(F.col("doc_id").alias("a_id"), "s")
         .join(F.broadcast(cands.select("a_id", "b_id")), "a_id")
@@ -1505,8 +1510,11 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     (per-(term, doc) micros are query-independent, so both sum the same
     integers):
 
-    * dense (vocab <= 2048 and the query workload collectable, which is
-      THIS corpus: 31 distinct words, so every query term matches ~80%
+    * dense (vocab <= 65,536 distinct terms AND <= 100k query docs — the
+      gate the code actually applies below; the driver cost is the df
+      map + query postings, both bounded by those two numbers. THIS
+      corpus qualifies trivially: 31 distinct words, so every query term
+      matches ~80%
       of all docs and any postings-join plan is inherently quadratic in
       (queries × docs) SHUFFLED rows — the 10× probe measured 38× on
       the sparse plan): per-doc integer micro VECTORS are computed in an

@@ -103,22 +103,30 @@ def register_webdataset(spark) -> None:
 
 
 class _ShardCommit(WriterCommitMessage):
-    def __init__(self, path: str, n: int):
-        self.path = path
+    def __init__(self, final_path: str, tmp_path: str, n: int):
+        self.final_path = final_path
+        self.tmp_path = tmp_path
         self.n = n
 
 
 class WebDatasetShardWriter(DataSourceWriter):
     """Distributed shard writer: EACH TASK packs its partition's rows
-    into one tar shard (``shard-<partition>-<uuid>.tar``) — the write
-    path that replaces the driver-side collect the survey flagged as
-    known-hard for single-file formats: shards are many-file by design,
-    so the natural parallel unit writes them with no driver data path.
-    Rows: a ``key`` string column plus one BINARY column per member
-    extension (``_`` → ``.``, the reader's naming inverse); NULL fields
-    are skipped (samples may lack members). Commit is rename-free —
-    shard names are unique per task attempt, and Spark only invokes
-    commit() once per partition's winning attempt."""
+    into one tar shard — the write path that replaces the driver-side
+    collect the survey flagged as known-hard for single-file formats:
+    shards are many-file by design, so the natural parallel unit writes
+    them with no driver data path. Rows: a ``key`` string column plus
+    one BINARY column per member extension (``_`` → ``.``, the reader's
+    naming inverse); NULL fields are skipped (samples may lack members).
+
+    Two-phase commit against failed / speculative task attempts: each
+    attempt writes to an attempt-unique ``shard-<pid>-<uuid>.tar.inprogress``
+    name — INVISIBLE to the reader's ``*.tar`` glob — and only the
+    driver-side ``commit()`` (invoked once, with exactly the winning
+    attempts' messages) renames the winners to ``.tar``. Losing or
+    crashed attempts never surface as duplicate shards; their orphaned
+    ``.inprogress`` files are swept by commit()/abort(). This closes the
+    duplicate-row window the rename-free design had when a retried task
+    left its first attempt's shard behind."""
 
     def __init__(self, path: str, schema):
         if not path:
@@ -144,7 +152,38 @@ class WebDatasetShardWriter(DataSourceWriter):
                 if row[c] is not None
             }
             samples.append((row["key"], fields))
-        path = os.path.join(self._dir, f"shard-{pid:05d}-{_uuid.uuid4().hex[:8]}.tar")
+        final = os.path.join(
+            self._dir, f"shard-{pid:05d}-{_uuid.uuid4().hex[:8]}.tar"
+        )
+        tmp = final + ".inprogress"
         if samples:
-            write_shard(path, samples)
-        return _ShardCommit(path, len(samples))
+            write_shard(tmp, samples)
+        return _ShardCommit(final, tmp, len(samples))
+
+    def _sweep_inprogress(self) -> None:
+        # losing/crashed attempts never reach commit(); their temp files
+        # are safe to drop once the job has resolved (commit or abort)
+        for orphan in _glob.glob(os.path.join(self._dir, "shard-*.tar.inprogress")):
+            try:
+                os.remove(orphan)
+            except OSError:
+                pass
+
+    def commit(self, messages):
+        for msg in messages:
+            if msg is None:
+                continue
+            if msg.n > 0 and os.path.exists(msg.tmp_path):
+                os.replace(msg.tmp_path, msg.final_path)
+        self._sweep_inprogress()
+
+    def abort(self, messages):
+        for msg in messages:
+            if msg is None:
+                continue
+            try:
+                if os.path.exists(msg.tmp_path):
+                    os.remove(msg.tmp_path)
+            except OSError:
+                pass
+        self._sweep_inprogress()

@@ -760,6 +760,61 @@ def test_triangle_counts_hand_graph(spark):
     assert got == {1: 3, 2: 3, 3: 3, 4: 3}
 
 
+def test_triangle_counts_integer_and_negative_ids(spark):
+    """ADVICE r5 regression: the packed-long closure key must cast to
+    long BEFORE shiftleft (IntegerType ids stay 32-bit and overflow,
+    collapsing distinct (u, w) keys into false triangles), and negative
+    ids must fall back to the two-column join (they collide under the
+    shift otherwise). Same K4 + pendant + isolated-edge graph as the
+    hand test, under both hostile typings."""
+    from dbimport_spark.functions.graph import triangle_counts
+
+    edges = [
+        (1, 2), (2, 1), (1, 3), (1, 4), (2, 3), (3, 4), (2, 4),
+        (4, 5), (6, 7), (3, 3),
+    ]
+    want = {1: 3, 2: 3, 3: 3, 4: 3}
+
+    df_int = spark.createDataFrame(edges, "src int, dst int")
+    got_int = {r["node"]: r["n_tri"] for r in triangle_counts(df_int).collect()}
+    assert got_int == want
+
+    df_neg = spark.createDataFrame(
+        [(a - 10, b - 10) for a, b in edges], "src bigint, dst bigint"
+    )
+    got_neg = {r["node"] + 10: r["n_tri"] for r in triangle_counts(df_neg).collect()}
+    assert got_neg == want
+
+
+def test_count_min_probe_column_collisions(spark):
+    """ADVICE r5 regression: a probe frame already carrying columns named
+    i / bucket / c must survive count_min_estimate unharmed (internal
+    names are _cms_-prefixed now), and a probe column in the reserved
+    _cms_* / n_cms space is rejected loudly."""
+    import pytest as _pytest
+
+    from dbimport_spark.functions.sketch import count_min_estimate, count_min_sketch
+
+    items = spark.createDataFrame([("a",)] * 4 + [("b",)] * 2, "t string")
+    sketch = count_min_sketch(items, "t", depth=4, width=64)
+    probes = spark.createDataFrame(
+        [("a", 1, 2, 3), ("b", 4, 5, 6), ("zz", 7, 8, 9)],
+        "t string, i long, bucket long, c long",
+    )
+    out = count_min_estimate(probes, sketch, "t", depth=4, width=64)
+    got = {r["t"]: (r["i"], r["bucket"], r["c"], r["n_cms"]) for r in out.collect()}
+    assert got["a"][:3] == (1, 2, 3) and got["a"][3] >= 4
+    assert got["b"][:3] == (4, 5, 6) and got["b"][3] >= 2
+    assert got["zz"][3] >= 0  # collision may overcount, never under
+
+    bad = spark.createDataFrame([("a", 1)], "t string, _cms_i long")
+    with _pytest.raises(ValueError, match="_cms_"):
+        count_min_estimate(bad, sketch, "t", depth=4, width=64)
+    bad2 = spark.createDataFrame([("a", 1)], "t string, n_cms long")
+    with _pytest.raises(ValueError, match="n_cms"):
+        count_min_estimate(bad2, sketch, "t", depth=4, width=64)
+
+
 def test_count_min_upper_bound_and_exactness(spark):
     """CMS estimates are >= exact counts always; with width >> distinct
     items and no collisions they are exactly equal. Also checks the

@@ -1008,3 +1008,53 @@ def test_webdataset_datasource_write(spark, tmp_path):
     got = {r["key"]: (bytes(r["txt"]), r["cls"] and bytes(r["cls"])) for r in back.collect()}
     want = {k: (t, c) for k, t, c in rows}
     assert got == want
+
+
+def test_webdataset_writer_two_phase_commit(spark, tmp_path):
+    """ADVICE r5 regression: failed / speculative attempts must never
+    surface as duplicate shards. Attempts write to *.tar.inprogress
+    (invisible to the reader glob); commit() renames winners and sweeps
+    orphans; abort() removes the attempt files it knows about."""
+    import glob
+    import os
+
+    from pyspark.sql import functions as F
+
+    from dbimport_spark.sources.pyds import (
+        WebDatasetShardWriter,
+        _ShardCommit,
+        register_webdataset,
+    )
+
+    register_webdataset(spark)
+    out = tmp_path / "shards2p"
+    out.mkdir()
+    # a crashed attempt's orphan, left over from "before" this job
+    orphan = out / "shard-99999-deadbeef.tar.inprogress"
+    orphan.write_bytes(b"partial garbage")
+
+    rows = [("k%02d" % i, b"T%d" % i) for i in range(6)]
+    df = spark.createDataFrame(rows, "key string, txt binary")
+    df.repartition(2, F.col("key")).write.format("webdataset").option(
+        "path", str(out)
+    ).mode("append").save()
+
+    # commit swept the orphan; only winners remain, reader sees exact rows
+    assert not glob.glob(str(out / "*.inprogress"))
+    back = (
+        spark.read.format("webdataset")
+        .option("path", str(out / "*.tar"))
+        .option("exts", "txt")
+        .load()
+    )
+    assert {r["key"]: bytes(r["txt"]) for r in back.collect()} == dict(rows)
+
+    # direct abort(): attempt temp files are removed, nothing renamed
+    df1 = spark.createDataFrame([("k", b"v")], "key string, txt binary")
+    w = WebDatasetShardWriter(str(out), df1.schema)
+    tmp = out / "shard-00042-cafe0001.tar.inprogress"
+    tmp.write_bytes(b"attempt data")
+    msg = _ShardCommit(str(out / "shard-00042-cafe0001.tar"), str(tmp), 1)
+    w.abort([msg, None])
+    assert not tmp.exists()
+    assert not os.path.exists(msg.final_path)
