@@ -145,6 +145,9 @@ HEADLINE = [
     "src_webdataset_distributed_write",
     "table_profile_orders",
     "lake_txn_clone",
+    "src_warc_documents",
+    "src_warc_wet_text",
+    "curation_url_canonicalize",
 ]
 
 

@@ -1,0 +1,210 @@
+"""WARC / WET source: spec-shape parsing, gzip member-range splitting,
+distributed read, and URL canonicalization semantics."""
+
+import gzip
+import os
+
+import pytest
+
+from dbimport_spark.sources.warc import (
+    WarcError,
+    conversion_record,
+    gzip_member_offsets,
+    http_response_body,
+    http_response_record,
+    parse_warc_records,
+    read_warc,
+    write_warc_gz,
+    _split_ranges,
+)
+
+
+def _fixture_records(n=12):
+    recs = []
+    for i in range(n):
+        url = f"https://example.org/p/{i}"
+        date = f"2026-02-0{i % 9 + 1}T10:00:00Z"
+        recs.append(http_response_record(url, date, f"body {i}".encode()))
+        if i % 4 == 0:
+            recs.append(conversion_record(url, date, f"text {i}".encode()))
+    return recs
+
+
+class TestParse:
+    def test_roundtrip_and_member_per_record(self, tmp_path):
+        p = str(tmp_path / "a.warc.gz")
+        recs = _fixture_records()
+        write_warc_gz(p, recs)
+        blob = open(p, "rb").read()
+        # spec: record-at-time compression — one gzip member per record
+        assert len(gzip_member_offsets(blob)) == len(recs)
+        parsed = list(parse_warc_records(gzip.decompress(blob)))
+        assert len(parsed) == len(recs)
+        for (want_h, want_p), (got_h, got_p) in zip(recs, parsed):
+            assert got_p == want_p
+            assert got_h["warc-type"] == want_h["warc-type"]
+            assert got_h["warc-target-uri"] == want_h["warc-target-uri"]
+            assert int(got_h["content-length"]) == len(want_p)
+
+    def test_deterministic_bytes(self, tmp_path):
+        p1, p2 = str(tmp_path / "d1.warc.gz"), str(tmp_path / "d2.warc.gz")
+        write_warc_gz(p1, _fixture_records())
+        write_warc_gz(p2, _fixture_records())
+        assert open(p1, "rb").read() == open(p2, "rb").read()
+
+    def test_http_envelope_split(self):
+        _, payload = http_response_record(
+            "https://x.y/z", "2026-01-01T00:00:00Z", b"hello world"
+        )
+        status, headers, body = http_response_body(payload)
+        assert status.startswith("HTTP/1.1 200")
+        assert headers["content-type"] == "text/plain"
+        assert body == b"hello world"
+
+    def test_truncated_record_raises(self):
+        h, p = http_response_record("https://a/b", "2026-01-01T00:00:00Z", b"xyz")
+        raw = b"WARC/1.1\r\nWarc-Type: response\r\nContent-Length: 99\r\n\r\nshort"
+        with pytest.raises(WarcError, match="truncated"):
+            list(parse_warc_records(raw))
+
+    def test_missing_content_length_raises(self):
+        raw = b"WARC/1.1\r\nWarc-Type: response\r\n\r\nbody"
+        with pytest.raises(WarcError, match="Content-Length"):
+            list(parse_warc_records(raw))
+
+    def test_garbage_prefix_raises(self):
+        with pytest.raises(WarcError, match="WARC/"):
+            list(parse_warc_records(b"HTTP/1.1 200 OK\r\n\r\n"))
+
+    def test_continuation_header(self):
+        body = b"x"
+        raw = (
+            b"WARC/1.1\r\n"
+            b"Warc-Type: response\r\n"
+            b"Warc-Target-Uri: https://example.org/very\r\n"
+            b"\tlong/path\r\n"
+            b"Content-Length: 1\r\n\r\n" + body + b"\r\n\r\n"
+        )
+        (h, p), = parse_warc_records(raw)
+        assert h["warc-target-uri"] == "https://example.org/very long/path"
+        assert p == body
+
+
+class TestSplit:
+    def test_ranges_cover_all_members(self, tmp_path):
+        p = str(tmp_path / "s.warc.gz")
+        recs = _fixture_records(20)
+        write_warc_gz(p, recs)
+        ranges = _split_ranges(p, 300)
+        assert len(ranges) > 3  # small target → real fan-out
+        total = 0
+        for path, off, ln in ranges:
+            with open(path, "rb") as fh:
+                fh.seek(off)
+                chunk = fh.read(ln)
+            total += len(list(parse_warc_records(gzip.decompress(chunk))))
+        assert total == len(recs)
+        # ranges are disjoint and contiguous
+        ends = [off + ln for _, off, ln in ranges]
+        starts = [off for _, off, ln in ranges]
+        assert starts[0] == 0 and ends[-1] == os.path.getsize(p)
+        assert all(e == s for e, s in zip(ends, starts[1:]))
+
+    def test_indexless_falls_back_to_whole_file(self, tmp_path):
+        p = str(tmp_path / "n.warc.gz")
+        write_warc_gz(p, _fixture_records(), write_index=False)
+        assert not os.path.exists(p + ".idx")
+        assert _split_ranges(p, 300) == [(p, 0, os.path.getsize(p))]
+
+
+class TestSparkRead:
+    def test_distributed_read_filters_and_fans_out(self, spark, tmp_path):
+        p = str(tmp_path / "r.warc.gz")
+        recs = _fixture_records(16)
+        write_warc_gz(p, recs)
+        df = read_warc(spark, [p], record_types=("response",), target_bytes=300)
+        rows = df.collect()
+        want = [(h, pl) for h, pl in recs if h["warc-type"] == "response"]
+        assert len(rows) == len(want)
+        got_urls = sorted(r["url"] for r in rows)
+        assert got_urls == sorted(h["warc-target-uri"] for h, _ in want)
+        # untyped read sees every record
+        assert read_warc(spark, [p], target_bytes=300).count() == len(recs)
+
+    def test_uncompressed_warc_supported(self, spark, tmp_path):
+        recs = _fixture_records(5)
+        raw = b""
+        for h, pl in recs:
+            lines = [b"WARC/1.1"]
+            for k, v in h.items():
+                lines.append(f"{k}: {v}".encode())
+            lines.append(f"Content-Length: {len(pl)}".encode())
+            raw += b"\r\n".join(lines) + b"\r\n\r\n" + pl + b"\r\n\r\n"
+        p = tmp_path / "plain.warc"
+        p.write_bytes(raw)
+        assert read_warc(spark, [str(p)]).count() == len(recs)
+
+
+class TestShardWriter:
+    def test_distributed_write_deterministic_and_readable(self, spark, tmp_path):
+        from dbimport_spark.sources.warc import write_warc_shards
+
+        df = spark.createDataFrame(
+            [(i, f"text {i}") for i in range(40)], "doc_id long, text string"
+        )
+
+        def build(row):
+            return [
+                conversion_record(
+                    f"https://x/{row.doc_id}", "2026-01-01T00:00:00Z",
+                    row.text.encode(),
+                )
+            ]
+
+        out1 = str(tmp_path / "w1")
+        paths1 = write_warc_shards(df, out1, build, num_shards=4, key_col="doc_id")
+        assert 1 <= len(paths1) <= 4
+        assert all(os.path.exists(p + ".idx") for p in paths1)
+        back = read_warc(spark, paths1, target_bytes=200)
+        got = sorted(int(r["url"].rsplit("/", 1)[1]) for r in back.collect())
+        assert got == list(range(40))
+        # determinism: same input → byte-identical shards
+        out2 = str(tmp_path / "w2")
+        paths2 = write_warc_shards(df, out2, build, num_shards=4, key_col="doc_id")
+        for p1, p2 in zip(paths1, paths2):
+            assert os.path.basename(p1) == os.path.basename(p2)
+            assert open(p1, "rb").read() == open(p2, "rb").read()
+        # rewrite clears stale shards and leaves no temp files
+        paths3 = write_warc_shards(df, out1, build, num_shards=2, key_col="doc_id")
+        import glob as g
+
+        on_disk = sorted(g.glob(out1 + "/part-*.warc.gz"))
+        assert on_disk == sorted(paths3)
+        assert not g.glob(out1 + "/*.inprogress*")
+
+
+class TestCanonicalUrl:
+    CASES = {
+        "HTTPS://WWW.Example.ORG:443//a//b/?utm_source=x&id=1#f":
+            "https://example.org/a/b?id=1",
+        "http://Example.org:80/a/b?id=1&utm_campaign=z&q=2":
+            "http://example.org/a/b?id=1&q=2",
+        "https://example.org/": "https://example.org/",
+        "https://example.org": "https://example.org/",
+        "https://example.org:8080/x/": "https://example.org:8080/x",
+        "http://example.org:443/x": "http://example.org:443/x",  # not http's default
+        "https://example.org/x?utm_a=1&utm_b=2": "https://example.org/x",
+        "ftp://Host.example/Dir/": "ftp://host.example/Dir",
+    }
+
+    def test_spark_semantics(self, spark):
+        from pyspark.sql import functions as F
+
+        from dbimport_spark.plans.warc_queries import canonical_url
+
+        df = spark.createDataFrame([(u,) for u in self.CASES], "url string")
+        got = {
+            r["url"]: r["c"]
+            for r in df.select("url", canonical_url(F.col("url")).alias("c")).collect()
+        }
+        assert got == self.CASES
