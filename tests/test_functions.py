@@ -634,6 +634,66 @@ def test_tfidf_dense_strategy_matches_naive(spark, sf_dir):
     assert naive == dense and naive
 
 
+def test_tfidf_dense_folded_strategy_matches_naive(spark, sf_dir):
+    """The mid-vocab hash-folded candidate path is exact end-to-end:
+    folded dots upper-bound true dots (non-negative weights) while the
+    prefilter divides by TRUE norms, so candidates are a superset and
+    the exact pair re-verify restores equality with naive."""
+    from dbimport_spark.plans.text_queries import sparse_tfidf_neardup
+
+    naive = {
+        tuple(r) for r in sparse_tfidf_neardup(spark, sf_dir, strategy="naive").collect()
+    }
+    folded = {
+        tuple(r)
+        for r in sparse_tfidf_neardup(spark, sf_dir, strategy="dense_folded").collect()
+    }
+    assert naive == folded and naive
+
+
+def test_tfidf_dense_folded_on_midvocab_corpus(spark, tmp_path):
+    """A synthetic 8k-term corpus (over the 4096 exact-dense gate) with
+    planted near-dups: dense_folded == naive, and the planted pairs are
+    found. This is the round-5 verdict's mid-vocab shape in miniature."""
+    import pandas as pd
+
+    from dbimport_spark.plans.text_queries import sparse_tfidf_neardup
+
+    rng_words = [f"w{i:05d}" for i in range(8000)]
+    rows = []
+    for d in range(300):
+        # deterministic pseudo-random draw: doc d takes 30 spread terms
+        toks = [rng_words[(d * 97 + k * 131) % 8000] for k in range(30)]
+        rows.append((d, " ".join(toks)))
+    # planted dups: doc 1000+d = doc d verbatim (cos exactly 1 — a
+    # changed RARE token would sink cos below 0.9 under IDF weighting,
+    # so identity is the robust planted signal; corpus_df additionally
+    # plants its own +1000000 near-dup twins organically)
+    for d in range(0, 300, 10):
+        toks = [rng_words[(d * 97 + k * 131) % 8000] for k in range(30)]
+        rows.append((1000 + d, " ".join(toks)))
+    pdf = pd.DataFrame(rows, columns=["doc_id", "text"])
+    pdf["lang"] = "en"
+    pdf["source"] = "synth"
+    pdf["n_chars"] = pdf["text"].str.len()
+    d = tmp_path / "midvocab"
+    d.mkdir()
+    spark.createDataFrame(pdf).write.parquet(str(d / "documents.parquet"))
+
+    naive = {
+        tuple(r)
+        for r in sparse_tfidf_neardup(spark, str(d), strategy="naive").collect()
+    }
+    folded = {
+        tuple(r)
+        for r in sparse_tfidf_neardup(spark, str(d), strategy="dense_folded").collect()
+    }
+    assert naive == folded
+    found_pairs = {(a, b) for a, b, *_ in folded}
+    planted = {(d0, 1000 + d0) for d0 in range(0, 300, 10)}
+    assert planted <= found_pairs
+
+
 def test_cosine_gate_exact_at_every_magnitude(spark):
     """The cos≥0.9 cross-multiplication gate must agree with
     arbitrary-precision integer math even where decimal(38) overflows —
