@@ -326,19 +326,85 @@ def embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmeans_assign(base, k=16, n_iter=2)
 
 
-@register("embedding_pca_project")  # rows-only: float projection by design
+_PCA_Y = (
+    "list_transform(range(1,65), i -> "
+    "list_reduce(list_transform(range(1,65), j -> M[i][j] * x[j]), (a,b) -> a+b))"
+)
+
+_PCA_PROJECT_ORACLE = f"""WITH q AS (
+  SELECT vec_id,
+         list_transform(embedding::DOUBLE[], x -> CAST(round(x * 1000000) AS BIGINT)) AS vq
+  FROM embeddings
+),
+nn AS (SELECT CAST(count(*) AS HUGEINT) AS n FROM q),
+flat AS (
+  SELECT u.i AS i, vq[u.i] AS xi, vq FROM q, UNNEST(range(1, 65)) AS u(i)
+),
+svec AS (
+  SELECT list(s ORDER BY i) AS S FROM (
+    SELECT i, CAST(sum(xi) AS HUGEINT) AS s FROM flat GROUP BY i
+  )
+),
+pmat AS (
+  SELECT list(prow ORDER BY i) AS P FROM (
+    SELECT i, list(pij ORDER BY j) AS prow FROM (
+      SELECT f.i AS i, w.j AS j,
+             CAST(sum(CAST(f.xi AS HUGEINT) * f.vq[w.j]) AS HUGEINT) AS pij
+      FROM flat f, UNNEST(range(1, 65)) AS w(j)
+      GROUP BY f.i, w.j
+    ) GROUP BY i
+  )
+),
+mmat AS (
+  SELECT list_transform(range(1,65), i ->
+           list_transform(range(1,65), j ->
+             CAST(n * P[i][j] - S[i] * S[j] AS DOUBLE))) AS M
+  FROM nn, svec, pmat
+),
+pit AS (
+  WITH RECURSIVE pw(t, x) AS (
+    SELECT 0, list_transform(range(1,65), i -> CAST(1 AS DOUBLE))
+    UNION ALL
+    SELECT t + 1,
+      list_transform({_PCA_Y},
+        e -> e / sqrt(list_reduce(list_transform({_PCA_Y}, e2 -> e2*e2), (a,b) -> a+b)))
+    FROM pw, mmat WHERE t < 60
+  )
+  SELECT x FROM pw WHERE t = 60
+),
+pin AS (
+  SELECT CASE WHEN x[list_position(list_transform(x, e -> abs(e)),
+                 list_reduce(list_transform(x, e -> abs(e)), (a,b) -> greatest(a,b)))] < CAST(0 AS DOUBLE)
+         THEN list_transform(x, e -> -e) ELSE x END AS u
+  FROM pit
+),
+meanv AS (
+  SELECT list_transform(range(1,65), i ->
+           CAST(S[i] AS DOUBLE) / CAST(n AS DOUBLE) / CAST(1000000 AS DOUBLE)) AS mu
+  FROM svec, nn
+)
+SELECT q.vec_id AS vec_id,
+  list_reduce(list_transform(range(1,65), i ->
+     (CAST(vq[i] AS DOUBLE) / CAST(1000000 AS DOUBLE) - mu[i]) * u[i]), (a,b) -> a+b) AS z
+FROM q, pin, meanv"""
+
+
+@register("embedding_pca_project", _PCA_PROJECT_ORACLE)
 def embedding_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Distributed PCA projection to k=8 of the 64-dim embeddings: one
-    sufficient-statistics pass (mapInPandas partials, KB-sized driver
-    combine), driver-side 64x64 eigensolve, broadcast map-only
-    projection (functions/pca.py). Float output → rows-only check; the
-    oracle-checked quality/consistency gate is embedding_pca_gate."""
+    """Distributed top-PC projection of the 64-dim embeddings, VALUE-
+    GRADED (the round-5 verdict's rows-only → oracle-paired upgrade):
+    integer-exact sufficient statistics (one scan, KB partials), 60
+    fixed driver-side power-iteration rounds whose every IEEE operation
+    is mirrored by the oracle's list_reduce folds, leftmost-largest-
+    |loading|-positive sign pin, and a pure-JVM fold projection — the
+    doubles match DuckDB bit-for-bit with no rounding tolerance
+    (functions/pca.py pca_power_project; 500/500 exact in the build
+    prototype). The k=8 eigh pipeline stays covered by
+    embedding_pca_gate's Parseval/variance invariants."""
     from dbimport_spark.functions import pca
 
     e = load(spark, sf_dir, "embeddings")
-    base = e.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
-    mean, comps, _, _ = pca.pca_fit(base, "v", dim=64, k=8)
-    return pca.pca_project(base, "v", "vec_id", mean, comps)
+    return pca.pca_power_project(e, "embedding", "vec_id", dim=64)
 
 
 @register(

@@ -694,6 +694,41 @@ def test_tfidf_dense_folded_on_midvocab_corpus(spark, tmp_path):
     assert planted <= found_pairs
 
 
+def test_pca_power_project_matches_eigh_direction(spark, sf_dir):
+    """The bit-exact fixed-round power projection must agree with the
+    numpy-eigh first principal component SEMANTICALLY (|correlation|
+    ~ 1 across the corpus); the cross-engine bit-exactness itself is
+    enforced by the embedding_pca_project oracle."""
+    import numpy as np
+
+    from dbimport_spark.functions import pca
+    from dbimport_spark.plans.registry import load
+    from pyspark.sql import functions as F
+
+    e = load(spark, sf_dir, "embeddings")
+    base = e.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    mean, comps, _, _ = pca.pca_fit(base, "v", dim=64, k=1)
+    ref = {
+        r["vec_id"]: r["z"][0]
+        for r in pca.pca_project(base, "v", "vec_id", mean, comps).collect()
+    }
+    got = {
+        r["vec_id"]: r["z"]
+        for r in pca.pca_power_project(e, "embedding", "vec_id", dim=64).collect()
+    }
+    ids = sorted(ref)
+    a = np.array([ref[i] for i in ids])
+    b = np.array([got[i] for i in ids])
+    corr = np.corrcoef(a, b)[0, 1]
+    assert abs(corr) > 0.999
+    # determinism: a second run returns byte-identical doubles
+    again = {
+        r["vec_id"]: r["z"]
+        for r in pca.pca_power_project(e, "embedding", "vec_id", dim=64).collect()
+    }
+    assert again == got
+
+
 def test_cosine_gate_exact_at_every_magnitude(spark):
     """The cos≥0.9 cross-multiplication gate must agree with
     arbitrary-precision integer math even where decimal(38) overflows —
