@@ -79,6 +79,158 @@ def test_upsert_retry_after_conflict_merges_against_new_snapshot(
     assert now == {1: "a", 2: "B", 10: "x"}
 
 
+def test_concurrent_delete_vs_upsert_conflict(spark, table, monkeypatch):
+    """r6 adversarial: a DELETE commits between an UPSERT's snapshot read
+    and its commit attempt. The upsert must lose the race, re-merge
+    against the POST-DELETE snapshot, and the final table must show (a)
+    deleted rows stay deleted unless the upsert source reinserts them,
+    (b) the upsert's reinsertion of a deleted key wins."""
+    txnlog.txn_append(
+        spark, _df(spark, [(1, "a"), (2, "b"), (3, "c"), (4, "d")]), table
+    )
+    real_commit = txnlog.commit
+    raced = {"done": False}
+
+    def racing_commit(path, added, removed, expect_version):
+        if not raced["done"]:
+            raced["done"] = True
+            # rival DELETE of k in {2, 3} sneaks in before our attempt
+            txnlog.txn_delete(spark, F.col("k").isin(2, 3), table)
+        return real_commit(path, added, removed, expect_version)
+
+    monkeypatch.setattr(txnlog, "commit", racing_commit)
+    # upsert touches k=2 (deleted by rival → must be reinserted with OUR
+    # value) and k=4 (survives delete → updated)
+    txnlog.txn_upsert(spark, _df(spark, [(2, "B2"), (4, "D2")]), table, ["k"])
+    now = {r["k"]: r["v"] for r in txnlog.read_snapshot(spark, table).collect()}
+    assert now == {1: "a", 2: "B2", 4: "D2"}  # 3 stays deleted
+
+
+def test_concurrent_delete_vs_delete_composes(spark, table, monkeypatch):
+    """Two racing DELETEs with different predicates: the loser re-reads
+    the winner's snapshot, so BOTH predicates end up applied."""
+    txnlog.txn_append(
+        spark, _df(spark, [(1, "a"), (2, "b"), (3, "c"), (4, "d")]), table
+    )
+    real_commit = txnlog.commit
+    raced = {"done": False}
+
+    def racing_commit(path, added, removed, expect_version):
+        if not raced["done"]:
+            raced["done"] = True
+            txnlog.txn_delete(spark, F.col("k") == 1, table)
+        return real_commit(path, added, removed, expect_version)
+
+    monkeypatch.setattr(txnlog, "commit", racing_commit)
+    txnlog.txn_delete(spark, F.col("k") == 4, table)
+    now = {r["k"] for r in txnlog.read_snapshot(spark, table).collect()}
+    assert now == {2, 3}
+
+
+def test_change_feed_across_compaction_boundary(spark, table):
+    """r6 adversarial: CDF over a range containing a compaction commit
+    must see ONLY the data changes — compaction is content-invariant and
+    must produce no phantom inserts/deletes; a range where ONLY the
+    compaction happened is an empty feed."""
+    v0 = txnlog.txn_append(spark, _df(spark, [(1, "a"), (2, "b")]), table)
+    txnlog.txn_append(spark, _df(spark, [(3, "c")]), table)
+    txnlog.txn_append(spark, _df(spark, [(4, "d")]), table)
+    v_pre = txnlog.current_version(table)
+    v_c = txnlog.txn_compact(spark, table, target_file_bytes=1 << 30)
+    assert v_c > v_pre  # a real compaction commit happened
+    assert len(txnlog.snapshot_files(table, v_c)) < len(
+        txnlog.snapshot_files(table, v_pre)
+    )
+    # compaction-only range: empty feed
+    only_compact = txnlog.read_changes(spark, table, ["k"], v_pre, v_c)
+    assert only_compact.count() == 0
+    # range spanning appends + the compaction: exactly the data changes
+    ch = {
+        (r["k"], r["_change_type"])
+        for r in txnlog.read_changes(spark, table, ["k"], v0, v_c).collect()
+    }
+    assert ch == {(3, "insert"), (4, "insert")}
+    # post-compaction data commits keep flowing through the feed
+    txnlog.txn_upsert(spark, _df(spark, [(1, "A")]), table, ["k"])
+    ch2 = {
+        (r["k"], r["_change_type"])
+        for r in txnlog.read_changes(spark, table, ["k"], v_c).collect()
+    }
+    assert ch2 == {(1, "update")}
+
+
+def test_vacuum_racing_reader_and_staged_writer(spark, table):
+    """r6 adversarial: (a) a reader pinned below the vacuum horizon fails
+    LOUDLY up front on every read path (plain, skipping, clone) instead
+    of dying mid-scan; (b) the horizon version itself stays fully
+    readable; (c) a concurrent writer's staged-but-uncommitted file is
+    NOT reclaimed — vacuum only deletes what the log proves dead."""
+    txnlog.txn_append(spark, _df(spark, [(1, "a")]), table)
+    txnlog.txn_upsert(spark, _df(spark, [(1, "A"), (2, "b")]), table, ["k"])
+    txnlog.txn_upsert(spark, _df(spark, [(3, "c")]), table, ["k"])
+    # in-flight writer staged, not yet committed
+    staged = txnlog._stage(_df(spark, [(99, "zz")]), table)
+    doomed = txnlog.vacuum(table, retain_versions=2)
+    assert doomed  # version 0's file really was reclaimed
+    for name in staged:
+        assert os.path.exists(os.path.join(table, "data", name))
+    horizon = txnlog.vacuum_horizon(table)
+    assert horizon == 1
+    # horizon version readable end-to-end
+    assert {
+        r["k"]: r["v"] for r in txnlog.read_snapshot(spark, table, horizon).collect()
+    } == {1: "A", 2: "b"}
+    # below-horizon reads fail loudly on every path
+    with pytest.raises(ValueError, match="vacuum"):
+        txnlog.read_snapshot(spark, table, 0)
+    with pytest.raises(ValueError, match="vacuum"):
+        txnlog.read_snapshot_skipping(spark, table, "k", 0, 10, version=0)
+    with pytest.raises(ValueError, match="vacuum"):
+        txnlog.txn_clone(table, table + "_c", version=0)
+    # the staged orphan commits fine afterwards
+    v = txnlog.commit(table, staged, [], txnlog.current_version(table))
+    assert {r["k"] for r in txnlog.read_snapshot(spark, table, v).collect()} == {
+        1, 2, 3, 99,
+    }
+
+
+def test_zone_map_null_only_and_statless_files(spark, table):
+    """r6 adversarial: a file whose stats column is entirely NULL has no
+    usable footer min/max — it must be kept CONSERVATIVELY by the
+    skipping reader (pruning a NULL-only file would be correct for range
+    predicates but the reader can't know the column isn't mixed), and
+    its log entry must simply omit the column's stats rather than crash
+    stats collection."""
+    df_null = spark.createDataFrame([(None, "x"), (None, "y")], "k long, v string")
+    df_vals = spark.createDataFrame([(5, "five"), (6, "six")], "k long, v string")
+    txnlog.txn_append_stats(spark, df_null, table, ["k"])
+    txnlog.txn_append_stats(spark, df_vals, table, ["k"])
+    stats = txnlog.snapshot_stats(table)
+    # the NULL-only batch's file(s) omit the column's stats entirely;
+    # the value batch's file(s) carry real finite bounds
+    with_stats = [st["k"] for st in stats.values() if "k" in st]
+    without = [st for st in stats.values() if "k" not in st]
+    assert with_stats and without
+    assert all(lo is not None and hi is not None for lo, hi in with_stats)
+    # range read: NULL-only file kept (conservative), caller's row filter
+    # then drops the NULL rows — result correct
+    got = (
+        txnlog.read_snapshot_skipping(spark, table, "k", 5, 5)
+        .filter(F.col("k").between(5, 5))
+        .collect()
+    )
+    assert {(r["k"], r["v"]) for r in got} == {(5, "five")}
+    # IS NULL query: the NULL-only file must be reachable via the
+    # conservative keep (a skipping reader that dropped statless files
+    # would lose these rows)
+    nulls = (
+        txnlog.read_snapshot_skipping(spark, table, "k", -(10**9), 10**9)
+        .filter(F.col("k").isNull())
+        .collect()
+    )
+    assert {r["v"] for r in nulls} == {"x", "y"}
+
+
 def test_missing_log_entry_is_loud(spark, table):
     txnlog.txn_append(spark, _df(spark, [(1, "a")]), table)
     txnlog.txn_append(spark, _df(spark, [(2, "b")]), table)
