@@ -22,7 +22,8 @@ from dbimport_spark.plans import streaming_queries  # noqa: E402,F401
 from dbimport_spark.plans import curation_queries  # noqa: E402,F401
 from dbimport_spark.plans import relational_queries  # noqa: E402,F401
 from dbimport_spark.plans import learned_queries  # noqa: E402,F401
-from dbimport_spark.plans import warc_queries  # noqa: E402,F401  (keep LAST: append-only driver order)
+from dbimport_spark.plans import warc_queries  # noqa: E402,F401  (r6 additions keep LAST: append-only driver order)
+from dbimport_spark.plans import tws_queries  # noqa: E402,F401
 
 # Re-key both dicts into the driver-rotation-stable order: the round-2
 # snapshot order first (plans/_order.py), then any later additions in

@@ -269,19 +269,37 @@ def user_totals_tws(stream: DataFrame) -> DataFrame:
     what makes this shape survive unbounded key spaces at 100 TB where a
     hand-rolled dict cannot.
 
-    ENVIRONMENT-GATED: the API's driver worker speaks protobuf to the
-    JVM state server and needs the ``protobuf`` Python package, which
-    this container lacks (import raises — see COVERAGE.md). The code
-    path is exercised by tests/test_streaming.py::test_user_totals_tws,
-    skipped where protobuf is absent; the registered stream_* queries
-    deliberately do NOT include a transformWithState twin so the driver
-    registry never depends on an optional package (conditional
-    registration would shift the pinned query order).
+    Protobuf note (r6): the API's Python workers speak protobuf to the
+    JVM state server; this container lacks ``google.protobuf``, so the
+    vendored mini runtime (vendor/miniproto.py + vendor/pb facade,
+    public wire-format spec only) is installed when the real package is
+    absent — ``protoshim.install`` below. The JVM side is a reference
+    protobuf implementation, so every run of this operator end-to-end
+    validates the vendored codec. r5 gated this path on the missing
+    package; the r6 shim unblocked it and the ``stream_user_totals_tws``
+    query registers it APPEND-ONLY at the end of the pinned order.
 
     Input stream schema: (user_id bigint, e4 bigint) — values pre-scaled
     to exact 1e-4 integer units so the single-batch availableNow run
     equals the batch GROUP BY bit-for-bit."""
     import pandas as pd
+
+    from dbimport_spark.vendor import protoshim
+
+    if not protoshim.install(stream.sparkSession):
+        raise ImportError(
+            "transformWithStateInPandas needs google.protobuf and the "
+            "vendored mini runtime failed to install"
+        )
+    # transformWithState keeps one column family per state variable —
+    # only the RocksDB provider supports that (the HDFS-backed default
+    # raises STATE_STORE_MULTIPLE_COLUMN_FAMILIES). Same requirement as
+    # Delta/Databricks docs state for this API; conf is read at query
+    # start, so setting it here covers the run the caller launches.
+    stream.sparkSession.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
     from pyspark.sql.streaming.stateful_processor import (
         StatefulProcessor,
         StatefulProcessorHandle,

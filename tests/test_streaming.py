@@ -274,18 +274,17 @@ def test_multifile_watermark_advancement(spark, tmp_path):
 
 
 def _protobuf_available() -> bool:
-    try:
-        from google.protobuf import descriptor  # noqa: F401
+    """Real protobuf, or the r6 vendored mini runtime (driver side —
+    user_totals_tws itself ships it to workers)."""
+    from dbimport_spark.vendor import protoshim
 
-        return True
-    except ImportError:
-        return False
+    return protoshim.install()
 
 
 @pytest.mark.skipif(
     not _protobuf_available(),
-    reason="transformWithStateInPandas needs the protobuf package "
-    "(absent in this container; gate documented in COVERAGE.md)",
+    reason="transformWithStateInPandas needs google.protobuf and the "
+    "vendored mini runtime failed to install",
 )
 def test_user_totals_tws(spark, tmp_path):
     from dbimport_spark.plans.registry import load_events
