@@ -148,6 +148,7 @@ HEADLINE = [
     "src_warc_documents",
     "src_warc_wet_text",
     "curation_url_canonicalize",
+    "stream_user_totals_tws",
 ]
 
 

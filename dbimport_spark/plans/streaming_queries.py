@@ -52,17 +52,30 @@ from dbimport_spark.streaming.ops import (
 
 
 def _events_path(sf_dir: str) -> str:
-    """readStream requires a DIRECTORY source; expose the single
-    events.parquet file through a symlinked temp dir."""
+    """readStream requires a FLAT DIRECTORY of data files; expose
+    events.parquet through a symlinked temp dir. The source is a single
+    file in the driver-generated testdata but a Spark-written DIRECTORY
+    in inflated scale-probe corpora — link the part files individually
+    in that case (a dir-inside-dir symlink breaks schema inference)."""
     d = os.path.join(
         tempfile.gettempdir(),
         "dbimport_spark_stream_src",
         sf_dir.rstrip("/").replace("/", "_"),
     )
     os.makedirs(d, exist_ok=True)
-    link = os.path.join(d, "events.parquet")
-    if not os.path.exists(link):
-        os.symlink(f"{sf_dir}/events.parquet", link)
+    src = f"{sf_dir}/events.parquet"
+    if os.path.isdir(src):
+        parts = sorted(
+            f for f in os.listdir(src) if f.endswith(".parquet")
+        )
+        for i, f in enumerate(parts):
+            link = os.path.join(d, f"events-{i:05d}.parquet")
+            if not os.path.exists(link):
+                os.symlink(os.path.join(src, f), link)
+    else:
+        link = os.path.join(d, "events.parquet")
+        if not os.path.exists(link):
+            os.symlink(src, link)
     return d
 
 

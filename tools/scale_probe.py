@@ -154,7 +154,20 @@ def inflate(spark, factor: int, out_dir: str) -> None:
         return out
 
     write(times_customer(r.parquet(f"{BASE}/customer.parquet")), "customer")
-    for t in ("region", "nation", "supplier", "part", "events"):
+    # events: inflate ids AND user keys so streaming state cardinality
+    # grows with the data (r6 — the streaming twins' 100× evidence);
+    # timestamps stay put, so watermark windows keep their shape and
+    # only the per-window row count scales. Spark rewrites the
+    # TIMESTAMP(NANOS) source as micros; load_events handles both.
+    # coalesce(4): read_events_stream batches per FILE (watermark
+    # lifecycle semantics), so file count = micro-batch count; the scale
+    # question is data-per-batch growth, not 100 batches × state-commit
+    # overhead (the sf0.1 baseline is 1 file = 1 batch)
+    write(
+        times(r.parquet(f"{BASE}/events.parquet"), ["event_id", "user_id"]).coalesce(4),
+        "events",
+    )
+    for t in ("region", "nation", "supplier", "part"):
         dst = f"{out_dir}/{t}.parquet"
         if os.path.lexists(dst):
             os.remove(dst) if not os.path.isdir(dst) else shutil.rmtree(dst)
@@ -175,7 +188,16 @@ def main() -> None:
     # pinned at |cores| while inflating K× makes every partition K× larger
     # and measures spill, not plan shape. AQE coalesces the excess when a
     # stage is small, so oversizing is cheap.
-    shuffle_parts = int(cpus) * max(1, factor // 2)
+    # SPARK_GRAFT_SHUFFLE overrides for STATEFUL probes: streaming state
+    # stores cost O(partitions) per micro-batch regardless of rows, so
+    # the scale-with-data default (right for joins/aggs, where it
+    # measures plan shape instead of spill) turns a single-box streaming
+    # probe into pure task/state-instance overhead — 1600 partitions ×
+    # per-batch state commit. A real cluster amortizes partitions across
+    # executors; one box should probe state queries at ~4× cores.
+    shuffle_parts = int(
+        os.environ.get("SPARK_GRAFT_SHUFFLE", int(cpus) * max(1, factor // 2))
+    )
     from dbimport_spark import recommended_confs
 
     builder = (
