@@ -149,6 +149,11 @@ def pca_power_project(df: DataFrame, vec_col: str, id_col: str, dim: int = 64):
         partials, "n long, s array<long>, g array<long>"
     ).collect()
     n = sum(int(r["n"]) for r in rows)
+    if n == 0:
+        # Empty corpus: no mean/covariance exists. The projection of an
+        # empty frame is empty either way, so return the (empty) id/z
+        # schema instead of dividing by n below (ADVICE r6).
+        return q.select(F.col(id_col), F.lit(0.0).alias("z")).limit(0)
     S = [sum(int(r["s"][i]) for r in rows) for i in range(dim)]
     P = [
         [sum(int(r["g"][i * dim + j]) for r in rows) for j in range(dim)]
@@ -162,6 +167,12 @@ def pca_power_project(df: DataFrame, vec_col: str, id_col: str, dim: int = 64):
     for _ in range(60):
         y = [_fold([M[i][j] * x[j] for j in range(dim)]) for i in range(dim)]
         nrm = math.sqrt(_fold([e * e for e in y]))
+        if nrm == 0.0:
+            # Degenerate zero covariance (all-identical vectors): M x = 0
+            # for every x, so any unit vector is an eigenvector. Pin the
+            # current iterate instead of dividing by zero (ADVICE r6);
+            # every projection below is then exactly 0 because v == mu.
+            break
         x = [e / nrm for e in y]
     ax = [abs(e) for e in x]
     mx = max(ax)  # greatest() fold in the oracle — order-independent

@@ -68,14 +68,30 @@ def _events_path(sf_dir: str) -> str:
         parts = sorted(
             f for f in os.listdir(src) if f.endswith(".parquet")
         )
-        for i, f in enumerate(parts):
-            link = os.path.join(d, f"events-{i:05d}.parquet")
-            if not os.path.exists(link):
-                os.symlink(os.path.join(src, f), link)
+        targets = {
+            f"events-{i:05d}.parquet": os.path.join(src, f)
+            for i, f in enumerate(parts)
+        }
     else:
-        link = os.path.join(d, "events.parquet")
-        if not os.path.exists(link):
-            os.symlink(src, link)
+        targets = {"events.parquet": src}
+    # A regenerated corpus gets fresh UUID part names: old links dangle
+    # (os.path.exists is False on a broken symlink → symlink() would then
+    # raise FileExistsError) and a SHRUNKEN part count leaves stale extra
+    # links feeding the stream. Rebuild the link dir whenever its content
+    # set differs from the expected target map (ADVICE r6: lexists +
+    # clear-before-relink).
+    current = {
+        f: os.readlink(os.path.join(d, f))
+        for f in os.listdir(d)
+        if os.path.islink(os.path.join(d, f))
+    }
+    if current != targets:
+        for f in os.listdir(d):
+            p = os.path.join(d, f)
+            if os.path.islink(p) or os.path.isfile(p):
+                os.remove(p)
+        for name, target in targets.items():
+            os.symlink(target, os.path.join(d, name))
     return d
 
 

@@ -729,6 +729,26 @@ def test_pca_power_project_matches_eigh_direction(spark, sf_dir):
     assert again == got
 
 
+def test_pca_power_project_degenerate_inputs(spark):
+    """ADVICE r6: n=0 (empty table) must return an empty frame, and a
+    zero covariance (all-identical vectors) must not divide by zero —
+    identical rows project to exactly 0 because v == mu."""
+    from dbimport_spark.functions import pca
+
+    empty = spark.createDataFrame(
+        [], "vec_id long, embedding array<float>"
+    )
+    assert pca.pca_power_project(empty, "embedding", "vec_id", dim=4).count() == 0
+
+    const = spark.createDataFrame(
+        [(i, [1.5, -2.0, 0.25, 3.0]) for i in range(5)],
+        "vec_id long, embedding array<float>",
+    )
+    rows = pca.pca_power_project(const, "embedding", "vec_id", dim=4).collect()
+    assert len(rows) == 5
+    assert all(r["z"] == 0.0 for r in rows)
+
+
 def test_cosine_gate_exact_at_every_magnitude(spark):
     """The cos≥0.9 cross-multiplication gate must agree with
     arbitrary-precision integer math even where decimal(38) overflows —

@@ -160,3 +160,75 @@ class TestWire:
         sr = fd.types[f".{fd.package}.StateRequest"]
         assert sr.by_name["version"].number == 1
         assert sr.oneofs == ["method"]
+
+
+class TestAttachOnWrite:
+    """ADVICE r6: reading an unset singular sub-message must hand out a
+    child that ATTACHES on first mutation (real protobuf semantics) —
+    not a throwaway whose writes are silently lost."""
+
+    def test_write_through_unset_submessage_attaches(self):
+        sm = _state_message()
+        c = sm.ValueStateCall(stateName="s")
+        c.valueStateUpdate.value = b"x"  # was silently lost before r7
+        assert c.HasField("valueStateUpdate")
+        assert c.WhichOneof("method") == "valueStateUpdate"
+        back = sm.ValueStateCall()
+        back.ParseFromString(c.SerializeToString())
+        assert bytes(back.valueStateUpdate.value) == b"x"
+        assert back.stateName == "s"
+
+    def test_attach_clears_oneof_siblings(self):
+        sm = _state_message()
+        c = sm.ValueStateCall(stateName="s", exists=sm.Exists())
+        assert c.WhichOneof("method") == "exists"
+        c.valueStateUpdate.value = b"y"
+        assert c.WhichOneof("method") == "valueStateUpdate"
+        assert not c.HasField("exists")
+
+    def test_unmutated_read_stays_absent(self):
+        sm = _state_message()
+        c = sm.ValueStateCall()
+        _ = c.valueStateUpdate  # read-only peek
+        assert not c.HasField("valueStateUpdate")
+        assert c.SerializeToString() == b""
+
+    def test_three_level_chain_attaches_to_root(self):
+        sm = _state_message()
+        req = sm.StateRequest()
+        req.stateVariableRequest.valueStateCall.stateName = "deep"
+        assert req.HasField("stateVariableRequest")
+        assert req.stateVariableRequest.HasField("valueStateCall")
+        back = sm.StateRequest()
+        back.ParseFromString(req.SerializeToString())
+        assert back.stateVariableRequest.valueStateCall.stateName == "deep"
+
+
+class TestOneofMergeLastWins:
+    """ADVICE r6: decoding a oneof member from the wire must evict a
+    previously-set sibling — last arm on the wire wins, mirroring
+    __setattr__ (and real protobuf MergeFromString)."""
+
+    def test_merge_evicts_preset_sibling(self):
+        sm = _state_message()
+        c = sm.ValueStateCall(exists=sm.Exists())
+        wire = sm.ValueStateCall(
+            valueStateUpdate=sm.ValueStateUpdate(value=b"z")
+        ).SerializeToString()
+        c.MergeFromString(wire)
+        assert c.WhichOneof("method") == "valueStateUpdate"
+        assert not c.HasField("exists")
+        assert bytes(c.valueStateUpdate.value) == b"z"
+
+    def test_two_arms_on_wire_last_wins(self):
+        sm = _state_message()
+        wire = (
+            sm.ValueStateCall(exists=sm.Exists()).SerializeToString()
+            + sm.ValueStateCall(
+                valueStateUpdate=sm.ValueStateUpdate(value=b"w")
+            ).SerializeToString()
+        )
+        c = sm.ValueStateCall()
+        c.ParseFromString(wire)
+        assert c.WhichOneof("method") == "valueStateUpdate"
+        assert not c.HasField("exists")

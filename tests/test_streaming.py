@@ -312,3 +312,42 @@ def test_user_totals_tws(spark, tmp_path):
         .collect()
     }
     assert got == want
+
+
+def test_events_path_relinks_on_corpus_regeneration(tmp_path):
+    """ADVICE r6: a regenerated corpus gets fresh UUID part names — the
+    old links dangle (exists() is False on a broken symlink, so symlink()
+    used to raise FileExistsError) and a shrunken part count used to
+    leave stale extra links feeding the stream. _events_path must
+    rebuild the link dir whenever the target set changes."""
+    import os
+
+    from dbimport_spark.plans.streaming_queries import _events_path
+
+    sf = tmp_path / "sfx"
+    src = sf / "events.parquet"
+    src.mkdir(parents=True)
+    for n in ["part-a1.parquet", "part-a2.parquet", "part-a3.parquet"]:
+        (src / n).write_bytes(b"v1" + n.encode())
+
+    d = _events_path(str(sf))
+    links = sorted(os.listdir(d))
+    assert links == [f"events-{i:05d}.parquet" for i in range(3)]
+
+    # regenerate: different (UUID-fresh) names, FEWER parts
+    for n in os.listdir(src):
+        os.remove(src / n)
+    (src / "part-b9.parquet").write_bytes(b"v2")
+
+    d2 = _events_path(str(sf))
+    assert d2 == d
+    links = sorted(os.listdir(d))
+    assert links == ["events-00000.parquet"]
+    target = os.readlink(os.path.join(d, links[0]))
+    assert target == str(src / "part-b9.parquet")
+    assert open(os.path.join(d, links[0]), "rb").read() == b"v2"
+
+    # idempotent when nothing changed: same set, links survive
+    ino_before = os.lstat(os.path.join(d, links[0])).st_ino
+    _events_path(str(sf))
+    assert os.lstat(os.path.join(d, links[0])).st_ino == ino_before
