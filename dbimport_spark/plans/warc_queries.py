@@ -169,6 +169,109 @@ def src_warc_wet_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ------------------------------------------------------- HTML main content
+
+
+def _warc_html_records(row):
+    """One HTTP response capture per doc whose payload is a full HTML
+    page: head noise (style rules, a script whose string literal holds
+    fake ``<p>`` tags), chrome (banner header, a nav with
+    ``2 + doc_id % 7`` links, an aside ad, a footer link), an HTML
+    comment, and a <main> whose first paragraph carries literal
+    entities and whose second is the escaped document text with the
+    first word wrapped in an inline link. Everything the extractor must
+    drop or decode is deterministic in doc_id, so the DuckDB oracle can
+    recompute the clean text straight from the parquet view."""
+    import html as _h
+
+    url, date = _doc_url(row.doc_id), _doc_date(row.doc_id)
+    nav = " ".join(
+        f'<a href="/cat/{j}">cat {j} news</a>'
+        for j in range(2 + row.doc_id % 7)
+    )
+    if row.text:
+        first, _, rest = _h.escape(row.text).partition(" ")
+        body_para = f'<p><a href="/rel/{row.doc_id}">{first}</a>'
+        if rest:
+            body_para += f" {rest}"
+        body_para += "</p>"
+    else:
+        body_para = "<p></p>"
+    page = (
+        "<!DOCTYPE html><html><head>"
+        f"<title>Doc {row.doc_id}</title>"
+        "<style>main p { margin: 0; }</style>"
+        "<script>var tmpl = '<p>not real text</p>'; if (1 < 2) {}</script>"
+        "</head><body>"
+        f"<header><h1>Example Crawl</h1><nav>{nav}</nav></header>"
+        "<!-- boilerplate comment: do not extract -->"
+        "<main>"
+        f"<p>Q&amp;A &lt;notes&gt; #{row.doc_id}</p>"
+        f"{body_para}"
+        "</main>"
+        "<aside>Sponsored: buy things &amp; stuff</aside>"
+        '<footer>&copy; 2026 <a href="/about">about</a></footer>'
+        "</body></html>"
+    )
+    return [http_response_record(url, date, page.encode("utf-8"))]
+
+
+def _export_warc_html(spark: SparkSession, sf_dir: str) -> list[str]:
+    return write_warc_shards(
+        load(spark, sf_dir, "documents").select("doc_id", "text"),
+        os.path.join(_export_dir(sf_dir), "crawl_html"),
+        _warc_html_records,
+        num_shards=8,
+        key_col="doc_id",
+    )
+
+
+@register(
+    "src_warc_html_extract",
+    """SELECT doc_id,
+       'Doc ' || CAST(doc_id AS VARCHAR) AS title,
+       'Q&A <notes> #' || CAST(doc_id AS VARCHAR)
+         || CASE WHEN length(text) > 0
+                 THEN chr(10) || trim(regexp_replace(text, '[ \t\n\r]+', ' ', 'g'))
+                 ELSE '' END AS main_text,
+       CAST(3 + doc_id % 7
+            + CASE WHEN length(text) > 0 THEN 1 ELSE 0 END AS INT) AS n_links
+FROM documents""",
+)
+def src_warc_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML → clean-text main-content extraction over raw WARC response
+    captures — the missing middle of the crawl chain (r6 verdict #2):
+    WARC scan → THIS → quality/dedup. Strips script/style/head, drops
+    nav/header/footer/aside chrome, decodes entities, collapses
+    whitespace, keeps block structure as newlines, and counts outlinks
+    (functions/htmltext.py, stdlib html.parser in one Arrow-batched
+    kernel). At 100 TB: the extraction rides the same member-range-split
+    scan tasks as the payload read — map-only, no shuffle, full text
+    never moves twice."""
+    paths = _export_warc_html(spark, sf_dir)
+    raw = read_warc(
+        spark, paths, record_types=("response",), target_bytes=1 << 20
+    )
+    from dbimport_spark.functions.htmltext import html_extract_udf
+
+    @F.pandas_udf("string")
+    def http_body(payload: pd.Series) -> pd.Series:
+        return payload.map(
+            lambda b: http_response_body(bytes(b))[2].decode("utf-8")
+        )
+
+    ext = raw.select(
+        F.regexp_extract("url", r"doc/(\d+)$", 1).cast("bigint").alias("doc_id"),
+        html_extract_udf()(http_body("payload")).alias("x"),
+    )
+    return ext.select(
+        "doc_id",
+        F.col("x.title").alias("title"),
+        F.col("x.main_text").alias("main_text"),
+        F.col("x.n_links").alias("n_links"),
+    )
+
+
 # ------------------------------------------------------------ canonical URLs
 
 
