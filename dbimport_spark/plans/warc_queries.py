@@ -81,30 +81,88 @@ def _wet_doc_records(row):
     ]
 
 
+def _source_fingerprint(path: str) -> str:
+    """Cheap content key for a parquet file or directory: name, size and
+    mtime of every data file — no Spark job, no data read."""
+    if os.path.isdir(path):
+        parts = sorted(
+            f for f in os.listdir(path) if not f.startswith(("_", "."))
+        )
+        return ";".join(
+            f"{f}:{os.path.getsize(os.path.join(path, f))}:"
+            f"{int(os.path.getmtime(os.path.join(path, f)))}"
+            for f in parts
+        )
+    st = os.stat(path)
+    return f"{os.path.basename(path)}:{st.st_size}:{int(st.st_mtime)}"
+
+
+def _builder_fingerprint(fn) -> str:
+    """Key the memo on the record builder's COMPILED code (bytecode +
+    consts + nested code objects via marshal), so editing a page
+    template or record layout invalidates the cached shards without any
+    manual version bump."""
+    import hashlib
+    import marshal
+
+    return hashlib.sha1(marshal.dumps(fn.__code__)).hexdigest()
+
+
+def _memoized_warc_export(
+    spark: SparkSession, sf_dir: str, subdir: str, record_fn
+) -> list[str]:
+    """Content-keyed memoization of the WARC fixture export (r6 verdict:
+    the unconditional delete-and-rewrite charged every plan construction
+    a full fixture-write job AND raced concurrent sessions sweeping each
+    other's shards). Skip the write when the recorded key — source
+    parquet fingerprint + record-builder bytecode + shard count — still
+    matches and every shard + sidecar index exists; only a genuinely
+    changed corpus or builder rebuilds."""
+    import json as _json
+
+    out = os.path.join(_export_dir(sf_dir), subdir)
+    memo = os.path.join(out, "_memo.json")
+    key = {
+        "src": _source_fingerprint(f"{sf_dir}/documents.parquet"),
+        "builder": _builder_fingerprint(record_fn),
+        "shards": 8,
+    }
+    try:
+        with open(memo, "r", encoding="utf-8") as fh:
+            m = _json.load(fh)
+        if m.get("key") == key and m.get("paths") and all(
+            os.path.exists(p) and os.path.exists(p + ".idx")
+            for p in m["paths"]
+        ):
+            return m["paths"]
+    except (OSError, ValueError):
+        pass
+    paths = write_warc_shards(
+        load(spark, sf_dir, "documents").select("doc_id", "text"),
+        out,
+        record_fn,
+        num_shards=8,
+        key_col="doc_id",
+    )
+    tmp = memo + ".tmp"
+    with open(tmp, "w", encoding="utf-8") as fh:
+        _json.dump({"key": key, "paths": paths}, fh)
+    os.replace(tmp, memo)
+    return paths
+
+
 def _export_warc(spark: SparkSession, sf_dir: str) -> list[str]:
     """documents → crawl_warc/part-*.warc.gz via the DISTRIBUTED shard
     writer (one task per shard, one gzip member per record + sidecar
     .idx) — the CommonCrawl crawl-directory layout; no driver data
-    path."""
-    return write_warc_shards(
-        load(spark, sf_dir, "documents").select("doc_id", "text"),
-        os.path.join(_export_dir(sf_dir), "crawl_warc"),
-        _warc_doc_records,
-        num_shards=8,
-        key_col="doc_id",
-    )
+    path. Memoized on source + builder fingerprints."""
+    return _memoized_warc_export(spark, sf_dir, "crawl_warc", _warc_doc_records)
 
 
 def _export_wet(spark: SparkSession, sf_dir: str) -> list[str]:
     """documents → crawl_wet/part-*.warc.gz: WET conversion records
-    (extracted text), distributed shard write."""
-    return write_warc_shards(
-        load(spark, sf_dir, "documents").select("doc_id", "text"),
-        os.path.join(_export_dir(sf_dir), "crawl_wet"),
-        _wet_doc_records,
-        num_shards=8,
-        key_col="doc_id",
-    )
+    (extracted text), distributed shard write. Memoized."""
+    return _memoized_warc_export(spark, sf_dir, "crawl_wet", _wet_doc_records)
 
 
 @register(
@@ -217,12 +275,8 @@ def _warc_html_records(row):
 
 
 def _export_warc_html(spark: SparkSession, sf_dir: str) -> list[str]:
-    return write_warc_shards(
-        load(spark, sf_dir, "documents").select("doc_id", "text"),
-        os.path.join(_export_dir(sf_dir), "crawl_html"),
-        _warc_html_records,
-        num_shards=8,
-        key_col="doc_id",
+    return _memoized_warc_export(
+        spark, sf_dir, "crawl_html", _warc_html_records
     )
 
 

@@ -208,3 +208,63 @@ class TestCanonicalUrl:
             for r in df.select("url", canonical_url(F.col("url")).alias("c")).collect()
         }
         assert got == self.CASES
+
+
+class TestExportMemoization:
+    """r6 verdict item 4: repeated plan construction must do ZERO write
+    work (the unconditional delete-and-rewrite charged every run a
+    fixture-write job and raced concurrent sessions); a changed corpus
+    or a changed record builder must rebuild."""
+
+    def _mk_docs(self, spark, tmp_path, texts):
+        sf = str(tmp_path / "sf")
+        spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+        ).coalesce(1).write.mode("overwrite").parquet(f"{sf}/documents.parquet")
+        return sf
+
+    def test_second_export_is_a_pure_cache_hit(self, spark, tmp_path):
+        import os
+
+        from dbimport_spark.plans.warc_queries import _export_warc_html
+
+        sf = self._mk_docs(spark, tmp_path, ["alpha beta", "gamma"])
+        paths1 = _export_warc_html(spark, sf)
+        assert paths1
+        stats1 = {p: (os.path.getmtime(p), os.path.getsize(p)) for p in paths1}
+        ino1 = {p: os.stat(p).st_ino for p in paths1}
+
+        paths2 = _export_warc_html(spark, sf)
+        assert paths2 == paths1
+        assert {p: (os.path.getmtime(p), os.path.getsize(p)) for p in paths2} == stats1
+        # same inodes: the files were not rewritten-in-place either
+        assert {p: os.stat(p).st_ino for p in paths2} == ino1
+
+    def test_changed_corpus_invalidates(self, spark, tmp_path):
+        import os
+        import time
+
+        from dbimport_spark.plans.warc_queries import _export_warc_html
+        from dbimport_spark.sources.warc import read_warc
+
+        sf = self._mk_docs(spark, tmp_path, ["one two"])
+        paths1 = _export_warc_html(spark, sf)
+        time.sleep(1.1)  # mtime resolution
+        sf = self._mk_docs(spark, tmp_path, ["one two", "three four five"])
+        paths2 = _export_warc_html(spark, sf)
+        got = read_warc(spark, paths2, record_types=("response",)).count()
+        assert got == 2
+
+    def test_changed_builder_invalidates(self, spark, tmp_path):
+        from dbimport_spark.plans import warc_queries as wq
+
+        sf = self._mk_docs(spark, tmp_path, ["alpha"])
+        k1 = wq._builder_fingerprint(wq._warc_html_records)
+
+        def other_builder(row):
+            return []
+
+        k2 = wq._builder_fingerprint(other_builder)
+        assert k1 != k2
+        # same function → same key (memo stable across sessions)
+        assert k1 == wq._builder_fingerprint(wq._warc_html_records)
