@@ -476,3 +476,306 @@ def curation_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("doc_id").alias("keeper_doc_id"),
         )
     )
+
+
+# ------------------------------------------------- crawl → corpus flagship
+
+
+def _crawl_capture_records(row):
+    """Captures for the end-to-end crawl pipeline. Every doc gets a
+    response capture of a full HTML page at a MESSY url (case, www,
+    default port, doubled slashes, trailing slash, utm params,
+    fragment); planted extras exercise each dedup stage:
+
+    * doc_id % 10 == 0 → a second capture of the SAME page at a URL
+      VARIANT (same canonical form → dropped by URL dedup),
+    * doc_id % 7 == 0 → an exact-copy page at a DIFFERENT url
+      (survives URL dedup, dropped by exact text dedup),
+    * doc_id % 10 == 5 → a near-duplicate page (text + ' spark near
+      dup', the corpus-wide planting convention of text_queries.py)
+      at a different url (dropped by MinHash near-dup).
+
+    capture_id = doc_id*4 + variant rides in warc-date (epoch +
+    capture_id seconds) — crawl semantics: the EARLIEST capture is the
+    keeper at every stage."""
+    import html as _h
+
+    d = row.doc_id
+    k = d % 7
+    nav = " ".join(f'<a href="/cat/{j}">cat {j}</a>' for j in range(2 + k))
+
+    def page(text):
+        if text:
+            first, _, rest = _h.escape(text).partition(" ")
+            para = f'<p><a href="/rel/{d}">{first}</a>'
+            if rest:
+                para += f" {rest}"
+            para += "</p>"
+        else:
+            para = "<p></p>"
+        return (
+            "<!DOCTYPE html><html><head>"
+            f"<title>Doc {d}</title>"
+            "<script>var t = '<p>chrome noise</p>';</script>"
+            "</head><body>"
+            f"<header><h1>Example Crawl</h1><nav>{nav}</nav></header>"
+            f"<main>{para}</main>"
+            '<footer>&copy; 2026 <a href="/about">about</a></footer>'
+            "</body></html>"
+        ).encode("utf-8")
+
+    def date(off):
+        return (
+            _EPOCH + _dt.timedelta(seconds=int(d) * 4 + off)
+        ).strftime("%Y-%m-%dT%H:%M:%SZ")
+
+    messy = (
+        f"HTTPS://WWW.Example{k}.ORG:443//docs//{d}/?utm_source=feed&id={d}#frag"
+    )
+    variant = f"https://example{k}.org/docs/{d}?id={d}&utm_campaign=x"
+    mirror = f"https://example{k}.org/mirror/{d}?id={d}"
+    near = f"https://example{k}.org/near/{d}?id={d}"
+
+    out = [http_response_record(messy, date(0), page(row.text))]
+    if d % 10 == 0:
+        out.append(http_response_record(variant, date(1), page(row.text)))
+    if d % 7 == 0:
+        out.append(http_response_record(mirror, date(2), page(row.text)))
+    if d % 10 == 5:
+        out.append(
+            http_response_record(near, date(3), page(row.text + " spark near dup"))
+        )
+    return out
+
+
+_EPOCH_UNIX = 1767225600  # 2026-01-01T00:00:00Z, mirrors _EPOCH
+_CRAWL_BUDGET = 12000
+_MIN_TOKENS = 20
+
+_CAPTURES_SQL = """captures AS (
+  SELECT doc_id * 4 AS cap_id, doc_id,
+         'https://example' || CAST(doc_id % 7 AS VARCHAR) || '.org/docs/'
+           || CAST(doc_id AS VARCHAR) || '?id=' || CAST(doc_id AS VARCHAR) AS curl,
+         text
+  FROM documents
+  UNION ALL
+  SELECT doc_id * 4 + 1, doc_id,
+         'https://example' || CAST(doc_id % 7 AS VARCHAR) || '.org/docs/'
+           || CAST(doc_id AS VARCHAR) || '?id=' || CAST(doc_id AS VARCHAR),
+         text
+  FROM documents WHERE doc_id % 10 = 0
+  UNION ALL
+  SELECT doc_id * 4 + 2, doc_id,
+         'https://example' || CAST(doc_id % 7 AS VARCHAR) || '.org/mirror/'
+           || CAST(doc_id AS VARCHAR) || '?id=' || CAST(doc_id AS VARCHAR),
+         text
+  FROM documents WHERE doc_id % 7 = 0
+  UNION ALL
+  SELECT doc_id * 4 + 3, doc_id,
+         'https://example' || CAST(doc_id % 7 AS VARCHAR) || '.org/near/'
+           || CAST(doc_id AS VARCHAR) || '?id=' || CAST(doc_id AS VARCHAR),
+         text || ' spark near dup'
+  FROM documents WHERE doc_id % 10 = 5
+)"""
+
+_CRAWL_NORM = "trim(lower(regexp_replace(text, '[^a-zA-Z0-9]+', ' ', 'g')))"
+
+_CRAWL_ORACLE = f"""WITH {_CAPTURES_SQL},
+url_kept AS (
+  SELECT * FROM captures
+  QUALIFY cap_id = min(cap_id) OVER (PARTITION BY curl)
+),
+exact_kept AS (
+  SELECT * FROM url_kept
+  QUALIFY cap_id = min(cap_id) OVER (PARTITION BY md5({_CRAWL_NORM}))
+),
+toks AS (SELECT cap_id, string_split({_CRAWL_NORM}, ' ') AS w FROM exact_kept),
+shingles AS (
+  SELECT DISTINCT cap_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+  FROM toks, UNNEST(range(1, len(w) - 1)) AS u(i)
+  WHERE len(w) >= 3
+),
+sizes AS (SELECT cap_id, count(*) AS n FROM shingles GROUP BY cap_id),
+pairs AS (
+  SELECT a.cap_id AS a_id, b.cap_id AS b_id, count(*) AS n_both
+  FROM shingles a JOIN shingles b ON a.s = b.s AND a.cap_id < b.cap_id
+  GROUP BY a.cap_id, b.cap_id
+),
+near_dropped AS (
+  SELECT DISTINCT b_id AS cap_id
+  FROM pairs
+  JOIN sizes sa ON sa.cap_id = a_id
+  JOIN sizes sb ON sb.cap_id = b_id
+  WHERE n_both * 1.0 / (sa.n + sb.n - n_both) >= 0.9
+),
+survivors AS (
+  SELECT * FROM exact_kept
+  WHERE cap_id NOT IN (SELECT cap_id FROM near_dropped)
+),
+scored AS (
+  SELECT cap_id, doc_id, curl AS canonical_url,
+         len(regexp_extract_all(lower(text), '\\b(the|and|of|to|a|is|in)\\b')) AS c_en,
+         len(regexp_extract_all(lower(text), '\\b(der|die|das|und|ist|nicht)\\b')) AS c_de,
+         len(regexp_extract_all(lower(text), '\\b(le|la|les|et|est|une)\\b')) AS c_fr,
+         len(regexp_extract_all(lower(text), '\\b(el|los|las|es|una|que)\\b')) AS c_es,
+         CAST(len(string_split({_CRAWL_NORM}, ' ')) AS BIGINT) AS n_tokens,
+         CASE WHEN length(text) = 0 THEN 0
+              ELSE length(regexp_replace(lower(text), '[^a-z]', '', 'g')) * 1000
+                   // length(text) END AS quality_rank
+  FROM survivors
+),
+langed AS (
+  SELECT cap_id, doc_id, canonical_url, n_tokens, quality_rank,
+         CASE WHEN c_en = 0 AND c_de = 0 AND c_fr = 0 AND c_es = 0 THEN 'unknown'
+              WHEN c_en >= c_de AND c_en >= c_fr AND c_en >= c_es THEN 'en'
+              WHEN c_de >= c_fr AND c_de >= c_es THEN 'de'
+              WHEN c_fr >= c_es THEN 'fr'
+              ELSE 'es' END AS lang_pred
+  FROM scored
+  WHERE n_tokens >= {_MIN_TOKENS}
+),
+ranked AS (
+  SELECT *,
+         sum(n_tokens) OVER (PARTITION BY lang_pred
+                             ORDER BY quality_rank DESC, cap_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cum_tokens
+  FROM langed
+)
+SELECT cap_id, doc_id, canonical_url, lang_pred, n_tokens, quality_rank,
+       CAST(cum_tokens AS BIGINT) AS cum_tokens
+FROM ranked WHERE cum_tokens <= {_CRAWL_BUDGET}"""
+
+
+@register("pipeline_crawl_to_corpus", _CRAWL_ORACLE)
+def pipeline_crawl_to_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB story end to end, as ONE plan: WARC response scan →
+    HTML main-content extraction → URL canonicalization dedup → exact
+    text dedup → MinHash-LSH near-dup → lang-id + quality scoring +
+    length gate → per-language token-budget selection.
+
+    Stage shapes (each individually probed to 10×/100× — NOTES.md):
+    member-range-split WARC scan with the HTML extraction fused into the
+    same map tasks; URL and exact dedup are single hash-shuffles with
+    min_by(struct) keepers (no window sort); near-dup is the banded
+    LSH bucket-join + exact verify of functions/textdedup.py (missing a
+    0.9-Jaccard pair has probability ~2e-9, so the exact-Jaccard SQL
+    oracle grades it); the budget stage is one shuffle per language
+    partition (sample_token_budget's documented shape; the two-pass
+    quantile cut replaces the full sort at extreme scale). The full text
+    never shuffles after the exact-dedup stage — shingles and integer
+    scores travel instead."""
+    paths = _memoized_warc_export(
+        spark, sf_dir, "crawl_pipeline", _crawl_capture_records
+    )
+    raw = read_warc(
+        spark, paths, record_types=("response",), target_bytes=1 << 20
+    )
+    from pyspark.sql import Window
+
+    from dbimport_spark.functions.htmltext import html_extract_udf
+    from dbimport_spark.functions.textdedup import minhash_lsh_neardup_pairs
+    from dbimport_spark.plans.text_queries import _LANG_MARKERS, norm_col
+
+    @F.pandas_udf("string")
+    def http_body(payload: pd.Series) -> pd.Series:
+        return payload.map(
+            lambda b: http_response_body(bytes(b))[2].decode("utf-8")
+        )
+
+    cap_id = (
+        F.unix_timestamp(
+            F.to_timestamp(
+                F.regexp_replace("warc_date", "Z$", ""),
+                "yyyy-MM-dd'T'HH:mm:ss",
+            )
+        )
+        - F.lit(_EPOCH_UNIX)
+    ).cast("bigint")
+    caps = raw.select(
+        cap_id.alias("cap_id"),
+        canonical_url(F.col("url")).alias("canonical_url"),
+        html_extract_udf()(http_body("payload"))["main_text"].alias("text"),
+    )
+
+    # stage: URL dedup — earliest capture per canonical URL (hash agg,
+    # min_by(struct) — no window sort, the dedup.py:50 shape)
+    url_kept = (
+        caps.groupBy("canonical_url")
+        .agg(F.min_by(F.struct("cap_id", "text"), F.col("cap_id")).alias("k"))
+        .select("canonical_url", F.col("k.cap_id").alias("cap_id"), F.col("k.text").alias("text"))
+    )
+
+    # stage: exact dedup — earliest capture per content fingerprint
+    exact_kept = (
+        url_kept.withColumn("fp", F.md5(norm_col()))
+        .groupBy("fp")
+        .agg(
+            F.min_by(
+                F.struct("cap_id", "canonical_url", "text"), F.col("cap_id")
+            ).alias("k")
+        )
+        .select("k.cap_id", "k.canonical_url", "k.text")
+        .localCheckpoint()  # consumed by shingles (2×) and the anti-join
+    )
+
+    # stage: MinHash near-dup — drop the later capture of every
+    # verified >= 0.9 pair
+    toks = exact_kept.select(
+        "cap_id",
+        F.array_remove(F.split(F.lower(F.col("text")), "[^a-z0-9]+"), "").alias("w"),
+    )
+    tri = F.expr(
+        "transform(sequence(0, size(w) - 3), i -> concat_ws(' ', w[i], w[i+1], w[i+2]))"
+    )
+    shingles = (
+        toks.filter(F.size("w") >= 3)
+        .select("cap_id", F.explode(F.array_distinct(tri)).alias("s"))
+        .persist()
+    )
+    pairs = minhash_lsh_neardup_pairs(
+        shingles, doc_col="cap_id", threshold=0.9
+    )
+    dropped = pairs.select(F.col("b_id").alias("cap_id")).distinct()
+    survivors = exact_kept.join(F.broadcast(dropped), "cap_id", "left_anti")
+
+    # stage: lang-id + quality + length gate (all integer-exact)
+    lowered = F.lower(F.col("text"))
+    c = {
+        lang: F.size(F.regexp_extract_all(lowered, F.lit(pat), F.lit(0)))
+        for lang, pat in _LANG_MARKERS.items()
+    }
+    lang_pred = (
+        F.when((c["en"] == 0) & (c["de"] == 0) & (c["fr"] == 0) & (c["es"] == 0), "unknown")
+        .when((c["en"] >= c["de"]) & (c["en"] >= c["fr"]) & (c["en"] >= c["es"]), "en")
+        .when((c["de"] >= c["fr"]) & (c["de"] >= c["es"]), "de")
+        .when(c["fr"] >= c["es"], "fr")
+        .otherwise("es")
+    )
+    quality = F.expr(
+        "CASE WHEN length(text) = 0 THEN 0 ELSE "
+        "(length(regexp_replace(lower(text), '[^a-z]', '')) * 1000)"
+        " div length(text) END"
+    )
+    scored = survivors.select(
+        "cap_id",
+        (F.col("cap_id") / 4).cast("bigint").alias("doc_id"),
+        "canonical_url",
+        lang_pred.alias("lang_pred"),
+        F.size(F.split(norm_col(), " ")).cast("bigint").alias("n_tokens"),
+        quality.alias("quality_rank"),
+    ).filter(F.col("n_tokens") >= _MIN_TOKENS)
+
+    # stage: per-language token budget (running-frame window — one
+    # shuffle on lang_pred)
+    w = (
+        Window.partitionBy("lang_pred")
+        .orderBy(F.col("quality_rank").desc(), "cap_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ranked = scored.select(
+        "cap_id", "doc_id", "canonical_url", "lang_pred", "n_tokens",
+        "quality_rank",
+        F.sum("n_tokens").over(w).cast("bigint").alias("cum_tokens"),
+    )
+    return ranked.filter(F.col("cum_tokens") <= _CRAWL_BUDGET)
