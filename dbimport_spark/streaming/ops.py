@@ -328,3 +328,154 @@ def user_totals_tws(stream: DataFrame) -> DataFrame:
         outputMode="Update",
         timeMode="None",
     )
+
+
+def _tws_prepare(stream: DataFrame) -> None:
+    """Shared transformWithStateInPandas preflight: install the protobuf
+    runtime (vendored shim when the real package is absent — see
+    vendor/protoshim.py for the documented session-wide pythonExec
+    effect) and pin the RocksDB state-store provider (the only provider
+    with the one-column-family-per-state-variable support the API
+    needs). The conf persists in the session afterwards by design."""
+    from dbimport_spark.vendor import protoshim
+
+    if not protoshim.install(stream.sparkSession):
+        raise ImportError(
+            "transformWithStateInPandas needs google.protobuf and the "
+            "vendored mini runtime failed to install"
+        )
+    stream.sparkSession.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+
+
+def sessionize_tws(stream: DataFrame, gap_us: int = 1_800_000_000) -> DataFrame:
+    """Gap-based sessionization through engine-owned LIST state — the
+    transformWithStateInPandas twin of events_sessionize
+    (applyInPandasWithState): a ListState accumulates each user's
+    (ts_us, event_id) events across micro-batches; every batch re-derives
+    the session partition from the full list (sorted by ts, event_id —
+    the oracle's tie order) and emits the user's running session summary.
+
+    State is the user's event history — bounded per key by per-user
+    activity, NOT by corpus size; at 100 TB the ListState rides RocksDB
+    column families and a TTL (getListState's ttlDurationMs) evicts idle
+    users, which is the part a hand-rolled dict cannot do. Input schema:
+    (user_id bigint, ts_us bigint, event_id bigint)."""
+    import pandas as pd
+
+    _tws_prepare(stream)
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class Sessionize(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._evts = handle.getListState("evts", "ts_us bigint, event_id bigint")
+
+        def handleInputRows(self, key, rows, timerValues):
+            fresh = []
+            for pdf in rows:
+                fresh.extend(
+                    (int(t), int(e))
+                    for t, e in zip(pdf["ts_us"], pdf["event_id"])
+                )
+            if fresh:
+                self._evts.appendList(fresh)
+            evts = sorted(tuple(r) for r in self._evts.get())
+            n_sessions = 0
+            cur = best = 0
+            prev_ts = None
+            for ts_us, _eid in evts:
+                if prev_ts is None or ts_us - prev_ts > gap_us:
+                    n_sessions += 1
+                    cur = 0
+                cur += 1
+                best = max(best, cur)
+                prev_ts = ts_us
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n_sessions": [n_sessions],
+                    "n_events": [len(evts)],
+                    "max_session_events": [best],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return stream.groupBy("user_id").transformWithStateInPandas(
+        Sessionize(),
+        "user_id bigint, n_sessions bigint, n_events bigint, "
+        "max_session_events bigint",
+        outputMode="Update",
+        timeMode="None",
+    )
+
+
+def type_totals_tws(stream: DataFrame) -> DataFrame:
+    """Per-user per-event-type running totals through engine-owned MAP
+    state: MapState maps event_type → (n, total_e4) under each user key
+    (one RPC per DISTINCT type per batch — the batch is pre-aggregated
+    pandas-side, so state traffic is O(keys×types), not O(rows));
+    every batch emits the full map snapshot.
+
+    timeMode is "None" DELIBERATELY: with timeMode="ProcessingTime",
+    Spark keeps scheduling micro-batches after the input is exhausted
+    (measured: 376+ empty batches, availableNow + memory-sink harness
+    never terminates — even with zero timers registered), so timer
+    modes are unusable in a bounded oracle query. The timer wire
+    surface (RegisterTimer / ListTimers / DeleteTimer / the expiry
+    path + RocksDB state restore) is pinned instead by the two-run
+    trigger(once=True) checkpoint test in tests/test_streaming.py.
+    Input: (user_id bigint, event_type string, e4 bigint)."""
+    import pandas as pd
+
+    _tws_prepare(stream)
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class TypeTotals(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._m = handle.getMapState(
+                "bytype", "event_type string", "n bigint, total bigint"
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            agg: dict = {}
+            for pdf in rows:
+                g = pdf.groupby("event_type")["e4"].agg(["count", "sum"])
+                for t, r in g.iterrows():
+                    n0, s0 = agg.get(t, (0, 0))
+                    agg[t] = (n0 + int(r["count"]), s0 + int(r["sum"]))
+            for t, (dn, ds) in agg.items():
+                prev = (
+                    self._m.getValue((t,)) if self._m.containsKey((t,)) else (0, 0)
+                )
+                self._m.updateValue((t,), (prev[0] + dn, prev[1] + ds))
+            out = sorted(
+                (k[0], v[0], v[1]) for k, v in self._m.iterator()
+            )
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]] * len(out),
+                    "event_type": [t for t, _, _ in out],
+                    "n_events": [n for _, n, _ in out],
+                    "total_e4": [s for _, _, s in out],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return stream.groupBy("user_id").transformWithStateInPandas(
+        TypeTotals(),
+        "user_id bigint, event_type string, n_events bigint, total_e4 bigint",
+        outputMode="Update",
+        timeMode="None",
+    )

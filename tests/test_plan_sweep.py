@@ -55,6 +55,35 @@ def _physical_plan(df) -> str:
     return buf.getvalue()
 
 
+# tree-drawing prefix (':', '+', '-', spaces) + optional codegen badge;
+# its length is the node's depth in the printed plan tree
+_INDENT_RE = re.compile(r"^([ :+\-]*)(?:\*\(\d+\)\s*)?")
+
+
+def _indent(line: str) -> int:
+    return len(_INDENT_RE.match(line).group(1))
+
+
+def _feeds_single_partition(lines: list, i: int) -> bool:
+    """True if an ``Exchange SinglePartition`` appears anywhere in the
+    SUBTREE under lines[i] (all following lines strictly deeper in the
+    printed tree). The r6 heuristic looked only 3 lines ahead, so a deep
+    operator chain between a Window and its one-partition exchange
+    slipped through; subtree scoping closes that while still stopping at
+    the first sibling (an exchange in an unrelated branch never
+    flags)."""
+    w = _indent(lines[i])
+    for j in range(i + 1, len(lines)):
+        lj = lines[j]
+        if not lj.strip():
+            break
+        if _indent(lj) <= w:
+            break  # sibling or ancestor: subtree ended
+        if "Exchange SinglePartition" in lj:
+            return True
+    return False
+
+
 def _violations(plan: str, name: str) -> list:
     out = []
     if "CartesianProduct" in plan:
@@ -64,7 +93,7 @@ def _violations(plan: str, name: str) -> list:
     lines = plan.splitlines()
     for i, line in enumerate(lines):
         if re.search(r"\bWindow\b", line) and name not in ONE_TASK_WINDOW_OK:
-            if "Exchange SinglePartition" in "\n".join(lines[i + 1 : i + 4]):
+            if _feeds_single_partition(lines, i):
                 out.append("single-partition Window")
                 break
     return out
@@ -95,6 +124,42 @@ def test_no_query_plan_regressions(all_plans):
         if bad:
             failures[name] = ", ".join(bad)
     assert not failures, f"plan regressions: {failures}"
+
+
+def test_window_detector_sees_deep_chains():
+    """Synthetic regression the r6 3-line lookahead MISSED: four
+    operators between the Window and its SinglePartition exchange. Also
+    pins the negative: an exchange in a SIBLING subtree must not flag."""
+    deep = "\n".join(
+        [
+            "== Physical Plan ==",
+            "*(5) Project [user_id]",
+            "+- Window [sum(v) windowspecdefinition(...)], [ts ASC]",
+            "   +- *(4) Sort [ts ASC NULLS FIRST], false, 0",
+            "      +- *(4) Project [user_id, v, ts]",
+            "         +- *(4) Filter isnotnull(ts)",
+            "            +- *(4) Project [user_id, v, ts, extra]",
+            "               +- Exchange SinglePartition, ENSURE_REQUIREMENTS",
+            "                  +- *(3) Scan parquet",
+        ]
+    )
+    assert _violations(deep, "synthetic") == ["single-partition Window"]
+
+    sibling = "\n".join(
+        [
+            "== Physical Plan ==",
+            "*(5) SortMergeJoin [k], [k], Inner",
+            ":- Window [row_number()], [k], [ts ASC]",
+            ":  +- *(2) Sort [k ASC, ts ASC], false, 0",
+            ":     +- Exchange hashpartitioning(k, 32)",
+            ":        +- Scan parquet",
+            "+- *(4) Sort [k ASC], false, 0",
+            "   +- Exchange SinglePartition, ENSURE_REQUIREMENTS",
+            "      +- *(3) HashAggregate(keys=[], functions=[count(1)])",
+            "         +- Scan parquet",
+        ]
+    )
+    assert _violations(sibling, "synthetic") == []
 
 
 def test_whitelists_stay_minimal(all_plans):

