@@ -701,20 +701,46 @@ def vacuum(path: str, retain_versions: int = 1) -> list[str]:
     doomed = sorted(ever - keep)
     for name in doomed:
         f = os.path.join(_data_dir(path), name)
-        if os.path.exists(f):
+        try:
             os.remove(f)
-    with open(os.path.join(_log_dir(path), "_vacuum"), "w") as fh:
-        fh.write(str(cutoff))
+        except FileNotFoundError:
+            pass  # a racing vacuum already reclaimed it
+    # Record the horizon as an EMPTY MARKER FILE named after the cutoff
+    # (``_vacuum.<cutoff>``), never a rewritten shared file. The r6
+    # implementation truncate-then-wrote one ``_vacuum`` file, which the
+    # first multi-process race test broke two ways: a concurrent
+    # horizon read in the truncate window saw '' (ValueError), and a
+    # slower vacuum with LONGER retention could last-write a SMALLER
+    # cutoff after a shorter-retention vacuum had already deleted files
+    # above it — the horizon moved backward past a deletion and the
+    # readability promise (every version >= horizon resolves) broke.
+    # Markers are create-only and the horizon is their MAX, so it is
+    # atomic, lock-free and monotone by construction.
+    marker = os.path.join(_log_dir(path), f"_vacuum.{cutoff:08d}")
+    if not os.path.exists(marker):
+        open(marker, "a").close()
     return doomed
 
 
 def vacuum_horizon(path: str) -> int:
-    """Oldest version still readable (0 if never vacuumed)."""
-    fp = os.path.join(_log_dir(path), "_vacuum")
-    if not os.path.exists(fp):
+    """Oldest version still readable (0 if never vacuumed): the max
+    over the create-only ``_vacuum.<cutoff>`` markers (monotone — see
+    vacuum). A legacy single ``_vacuum`` file from an older layout is
+    honored too, tolerating a half-written one (treated as 0)."""
+    d = _log_dir(path)
+    if not os.path.isdir(d):
         return 0
-    with open(fp) as fh:
-        return int(fh.read().strip())
+    best = 0
+    for fn in os.listdir(d):
+        if fn.startswith("_vacuum.") and fn[8:].isdigit():
+            best = max(best, int(fn[8:]))
+    legacy = os.path.join(d, "_vacuum")
+    if os.path.exists(legacy):
+        with open(legacy) as fh:
+            raw = fh.read().strip()
+        if raw.isdigit():
+            best = max(best, int(raw))
+    return best
 
 
 # -------------------------------------------------------- file statistics

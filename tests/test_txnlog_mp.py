@@ -1,0 +1,236 @@
+"""Round-7 adversarial escalation (r6 verdict item 7): GENUINE
+multi-process races over the transaction-log conflict matrix — real
+fork()ed writers, compactors, vacuums and readers, no monkeypatched
+interleavings. All workers drive the Spark-free log-level API
+(commit / snapshot_files / vacuum / current_version) so each process is
+cheap; data files are fakes whose CONTENT is the JSON list of leaf file
+names they carry, which makes content preservation checkable by pure
+expansion (a lost or doubly-removed file breaks the leaf-set equality).
+"""
+
+import json
+import multiprocessing as mp
+import os
+
+from dbimport_spark import txnlog
+
+
+def _mk_table(tmp_path) -> str:
+    table = str(tmp_path / "tbl")
+    os.makedirs(os.path.join(table, "_txn_log"), exist_ok=True)
+    os.makedirs(os.path.join(table, "data"), exist_ok=True)
+    return table
+
+
+def _write_leaf(table: str, name: str) -> None:
+    with open(os.path.join(table, "data", name), "w") as fh:
+        json.dump([name], fh)
+
+
+def _expand(table: str, version=None) -> list:
+    """Recursively expand the snapshot's fake files to leaf names
+    (compacted files carry the leaf lists of everything they merged)."""
+    leaves: list = []
+    for f in txnlog.snapshot_files(table, version):
+        with open(f) as fh:
+            leaves.extend(json.load(fh))
+    return sorted(leaves)
+
+
+def _appender(table, wid, n_commits, q):
+    got = []
+    for i in range(n_commits):
+        name = f"leaf_w{wid}_{i}.json"
+        _write_leaf(table, name)
+        for _ in range(500):
+            try:
+                got.append(
+                    txnlog.commit(table, [name], [], txnlog.current_version(table))
+                )
+                break
+            except txnlog.TxnConflict:
+                continue
+        else:
+            raise AssertionError(f"appender {wid} starved")
+    q.put(("append", wid, got))
+
+
+def _compactor(table, rounds, q):
+    """Log-level OPTIMIZE: merge the snapshot's files into one whose
+    content is the concatenation of theirs, committing
+    {add: merged, remove: old} as one version — the txn_compact
+    protocol without Spark."""
+    done = 0
+    for r in range(rounds):
+        for _ in range(500):
+            base = txnlog.current_version(table)
+            if base < 0:
+                break
+            files = txnlog.snapshot_files(table, base)
+            if len(files) < 2:
+                break
+            leaves: list = []
+            for f in files:
+                with open(f) as fh:
+                    leaves.extend(json.load(fh))
+            merged = f"merged_r{r}_{os.getpid()}_{base}.json"
+            with open(os.path.join(table, "data", merged), "w") as fh:
+                json.dump(sorted(leaves), fh)
+            try:
+                txnlog.commit(
+                    table, [merged], [os.path.basename(f) for f in files], base
+                )
+                done += 1
+                break
+            except txnlog.TxnConflict:
+                continue
+    q.put(("compact", os.getpid(), done))
+
+
+def _run(procs, q, n_results):
+    for p in procs:
+        p.start()
+    results = [q.get(timeout=180) for _ in range(n_results)]
+    for p in procs:
+        p.join(timeout=180)
+        assert p.exitcode == 0, f"worker died: {p}"
+    return results
+
+
+def test_mp_appenders_with_compactor_preserve_content(tmp_path):
+    """4 appender processes × 8 commits racing 1 compactor loop: the
+    final snapshot must expand to EXACTLY the 32 appended leaves (a
+    compactor commit that lost a race and landed anyway would duplicate
+    or drop leaves), and the version sequence must be contiguous."""
+    table = _mk_table(tmp_path)
+    ctx = mp.get_context("fork")
+    q = ctx.Queue()
+    procs = [
+        ctx.Process(target=_appender, args=(table, w, 8, q)) for w in range(4)
+    ] + [ctx.Process(target=_compactor, args=(table, 12, q))]
+    _run(procs, q, 5)
+
+    expected = sorted(
+        f"leaf_w{w}_{i}.json" for w in range(4) for i in range(8)
+    )
+    assert _expand(table) == expected
+    cur = txnlog.current_version(table)
+    for v in range(cur + 1):
+        assert os.path.exists(
+            os.path.join(table, "_txn_log", f"{v:08d}.json")
+        ), f"hole at version {v}"
+
+
+def test_mp_two_compactors_race_without_content_loss(tmp_path):
+    """Two compactor processes racing each other AND two appenders —
+    the delete-vs-delete cell of the conflict matrix at the log level:
+    both try to remove the same base files; exactly one commit per
+    version can win, the loser must re-derive from the NEW snapshot.
+    Any double-remove or stale-base merge breaks leaf-set equality."""
+    table = _mk_table(tmp_path)
+    ctx = mp.get_context("fork")
+    q = ctx.Queue()
+    procs = [
+        ctx.Process(target=_appender, args=(table, w, 6, q)) for w in range(2)
+    ] + [
+        ctx.Process(target=_compactor, args=(table, 10, q)) for _ in range(2)
+    ]
+    _run(procs, q, 4)
+
+    expected = sorted(f"leaf_w{w}_{i}.json" for w in range(2) for i in range(6))
+    assert _expand(table) == expected
+    # every version in the log is still fully readable (no file that a
+    # log entry references was clobbered)
+    for v in range(txnlog.current_version(table) + 1):
+        txnlog.snapshot_files(table, v)
+
+
+def _vacuumer(table, retain, rounds, q):
+    deleted = 0
+    for _ in range(rounds):
+        deleted += len(txnlog.vacuum(table, retain_versions=retain))
+    q.put(("vacuum", retain, deleted))
+
+
+def test_mp_concurrent_vacuums_keep_horizon_sound(tmp_path):
+    """Two vacuum processes with DIFFERENT retention racing appenders
+    and a compactor. The readability promise: after the dust settles,
+    every version at or above vacuum_horizon() must still fully
+    resolve to EXISTING files. A last-write-wins horizon (the r6
+    implementation wrote the cutoff unconditionally) lets the
+    longer-retention vacuum move the horizon BACKWARD below versions
+    whose files the shorter-retention vacuum already deleted — a reader
+    trusting the horizon then dies mid-scan."""
+    table = _mk_table(tmp_path)
+    ctx = mp.get_context("fork")
+    q = ctx.Queue()
+    procs = [
+        ctx.Process(target=_appender, args=(table, w, 10, q)) for w in range(3)
+    ] + [
+        ctx.Process(target=_compactor, args=(table, 10, q)),
+        ctx.Process(target=_vacuumer, args=(table, 1, 25, q)),
+        ctx.Process(target=_vacuumer, args=(table, 5, 25, q)),
+    ]
+    _run(procs, q, 6)
+
+    horizon = txnlog.vacuum_horizon(table)
+    cur = txnlog.current_version(table)
+    assert 0 <= horizon <= cur
+    for v in range(horizon, cur + 1):
+        for f in txnlog.snapshot_files(table, v):
+            assert os.path.exists(f), (
+                f"version {v} (>= horizon {horizon}) references missing "
+                f"{os.path.basename(f)} — horizon moved backward past a "
+                f"deletion"
+            )
+    # the final snapshot's content survived every race
+    expected = sorted(f"leaf_w{w}_{i}.json" for w in range(3) for i in range(10))
+    assert _expand(table) == expected
+
+
+def _reader(table, rounds, q):
+    """Resolve + fully read the current snapshot in a loop; a missing
+    file is only acceptable if the snapshot went stale (vacuum advanced
+    past it) — re-resolving at the NEW current version must succeed."""
+    ok = 0
+    for _ in range(rounds):
+        for _attempt in range(50):
+            v = txnlog.current_version(table)
+            if v < 0:
+                break
+            try:
+                for f in txnlog.snapshot_files(table, v):
+                    with open(f) as fh:
+                        json.load(fh)
+                ok += 1
+                break
+            except FileNotFoundError:
+                continue  # stale view: vacuum advanced — retry at new cur
+        else:
+            raise AssertionError("reader starved: current snapshot unreadable")
+    q.put(("read", os.getpid(), ok))
+
+
+def test_mp_vacuum_racing_readers_writers_compactor(tmp_path):
+    """The full zoo: 2 appenders + compactor + vacuum(retain=3) + 2
+    readers hammering the current snapshot. Readers must always succeed
+    after bounded retries (the complete-before-named log guarantee +
+    vacuum's only-log-proven-dead rule), every worker must exit clean,
+    and content must be preserved end to end."""
+    table = _mk_table(tmp_path)
+    ctx = mp.get_context("fork")
+    q = ctx.Queue()
+    procs = (
+        [ctx.Process(target=_appender, args=(table, w, 10, q)) for w in range(2)]
+        + [
+            ctx.Process(target=_compactor, args=(table, 12, q)),
+            ctx.Process(target=_vacuumer, args=(table, 3, 30, q)),
+        ]
+        + [ctx.Process(target=_reader, args=(table, 20, q)) for _ in range(2)]
+    )
+    results = _run(procs, q, 6)
+
+    reads = [n for kind, _, n in results if kind == "read"]
+    assert all(n == 20 for n in reads), f"reader fell short: {reads}"
+    expected = sorted(f"leaf_w{w}_{i}.json" for w in range(2) for i in range(10))
+    assert _expand(table) == expected
