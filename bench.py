@@ -149,6 +149,11 @@ HEADLINE = [
     "src_warc_wet_text",
     "curation_url_canonicalize",
     "stream_user_totals_tws",
+    # round 7
+    "src_warc_html_extract",
+    "pipeline_crawl_to_corpus",
+    "stream_sessionize_tws",
+    "stream_type_totals_tws",
 ]
 
 
