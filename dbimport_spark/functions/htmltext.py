@@ -67,8 +67,8 @@ VOID_TAGS = frozenset({"br", "hr", "img", "input", "meta", "link"})
 
 
 class MainTextParser(HTMLParser):
-    """One-pass extractor: main text blocks, <title>, and total
-    ``<a href>`` outlink count (links are counted everywhere, including
+    """One-pass extractor: main text blocks, <title>, and every
+    ``<a href>`` target (links are collected everywhere, including
     dropped chrome — the link graph does not care where on the page an
     outlink sits)."""
 
@@ -81,7 +81,7 @@ class MainTextParser(HTMLParser):
         self._buf: list[str] = []
         self._blocks: list[str] = []
         self._title_parts: list[str] = []
-        self.n_links = 0
+        self.links: list[str] = []
 
     # -- block bookkeeping -------------------------------------------
     def _flush(self) -> None:
@@ -92,8 +92,11 @@ class MainTextParser(HTMLParser):
                 self._blocks.append(text)
 
     def handle_starttag(self, tag, attrs):
-        if tag == "a" and any(k == "href" for k, _ in attrs):
-            self.n_links += 1
+        if tag == "a":
+            for k, v in attrs:
+                if k == "href":
+                    self.links.append(v if v is not None else "")
+                    break
         if tag == "body" and self._head_open:
             # real-world recovery: an unclosed <head> must not swallow
             # the whole document once <body> starts
@@ -153,7 +156,7 @@ class MainTextParser(HTMLParser):
     def result(self) -> tuple[str, str, int]:
         self._flush()
         title = " ".join("".join(self._title_parts).split())
-        return title, "\n".join(self._blocks), self.n_links
+        return title, "\n".join(self._blocks), len(self.links)
 
 
 def extract_main_text(html: str) -> tuple[str, str, int]:
@@ -162,6 +165,15 @@ def extract_main_text(html: str) -> tuple[str, str, int]:
     p.feed(html or "")
     p.close()
     return p.result()
+
+
+def extract_links(html: str) -> list:
+    """Every <a href> target on the page, document order, duplicates
+    kept (the crawl frontier / link graph wants raw edges)."""
+    p = MainTextParser()
+    p.feed(html or "")
+    p.close()
+    return p.links
 
 
 _SCHEMA = "struct<title:string, main_text:string, n_links:int>"
@@ -176,5 +188,16 @@ def html_extract_udf():
     def _kernel(html: pd.Series) -> pd.DataFrame:
         rows = [extract_main_text(h) for h in html.fillna("")]
         return pd.DataFrame(rows, columns=["title", "main_text", "n_links"])
+
+    return _kernel
+
+
+def html_links_udf():
+    """Arrow-batched kernel: html string column → array<string> of every
+    <a href> target — the crawl-frontier / link-graph extraction pass."""
+
+    @F.pandas_udf("array<string>")
+    def _kernel(html: pd.Series) -> pd.Series:
+        return html.fillna("").map(extract_links)
 
     return _kernel

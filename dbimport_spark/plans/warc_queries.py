@@ -779,3 +779,103 @@ def pipeline_crawl_to_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_tokens").over(w).cast("bigint").alias("cum_tokens"),
     )
     return ranked.filter(F.col("cum_tokens") <= _CRAWL_BUDGET)
+
+
+# ------------------------------------------------------------ link graph
+
+
+def _make_link_page_records(n_docs: int):
+    """Builder for the link-graph fixture: doc d cites docs
+    (d + 1 + 37·j) % n_docs for j in 0..(d % 5) — 1-5 outlinks each,
+    never a self-link for these strides, plus a /about chrome link the
+    /doc/-href filter must ignore. n_docs rides in the closure; the
+    memo key still invalidates through the SOURCE fingerprint whenever
+    the corpus (and hence the count) changes."""
+
+    def records(row):
+        d = row.doc_id
+        cites = "".join(
+            f' <a href="/doc/{(d + 1 + 37 * j) % n_docs}">ref {j}</a>'
+            for j in range(d % 5 + 1)
+        )
+        page = (
+            "<!DOCTYPE html><html><head>"
+            f"<title>Doc {d}</title></head><body>"
+            '<nav><a href="/about">about</a></nav>'
+            f"<main><p>Doc {d} cites:{cites}</p></main>"
+            "</body></html>"
+        ).encode("utf-8")
+        return [
+            http_response_record(_doc_url(d), _doc_date(d), page)
+        ]
+
+    return records
+
+
+@register(
+    "warc_link_graph",
+    """WITH n AS (SELECT count(*) AS n FROM documents),
+edges AS (
+  SELECT d.doc_id AS src, (d.doc_id + 1 + 37 * j) % n.n AS dst
+  FROM documents d, n, UNNEST(range(0, d.doc_id % 5 + 1)) AS u(j)
+),
+outs AS (SELECT src, count(*) AS c FROM edges GROUP BY src),
+ins AS (SELECT dst, count(*) AS c FROM edges GROUP BY dst)
+SELECT d.doc_id,
+       CAST(coalesce(outs.c, 0) AS BIGINT) AS out_degree,
+       CAST(coalesce(ins.c, 0) AS BIGINT) AS in_degree
+FROM documents d
+LEFT JOIN outs ON outs.src = d.doc_id
+LEFT JOIN ins ON ins.dst = d.doc_id""",
+)
+def warc_link_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl link-graph extraction — the web-analytics pass between the
+    WARC scan and the graph family: parse every <a href> out of the raw
+    HTML captures (functions/htmltext.html_links_udf, same one-pass
+    stdlib parser as the text extraction), keep intra-corpus /doc/
+    targets, and compute per-document out/in degree. At 100 TB the edge
+    list is (8-byte, 8-byte) pairs — the full HTML never shuffles; the
+    two degree aggregations are the only exchanges, and the result joins
+    back to the doc table on its key. PageRank/k-core/triangles
+    (functions/graph.py) consume exactly this edge shape downstream."""
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    n_docs = docs.count()
+    paths = _memoized_warc_export(
+        spark, sf_dir, "crawl_links", _make_link_page_records(n_docs)
+    )
+    raw = read_warc(
+        spark, paths, record_types=("response",), target_bytes=1 << 20
+    )
+    from dbimport_spark.functions.htmltext import html_links_udf
+
+    @F.pandas_udf("string")
+    def http_body(payload: pd.Series) -> pd.Series:
+        return payload.map(
+            lambda b: http_response_body(bytes(b))[2].decode("utf-8")
+        )
+
+    edges = (
+        raw.select(
+            F.regexp_extract("url", r"doc/(\d+)$", 1)
+            .cast("bigint")
+            .alias("src"),
+            F.explode(html_links_udf()(http_body("payload"))).alias("href"),
+        )
+        .select(
+            "src",
+            F.regexp_extract("href", r"^/doc/(\d+)$", 1).alias("dst_s"),
+        )
+        .filter(F.col("dst_s") != "")
+        .select("src", F.col("dst_s").cast("bigint").alias("dst"))
+    )
+    outs = edges.groupBy("src").agg(F.count(F.lit(1)).alias("out_c"))
+    ins = edges.groupBy("dst").agg(F.count(F.lit(1)).alias("in_c"))
+    return (
+        docs.join(outs, docs.doc_id == outs.src, "left")
+        .join(ins, docs.doc_id == ins.dst, "left")
+        .select(
+            "doc_id",
+            F.coalesce("out_c", F.lit(0)).cast("bigint").alias("out_degree"),
+            F.coalesce("in_c", F.lit(0)).cast("bigint").alias("in_degree"),
+        )
+    )

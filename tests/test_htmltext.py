@@ -146,3 +146,34 @@ def test_spark_wrapper_batches(spark):
         2: ("", "", 0),
         3: ("", "z&w", 1),
     }
+
+
+class TestLinkExtraction:
+    def test_links_document_order_duplicates_kept(self):
+        from dbimport_spark.functions.htmltext import extract_links
+
+        assert extract_links(
+            '<nav><a href="/a">1</a></nav><p><a href="/b">2</a>'
+            '<a href="/a">3</a><a name="x">no href</a></p>'
+            '<script>var s=\'<a href="/fake">f</a>\';</script>'
+            "<footer><a href='/c'>4</a></footer>"
+        ) == ["/a", "/b", "/a", "/c"]
+        assert extract_links("") == []
+        assert extract_links("<a href=''>empty</a>") == [""]
+
+    def test_links_spark_wrapper(self, spark):
+        from pyspark.sql import functions as F
+
+        from dbimport_spark.functions.htmltext import html_links_udf
+
+        df = spark.createDataFrame(
+            [(1, '<a href="/x">x</a><a href="/y">y</a>'), (2, None)],
+            "id long, html string",
+        )
+        got = {
+            r["id"]: r["ls"]
+            for r in df.select(
+                "id", html_links_udf()(F.col("html")).alias("ls")
+            ).collect()
+        }
+        assert got == {1: ["/x", "/y"], 2: []}
