@@ -154,6 +154,8 @@ HEADLINE = [
     "pipeline_crawl_to_corpus",
     "stream_sessionize_tws",
     "stream_type_totals_tws",
+    "warc_link_graph",
+    "lake_crawl_incremental",
 ]
 
 

@@ -879,3 +879,83 @@ def warc_link_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("in_c", F.lit(0)).cast("bigint").alias("in_degree"),
         )
     )
+
+
+# ------------------------------------------------ incremental crawl ingest
+
+
+@register(
+    "lake_crawl_incremental",
+    """WITH day1 AS (SELECT doc_id FROM documents WHERE doc_id % 3 <> 2),
+new2 AS (SELECT doc_id FROM documents WHERE doc_id % 6 = 2)
+SELECT CAST(0 AS BIGINT) AS version,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(doc_id) AS BIGINT) AS id_sum
+FROM day1
+UNION ALL
+SELECT CAST(1 AS BIGINT),
+       CAST((SELECT count(*) FROM day1) + count(*) AS BIGINT),
+       CAST((SELECT sum(doc_id) FROM day1) + sum(doc_id) AS BIGINT)
+FROM new2""",
+)
+def lake_crawl_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous-crawl refresh into the ACID lake: day 1 lands 2/3 of
+    the corpus at clean canonical URLs (txn_append, version 0); day 2
+    recrawls half the corpus at MESSY url variants (case/www/default
+    port/doubled slashes/utm/fragment), canonicalizes them, anti-joins
+    against the TABLE'S OWN url history (snapshot read), and appends
+    only genuinely new pages (version 1). The graded output is both
+    versions' row counts + id sums read back through snapshot
+    resolution — time travel proves the day-1 state stays intact while
+    the incremental commit is exact.
+
+    This is the steady-state shape of a production crawl corpus at
+    100 TB: the url-history side is the lake table itself (no separate
+    dedup index to operate), the anti-join shuffles 8-byte hashes of
+    canonical urls, and the append commit is one put-if-absent."""
+    import shutil
+    import tempfile
+
+    from dbimport_spark import txnlog
+
+    path = os.path.join(
+        tempfile.gettempdir(),
+        "dbimport_spark_txn",
+        "crawl_incr_" + sf_dir.rstrip("/").replace("/", "_"),
+    )
+    if os.path.isdir(path):
+        shutil.rmtree(path)
+
+    d = load(spark, sf_dir, "documents").select("doc_id")
+    k = (F.col("doc_id") % 7).cast("string")
+    i = F.col("doc_id").cast("string")
+    canon = F.concat(
+        F.lit("https://example"), k, F.lit(".org/docs/"), i, F.lit("?id="), i
+    )
+    day1 = d.filter(F.col("doc_id") % 3 != 2).select(
+        "doc_id", canon.alias("url")
+    )
+    txnlog.txn_append(spark, day1, path)  # version 0
+
+    messy = F.concat(
+        F.lit("HTTPS://WWW.Example"), k, F.lit(".ORG:443//docs//"), i,
+        F.lit("/?utm_source=recrawl&id="), i, F.lit("#frag"),
+    )
+    day2 = d.filter(F.col("doc_id") % 2 == 0).select(
+        "doc_id", canonical_url(messy).alias("url")
+    )
+    history = txnlog.read_snapshot(spark, path).select("url")
+    fresh = day2.join(history, "url", "left_anti")
+    txnlog.txn_append(spark, fresh, path)  # version 1
+
+    parts = []
+    for v in (0, 1):
+        snap = txnlog.read_snapshot(spark, path, version=v)
+        parts.append(
+            snap.agg(
+                F.lit(v).cast("bigint").alias("version"),
+                F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+                F.sum("doc_id").cast("bigint").alias("id_sum"),
+            )
+        )
+    return parts[0].unionByName(parts[1])
