@@ -282,11 +282,16 @@ def _export_warc_html(spark: SparkSession, sf_dir: str) -> list[str]:
 
 @register(
     "src_warc_html_extract",
+    # the newline gate keys on the COLLAPSED text: a whitespace-only doc
+    # produces an empty extraction block (skipped — no trailing newline),
+    # while the inline link rides on RAW truthiness (the page wraps the
+    # first "word" even when it is empty). [[:space:]] mirrors Python
+    # str.split() for ASCII whitespace incl. \t \v \f.
     """SELECT doc_id,
        'Doc ' || CAST(doc_id AS VARCHAR) AS title,
        'Q&A <notes> #' || CAST(doc_id AS VARCHAR)
-         || CASE WHEN length(text) > 0
-                 THEN chr(10) || trim(regexp_replace(text, '[ \t\n\r]+', ' ', 'g'))
+         || CASE WHEN length(trim(regexp_replace(text, '[[:space:]]+', ' ', 'g'))) > 0
+                 THEN chr(10) || trim(regexp_replace(text, '[[:space:]]+', ' ', 'g'))
                  ELSE '' END AS main_text,
        CAST(3 + doc_id % 7
             + CASE WHEN length(text) > 0 THEN 1 ELSE 0 END AS INT) AS n_links
@@ -552,7 +557,7 @@ _EPOCH_UNIX = 1767225600  # 2026-01-01T00:00:00Z, mirrors _EPOCH
 _CRAWL_BUDGET = 12000
 _MIN_TOKENS = 20
 
-_CAPTURES_SQL = """captures AS (
+_CAPTURES_SQL = """captures_raw AS (
   SELECT doc_id * 4 AS cap_id, doc_id,
          'https://example' || CAST(doc_id % 7 AS VARCHAR) || '.org/docs/'
            || CAST(doc_id AS VARCHAR) || '?id=' || CAST(doc_id AS VARCHAR) AS curl,
@@ -576,6 +581,14 @@ _CAPTURES_SQL = """captures AS (
            || CAST(doc_id AS VARCHAR) || '?id=' || CAST(doc_id AS VARCHAR),
          text || ' spark near dup'
   FROM documents WHERE doc_id % 10 = 5
+),
+captures AS (
+  -- the pipeline's text IS the HTML extraction output: whitespace
+  -- collapsed per block ([[:space:]] mirrors Python str.split()); the
+  -- near-dup suffix concatenates BEFORE the collapse, as on the page
+  SELECT cap_id, doc_id, curl,
+         trim(regexp_replace(text, '[[:space:]]+', ' ', 'g')) AS text
+  FROM captures_raw
 )"""
 
 _CRAWL_NORM = "trim(lower(regexp_replace(text, '[^a-zA-Z0-9]+', ' ', 'g')))"

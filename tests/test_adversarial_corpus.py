@@ -58,6 +58,15 @@ QUERIES = [
     "curation_pipeline",
     "semantic_dedup_pairs",
     "sample_hash_split",
+    # round 7: the crawl family over the hostile corpus (whitespace-only
+    # and tab-run docs caught two oracle whitespace-semantics bugs)
+    "src_warc_documents",
+    "src_warc_wet_text",
+    "src_warc_html_extract",
+    "curation_url_canonicalize",
+    "pipeline_crawl_to_corpus",
+    "warc_link_graph",
+    "lake_crawl_incremental",
     "text_bm25_topk",
     "dedup_containment",
     "sketch_countmin_probe",
