@@ -453,3 +453,63 @@ def test_tws_timer_expiry_across_checkpoint_restart(spark, tmp_path):
     # the expired timers FIRED for the run-1 keys
     fired = {u for (u, k) in got2 if k == "timer"}
     assert {1, 2} <= fired
+
+
+def test_sessionize_tws_accumulates_across_batches(spark, tmp_path):
+    """ListState must ACCUMULATE the per-user history across
+    micro-batches: two files under maxFilesPerTrigger=1 split one
+    user's events so a session STRADDLES the batch boundary — the final
+    snapshot must stitch it (1 session, not 2), unlike any
+    per-batch-window computation."""
+    import os
+
+    import pandas as pd
+
+    from dbimport_spark.streaming.ops import sessionize_tws
+
+    src = tmp_path / "evsrc"
+    src.mkdir()
+    m = 60_000_000  # one minute in micros
+
+    # user 1: events at t=0,10min in file A and 20,25min in file B —
+    # gaps < 30min throughout → ONE session of 4 events end to end.
+    # user 2: t=0 in file A, t=120min in file B → TWO sessions.
+    spark.createDataFrame(
+        [(1, 0 * m, 101), (1, 10 * m, 102), (2, 0 * m, 201)],
+        "user_id long, ts_us long, event_id long",
+    ).coalesce(1).write.parquet(str(src / "a"))
+    spark.createDataFrame(
+        [(1, 20 * m, 103), (1, 25 * m, 104), (2, 120 * m, 202)],
+        "user_id long, ts_us long, event_id long",
+    ).coalesce(1).write.parquet(str(src / "b"))
+
+    stream = (
+        spark.readStream.schema("user_id long, ts_us long, event_id long")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{src}/*")
+    )
+    name = "tws_sess_multibatch"
+    q = (
+        sessionize_tws(stream)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    out = spark.table(name)
+    from pyspark.sql import functions as F
+
+    final = {
+        r["user_id"]: (r["n_sessions"], r["n_events"], r["max_session_events"])
+        for r in out.groupBy("user_id")
+        .agg(
+            F.max(
+                F.struct("n_events", "n_sessions", "max_session_events")
+            ).alias("s")
+        )
+        .select("user_id", "s.n_sessions", "s.n_events", "s.max_session_events")
+        .collect()
+    }
+    assert final == {1: (1, 4, 4), 2: (2, 2, 1)}
