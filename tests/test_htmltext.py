@@ -177,3 +177,79 @@ class TestLinkExtraction:
             ).collect()
         }
         assert got == {1: ["/x", "/y"], 2: []}
+
+
+class TestPropertyRandomPages:
+    """Hypothesis: build structured random pages from KNOWN content and
+    assert the extraction invariants — planted title recovered, planted
+    block texts recovered in order with whitespace collapsed, planted
+    hrefs recovered exactly, chrome/script text never leaks, and no
+    markup survives in the output."""
+
+    def test_random_structured_pages(self):
+        import html as _h
+
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        from dbimport_spark.functions.htmltext import (
+            extract_links,
+            extract_main_text,
+        )
+
+        word = st.text(
+            alphabet="abcdefghijklmnopqrstuvwxyz&<>'\"",
+            min_size=1,
+            max_size=8,
+        )
+        chunk = st.lists(word, min_size=1, max_size=6).map(" ".join)
+        block_tag = st.sampled_from(["p", "div", "li", "h2", "blockquote", "td"])
+        inline_tag = st.sampled_from(["b", "i", "em", "span", "code"])
+
+        @st.composite
+        def page(draw):
+            blocks = draw(st.lists(chunk, min_size=0, max_size=6))
+            hrefs = draw(
+                st.lists(
+                    st.text(alphabet="abc/0123456789", min_size=1, max_size=10),
+                    min_size=0,
+                    max_size=4,
+                )
+            )
+            title = draw(chunk)
+            chrome = draw(chunk)
+            script = draw(chunk)
+            parts = [
+                "<html><head>",
+                f"<title>{_h.escape(title)}</title>",
+                f"<script>var x = '<p>{_h.escape(script)}</p>';</script>",
+                "</head><body>",
+                f"<nav>{_h.escape(chrome)}</nav>",
+            ]
+            for j, b in enumerate(blocks):
+                t = draw(block_tag)
+                inner = _h.escape(b)
+                if draw(st.booleans()):
+                    it = draw(inline_tag)
+                    inner = f"<{it}>{inner}</{it}>"
+                parts.append(f"<{t}>{inner}</{t}>")
+            for h in hrefs:
+                parts.append(f'<footer><a href="{h}">x</a></footer>')
+            parts.append("</body></html>")
+            return "".join(parts), title, blocks, hrefs, chrome, script
+
+        @settings(max_examples=120, deadline=None)
+        @given(page())
+        def check(case):
+            html, title, blocks, hrefs, chrome, script = case
+            got_title, got_text, n_links = extract_main_text(html)
+            assert got_title == " ".join(title.split())
+            want = [" ".join(b.split()) for b in blocks]
+            want = [b for b in want if b]
+            # planted blocks recovered exactly, in order, collapsed —
+            # which also proves chrome/nav/script text never leaks in
+            assert got_text == "\n".join(want)
+            assert n_links == len(hrefs)
+            assert extract_links(html) == hrefs
+
+        check()
