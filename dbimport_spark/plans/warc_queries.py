@@ -894,6 +894,203 @@ def warc_link_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ------------------------------------------------------- robots.txt policy
+
+
+def _robots_doc_records(row):
+    """Captures spread over six hosts (h = doc_id % 6) with a per-host
+    robots.txt capture emitted alongside EVERY page of hosts 0-4 (a
+    recrawl-duplicates shape the reader must collapse; host 5 serves no
+    robots.txt — the default-allow path). The five policies cover the
+    RFC 9309 surface: blanket disallow, empty disallow, longest-match
+    Allow override, ``*``/``$`` wildcards, and product-token group
+    selection where the ``*`` group would block everything."""
+    # inline (not module-level) so the policy text is part of the
+    # builder's co_consts and the memo fingerprint invalidates on edit
+    robots_txt = {
+        0: "# crawl policy\nUser-agent: *\nDisallow: /doc/\n",
+        1: "User-agent: *\nDisallow:\nCrawl-delay: 2\n",
+        2: "User-agent: *\nDisallow: /doc/\nAllow: /doc/1\n",
+        3: "User-agent: *\nDisallow: /*3$\n",
+        4: (
+            "User-agent: graftbot\nDisallow: /doc/4\n\n"
+            "User-agent: *\nDisallow: /\n"
+        ),
+    }
+    h = row.doc_id % 6
+    host = f"h{h}.crawl.example.org"
+    out = []
+    if h in robots_txt:
+        out.append(
+            http_response_record(
+                f"https://{host}/robots.txt",
+                _doc_date(0),
+                robots_txt[h].encode("ascii"),
+            )
+        )
+    out.append(
+        http_response_record(
+            f"https://{host}/doc/{row.doc_id}",
+            _doc_date(row.doc_id),
+            row.text.encode("utf-8"),
+        )
+    )
+    return out
+
+
+@register(
+    "crawl_robots_filter",
+    """SELECT doc_id,
+       'h' || CAST(doc_id % 6 AS VARCHAR) || '.crawl.example.org' AS host,
+       CASE doc_id % 6
+         WHEN 0 THEN FALSE
+         WHEN 1 THEN TRUE
+         WHEN 2 THEN CAST(doc_id AS VARCHAR) LIKE '1%'
+         WHEN 3 THEN NOT (CAST(doc_id AS VARCHAR) LIKE '%3')
+         WHEN 4 THEN NOT (CAST(doc_id AS VARCHAR) LIKE '4%')
+         ELSE TRUE
+       END AS allowed
+FROM documents""",
+)
+def crawl_robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """robots.txt policy filtering (RFC 9309) — the politeness gate every
+    crawl pipeline applies between fetch and corpus: parse each host's
+    robots.txt out of the crawl itself (functions/robots.py, from the
+    public spec), select the group for our product token, and grade every
+    capture longest-match with Allow winning ties.
+
+    Spark shape for 100 TB: the rules side is one row per HOST —
+    vanishingly small next to the captures — so recrawl-duplicate robots
+    records collapse in a tiny groupBy, the per-host rule ARRAY
+    broadcasts, and the verdict evaluates inside the scan task as a
+    higher-order filter/aggregate over that array (rlike on the
+    pre-compiled per-rule regex). The capture side never shuffles: the
+    only exchanges in the plan touch robots.txt rows."""
+    from dbimport_spark.functions.robots import parse_robots
+
+    paths = _memoized_warc_export(
+        spark, sf_dir, "crawl_robots", _robots_doc_records
+    )
+    raw = read_warc(
+        spark, paths, record_types=("response",), target_bytes=1 << 20
+    )
+    host = F.regexp_extract("url", r"^https://([^/]+)/", 1)
+
+    @F.pandas_udf("array<struct<allow:boolean,pattern:string,prec:int,rx:string>>")
+    def parse(payload: pd.Series) -> pd.Series:
+        return payload.map(
+            lambda b: parse_robots(
+                http_response_body(bytes(b))[2].decode("utf-8"), "graftbot"
+            )
+        )
+
+    rules = (
+        raw.filter(F.col("url").endswith("/robots.txt"))
+        .groupBy(host.alias("host"))
+        .agg(F.min("payload").alias("p"))  # recrawl copies are byte-identical
+        .select("host", parse("p").alias("rules"))
+    )
+    docs = raw.filter(~F.col("url").endswith("/robots.txt")).select(
+        F.regexp_extract("url", r"doc/(\d+)$", 1).cast("bigint").alias("doc_id"),
+        host.alias("host"),
+        F.regexp_replace("url", r"^https://[^/]+", "").alias("path"),
+    )
+    verdict = F.expr(
+        """aggregate(
+             filter(coalesce(rules, array()), r -> path rlike r.rx),
+             named_struct('p', -1, 't', -1, 'a', true),
+             (acc, r) -> IF(r.prec > acc.p
+                            OR (r.prec = acc.p AND CAST(r.allow AS INT) > acc.t),
+                            named_struct('p', r.prec,
+                                         't', CAST(r.allow AS INT),
+                                         'a', r.allow),
+                            acc),
+             acc -> acc.a)"""
+    )
+    return docs.join(F.broadcast(rules), "host", "left").select(
+        "doc_id", "host", verdict.alias("allowed")
+    )
+
+
+# ------------------------------------------------------- charset decoding
+
+
+def _charset_doc_records(row):
+    """One capture per doc across the four label paths a real crawl
+    mixes: explicit UTF-8 header, explicit ISO-8859-1 header,
+    windows-1252 declared only by an HTML <meta> tag (header has no
+    charset; the euro sign pins cp1252 vs latin-1), and BOM'd UTF-16-LE
+    with no label at all. Each payload embeds a non-ASCII marker so a
+    wrong decode produces different TEXT, not just a wrong label."""
+    d = row.doc_id
+    url = f"https://h{d % 6}.crawl.example.org/charset/{d}"
+    c = d % 4
+    if c == 0:
+        body = f"über Doc {d}: {row.text}".encode("utf-8")
+        ct = "text/plain; charset=UTF-8"
+    elif c == 1:
+        body = f"café naïve Doc {d}: {row.text}".encode("iso-8859-1")
+        ct = "text/plain; charset=ISO-8859-1"
+    elif c == 2:
+        body = (
+            f'<meta charset="windows-1252">€ Doc {d}: {row.text}'
+        ).encode("windows-1252")
+        ct = "text/html"
+    else:
+        body = b"\xff\xfe" + f"Doc {d}: {row.text}".encode("utf-16-le")
+        ct = "text/plain"
+    return [http_response_record(url, _doc_date(d), body, content_type=ct)]
+
+
+@register(
+    "src_warc_charset_decode",
+    """SELECT doc_id,
+       CASE doc_id % 4 WHEN 0 THEN 'utf-8'
+                       WHEN 1 THEN 'iso-8859-1'
+                       WHEN 2 THEN 'windows-1252'
+                       ELSE 'utf-16-le' END AS charset,
+       CASE doc_id % 4
+         WHEN 0 THEN 'über Doc ' || CAST(doc_id AS VARCHAR) || ': ' || text
+         WHEN 1 THEN 'café naïve Doc ' || CAST(doc_id AS VARCHAR) || ': ' || text
+         WHEN 2 THEN '<meta charset="windows-1252">' || chr(8364)
+                     || ' Doc ' || CAST(doc_id AS VARCHAR) || ': ' || text
+         ELSE 'Doc ' || CAST(doc_id AS VARCHAR) || ': ' || text
+       END AS text
+FROM documents""",
+)
+def src_warc_charset_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Charset-aware payload decoding (functions/charset.py): BOM >
+    HTTP-header charset > <meta> prescan > UTF-8, windows-1252 backstop —
+    the step real pipelines need before ANY text operator, because the
+    web is not UTF-8. Both the detected label and the decoded text are
+    value-graded, so a latin-1/cp1252 confusion or an unstripped BOM
+    fails the oracle. Map-only: the decode is fused into the same
+    Arrow batch as the member-range WARC scan; nothing shuffles."""
+    from dbimport_spark.functions.charset import decode_payload
+
+    paths = _memoized_warc_export(
+        spark, sf_dir, "crawl_charset", _charset_doc_records
+    )
+    raw = read_warc(
+        spark, paths, record_types=("response",), target_bytes=1 << 20
+    )
+
+    @F.pandas_udf("struct<charset:string,text:string>")
+    def decode(payload: pd.Series) -> pd.DataFrame:
+        rows = []
+        for b in payload:
+            _status, headers, body = http_response_body(bytes(b))
+            rows.append(decode_payload(body, headers.get("content-type")))
+        return pd.DataFrame(rows, columns=["charset", "text"])
+
+    return raw.select(
+        F.regexp_extract("url", r"charset/(\d+)$", 1)
+        .cast("bigint")
+        .alias("doc_id"),
+        decode("payload").alias("x"),
+    ).select("doc_id", F.col("x.charset").alias("charset"), F.col("x.text").alias("text"))
+
+
 # ------------------------------------------------ incremental crawl ingest
 
 

@@ -67,6 +67,8 @@ QUERIES = [
     "pipeline_crawl_to_corpus",
     "warc_link_graph",
     "lake_crawl_incremental",
+    "crawl_robots_filter",
+    "src_warc_charset_decode",
     "text_bm25_topk",
     "dedup_containment",
     "sketch_countmin_probe",
