@@ -156,6 +156,8 @@ HEADLINE = [
     "stream_type_totals_tws",
     "warc_link_graph",
     "lake_crawl_incremental",
+    "crawl_robots_filter",
+    "src_warc_charset_decode",
 ]
 
 

@@ -152,3 +152,44 @@ class TestCharset:
     ])
     def test_label_canonicalization(self, label, name):
         assert sniff_charset(b"x", f"t/p; charset={label}")[0] == name
+
+
+# ------------------------------------------- regex-dialect cross-check
+
+
+def test_rule_regex_same_verdict_in_java_and_python(spark):
+    """The production verdict evaluates rule_pattern_to_regex output with
+    Java's regex engine (rlike inside the higher-order aggregate) while
+    the unit matcher uses Python re — the two dialects disagree on some
+    escape forms, so pin them to identical verdicts over a hostile grid
+    of pattern metacharacters, wildcards, anchors and unicode."""
+    import re as _re
+
+    patterns = [
+        "/", "/*", "/a*b$", "/doc/", "/doc/*/x$", "/$", "/*$", "/a+b",
+        "/a.b", "/a(b)c", "/a[b]c", "/a{2}", "/a|b", "/a\\b", "/a^b",
+        "/a?q=1", "/ümlaut/*", "/sp ace", "/a&b~c#d", "/doc/1$",
+    ]
+    paths = [
+        "/", "/doc/1", "/doc/12", "/a*b", "/axb", "/a.b", "/aXb",
+        "/a(b)c", "/a[b]c", "/a{2}", "/a|b", "/a\\b", "/a^b", "/a+b",
+        "/a?q=1", "/ümlaut/x", "/sp ace", "/a&b~c#d", "/doc/1x",
+        "/aab", "/doc/", "",
+    ]
+    cases = [
+        (p, rule_pattern_to_regex(p), path) for p in patterns for path in paths
+    ]
+    df = spark.createDataFrame(
+        [(rx, path) for _p, rx, path in cases], "rx string, path string"
+    )
+    got = [
+        bool(r.m)
+        for r in df.selectExpr("path rlike rx AS m").collect()
+    ]
+    want = [bool(_re.match(rx, path)) for _p, rx, path in cases]
+    diverged = [
+        (cases[i][0], cases[i][2])
+        for i, (g, w) in enumerate(zip(got, want))
+        if g != w
+    ]
+    assert not diverged, f"Java/Python regex verdicts diverge: {diverged}"
