@@ -158,6 +158,7 @@ HEADLINE = [
     "lake_crawl_incremental",
     "crawl_robots_filter",
     "src_warc_charset_decode",
+    "src_sitemap_frontier",
 ]
 
 

@@ -108,16 +108,16 @@ def _builder_fingerprint(fn) -> str:
     return hashlib.sha1(marshal.dumps(fn.__code__)).hexdigest()
 
 
-def _memoized_warc_export(
-    spark: SparkSession, sf_dir: str, subdir: str, record_fn
+def _memoized_export(
+    sf_dir: str, subdir: str, record_fn, write_fn, paths_ok
 ) -> list[str]:
-    """Content-keyed memoization of the WARC fixture export (r6 verdict:
-    the unconditional delete-and-rewrite charged every plan construction
-    a full fixture-write job AND raced concurrent sessions sweeping each
+    """Content-keyed memoization of a fixture export (r6 verdict: the
+    unconditional delete-and-rewrite charged every plan construction a
+    full fixture-write job AND raced concurrent sessions sweeping each
     other's shards). Skip the write when the recorded key — source
     parquet fingerprint + record-builder bytecode + shard count — still
-    matches and every shard + sidecar index exists; only a genuinely
-    changed corpus or builder rebuilds."""
+    matches and ``paths_ok(paths)`` confirms every artifact exists; only
+    a genuinely changed corpus or builder rebuilds via ``write_fn()``."""
     import json as _json
 
     out = os.path.join(_export_dir(sf_dir), subdir)
@@ -130,25 +130,36 @@ def _memoized_warc_export(
     try:
         with open(memo, "r", encoding="utf-8") as fh:
             m = _json.load(fh)
-        if m.get("key") == key and m.get("paths") and all(
-            os.path.exists(p) and os.path.exists(p + ".idx")
-            for p in m["paths"]
-        ):
+        if m.get("key") == key and m.get("paths") and paths_ok(m["paths"]):
             return m["paths"]
     except (OSError, ValueError):
         pass
-    paths = write_warc_shards(
-        load(spark, sf_dir, "documents").select("doc_id", "text"),
-        out,
-        record_fn,
-        num_shards=8,
-        key_col="doc_id",
-    )
+    paths = write_fn(out)
     tmp = memo + ".tmp"
     with open(tmp, "w", encoding="utf-8") as fh:
         _json.dump({"key": key, "paths": paths}, fh)
     os.replace(tmp, memo)
     return paths
+
+
+def _memoized_warc_export(
+    spark: SparkSession, sf_dir: str, subdir: str, record_fn
+) -> list[str]:
+    return _memoized_export(
+        sf_dir,
+        subdir,
+        record_fn,
+        lambda out: write_warc_shards(
+            load(spark, sf_dir, "documents").select("doc_id", "text"),
+            out,
+            record_fn,
+            num_shards=8,
+            key_col="doc_id",
+        ),
+        lambda paths: all(
+            os.path.exists(p) and os.path.exists(p + ".idx") for p in paths
+        ),
+    )
 
 
 def _export_warc(spark: SparkSession, sf_dir: str) -> list[str]:
@@ -1089,6 +1100,104 @@ def src_warc_charset_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("doc_id"),
         decode("payload").alias("x"),
     ).select("doc_id", F.col("x.charset").alias("charset"), F.col("x.text").alias("text"))
+
+
+# ------------------------------------------------------- sitemap frontier
+
+
+_SITEMAP_WATERMARK = "2026-01-16T00:00:00Z"  # day 15 of the 30-day wheel
+
+
+def _sitemap_entry(row):
+    """One <url> entry per doc: lastmod walks a 30-day wheel (doc_id %
+    30 days past the epoch) so a watermark splits fresh from stale;
+    changefreq cycles the three common values; priority is the protocol
+    0.1-1.0 decimal string."""
+    d = row.doc_id
+    lastmod = (_EPOCH + _dt.timedelta(days=int(d % 30))).strftime(
+        "%Y-%m-%dT%H:%M:%SZ"
+    )
+    return (
+        f"https://h{d % 6}.crawl.example.org/doc/{d}",
+        lastmod,
+        ("daily", "weekly", "monthly")[d % 3],
+        f"{(d % 10 + 1) / 10:.1f}",
+    )
+
+
+def _export_sitemaps(spark: SparkSession, sf_dir: str) -> str:
+    from dbimport_spark.sources.sitemap import write_sitemap_shards
+
+    paths = _memoized_export(
+        sf_dir,
+        "crawl_sitemaps",
+        _sitemap_entry,
+        lambda out: [
+            write_sitemap_shards(
+                load(spark, sf_dir, "documents").select("doc_id"),
+                out,
+                _sitemap_entry,
+                num_shards=8,
+                key_col="doc_id",
+            )
+        ],
+        lambda paths: all(os.path.exists(p) for p in paths),
+    )
+    return paths[0]
+
+
+@register(
+    "src_sitemap_frontier",
+    """SELECT doc_id,
+       'https://h' || CAST(doc_id % 6 AS VARCHAR) || '.crawl.example.org/doc/'
+         || CAST(doc_id AS VARCHAR) AS url,
+       TIMESTAMP '2026-01-01 00:00:00' + (doc_id % 30) * INTERVAL 1 DAY AS lastmod,
+       CASE doc_id % 3 WHEN 0 THEN 'daily' WHEN 1 THEN 'weekly'
+                       ELSE 'monthly' END AS changefreq,
+       printf('%.1f', (doc_id % 10 + 1) / 10.0) AS priority
+FROM documents
+WHERE doc_id % 30 >= 15 AND doc_id % 7 <> 0""",
+)
+def src_sitemap_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sitemap-driven frontier discovery (sitemaps.org protocol,
+    sources/sitemap.py) — where crawl URLs come from: read the sitemap
+    index, prune whole shards whose index <lastmod> predates the
+    watermark BEFORE any task launches (W3C datetimes compare
+    lexicographically — the protocol's own incremental-crawl hook), parse
+    the surviving <urlset> shards one task per file (the 50k-URL/50 MB
+    protocol cap makes the file the natural split unit), keep entries
+    modified since the watermark, and anti-join the already-crawled URL
+    history (here: every 7th doc, standing in for the lake table
+    lake_crawl_incremental maintains). At 100 TB the frontier side is
+    (url, date) strings — the anti-join shuffles hashes, never pages."""
+    from dbimport_spark.sources.sitemap import read_sitemaps
+
+    index_path = _export_sitemaps(spark, sf_dir)
+    sm = read_sitemaps(spark, index_path, min_lastmod=_SITEMAP_WATERMARK)
+    fresh = sm.filter(F.col("lastmod") >= _SITEMAP_WATERMARK).select(
+        F.regexp_extract("loc", r"doc/(\d+)$", 1).cast("bigint").alias("doc_id"),
+        F.col("loc").alias("url"),
+        F.to_timestamp(
+            F.regexp_replace("lastmod", "Z$", ""), "yyyy-MM-dd'T'HH:mm:ss"
+        ).alias("lastmod"),
+        "changefreq",
+        "priority",
+    )
+    crawled = (
+        load(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 7 == 0)
+        .select(
+            F.concat(
+                F.lit("https://h"),
+                (F.col("doc_id") % 6).cast("string"),
+                F.lit(".crawl.example.org/doc/"),
+                F.col("doc_id").cast("string"),
+            ).alias("url")
+        )
+    )
+    return fresh.join(crawled, "url", "left_anti").select(
+        "doc_id", "url", "lastmod", "changefreq", "priority"
+    )
 
 
 # ------------------------------------------------ incremental crawl ingest

@@ -69,6 +69,7 @@ QUERIES = [
     "lake_crawl_incremental",
     "crawl_robots_filter",
     "src_warc_charset_decode",
+    "src_sitemap_frontier",
     "text_bm25_topk",
     "dedup_containment",
     "sketch_countmin_probe",
