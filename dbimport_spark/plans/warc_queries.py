@@ -135,7 +135,10 @@ def _memoized_export(
     except (OSError, ValueError):
         pass
     paths = write_fn(out)
-    tmp = memo + ".tmp"
+    # tmp name unique per process: two cold sessions that both miss the
+    # memo race this commit, and a shared tmp name makes the loser's
+    # os.replace raise FileNotFoundError after the winner renamed it
+    tmp = f"{memo}.tmp.{os.getpid()}"
     with open(tmp, "w", encoding="utf-8") as fh:
         _json.dump({"key": key, "paths": paths}, fh)
     os.replace(tmp, memo)

@@ -121,10 +121,15 @@ def write_sitemap_shards(
 
     os.makedirs(out_dir, exist_ok=True)
     for stale in _glob.glob(os.path.join(out_dir, "sitemap-*.xml*")):
-        os.remove(stale)
+        try:
+            os.remove(stale)
+        except FileNotFoundError:
+            pass  # a concurrent cold export's sweep got there first
     part = df.repartition(num_shards, key_col).sortWithinPartitions(key_col)
 
     def kernel(batches):
+        import uuid
+
         from pyspark import TaskContext
 
         pid = TaskContext.get().partitionId()
@@ -134,7 +139,8 @@ def write_sitemap_shards(
         entries = [build_entry(r) for r in rows]
         path = os.path.join(out_dir, f"sitemap-{pid:05d}.xml")
         if entries:
-            tmp = path + ".inprogress"
+            # unique per attempt — see sources/warc.py write_warc_shards
+            tmp = f"{path}.inprogress.{os.getpid()}.{uuid.uuid4().hex[:8]}"
             with open(tmp, "wb") as fh:
                 fh.write(_urlset_xml(entries))
             os.replace(tmp, path)
@@ -163,7 +169,7 @@ def write_sitemap_shards(
         idx.append("  </sitemap>\n")
     idx.append("</sitemapindex>\n")
     index_path = os.path.join(out_dir, "sitemap-index.xml")
-    tmp = index_path + ".inprogress"
+    tmp = f"{index_path}.inprogress.{os.getpid()}"
     with open(tmp, "w", encoding="utf-8") as fh:
         fh.write("".join(idx))
     os.replace(tmp, index_path)

@@ -237,10 +237,15 @@ def write_warc_shards(
 
     os.makedirs(out_dir, exist_ok=True)
     for stale in _glob2.glob(os.path.join(out_dir, "part-*.warc.gz*")):
-        os.remove(stale)
+        try:
+            os.remove(stale)
+        except FileNotFoundError:
+            pass  # a concurrent cold export's sweep got there first
     part = df.repartition(num_shards, key_col).sortWithinPartitions(key_col)
 
     def kernel(batches):
+        import uuid
+
         from pyspark import TaskContext
 
         pid = TaskContext.get().partitionId()
@@ -252,7 +257,13 @@ def write_warc_shards(
         for r in rows:
             records.extend(build_records(r))
         if records:
-            tmp = path + ".inprogress"
+            # tmp name unique PER ATTEMPT: a shared '.inprogress' name
+            # collides when two attempts write concurrently (speculative
+            # execution, or two cold sessions exporting the same fixture
+            # after a simultaneous memo miss) — the loser's os.replace
+            # then raises FileNotFoundError. Bytes are deterministic, so
+            # whichever attempt commits last leaves identical content.
+            tmp = f"{path}.inprogress.{os.getpid()}.{uuid.uuid4().hex[:8]}"
             write_warc_gz(tmp, records)
             os.replace(tmp, path)
             os.replace(tmp + ".idx", path + ".idx")
