@@ -58,6 +58,12 @@ def main():
 
     import __spark_entry__ as entrymod
 
+    unknown = only - set(entrymod.queries())
+    if unknown:
+        # a typo'd subset name used to run NOTHING and print "0 failures"
+        print(f"ERROR unknown query name(s): {sorted(unknown)}")
+        sys.exit(2)
+
     from dbimport_spark import recommended_confs
 
     builder = (
