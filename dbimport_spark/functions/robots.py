@@ -38,12 +38,14 @@ def parse_robots(text: str, agent: str) -> list[tuple[bool, str, int, str]]:
     """Parse a robots.txt body and return the rules of the group that
     applies to ``agent``: [(allow, pattern, precedence, regex), ...].
 
-    Group selection per RFC 9309 §2.2.1: the group whose user-agent
-    product token is the longest case-insensitive prefix of ``agent``
-    wins; absent any such group, the ``*`` group applies; absent both,
-    no rules (everything allowed). Consecutive ``User-agent`` lines
-    share one group; empty ``Disallow:`` contributes no rule; unknown
-    directives (Crawl-delay, Sitemap, comments) are ignored."""
+    Group selection per RFC 9309 §2.2.1: the user-agent product token
+    that is the longest case-insensitive prefix of ``agent`` wins;
+    absent any such token, the ``*`` groups apply; absent both, no
+    rules (everything allowed). Multiple groups naming the SAME token
+    are merged into one rule set, as the RFC requires. Consecutive
+    ``User-agent`` lines share one group; empty ``Disallow:``
+    contributes no rule; unknown directives (Crawl-delay, Sitemap,
+    comments) are ignored."""
     agent_lc = agent.lower()
     groups: list[tuple[list[str], list[tuple[bool, str]]]] = []
     cur_agents: list[str] = []
@@ -71,17 +73,18 @@ def parse_robots(text: str, agent: str) -> list[tuple[bool, str, int, str]]:
                 groups[-1][1].append((_RULE_KEYS[key], val))
         else:
             in_rules = in_rules or bool(groups)
-    best: list[tuple[bool, str]] | None = None
-    best_len = -1
-    star: list[tuple[bool, str]] | None = None
+    by_token: dict[str, list[tuple[bool, str]]] = {}
     for agents, rules in groups:
         for a in agents:
-            if a == "*":
-                if star is None:
-                    star = rules
-            elif agent_lc.startswith(a) and len(a) > best_len:
-                best, best_len = rules, len(a)
-    chosen = best if best is not None else (star if star is not None else [])
+            by_token.setdefault(a, []).extend(rules)
+    best_token: str | None = None
+    for a in by_token:
+        if a != "*" and agent_lc.startswith(a):
+            if best_token is None or len(a) > len(best_token):
+                best_token = a
+    if best_token is None and "*" in by_token:
+        best_token = "*"
+    chosen = by_token.get(best_token, []) if best_token is not None else []
     return [
         (allow, pat, len(pat), rule_pattern_to_regex(pat))
         for allow, pat in chosen

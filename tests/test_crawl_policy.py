@@ -93,6 +93,26 @@ class TestRobotsParse:
     def test_rules_before_any_group_are_dropped(self):
         assert verdict("Disallow: /\nUser-agent: *\nDisallow:\n", "b", "/p")
 
+    def test_same_token_groups_merge(self):
+        # RFC 9309 §2.2.1: groups naming the same product token MUST be
+        # combined — the second graftbot group here is not shadowed
+        txt = (
+            "User-agent: graftbot\nDisallow: /a\n\n"
+            "User-agent: *\nDisallow: /\n\n"
+            "User-agent: graftbot\nDisallow: /b\n"
+        )
+        assert not verdict(txt, "graftbot", "/a/x")
+        assert not verdict(txt, "graftbot", "/b/x")
+        assert verdict(txt, "graftbot", "/c")
+
+    def test_star_groups_merge(self):
+        txt = (
+            "User-agent: *\nDisallow: /a\n\n"
+            "User-agent: *\nDisallow: /b\n"
+        )
+        assert not verdict(txt, "bot", "/a")
+        assert not verdict(txt, "bot", "/b")
+
     def test_pattern_regex_escapes_metacharacters(self):
         rx = rule_pattern_to_regex("/a+b(c).d")
         assert is_allowed([(False, "/a+b(c).d", 9, rx)], "/a+b(c).d") is False
@@ -152,6 +172,88 @@ class TestCharset:
     ])
     def test_label_canonicalization(self, label, name):
         assert sniff_charset(b"x", f"t/p; charset={label}")[0] == name
+
+
+# ------------------------------------------------------ property tests
+
+
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    _pattern_chars = st.text(
+        alphabet="/abc123*$.+()[]{}|\\^?&~# \t",
+        min_size=0,
+        max_size=12,
+    )
+    _path = st.text(
+        alphabet="/abc123*$.+()[]{}|\\^? ", min_size=0, max_size=16
+    )
+    _line = st.one_of(
+        st.just("User-agent: *"),
+        st.just("User-agent: graftbot"),
+        _pattern_chars.map(lambda p: f"Disallow: {p}"),
+        _pattern_chars.map(lambda p: f"Allow: {p}"),
+        st.just("Crawl-delay: 3"),
+        st.just("# comment"),
+        st.just(""),
+        st.text(max_size=20),  # garbage lines
+    )
+    _robots = st.lists(_line, max_size=12).map("\n".join)
+
+    class TestRobotsProperties:
+        @given(_robots, _path)
+        @settings(max_examples=300, deadline=None)
+        def test_never_raises_and_returns_bool(self, txt, path):
+            v = is_allowed(parse_robots(txt, "graftbot"), path)
+            assert isinstance(v, bool)
+
+        @given(_robots, _pattern_chars, _path)
+        @settings(max_examples=300, deadline=None)
+        def test_adding_allow_rule_is_monotone(self, txt, pat, path):
+            """An extra Allow rule can flip a verdict blocked->allowed
+            but never allowed->blocked (it competes in the longest-match
+            ordering with the allow tie-break, so it only ever wins FOR
+            allowing)."""
+            base = is_allowed(parse_robots(txt, "graftbot"), path)
+            widened = txt + f"\nUser-agent: *\nAllow: {pat}"
+            after = is_allowed(parse_robots(widened, "graftbot"), path)
+            if base:
+                assert after, (txt, pat, path)
+
+        @given(_robots, _path)
+        @settings(max_examples=200, deadline=None)
+        def test_trailing_star_groups_never_shadow_a_specific_group(
+            self, txt, path
+        ):
+            """With a specific graftbot group present, appending any
+            text containing only *-or-foreign user-agent lines must not
+            change the verdict (group choice is by agent token, not
+            file order). Lines that could merge into the graftbot
+            token are filtered out of the suffix."""
+            kept = [
+                ln
+                for ln in txt.splitlines()
+                if not (
+                    ln.lower().startswith("user-agent:")
+                    and "graftbot".startswith(
+                        ln.split(":", 1)[1].strip().lower()
+                    )
+                )
+            ]
+            # groups are delimited by user-agent lines, not blanks: bare
+            # rule lines at the top of the suffix would legitimately
+            # extend the graftbot group, so start at the first UA line
+            while kept and not kept[0].lower().startswith("user-agent:"):
+                kept.pop(0)
+            suffix = "\n".join(kept)
+            base = "User-agent: graftbot\nDisallow: /blocked"
+            assert parse_robots(f"{base}\n\n{suffix}", "graftbot") == (
+                parse_robots(base, "graftbot")
+            )
+
+except ImportError:  # pragma: no cover - hypothesis is baked in
+    pass
 
 
 # ------------------------------------------- regex-dialect cross-check
