@@ -159,6 +159,7 @@ HEADLINE = [
     "crawl_robots_filter",
     "src_warc_charset_decode",
     "src_sitemap_frontier",
+    "lake_txn_schema_evolution",
 ]
 
 

@@ -70,6 +70,7 @@ QUERIES = [
     "crawl_robots_filter",
     "src_warc_charset_decode",
     "src_sitemap_frontier",
+    "lake_txn_schema_evolution",
     "text_bm25_topk",
     "dedup_containment",
     "sketch_countmin_probe",

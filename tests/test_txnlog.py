@@ -827,3 +827,31 @@ def test_clone_partitioned_carries_pruning_metadata(spark, tmp_path):
         spark, dst, "region", partition_values=["eu"]
     )
     assert {r["k"] for r in out.collect()} == {1, 3}
+
+
+def test_schema_evolution_is_metadata_only(spark, table):
+    """A widening append must not rewrite committed files: the v0
+    parquet bytes are identical before and after, v0 reads back with
+    the ORIGINAL two columns, and the merged read null-fills v0 rows."""
+    import glob
+    import hashlib
+
+    txnlog.txn_append(spark, _df(spark, [(1, "a"), (2, "b")]), table)
+    before = {
+        p: hashlib.sha1(open(p, "rb").read()).hexdigest()
+        for p in glob.glob(os.path.join(table, "**", "*.parquet"), recursive=True)
+    }
+    wide = spark.createDataFrame([(3, "c", 30)], "k long, v string, extra long")
+    txnlog.txn_append(spark, wide, table)
+    after = {
+        p: hashlib.sha1(open(p, "rb").read()).hexdigest()
+        for p in before
+    }
+    assert after == before, "widening commit rewrote committed v0 files"
+
+    v0 = txnlog.read_snapshot(spark, table, version=0)
+    assert sorted(v0.columns) == ["k", "v"]
+    merged = txnlog.read_snapshot(spark, table)
+    assert sorted(merged.columns) == ["extra", "k", "v"]
+    rows = {r.k: (r.v, r.extra) for r in merged.collect()}
+    assert rows == {1: ("a", None), 2: ("b", None), 3: ("c", 30)}
