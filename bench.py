@@ -160,6 +160,7 @@ HEADLINE = [
     "src_warc_charset_decode",
     "src_sitemap_frontier",
     "lake_txn_schema_evolution",
+    "src_arrow_ipc_roundtrip",
 ]
 
 

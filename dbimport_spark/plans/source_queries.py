@@ -1152,3 +1152,52 @@ def src_webdataset_distributed_write(spark: SparkSession, sf_dir: str) -> DataFr
         .cast("bigint")
         .alias("n_chars"),
     )
+
+
+# --------------------------------------------------------------- Arrow IPC
+
+
+@register(
+    "src_arrow_ipc_roundtrip",
+    """SELECT c_custkey,
+       CASE WHEN c_custkey % 5 = 0 THEN NULL ELSE c_name END AS c_name,
+       c_nationkey, c_acctbal
+FROM customer WHERE c_custkey % 3 = 1""",
+)
+def src_arrow_ipc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow IPC (Feather v2) roundtrip (sources/arrowipc.py): a
+    customer slice with nulls planted on a sub-slice is written as
+    bounded-batch .arrow shards (distributed, one file per task) and
+    read back through BATCH-RANGE tasks — the driver plans from file
+    footers only, and each task memory-maps just its batch slice.
+    Roundtrip identity is the assertion: nulls survive the validity
+    bitmaps and doubles stay bit-exact through the IEEE columnar
+    encoding. At 100 TB this read shape is one task per ~64 MB of
+    record batches regardless of file count — the Arrow-native analogue
+    of the WARC member-range scan. Small batch_rows + 1 KB target here
+    force the fan-out even at fixture scale."""
+    from dbimport_spark.sources.arrowipc import (
+        read_arrow_ipc_dir,
+        write_arrow_ipc_dir,
+    )
+
+    path = os.path.join(_export_dir(sf_dir), "customer_arrow")
+    cust = (
+        load(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") % 3 == 1)
+        .select(
+            "c_custkey",
+            F.when(F.col("c_custkey") % 5 == 0, F.lit(None))
+            .otherwise(F.col("c_name"))
+            .alias("c_name"),
+            "c_nationkey",
+            "c_acctbal",
+        )
+    )
+    write_arrow_ipc_dir(cust, path, num_shards=4, key_col="c_custkey", batch_rows=64)
+    return read_arrow_ipc_dir(
+        spark,
+        path,
+        "c_custkey bigint, c_name string, c_nationkey bigint, c_acctbal double",
+        target_bytes=1 << 10,
+    )

@@ -370,6 +370,7 @@ SRC_QUERIES = [
     "src_wildcard_multifile",
     "src_orc_roundtrip",
     "src_avro_roundtrip",
+    "src_arrow_ipc_roundtrip",
     "src_jsonl_documents",
     "src_tfrecord_roundtrip",
     "src_webdataset_roundtrip",
