@@ -161,6 +161,7 @@ HEADLINE = [
     "src_sitemap_frontier",
     "lake_txn_schema_evolution",
     "src_arrow_ipc_roundtrip",
+    "src_csv_xz",
 ]
 
 

@@ -1201,3 +1201,30 @@ def src_arrow_ipc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_custkey bigint, c_name string, c_nationkey bigint, c_acctbal double",
         target_bytes=1 << 10,
     )
+
+
+# ----------------------------------------------------------- xz/bz2 envelope
+
+
+@register(
+    "src_csv_xz",
+    "SELECT n_nationkey, n_name, n_regionkey FROM nation",
+)
+def src_csv_xz(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """xz (LZMA) envelope: no Hadoop codec ships for .xz in this build,
+    so the compression pre-step decompresses driver-side (stdlib lzma)
+    like the other single-file envelopes, then the normal CSV reader
+    runs (DataProvider.java:166-197 — the format-envelope pattern; xz
+    itself is a beyond-reference addition). bz2 takes the NATIVE path —
+    Spark's Hadoop codec decodes it transparently and SPLITTABLY
+    (tests/test_sources.py::test_csv_bz2_native_and_xz_prestep)."""
+    import lzma
+
+    path = os.path.join(_export_dir(sf_dir), "nation.csv.xz")
+    with lzma.open(path, "wt", encoding="utf-8") as f:
+        f.write(_write_nation_csv_text(spark, sf_dir))
+    extracted = decompress_if_needed(path, for_spark_text_reader=True)
+    df = CsvSource(separator=";").read(spark, extracted, with_order=False)
+    return df.select(
+        F.col("n_nationkey").cast("int"), "n_name", F.col("n_regionkey").cast("int")
+    )

@@ -17,15 +17,18 @@ stdlib parse + from-scratch AES in sources/zipaes.py / sources/aes.py.
 
 from __future__ import annotations
 
+import bz2
 import gzip
+import lzma
 import os
 import shutil
 import tarfile
 import tempfile
 import zipfile
 
-NATIVE_SUFFIXES = (".gz",)  # handled by Spark text readers transparently
+NATIVE_SUFFIXES = (".gz", ".bz2")  # Spark text readers decode transparently
 ARCHIVE_SUFFIXES = (".zip", ".tar.gz", ".tgz", ".tar")
+_STREAM_CODECS = {".gz": gzip.open, ".bz2": bz2.open, ".xz": lzma.open, ".lzma": lzma.open}
 
 
 def decompress_if_needed(
@@ -73,12 +76,17 @@ def decompress_if_needed(
                 zf.setpassword(password.encode("utf-8"))
                 return zf.extract(names[0], out, pwd=password.encode("utf-8"))
             return zf.extract(names[0], out)
-    if lower.endswith(".gz"):
-        if for_spark_text_reader:
-            return path  # Spark reads .gz transparently
-        out = target_dir or tempfile.mkdtemp(prefix="dbimport_gunzip_")
-        dest = os.path.join(out, os.path.basename(path)[:-3])
-        with gzip.open(path, "rb") as src, open(dest, "wb") as dst:
+    for suf, opener in _STREAM_CODECS.items():
+        if not lower.endswith(suf):
+            continue
+        if suf in NATIVE_SUFFIXES and for_spark_text_reader:
+            return path  # Spark/Hadoop codecs decode these transparently
+        # .xz/.lzma have no Hadoop codec in this Spark build: decompress
+        # driver-side like the other single-file envelopes (the multi-file
+        # wildcard path keeps ingestion distributed ACROSS files)
+        out = target_dir or tempfile.mkdtemp(prefix="dbimport_decomp_")
+        dest = os.path.join(out, os.path.basename(path)[: -len(suf)])
+        with opener(path, "rb") as src, open(dest, "wb") as dst:
             shutil.copyfileobj(src, dst)
         return dest
     return path
@@ -88,7 +96,7 @@ def detect_format(path: str) -> str:
     """Extension-based format detection incl. double extensions
     (DbImportDefinition.java:581-654); default CSV."""
     name = os.path.basename(path).lower()
-    for comp in (".zip", ".tar.gz", ".tgz", ".tar", ".gz"):
+    for comp in (".zip", ".tar.gz", ".tgz", ".tar", ".gz", ".bz2", ".xz", ".lzma"):
         if name.endswith(comp):
             name = name[: -len(comp)]
             break

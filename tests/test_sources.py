@@ -1058,3 +1058,36 @@ def test_webdataset_writer_two_phase_commit(spark, tmp_path):
     w.abort([msg, None])
     assert not tmp.exists()
     assert not os.path.exists(msg.final_path)
+
+
+def test_csv_bz2_native_and_xz_prestep(spark, tdir):
+    """bz2 rides Spark's native Hadoop codec untouched; xz/lzma have no
+    codec in this build and must round through the driver-side
+    decompress pre-step. Both decode to identical rows."""
+    import bz2
+    import lzma
+
+    text = "a;b\n1;x\n2;y\n"
+    pb = tdir / "t.csv.bz2"
+    pb.write_bytes(bz2.compress(text.encode()))
+    # native: the pre-step must NOT touch the path for a text reader
+    assert decompress_if_needed(str(pb), for_spark_text_reader=True) == str(pb)
+    rows_b = sorted(
+        (r.a, r.b)
+        for r in CsvSource(separator=";").read(spark, str(pb), with_order=False).collect()
+    )
+    px = tdir / "t.csv.xz"
+    px.write_bytes(lzma.compress(text.encode()))
+    extracted = decompress_if_needed(str(px), for_spark_text_reader=True)
+    assert extracted != str(px) and extracted.endswith("t.csv")
+    rows_x = sorted(
+        (r.a, r.b)
+        for r in CsvSource(separator=";").read(spark, extracted, with_order=False).collect()
+    )
+    assert rows_b == rows_x == [("1", "x"), ("2", "y")]
+
+
+def test_detect_format_strips_new_compression_suffixes(tdir):
+    assert detect_format("data.json.bz2") == "json"
+    assert detect_format("data.yaml.xz") == "yaml"
+    assert detect_format("plain.csv.lzma") == "csv"
