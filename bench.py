@@ -162,6 +162,7 @@ HEADLINE = [
     "lake_txn_schema_evolution",
     "src_arrow_ipc_roundtrip",
     "src_csv_xz",
+    "stream_lake_cdc",
 ]
 
 

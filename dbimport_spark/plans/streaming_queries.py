@@ -1032,3 +1032,55 @@ SELECT doc_id, CAST(min(e) AS BIGINT) AS novelty FROM est GROUP BY doc_id"""
 
 _register_stream_novelty_cms()
 
+
+
+@register(
+    "stream_lake_cdc",
+    """SELECT CAST(0 AS BIGINT) AS version,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(doc_id) AS BIGINT) AS id_sum
+FROM documents WHERE doc_id % 3 = 0
+UNION ALL
+SELECT CAST(1 AS BIGINT), CAST(count(*) AS BIGINT), CAST(sum(doc_id) AS BIGINT)
+FROM documents WHERE doc_id % 3 = 1
+UNION ALL
+SELECT CAST(2 AS BIGINT), CAST(count(*) AS BIGINT), CAST(sum(doc_id) AS BIGINT)
+FROM documents WHERE doc_id % 3 = 2""",
+)
+def stream_lake_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ACID lake as a REGISTERED streaming source (sources/lakecdc.py,
+    Spark 4 Python DataSource API): three append commits land documents
+    slices, then `readStream.format("lake_cdc")` streams every commit
+    with a `_commit_version` column — one task per added file, offsets
+    are just log versions, planning never touches data pages. Graded on
+    per-version counts + id sums through a complete-mode aggregation.
+    At 100 TB this is the change-data feed a downstream index/dedup
+    pipeline tails instead of rescanning the table; a checkpoint restart
+    resumes after the last committed version
+    (tests/test_lakecdc.py::test_checkpoint_restart_reads_only_new_commits)."""
+    import shutil
+
+    from dbimport_spark import txnlog
+    from dbimport_spark.plans.registry import load
+    from dbimport_spark.sources.lakecdc import register_lake_cdc
+
+    path = os.path.join(
+        tempfile.gettempdir(),
+        "dbimport_spark_txn",
+        "cdc_stream_" + sf_dir.rstrip("/").replace("/", "_"),
+    )
+    if os.path.isdir(path):
+        shutil.rmtree(path)
+    d = load(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    for m in range(3):
+        txnlog.txn_append(spark, d.filter(F.col("doc_id") % 3 == m), path)
+
+    register_lake_cdc(spark)
+    s = spark.readStream.format("lake_cdc").option("path", path).load()
+    agg = s.groupBy(F.col("_commit_version").alias("version")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum("doc_id").cast("bigint").alias("id_sum"),
+    )
+    return _run_to_memory(agg, spark, output_mode="complete").select(
+        F.col("version").cast("bigint"), "n_rows", "id_sum"
+    )

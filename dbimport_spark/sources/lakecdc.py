@@ -1,0 +1,171 @@
+"""Streaming CDC source over the transaction-log lake (format "lake_cdc").
+
+Registers the ACID lake (dbimport_spark/txnlog.py) as a REAL Structured
+Streaming source via Spark 4's Python DataSource API: each micro-batch
+covers the commit versions between two offsets, fanning out ONE task per
+file ADDED in those commits, and every row carries its `_commit_version`
+— the streaming spelling of Delta's table-as-a-stream. Offsets are
+`{"version": N}` (all versions ≤ N consumed), so a restart from a
+checkpoint resumes exactly after the last committed version with no
+rescan of old data — the log IS the write-ahead index.
+
+Scope (documented, loud): append-only CDC. A commit that REMOVES files
+(upsert/delete whole-snapshot rewrites) is not row-level change data;
+reading past one raises unless `ignoreChanges=true` is set (then its
+added files are still emitted) — the same contract Delta's streaming
+source exposes. Partitioned tables (partition value lives in the log,
+not the file) raise NotImplementedError.
+
+Planning is metadata-only: the driver reads log JSONs, never data pages;
+executors read exactly the parquet files their partition names. At
+100 TB a steady append stream costs one log entry read per commit plus
+one task per new file.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Iterator
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceStreamReader,
+    InputPartition,
+)
+
+from dbimport_spark.txnlog import _data_dir, _log_dir, current_version
+
+_ARROW_TO_DDL = {
+    "int64": "bigint",
+    "int32": "int",
+    "int16": "smallint",
+    "int8": "tinyint",
+    "string": "string",
+    "large_string": "string",
+    "double": "double",
+    "float": "float",
+    "bool": "boolean",
+    "binary": "binary",
+    "large_binary": "binary",
+    "date32[day]": "date",
+}
+
+
+def _table_ddl(path: str) -> str:
+    """Schema of the table's newest ADDED file (+ _commit_version), read
+    from the parquet footer only."""
+    import pyarrow.parquet as pq
+
+    v = current_version(path)
+    if v < 0:
+        raise ValueError(f"lake_cdc: empty table at {path}")
+    name = None
+    for vv in range(v, -1, -1):
+        entry = _read_entry(path, vv)
+        added = entry.get("added", [])
+        if added:
+            name = added[-1]["n"] if isinstance(added[-1], dict) else added[-1]
+            break
+    if name is None:
+        raise ValueError(f"lake_cdc: no added files in any commit at {path}")
+    schema = pq.read_schema(os.path.join(_data_dir(path), name))
+    cols = []
+    for f in schema:
+        t = str(f.type)
+        if t.startswith("timestamp"):
+            ddl = "timestamp"
+        elif t.startswith("decimal"):
+            ddl = t
+        else:
+            ddl = _ARROW_TO_DDL.get(t)
+        if ddl is None:
+            raise ValueError(f"lake_cdc: unsupported column type {t} ({f.name})")
+        cols.append(f"{f.name} {ddl}")
+    return ", ".join(cols) + ", _commit_version bigint"
+
+
+def _read_entry(path: str, version: int) -> dict:
+    with open(os.path.join(_log_dir(path), f"{version:08d}.json")) as fh:
+        return json.load(fh)
+
+
+class _AddedFile(InputPartition):
+    def __init__(self, file_path: str, version: int):
+        self.file_path = file_path
+        self.version = version
+
+
+class LakeCdcStreamReader(DataSourceStreamReader):
+    def __init__(self, path: str, options):
+        self._path = path
+        self._ignore_changes = (
+            str(options.get("ignoreChanges", "false")).lower() == "true"
+        )
+        self._start = int(options.get("startingVersion", 0))
+
+    def initialOffset(self) -> dict:
+        return {"version": self._start - 1}
+
+    def latestOffset(self) -> dict:
+        return {"version": current_version(self._path)}
+
+    def partitions(self, start: dict, end: dict):
+        parts: list[_AddedFile] = []
+        for v in range(int(start["version"]) + 1, int(end["version"]) + 1):
+            entry = _read_entry(self._path, v)
+            if entry.get("removed") and not self._ignore_changes:
+                raise ValueError(
+                    f"lake_cdc: version {v} removes files (upsert/delete "
+                    "rewrite) — not append change data. Set "
+                    "ignoreChanges=true to stream its added files anyway."
+                )
+            for e in entry.get("added", []):
+                name = e["n"] if isinstance(e, dict) else e
+                if isinstance(e, dict) and e.get("p") is not None:
+                    raise NotImplementedError(
+                        "lake_cdc: partitioned tables are not supported "
+                        "(partition value lives in the log, not the file)"
+                    )
+                parts.append(
+                    _AddedFile(os.path.join(_data_dir(self._path), name), v)
+                )
+        # Spark requires ≥1 partition even for an empty range
+        return parts or [_AddedFile("", int(end["version"]))]
+
+    def read(self, partition: _AddedFile) -> Iterator:
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        if not partition.file_path:
+            return iter([])
+        tbl = pq.read_table(partition.file_path)
+        tbl = tbl.append_column(
+            "_commit_version",
+            pa.array([partition.version] * tbl.num_rows, pa.int64()),
+        )
+        return iter(tbl.to_batches(max_chunksize=8192))
+
+    def commit(self, end: dict) -> None:
+        pass  # offsets live in the query checkpoint; the log is immutable
+
+
+class LakeCdcDataSource(DataSource):
+    """spark.readStream.format("lake_cdc").option("path", table).load()"""
+
+    @classmethod
+    def name(cls) -> str:
+        return "lake_cdc"
+
+    def schema(self) -> str:
+        return _table_ddl(self.options["path"])
+
+    def streamReader(self, schema) -> LakeCdcStreamReader:
+        return LakeCdcStreamReader(self.options["path"], self.options)
+
+
+def register_lake_cdc(spark) -> None:
+    from dbimport_spark.plans.registry import ensure_package_on_workers
+
+    ensure_package_on_workers(spark)
+    spark.dataSource.register(LakeCdcDataSource)

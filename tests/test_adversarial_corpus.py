@@ -71,6 +71,7 @@ QUERIES = [
     "src_warc_charset_decode",
     "src_sitemap_frontier",
     "lake_txn_schema_evolution",
+    "stream_lake_cdc",
     "text_bm25_topk",
     "dedup_containment",
     "sketch_countmin_probe",
