@@ -163,6 +163,7 @@ HEADLINE = [
     "src_arrow_ipc_roundtrip",
     "src_csv_xz",
     "stream_lake_cdc",
+    "lake_bloom_point_lookup",
 ]
 
 

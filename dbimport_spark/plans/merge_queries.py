@@ -1182,3 +1182,61 @@ def lake_txn_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         parts.append(agg)
     return parts[0].unionByName(parts[1])
+
+
+@register(
+    "lake_bloom_point_lookup",
+    """SELECT o_orderkey, o_custkey,
+       CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents
+FROM orders WHERE o_orderkey % 1009 = 17""",
+)
+def lake_bloom_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-sidecar file skipping on the lake (txnlog.txn_append_bloom /
+    read_snapshot_bloom): six commits land HASH-SPREAD orderkey slices —
+    every file spans the full key range, so zone maps cannot prune a
+    single file — then a sparse point-lookup keyset probes each live
+    file's per-file Bloom sidecar and opens only the files that might
+    contain a key. No false negatives by construction; effectiveness is
+    pinned by tests/test_txnlog.py::test_bloom_skipping_*. At 100 TB
+    this is the Delta/Iceberg bloom-index shape: sidecars ride next to
+    the data files, the log carries only parameters, and a lookup costs
+    O(live files) tiny sidecar reads + O(matching files) data reads."""
+    import os
+    import shutil
+    import tempfile
+
+    from dbimport_spark import txnlog
+
+    path = os.path.join(
+        tempfile.gettempdir(),
+        "dbimport_spark_txn",
+        "bloom_lookup_" + sf_dir.rstrip("/").replace("/", "_"),
+    )
+    if os.path.isdir(path):
+        shutil.rmtree(path)
+
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    for m in range(6):  # %6 classes interleave: every file spans the range
+        txnlog.txn_append_bloom(
+            spark, orders.filter(F.col("o_orderkey") % 6 == m), path, "o_orderkey"
+        )
+
+    keys = [
+        r[0]
+        for r in orders.filter(F.col("o_orderkey") % 1009 == 17)
+        .select("o_orderkey")
+        .collect()
+    ]  # the lookup KEYSET is the query's input, not a data-plane collect
+    snap = txnlog.read_snapshot_bloom(spark, path, "o_orderkey", keys)
+    if not keys:
+        return snap.limit(0).select(
+            "o_orderkey", "o_custkey",
+            F.lit(None).cast("bigint").alias("price_cents"),
+        )
+    return snap.filter(F.col("o_orderkey").isin(keys)).select(
+        "o_orderkey",
+        "o_custkey",
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("price_cents"),
+    )

@@ -705,6 +705,14 @@ def vacuum(path: str, retain_versions: int = 1) -> list[str]:
             os.remove(f)
         except FileNotFoundError:
             pass  # a racing vacuum already reclaimed it
+        # reap the dead file's bloom sidecars with it
+        import glob as _glob
+
+        for sc in _glob.glob(f + ".bloom.*"):
+            try:
+                os.remove(sc)
+            except FileNotFoundError:
+                pass
     # Record the horizon as an EMPTY MARKER FILE named after the cutoff
     # (``_vacuum.<cutoff>``), never a rewritten shared file. The r6
     # implementation truncate-then-wrote one ``_vacuum`` file, which the
@@ -870,3 +878,139 @@ def txn_clone(src: str, dst: str, version: int | None = None) -> int:
                 e["stats"] = d["stats"]
             added.append(e)
     return commit(dst, added, [], -1)
+
+
+# ------------------------------------------------------ bloom file skipping
+#
+# Zone maps (above) prune on VALUE RANGES, which is useless when every
+# file spans the whole key range (hash-distributed ingest). Per-file
+# Bloom sidecars prune POINT LOOKUPS regardless of layout — the
+# Delta/Iceberg bloom-index design: the filter bits live NEXT TO the
+# data file (data/<name>.bloom.<col>), the log entry records only the
+# parameters, and the read path tests candidate keys against each live
+# file's sidecar before opening any data pages. A missing/unreadable
+# sidecar degrades to "cannot prune", never to a wrong answer.
+
+
+def _bloom_hashes(value) -> tuple[int, int]:
+    """Double-hash basis over the value's canonical STRING form (build
+    and probe share this one code path, so no cross-engine hash skew)."""
+    import hashlib
+
+    h = hashlib.sha1(str(value).encode("utf-8")).digest()
+    h1 = int.from_bytes(h[0:8], "little")
+    h2 = int.from_bytes(h[8:16], "little") | 1
+    return h1, h2
+
+
+def _bloom_params(n_rows: int, fpp: float = 0.01) -> tuple[int, int]:
+    import math
+
+    n = max(1, n_rows)
+    m = max(64, int(-n * math.log(fpp) / (math.log(2) ** 2)))
+    k = max(1, round(m / n * math.log(2)))
+    return m, min(k, 16)
+
+
+def _bloom_sidecar(path: str, name: str, col: str) -> str:
+    return os.path.join(_data_dir(path), f"{name}.bloom.{col}")
+
+
+def _bloom_build_file(path: str, name: str, col: str, fpp: float) -> dict:
+    """Build+write the sidecar for one staged file; returns the log
+    parameters. Reads ONLY the keyed column (footer-pruned)."""
+    import zlib
+
+    import pyarrow.parquet as pq
+
+    values = pq.read_table(
+        os.path.join(_data_dir(path), name), columns=[col]
+    )[col].to_pylist()
+    m, k = _bloom_params(len(values), fpp)
+    bits = bytearray((m + 7) // 8)
+    for v in values:
+        if v is None:
+            continue
+        h1, h2 = _bloom_hashes(v)
+        for i in range(k):
+            p = (h1 + i * h2) % m
+            bits[p >> 3] |= 1 << (p & 7)
+    sidecar = _bloom_sidecar(path, name, col)
+    tmp = f"{sidecar}.inprogress.{os.getpid()}"
+    with open(tmp, "wb") as fh:
+        fh.write(zlib.compress(bytes(bits), 6))
+    os.replace(tmp, sidecar)
+    return {"m": m, "k": k}
+
+
+def _bloom_might_contain(sidecar: str, meta: dict, values) -> bool:
+    import zlib
+
+    try:
+        with open(sidecar, "rb") as fh:
+            bits = zlib.decompress(fh.read())
+    except (OSError, zlib.error):
+        return True  # cannot prune without the sidecar — keep the file
+    m, k = meta["m"], meta["k"]
+    for v in values:
+        h1, h2 = _bloom_hashes(v)
+        if all(
+            bits[((h1 + i * h2) % m) >> 3] & (1 << (((h1 + i * h2) % m) & 7))
+            for i in range(k)
+        ):
+            return True
+    return False
+
+
+def txn_append_bloom(
+    spark, df: DataFrame, path: str, bloom_col: str, fpp: float = 0.01,
+    max_retries: int = 5,
+) -> int:
+    """Append-commit with a per-file Bloom sidecar over ``bloom_col``.
+    Here the sidecar build is a column-pruned pass per staged file; in a
+    production writer it would fold into the staging task itself (the
+    rows stream through it either way)."""
+    added_names = _stage(df, path)
+    added = []
+    for n in added_names:
+        meta = _bloom_build_file(path, n, bloom_col, fpp)
+        added.append({"n": n, "p": None, "stats": {"__bloom__": {bloom_col: meta}}})
+    for _ in range(max_retries):
+        try:
+            return commit(path, added, [], current_version(path))
+        except TxnConflict:
+            continue
+    raise TxnConflict(f"gave up after {max_retries} retries appending to {path}")
+
+
+def bloom_candidate_files(
+    path: str, col: str, values, version: int | None = None
+) -> list[str]:
+    """Live files that MIGHT contain any of ``values`` in ``col``: files
+    without a bloom for the column are kept conservatively; no false
+    negatives by construction."""
+    values = list(values)
+    stats = snapshot_stats(path, version)
+    keep = []
+    for name, st in sorted(stats.items()):
+        meta = (st.get("__bloom__") or {}).get(col)
+        if meta is None:
+            keep.append(name)  # no bloom for this file: cannot prune
+        elif values and _bloom_might_contain(
+            _bloom_sidecar(path, name, col), meta, values
+        ):
+            keep.append(name)
+        # bloom present and (no values, or all values refuted): pruned
+    return [os.path.join(_data_dir(path), n) for n in keep]
+
+
+def read_snapshot_bloom(
+    spark, path: str, col: str, values, version: int | None = None
+) -> DataFrame:
+    """Snapshot read pruned to the bloom candidates (the point-lookup
+    sibling of read_snapshot_skipping). The caller still applies the
+    exact row predicate — blooms prune files, not rows."""
+    keep = bloom_candidate_files(path, col, values, version)
+    if not keep:
+        return read_snapshot(spark, path, version).limit(0)
+    return spark.read.option("mergeSchema", "true").parquet(*keep)

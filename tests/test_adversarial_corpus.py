@@ -370,6 +370,7 @@ SRC_QUERIES = [
     "src_sql_script",
     "src_wildcard_multifile",
     "src_orc_roundtrip",
+    "lake_bloom_point_lookup",
     "src_avro_roundtrip",
     "src_arrow_ipc_roundtrip",
     "src_csv_xz",

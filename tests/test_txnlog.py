@@ -855,3 +855,92 @@ def test_schema_evolution_is_metadata_only(spark, table):
     assert sorted(merged.columns) == ["extra", "k", "v"]
     rows = {r.k: (r.v, r.extra) for r in merged.collect()}
     assert rows == {1: ("a", None), 2: ("b", None), 3: ("c", 30)}
+
+
+class TestBloomSkipping:
+    def _build(self, spark, table, n=2000, commits=4):
+        from pyspark.sql import functions as F
+
+        for m in range(commits):
+            df = (
+                spark.range(n)
+                .filter(F.col("id") % commits == m)
+                .select(F.col("id").alias("k"), (F.col("id") * 2).alias("v"))
+            )
+            txnlog.txn_append_bloom(spark, df, table, "k")
+        return commits
+
+    def test_no_false_negatives_and_real_pruning(self, spark, table):
+        n_files_total = len(txnlog.snapshot_files(table)) if os.path.isdir(table) else 0
+        commits = self._build(spark, table)
+        all_files = txnlog.snapshot_files(table)
+        assert len(all_files) > n_files_total
+        # every present key must keep its owning file (no false negative):
+        # key 5 lives in the commit where 5 % commits == 1
+        cand = txnlog.bloom_candidate_files(table, "k", [5])
+        rows = txnlog.read_snapshot_bloom(spark, table, "k", [5]).filter(
+            "k = 5"
+        )
+        assert rows.count() == 1
+        # and the candidate set must be SMALLER than the live set (the
+        # point of the index) — with fpp=0.01 over 4+ files, pruning at
+        # least one file is overwhelmingly certain
+        assert len(cand) < len(all_files)
+
+    def test_absent_key_prunes_everything_or_nearly(self, spark, table):
+        self._build(spark, table)
+        cand = txnlog.bloom_candidate_files(table, "k", [10_000_000])
+        # fpp 1% per file: expected ~0 of the files survive
+        assert len(cand) <= 1
+        got = txnlog.read_snapshot_bloom(spark, table, "k", [10_000_000])
+        assert got.filter("k = 10000000").count() == 0
+
+    def test_empty_keyset_yields_empty_candidates(self, spark, table):
+        self._build(spark, table)
+        assert txnlog.bloom_candidate_files(table, "k", []) == []
+
+    def test_files_without_blooms_kept_conservatively(self, spark, table):
+        from pyspark.sql import functions as F
+
+        self._build(spark, table)
+        plain = spark.range(5).select(
+            (F.col("id") + 100000).alias("k"), F.lit(0).cast("bigint").alias("v")
+        )
+        txnlog.txn_append(spark, plain, table)  # no bloom on this commit
+        cand = txnlog.bloom_candidate_files(table, "k", [100003])
+        got = txnlog.read_snapshot_bloom(spark, table, "k", [100003]).filter(
+            "k = 100003"
+        )
+        assert got.count() == 1  # bloom-less file was kept and scanned
+        assert cand  # and it is in the candidate list
+
+    def test_missing_sidecar_degrades_to_keep(self, spark, table):
+        import glob
+
+        self._build(spark, table)
+        for sc in glob.glob(os.path.join(table, "data", "*.bloom.k")):
+            os.remove(sc)
+        # all sidecars gone: every file kept, lookups still correct
+        cand = txnlog.bloom_candidate_files(table, "k", [5])
+        assert len(cand) == len(txnlog.snapshot_files(table))
+        assert (
+            txnlog.read_snapshot_bloom(spark, table, "k", [5]).filter("k = 5").count()
+            == 1
+        )
+
+    def test_vacuum_reaps_sidecars_of_dead_files(self, spark, table):
+        import glob
+
+        from pyspark.sql import functions as F
+
+        self._build(spark, table, commits=2)
+        # whole-snapshot rewrite kills the bloom'd files
+        src = spark.range(10).select(
+            F.col("id").alias("k"), F.lit(-1).cast("bigint").alias("v")
+        )
+        txnlog.txn_upsert(spark, src, table, ["k"])
+        before = set(glob.glob(os.path.join(table, "data", "*.bloom.k")))
+        assert before
+        txnlog.vacuum(table, retain_versions=1)
+        after = set(glob.glob(os.path.join(table, "data", "*.bloom.k")))
+        assert after < before or not after
