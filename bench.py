@@ -164,6 +164,7 @@ HEADLINE = [
     "src_csv_xz",
     "stream_lake_cdc",
     "lake_bloom_point_lookup",
+    "src_csv_zst",
 ]
 
 

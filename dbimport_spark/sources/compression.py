@@ -28,7 +28,20 @@ import zipfile
 
 NATIVE_SUFFIXES = (".gz", ".bz2")  # Spark text readers decode transparently
 ARCHIVE_SUFFIXES = (".zip", ".tar.gz", ".tgz", ".tar")
-_STREAM_CODECS = {".gz": gzip.open, ".bz2": bz2.open, ".xz": lzma.open, ".lzma": lzma.open}
+def _zst_open(path, mode="rb"):
+    """File-like over a decompressed .zst: native codec when the frame
+    declares its size, from-scratch RFC 8878 decoder (sources/zstd.py)
+    otherwise."""
+    import io
+
+    from dbimport_spark.sources.zstd import zstd_decompress_auto
+
+    with open(path, "rb") as fh:
+        return io.BytesIO(zstd_decompress_auto(fh.read()))
+
+
+_STREAM_CODECS = {".gz": gzip.open, ".bz2": bz2.open, ".xz": lzma.open,
+                  ".lzma": lzma.open, ".zst": _zst_open}
 
 
 def decompress_if_needed(
@@ -96,7 +109,7 @@ def detect_format(path: str) -> str:
     """Extension-based format detection incl. double extensions
     (DbImportDefinition.java:581-654); default CSV."""
     name = os.path.basename(path).lower()
-    for comp in (".zip", ".tar.gz", ".tgz", ".tar", ".gz", ".bz2", ".xz", ".lzma"):
+    for comp in (".zip", ".tar.gz", ".tgz", ".tar", ".gz", ".bz2", ".xz", ".lzma", ".zst"):
         if name.endswith(comp):
             name = name[: -len(comp)]
             break

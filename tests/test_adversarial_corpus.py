@@ -374,6 +374,7 @@ SRC_QUERIES = [
     "src_avro_roundtrip",
     "src_arrow_ipc_roundtrip",
     "src_csv_xz",
+    "src_csv_zst",
     "src_jsonl_documents",
     "src_tfrecord_roundtrip",
     "src_webdataset_roundtrip",
