@@ -102,6 +102,11 @@ class LakeCdcStreamReader(DataSourceStreamReader):
         self._ignore_changes = (
             str(options.get("ignoreChanges", "false")).lower() == "true"
         )
+        # skipChangeCommits: drop remove-carrying commits entirely (their
+        # added files are NOT emitted) — the third arm of Delta's contract
+        self._skip_changes = (
+            str(options.get("skipChangeCommits", "false")).lower() == "true"
+        )
         self._start = int(options.get("startingVersion", 0))
 
     def initialOffset(self) -> dict:
@@ -114,12 +119,16 @@ class LakeCdcStreamReader(DataSourceStreamReader):
         parts: list[_AddedFile] = []
         for v in range(int(start["version"]) + 1, int(end["version"]) + 1):
             entry = _read_entry(self._path, v)
-            if entry.get("removed") and not self._ignore_changes:
-                raise ValueError(
-                    f"lake_cdc: version {v} removes files (upsert/delete "
-                    "rewrite) — not append change data. Set "
-                    "ignoreChanges=true to stream its added files anyway."
-                )
+            if entry.get("removed"):
+                if self._skip_changes:
+                    continue
+                if not self._ignore_changes:
+                    raise ValueError(
+                        f"lake_cdc: version {v} removes files (upsert/delete "
+                        "rewrite) — not append change data. Set "
+                        "ignoreChanges=true to stream its added files anyway, "
+                        "or skipChangeCommits=true to drop such commits."
+                    )
             for e in entry.get("added", []):
                 name = e["n"] if isinstance(e, dict) else e
                 if isinstance(e, dict) and e.get("p") is not None:

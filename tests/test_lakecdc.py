@@ -133,3 +133,38 @@ def test_empty_table_raises_loudly(spark, tmp_path):
         spark.readStream.format("lake_cdc").option(
             "path", str(tmp_path / "missing")
         ).load()
+
+
+def test_skip_change_commits_drops_rewrites_but_keeps_later_appends(
+    spark, tmp_path
+):
+    path = str(tmp_path / "t")
+    _append(spark, path, 0)  # v0 append
+    src = spark.range(5).select(
+        (F.col("id") * 3).alias("k"), F.lit("UP").alias("tag")
+    )
+    txnlog.txn_upsert(spark, src, path, ["k"])  # v1 rewrite (skipped)
+    _append(spark, path, 2)  # v2 append
+    register_lake_cdc(spark)
+    s = (
+        spark.readStream.format("lake_cdc")
+        .option("path", path)
+        .option("skipChangeCommits", "true")
+        .load()
+    )
+    q = (
+        s.writeStream.format("memory")
+        .queryName("cdc_skip")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.table("cdc_skip")
+    per = {
+        r.v: r.n
+        for r in got.groupBy(F.col("_commit_version").alias("v"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert per == {0: 10, 2: 10}  # v1's rewrite never streamed
