@@ -165,6 +165,7 @@ HEADLINE = [
     "stream_lake_cdc",
     "lake_bloom_point_lookup",
     "src_csv_zst",
+    "lake_stats_metadata_only",
 ]
 
 

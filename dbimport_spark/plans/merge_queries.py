@@ -1240,3 +1240,60 @@ def lake_bloom_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_custkey",
         F.round(F.col("o_totalprice") * 100).cast("bigint").alias("price_cents"),
     )
+
+
+@register(
+    "lake_stats_metadata_only",
+    """SELECT CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(min(o_orderkey) AS BIGINT) AS min_key,
+       CAST(max(o_orderkey) AS BIGINT) AS max_key,
+       min(o_totalprice) AS min_price,
+       max(o_totalprice) AS max_price
+FROM orders WHERE o_orderkey % 4 <> 3""",
+)
+def lake_stats_metadata_only(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE answered from the commit log alone
+    (txnlog.snapshot_profile): three stats-carrying commits land orders
+    slices, then row count and min/max per column come from the log's
+    recorded per-file footer stats — ZERO data pages read and zero Spark
+    jobs at answer time (the assertion is structural: the profile is
+    computed before any DataFrame exists). At 100 TB this is the
+    difference between a metadata read and a full table scan for the
+    statistics every optimizer and data catalog asks for; the same
+    recorded bounds drive the zone-map reader, so they are continuously
+    cross-checked by lake_txn_zonemap_scan."""
+    import os
+    import shutil
+    import tempfile
+
+    from dbimport_spark import txnlog
+
+    path = os.path.join(
+        tempfile.gettempdir(),
+        "dbimport_spark_txn",
+        "meta_stats_" + sf_dir.rstrip("/").replace("/", "_"),
+    )
+    if os.path.isdir(path):
+        shutil.rmtree(path)
+    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    for m in range(3):
+        txnlog.txn_append_stats(
+            spark,
+            orders.filter(F.col("o_orderkey") % 4 == m),
+            path,
+            ["o_orderkey", "o_totalprice"],
+        )
+    prof = txnlog.snapshot_profile(path, ["o_orderkey", "o_totalprice"])
+    return spark.createDataFrame(
+        [
+            (
+                prof["n_rows"],
+                prof["min_o_orderkey"],
+                prof["max_o_orderkey"],
+                float(prof["min_o_totalprice"]),
+                float(prof["max_o_totalprice"]),
+            )
+        ],
+        "n_rows bigint, min_key bigint, max_key bigint, "
+        "min_price double, max_price double",
+    )

@@ -761,7 +761,7 @@ def _footer_stats(file_path: str, cols) -> dict:
 
     md = pq.ParquetFile(file_path).metadata
     idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
-    out = {}
+    out = {"__rows__": md.num_rows}
     for col in cols:
         if col not in idx:
             continue
@@ -806,6 +806,46 @@ def snapshot_stats(path: str, version: int | None = None) -> dict[str, dict]:
     v_max = current_version(path) if version is None else version
     live, _ = _fold_log(path, v_max)
     return {n: d["stats"] for n, d in live.items()}
+
+
+def snapshot_profile(path: str, cols, version: int | None = None) -> dict:
+    """ANALYZE from the log alone: row count and per-column [min, max]
+    of a snapshot computed purely from the commit log's recorded file
+    stats — zero data pages read, zero Spark jobs (the Delta/Iceberg
+    "stats in metadata" answer path). Raises loudly when any live file
+    lacks the needed stats (appended without txn_append_stats, or a
+    NULL-only column chunk) — a metadata answer must never silently
+    degrade to a guess."""
+    stats = snapshot_stats(path, version)
+    n_rows = 0
+    mins: dict[str, object] = {}
+    maxs: dict[str, object] = {}
+    for name, st in stats.items():
+        rows = st.get("__rows__")
+        if rows is None:
+            raise ValueError(
+                f"snapshot_profile: {name} has no recorded row count "
+                "(committed without txn_append_stats)"
+            )
+        n_rows += rows
+        if rows == 0:
+            continue  # empty part file: no column chunks, nothing to bound
+        for col in cols:
+            rng = st.get(col)
+            if rng is None:
+                raise ValueError(
+                    f"snapshot_profile: {name} has no stats for {col!r}"
+                )
+            lo, hi = rng
+            if col not in mins or lo < mins[col]:
+                mins[col] = lo
+            if col not in maxs or hi > maxs[col]:
+                maxs[col] = hi
+    return {
+        "n_rows": n_rows,
+        **{f"min_{c}": mins.get(c) for c in cols},
+        **{f"max_{c}": maxs.get(c) for c in cols},
+    }
 
 
 def read_snapshot_skipping(

@@ -371,6 +371,7 @@ SRC_QUERIES = [
     "src_wildcard_multifile",
     "src_orc_roundtrip",
     "lake_bloom_point_lookup",
+    "lake_stats_metadata_only",
     "src_avro_roundtrip",
     "src_arrow_ipc_roundtrip",
     "src_csv_xz",

@@ -944,3 +944,46 @@ class TestBloomSkipping:
         txnlog.vacuum(table, retain_versions=1)
         after = set(glob.glob(os.path.join(table, "data", "*.bloom.k")))
         assert after < before or not after
+
+
+class TestSnapshotProfile:
+    def test_profile_matches_data_and_reads_no_pages(self, spark, table):
+        from pyspark.sql import functions as F
+
+        df = spark.createDataFrame(
+            [(i, float(i) * 1.5) for i in range(500)], "k long, x double"
+        ).repartition(4)
+        txnlog.txn_append_stats(spark, df, table, ["k", "x"])
+        prof = txnlog.snapshot_profile(table, ["k", "x"])
+        assert prof["n_rows"] == 500
+        assert (prof["min_k"], prof["max_k"]) == (0, 499)
+        assert (prof["min_x"], prof["max_x"]) == (0.0, 499 * 1.5)
+        # structural no-data-read proof: the answer survives the data
+        # files being REPLACED by garbage (only footers were ever read,
+        # and those were read at COMMIT time, not now)
+        ddir = os.path.join(table, "data")
+        for f in os.listdir(ddir):
+            with open(os.path.join(ddir, f), "wb") as fh:
+                fh.write(b"not parquet")
+        assert txnlog.snapshot_profile(table, ["k", "x"]) == prof
+
+    def test_profile_refuses_statless_commits(self, spark, table):
+        df = _df(spark, [(1, "a")])
+        txnlog.txn_append(spark, df, table)  # no stats recorded
+        with pytest.raises(ValueError, match="row count|stats"):
+            txnlog.snapshot_profile(table, ["k"])
+
+    def test_profile_refuses_missing_column_stats(self, spark, table):
+        df = spark.createDataFrame([(None,), (None,)], "k long")
+        txnlog.txn_append_stats(spark, df, table, ["k"])  # NULL-only: no k stats
+        with pytest.raises(ValueError, match="no stats for 'k'"):
+            txnlog.snapshot_profile(table, ["k"])
+
+    def test_profile_time_travels(self, spark, table):
+        df1 = spark.createDataFrame([(1, 1.0), (2, 2.0)], "k long, x double")
+        df2 = spark.createDataFrame([(10, 10.0)], "k long, x double")
+        txnlog.txn_append_stats(spark, df1, table, ["k", "x"])
+        txnlog.txn_append_stats(spark, df2, table, ["k", "x"])
+        assert txnlog.snapshot_profile(table, ["k"], version=0)["max_k"] == 2
+        assert txnlog.snapshot_profile(table, ["k"])["max_k"] == 10
+        assert txnlog.snapshot_profile(table, ["k"], version=0)["n_rows"] == 2
