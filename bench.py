@@ -166,6 +166,7 @@ HEADLINE = [
     "lake_bloom_point_lookup",
     "src_csv_zst",
     "lake_stats_metadata_only",
+    "lake_convert_in_place",
 ]
 
 

@@ -1297,3 +1297,59 @@ def lake_stats_metadata_only(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_rows bigint, min_key bigint, max_key bigint, "
         "min_price double, max_price double",
     )
+
+
+@register(
+    "lake_convert_in_place",
+    """WITH slice AS (SELECT o_orderkey, o_totalprice FROM orders
+                    WHERE o_orderkey % 5 <> 0)
+SELECT CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(min(o_orderkey) AS BIGINT) AS min_key,
+       CAST(max(o_orderkey) AS BIGINT) AS max_key,
+       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         AS cents_sum
+FROM slice""",
+)
+def lake_convert_in_place(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zero-copy conversion of an existing plain-parquet directory into
+    a transactional table (txnlog.txn_convert_parquet_dir — Delta's
+    CONVERT TO DELTA): data files are hard-linked, one commit publishes
+    them with footer stats, and from version 0 the table has snapshot
+    isolation, time travel, zone-map skipping and metadata-only ANALYZE.
+    Graded on the converted table's full read-back AND its metadata
+    profile agreeing (min/max come from snapshot_profile, count+sum from
+    the snapshot read) — at 100 TB conversion cost is O(files) metadata
+    ops, never a rewrite."""
+    import os
+    import shutil
+    import tempfile
+
+    from dbimport_spark import txnlog
+
+    root = os.path.join(
+        tempfile.gettempdir(),
+        "dbimport_spark_txn",
+        "convert_" + sf_dir.rstrip("/").replace("/", "_"),
+    )
+    if os.path.isdir(root):
+        shutil.rmtree(root)
+    legacy = os.path.join(root, "legacy")
+    table = os.path.join(root, "table")
+    (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 5 != 0)
+        .select("o_orderkey", "o_totalprice")
+        .repartition(4)
+        .write.parquet(legacy)
+    )
+    txnlog.txn_convert_parquet_dir(legacy, table, stats_cols=["o_orderkey"])
+    prof = txnlog.snapshot_profile(table, ["o_orderkey"])
+    snap = txnlog.read_snapshot(spark, table)
+    return snap.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.lit(prof["min_o_orderkey"]).cast("bigint").alias("min_key"),
+        F.lit(prof["max_o_orderkey"]).cast("bigint").alias("max_key"),
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("cents_sum"),
+    )

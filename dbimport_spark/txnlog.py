@@ -1054,3 +1054,34 @@ def read_snapshot_bloom(
     if not keep:
         return read_snapshot(spark, path, version).limit(0)
     return spark.read.option("mergeSchema", "true").parquet(*keep)
+
+
+def txn_convert_parquet_dir(src_dir: str, path: str, stats_cols=()) -> int:
+    """Convert an EXISTING plain-parquet directory into a transactional
+    table in place — Delta's CONVERT TO DELTA, zero-copy: every data
+    file is HARD-LINKED into the table's data dir (no bytes move; same
+    divergence-safe choice as txn_clone) and ONE commit publishes them,
+    with per-file footer stats when ``stats_cols`` is given so zone-map
+    skipping and snapshot_profile work from the first version. The
+    source directory stays valid for legacy readers; the table owns its
+    names from here on."""
+    import glob as _glob
+
+    if current_version(path) >= 0:
+        raise ValueError(f"convert target {path!r} already has a log")
+    files = sorted(_glob.glob(os.path.join(src_dir, "*.parquet")))
+    if not files:
+        raise ValueError(f"convert: no parquet files under {src_dir!r}")
+    os.makedirs(_data_dir(path), exist_ok=True)
+    conv_id = uuid.uuid4().hex
+    added = []
+    for i, src in enumerate(files):
+        name = f"part-{conv_id}-{i:04d}.parquet"
+        os.link(src, os.path.join(_data_dir(path), name))
+        st = (
+            _footer_stats(os.path.join(_data_dir(path), name), stats_cols)
+            if stats_cols
+            else {}
+        )
+        added.append({"n": name, "p": None, "stats": st})
+    return commit(path, added, [], -1)

@@ -372,6 +372,7 @@ SRC_QUERIES = [
     "src_orc_roundtrip",
     "lake_bloom_point_lookup",
     "lake_stats_metadata_only",
+    "lake_convert_in_place",
     "src_avro_roundtrip",
     "src_arrow_ipc_roundtrip",
     "src_csv_xz",

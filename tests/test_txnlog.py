@@ -987,3 +987,49 @@ class TestSnapshotProfile:
         assert txnlog.snapshot_profile(table, ["k"], version=0)["max_k"] == 2
         assert txnlog.snapshot_profile(table, ["k"])["max_k"] == 10
         assert txnlog.snapshot_profile(table, ["k"], version=0)["n_rows"] == 2
+
+
+class TestConvertInPlace:
+    def _legacy(self, spark, tmp_path, n=200):
+        legacy = str(tmp_path / "legacy")
+        spark.createDataFrame(
+            [(i, f"v{i}") for i in range(n)], "k long, v string"
+        ).repartition(3).write.parquet(legacy)
+        return legacy
+
+    def test_zero_copy_conversion_shares_inodes(self, spark, tmp_path, table):
+        import glob
+
+        legacy = self._legacy(spark, tmp_path)
+        txnlog.txn_convert_parquet_dir(legacy, table, stats_cols=["k"])
+        src_inodes = {
+            os.stat(f).st_ino for f in glob.glob(os.path.join(legacy, "*.parquet"))
+        }
+        tbl_inodes = {
+            os.stat(f).st_ino for f in txnlog.snapshot_files(table)
+        }
+        assert tbl_inodes == src_inodes  # hard links, no bytes copied
+        got = txnlog.read_snapshot(spark, table)
+        assert got.count() == 200
+        prof = txnlog.snapshot_profile(table, ["k"])
+        assert (prof["n_rows"], prof["min_k"], prof["max_k"]) == (200, 0, 199)
+
+    def test_converted_table_evolves_independently(self, spark, tmp_path, table):
+        legacy = self._legacy(spark, tmp_path, n=10)
+        txnlog.txn_convert_parquet_dir(legacy, table)
+        txnlog.txn_append(spark, _df(spark, [(999, "new")]), table)
+        assert txnlog.read_snapshot(spark, table).count() == 11
+        # legacy dir untouched
+        assert spark.read.parquet(legacy).count() == 10
+        # time travel to the conversion commit
+        assert txnlog.read_snapshot(spark, table, version=0).count() == 10
+
+    def test_refuses_existing_table_and_empty_source(self, spark, tmp_path, table):
+        legacy = self._legacy(spark, tmp_path, n=5)
+        txnlog.txn_convert_parquet_dir(legacy, table)
+        with pytest.raises(ValueError, match="already has a log"):
+            txnlog.txn_convert_parquet_dir(legacy, table)
+        empty = str(tmp_path / "empty")
+        os.makedirs(empty)
+        with pytest.raises(ValueError, match="no parquet files"):
+            txnlog.txn_convert_parquet_dir(empty, str(tmp_path / "t2"))
