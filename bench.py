@@ -167,6 +167,7 @@ HEADLINE = [
     "src_csv_zst",
     "lake_stats_metadata_only",
     "lake_convert_in_place",
+    "stream_lake_cdc_partitioned",
 ]
 
 

@@ -1084,3 +1084,50 @@ def stream_lake_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_to_memory(agg, spark, output_mode="complete").select(
         F.col("version").cast("bigint"), "n_rows", "id_sum"
     )
+
+
+@register(
+    "stream_lake_cdc_partitioned",
+    """SELECT CAST(doc_id % 2 AS BIGINT) AS version, lang,
+       CAST(count(*) AS BIGINT) AS n_rows
+FROM documents
+GROUP BY 1, 2""",
+)
+def stream_lake_cdc_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partitioned-table CDC streaming: two partitioned append commits
+    (partition value lives in the LOG, not the files — the lakehouse
+    convention), streamed back with the partition column re-attached per
+    file and typed per the log's recorded DDL. Graded on version ×
+    partition counts; closes the CDC source's declared partitioned-table
+    limitation."""
+    import shutil
+
+    from dbimport_spark import txnlog
+    from dbimport_spark.plans.registry import load
+    from dbimport_spark.sources.lakecdc import register_lake_cdc
+
+    path = os.path.join(
+        tempfile.gettempdir(),
+        "dbimport_spark_txn",
+        "cdc_part_" + sf_dir.rstrip("/").replace("/", "_"),
+    )
+    if os.path.isdir(path):
+        shutil.rmtree(path)
+    d = load(spark, sf_dir, "documents").select("doc_id", "lang")
+    for m in range(2):
+        txnlog.txn_append_partitioned(
+            spark, d.filter(F.col("doc_id") % 2 == m), path, "lang"
+        )
+    register_lake_cdc(spark)
+    s = (
+        spark.readStream.format("lake_cdc")
+        .option("path", path)
+        .option("partitionColumn", "lang")
+        .load()
+    )
+    agg = s.groupBy(
+        F.col("_commit_version").alias("version"), "lang"
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n_rows"))
+    return _run_to_memory(agg, spark, output_mode="complete").select(
+        F.col("version").cast("bigint"), "lang", "n_rows"
+    )

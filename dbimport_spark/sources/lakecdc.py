@@ -34,7 +34,12 @@ from pyspark.sql.datasource import (
     InputPartition,
 )
 
-from dbimport_spark.txnlog import _data_dir, _log_dir, current_version
+from dbimport_spark.txnlog import (
+    _data_dir,
+    _fold_log,
+    _log_dir,
+    current_version,
+)
 
 _ARROW_TO_DDL = {
     "int64": "bigint",
@@ -52,9 +57,10 @@ _ARROW_TO_DDL = {
 }
 
 
-def _table_ddl(path: str) -> str:
-    """Schema of the table's newest ADDED file (+ _commit_version), read
-    from the parquet footer only."""
+def _table_ddl(path: str, partition_col: str | None = None) -> str:
+    """Schema of the table's newest ADDED file (+ the log-resident
+    partition column when named + _commit_version), read from the
+    parquet footer only."""
     import pyarrow.parquet as pq
 
     v = current_version(path)
@@ -82,6 +88,14 @@ def _table_ddl(path: str) -> str:
         if ddl is None:
             raise ValueError(f"lake_cdc: unsupported column type {t} ({f.name})")
         cols.append(f"{f.name} {ddl}")
+    if partition_col:
+        _, ptype = _fold_log(path, v)
+        if ptype is None:
+            raise ValueError(
+                "lake_cdc: partitionColumn given but the log records no "
+                "partition type (table was not written partitioned)"
+            )
+        cols.append(f"{partition_col} {ptype}")
     return ", ".join(cols) + ", _commit_version bigint"
 
 
@@ -91,9 +105,44 @@ def _read_entry(path: str, version: int) -> dict:
 
 
 class _AddedFile(InputPartition):
-    def __init__(self, file_path: str, version: int):
+    def __init__(self, file_path: str, version: int, pval=None, ptype=None):
         self.file_path = file_path
         self.version = version
+        self.pval = pval    # hive-encoded partition value (or None)
+        self.ptype = ptype  # partition column DDL type (or None)
+
+
+def _partition_array(pval, ptype, n_rows):
+    """Arrow column re-attaching a log-resident partition value, decoded
+    from its hive directory encoding and cast per the recorded DDL type
+    (the same round-trip read_snapshot_partitioned performs)."""
+    import pyarrow as pa
+
+    from dbimport_spark.txnlog import _HIVE_NULL, _unescape_path_name
+
+    arrow_t = {
+        "bigint": pa.int64(),
+        "int": pa.int32(),
+        "string": pa.string(),
+        "date": pa.date32(),
+        "boolean": pa.bool_(),
+    }.get(ptype or "string")
+    if arrow_t is None:
+        raise ValueError(f"lake_cdc: unsupported partition type {ptype}")
+    if pval is None or pval == _HIVE_NULL:
+        return pa.nulls(n_rows, arrow_t)
+    raw = _unescape_path_name(pval)
+    if ptype in ("bigint", "int"):
+        v = int(raw)
+    elif ptype == "boolean":
+        v = raw.lower() == "true"
+    elif ptype == "date":
+        import datetime as _dt
+
+        v = _dt.date.fromisoformat(raw)
+    else:
+        v = raw
+    return pa.array([v] * n_rows, arrow_t)
 
 
 class LakeCdcStreamReader(DataSourceStreamReader):
@@ -107,6 +156,10 @@ class LakeCdcStreamReader(DataSourceStreamReader):
         self._skip_changes = (
             str(options.get("skipChangeCommits", "false")).lower() == "true"
         )
+        self._partition_col = options.get("partitionColumn")
+        self._ptype = None
+        if self._partition_col:
+            _, self._ptype = _fold_log(path, current_version(path))
         self._start = int(options.get("startingVersion", 0))
 
     def initialOffset(self) -> dict:
@@ -131,13 +184,20 @@ class LakeCdcStreamReader(DataSourceStreamReader):
                     )
             for e in entry.get("added", []):
                 name = e["n"] if isinstance(e, dict) else e
-                if isinstance(e, dict) and e.get("p") is not None:
-                    raise NotImplementedError(
-                        "lake_cdc: partitioned tables are not supported "
-                        "(partition value lives in the log, not the file)"
+                pval = e.get("p") if isinstance(e, dict) else None
+                if pval is not None and not self._partition_col:
+                    raise ValueError(
+                        "lake_cdc: table is partitioned (partition values "
+                        "live in the log, not the files) — pass the "
+                        "partitionColumn option to stream it"
                     )
                 parts.append(
-                    _AddedFile(os.path.join(_data_dir(self._path), name), v)
+                    _AddedFile(
+                        os.path.join(_data_dir(self._path), name),
+                        v,
+                        pval=pval,
+                        ptype=self._ptype,
+                    )
                 )
         # Spark requires ≥1 partition even for an empty range
         return parts or [_AddedFile("", int(end["version"]))]
@@ -149,6 +209,11 @@ class LakeCdcStreamReader(DataSourceStreamReader):
         if not partition.file_path:
             return iter([])
         tbl = pq.read_table(partition.file_path)
+        if self._partition_col:
+            tbl = tbl.append_column(
+                self._partition_col,
+                _partition_array(partition.pval, partition.ptype, tbl.num_rows),
+            )
         tbl = tbl.append_column(
             "_commit_version",
             pa.array([partition.version] * tbl.num_rows, pa.int64()),
@@ -167,7 +232,9 @@ class LakeCdcDataSource(DataSource):
         return "lake_cdc"
 
     def schema(self) -> str:
-        return _table_ddl(self.options["path"])
+        return _table_ddl(
+            self.options["path"], self.options.get("partitionColumn")
+        )
 
     def streamReader(self, schema) -> LakeCdcStreamReader:
         return LakeCdcStreamReader(self.options["path"], self.options)

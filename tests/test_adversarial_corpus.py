@@ -72,6 +72,7 @@ QUERIES = [
     "src_sitemap_frontier",
     "lake_txn_schema_evolution",
     "stream_lake_cdc",
+    "stream_lake_cdc_partitioned",
     "text_bm25_topk",
     "dedup_containment",
     "sketch_countmin_probe",

@@ -168,3 +168,40 @@ def test_skip_change_commits_drops_rewrites_but_keeps_later_appends(
         .collect()
     }
     assert per == {0: 10, 2: 10}  # v1's rewrite never streamed
+
+
+def test_partitioned_table_requires_and_honors_partition_column(spark, tmp_path):
+    path = str(tmp_path / "t")
+    df = spark.range(20).select(
+        F.col("id").alias("k"), (F.col("id") % 3).cast("string").alias("lang")
+    )
+    txnlog.txn_append_partitioned(spark, df, path, "lang")
+    register_lake_cdc(spark)
+    # without the option: loud error at planning time
+    s = spark.readStream.format("lake_cdc").option("path", path).load()
+    q = (
+        s.writeStream.format("memory").queryName("cdc_part_err")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    with pytest.raises(Exception, match="partitionColumn"):
+        q.awaitTermination()
+    # with it: partition value re-attached per file, typed per the log
+    s2 = (
+        spark.readStream.format("lake_cdc")
+        .option("path", path)
+        .option("partitionColumn", "lang")
+        .load()
+    )
+    assert s2.columns == ["k", "lang", "_commit_version"]
+    q2 = (
+        s2.writeStream.format("memory").queryName("cdc_part_ok")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q2.awaitTermination()
+    got = spark.table("cdc_part_ok")
+    per = {
+        r.lang: r.n
+        for r in got.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert per == {"0": 7, "1": 7, "2": 6}
+    assert got.filter(F.col("_commit_version") != 0).count() == 0
