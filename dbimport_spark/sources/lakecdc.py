@@ -66,28 +66,36 @@ def _table_ddl(path: str, partition_col: str | None = None) -> str:
     v = current_version(path)
     if v < 0:
         raise ValueError(f"lake_cdc: empty table at {path}")
-    name = None
-    for vv in range(v, -1, -1):
-        entry = _read_entry(path, vv)
-        added = entry.get("added", [])
-        if added:
-            name = added[-1]["n"] if isinstance(added[-1], dict) else added[-1]
-            break
-    if name is None:
+    live, _ptype = _fold_log(path, v)
+    if not live:
         raise ValueError(f"lake_cdc: no added files in any commit at {path}")
-    schema = pq.read_schema(os.path.join(_data_dir(path), name))
-    cols = []
-    for f in schema:
-        t = str(f.type)
-        if t.startswith("timestamp"):
-            ddl = "timestamp"
-        elif t.startswith("decimal"):
-            ddl = t
-        else:
-            ddl = _ARROW_TO_DDL.get(t)
-        if ddl is None:
-            raise ValueError(f"lake_cdc: unsupported column type {t} ({f.name})")
-        cols.append(f"{f.name} {ddl}")
+    # merge field sets across ALL live files (footer reads only): a
+    # schema-evolved table's widest columns may live in any commit
+    seen: dict[str, str] = {}
+    order: list[str] = []
+    for name in sorted(live):
+        schema = pq.read_schema(os.path.join(_data_dir(path), name))
+        for f in schema:
+            t = str(f.type)
+            if t.startswith("timestamp"):
+                ddl = "timestamp"
+            elif t.startswith("decimal"):
+                ddl = t
+            else:
+                ddl = _ARROW_TO_DDL.get(t)
+            if ddl is None:
+                raise ValueError(
+                    f"lake_cdc: unsupported column type {t} ({f.name})"
+                )
+            if f.name not in seen:
+                seen[f.name] = ddl
+                order.append(f.name)
+            elif seen[f.name] != ddl:
+                raise ValueError(
+                    f"lake_cdc: conflicting types for {f.name}: "
+                    f"{seen[f.name]} vs {ddl}"
+                )
+    cols = [f"{n} {seen[n]}" for n in order]
     if partition_col:
         _, ptype = _fold_log(path, v)
         if ptype is None:
@@ -146,7 +154,22 @@ def _partition_array(pval, ptype, n_rows):
 
 
 class LakeCdcStreamReader(DataSourceStreamReader):
-    def __init__(self, path: str, options):
+    def __init__(self, path: str, options, schema=None):
+        # arrow schema of the DATA columns (everything but the appended
+        # partition + _commit_version columns): older commits' files may
+        # predate later widening commits, so each file is conformed to
+        # this schema with null-fill — the streaming spelling of the
+        # batch reader's mergeSchema
+        self._data_fields = None
+        if schema is not None:
+            from pyspark.sql.pandas.types import to_arrow_schema
+
+            skip = {"_commit_version", options.get("partitionColumn")}
+            arrow = to_arrow_schema(schema)
+            self._data_fields = [f for f in arrow if f.name not in skip]
+        self._init_rest(path, options)
+
+    def _init_rest(self, path: str, options):
         self._path = path
         self._ignore_changes = (
             str(options.get("ignoreChanges", "false")).lower() == "true"
@@ -209,6 +232,14 @@ class LakeCdcStreamReader(DataSourceStreamReader):
         if not partition.file_path:
             return iter([])
         tbl = pq.read_table(partition.file_path)
+        if self._data_fields is not None:
+            cols = []
+            for f in self._data_fields:
+                if f.name in tbl.column_names:
+                    cols.append(tbl[f.name].cast(f.type))
+                else:  # file predates the widening commit: null-fill
+                    cols.append(pa.nulls(tbl.num_rows, f.type))
+            tbl = pa.table(cols, names=[f.name for f in self._data_fields])
         if self._partition_col:
             tbl = tbl.append_column(
                 self._partition_col,
@@ -237,7 +268,7 @@ class LakeCdcDataSource(DataSource):
         )
 
     def streamReader(self, schema) -> LakeCdcStreamReader:
-        return LakeCdcStreamReader(self.options["path"], self.options)
+        return LakeCdcStreamReader(self.options["path"], self.options, schema)
 
 
 def register_lake_cdc(spark) -> None:

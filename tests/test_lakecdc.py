@@ -205,3 +205,29 @@ def test_partitioned_table_requires_and_honors_partition_column(spark, tmp_path)
     }
     assert per == {"0": 7, "1": 7, "2": 6}
     assert got.filter(F.col("_commit_version") != 0).count() == 0
+
+
+def test_schema_evolved_table_streams_with_null_fill(spark, tmp_path):
+    """Old narrow files must conform to the merged stream schema with
+    null-fill — the streaming spelling of read_snapshot's mergeSchema
+    (this exact case crashed the reader before the conform step)."""
+    path = str(tmp_path / "t")
+    txnlog.txn_append(
+        spark, spark.createDataFrame([(1, "a")], "k long, v string"), path
+    )
+    txnlog.txn_append(
+        spark,
+        spark.createDataFrame([(2, "b", 20)], "k long, v string, extra long"),
+        path,
+    )
+    register_lake_cdc(spark)
+    s = spark.readStream.format("lake_cdc").option("path", path).load()
+    assert s.columns == ["k", "v", "extra", "_commit_version"]
+    q = (
+        s.writeStream.format("memory").queryName("cdc_evo")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    rows = {r.k: (r.v, r.extra, r._commit_version)
+            for r in spark.table("cdc_evo").collect()}
+    assert rows == {1: ("a", None, 0), 2: ("b", 20, 1)}
