@@ -37,15 +37,29 @@ class ZstdError(ValueError):
 class _BackBits:
     """zstd's backward bitstream: the encoder writes LSB-first; the
     decoder finds the sentinel 1-bit in the LAST byte and reads bit
-    groups walking backward."""
+    groups walking backward. A sliding small-int window (refilled one
+    byte at a time from the lower-index bytes) keeps every operation
+    O(1) — holding the whole stream as one big int makes each read
+    O(stream), which is quadratic over a 128 KB block."""
 
-    __slots__ = ("v", "pos")
+    __slots__ = ("data", "acc", "nbuf", "k", "pos")
 
     def __init__(self, data: bytes):
         if not data or data[-1] == 0:
             raise ZstdError("corrupt bitstream: missing sentinel bit")
-        self.v = int.from_bytes(data, "little")
-        self.pos = self.v.bit_length() - 1  # drop the sentinel
+        self.data = data
+        last = data[-1]
+        sb = last.bit_length() - 1  # bits below the sentinel
+        self.acc = last & ((1 << sb) - 1)
+        self.nbuf = sb
+        self.k = len(data) - 1  # next refill byte is data[k-1]
+        self.pos = sb + 8 * self.k  # total unread bits (API-compatible)
+
+    def _refill(self, need: int) -> None:
+        while self.nbuf < need and self.k > 0:
+            self.k -= 1
+            self.acc = (self.acc << 8) | self.data[self.k]
+            self.nbuf += 8
 
     def read(self, n: int) -> int:
         """Read n bits; reading past the start zero-fills (the spec's
@@ -53,21 +67,33 @@ class _BackBits:
         callers can detect exhaustion."""
         if n == 0:
             return 0
+        self._refill(n)
         self.pos -= n
-        if self.pos >= 0:
-            return (self.v >> self.pos) & ((1 << n) - 1)
-        avail = self.pos + n  # bits left above position 0
-        if avail <= 0:
-            return 0
-        return (self.v & ((1 << avail) - 1)) << (n - avail)
+        if self.nbuf >= n:
+            self.nbuf -= n
+            v = self.acc >> self.nbuf
+            self.acc &= (1 << self.nbuf) - 1
+            return v
+        v = self.acc << (n - self.nbuf)  # exhausted: zero-fill low bits
+        self.acc = 0
+        self.nbuf = 0
+        return v
 
     def peek(self, n: int) -> int:
-        p = self.pos - n
-        if p >= 0:
-            return (self.v >> p) & ((1 << n) - 1)
-        if self.pos <= 0:
-            return 0
-        return (self.v & ((1 << self.pos) - 1)) << (-p)
+        self._refill(n)
+        if self.nbuf >= n:
+            return self.acc >> (self.nbuf - n)
+        return self.acc << (n - self.nbuf)
+
+    def skip(self, n: int) -> None:
+        self._refill(n)
+        self.pos -= n
+        if self.nbuf >= n:
+            self.nbuf -= n
+            self.acc &= (1 << self.nbuf) - 1
+        else:
+            self.acc = 0
+            self.nbuf = 0
 
 
 class _FwdBits:
@@ -268,13 +294,14 @@ def _huff_read_table(data: bytes):
 
 def _huff_decode_stream(data: bytes, table, max_bits: int, n_out: int) -> bytes:
     bs = _BackBits(data)
-    out = bytearray()
-    while len(out) < n_out:
-        sym, nbits = table[bs.peek(max_bits)]
-        bs.pos -= nbits
+    out = bytearray(n_out)
+    peek, skip = bs.peek, bs.skip
+    for i in range(n_out):
+        sym, nbits = table[peek(max_bits)]
+        skip(nbits)
         if bs.pos < 0:
             raise ZstdError("Huffman stream exhausted early")
-        out.append(sym)
+        out[i] = sym
     return bytes(out)
 
 
