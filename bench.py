@@ -168,6 +168,7 @@ HEADLINE = [
     "lake_stats_metadata_only",
     "lake_convert_in_place",
     "stream_lake_cdc_partitioned",
+    "stream_crawl_refresh",
 ]
 
 

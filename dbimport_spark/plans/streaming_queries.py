@@ -1131,3 +1131,70 @@ def stream_lake_cdc_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_to_memory(agg, spark, output_mode="complete").select(
         F.col("version").cast("bigint"), "lang", "n_rows"
     )
+
+
+@register(
+    "stream_crawl_refresh",
+    """WITH hist AS (
+  SELECT md5(text) AS fp FROM documents WHERE doc_id % 3 <> 2
+),
+fresh AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % 3 = 2
+  UNION ALL
+  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 6 = 0
+)
+SELECT doc_id,
+       CAST(length(string_split(text, ' ')) AS BIGINT) AS n_tokens
+FROM fresh
+WHERE md5(text) NOT IN (SELECT fp FROM hist)""",
+)
+def stream_crawl_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production corpus-refresh loop as ONE streaming plan,
+    composing the round's lake + crawl pieces: the crawl table's day-1
+    corpus is commit 0; day 2 appends fresh pages PLUS verbatim recrawls
+    of old ones; the refresh job tails the table via the lake_cdc source
+    from startingVersion=1 (day 1 is never rescanned), fingerprints each
+    new capture, and drops exact duplicates against the DAY-1 SNAPSHOT
+    through a stream-static LEFT ANTI join — exact dedup, value-graded
+    (the bloom screen of stream_dedup_bloom is the probabilistic
+    pre-filter variant of this same shape). At 100 TB: the static side
+    is the lake table itself (hashes only — 16 bytes/doc shuffle), and
+    incremental cost is one log read + the new files."""
+    import shutil
+
+    from dbimport_spark import txnlog
+    from dbimport_spark.plans.registry import load
+    from dbimport_spark.sources.lakecdc import register_lake_cdc
+
+    path = os.path.join(
+        tempfile.gettempdir(),
+        "dbimport_spark_txn",
+        "crawl_refresh_" + sf_dir.rstrip("/").replace("/", "_"),
+    )
+    if os.path.isdir(path):
+        shutil.rmtree(path)
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    txnlog.txn_append(spark, d.filter(F.col("doc_id") % 3 != 2), path)
+    fresh = d.filter(F.col("doc_id") % 3 == 2).unionByName(
+        d.filter(F.col("doc_id") % 6 == 0).select(
+            (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+        )
+    )
+    txnlog.txn_append(spark, fresh, path)
+
+    register_lake_cdc(spark)
+    hist = txnlog.read_snapshot(spark, path, version=0).select(
+        F.md5(F.col("text").cast("binary")).alias("fp")
+    )
+    s = (
+        spark.readStream.format("lake_cdc")
+        .option("path", path)
+        .option("startingVersion", "1")
+        .load()
+        .withColumn("fp", F.md5(F.col("text").cast("binary")))
+    )
+    kept = s.join(hist, "fp", "left_anti").select(
+        "doc_id",
+        F.size(F.split(F.col("text"), " ")).cast("bigint").alias("n_tokens"),
+    )
+    return _run_to_memory(kept, spark)

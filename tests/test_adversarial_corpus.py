@@ -73,6 +73,7 @@ QUERIES = [
     "lake_txn_schema_evolution",
     "stream_lake_cdc",
     "stream_lake_cdc_partitioned",
+    "stream_crawl_refresh",
     "text_bm25_topk",
     "dedup_containment",
     "sketch_countmin_probe",
