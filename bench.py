@@ -169,6 +169,10 @@ HEADLINE = [
     "lake_convert_in_place",
     "stream_lake_cdc_partitioned",
     "stream_crawl_refresh",
+    "lake_delete_cow_pruned",
+    "lake_merge_into_pruned",
+    "lake_delete_vectors",
+    "lake_check_constraints",
 ]
 
 

@@ -1353,3 +1353,300 @@ def lake_convert_in_place(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("cents_sum"),
     )
+
+
+@register(
+    "lake_delete_cow_pruned",
+    """SELECT c_mktsegment AS segment, CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS bal_cents
+FROM customer
+WHERE NOT (c_custkey <= 150 AND c_acctbal < 0)
+GROUP BY c_mktsegment""",
+)
+def lake_delete_cow_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PRUNED copy-on-write DELETE (txnlog.txn_delete_cow): eight
+    range-clustered stats commits land customer key bands, then a DELETE
+    whose predicate is confined to the first band rewrites ONLY the files
+    whose zone maps intersect it — the other bands are not read, not
+    rewritten, and keep their file identity (pinned structurally by
+    tests/test_txnlog.py::TestCopyOnWriteDML). This is Delta/Iceberg DML
+    file pruning: at 100 TB a key-band delete costs O(band files), where
+    txn_delete's whole-snapshot rewrite costs the table. Rewritten files
+    carry fresh footer stats, so zone-map skipping and metadata ANALYZE
+    keep working after the delete."""
+    import math
+    import os
+    import shutil
+    import tempfile
+
+    from dbimport_spark import txnlog
+
+    path = os.path.join(
+        tempfile.gettempdir(),
+        "dbimport_spark_txn",
+        "cow_delete_" + sf_dir.rstrip("/").replace("/", "_"),
+    )
+    if os.path.isdir(path):
+        shutil.rmtree(path)
+
+    cust = load(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", "c_acctbal"
+    )
+    max_key = cust.agg(F.max("c_custkey")).first()[0]  # control plane, 1 value
+    width = max(1, math.ceil((max_key + 1) / 8))  # keys are 0-based
+    for b in range(8):  # contiguous half-open key bands -> selective zone maps
+        txnlog.txn_append_stats(
+            spark,
+            cust.filter(
+                (F.col("c_custkey") >= b * width)
+                & (F.col("c_custkey") < (b + 1) * width)
+            ),
+            path,
+            ["c_custkey"],
+        )
+
+    txnlog.txn_delete_cow(
+        spark,
+        (F.col("c_custkey") <= 150) & (F.col("c_acctbal") < 0),
+        path,
+        zone=("c_custkey", 0, 150),
+        stats_cols=["c_custkey"],
+    )
+    return (
+        txnlog.read_snapshot(spark, path)
+        .groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.sum(F.round(F.col("c_acctbal") * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("bal_cents"),
+        )
+    )
+
+
+@register(
+    "lake_merge_into_pruned",
+    """WITH base AS (
+  SELECT c_custkey, CAST(round(c_acctbal * 100) AS BIGINT) AS bal_cents
+  FROM customer
+), upd AS (
+  SELECT c_custkey, bal_cents + 777 AS bal_cents FROM base WHERE c_custkey <= 100
+), ins AS (
+  SELECT c_custkey + 10000000 AS c_custkey, bal_cents FROM base WHERE c_custkey <= 20
+), merged AS (
+  SELECT b.c_custkey, COALESCE(u.bal_cents, b.bal_cents) AS bal_cents
+  FROM base b LEFT JOIN upd u ON b.c_custkey = u.c_custkey
+  UNION ALL SELECT c_custkey, bal_cents FROM ins
+)
+SELECT CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(bal_cents) AS BIGINT) AS bal_sum,
+       CAST(max(c_custkey) AS BIGINT) AS max_key,
+       CAST(count(*) FILTER (WHERE c_custkey > 10000000) AS BIGINT) AS n_inserted
+FROM merged""",
+)
+def lake_merge_into_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PRUNED copy-on-write MERGE INTO (txnlog.txn_merge_cow): the source
+    updates a narrow key band and inserts brand-new keys far beyond every
+    file's range. Per-file candidacy tests each zone map against the
+    source's distinct keys, so only the band's files rewrite; the insert
+    keys hit no file's range and land in the rewritten output — the
+    untouched bands keep their identity. Result is EXACTLY txn_upsert's
+    (pruning is a provable superset of matching files; equivalence pinned
+    by tests/test_txnlog.py::test_cow_merge_matches_txn_upsert). The
+    reference's UPSERT import mode (DbImportWorker.java:537-578) composed
+    with lake-native selective rewrite."""
+    import math
+    import os
+    import shutil
+    import tempfile
+
+    from dbimport_spark import txnlog
+
+    path = os.path.join(
+        tempfile.gettempdir(),
+        "dbimport_spark_txn",
+        "cow_merge_" + sf_dir.rstrip("/").replace("/", "_"),
+    )
+    if os.path.isdir(path):
+        shutil.rmtree(path)
+
+    base = load(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.round(F.col("c_acctbal") * 100).cast("bigint").alias("bal_cents"),
+    )
+    max_key = base.agg(F.max("c_custkey")).first()[0]
+    width = max(1, math.ceil((max_key + 1) / 8))  # keys are 0-based
+    for b in range(8):
+        txnlog.txn_append_stats(
+            spark,
+            base.filter(
+                (F.col("c_custkey") >= b * width)
+                & (F.col("c_custkey") < (b + 1) * width)
+            ),
+            path,
+            ["c_custkey"],
+        )
+
+    src = (
+        base.filter(F.col("c_custkey") <= 100)
+        .select("c_custkey", (F.col("bal_cents") + 777).alias("bal_cents"))
+        .unionByName(
+            base.filter(F.col("c_custkey") <= 20).select(
+                (F.col("c_custkey") + 10_000_000).alias("c_custkey"), "bal_cents"
+            )
+        )
+    )
+    txnlog.txn_merge_cow(spark, src, path, ["c_custkey"], stats_cols=["c_custkey"])
+    return txnlog.read_snapshot(spark, path).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum("bal_cents").cast("bigint").alias("bal_sum"),
+        F.max("c_custkey").cast("bigint").alias("max_key"),
+        F.count(F.when(F.col("c_custkey") > 10_000_000, 1))
+        .cast("bigint")
+        .alias("n_inserted"),
+    )
+
+
+@register(
+    "lake_delete_vectors",
+    """WITH c AS (
+  SELECT c_custkey, c_nationkey, c_mktsegment,
+         CAST(round(c_acctbal * 100) AS BIGINT) AS bal
+  FROM customer
+)
+SELECT CAST(0 AS INT) AS stage, CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(bal) AS BIGINT) AS bal_sum FROM c
+UNION ALL
+SELECT 1, count(*), sum(bal) FROM c WHERE NOT (bal < 0)
+UNION ALL
+SELECT 2, count(*), sum(bal) FROM c
+WHERE NOT (bal < 0) AND NOT (c_mktsegment = 'BUILDING' AND c_nationkey < 5)""",
+)
+def lake_delete_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE-ON-READ row deletes via deletion vectors
+    (txnlog.txn_delete_dv): two stacked DV deletes move ZERO data bytes —
+    each commit attaches per-file sidecars of deleted row positions
+    (written on executors, one task per touched file) and every snapshot
+    read anti-joins them out via parquet's _metadata.row_index. The three
+    graded stages read versions 2/3/4 of the SAME files: time travel and
+    both delete layers come purely from the log + sidecars (structural
+    no-rewrite pinned by tests/test_txnlog.py::TestDeletionVectors). At
+    100 TB this is the Delta-DV/Iceberg-positional-delete trade: a 0.1%
+    delete costs O(deleted rows) sidecar bytes instead of a rewrite;
+    compaction later materializes the vectors."""
+    import os
+    import shutil
+    import tempfile
+
+    from dbimport_spark import txnlog
+
+    path = os.path.join(
+        tempfile.gettempdir(),
+        "dbimport_spark_txn",
+        "dv_delete_" + sf_dir.rstrip("/").replace("/", "_"),
+    )
+    if os.path.isdir(path):
+        shutil.rmtree(path)
+
+    cust = load(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_nationkey",
+        "c_mktsegment",
+        F.round(F.col("c_acctbal") * 100).cast("bigint").alias("bal"),
+    )
+    for m in range(3):  # versions 0..2
+        txnlog.txn_append(spark, cust.filter(F.col("c_custkey") % 3 == m), path)
+    txnlog.txn_delete_dv(spark, F.col("bal") < 0, path)  # version 3
+    txnlog.txn_delete_dv(  # version 4, stacks on the same files
+        spark,
+        (F.col("c_mktsegment") == "BUILDING") & (F.col("c_nationkey") < 5),
+        path,
+    )
+
+    stages = []
+    for stage, version in ((0, 2), (1, 3), (2, 4)):
+        snap = txnlog.read_snapshot(spark, path, version)
+        stages.append(
+            snap.agg(
+                F.lit(stage).cast("int").alias("stage"),
+                F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+                F.sum("bal").cast("bigint").alias("bal_sum"),
+            )
+        )
+    return stages[0].unionByName(stages[1]).unionByName(stages[2])
+
+
+@register(
+    "lake_check_constraints",
+    """WITH c AS (
+  SELECT c_custkey, c_nationkey,
+         CAST(round(c_acctbal * 100) AS BIGINT) AS bal,
+         (c_acctbal < 0) AS v_bal, (c_nationkey >= 20) AS v_nat
+  FROM customer
+)
+SELECT CASE WHEN NOT v_bal AND NOT v_nat THEN 'table' ELSE 'quarantine' END AS dest,
+       CASE WHEN v_bal AND v_nat THEN 'bal_nonneg,nation_small'
+            WHEN v_bal THEN 'bal_nonneg'
+            WHEN v_nat THEN 'nation_small'
+            ELSE '' END AS violated,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(bal) AS BIGINT) AS bal_cents
+FROM c GROUP BY 1, 2""",
+)
+def lake_check_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHECK constraints + expectation-routed ingest (txnlog.txn_add_check
+    / txn_append_routed): two constraints are committed as table
+    properties BEFORE any data lands, then one routed append splits the
+    customer feed — passing rows commit to the table, violating rows
+    commit to a queryable quarantine table tagged with the names of the
+    checks they failed (Delta CHECK constraints + DLT expectations).
+    Direct appends of violating rows are REJECTED at stage-validation
+    time (column-pruned scan of the staged files only) — the lake-native
+    generalization of the reference's invalid-row routing
+    (DbImportWorker.java error-table path, see operators/coerce.py). At
+    100 TB the enforcement cost is one constraint-column scan of the
+    BATCH, never of the table."""
+    import os
+    import shutil
+    import tempfile
+
+    from dbimport_spark import txnlog
+
+    root = os.path.join(
+        tempfile.gettempdir(),
+        "dbimport_spark_txn",
+        "checks_" + sf_dir.rstrip("/").replace("/", "_"),
+    )
+    if os.path.isdir(root):
+        shutil.rmtree(root)
+    path = os.path.join(root, "table")
+    quar = os.path.join(root, "quarantine")
+
+    txnlog.txn_add_check(spark, path, "bal_nonneg", "c_acctbal >= 0")
+    txnlog.txn_add_check(spark, path, "nation_small", "c_nationkey < 20")
+
+    cust = load(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey", "c_acctbal"
+    )
+    txnlog.txn_append_routed(spark, cust, path, quar)
+
+    kept = txnlog.read_snapshot(spark, path).select(
+        F.lit("table").alias("dest"),
+        F.lit("").alias("violated"),
+        "c_acctbal",
+    )
+    bad = txnlog.read_snapshot(spark, quar).select(
+        F.lit("quarantine").alias("dest"),
+        F.concat_ws(",", F.col("_violated")).alias("violated"),
+        "c_acctbal",
+    )
+    return (
+        kept.unionByName(bad)
+        .groupBy("dest", "violated")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.sum(F.round(F.col("c_acctbal") * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("bal_cents"),
+        )
+    )

@@ -195,13 +195,21 @@ class LakeCdcStreamReader(DataSourceStreamReader):
         parts: list[_AddedFile] = []
         for v in range(int(start["version"]) + 1, int(end["version"]) + 1):
             entry = _read_entry(self._path, v)
-            if entry.get("removed"):
+            # A deletion-vector commit changes VISIBLE rows of already-
+            # streamed files without adding any — it is change data, same
+            # contract arm as a remove-carrying rewrite. (Under
+            # ignoreChanges its added files — there are none — stream,
+            # matching Delta: DV'd deletions are simply not re-emitted.)
+            if entry.get("removed") or entry.get("dv"):
                 if self._skip_changes:
                     continue
                 if not self._ignore_changes:
+                    kind = "removes files" if entry.get("removed") else (
+                        "attaches deletion vectors"
+                    )
                     raise ValueError(
-                        f"lake_cdc: version {v} removes files (upsert/delete "
-                        "rewrite) — not append change data. Set "
+                        f"lake_cdc: version {v} {kind} (row-level change) "
+                        "— not append change data. Set "
                         "ignoreChanges=true to stream its added files anyway, "
                         "or skipChangeCommits=true to drop such commits."
                     )

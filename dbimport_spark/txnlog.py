@@ -87,10 +87,18 @@ def _latest_checkpoint_at_or_below(path: str, v_max: int) -> int:
 
 
 def _fold_log(path: str, v_max: int):
-    """Fold the log up to ``v_max`` into ``(live, ptype)`` where ``live``
-    maps file name → {"p": partition value or None, "stats": zone map or
-    {}} and ``ptype`` is the partition column's Spark DDL type (None for
-    unpartitioned/legacy commits).
+    """(live, ptype) view of _fold_log3 — the pre-props callers' shape."""
+    live, ptype, _ = _fold_log3(path, v_max)
+    return live, ptype
+
+
+def _fold_log3(path: str, v_max: int):
+    """Fold the log up to ``v_max`` into ``(live, ptype, props)`` where
+    ``live`` maps file name → {"p": partition value or None, "stats":
+    zone map or {}, "dv": deletion-vector ref or None}, ``ptype`` is the
+    partition column's Spark DDL type (None for unpartitioned/legacy
+    commits) and ``props`` is the latest-wins table-property dict
+    (``props`` actions — Delta's metadata/configuration updates).
 
     Resolution starts from the newest checkpoint ≤ v_max and replays only
     the suffix, so a long-lived table's snapshot read is O(checkpoint
@@ -98,13 +106,22 @@ def _fold_log(path: str, v_max: int):
     """
     live: dict[str, dict] = {}
     ptype = None
+    props: dict[str, str] = {}
     start = 0
     ckpt_v = _latest_checkpoint_at_or_below(path, v_max)
     if ckpt_v >= 0:
         with open(_checkpoint_path(path, ckpt_v)) as fh:
             ckpt = json.load(fh)
-        live = {e["n"]: {"p": e.get("p"), "stats": e.get("stats") or {}} for e in ckpt["live"]}
+        live = {
+            e["n"]: {
+                "p": e.get("p"),
+                "stats": e.get("stats") or {},
+                "dv": e.get("dv"),
+            }
+            for e in ckpt["live"]
+        }
         ptype = ckpt.get("ptype")
+        props = dict(ckpt.get("props") or {})
         start = ckpt_v + 1
     for v in range(start, v_max + 1):
         fp = os.path.join(_log_dir(path), f"{v:08d}.json")
@@ -114,14 +131,25 @@ def _fold_log(path: str, v_max: int):
             entry = json.load(fh)
         for e in entry.get("added", []):
             if isinstance(e, dict):
-                live[e["n"]] = {"p": e.get("p"), "stats": e.get("stats") or {}}
+                live[e["n"]] = {"p": e.get("p"), "stats": e.get("stats") or {}, "dv": None}
                 if e.get("t") is not None:
                     ptype = e["t"]
             else:
-                live[e] = {"p": None, "stats": {}}
+                live[e] = {"p": None, "stats": {}, "dv": None}
         for e in _entry_files(entry.get("removed", [])):
             live.pop(e, None)
-    return live, ptype
+        for e in entry.get("dv", []):
+            # deletion-vector action: REPLACE the file's DV reference (the
+            # new sidecar already folds in every previously-deleted
+            # position, so fold state is just latest-wins per file)
+            if e["n"] in live:
+                live[e["n"]]["dv"] = {"d": e["d"], "k": e["k"]}
+        for k, val in (entry.get("props") or {}).items():
+            if val is None:
+                props.pop(k, None)  # unset
+            else:
+                props[k] = val
+    return live, ptype, props
 
 
 def write_checkpoint(path: str, version: int | None = None) -> str:
@@ -131,13 +159,14 @@ def write_checkpoint(path: str, version: int | None = None) -> str:
     checkpointing the same version are harmless (first one wins, the
     content is identical)."""
     v = current_version(path) if version is None else version
-    live, ptype = _fold_log(path, v)
+    live, ptype, props = _fold_log3(path, v)
     body = json.dumps(
         {
             "version": v,
             "ptype": ptype,
+            "props": props,
             "live": [
-                {"n": n, "p": d["p"], "stats": d["stats"]}
+                {"n": n, "p": d["p"], "stats": d["stats"], "dv": d.get("dv")}
                 for n, d in sorted(live.items())
             ],
         }
@@ -171,7 +200,12 @@ def read_snapshot(spark, path: str, version: int | None = None) -> DataFrame:
     Reads with mergeSchema so commits carrying EVOLVED schemas (columns
     added over the table's lifetime) union into one superset schema with
     NULL backfill — the read-side half of schema evolution; cost is one
-    footer read per live file, which the snapshot already enumerates."""
+    footer read per live file, which the snapshot already enumerates.
+
+    Files carrying a deletion vector (txn_delete_dv) are read MERGE-ON-
+    READ: their DV'd row positions are anti-joined out via the parquet
+    ``_metadata.row_index`` column. Tables without DVs (the common case)
+    take the plain scan — byte-identical plan to before DVs existed."""
     if version is not None and version < vacuum_horizon(path):
         raise ValueError(
             f"version {version} of {path} was vacuumed (horizon "
@@ -180,7 +214,7 @@ def read_snapshot(spark, path: str, version: int | None = None) -> DataFrame:
     files = snapshot_files(path, version)
     if not files:
         raise ValueError(f"no data at version {version!r} of {path}")
-    return spark.read.option("mergeSchema", "true").parquet(*files)
+    return _read_files_dv(spark, path, files, snapshot_dvs(path, version))
 
 
 def _stage(df: DataFrame, path: str) -> list[str]:
@@ -213,9 +247,22 @@ def _stage(df: DataFrame, path: str) -> list[str]:
 CHECKPOINT_INTERVAL = 20
 
 
-def commit(path: str, added: list[str], removed: list[str], expect_version: int) -> int:
+def commit(
+    path: str,
+    added: list[str],
+    removed: list[str],
+    expect_version: int,
+    dv: list[dict] | None = None,
+    props: dict | None = None,
+) -> int:
     """Atomically claim version ``expect_version + 1``. Raises TxnConflict
     if another writer got there first (optimistic concurrency).
+
+    ``dv`` entries (``{"n": file, "d": dv-sidecar name, "k": deleted
+    count}``) attach/REPLACE a deletion vector on an already-live file —
+    a row-level delete that moves no data bytes (Delta's DV add-action).
+    ``props`` sets table properties latest-wins (value None unsets) —
+    Delta's metadata-update action; CHECK constraints live here.
 
     The entry's CONTENT is complete before its NAME exists: the JSON is
     written to a hidden temp file first and the version is claimed with a
@@ -229,13 +276,16 @@ def commit(path: str, added: list[str], removed: list[str], expect_version: int)
     new_v = expect_version + 1
     fp = os.path.join(_log_dir(path), f"{new_v:08d}.json")
     key = lambda e: e["n"] if isinstance(e, dict) else e
-    entry = json.dumps(
-        {
-            "version": new_v,
-            "added": sorted(added, key=key),
-            "removed": sorted(removed, key=key),
-        }
-    )
+    body = {
+        "version": new_v,
+        "added": sorted(added, key=key),
+        "removed": sorted(removed, key=key),
+    }
+    if dv:
+        body["dv"] = sorted(dv, key=key)
+    if props:
+        body["props"] = props
+    entry = json.dumps(body)
     tmp = os.path.join(_log_dir(path), f".tmp-{uuid.uuid4().hex}")
     with open(tmp, "w") as fh:
         fh.write(entry)
@@ -261,12 +311,15 @@ def commit(path: str, added: list[str], removed: list[str], expect_version: int)
 
 
 def txn_append(spark, df: DataFrame, path: str, max_retries: int = 5) -> int:
-    """Append-commit df; returns the new version."""
+    """Append-commit df; returns the new version. Validates staged files
+    against the table's live CHECK constraints (see txn_add_check)."""
     added = _stage(df, path)
+    checks = _validate_staged(spark, path, added)
     for _ in range(max_retries):
         try:
             return commit(path, added, [], current_version(path))
         except TxnConflict:
+            checks = _revalidate_if_changed(spark, path, added, checks)
             continue
     raise TxnConflict(f"gave up after {max_retries} retries appending to {path}")
 
@@ -292,6 +345,7 @@ def txn_upsert(
         old_files = [os.path.basename(f) for f in snapshot_files(path, base_v)]
         merged = upsert(target, source, keys)
         added = _stage(merged, path)
+        _validate_staged(spark, path, added)  # merge may introduce new rows
         try:
             return commit(path, added, old_files, base_v)
         except TxnConflict:
@@ -457,6 +511,12 @@ def txn_upsert_partitioned(
 
     from dbimport_spark.operators.merge import upsert
 
+    if table_checks(path):
+        raise ValueError(
+            "txn_upsert_partitioned: CHECK constraints are not enforced on "
+            "the partitioned write path yet — refusing to write unvalidated "
+            "rows to a constrained table"
+        )
     touched_values = [
         r[0] for r in source.select(partition_col).distinct().collect()
     ]
@@ -485,6 +545,12 @@ def txn_append_partitioned(
 ) -> int:
     """Append-commit df split by partition value (each staged file covers
     exactly one value, recorded in the log entry)."""
+    if table_checks(path):
+        raise ValueError(
+            "txn_append_partitioned: CHECK constraints are not enforced on "
+            "the partitioned write path yet — refusing to write unvalidated "
+            "rows to a constrained table"
+        )
     added = _stage_partitioned(df, path, partition_col)
     for _ in range(max_retries):
         try:
@@ -656,9 +722,14 @@ def txn_compact(
             return base_v
         total = sum(os.path.getsize(f) for f in files)
         n_out = max(1, math.ceil(total / target_file_bytes))
-        if n_out >= len(files):
+        if n_out >= len(files) and not snapshot_dvs(path, base_v):
             return base_v  # already at or below target granularity
-        df = spark.read.parquet(*files).coalesce(n_out)
+        # DV-aware: compaction MATERIALIZES deletion vectors (deleted rows
+        # drop out of the rewrite; the removed files take their DV refs
+        # with them) — Delta's PURGE semantics ride along with OPTIMIZE.
+        df = _read_files_dv(spark, path, files, snapshot_dvs(path, base_v)).coalesce(
+            n_out
+        )
         added = _stage(df, path)
         old = [os.path.basename(f) for f in files]
         try:
@@ -691,13 +762,19 @@ def vacuum(path: str, retain_versions: int = 1) -> list[str]:
     # exists to prevent.
     cutoff = max(cur - retain_versions + 1, 0, vacuum_horizon(path))
     keep: set[str] = set()
+    keep_dv: set[str] = set()
     for v in range(cutoff, cur + 1):
-        keep.update(os.path.basename(f) for f in snapshot_files(path, v))
+        live, _ = _fold_log(path, v)
+        keep.update(live)
+        keep_dv.update(d["dv"]["d"] for d in live.values() if d.get("dv"))
     ever: set[str] = set()
+    ever_dv: set[str] = set()
     for v in range(cur + 1):
         fp = os.path.join(_log_dir(path), f"{v:08d}.json")
         with open(fp) as fh:
-            ever.update(_entry_files(json.load(fh).get("added", [])))
+            entry = json.load(fh)
+        ever.update(_entry_files(entry.get("added", [])))
+        ever_dv.update(e["d"] for e in entry.get("dv", []))
     doomed = sorted(ever - keep)
     for name in doomed:
         f = os.path.join(_data_dir(path), name)
@@ -705,14 +782,24 @@ def vacuum(path: str, retain_versions: int = 1) -> list[str]:
             os.remove(f)
         except FileNotFoundError:
             pass  # a racing vacuum already reclaimed it
-        # reap the dead file's bloom sidecars with it
+        # reap the dead file's bloom + DV sidecars with it
         import glob as _glob
 
-        for sc in _glob.glob(f + ".bloom.*"):
+        for sc in _glob.glob(f + ".bloom.*") + _glob.glob(f + ".dv.*"):
             try:
                 os.remove(sc)
             except FileNotFoundError:
                 pass
+    # DV generations the log recorded but no kept snapshot references
+    # (replaced by a later DV, or attached to a file that is itself gone).
+    # Only log-proven names are reaped: a lost-race writer's never-
+    # committed generation is invisible here and left alone, same as
+    # staged-but-uncommitted data files.
+    for dv_name in sorted(ever_dv - keep_dv):
+        try:
+            os.remove(os.path.join(_data_dir(path), dv_name))
+        except FileNotFoundError:
+            pass
     # Record the horizon as an EMPTY MARKER FILE named after the cutoff
     # (``_vacuum.<cutoff>``), never a rewritten shared file. The r6
     # implementation truncate-then-wrote one ``_vacuum`` file, which the
@@ -789,6 +876,7 @@ def txn_append_stats(
     Combine with a range-clustered write (sinks.write_clustered_parquet /
     zorder) and a selective read touches O(matching files)."""
     added_names = _stage(df, path)
+    checks = _validate_staged(spark, path, added_names)
     added = [
         {"n": n, "p": None, "stats": _footer_stats(os.path.join(_data_dir(path), n), stats_cols)}
         for n in added_names
@@ -797,6 +885,7 @@ def txn_append_stats(
         try:
             return commit(path, added, [], current_version(path))
         except TxnConflict:
+            checks = _revalidate_if_changed(spark, path, added_names, checks)
             continue
     raise TxnConflict(f"gave up after {max_retries} retries appending to {path}")
 
@@ -816,6 +905,14 @@ def snapshot_profile(path: str, cols, version: int | None = None) -> dict:
     lacks the needed stats (appended without txn_append_stats, or a
     NULL-only column chunk) — a metadata answer must never silently
     degrade to a guess."""
+    if snapshot_dvs(path, version):
+        raise ValueError(
+            "snapshot_profile: table has live deletion vectors — recorded "
+            "footer stats no longer describe the visible rows exactly "
+            "(row counts overcount, min/max may be deleted). Compact "
+            "(txn_compact materializes DVs) before asking for a metadata "
+            "answer; a metadata answer must never silently be a guess."
+        )
     stats = snapshot_stats(path, version)
     n_rows = 0
     mins: dict[str, object] = {}
@@ -865,7 +962,7 @@ def read_snapshot_skipping(
             keep.append(os.path.join(_data_dir(path), name))
     if not keep:
         return read_snapshot(spark, path, version).limit(0)
-    return spark.read.parquet(*keep)
+    return _read_files_dv(spark, path, keep, snapshot_dvs(path, version))
 
 
 def txn_clone(src: str, dst: str, version: int | None = None) -> int:
@@ -902,11 +999,20 @@ def txn_clone(src: str, dst: str, version: int | None = None) -> int:
         raise ValueError(
             f"cannot clone version {v}: below the vacuum horizon {h} of {src!r}"
         )
-    live, ptype = _fold_log(src, v)
+    live, ptype, src_props = _fold_log3(src, v)
     os.makedirs(_data_dir(dst), exist_ok=True)
     added: list = []
+    dv_actions: list[dict] = []
     for n, d in sorted(live.items()):
         os.link(os.path.join(_data_dir(src), n), os.path.join(_data_dir(dst), n))
+        if d.get("dv"):
+            # the DV sidecar is as immutable as the data file: link it and
+            # carry the reference, so the clone sees the same visible rows
+            os.link(
+                os.path.join(_data_dir(src), d["dv"]["d"]),
+                os.path.join(_data_dir(dst), d["dv"]["d"]),
+            )
+            dv_actions.append({"n": n, "d": d["dv"]["d"], "k": d["dv"]["k"]})
         if d["p"] is None and not d["stats"]:
             added.append(n)
         else:
@@ -917,7 +1023,8 @@ def txn_clone(src: str, dst: str, version: int | None = None) -> int:
             if d["stats"]:
                 e["stats"] = d["stats"]
             added.append(e)
-    return commit(dst, added, [], -1)
+    # table properties (incl. CHECK constraints) ride into the clone's v0
+    return commit(dst, added, [], -1, dv=dv_actions or None, props=src_props or None)
 
 
 # ------------------------------------------------------ bloom file skipping
@@ -1011,6 +1118,7 @@ def txn_append_bloom(
     production writer it would fold into the staging task itself (the
     rows stream through it either way)."""
     added_names = _stage(df, path)
+    checks = _validate_staged(spark, path, added_names)
     added = []
     for n in added_names:
         meta = _bloom_build_file(path, n, bloom_col, fpp)
@@ -1019,6 +1127,7 @@ def txn_append_bloom(
         try:
             return commit(path, added, [], current_version(path))
         except TxnConflict:
+            checks = _revalidate_if_changed(spark, path, added_names, checks)
             continue
     raise TxnConflict(f"gave up after {max_retries} retries appending to {path}")
 
@@ -1053,7 +1162,7 @@ def read_snapshot_bloom(
     keep = bloom_candidate_files(path, col, values, version)
     if not keep:
         return read_snapshot(spark, path, version).limit(0)
-    return spark.read.option("mergeSchema", "true").parquet(*keep)
+    return _read_files_dv(spark, path, keep, snapshot_dvs(path, version))
 
 
 def txn_convert_parquet_dir(src_dir: str, path: str, stats_cols=()) -> int:
@@ -1085,3 +1194,596 @@ def txn_convert_parquet_dir(src_dir: str, path: str, stats_cols=()) -> int:
         )
         added.append({"n": name, "p": None, "stats": st})
     return commit(path, added, [], -1)
+
+
+# ------------------------------------------------- deletion vectors (DV)
+#
+# Row-level DELETE without moving a single data byte: a commit attaches a
+# per-file DELETION VECTOR sidecar (data/<file>.dv.<gen>) listing the
+# file's deleted row positions, and every snapshot read anti-filters those
+# positions via parquet's ``_metadata.row_index`` — the merge-on-read
+# design of Delta deletion vectors / Iceberg positional deletes. The
+# whole-file rewrite forms (txn_delete / txn_delete_cow) stay the right
+# tool for LARGE deletes; DVs win when the deleted fraction is small —
+# at 100 TB a 0.1% delete costs O(deleted rows) sidecar bytes instead of
+# a 100 TB rewrite. Sidecar generations are immutable: a later DV delete
+# writes a NEW sidecar that folds in all prior positions and the commit
+# replaces the file's reference, so time travel and concurrent readers
+# keep working; dead generations are reaped by vacuum.
+#
+# Sidecar format (from scratch, public concept — Delta uses roaring
+# bitmaps, RFC-style delta-varints are equivalent for sorted positions):
+#   b"DV1\n" | varint(count) | varint(first_pos) | varint(delta)...
+# Positions are strictly increasing; deltas are >= 1.
+
+_DV_MAGIC = b"DV1\n"
+
+
+def _dv_encode(positions) -> bytes:
+    """Serialize sorted unique row positions as magic + count + delta
+    varints (LEB128)."""
+    pos = sorted(set(int(p) for p in positions))
+    out = bytearray(_DV_MAGIC)
+
+    def _varint(v: int):
+        if v < 0:
+            raise ValueError(f"negative row position {v}")
+        while True:
+            b = v & 0x7F
+            v >>= 7
+            if v:
+                out.append(b | 0x80)
+            else:
+                out.append(b)
+                return
+
+    _varint(len(pos))
+    prev = -1
+    for p in pos:
+        _varint(p if prev < 0 else p - prev)
+        prev = p
+    return bytes(out)
+
+
+def _dv_decode(blob: bytes) -> list[int]:
+    """Inverse of _dv_encode; raises ValueError on any malformed input."""
+    if blob[: len(_DV_MAGIC)] != _DV_MAGIC:
+        raise ValueError("not a DV sidecar (bad magic)")
+    i = len(_DV_MAGIC)
+
+    def _varint():
+        nonlocal i
+        v, shift = 0, 0
+        while True:
+            if i >= len(blob):
+                raise ValueError("truncated DV sidecar")
+            b = blob[i]
+            i += 1
+            v |= (b & 0x7F) << shift
+            if not b & 0x80:
+                return v
+            shift += 7
+            if shift > 63:
+                raise ValueError("DV varint overflow")
+
+    n = _varint()
+    out = []
+    cur = -1
+    for j in range(n):
+        d = _varint()
+        if j > 0 and d == 0:
+            raise ValueError("non-increasing DV positions")
+        cur = d if j == 0 else cur + d
+        out.append(cur)
+    if i != len(blob):
+        raise ValueError("trailing bytes after DV positions")
+    return out
+
+
+def snapshot_dvs(path: str, version: int | None = None) -> dict[str, dict]:
+    """{file name → {"d": sidecar name, "k": deleted count}} for live
+    files carrying a deletion vector at ``version`` (others omitted)."""
+    v_max = current_version(path) if version is None else version
+    if v_max < 0:
+        return {}
+    live, _ = _fold_log(path, v_max)
+    return {n: d["dv"] for n, d in live.items() if d.get("dv")}
+
+
+#: Above this many total DV'd positions the read path decodes sidecars on
+#: EXECUTORS (mapInPandas over the sidecar list) instead of the driver —
+#: the driver never holds more than this many positions in memory.
+_DV_DRIVER_DECODE_MAX = 2_000_000
+
+
+def _dv_positions_df(spark, path: str, dvmap: dict[str, dict]) -> DataFrame:
+    """(file name, deleted row position) DataFrame for ``dvmap``. Small
+    DVs decode driver-side (then the anti-join broadcasts); large ones
+    decode distributed, one task per sidecar."""
+    total_k = sum(m["k"] for m in dvmap.values())
+    data_dir = _data_dir(path)
+    if total_k <= _DV_DRIVER_DECODE_MAX:
+        pairs = []
+        for n, m in sorted(dvmap.items()):
+            with open(os.path.join(data_dir, m["d"]), "rb") as fh:
+                pairs.extend((n, p) for p in _dv_decode(fh.read()))
+        return spark.createDataFrame(pairs, "__dv_f: string, __dv_p: bigint")
+    meta = spark.createDataFrame(
+        [(n, os.path.join(data_dir, m["d"])) for n, m in sorted(dvmap.items())],
+        "__dv_f: string, __dv_sc: string",
+    ).repartition(len(dvmap))
+
+    def _expand(batches):
+        import pandas as pd
+
+        from dbimport_spark.txnlog import _dv_decode as dec
+
+        for b in batches:
+            for f, sc in zip(b["__dv_f"], b["__dv_sc"]):
+                with open(sc, "rb") as fh:
+                    pos = dec(fh.read())
+                yield pd.DataFrame({"__dv_f": [f] * len(pos), "__dv_p": pos})
+
+    return meta.mapInPandas(_expand, "__dv_f string, __dv_p bigint")
+
+
+def _read_files_dv(spark, path: str, files: list[str], dvmap: dict[str, dict]) -> DataFrame:
+    """Read parquet ``files`` applying deletion vectors for the files in
+    ``dvmap``. DV-less files take the plain scan; DV'd files anti-join
+    their deleted (file, row_index) pairs — a broadcast hash anti-join
+    for small DVs. The two branches union, so a table where 1% of files
+    carry DVs pays the join on 1% of the scan."""
+    dvmap = {os.path.basename(f): dvmap[os.path.basename(f)]
+             for f in files if os.path.basename(f) in dvmap}
+    if not dvmap:
+        return spark.read.option("mergeSchema", "true").parquet(*files)
+    from pyspark.sql import functions as F
+
+    plain = [f for f in files if os.path.basename(f) not in dvmap]
+    dvd = [f for f in files if os.path.basename(f) in dvmap]
+    src = spark.read.option("mergeSchema", "true").parquet(*dvd)
+    cols = src.columns
+    marked = src.select(
+        F.substring_index(F.col("_metadata.file_path"), "/", -1).alias("__dv_rf"),
+        F.col("_metadata.row_index").alias("__dv_rp"),
+        *cols,
+    )
+    pos = _dv_positions_df(spark, path, dvmap)
+    small = sum(m["k"] for m in dvmap.values()) <= _DV_DRIVER_DECODE_MAX
+    if small:
+        pos = F.broadcast(pos)
+    filtered = marked.join(
+        pos,
+        (marked["__dv_rf"] == pos["__dv_f"]) & (marked["__dv_rp"] == pos["__dv_p"]),
+        "left_anti",
+    ).select(*cols)
+    if not plain:
+        return filtered
+    rest = spark.read.option("mergeSchema", "true").parquet(*plain)
+    return rest.unionByName(filtered, allowMissingColumns=True)
+
+
+def txn_delete_dv(spark, source_pred, path: str, max_retries: int = 3) -> int:
+    """Row-level DELETE as a deletion-vector commit: no data file is
+    rewritten or removed — matching rows' (file, row position) pairs are
+    folded into per-file DV sidecars (written on EXECUTORS, one task per
+    touched file) and one commit replaces the touched files' DV
+    references. Returns the new version, or the current one when nothing
+    matched. Same NULL semantics as txn_delete: only rows where the
+    predicate is TRUE are deleted.
+
+    Already-deleted positions re-matching the predicate are harmless —
+    the new sidecar is the set-union of old and new positions."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    for _ in range(max_retries):
+        base_v = current_version(path)
+        if base_v < 0:
+            raise ValueError(f"no data to delete at {path}")
+        live, ptype = _fold_log(path, base_v)
+        if ptype is not None:
+            raise ValueError(
+                "txn_delete_dv: partitioned tables are not supported — the "
+                "partitioned read path does not apply deletion vectors; "
+                "use txn_delete / the partitioned rewrite forms instead"
+            )
+        files = sorted(os.path.join(_data_dir(path), n) for n in live)
+        old_dvs = {n: d["dv"]["d"] for n, d in live.items() if d.get("dv")}
+        src = spark.read.option("mergeSchema", "true").parquet(*files)
+        hits = (
+            src.select(
+                F.substring_index(F.col("_metadata.file_path"), "/", -1).alias("__f"),
+                F.col("_metadata.row_index").alias("__p"),
+                *src.columns,
+            )
+            .filter(F.coalesce(source_pred, F.lit(False)))
+            .select("__f", "__p")
+        )
+        gen = uuid.uuid4().hex[:8]
+        data_dir = _data_dir(path)
+
+        def _write_dv(key, pdf):
+            from dbimport_spark.txnlog import _dv_decode as dec, _dv_encode as enc
+
+            n = key[0]
+            positions = set(int(p) for p in pdf["__p"])
+            old = old_dvs.get(n)
+            if old:
+                with open(os.path.join(data_dir, old), "rb") as fh:
+                    positions.update(dec(fh.read()))
+            name = f"{n}.dv.{gen}"
+            tmp = os.path.join(data_dir, f".tmp-{name}")
+            with open(tmp, "wb") as fh:
+                fh.write(enc(positions))
+            os.replace(tmp, os.path.join(data_dir, name))
+            return pd.DataFrame({"n": [n], "d": [name], "k": [len(positions)]})
+
+        entries = (
+            hits.groupBy("__f")
+            .applyInPandas(_write_dv, "n string, d string, k long")
+            .collect()  # one row per TOUCHED FILE — metadata, not data rows
+        )
+        if not entries:
+            return base_v
+        dv = [{"n": r["n"], "d": r["d"], "k": int(r["k"])} for r in entries]
+        try:
+            return commit(path, [], [], base_v, dv=dv)
+        except TxnConflict:
+            # lost the race: this generation's sidecars are unreferenced
+            # (vacuum reaps them); recompute against the new snapshot
+            continue
+    raise TxnConflict(f"gave up after {max_retries} retries DV-deleting from {path}")
+
+
+# --------------------------------------- pruned copy-on-write DML (CoW)
+
+
+def _cow_candidates(
+    live: dict[str, dict],
+    path: str,
+    zone: tuple | None,
+    bloom: tuple | None,
+) -> list[str]:
+    """Live file names that MAY contain rows matching a predicate whose
+    key constraint is described by ``zone=(col, lo, hi)`` and/or
+    ``bloom=(col, values)``. Files lacking the metadata are kept
+    conservatively — pruning is sound only if the spec is IMPLIED by the
+    caller's predicate (a pruned file must contain no matching row)."""
+    # a file the log PROVES empty (__rows__ == 0 from footer stats) can
+    # contain no matching row — never a candidate, whatever the spec
+    names = sorted(n for n in live if live[n]["stats"].get("__rows__") != 0)
+    if zone is not None:
+        col, lo, hi = zone
+        kept = []
+        for n in names:
+            rng = live[n]["stats"].get(col)
+            if rng is None or not (rng[1] < lo or rng[0] > hi):
+                kept.append(n)
+        names = kept
+    if bloom is not None:
+        col, values = bloom
+        values = list(values)
+        kept = []
+        for n in names:
+            meta = (live[n]["stats"].get("__bloom__") or {}).get(col)
+            if meta is None or (
+                values
+                and _bloom_might_contain(_bloom_sidecar(path, n, col), meta, values)
+            ):
+                kept.append(n)
+        names = kept
+    return names
+
+
+def _stage_with_meta(
+    spark, df: DataFrame, path: str, stats_cols=(), bloom_col: str | None = None,
+    fpp: float = 0.01,
+) -> list:
+    """Stage ``df`` and build the commit entries with the same per-file
+    metadata the append forms record (footer stats / bloom sidecars), so
+    zone-map skipping, snapshot_profile and bloom lookups keep working
+    across CoW rewrites."""
+    names = _stage(df, path)
+    added: list = []
+    for n in names:
+        st = (
+            _footer_stats(os.path.join(_data_dir(path), n), stats_cols)
+            if stats_cols
+            else {}
+        )
+        if bloom_col is not None:
+            st = dict(st)
+            st["__bloom__"] = {bloom_col: _bloom_build_file(path, n, bloom_col, fpp)}
+        added.append({"n": n, "p": None, "stats": st} if st else n)
+    return added
+
+
+def txn_delete_cow(
+    spark,
+    source_pred,
+    path: str,
+    zone: tuple | None = None,
+    bloom: tuple | None = None,
+    stats_cols=(),
+    bloom_col: str | None = None,
+    max_retries: int = 3,
+) -> int:
+    """PRUNED copy-on-write DELETE: rewrite ONLY the files that may
+    contain matching rows (zone-map / bloom candidacy from the log —
+    Delta/Iceberg DML file pruning) and commit {add: rewritten files,
+    remove: candidate files}; untouched files are not read, not
+    rewritten, and keep their identity (names, inodes, sidecars). At
+    100 TB a delete constrained to one key band costs O(band files), not
+    a table rewrite — the difference between txn_delete and this form.
+
+    ``zone``/``bloom`` describe the predicate's key constraint and MUST
+    be implied by it (see _cow_candidates); candidate files with
+    deletion vectors are materialized by the rewrite (their DVs retire
+    with the removed files). NULL-predicate rows are kept, as in
+    txn_delete."""
+    from pyspark.sql import functions as F
+
+    for _ in range(max_retries):
+        base_v = current_version(path)
+        if base_v < 0:
+            raise ValueError(f"no data to delete at {path}")
+        live, ptype = _fold_log(path, base_v)
+        if ptype is not None:
+            raise ValueError(
+                "txn_delete_cow: partitioned tables are not supported — "
+                "rewritten files would lose their partition values; use "
+                "the partitioned rewrite forms instead"
+            )
+        cand = _cow_candidates(live, path, zone, bloom)
+        if not cand:
+            return base_v
+        dvmap = {n: live[n]["dv"] for n in cand if live[n].get("dv")}
+        slice_df = _read_files_dv(
+            spark, path, [os.path.join(_data_dir(path), n) for n in cand], dvmap
+        )
+        kept = slice_df.filter(~F.coalesce(source_pred, F.lit(False)))
+        added = _stage_with_meta(spark, kept, path, stats_cols, bloom_col)
+        try:
+            return commit(path, added, cand, base_v)
+        except TxnConflict:
+            continue
+    raise TxnConflict(f"gave up after {max_retries} retries CoW-deleting from {path}")
+
+
+def txn_merge_cow(
+    spark,
+    source: DataFrame,
+    path: str,
+    keys,
+    prune_key: str | None = None,
+    use_bloom: bool = False,
+    stats_cols=(),
+    bloom_col: str | None = None,
+    max_retries: int = 3,
+) -> int:
+    """PRUNED copy-on-write MERGE (UPSERT): only files that may contain a
+    source key are rewritten; every other file is untouched. Inserts
+    (source keys present in no file) land in the rewritten output.
+    Result is EXACTLY txn_upsert's — pruning is a superset of the files
+    containing matches, so non-candidates contribute no updated row and
+    can't hide an "insert" key.
+
+    The source's distinct ``prune_key`` values (default: the single merge
+    key) are collected to drive per-file candidacy — the point-update
+    workload this form exists for has a small source by definition; a
+    source too large to collect keys from belongs with txn_upsert's
+    whole-snapshot rewrite anyway."""
+    import bisect
+
+    from dbimport_spark.operators.merge import upsert
+
+    keys = list(keys)
+    pk = prune_key or (keys[0] if len(keys) == 1 else None)
+    if pk is None:
+        raise ValueError("txn_merge_cow: pass prune_key for composite merge keys")
+    key_vals = sorted(
+        r[0] for r in source.select(pk).distinct().collect() if r[0] is not None
+    )
+
+    def _range_hits_any(rng) -> bool:
+        lo, hi = rng
+        i = bisect.bisect_left(key_vals, lo)
+        return i < len(key_vals) and key_vals[i] <= hi
+
+    for _ in range(max_retries):
+        base_v = current_version(path)
+        if base_v < 0:
+            raise ValueError(f"merge target {path} has no committed version")
+        live, ptype = _fold_log(path, base_v)
+        if ptype is not None:
+            raise ValueError(
+                "txn_merge_cow: partitioned tables are not supported — "
+                "use txn_upsert_partitioned (partition-pruned rewrite)"
+            )
+        cand = []
+        for n in sorted(live):
+            if live[n]["stats"].get("__rows__") == 0:
+                continue  # log-proven empty part: no row to update
+            rng = live[n]["stats"].get(pk)
+            if rng is None or _range_hits_any(rng):
+                cand.append(n)
+        if use_bloom and cand:
+            cand = _cow_candidates(
+                {n: live[n] for n in cand}, path, None, (pk, key_vals)
+            )
+        if cand:
+            dvmap = {n: live[n]["dv"] for n in cand if live[n].get("dv")}
+            target_slice = _read_files_dv(
+                spark, path, [os.path.join(_data_dir(path), n) for n in cand], dvmap
+            )
+        else:
+            target_slice = read_snapshot(spark, path, base_v).limit(0)
+        merged = upsert(target_slice, source, keys)
+        added = _stage_with_meta(spark, merged, path, stats_cols, bloom_col)
+        _validate_staged(
+            spark, path, [e["n"] if isinstance(e, dict) else e for e in added]
+        )
+        try:
+            return commit(path, added, cand, base_v)
+        except TxnConflict:
+            continue
+    raise TxnConflict(f"gave up after {max_retries} retries CoW-merging into {path}")
+
+
+# -------------------------------------- table properties + CHECK constraints
+#
+# Table properties are log actions ("props": {key: value}, latest-wins,
+# value null unsets) folded like file actions and consolidated into
+# checkpoints — Delta's metadata-update action. CHECK constraints are the
+# first consumer: a property ``check.<name> = <SQL boolean expr>``
+# (Delta: ``delta.constraints.<name>``). Every append-shaped write
+# validates its STAGED files against the live constraint set before the
+# commit is attempted — the scan is column-pruned to the constraint's
+# columns by Catalyst, so a wide table pays only the checked columns.
+# SQL-standard semantics: a row passes when the expression is TRUE or
+# NULL; only FALSE violates.
+
+
+class CheckViolation(ValueError):
+    """A staged write contains rows that violate a table CHECK constraint."""
+
+
+def table_props(path: str, version: int | None = None) -> dict:
+    """Latest-wins table-property dict at ``version`` (default latest)."""
+    v_max = current_version(path) if version is None else version
+    if v_max < 0:
+        return {}
+    _, _, props = _fold_log3(path, v_max)
+    return props
+
+
+def txn_set_property(path: str, key: str, value: str | None, max_retries: int = 5) -> int:
+    """Commit a table-property change (value None unsets). Property-only
+    commits add/remove no files; readers of any version see the property
+    state AS OF that version."""
+    for _ in range(max_retries):
+        try:
+            return commit(path, [], [], current_version(path), props={key: value})
+        except TxnConflict:
+            continue
+    raise TxnConflict(f"gave up after {max_retries} retries setting {key!r} on {path}")
+
+
+def table_checks(path: str, version: int | None = None) -> dict[str, str]:
+    """{constraint name → SQL boolean expression} live at ``version``."""
+    return {
+        k[len("check."):]: v
+        for k, v in table_props(path, version).items()
+        if k.startswith("check.")
+    }
+
+
+def _violation_pred(checks: dict[str, str]):
+    """Column that is TRUE when the row violates ANY check (FALSE result;
+    NULL passes, per the SQL standard for CHECK)."""
+    from functools import reduce
+
+    from pyspark.sql import functions as F
+
+    return reduce(
+        lambda a, b: a | b,
+        [~F.coalesce(F.expr(e).cast("boolean"), F.lit(True)) for e in checks.values()],
+    )
+
+
+def txn_add_check(
+    spark, path: str, name: str, expr: str, validate: bool = True, max_retries: int = 5
+) -> int:
+    """ALTER TABLE ADD CONSTRAINT: record ``check.<name>`` and (by
+    default) validate the EXISTING snapshot first — adding a constraint
+    the current rows already violate would make the table unwritable by
+    surprise. Validation reads only the constraint's columns."""
+    if validate and current_version(path) >= 0 and snapshot_files(path):
+        bad = read_snapshot(spark, path).filter(_violation_pred({name: expr})).count()
+        if bad:
+            raise CheckViolation(
+                f"cannot add check {name!r} ({expr}): {bad} existing row(s) violate it"
+            )
+    return txn_set_property(path, f"check.{name}", expr, max_retries)
+
+
+def _validate_staged(spark, path: str, staged_names: list[str]) -> dict[str, str]:
+    """Validate freshly-staged files against the table's live checks;
+    raises CheckViolation (and removes the staged files — they were never
+    visible) when any row violates. Returns the check set validated
+    against, so retry loops can detect a concurrently-changed set."""
+    checks = table_checks(path)
+    if not checks or not staged_names:
+        return checks
+    files = [os.path.join(_data_dir(path), n) for n in staged_names]
+    bad = (
+        spark.read.option("mergeSchema", "true")
+        .parquet(*files)
+        .filter(_violation_pred(checks))
+        .count()
+    )
+    if bad:
+        for f in files:
+            try:
+                os.remove(f)
+            except FileNotFoundError:
+                pass
+        raise CheckViolation(
+            f"append to {path} rejected: {bad} row(s) violate "
+            f"check constraint(s) {sorted(checks)}"
+        )
+    return checks
+
+
+def _revalidate_if_changed(spark, path, staged_names, prev_checks):
+    """After a lost commit race: a rival commit may have ADDED a check
+    between our validation and our commit — revalidate iff the live
+    check set differs from the one already validated (closes the
+    check-TOCTOU the optimistic-retry loop would otherwise open)."""
+    if table_checks(path) != prev_checks:
+        return _validate_staged(spark, path, staged_names)
+    return prev_checks
+
+
+def txn_append_routed(
+    spark,
+    df: DataFrame,
+    path: str,
+    quarantine: str,
+    max_retries: int = 5,
+) -> tuple[int, int]:
+    """Expectation-style routed append (Delta Live Tables' expectations):
+    rows passing every live check append to the table; violating rows
+    append to ``quarantine`` with a ``_violated`` array naming the failed
+    checks. Neither side is rejected — the pipeline keeps moving and the
+    quarantine table is itself queryable/time-travelable. Returns
+    ``(table_version, quarantine_version)`` (quarantine version is -1
+    when nothing violated).
+
+    The split is one persisted pass of the source; the clean side then
+    re-validates its staged files like any append (a concurrent
+    constraint change still cannot sneak a violating row in)."""
+    from pyspark.sql import functions as F
+
+    checks = table_checks(path)
+    if not checks:
+        return txn_append(spark, df, path, max_retries), -1
+    per_check = [
+        F.when(~F.coalesce(F.expr(e).cast("boolean"), F.lit(True)), F.lit(n))
+        for n, e in sorted(checks.items())
+    ]
+    tagged = df.withColumn(
+        "_violated",
+        F.filter(F.array(*per_check), lambda x: x.isNotNull()),
+    ).persist()
+    try:
+        clean = tagged.filter(F.size("_violated") == 0).drop("_violated")
+        bad = tagged.filter(F.size("_violated") > 0)
+        v_table = txn_append(spark, clean, path, max_retries)
+        v_quar = -1
+        if bad.limit(1).count():
+            v_quar = txn_append(spark, bad, quarantine, max_retries)
+        return v_table, v_quar
+    finally:
+        tagged.unpersist()

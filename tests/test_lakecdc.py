@@ -231,3 +231,41 @@ def test_schema_evolved_table_streams_with_null_fill(spark, tmp_path):
     rows = {r.k: (r.v, r.extra, r._commit_version)
             for r in spark.table("cdc_evo").collect()}
     assert rows == {1: ("a", None, 0), 2: ("b", 20, 1)}
+
+
+def test_dv_commit_is_change_data(spark, tmp_path):
+    """A deletion-vector commit alters visible rows of already-streamed
+    files — the reader must treat it exactly like a remove-carrying
+    rewrite: loud by default, droppable with skipChangeCommits."""
+    path = str(tmp_path / "t")
+    _append(spark, path, 0)
+    assert txnlog.txn_delete_dv(spark, F.col("k") == 3, path) == 1
+    register_lake_cdc(spark)
+    s = spark.readStream.format("lake_cdc").option("path", path).load()
+    q = (
+        s.writeStream.format("memory")
+        .queryName("cdc_dv_reject")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    with pytest.raises(Exception, match="deletion vectors"):
+        q.awaitTermination()
+    # skipChangeCommits: the DV commit is dropped, appends still stream
+    _append(spark, path, 100)
+    s2 = (
+        spark.readStream.format("lake_cdc")
+        .option("path", path)
+        .option("skipChangeCommits", "true")
+        .load()
+    )
+    q2 = (
+        s2.writeStream.format("memory")
+        .queryName("cdc_dv_skip")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination()
+    got = spark.sql("SELECT count(*) AS n FROM cdc_dv_skip").first()["n"]
+    assert got == 20  # both append commits, nothing from the DV commit

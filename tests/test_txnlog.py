@@ -1033,3 +1033,381 @@ class TestConvertInPlace:
         os.makedirs(empty)
         with pytest.raises(ValueError, match="no parquet files"):
             txnlog.txn_convert_parquet_dir(empty, str(tmp_path / "t2"))
+
+
+# ------------------------------------------------ deletion vectors + CoW DML
+
+
+def _inodes(table):
+    d = os.path.join(table, "data")
+    return {
+        f: os.stat(os.path.join(d, f)).st_ino
+        for f in os.listdir(d)
+        if f.endswith(".parquet")
+    }
+
+
+class TestDeletionVectors:
+    def _seed(self, spark, table, n=60):
+        df = spark.range(0, n).selectExpr("id AS k", "CAST(id * 2 AS STRING) AS v")
+        txnlog.txn_append(spark, df.filter("k % 2 = 0"), table)
+        txnlog.txn_append(spark, df.filter("k % 2 = 1"), table)
+
+    def test_codec_roundtrip_and_corruption(self):
+        for vec in ([], [0], [5], [0, 1, 2], [3, 7, 10_000_000_000], list(range(0, 900, 7))):
+            assert txnlog._dv_decode(txnlog._dv_encode(vec)) == sorted(set(vec))
+        # unsorted/duplicate input normalizes
+        assert txnlog._dv_decode(txnlog._dv_encode([9, 1, 9, 4])) == [1, 4, 9]
+        with pytest.raises(ValueError, match="magic"):
+            txnlog._dv_decode(b"nope")
+        with pytest.raises(ValueError, match="truncated"):
+            txnlog._dv_decode(txnlog._dv_encode([1, 2, 3])[:-1])
+        with pytest.raises(ValueError, match="trailing"):
+            txnlog._dv_decode(txnlog._dv_encode([1, 2]) + b"\x00")
+
+    def test_dv_delete_moves_no_data_bytes(self, spark, table):
+        self._seed(spark, table)
+        before = _inodes(table)
+        v = txnlog.txn_delete_dv(spark, F.col("k") % 10 == 3, table)
+        assert v == 2
+        # no data file added, removed, or rewritten — same names, same inodes
+        assert _inodes(table) == before
+        snap = txnlog.read_snapshot(spark, table)
+        assert snap.count() == 54
+        assert snap.filter("k % 10 = 3").count() == 0
+        # stacking: second DV delete folds into the same files' vectors
+        txnlog.txn_delete_dv(spark, F.col("k") == 4, table)
+        assert _inodes(table) == before
+        assert txnlog.read_snapshot(spark, table).count() == 53
+        # time travel sees each version's visible rows
+        assert txnlog.read_snapshot(spark, table, 1).count() == 60
+        assert txnlog.read_snapshot(spark, table, 2).count() == 54
+        # nothing-matched is a no-op, not an empty commit
+        assert txnlog.txn_delete_dv(spark, F.col("k") == 10**9, table) == 3
+
+    def test_dv_null_predicate_rows_kept(self, spark, table):
+        df = spark.createDataFrame([(1, "a"), (2, None), (3, "spam")], "k long, v string")
+        txnlog.txn_append(spark, df, table)
+        txnlog.txn_delete_dv(spark, F.col("v") == "spam", table)
+        got = {r["k"] for r in txnlog.read_snapshot(spark, table).collect()}
+        assert got == {1, 2}  # NULL predicate row is kept, like txn_delete
+
+    def test_dv_applies_on_skipping_and_bloom_reads(self, spark, table):
+        df = spark.range(0, 100).selectExpr("id AS k", "id * 3 AS v")
+        txnlog.txn_append_stats(spark, df.filter("k < 50"), table, ["k"])
+        txnlog.txn_append_stats(spark, df.filter("k >= 50"), table, ["k"])
+        txnlog.txn_delete_dv(spark, F.col("k").isin(7, 80), table)
+        got = txnlog.read_snapshot_skipping(spark, table, "k", 0, 49)
+        assert got.filter("k = 7").count() == 0
+        assert got.filter("k = 8").count() == 1
+
+        btable = table + "_bloom"
+        txnlog.txn_append_bloom(spark, df, btable, "k")
+        txnlog.txn_delete_dv(spark, F.col("k") == 7, btable)
+        got = txnlog.read_snapshot_bloom(spark, btable, "k", [7, 8])
+        assert got.filter("k = 7").count() == 0
+        assert got.filter("k = 8").count() == 1
+
+    def test_distributed_decode_path_matches(self, spark, table, monkeypatch):
+        self._seed(spark, table)
+        txnlog.txn_delete_dv(spark, F.col("k") % 3 == 0, table)
+        small = sorted(r["k"] for r in txnlog.read_snapshot(spark, table).collect())
+        monkeypatch.setattr(txnlog, "_DV_DRIVER_DECODE_MAX", 0)
+        big = sorted(r["k"] for r in txnlog.read_snapshot(spark, table).collect())
+        assert small == big
+
+    def test_compaction_materializes_dvs(self, spark, table):
+        self._seed(spark, table)
+        txnlog.txn_delete_dv(spark, F.col("k") < 10, table)
+        v = txnlog.txn_compact(spark, table, target_file_bytes=1 << 30)
+        assert v == 3
+        assert txnlog.snapshot_dvs(table) == {}
+        snap = txnlog.read_snapshot(spark, table)
+        assert snap.count() == 50 and snap.filter("k < 10").count() == 0
+
+    def test_vacuum_reaps_dead_dv_generations(self, spark, table):
+        self._seed(spark, table)
+        txnlog.txn_delete_dv(spark, F.col("k") == 1, table)   # gen A
+        txnlog.txn_delete_dv(spark, F.col("k") == 3, table)   # gen B replaces A
+        d = os.path.join(table, "data")
+        gens = [f for f in os.listdir(d) if ".dv." in f]
+        assert len(gens) == 2
+        live_gen = {m["d"] for m in txnlog.snapshot_dvs(table).values()}
+        txnlog.vacuum(table, retain_versions=1)
+        left = {f for f in os.listdir(d) if ".dv." in f}
+        assert left == live_gen  # replaced generation reaped, live one kept
+        # the DV'd snapshot still reads correctly after vacuum
+        assert txnlog.read_snapshot(spark, table).count() == 58
+
+    def test_snapshot_profile_refuses_dv_tables(self, spark, table):
+        df = spark.range(0, 20).selectExpr("id AS k", "id AS v")
+        txnlog.txn_append_stats(spark, df, table, ["k"])
+        txnlog.txn_delete_dv(spark, F.col("k") == 5, table)
+        with pytest.raises(ValueError, match="deletion vectors"):
+            txnlog.snapshot_profile(table, ["k"])
+        # compaction materializes; the metadata answer comes back
+        txnlog.txn_compact(spark, table, target_file_bytes=1, min_files=1)
+
+    def test_clone_carries_deletion_vectors(self, spark, table, tmp_path):
+        self._seed(spark, table)
+        txnlog.txn_delete_dv(spark, F.col("k") < 5, table)
+        dst = str(tmp_path / "clone")
+        txnlog.txn_clone(table, dst)
+        snap = txnlog.read_snapshot(spark, dst)
+        assert snap.count() == 55 and snap.filter("k < 5").count() == 0
+        # divergence: deleting more on the clone leaves the source alone
+        txnlog.txn_delete_dv(spark, F.col("k") == 10, dst)
+        assert txnlog.read_snapshot(spark, dst).count() == 54
+        assert txnlog.read_snapshot(spark, table).count() == 55
+
+    def test_dv_rejects_partitioned_tables(self, spark, table):
+        df = spark.createDataFrame([(1, "x"), (2, "y")], "k long, p string")
+        txnlog.txn_append_partitioned(spark, df, table, "p")
+        with pytest.raises(ValueError, match="partitioned"):
+            txnlog.txn_delete_dv(spark, F.col("k") == 1, table)
+
+    def test_checkpoint_carries_dv_references(self, spark, table):
+        self._seed(spark, table)
+        txnlog.txn_delete_dv(spark, F.col("k") == 7, table)
+        txnlog.write_checkpoint(table)
+        # force resolution THROUGH the checkpoint: fold at current version
+        # starts from it (start = ckpt_v + 1 replays nothing)
+        assert txnlog.read_snapshot(spark, table).count() == 59
+
+
+class TestCopyOnWriteDML:
+    def _ranged(self, spark, table, bands=4, width=25):
+        df = spark.range(0, bands * width).selectExpr(
+            "id AS k", "CAST(id % 7 AS STRING) AS v"
+        )
+        for b in range(bands):
+            txnlog.txn_append_stats(
+                spark,
+                df.filter((F.col("k") >= b * width) & (F.col("k") < (b + 1) * width)),
+                table,
+                ["k"],
+            )
+        return df
+
+    def test_cow_delete_rewrites_only_candidate_files(self, spark, table):
+        self._ranged(spark, table)
+        before = _inodes(table)
+        cand = {
+            n
+            for n, st in txnlog.snapshot_stats(table).items()
+            # files intersecting the pruned band; log-proven-empty parts
+            # are never candidates, stat-less ones conservatively are —
+            # mirroring _cow_candidates
+            if st.get("__rows__") != 0 and (st.get("k") is None or st["k"][0] <= 24)
+        }
+        txnlog.txn_delete_cow(
+            spark,
+            (F.col("k") <= 24) & (F.col("k") % 2 == 0),
+            table,
+            zone=("k", 0, 24),
+            stats_cols=["k"],
+        )
+        after = _inodes(table)
+        # every non-candidate file survives IDENTICALLY (name + inode)
+        for n, ino in before.items():
+            if n not in cand:
+                assert after[n] == ino
+        # every candidate file is gone from the LIVE set (dead files stay
+        # on disk for time travel until vacuum)
+        live_now = set(txnlog.snapshot_stats(table))
+        assert not (cand & live_now)
+        snap = txnlog.read_snapshot(spark, table)
+        assert snap.count() == 100 - 13
+        assert snap.filter("k <= 24 AND k % 2 = 0").count() == 0
+        # rewritten files carry fresh zone maps: profile still answers
+        assert txnlog.snapshot_profile(table, ["k"])["n_rows"] == 87
+
+    def test_cow_delete_matches_whole_table_delete(self, spark, table, tmp_path):
+        df = self._ranged(spark, table)
+        other = str(tmp_path / "whole")
+        txnlog.txn_append(spark, df, other)
+        pred = (F.col("k") >= 30) & (F.col("k") < 40) & (F.col("v") == "1")
+        txnlog.txn_delete_cow(spark, pred, table, zone=("k", 30, 39))
+        txnlog.txn_delete(spark, pred, other)
+        a = sorted((r["k"], r["v"]) for r in txnlog.read_snapshot(spark, table).collect())
+        b = sorted((r["k"], r["v"]) for r in txnlog.read_snapshot(spark, other).collect())
+        assert a == b
+
+    def test_cow_delete_no_candidates_is_noop(self, spark, table):
+        self._ranged(spark, table)
+        v = txnlog.current_version(table)
+        assert (
+            txnlog.txn_delete_cow(
+                spark, F.col("k") == -5, table, zone=("k", -10, -1)
+            )
+            == v
+        )
+
+    def test_cow_delete_materializes_candidate_dvs(self, spark, table):
+        self._ranged(spark, table)
+        txnlog.txn_delete_dv(spark, F.col("k").isin(3, 60), table)
+        # CoW-rewrite band 0 only: its DV must not resurrect k=3, and the
+        # untouched band-2 file keeps its DV working
+        txnlog.txn_delete_cow(
+            spark, (F.col("k") <= 24) & (F.col("k") % 2 == 0), table,
+            zone=("k", 0, 24), stats_cols=["k"],
+        )
+        snap = txnlog.read_snapshot(spark, table)
+        assert snap.filter("k = 3").count() == 0
+        assert snap.filter("k = 60").count() == 0
+        assert snap.count() == 100 - 13 - 2  # 13 evens<=24 (3 was odd) + {3, 60}
+
+    def test_cow_merge_matches_txn_upsert(self, spark, table, tmp_path):
+        df = self._ranged(spark, table)
+        other = str(tmp_path / "upsert")
+        txnlog.txn_append(spark, df, other)
+        src = spark.createDataFrame(
+            [(10, "UPD"), (11, "UPD"), (999, "NEW"), (1000, "NEW")],
+            "k long, v string",
+        )
+        before = _inodes(table)
+        txnlog.txn_merge_cow(spark, src, table, ["k"], stats_cols=["k"])
+        txnlog.txn_upsert(spark, src, other, ["k"])
+        a = sorted((r["k"], r["v"]) for r in txnlog.read_snapshot(spark, table).collect())
+        b = sorted((r["k"], r["v"]) for r in txnlog.read_snapshot(spark, other).collect())
+        assert a == b
+        # only band-0 files (the ones containing keys 10, 11) were touched;
+        # insert keys 999/1000 are beyond every zone range and land in the
+        # rewritten output, not in a rewrite of the last band
+        after = _inodes(table)
+        untouched = {
+            n
+            for n, st in txnlog.snapshot_stats(table, version=3).items()
+            if st.get("k") is not None
+            and not (st["k"][0] <= 11 and 10 <= st["k"][1])
+        }
+        for n in untouched:
+            assert after.get(n) == before[n]
+
+    def test_cow_merge_bloom_pruning(self, spark, table):
+        df = spark.range(0, 90).selectExpr("id AS k", "CAST(id AS STRING) AS v")
+        for m in range(3):  # hash-spread: zone maps cannot prune
+            txnlog.txn_append_bloom(spark, df.filter(F.col("k") % 3 == m), table, "k")
+        src = spark.createDataFrame([(0, "U"), (500, "N")], "k long, v string")
+        before = _inodes(table)
+        txnlog.txn_merge_cow(
+            spark, src, table, ["k"], use_bloom=True, bloom_col="k"
+        )
+        after = _inodes(table)
+        # at most the files whose bloom admits key 0 were rewritten; at
+        # least one of the three hash-spread files must have been pruned
+        survivors = [n for n, i in before.items() if after.get(n) == i]
+        assert survivors
+        snap = txnlog.read_snapshot(spark, table)
+        assert snap.count() == 91
+        assert {r["v"] for r in snap.filter("k IN (0, 500)").collect()} == {"U", "N"}
+
+    def test_cow_merge_composite_keys_need_prune_key(self, spark, table):
+        self._ranged(spark, table)
+        src = spark.createDataFrame([(1, "x", "y")], "k long, v string, w string")
+        with pytest.raises(ValueError, match="prune_key"):
+            txnlog.txn_merge_cow(spark, src, table, ["k", "v"])
+
+
+class TestCheckConstraints:
+    def test_property_commits_fold_and_time_travel(self, spark, table):
+        txnlog.txn_append(spark, _df(spark, [(1, "a")]), table)   # v0
+        txnlog.txn_set_property(table, "owner", "pipelines")      # v1
+        txnlog.txn_set_property(table, "owner", "curation")       # v2
+        txnlog.txn_set_property(table, "ttl", "30d")              # v3
+        assert txnlog.table_props(table) == {"owner": "curation", "ttl": "30d"}
+        assert txnlog.table_props(table, 1) == {"owner": "pipelines"}
+        txnlog.txn_set_property(table, "ttl", None)               # unset
+        assert txnlog.table_props(table) == {"owner": "curation"}
+
+    def test_check_rejects_violating_append_and_cleans_staging(self, spark, table):
+        txnlog.txn_append(spark, _df(spark, [(1, "ok")]), table)
+        txnlog.txn_add_check(spark, table, "k_pos", "k > 0")
+        n_before = len(os.listdir(os.path.join(table, "data")))
+        with pytest.raises(txnlog.CheckViolation, match="k_pos"):
+            txnlog.txn_append(spark, _df(spark, [(2, "ok"), (-1, "bad")]), table)
+        # rejected staging removed; live table unchanged
+        assert len(os.listdir(os.path.join(table, "data"))) == n_before
+        assert txnlog.read_snapshot(spark, table).count() == 1
+        # stats/bloom appends enforce too
+        with pytest.raises(txnlog.CheckViolation):
+            txnlog.txn_append_stats(spark, _df(spark, [(-2, "bad")]), table, ["k"])
+        with pytest.raises(txnlog.CheckViolation):
+            txnlog.txn_append_bloom(spark, _df(spark, [(-3, "bad")]), table, "k")
+
+    def test_null_passes_sql_standard(self, spark, table):
+        df = spark.createDataFrame([(1, 5), (2, None)], "k long, v long")
+        txnlog.txn_append(spark, df.filter("k = 1"), table)
+        txnlog.txn_add_check(spark, table, "v_pos", "v > 0")
+        txnlog.txn_append(spark, df.filter("k = 2"), table)  # NULL v passes
+        assert txnlog.read_snapshot(spark, table).count() == 2
+
+    def test_add_check_validates_existing_rows(self, spark, table):
+        txnlog.txn_append(spark, _df(spark, [(1, "a"), (-9, "b")]), table)
+        with pytest.raises(txnlog.CheckViolation, match="existing row"):
+            txnlog.txn_add_check(spark, table, "k_pos", "k > 0")
+        assert txnlog.table_checks(table) == {}  # nothing recorded
+        txnlog.txn_add_check(spark, table, "k_pos", "k > 0", validate=False)
+        assert txnlog.table_checks(table) == {"k_pos": "k > 0"}
+
+    def test_upsert_and_merge_cow_enforce(self, spark, table):
+        df = spark.range(0, 40).selectExpr("id AS k", "CAST(id AS STRING) AS v")
+        txnlog.txn_append_stats(spark, df, table, ["k"])
+        txnlog.txn_add_check(spark, table, "k_small", "k < 1000")
+        bad = spark.createDataFrame([(5000, "nope")], "k long, v string")
+        with pytest.raises(txnlog.CheckViolation):
+            txnlog.txn_upsert(spark, bad, table, ["k"])
+        with pytest.raises(txnlog.CheckViolation):
+            txnlog.txn_merge_cow(spark, bad, table, ["k"], stats_cols=["k"])
+        ok = spark.createDataFrame([(5, "upd")], "k long, v string")
+        txnlog.txn_merge_cow(spark, ok, table, ["k"], stats_cols=["k"])
+        assert txnlog.read_snapshot(spark, table).filter("v = 'upd'").count() == 1
+
+    def test_routed_append_quarantines_with_reasons(self, spark, table, tmp_path):
+        quar = str(tmp_path / "quarantine")
+        txnlog.txn_append(spark, _df(spark, [(1, "seed")]), table)
+        txnlog.txn_add_check(spark, table, "k_pos", "k > 0")
+        txnlog.txn_add_check(spark, table, "v_short", "length(v) <= 4")
+        df = _df(spark, [(2, "ok"), (-1, "ok"), (3, "toolong"), (-2, "toolong")])
+        v_t, v_q = txnlog.txn_append_routed(spark, df, table, quar)
+        assert v_q == 0
+        assert txnlog.read_snapshot(spark, table).count() == 2  # seed + (2, ok)
+        got = {
+            r["k"]: sorted(r["_violated"])
+            for r in txnlog.read_snapshot(spark, quar).collect()
+        }
+        assert got == {
+            -1: ["k_pos"],
+            3: ["v_short"],
+            -2: ["k_pos", "v_short"],
+        }
+        # a check-less table routes everything clean, no quarantine commit
+        free = str(tmp_path / "free")
+        v_t, v_q = txnlog.txn_append_routed(spark, df, free, str(tmp_path / "q2"))
+        assert (v_t, v_q) == (0, -1)
+
+    def test_clone_carries_constraints(self, spark, table, tmp_path):
+        txnlog.txn_append(spark, _df(spark, [(1, "a")]), table)
+        txnlog.txn_add_check(spark, table, "k_pos", "k > 0")
+        dst = str(tmp_path / "clone")
+        txnlog.txn_clone(table, dst)
+        with pytest.raises(txnlog.CheckViolation):
+            txnlog.txn_append(spark, _df(spark, [(-1, "bad")]), dst)
+
+    def test_checkpoint_consolidates_props(self, spark, table):
+        txnlog.txn_append(spark, _df(spark, [(1, "a")]), table)
+        txnlog.txn_add_check(spark, table, "k_pos", "k > 0")
+        txnlog.write_checkpoint(table)
+        # resolution through the checkpoint still sees the constraint
+        assert txnlog.table_checks(table) == {"k_pos": "k > 0"}
+        with pytest.raises(txnlog.CheckViolation):
+            txnlog.txn_append(spark, _df(spark, [(-5, "bad")]), table)
+
+    def test_partitioned_paths_refuse_constrained_tables(self, spark, table):
+        df = spark.createDataFrame([(1, "x")], "k long, p string")
+        txnlog.txn_append_partitioned(spark, df, table, "p")
+        txnlog.txn_add_check(spark, table, "k_pos", "k > 0", validate=False)
+        with pytest.raises(ValueError, match="not enforced"):
+            txnlog.txn_append_partitioned(spark, df, table, "p")
+        with pytest.raises(ValueError, match="not enforced"):
+            txnlog.txn_upsert_partitioned(spark, df, table, ["k"], "p")
