@@ -173,6 +173,8 @@ HEADLINE = [
     "lake_merge_into_pruned",
     "lake_delete_vectors",
     "lake_check_constraints",
+    "lake_restore_rollback",
+    "lake_optimize_zorder",
 ]
 
 

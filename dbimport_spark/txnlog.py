@@ -37,6 +37,7 @@ from __future__ import annotations
 
 import json
 import os
+import time
 import uuid
 
 from pyspark.sql import DataFrame
@@ -141,9 +142,13 @@ def _fold_log3(path: str, v_max: int):
         for e in entry.get("dv", []):
             # deletion-vector action: REPLACE the file's DV reference (the
             # new sidecar already folds in every previously-deleted
-            # position, so fold state is just latest-wins per file)
+            # position, so fold state is just latest-wins per file);
+            # "d": null DETACHES the vector (txn_restore rolling back past
+            # a DV delete)
             if e["n"] in live:
-                live[e["n"]]["dv"] = {"d": e["d"], "k": e["k"]}
+                live[e["n"]]["dv"] = (
+                    {"d": e["d"], "k": e["k"]} if e.get("d") is not None else None
+                )
         for k, val in (entry.get("props") or {}).items():
             if val is None:
                 props.pop(k, None)  # unset
@@ -254,6 +259,7 @@ def commit(
     expect_version: int,
     dv: list[dict] | None = None,
     props: dict | None = None,
+    op: str | None = None,
 ) -> int:
     """Atomically claim version ``expect_version + 1``. Raises TxnConflict
     if another writer got there first (optimistic concurrency).
@@ -285,6 +291,13 @@ def commit(
         body["dv"] = sorted(dv, key=key)
     if props:
         body["props"] = props
+    if op:
+        body["op"] = op
+    # commit wall-clock: drives TIMESTAMP AS OF resolution and history.
+    # Log entries are single-writer (link-claimed), so a per-writer value
+    # is safe; checkpoints stay timestamp-free to keep their bytes
+    # deterministic across racing checkpointers.
+    body["ts"] = time.time()
     entry = json.dumps(body)
     tmp = os.path.join(_log_dir(path), f".tmp-{uuid.uuid4().hex}")
     with open(tmp, "w") as fh:
@@ -317,7 +330,7 @@ def txn_append(spark, df: DataFrame, path: str, max_retries: int = 5) -> int:
     checks = _validate_staged(spark, path, added)
     for _ in range(max_retries):
         try:
-            return commit(path, added, [], current_version(path))
+            return commit(path, added, [], current_version(path), op="APPEND")
         except TxnConflict:
             checks = _revalidate_if_changed(spark, path, added, checks)
             continue
@@ -347,7 +360,7 @@ def txn_upsert(
         added = _stage(merged, path)
         _validate_staged(spark, path, added)  # merge may introduce new rows
         try:
-            return commit(path, added, old_files, base_v)
+            return commit(path, added, old_files, base_v, op="UPSERT")
         except TxnConflict:
             # lost the race: the staged files are unreferenced (invisible
             # to every reader); re-merge against the new snapshot.
@@ -534,7 +547,7 @@ def txn_upsert_partitioned(
             merged = source
         added = _stage_partitioned(merged, path, partition_col)
         try:
-            return commit(path, added, old_touched, base_v)
+            return commit(path, added, old_touched, base_v, op="UPSERT")
         except TxnConflict:
             continue
     raise TxnConflict(f"gave up after {max_retries} retries upserting {path}")
@@ -554,7 +567,7 @@ def txn_append_partitioned(
     added = _stage_partitioned(df, path, partition_col)
     for _ in range(max_retries):
         try:
-            return commit(path, added, [], current_version(path))
+            return commit(path, added, [], current_version(path), op="APPEND")
         except TxnConflict:
             continue
     raise TxnConflict(f"gave up after {max_retries} retries appending to {path}")
@@ -581,7 +594,7 @@ def txn_delete(spark, source_pred, path: str, max_retries: int = 3) -> int:
         kept = target.filter(~F.coalesce(source_pred, F.lit(False)))
         added = _stage(kept, path)
         try:
-            return commit(path, added, old_files, base_v)
+            return commit(path, added, old_files, base_v, op="DELETE")
         except TxnConflict:
             continue
     raise TxnConflict(f"gave up after {max_retries} retries deleting from {path}")
@@ -733,7 +746,7 @@ def txn_compact(
         added = _stage(df, path)
         old = [os.path.basename(f) for f in files]
         try:
-            return commit(path, added, old, base_v)
+            return commit(path, added, old, base_v, op="OPTIMIZE")
         except TxnConflict:
             continue
     raise TxnConflict(f"gave up after {max_retries} retries compacting {path}")
@@ -883,7 +896,7 @@ def txn_append_stats(
     ]
     for _ in range(max_retries):
         try:
-            return commit(path, added, [], current_version(path))
+            return commit(path, added, [], current_version(path), op="APPEND")
         except TxnConflict:
             checks = _revalidate_if_changed(spark, path, added_names, checks)
             continue
@@ -965,6 +978,36 @@ def read_snapshot_skipping(
     return _read_files_dv(spark, path, keep, snapshot_dvs(path, version))
 
 
+def read_snapshot_skipping_multi(
+    spark, path: str, bounds: dict, version: int | None = None
+) -> DataFrame:
+    """Multi-column zone-map pruning: keep only files whose recorded
+    [min, max] intersects EVERY ``bounds[col] = (lo, hi)`` — the read
+    that makes a z-ordered layout (txn_zorder) pay off, since each file
+    covers a small rectangle of the clustered space and a conjunctive
+    range predicate prunes on all clustered columns at once. Missing
+    stats keep the file (cannot prune); the caller still applies the
+    exact row predicate."""
+    if version is not None and version < vacuum_horizon(path):
+        raise ValueError(f"version {version} of {path} was vacuumed")
+    stats = snapshot_stats(path, version)
+    keep = []
+    for name, st in sorted(stats.items()):
+        if st.get("__rows__") == 0:
+            continue
+        ok = True
+        for col, (lo, hi) in bounds.items():
+            rng = st.get(col)
+            if rng is not None and (rng[1] < lo or rng[0] > hi):
+                ok = False
+                break
+        if ok:
+            keep.append(os.path.join(_data_dir(path), name))
+    if not keep:
+        return read_snapshot(spark, path, version).limit(0)
+    return _read_files_dv(spark, path, keep, snapshot_dvs(path, version))
+
+
 def txn_clone(src: str, dst: str, version: int | None = None) -> int:
     """ZERO-COPY table clone at a snapshot (Delta's SHALLOW CLONE, made
     divergence-safe): every live data file of ``src`` at ``version``
@@ -1024,7 +1067,9 @@ def txn_clone(src: str, dst: str, version: int | None = None) -> int:
                 e["stats"] = d["stats"]
             added.append(e)
     # table properties (incl. CHECK constraints) ride into the clone's v0
-    return commit(dst, added, [], -1, dv=dv_actions or None, props=src_props or None)
+    return commit(
+        dst, added, [], -1, dv=dv_actions or None, props=src_props or None, op="CLONE"
+    )
 
 
 # ------------------------------------------------------ bloom file skipping
@@ -1125,7 +1170,7 @@ def txn_append_bloom(
         added.append({"n": n, "p": None, "stats": {"__bloom__": {bloom_col: meta}}})
     for _ in range(max_retries):
         try:
-            return commit(path, added, [], current_version(path))
+            return commit(path, added, [], current_version(path), op="APPEND")
         except TxnConflict:
             checks = _revalidate_if_changed(spark, path, added_names, checks)
             continue
@@ -1193,7 +1238,7 @@ def txn_convert_parquet_dir(src_dir: str, path: str, stats_cols=()) -> int:
             else {}
         )
         added.append({"n": name, "p": None, "stats": st})
-    return commit(path, added, [], -1)
+    return commit(path, added, [], -1, op="CONVERT")
 
 
 # ------------------------------------------------- deletion vectors (DV)
@@ -1428,7 +1473,7 @@ def txn_delete_dv(spark, source_pred, path: str, max_retries: int = 3) -> int:
             return base_v
         dv = [{"n": r["n"], "d": r["d"], "k": int(r["k"])} for r in entries]
         try:
-            return commit(path, [], [], base_v, dv=dv)
+            return commit(path, [], [], base_v, dv=dv, op="DELETE_DV")
         except TxnConflict:
             # lost the race: this generation's sidecars are unreferenced
             # (vacuum reaps them); recompute against the new snapshot
@@ -1545,7 +1590,7 @@ def txn_delete_cow(
         kept = slice_df.filter(~F.coalesce(source_pred, F.lit(False)))
         added = _stage_with_meta(spark, kept, path, stats_cols, bloom_col)
         try:
-            return commit(path, added, cand, base_v)
+            return commit(path, added, cand, base_v, op="DELETE")
         except TxnConflict:
             continue
     raise TxnConflict(f"gave up after {max_retries} retries CoW-deleting from {path}")
@@ -1625,7 +1670,7 @@ def txn_merge_cow(
             spark, path, [e["n"] if isinstance(e, dict) else e for e in added]
         )
         try:
-            return commit(path, added, cand, base_v)
+            return commit(path, added, cand, base_v, op="MERGE")
         except TxnConflict:
             continue
     raise TxnConflict(f"gave up after {max_retries} retries CoW-merging into {path}")
@@ -1664,7 +1709,10 @@ def txn_set_property(path: str, key: str, value: str | None, max_retries: int = 
     state AS OF that version."""
     for _ in range(max_retries):
         try:
-            return commit(path, [], [], current_version(path), props={key: value})
+            return commit(
+                path, [], [], current_version(path), props={key: value},
+                op="SET_PROPERTY",
+            )
         except TxnConflict:
             continue
     raise TxnConflict(f"gave up after {max_retries} retries setting {key!r} on {path}")
@@ -1787,3 +1835,176 @@ def txn_append_routed(
         return v_table, v_quar
     finally:
         tagged.unpersist()
+
+
+# ------------------------------------ history, time travel by time, RESTORE
+
+
+def _read_entry_body(path: str, v: int) -> dict:
+    with open(os.path.join(_log_dir(path), f"{v:08d}.json")) as fh:
+        return json.load(fh)
+
+
+def version_asof(path: str, ts: float) -> int:
+    """Newest version committed at or before wall-clock ``ts`` —
+    TIMESTAMP AS OF resolution. Entries written before timestamps existed
+    fall back to the log file's mtime. Raises when the table's first
+    commit is later than ``ts``."""
+    cur = current_version(path)
+    best = -1
+    for v in range(cur + 1):
+        entry_ts = _read_entry_body(path, v).get("ts")
+        if entry_ts is None:
+            entry_ts = os.path.getmtime(os.path.join(_log_dir(path), f"{v:08d}.json"))
+        if entry_ts <= ts:
+            best = v
+    if best < 0:
+        raise ValueError(f"no version of {path} existed at timestamp {ts}")
+    return best
+
+
+def table_history(path: str) -> list[dict]:
+    """DESCRIBE HISTORY: one dict per version, newest first —
+    {"version", "ts", "op", "n_added", "n_removed", "n_dv",
+    "props_changed"}. ``op`` is the writer-recorded operation name
+    (None for legacy commits)."""
+    out = []
+    for v in range(current_version(path), -1, -1):
+        e = _read_entry_body(path, v)
+        out.append(
+            {
+                "version": v,
+                "ts": e.get("ts"),
+                "op": e.get("op"),
+                "n_added": len(e.get("added", [])),
+                "n_removed": len(e.get("removed", [])),
+                "n_dv": len(e.get("dv", [])),
+                "props_changed": sorted(e.get("props", {})),
+            }
+        )
+    return out
+
+
+def txn_restore(path: str, version: int, max_retries: int = 5) -> int:
+    """RESTORE TABLE TO VERSION AS OF — roll the LIVE file set back to an
+    earlier snapshot's as ONE new commit (history is preserved; this is
+    Delta RESTORE, not a log rewrite). Zero-copy and O(files): the commit
+    re-adds the files live at ``version`` but not now (full per-file
+    metadata — partition values, stats, blooms — rides along), removes
+    the files live now but not then, and re-points/detaches deletion
+    vectors so the restored snapshot's visible ROWS match exactly.
+    Restoring below the vacuum horizon is refused loudly (those files are
+    physically gone). Data-only: table properties keep their current
+    values, matching Delta (RESTORE does not roll back ALTERs)."""
+    h = vacuum_horizon(path)
+    if version < h:
+        raise ValueError(
+            f"cannot restore version {version}: below the vacuum horizon {h}"
+        )
+    for _ in range(max_retries):
+        cur = current_version(path)
+        if version > cur:
+            raise ValueError(f"cannot restore to future version {version} (at {cur})")
+        target, ptype_t, _ = _fold_log3(path, version)
+        now, _, _ = _fold_log3(path, cur)
+        added = []
+        for n in sorted(set(target) - set(now)):
+            d = target[n]
+            if d["p"] is None and not d["stats"]:
+                added.append(n)
+            else:
+                e: dict = {"n": n}
+                if d["p"] is not None:
+                    e["p"] = d["p"]
+                    e["t"] = ptype_t
+                if d["stats"]:
+                    e["stats"] = d["stats"]
+                added.append(e)
+        removed = sorted(set(now) - set(target))
+        dv_actions = []
+        for n in sorted(target):
+            want = target[n].get("dv")
+            have = now.get(n, {}).get("dv") if n in now else None
+            if n in now and want != have:
+                dv_actions.append(
+                    {"n": n, "d": want["d"], "k": want["k"]}
+                    if want
+                    else {"n": n, "d": None, "k": 0}
+                )
+            elif n not in now and want:
+                # re-added file: its DV ref must be re-attached AFTER the
+                # add in the same entry (fold applies added, then dv)
+                dv_actions.append({"n": n, "d": want["d"], "k": want["k"]})
+        if not added and not removed and not dv_actions:
+            return cur  # already at that state
+        try:
+            return commit(
+                path, added, removed, cur, dv=dv_actions or None, op="RESTORE"
+            )
+        except TxnConflict:
+            continue
+    raise TxnConflict(f"gave up after {max_retries} retries restoring {path}")
+
+
+def txn_zorder(
+    spark,
+    path: str,
+    col_a: str,
+    col_b: str,
+    n_files: int = 16,
+    stats_cols=(),
+    max_retries: int = 3,
+) -> int:
+    """OPTIMIZE ZORDER BY — transactional multi-column re-clustering:
+    read the snapshot (deletion vectors materialize away), Morton-order
+    the rows on (col_a, col_b) (functions/zorder.py: one range shuffle +
+    within-partition sort), and commit the rewrite with fresh per-file
+    footer stats so zone maps prune on EITHER column afterwards. Content
+    is invariant; time travel keeps the old layout until vacuum.
+
+    Both dimensions are min/max-normalized to the SAME bit width before
+    interleaving (Delta's range-id step): raw interleaving of unequal-
+    range columns lets the wider column's high bits own every range
+    split and the narrower column never prunes."""
+    from pyspark.sql import functions as F
+
+    from dbimport_spark.functions.zorder import z_value
+
+    stats_cols = list(stats_cols) or [col_a, col_b]
+    NB = 16  # normalized bits per dimension
+
+    for _ in range(max_retries):
+        base_v = current_version(path)
+        if base_v < 0:
+            raise ValueError(f"no data to optimize at {path}")
+        live, ptype = _fold_log(path, base_v)
+        if ptype is not None:
+            raise ValueError("txn_zorder: partitioned tables are not supported")
+        files = sorted(os.path.join(_data_dir(path), n) for n in live)
+        df = _read_files_dv(spark, path, files, snapshot_dvs(path, base_v))
+        lo_a, hi_a, lo_b, hi_b = df.agg(
+            F.min(col_a), F.max(col_a), F.min(col_b), F.max(col_b)
+        ).first()
+
+        def _norm(c, lo, hi):
+            span = max(1, (hi or 0) - (lo or 0))
+            return (
+                (F.col(c).cast("double") - float(lo or 0))
+                / span
+                * ((1 << NB) - 1)
+            ).cast("bigint")
+
+        clustered = (
+            df.withColumn("__za", _norm(col_a, lo_a, hi_a))
+            .withColumn("__zb", _norm(col_b, lo_b, hi_b))
+            .withColumn("__z", z_value("__za", "__zb", bits=NB))
+            .repartitionByRange(n_files, F.col("__z"))
+            .sortWithinPartitions("__z")
+            .drop("__za", "__zb", "__z")
+        )
+        added = _stage_with_meta(spark, clustered, path, stats_cols)
+        try:
+            return commit(path, added, sorted(live), base_v, op="OPTIMIZE_ZORDER")
+        except TxnConflict:
+            continue
+    raise TxnConflict(f"gave up after {max_retries} retries z-ordering {path}")

@@ -64,7 +64,7 @@ def test_upsert_retry_after_conflict_merges_against_new_snapshot(
     real_commit = txnlog.commit
     raced = {"done": False}
 
-    def racing_commit(path, added, removed, expect_version):
+    def racing_commit(path, added, removed, expect_version, **kw):
         if not raced["done"]:
             raced["done"] = True
             # interleave a rival append THEN let our commit attempt fail
@@ -91,7 +91,7 @@ def test_concurrent_delete_vs_upsert_conflict(spark, table, monkeypatch):
     real_commit = txnlog.commit
     raced = {"done": False}
 
-    def racing_commit(path, added, removed, expect_version):
+    def racing_commit(path, added, removed, expect_version, **kw):
         if not raced["done"]:
             raced["done"] = True
             # rival DELETE of k in {2, 3} sneaks in before our attempt
@@ -115,7 +115,7 @@ def test_concurrent_delete_vs_delete_composes(spark, table, monkeypatch):
     real_commit = txnlog.commit
     raced = {"done": False}
 
-    def racing_commit(path, added, removed, expect_version):
+    def racing_commit(path, added, removed, expect_version, **kw):
         if not raced["done"]:
             raced["done"] = True
             txnlog.txn_delete(spark, F.col("k") == 1, table)
@@ -557,7 +557,7 @@ def test_compact_retries_after_conflict(spark, table, monkeypatch):
     real_commit = txnlog.commit
     raced = {"done": False}
 
-    def racing_commit(path, added, removed, expect_version):
+    def racing_commit(path, added, removed, expect_version, **kw):
         if not raced["done"]:
             raced["done"] = True
             txnlog.txn_append(spark, _df(spark, [(9, "z")]), table)
@@ -1411,3 +1411,115 @@ class TestCheckConstraints:
             txnlog.txn_append_partitioned(spark, df, table, "p")
         with pytest.raises(ValueError, match="not enforced"):
             txnlog.txn_upsert_partitioned(spark, df, table, ["k"], "p")
+
+
+class TestHistoryRestoreZorder:
+    def test_history_records_ops_and_counts(self, spark, table):
+        txnlog.txn_append(spark, _df(spark, [(1, "a"), (2, "b")]), table)
+        txnlog.txn_upsert(spark, _df(spark, [(2, "B")]), table, ["k"])
+        txnlog.txn_delete_dv(spark, F.col("k") == 1, table)
+        txnlog.txn_set_property(table, "owner", "x")
+        h = txnlog.table_history(table)
+        assert [e["version"] for e in h] == [3, 2, 1, 0]
+        assert [e["op"] for e in h] == ["SET_PROPERTY", "DELETE_DV", "UPSERT", "APPEND"]
+        assert h[1]["n_dv"] == 1 and h[0]["props_changed"] == ["owner"]
+        assert all(e["ts"] is not None for e in h)
+
+    def test_timestamp_asof_resolution(self, spark, table):
+        import time as _t
+
+        txnlog.txn_append(spark, _df(spark, [(1, "a")]), table)
+        t_mid = _t.time()
+        _t.sleep(0.02)
+        txnlog.txn_append(spark, _df(spark, [(2, "b")]), table)
+        assert txnlog.version_asof(table, t_mid) == 0
+        assert txnlog.version_asof(table, _t.time()) == 1
+        with pytest.raises(ValueError, match="no version"):
+            txnlog.version_asof(table, t_mid - 1000)
+
+    def test_restore_rolls_back_files_and_dvs(self, spark, table):
+        df = spark.range(0, 60).selectExpr("id AS k", "CAST(id AS STRING) AS v")
+        txnlog.txn_append(spark, df, table)                      # v0
+        txnlog.txn_delete_dv(spark, F.col("k") < 10, table)      # v1: DV
+        txnlog.txn_upsert(
+            spark, spark.createDataFrame([(99, "UP")], "k long, v string"),
+            table, ["k"],
+        )                                                        # v2: rewrite
+        # restore to the DV state: files of v1 re-added, DV re-attached
+        txnlog.txn_restore(table, 1)                             # v3
+        snap = txnlog.read_snapshot(spark, table)
+        assert snap.count() == 50 and snap.filter("k < 10").count() == 0
+        assert snap.filter("v = 'UP'").count() == 0
+        # restore to v0: same files, DV DETACHED
+        txnlog.txn_restore(table, 0)                             # v4
+        assert txnlog.read_snapshot(spark, table).count() == 60
+        assert txnlog.snapshot_dvs(table) == {}
+        # restore is a new commit, not history surgery
+        assert txnlog.current_version(table) == 4
+        assert txnlog.read_snapshot(spark, table, 2).count() == 51
+        # no-op restore when already at that state
+        assert txnlog.txn_restore(table, 0) == 4
+        with pytest.raises(ValueError, match="future"):
+            txnlog.txn_restore(table, 99)
+
+    def test_restore_below_vacuum_horizon_refused(self, spark, table):
+        txnlog.txn_append(spark, _df(spark, [(1, "a")]), table)
+        txnlog.txn_upsert(spark, _df(spark, [(1, "B")]), table, ["k"])
+        txnlog.vacuum(table, retain_versions=1)
+        with pytest.raises(ValueError, match="horizon"):
+            txnlog.txn_restore(table, 0)
+
+    def test_restore_carries_metadata(self, spark, table):
+        df = spark.range(0, 30).selectExpr("id AS k", "id AS v")
+        txnlog.txn_append_stats(spark, df, table, ["k"])          # v0
+        txnlog.txn_delete(spark, F.col("k") < 5, table)           # v1 (stat-less)
+        txnlog.txn_restore(table, 0)                              # v2
+        # the restored files' zone maps are back: profile answers again
+        assert txnlog.snapshot_profile(table, ["k"])["n_rows"] == 30
+
+    def test_zorder_preserves_content_and_prunes_both_dims(self, spark, table):
+        df = spark.range(0, 4000).selectExpr(
+            "id AS a", "CAST(hash(id) & 255 AS BIGINT) AS b", "id AS v"
+        )
+        for m in range(4):
+            txnlog.txn_append_stats(
+                spark, df.filter(F.col("a") % 4 == m), table, ["a", "b"]
+            )
+        before = sorted(
+            (r["a"], r["b"], r["v"])
+            for r in txnlog.read_snapshot(spark, table).collect()
+        )
+        v = txnlog.txn_zorder(spark, table, "a", "b", n_files=16)
+        after = sorted(
+            (r["a"], r["b"], r["v"])
+            for r in txnlog.read_snapshot(spark, table).collect()
+        )
+        assert before == after  # content invariant
+
+        def kept(col, lo, hi):
+            n = t = 0
+            for _, st in txnlog.snapshot_stats(table).items():
+                if st.get("__rows__") == 0:
+                    continue
+                t += 1
+                rng = st.get(col)
+                if rng is None or not (rng[1] < lo or rng[0] > hi):
+                    n += 1
+            return n, t
+
+        ka, ta = kept("a", 0, 400)
+        kb, tb = kept("b", 0, 25)
+        # BOTH dimensions prune: a narrow band on either column must skip
+        # at least half the files (pre-zorder, b pruned nothing: every
+        # modulo slice spanned b's full range)
+        assert ka <= ta // 2 and kb <= tb // 2
+        assert txnlog.table_history(table)[0]["op"] == "OPTIMIZE_ZORDER"
+
+    def test_zorder_materializes_dvs(self, spark, table):
+        df = spark.range(0, 100).selectExpr("id AS a", "id % 7 AS b", "id AS v")
+        txnlog.txn_append(spark, df, table)
+        txnlog.txn_delete_dv(spark, F.col("a") < 10, table)
+        txnlog.txn_zorder(spark, table, "a", "b", n_files=2)
+        assert txnlog.snapshot_dvs(table) == {}
+        snap = txnlog.read_snapshot(spark, table)
+        assert snap.count() == 90 and snap.filter("a < 10").count() == 0
