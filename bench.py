@@ -175,6 +175,8 @@ HEADLINE = [
     "lake_check_constraints",
     "lake_restore_rollback",
     "lake_optimize_zorder",
+    "stream_lake_sink_exactly_once",
+    "stream_lake_expectations",
 ]
 
 

@@ -1198,3 +1198,112 @@ def stream_crawl_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.split(F.col("text"), " ")).cast("bigint").alias("n_tokens"),
     )
     return _run_to_memory(kept, spark)
+
+
+@register(
+    "stream_lake_sink_exactly_once",
+    "SELECT event_id, user_id, event_type, value FROM events",
+)
+def stream_lake_sink_exactly_once_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACTLY-ONCE streaming sink into the transactional lake
+    (txnlog.txn_append_idempotent — Delta's txnAppId/txnVersion): each
+    foreachBatch micro-batch commits its rows WITH its batch id in one
+    atomic log entry, so a redelivered batch no-ops instead of
+    duplicating. After the stream drains, the query adversarially
+    REPLAYS the whole corpus claiming to be already-committed batch 0 —
+    the guard skips it without a write job — and the graded table must
+    equal the source exactly (any duplication flips the row count and
+    every hash). The checkpoint-loss form (full restart, every batch
+    redelivered) is pinned by
+    tests/test_streaming.py::test_lake_sink_idempotent_across_checkpoint_loss.
+    At 100 TB this is the difference between at-least-once ingestion with
+    a downstream dedup pass and a sink that is exactly-once by
+    construction."""
+    from dbimport_spark import txnlog
+    from dbimport_spark.plans.registry import load_events
+
+    work = tempfile.mkdtemp(prefix="dbimport_stream_sink_")
+    target = os.path.join(work, "table")
+    checkpoint = os.path.join(work, "ckpt")
+    app = "events_loader"
+    cols = ["event_id", "user_id", "event_type", "value"]
+
+    stream = read_events_stream(spark, _events_path(sf_dir)).select(*cols)
+
+    def write_batch(bdf: DataFrame, batch_id: int) -> None:
+        txnlog.txn_append_idempotent(spark, bdf, target, app, batch_id)
+
+    q = (
+        stream.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    # adversarial redelivery: the whole corpus arrives again as batch 0
+    txnlog.txn_append_idempotent(
+        spark, load_events(spark, sf_dir).select(*cols), target, app, 0
+    )
+    return txnlog.read_snapshot(spark, target).select(*cols)
+
+
+@register(
+    "stream_lake_expectations",
+    """SELECT CASE WHEN user_id % 10 <> 3 THEN 'table' ELSE 'quarantine' END AS dest,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(user_id) AS BIGINT) AS user_sum,
+       CAST(sum(event_id) AS BIGINT) AS event_sum
+FROM events GROUP BY 1""",
+)
+def stream_lake_expectations_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming expectations (DLT): the constraint is declared ON THE
+    TABLE before the stream starts (txn_add_check), and every
+    foreachBatch micro-batch routes through txn_append_routed — passing
+    rows commit to the table, violating rows commit to a queryable
+    quarantine table tagged with the failed check names. Enforcement is
+    the lake's, not the pipeline's: a second producer writing to the same
+    table gets the same validation with zero shared code — the contract
+    lives in the commit log (the streaming generalization of the
+    reference's invalid-row error-table routing)."""
+    from dbimport_spark import txnlog
+
+    work = tempfile.mkdtemp(prefix="dbimport_stream_expect_")
+    target = os.path.join(work, "table")
+    quarantine = os.path.join(work, "quarantine")
+    checkpoint = os.path.join(work, "ckpt")
+
+    txnlog.txn_add_check(spark, target, "user_ok", "user_id % 10 <> 3")
+    cols = ["event_id", "user_id", "event_type", "value"]
+    stream = read_events_stream(spark, _events_path(sf_dir)).select(*cols)
+
+    def write_batch(bdf: DataFrame, batch_id: int) -> None:
+        txnlog.txn_append_routed(spark, bdf, target, quarantine)
+
+    q = (
+        stream.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    def side(path: str, dest: str) -> DataFrame:
+        if txnlog.current_version(path) < 0 or not txnlog.snapshot_files(path):
+            return (
+                spark.range(0)
+                .select(
+                    F.lit(dest).alias("dest"),
+                    F.lit(0).cast("bigint").alias("n_rows"),
+                    F.lit(0).cast("bigint").alias("user_sum"),
+                    F.lit(0).cast("bigint").alias("event_sum"),
+                )
+                .limit(0)
+            )
+        return txnlog.read_snapshot(spark, path).agg(
+            F.lit(dest).alias("dest"),
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.sum("user_id").cast("bigint").alias("user_sum"),
+            F.sum("event_id").cast("bigint").alias("event_sum"),
+        )
+    return side(target, "table").unionByName(side(quarantine, "quarantine"))

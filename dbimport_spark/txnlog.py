@@ -2008,3 +2008,59 @@ def txn_zorder(
         except TxnConflict:
             continue
     raise TxnConflict(f"gave up after {max_retries} retries z-ordering {path}")
+
+
+# --------------------------------------------- idempotent streaming sink
+
+
+def last_committed_batch(path: str, app_id: str) -> int:
+    """Highest batch id committed for ``app_id`` (-1 if none) — the
+    SetTransaction lookup. Rides table properties, so it is latest-wins,
+    checkpoint-consolidated and time-travelable for free."""
+    v = table_props(path).get(f"txn.{app_id}")
+    return int(v) if v is not None else -1
+
+
+def txn_append_idempotent(
+    spark, df: DataFrame, path: str, app_id: str, batch_id: int,
+    max_retries: int = 5,
+) -> int:
+    """EXACTLY-ONCE streaming append (Delta's txnAppId/txnVersion
+    SetTransaction): the commit atomically records ``(app_id, batch_id)``
+    with the data, and a redelivered batch (id ≤ the last committed one
+    for this app) is SKIPPED — returns the current version, writes
+    nothing. foreachBatch sinks get end-to-end exactly-once from at-least
+    -once delivery: after a crash between "data committed" and
+    "streaming checkpoint advanced", the replayed batch no-ops instead of
+    duplicating rows. Batch ids must be monotonically increasing per app,
+    which Spark's epoch ids are.
+
+    The skip check runs before staging (cheap) and again inside the
+    commit-retry loop (a racing writer of the SAME app may have landed
+    this batch while we staged — its commit conflicts ours, the re-check
+    sees its recorded batch id, and our staged files are dropped)."""
+    if batch_id <= last_committed_batch(path, app_id):
+        return current_version(path)
+    added = _stage(df, path)
+    checks = _validate_staged(spark, path, added)
+    for _ in range(max_retries):
+        if batch_id <= last_committed_batch(path, app_id):
+            for n in added:
+                try:
+                    os.remove(os.path.join(_data_dir(path), n))
+                except FileNotFoundError:
+                    pass
+            return current_version(path)
+        try:
+            return commit(
+                path,
+                added,
+                [],
+                current_version(path),
+                props={f"txn.{app_id}": str(batch_id)},
+                op="STREAMING_APPEND",
+            )
+        except TxnConflict:
+            checks = _revalidate_if_changed(spark, path, added, checks)
+            continue
+    raise TxnConflict(f"gave up after {max_retries} retries appending to {path}")

@@ -513,3 +513,64 @@ def test_sessionize_tws_accumulates_across_batches(spark, tmp_path):
         .collect()
     }
     assert final == {1: (1, 4, 4), 2: (2, 2, 1)}
+
+
+def test_lake_sink_idempotent_across_checkpoint_loss(spark, tmp_path):
+    """Losing the streaming checkpoint is the worst redelivery case:
+    every batch replays from id 0. The idempotent lake sink must skip
+    them all — the table's recorded (app, batch) watermark, not the
+    checkpoint, is the source of truth."""
+    from dbimport_spark import txnlog
+
+    src_dir = tmp_path / "src"
+    src_dir.mkdir()
+    for i in (1, 2):
+        spark.createDataFrame(
+            [(i * 10 + j, float(j)) for j in range(5)], "k long, v double"
+        ).coalesce(1).write.mode("overwrite").parquet(str(src_dir / f"b{i}"))
+    target = str(tmp_path / "table")
+    app = "loader"
+
+    def run(ckpt):
+        stream = (
+            spark.readStream.schema("k long, v double")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src_dir / "*"))
+        )
+        q = (
+            stream.writeStream.foreachBatch(
+                lambda bdf, bid: txnlog.txn_append_idempotent(
+                    spark, bdf, target, app, bid
+                )
+            )
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run(str(tmp_path / "ckpt1"))
+    assert txnlog.read_snapshot(spark, target).count() == 10
+    v_after = txnlog.current_version(target)
+    # checkpoint lost: full replay under a NEW checkpoint, same app id
+    run(str(tmp_path / "ckpt2"))
+    assert txnlog.read_snapshot(spark, target).count() == 10  # no duplicates
+    assert txnlog.current_version(target) == v_after  # not even empty commits
+    # a genuinely NEW batch id still lands
+    txnlog.txn_append_idempotent(
+        spark,
+        spark.createDataFrame([(99, 9.0)], "k long, v double"),
+        target,
+        app,
+        txnlog.last_committed_batch(target, app) + 1,
+    )
+    assert txnlog.read_snapshot(spark, target).count() == 11
+    # a DIFFERENT app's batch 0 is not confused with this app's
+    txnlog.txn_append_idempotent(
+        spark,
+        spark.createDataFrame([(100, 1.0)], "k long, v double"),
+        target,
+        "other_app",
+        0,
+    )
+    assert txnlog.read_snapshot(spark, target).count() == 12

@@ -1523,3 +1523,28 @@ class TestHistoryRestoreZorder:
         assert txnlog.snapshot_dvs(table) == {}
         snap = txnlog.read_snapshot(spark, table)
         assert snap.count() == 90 and snap.filter("a < 10").count() == 0
+
+
+def test_check_added_between_validation_and_commit_is_enforced(
+    spark, table, monkeypatch
+):
+    """The check-TOCTOU cell of the conflict matrix: our append validates
+    (no constraints yet), a rival ADD CONSTRAINT lands before our commit,
+    our commit conflicts — the retry must REVALIDATE against the new
+    check set and reject, not land a violating row on a now-constrained
+    table."""
+    txnlog.txn_append(spark, _df(spark, [(1, "a")]), table)
+    real_commit = txnlog.commit
+    raced = {"done": False}
+
+    def racing_commit(path, added, removed, expect_version, **kw):
+        if not raced["done"] and kw.get("op") == "APPEND" and added:
+            raced["done"] = True
+            txnlog.txn_add_check(spark, table, "k_pos", "k > 0")
+        return real_commit(path, added, removed, expect_version, **kw)
+
+    monkeypatch.setattr(txnlog, "commit", racing_commit)
+    with pytest.raises(txnlog.CheckViolation, match="k_pos"):
+        txnlog.txn_append(spark, _df(spark, [(-7, "bad")]), table)
+    # the violating row never landed
+    assert txnlog.read_snapshot(spark, table).count() == 1

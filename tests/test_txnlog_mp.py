@@ -234,3 +234,230 @@ def test_mp_vacuum_racing_readers_writers_compactor(tmp_path):
     assert all(n == 20 for n in reads), f"reader fell short: {reads}"
     expected = sorted(f"leaf_w{w}_{i}.json" for w in range(2) for i in range(10))
     assert _expand(table) == expected
+
+
+# ------------------------------- round-7 escalation: deletion-vector races
+
+def _dv_read(table: str, name: str):
+    sc = None
+    live, _ = txnlog._fold_log(table, txnlog.current_version(table))
+    m = live.get(name, {}).get("dv")
+    if m:
+        with open(os.path.join(table, "data", m["d"])) as fh:
+            sc = set(json.load(fh))
+    return sc or set()
+
+
+def _expand_visible(table: str, version=None) -> list:
+    """Leaf expansion MINUS each file's deletion-vector leaves — the
+    log-level analogue of the DV-aware read."""
+    v = txnlog.current_version(table) if version is None else version
+    live, _ = txnlog._fold_log(table, v)
+    leaves: list = []
+    for n in sorted(live):
+        with open(os.path.join(table, "data", n)) as fh:
+            got = json.load(fh)
+        dv = live[n].get("dv")
+        dead: set = set()
+        if dv:
+            with open(os.path.join(table, "data", dv["d"])) as fh:
+                dead = set(json.load(fh))
+        leaves.extend(l for l in got if l not in dead)
+    return sorted(leaves)
+
+
+def _dv_deleter(table, fname, my_leaves, wid, q):
+    """DV-delete ``my_leaves`` from file ``fname`` following the
+    txn_delete_dv protocol: fold old positions into a NEW generation,
+    commit the replacement ref, re-derive on conflict."""
+    for attempt in range(500):
+        base = txnlog.current_version(table)
+        live, _ = txnlog._fold_log(table, base)
+        old = live[fname].get("dv")
+        dead = set(my_leaves)
+        if old:
+            with open(os.path.join(table, "data", old["d"])) as fh:
+                dead |= set(json.load(fh))
+        gen = f"{fname}.dv.w{wid}a{attempt}"
+        with open(os.path.join(table, "data", gen), "w") as fh:
+            json.dump(sorted(dead), fh)
+        try:
+            txnlog.commit(
+                table, [], [], base,
+                dv=[{"n": fname, "d": gen, "k": len(dead)}],
+            )
+            q.put(("dv", wid, True))
+            return
+        except txnlog.TxnConflict:
+            continue
+    raise AssertionError(f"dv deleter {wid} starved")
+
+
+def test_mp_racing_dv_writers_union_their_deletions(tmp_path):
+    """4 processes DV-delete DISJOINT leaf subsets of the same file at
+    once. Generation-replacement is latest-wins per commit, so a writer
+    that lost the race must fold the winner's positions into its retry —
+    the final visible set must be the file minus the UNION of all four
+    subsets, and every superseded generation must still satisfy its own
+    version's read (time travel over DV history)."""
+    table = _mk_table(tmp_path)
+    leaves = [f"l{i}" for i in range(20)]
+    with open(os.path.join(table, "data", "f0.json"), "w") as fh:
+        json.dump(leaves, fh)
+    txnlog.commit(table, ["f0.json"], [], -1)
+
+    ctx = mp.get_context("fork")
+    q = ctx.Queue()
+    subsets = [leaves[i::4][:3] for i in range(4)]  # disjoint triples
+    procs = [
+        ctx.Process(target=_dv_deleter, args=(table, "f0.json", s, w, q))
+        for w, s in enumerate(subsets)
+    ]
+    _run(procs, q, 4)
+
+    union = set().union(*subsets)
+    assert _expand_visible(table) == sorted(set(leaves) - union)
+    # monotone: each version's visible set only shrinks
+    prev = set(leaves)
+    for v in range(1, txnlog.current_version(table) + 1):
+        vis = set(_expand_visible(table, v))
+        assert vis <= prev, f"version {v} resurrected rows"
+        prev = vis
+
+
+def _dv_compactor(table, rounds, q):
+    """Compactor that MATERIALIZES deletion vectors: the merged fake
+    file carries only the VISIBLE leaves (txn_compact's DV semantics)."""
+    done = 0
+    for r in range(rounds):
+        for _ in range(500):
+            base = txnlog.current_version(table)
+            if base < 0:
+                break
+            live, _ = txnlog._fold_log(table, base)
+            if len(live) < 2 and not any(d.get("dv") for d in live.values()):
+                break
+            merged = f"merged_r{r}_{os.getpid()}_{base}.json"
+            with open(os.path.join(table, "data", merged), "w") as fh:
+                json.dump(_expand_visible(table, base), fh)
+            try:
+                txnlog.commit(table, [merged], sorted(live), base)
+                done += 1
+                break
+            except txnlog.TxnConflict:
+                continue
+    q.put(("compact", os.getpid(), done))
+
+
+def test_mp_dv_writers_racing_compactor(tmp_path):
+    """2 DV deleters × disjoint subsets racing a materializing
+    compactor: whichever interleaving wins, the final visible set must
+    equal all leaves minus both deletion sets — a compactor working from
+    a STALE dv fold (or a deleter whose dv action landed on a file the
+    compactor just removed) would resurrect or lose leaves. The fold
+    drops dv actions on files that left the live set, so a deleter whose
+    target was compacted away MUST re-derive against the merged file."""
+    table = _mk_table(tmp_path)
+    files = {}
+    for i in range(2):
+        name = f"f{i}.json"
+        files[name] = [f"l{i}_{j}" for j in range(10)]
+        with open(os.path.join(table, "data", name), "w") as fh:
+            json.dump(files[name], fh)
+    txnlog.commit(table, sorted(files), [], -1)
+
+    def deleter_with_rederive(table, victim_leaves, wid, q):
+        # deletes two leaves WHEREVER they live now: re-resolves the
+        # owning file each attempt (compactor may have merged it away)
+        for attempt in range(500):
+            base = txnlog.current_version(table)
+            live, _ = txnlog._fold_log(table, base)
+            owner = None
+            for n in sorted(live):
+                with open(os.path.join(table, "data", n)) as fh:
+                    if set(victim_leaves) & set(json.load(fh)):
+                        owner = n
+                        break
+            assert owner is not None, "victim leaves vanished"
+            old = live[owner].get("dv")
+            dead = set(victim_leaves)
+            if old:
+                with open(os.path.join(table, "data", old["d"])) as fh:
+                    dead |= set(json.load(fh))
+            gen = f"{owner}.dv.w{wid}a{attempt}"
+            with open(os.path.join(table, "data", gen), "w") as fh:
+                json.dump(sorted(dead), fh)
+            try:
+                txnlog.commit(
+                    table, [], [], base,
+                    dv=[{"n": owner, "d": gen, "k": len(dead)}],
+                )
+                q.put(("dv", wid, True))
+                return
+            except txnlog.TxnConflict:
+                continue
+        raise AssertionError("deleter starved")
+
+    ctx = mp.get_context("fork")
+    q = ctx.Queue()
+    kill = [["l0_1", "l0_7"], ["l1_2", "l1_8"]]
+    procs = [
+        ctx.Process(target=deleter_with_rederive, args=(table, k, w, q))
+        for w, k in enumerate(kill)
+    ] + [ctx.Process(target=_dv_compactor, args=(table, 6, q))]
+    _run(procs, q, 3)
+
+    expected = sorted(
+        set(files["f0.json"] + files["f1.json"]) - {"l0_1", "l0_7", "l1_2", "l1_8"}
+    )
+    assert _expand_visible(table) == expected
+
+
+def test_mp_vacuum_reaps_only_dead_dv_generations(tmp_path):
+    """A DV writer stacking generations races a short-retention vacuum:
+    afterwards every KEPT version must still fully resolve (its dv
+    sidecar exists), and every generation no kept version references is
+    gone."""
+    table = _mk_table(tmp_path)
+    leaves = [f"l{i}" for i in range(12)]
+    with open(os.path.join(table, "data", "f0.json"), "w") as fh:
+        json.dump(leaves, fh)
+    txnlog.commit(table, ["f0.json"], [], -1)
+
+    ctx = mp.get_context("fork")
+    q = ctx.Queue()
+
+    def stacker(table, q):
+        for i in range(6):
+            _dv_deleter(table, "f0.json", [f"l{i}"], 100 + i, q)
+
+    def vac(table, q):
+        for _ in range(8):
+            txnlog.vacuum(table, retain_versions=1)
+        q.put(("vac", 0, True))
+
+    procs = [
+        ctx.Process(target=stacker, args=(table, q)),
+        ctx.Process(target=vac, args=(table, q)),
+    ]
+    _run(procs, q, 7)
+    txnlog.vacuum(table, retain_versions=1)
+
+    cur = txnlog.current_version(table)
+    horizon = txnlog.vacuum_horizon(table)
+    # every kept version resolves completely
+    for v in range(horizon, cur + 1):
+        _expand_visible(table, v)
+    # final visible set: all six stacked deletions applied
+    assert _expand_visible(table) == sorted(set(leaves) - {f"l{i}" for i in range(6)})
+    # no generation outside the kept versions' references survives
+    kept_gens = set()
+    for v in range(horizon, cur + 1):
+        live, _ = txnlog._fold_log(table, v)
+        kept_gens |= {d["dv"]["d"] for d in live.values() if d.get("dv")}
+    ever_gens = set()
+    for v in range(cur + 1):
+        with open(os.path.join(table, "_txn_log", f"{v:08d}.json")) as fh:
+            ever_gens |= {e["d"] for e in json.load(fh).get("dv", [])}
+    on_disk = {f for f in os.listdir(os.path.join(table, "data")) if ".dv." in f}
+    assert not (on_disk & (ever_gens - kept_gens)), "dead generation survived vacuum"
