@@ -177,6 +177,7 @@ HEADLINE = [
     "lake_optimize_zorder",
     "stream_lake_sink_exactly_once",
     "stream_lake_expectations",
+    "lake_export_manifest",
 ]
 
 

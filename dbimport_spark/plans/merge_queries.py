@@ -1779,3 +1779,67 @@ def lake_optimize_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_rows"),
         F.sum("price_cents").cast("bigint").alias("price_cents"),
     )
+
+
+@register(
+    "lake_export_manifest",
+    """WITH base AS (
+  SELECT c_custkey, CAST(round(c_acctbal * 100) AS BIGINT) AS bal FROM customer
+), merged AS (
+  SELECT c_custkey, CASE WHEN c_custkey <= 100 THEN bal + 777 ELSE bal END AS bal
+  FROM base
+)
+SELECT CAST(count(*) AS BIGINT) AS n_rows, CAST(sum(bal) AS BIGINT) AS bal_sum
+FROM merged""",
+)
+def lake_export_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symlink-format manifest interop (txnlog.export_symlink_manifest —
+    Delta's symlink_format_manifest): after an upsert, one atomic text
+    file lists the snapshot's live parquet paths, and a LOG-IGNORANT
+    reader (here: a plain spark.read.parquet over the listed paths —
+    Presto/Trino/Hive external tables and DuckDB read the same way)
+    sees exactly the committed snapshot. A post-export append must NOT
+    leak into the manifest reader (version pinning), and DV-carrying
+    snapshots refuse to export (the reader cannot apply vectors) — both
+    pinned by tests/test_txnlog.py. The graded rows come through the
+    manifest reader, not the log reader."""
+    import os
+    import shutil
+    import tempfile
+
+    from dbimport_spark import txnlog
+
+    path = os.path.join(
+        tempfile.gettempdir(),
+        "dbimport_spark_txn",
+        "manifest_" + sf_dir.rstrip("/").replace("/", "_"),
+    )
+    if os.path.isdir(path):
+        shutil.rmtree(path)
+
+    base = load(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.round(F.col("c_acctbal") * 100).cast("bigint").alias("bal"),
+    )
+    txnlog.txn_append(spark, base, path)
+    txnlog.txn_upsert(
+        spark,
+        base.filter(F.col("c_custkey") <= 100).select(
+            "c_custkey", (F.col("bal") + 777).alias("bal")
+        ),
+        path,
+        ["c_custkey"],
+    )
+    manifest = txnlog.export_symlink_manifest(path)
+    with open(manifest) as fh:
+        files = [line.strip() for line in fh if line.strip()]
+    # a later append must not leak into the pinned manifest read
+    txnlog.txn_append(
+        spark,
+        spark.createDataFrame([(99_999_999, 0)], "c_custkey long, bal bigint"),
+        path,
+    )
+    return spark.read.parquet(*files).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum("bal").cast("bigint").alias("bal_sum"),
+    )

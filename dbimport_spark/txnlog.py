@@ -2064,3 +2064,32 @@ def txn_append_idempotent(
             checks = _revalidate_if_changed(spark, path, added, checks)
             continue
     raise TxnConflict(f"gave up after {max_retries} retries appending to {path}")
+
+
+def export_symlink_manifest(path: str, version: int | None = None) -> str:
+    """Write the Delta-style symlink_format_manifest for a snapshot: a
+    ``_symlink_format_manifest/manifest`` text file listing every live
+    data file's absolute path — the interop handshake that lets engines
+    which only understand "a list of parquet files" (Presto/Trino/Hive
+    external tables, or a plain DuckDB read_parquet(list)) read a
+    consistent snapshot without speaking the log protocol. Files with
+    deletion vectors are refused loudly: a manifest reader would see the
+    deleted rows (compact first). Rewritten atomically (temp + rename);
+    returns the manifest file path."""
+    v = current_version(path) if version is None else version
+    if snapshot_dvs(path, v):
+        raise ValueError(
+            "export_symlink_manifest: table has live deletion vectors — a "
+            "manifest-based reader would resurrect deleted rows; run "
+            "txn_compact to materialize them first"
+        )
+    files = snapshot_files(path, v)
+    mdir = os.path.join(path, "_symlink_format_manifest")
+    os.makedirs(mdir, exist_ok=True)
+    target = os.path.join(mdir, "manifest")
+    tmp = os.path.join(mdir, f".tmp-{uuid.uuid4().hex}")
+    with open(tmp, "w") as fh:
+        for f in files:
+            fh.write(os.path.abspath(f) + "\n")
+    os.replace(tmp, target)
+    return target

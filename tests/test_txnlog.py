@@ -1548,3 +1548,38 @@ def test_check_added_between_validation_and_commit_is_enforced(
         txnlog.txn_append(spark, _df(spark, [(-7, "bad")]), table)
     # the violating row never landed
     assert txnlog.read_snapshot(spark, table).count() == 1
+
+
+def test_change_feed_sees_through_deletion_vectors(spark, table):
+    """CDF between a pre-DV and post-DV version: the deleted rows must
+    surface as 'delete' changes even though no file was added or removed
+    — read_changes diffs VISIBLE rows, so DVs flow through for free."""
+    df = spark.range(0, 20).selectExpr("id AS k", "CAST(id AS STRING) AS v")
+    txnlog.txn_append(spark, df, table)                       # v0
+    txnlog.txn_delete_dv(spark, F.col("k") < 3, table)        # v1
+    changes = txnlog.read_changes(spark, table, ["k"], 0, 1).collect()
+    got = {(r["k"], r["_change_type"]) for r in changes}
+    assert got == {(0, "delete"), (1, "delete"), (2, "delete")}
+
+
+def test_symlink_manifest_roundtrip_and_dv_refusal(spark, table):
+    df = spark.range(0, 30).selectExpr("id AS k", "id AS v")
+    txnlog.txn_append(spark, df, table)
+    txnlog.txn_upsert(
+        spark, spark.createDataFrame([(5, 500)], "k long, v long"), table, ["k"]
+    )
+    m = txnlog.export_symlink_manifest(table)
+    with open(m) as fh:
+        files = [l.strip() for l in fh if l.strip()]
+    # a log-ignorant reader over the manifest sees exactly the snapshot
+    assert spark.read.parquet(*files).count() == 30
+    assert spark.read.parquet(*files).filter("v = 500").count() == 1
+    # manifest pins its version: a later append doesn't leak in
+    txnlog.txn_append(spark, spark.createDataFrame([(99, 9)], "k long, v long"), table)
+    assert spark.read.parquet(*files).count() == 30
+    # DV'd snapshots refuse (the reader cannot apply vectors)
+    txnlog.txn_delete_dv(spark, F.col("k") == 0, table)
+    with pytest.raises(ValueError, match="deletion vectors"):
+        txnlog.export_symlink_manifest(table)
+    # older DV-free version still exports
+    txnlog.export_symlink_manifest(table, version=1)
