@@ -787,7 +787,12 @@ def vacuum(path: str, retain_versions: int = 1) -> list[str]:
         with open(fp) as fh:
             entry = json.load(fh)
         ever.update(_entry_files(entry.get("added", [])))
-        ever_dv.update(e["d"] for e in entry.get("dv", []))
+        # a restore's DETACH action carries "d": null — it names no
+        # generation (found by the hypothesis protocol machine: sorted()
+        # over a None crashed every vacuum after a DV-rollback restore)
+        ever_dv.update(
+            e["d"] for e in entry.get("dv", []) if e.get("d") is not None
+        )
     doomed = sorted(ever - keep)
     for name in doomed:
         f = os.path.join(_data_dir(path), name)
