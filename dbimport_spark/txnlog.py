@@ -216,7 +216,23 @@ def read_snapshot(spark, path: str, version: int | None = None) -> DataFrame:
             f"version {version} of {path} was vacuumed (horizon "
             f"{vacuum_horizon(path)})"
         )
-    files = snapshot_files(path, version)
+    v_max = current_version(path) if version is None else version
+    live, ptype, props = _fold_log3(path, v_max)
+    if ptype is not None:
+        # Partitioned table: the partition VALUE lives in the log, not
+        # the files — a raw scan would silently DROP the column. Delegate
+        # to the re-attaching read (the column name rides as a property;
+        # legacy partitioned tables without it must use the explicit
+        # form, loudly).
+        pcol = props.get("partition.column")
+        if pcol is None:
+            raise ValueError(
+                f"{path} is partitioned but the log predates the "
+                "partition.column property — use read_snapshot_partitioned"
+                "(spark, path, partition_col) explicitly"
+            )
+        return read_snapshot_partitioned(spark, path, pcol, version)
+    files = sorted(os.path.join(_data_dir(path), f) for f in live)
     if not files:
         raise ValueError(f"no data at version {version!r} of {path}")
     return _read_files_dv(spark, path, files, snapshot_dvs(path, version))
@@ -352,6 +368,7 @@ def txn_upsert(
     here so the commit protocol stays readable."""
     from dbimport_spark.operators.merge import upsert
 
+    _refuse_partitioned(path, "txn_upsert")
     for _ in range(max_retries):
         base_v = current_version(path)
         target = read_snapshot(spark, path, base_v)
@@ -374,6 +391,22 @@ def _entry_files(entry_list):
     """Log entries are either bare file names (unpartitioned commits) or
     {"n": name, "p": partition-value} dicts (partitioned commits)."""
     return [e["n"] if isinstance(e, dict) else e for e in entry_list]
+
+
+def _refuse_partitioned(path: str, op_name: str) -> None:
+    """Loud guard for operations whose staged output would strip the
+    log-carried partition values (silent corruption: the table's files
+    would stop matching its partition metadata)."""
+    cur = current_version(path)
+    if cur < 0:
+        return
+    _, ptype = _fold_log(path, cur)
+    if ptype is not None:
+        raise ValueError(
+            f"{op_name}: partitioned tables are not supported — the rewrite "
+            "would strip the log-carried partition values; use the "
+            "partitioned forms (txn_upsert_partitioned) or txn_delete_dv"
+        )
 
 
 def snapshot_partitions(path: str, version: int | None = None) -> dict[str, str]:
@@ -463,6 +496,17 @@ def _stage_partitioned(df: DataFrame, path: str, partition_col: str):
     return added
 
 
+def _partition_lit(encoded, ptype):
+    """Typed literal for a directory-encoded partition value."""
+    from pyspark.sql import functions as F
+
+    if encoded is None or encoded == _HIVE_NULL:
+        col = F.lit(None)
+    else:
+        col = F.lit(_unescape_path_name(encoded))
+    return col.cast(ptype) if ptype else col
+
+
 def read_snapshot_partitioned(
     spark, path: str, partition_col: str, version: int | None = None,
     partition_values=None,
@@ -495,14 +539,13 @@ def read_snapshot_partitioned(
         by_value.setdefault(p, []).append(os.path.join(_data_dir(path), n))
 
     def _lit(encoded):
-        if encoded is None or encoded == _HIVE_NULL:
-            col = F.lit(None)
-        else:
-            col = F.lit(_unescape_path_name(encoded))
-        return col.cast(ptype) if ptype else col
+        return _partition_lit(encoded, ptype)
 
+    dvmap = snapshot_dvs(path, v_max)  # merge-on-read per value group
     parts = [
-        spark.read.parquet(*sorted(files)).withColumn(partition_col, _lit(value))
+        _read_files_dv(spark, path, sorted(files), dvmap).withColumn(
+            partition_col, _lit(value)
+        )
         for value, files in sorted(by_value.items(), key=lambda kv: (kv[0] is None, kv[0]))
     ]
     return reduce(lambda a, b: a.unionByName(b), parts)
@@ -547,7 +590,10 @@ def txn_upsert_partitioned(
             merged = source
         added = _stage_partitioned(merged, path, partition_col)
         try:
-            return commit(path, added, old_touched, base_v, op="UPSERT")
+            return commit(
+                path, added, old_touched, base_v, op="UPSERT",
+                props={"partition.column": partition_col},
+            )
         except TxnConflict:
             continue
     raise TxnConflict(f"gave up after {max_retries} retries upserting {path}")
@@ -567,7 +613,12 @@ def txn_append_partitioned(
     added = _stage_partitioned(df, path, partition_col)
     for _ in range(max_retries):
         try:
-            return commit(path, added, [], current_version(path), op="APPEND")
+            # the partition COLUMN NAME rides as a property so generic
+            # readers (read_snapshot) can re-attach it without being told
+            return commit(
+                path, added, [], current_version(path), op="APPEND",
+                props={"partition.column": partition_col},
+            )
         except TxnConflict:
             continue
     raise TxnConflict(f"gave up after {max_retries} retries appending to {path}")
@@ -587,6 +638,7 @@ def txn_delete(spark, source_pred, path: str, max_retries: int = 3) -> int:
     (which is NULL for NULL inputs and would silently drop those rows)."""
     from pyspark.sql import functions as F
 
+    _refuse_partitioned(path, "txn_delete")
     for _ in range(max_retries):
         base_v = current_version(path)
         target = read_snapshot(spark, path, base_v)
@@ -728,6 +780,7 @@ def txn_compact(
     version (or the current one if there was nothing to compact)."""
     import math
 
+    _refuse_partitioned(path, "txn_compact")
     for _ in range(max_retries):
         base_v = current_version(path)
         files = snapshot_files(path, base_v)
@@ -1431,25 +1484,56 @@ def txn_delete_dv(spark, source_pred, path: str, max_retries: int = 3) -> int:
         base_v = current_version(path)
         if base_v < 0:
             raise ValueError(f"no data to delete at {path}")
-        live, ptype = _fold_log(path, base_v)
-        if ptype is not None:
-            raise ValueError(
-                "txn_delete_dv: partitioned tables are not supported — the "
-                "partitioned read path does not apply deletion vectors; "
-                "use txn_delete / the partitioned rewrite forms instead"
-            )
-        files = sorted(os.path.join(_data_dir(path), n) for n in live)
+        live, ptype, props = _fold_log3(path, base_v)
         old_dvs = {n: d["dv"]["d"] for n, d in live.items() if d.get("dv")}
-        src = spark.read.option("mergeSchema", "true").parquet(*files)
-        hits = (
-            src.select(
-                F.substring_index(F.col("_metadata.file_path"), "/", -1).alias("__f"),
-                F.col("_metadata.row_index").alias("__p"),
-                *src.columns,
+        if ptype is not None:
+            # partitioned table: the predicate may reference the partition
+            # column, which lives in the LOG — scan per value group with
+            # the typed literal re-attached, exactly like the read path
+            pcol = props.get("partition.column")
+            if pcol is None:
+                raise ValueError(
+                    "txn_delete_dv: partitioned table predates the "
+                    "partition.column property — cannot re-attach the "
+                    "partition column for predicate evaluation"
+                )
+            by_value: dict = {}
+            for n, d in live.items():
+                by_value.setdefault(d["p"], []).append(
+                    os.path.join(_data_dir(path), n)
+                )
+            groups = []
+            for value, gfiles in sorted(
+                by_value.items(), key=lambda kv: (kv[0] is None, kv[0])
+            ):
+                g = spark.read.option("mergeSchema", "true").parquet(*sorted(gfiles))
+                groups.append(
+                    g.select(
+                        F.substring_index(
+                            F.col("_metadata.file_path"), "/", -1
+                        ).alias("__f"),
+                        F.col("_metadata.row_index").alias("__p"),
+                        *g.columns,
+                    ).withColumn(pcol, _partition_lit(value, ptype))
+                )
+            from functools import reduce
+
+            src = reduce(lambda a, b: a.unionByName(b), groups)
+            hits = src.filter(F.coalesce(source_pred, F.lit(False))).select(
+                "__f", "__p"
             )
-            .filter(F.coalesce(source_pred, F.lit(False)))
-            .select("__f", "__p")
-        )
+        else:
+            files = sorted(os.path.join(_data_dir(path), n) for n in live)
+            src = spark.read.option("mergeSchema", "true").parquet(*files)
+            hits = (
+                src.select(
+                    F.substring_index(F.col("_metadata.file_path"), "/", -1).alias("__f"),
+                    F.col("_metadata.row_index").alias("__p"),
+                    *src.columns,
+                )
+                .filter(F.coalesce(source_pred, F.lit(False)))
+                .select("__f", "__p")
+            )
         gen = uuid.uuid4().hex[:8]
         data_dir = _data_dir(path)
 
@@ -2082,6 +2166,7 @@ def export_symlink_manifest(path: str, version: int | None = None) -> str:
     deleted rows (compact first). Rewritten atomically (temp + rename);
     returns the manifest file path."""
     v = current_version(path) if version is None else version
+    _refuse_partitioned(path, "export_symlink_manifest")
     if snapshot_dvs(path, v):
         raise ValueError(
             "export_symlink_manifest: table has live deletion vectors — a "

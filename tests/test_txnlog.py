@@ -1160,11 +1160,46 @@ class TestDeletionVectors:
         assert txnlog.read_snapshot(spark, dst).count() == 54
         assert txnlog.read_snapshot(spark, table).count() == 55
 
-    def test_dv_rejects_partitioned_tables(self, spark, table):
+    def test_dv_on_partitioned_tables(self, spark, table):
+        """DV deletes work on partitioned tables: the predicate may
+        reference the LOG-carried partition column (re-attached per value
+        group for evaluation), data files stay untouched, and both the
+        generic and the pruned partitioned reads apply the vectors."""
+        df = spark.createDataFrame(
+            [(k, "x" if k % 2 == 0 else "y", k * 10) for k in range(10)],
+            "k long, p string, v long",
+        )
+        txnlog.txn_append_partitioned(spark, df, table, "p")
+        before = _inodes(table)
+        txnlog.txn_delete_dv(
+            spark, (F.col("p") == "x") & (F.col("k") < 5), table
+        )
+        assert _inodes(table) == before  # no data bytes moved
+        # generic read (delegates to the re-attaching partitioned read)
+        snap = txnlog.read_snapshot(spark, table)
+        assert set(snap.columns) == {"k", "p", "v"}
+        assert snap.count() == 7  # k in {0, 2, 4} deleted
+        assert snap.filter("p = 'x' AND k < 5").count() == 0
+        # pruned partitioned read applies the vectors too
+        pr = txnlog.read_snapshot_partitioned(
+            spark, table, "p", partition_values=["x"]
+        )
+        assert {r["k"] for r in pr.collect()} == {6, 8}
+
+    def test_whole_rewrite_forms_refuse_partitioned_tables(self, spark, table):
+        """txn_delete / txn_upsert / txn_compact / manifest export would
+        strip the log-carried partition values — they must refuse loudly,
+        never silently convert the table."""
         df = spark.createDataFrame([(1, "x"), (2, "y")], "k long, p string")
         txnlog.txn_append_partitioned(spark, df, table, "p")
-        with pytest.raises(ValueError, match="partitioned"):
-            txnlog.txn_delete_dv(spark, F.col("k") == 1, table)
+        with pytest.raises(ValueError, match="partition"):
+            txnlog.txn_delete(spark, F.col("k") == 1, table)
+        with pytest.raises(ValueError, match="partition"):
+            txnlog.txn_upsert(spark, df, table, ["k"])
+        with pytest.raises(ValueError, match="partition"):
+            txnlog.txn_compact(spark, table)
+        with pytest.raises(ValueError, match="partition"):
+            txnlog.export_symlink_manifest(table)
 
     def test_checkpoint_carries_dv_references(self, spark, table):
         self._seed(spark, table)
