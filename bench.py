@@ -178,6 +178,7 @@ HEADLINE = [
     "stream_lake_sink_exactly_once",
     "stream_lake_expectations",
     "lake_export_manifest",
+    "lake_partitioned_dv_optimize",
 ]
 
 

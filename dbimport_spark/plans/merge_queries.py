@@ -1843,3 +1843,64 @@ def lake_export_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_rows"),
         F.sum("bal").cast("bigint").alias("bal_sum"),
     )
+
+
+@register(
+    "lake_partitioned_dv_optimize",
+    """SELECT o_orderstatus AS status, CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS price_cents
+FROM orders
+WHERE NOT (o_orderstatus = 'F' AND o_orderkey % 7 = 0)
+GROUP BY o_orderstatus""",
+)
+def lake_partitioned_dv_optimize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partitioned deletion vectors + per-partition OPTIMIZE: two
+    partitioned appends fragment each status partition, a DV delete whose
+    predicate references the LOG-carried partition column removes rows
+    with zero data bytes moved, then txn_compact_partitioned merges small
+    files WITHIN each value (materializing the vectors) — untouched
+    partitions are not read or mentioned in the commit. The graded read
+    goes through the generic snapshot reader, which re-attaches the
+    partition column by delegation (the column name rides as a log
+    property). At 100 TB: compacting one hot partition of a thousand is
+    O(that partition), and the delete before it was O(deleted rows)."""
+    import os
+    import shutil
+    import tempfile
+
+    from dbimport_spark import txnlog
+
+    path = os.path.join(
+        tempfile.gettempdir(),
+        "dbimport_spark_txn",
+        "pdv_opt_" + sf_dir.rstrip("/").replace("/", "_"),
+    )
+    if os.path.isdir(path):
+        shutil.rmtree(path)
+
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("price_cents"),
+    )
+    for m in range(2):  # fragment every status partition (2 files/value)
+        txnlog.txn_append_partitioned(
+            spark,
+            orders.filter(F.col("o_orderkey") % 2 == m).coalesce(2),
+            path,
+            "o_orderstatus",
+        )
+    txnlog.txn_delete_dv(
+        spark,
+        (F.col("o_orderstatus") == "F") & (F.col("o_orderkey") % 7 == 0),
+        path,
+    )
+    txnlog.txn_compact_partitioned(spark, path, target_file_bytes=1 << 30)
+    return (
+        txnlog.read_snapshot(spark, path)
+        .groupBy(F.col("o_orderstatus").alias("status"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.sum("price_cents").cast("bigint").alias("price_cents"),
+        )
+    )

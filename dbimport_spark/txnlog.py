@@ -567,12 +567,6 @@ def txn_upsert_partitioned(
 
     from dbimport_spark.operators.merge import upsert
 
-    if table_checks(path):
-        raise ValueError(
-            "txn_upsert_partitioned: CHECK constraints are not enforced on "
-            "the partitioned write path yet — refusing to write unvalidated "
-            "rows to a constrained table"
-        )
     touched_values = [
         r[0] for r in source.select(partition_col).distinct().collect()
     ]
@@ -589,6 +583,7 @@ def txn_upsert_partitioned(
         else:
             merged = source
         added = _stage_partitioned(merged, path, partition_col)
+        _validate_staged(spark, path, added, partition_col)
         try:
             return commit(
                 path, added, old_touched, base_v, op="UPSERT",
@@ -603,14 +598,11 @@ def txn_append_partitioned(
     spark, df: DataFrame, path: str, partition_col: str, max_retries: int = 5
 ) -> int:
     """Append-commit df split by partition value (each staged file covers
-    exactly one value, recorded in the log entry)."""
-    if table_checks(path):
-        raise ValueError(
-            "txn_append_partitioned: CHECK constraints are not enforced on "
-            "the partitioned write path yet — refusing to write unvalidated "
-            "rows to a constrained table"
-        )
+    exactly one value, recorded in the log entry). CHECK constraints are
+    enforced like the unpartitioned append — the staged files are
+    validated with their partition values re-attached."""
     added = _stage_partitioned(df, path, partition_col)
+    checks = _validate_staged(spark, path, added, partition_col)
     for _ in range(max_retries):
         try:
             # the partition COLUMN NAME rides as a property so generic
@@ -1845,25 +1837,52 @@ def txn_add_check(
     return txn_set_property(path, f"check.{name}", expr, max_retries)
 
 
-def _validate_staged(spark, path: str, staged_names: list[str]) -> dict[str, str]:
+def _validate_staged(
+    spark, path: str, staged: list, partition_col: str | None = None
+) -> dict[str, str]:
     """Validate freshly-staged files against the table's live checks;
     raises CheckViolation (and removes the staged files — they were never
     visible) when any row violates. Returns the check set validated
-    against, so retry loops can detect a concurrently-changed set."""
+    against, so retry loops can detect a concurrently-changed set.
+
+    ``staged`` entries are bare names or partitioned ``{"n", "p", "t"}``
+    dicts; for the latter the log-carried partition column is re-attached
+    (typed literal per file group) before evaluation, so constraints may
+    reference it."""
     checks = table_checks(path)
-    if not checks or not staged_names:
+    if not checks or not staged:
         return checks
-    files = [os.path.join(_data_dir(path), n) for n in staged_names]
-    bad = (
-        spark.read.option("mergeSchema", "true")
-        .parquet(*files)
-        .filter(_violation_pred(checks))
-        .count()
-    )
+    names = [e["n"] if isinstance(e, dict) else e for e in staged]
+    # the first partitioned commit sets the property IN this commit — the
+    # writer passes the column name explicitly for that window
+    pcol = partition_col or table_props(path).get("partition.column")
+    plain, by_value = [], {}
+    for e in staged:
+        if isinstance(e, dict) and e.get("p") is not None and pcol:
+            by_value.setdefault((e["p"], e.get("t")), []).append(e["n"])
+        else:
+            plain.append(e["n"] if isinstance(e, dict) else e)
+    parts = []
+    if plain:
+        parts.append(
+            spark.read.option("mergeSchema", "true").parquet(
+                *[os.path.join(_data_dir(path), n) for n in plain]
+            )
+        )
+    for (value, ptype), group in sorted(by_value.items()):
+        parts.append(
+            spark.read.option("mergeSchema", "true")
+            .parquet(*[os.path.join(_data_dir(path), n) for n in group])
+            .withColumn(pcol, _partition_lit(value, ptype))
+        )
+    from functools import reduce
+
+    df = reduce(lambda a, b: a.unionByName(b, allowMissingColumns=True), parts)
+    bad = df.filter(_violation_pred(checks)).count()
     if bad:
-        for f in files:
+        for n in names:
             try:
-                os.remove(f)
+                os.remove(os.path.join(_data_dir(path), n))
             except FileNotFoundError:
                 pass
         raise CheckViolation(
@@ -2183,3 +2202,73 @@ def export_symlink_manifest(path: str, version: int | None = None) -> str:
             fh.write(os.path.abspath(f) + "\n")
     os.replace(tmp, target)
     return target
+
+
+def txn_compact_partitioned(
+    spark, path: str, target_file_bytes: int = 128 << 20, min_files: int = 2,
+    max_retries: int = 3,
+) -> int:
+    """OPTIMIZE for partitioned tables: compact small files WITHIN each
+    partition value (cross-partition merges are impossible by definition
+    — the value is per-file log metadata). Only values whose file count
+    and total size warrant it are rewritten; untouched partitions' files
+    are not read and not mentioned in the commit, so compacting one hot
+    partition of a thousand is O(that partition). Deletion vectors on
+    rewritten files materialize away; content is invariant."""
+    import math
+    from pyspark.sql import functions as _F
+
+    for _ in range(max_retries):
+        base_v = current_version(path)
+        if base_v < 0:
+            return base_v
+        live, ptype, props = _fold_log3(path, base_v)
+        if ptype is None:
+            return txn_compact(spark, path, target_file_bytes, min_files)
+        pcol = props.get("partition.column")
+        if pcol is None:
+            raise ValueError(
+                "txn_compact_partitioned: partitioned table predates the "
+                "partition.column property — cannot re-attach the column "
+                "for the rewrite"
+            )
+        dvmap = {n: d["dv"] for n, d in live.items() if d.get("dv")}
+        by_value: dict = {}
+        for n, d in live.items():
+            by_value.setdefault(d["p"], []).append(n)
+        # pick the partitions worth rewriting; ONE staging job covers them
+        # all (a per-partition job loop serializes P tiny jobs — the wrong
+        # shape when one table has thousands of values)
+        groups: list = []
+        removed: list = []
+        for value, names in sorted(
+            by_value.items(), key=lambda kv: (kv[0] is None, kv[0])
+        ):
+            has_dv = any(n in dvmap for n in names)
+            files = [os.path.join(_data_dir(path), n) for n in names]
+            total = sum(os.path.getsize(f) for f in files)
+            n_out = max(1, math.ceil(total / target_file_bytes))
+            if (len(names) < min_files or n_out >= len(names)) and not has_dv:
+                continue
+            df = _read_files_dv(
+                spark, path, files, {n: dvmap[n] for n in names if n in dvmap}
+            ).withColumn(pcol, _partition_lit(value, ptype))
+            groups.append(df)
+            removed.extend(names)
+        if not removed:
+            return base_v
+        from functools import reduce
+
+        union = reduce(lambda a, b: a.unionByName(b), groups)
+        # one task per rewritten value → one output file per value (the
+        # per-value coalesce granularity; finer splitting belongs to the
+        # writer's maxRecordsPerFile at real scale)
+        added = _stage_partitioned(
+            union.repartition(len(groups), _F.col(pcol)), path, pcol
+        )
+        try:
+            return commit(path, added, removed, base_v, op="OPTIMIZE")
+        except TxnConflict:
+            # staged files unreferenced; re-derive from the new snapshot
+            continue
+    raise TxnConflict(f"gave up after {max_retries} retries compacting {path}")

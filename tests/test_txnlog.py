@@ -1438,14 +1438,37 @@ class TestCheckConstraints:
         with pytest.raises(txnlog.CheckViolation):
             txnlog.txn_append(spark, _df(spark, [(-5, "bad")]), table)
 
-    def test_partitioned_paths_refuse_constrained_tables(self, spark, table):
+    def test_partitioned_paths_enforce_constraints(self, spark, table):
+        """CHECK constraints hold on the partitioned write path too —
+        including constraints referencing the PARTITION column itself
+        (which lives in the log, re-attached for validation)."""
         df = spark.createDataFrame([(1, "x")], "k long, p string")
         txnlog.txn_append_partitioned(spark, df, table, "p")
-        txnlog.txn_add_check(spark, table, "k_pos", "k > 0", validate=False)
-        with pytest.raises(ValueError, match="not enforced"):
-            txnlog.txn_append_partitioned(spark, df, table, "p")
-        with pytest.raises(ValueError, match="not enforced"):
-            txnlog.txn_upsert_partitioned(spark, df, table, ["k"], "p")
+        txnlog.txn_add_check(spark, table, "k_pos", "k > 0")
+        txnlog.txn_add_check(spark, table, "p_known", "p IN ('x', 'y')")
+        bad_k = spark.createDataFrame([(-1, "x")], "k long, p string")
+        with pytest.raises(txnlog.CheckViolation, match="k_pos"):
+            txnlog.txn_append_partitioned(spark, bad_k, table, "p")
+        bad_p = spark.createDataFrame([(2, "z")], "k long, p string")
+        with pytest.raises(txnlog.CheckViolation, match="p_known"):
+            txnlog.txn_append_partitioned(spark, bad_p, table, "p")
+        with pytest.raises(txnlog.CheckViolation):
+            txnlog.txn_upsert_partitioned(spark, bad_k, table, ["k"], "p")
+        # clean rows still land on both paths
+        ok = spark.createDataFrame([(5, "y")], "k long, p string")
+        txnlog.txn_append_partitioned(spark, ok, table, "p")
+        txnlog.txn_upsert_partitioned(
+            spark,
+            spark.createDataFrame([(5, "y"), (6, "x")], "k long, p string"),
+            table, ["k"], "p",
+        )
+        assert txnlog.read_snapshot(spark, table).count() == 3
+        # a fresh table's FIRST commit enforces pre-declared checks on the
+        # partition column (the property lands in the same commit)
+        t2 = table + "_fresh"
+        txnlog.txn_add_check(spark, t2, "p_known", "p = 'x'")
+        with pytest.raises(txnlog.CheckViolation):
+            txnlog.txn_append_partitioned(spark, bad_p, t2, "p")
 
 
 class TestHistoryRestoreZorder:
@@ -1618,3 +1641,51 @@ def test_symlink_manifest_roundtrip_and_dv_refusal(spark, table):
         txnlog.export_symlink_manifest(table)
     # older DV-free version still exports
     txnlog.export_symlink_manifest(table, version=1)
+
+
+def test_partitioned_compaction_is_per_partition(spark, table):
+    """txn_compact_partitioned merges small files WITHIN each value and
+    leaves already-compact partitions untouched (name + inode identity);
+    DVs on rewritten partitions materialize; content is invariant."""
+    df = spark.createDataFrame(
+        [(k, "hot" if k < 20 else "cold", k) for k in range(30)],
+        "k long, p string, v long",
+    )
+    # hot partition fragmented across 4 commits; cold lands once
+    for m in range(4):
+        txnlog.txn_append_partitioned(
+            spark, df.filter((F.col("p") == "hot") & (F.col("k") % 4 == m)),
+            table, "p",
+        )
+    txnlog.txn_append_partitioned(
+        spark, df.filter("p = 'cold'").coalesce(1), table, "p"
+    )
+    txnlog.txn_delete_dv(spark, F.col("k") == 2, table)
+
+    parts_before = txnlog.snapshot_partitions(table)
+    cold_before = {n for n, p in parts_before.items() if p == "cold"}
+    inodes = _inodes(table)
+    v = txnlog.txn_compact_partitioned(spark, table, target_file_bytes=1 << 30)
+
+    parts_after = txnlog.snapshot_partitions(table)
+    # cold partition untouched (single compact file, no DV)
+    for n in cold_before:
+        assert parts_after.get(n) == "cold"
+        assert _inodes(table)[n] == inodes[n]
+    # hot partition merged to one file, DV materialized
+    hot_after = [n for n, p in parts_after.items() if p == "hot"]
+    assert len(hot_after) == 1
+    assert txnlog.snapshot_dvs(table) == {}
+    snap = txnlog.read_snapshot(spark, table)
+    assert snap.count() == 29 and snap.filter("k = 2").count() == 0
+    # partition pruning still works on the rewritten files
+    pr = txnlog.read_snapshot_partitioned(
+        spark, table, "p", partition_values=["hot"]
+    )
+    assert pr.count() == 19
+    # unpartitioned tables transparently take the plain compactor
+    t2 = table + "_plain"
+    txnlog.txn_append(spark, spark.range(5).selectExpr("id AS k"), t2)
+    txnlog.txn_append(spark, spark.range(5, 10).selectExpr("id AS k"), t2)
+    txnlog.txn_compact_partitioned(spark, t2, target_file_bytes=1 << 30)
+    assert len(txnlog.snapshot_files(t2)) == 1
