@@ -184,14 +184,55 @@ class LakeCdcStreamReader(DataSourceStreamReader):
         if self._partition_col:
             _, self._ptype = _fold_log(path, current_version(path))
         self._start = int(options.get("startingVersion", 0))
+        # maxVersionsPerTrigger: admission control — cap how many commits
+        # one micro-batch swallows (Delta's maxFilesPerTrigger at this
+        # source's natural granularity: offsets ARE versions, and a
+        # version is never split across batches). Best-effort after a
+        # restart: the first batch is unbounded because latestOffset()
+        # cannot see the checkpointed start (the engine owns it); every
+        # subsequent batch is capped. A throughput knob, never a
+        # correctness one.
+        mv = int(options.get("maxVersionsPerTrigger", 0))
+        self._max_versions = mv if mv > 0 else None
+        self._cursor: int | None = None  # last version handed to partitions()
+
+    def _trace(self, msg):
+        import os as _os
+
+        tf = _os.environ.get("LAKE_CDC_TRACE")
+        if tf:
+            with open(tf, "a") as fh:
+                fh.write(msg + "\n")
 
     def initialOffset(self) -> dict:
+        self._trace(f"initialOffset cursor={self._cursor}")
+        self._cursor = self._start - 1
         return {"version": self._start - 1}
 
     def latestOffset(self) -> dict:
-        return {"version": current_version(self._path)}
+        cur = current_version(self._path)
+        self._trace(f"latestOffset cur={cur} cursor={self._cursor} max={self._max_versions}")
+        if self._max_versions is None:
+            return {"version": cur}
+        if self._cursor is None:
+            # the engine calls latestOffset BEFORE initialOffset (traced);
+            # bootstrap pacing from startingVersion. After a checkpoint
+            # restart the replayed/committed batch re-seeds the cursor via
+            # partitions()/commit() before new planning matters.
+            self._cursor = self._start - 1
+        return {"version": min(cur, self._cursor + self._max_versions)}
+
+    def commit(self, end: dict) -> None:
+        # ratchet: a completed batch can only move pacing forward (also
+        # re-seeds the cursor after a restart where partitions() was not
+        # replayed)
+        self._cursor = max(self._cursor if self._cursor is not None else -1,
+                           int(end["version"]))
 
     def partitions(self, start: dict, end: dict):
+        self._trace(f"partitions {start} {end}")
+        self._cursor = max(self._cursor if self._cursor is not None else -1,
+                           int(end["version"]))
         parts: list[_AddedFile] = []
         for v in range(int(start["version"]) + 1, int(end["version"]) + 1):
             entry = _read_entry(self._path, v)

@@ -269,3 +269,107 @@ def test_dv_commit_is_change_data(spark, tmp_path):
     q2.awaitTermination()
     got = spark.sql("SELECT count(*) AS n FROM cdc_dv_skip").first()["n"]
     assert got == 20  # both append commits, nothing from the DV commit
+
+
+def test_max_versions_per_trigger_paces_the_stream(spark, tmp_path):
+    """Admission control: with maxVersionsPerTrigger=1, a micro-batch
+    stream over 3 commits takes 3 one-commit batches instead of one
+    three-commit gulp — every row still arrives exactly once. (An
+    availableNow drain fixes its end offset up front and is exempt by
+    design — pacing is for the continuous micro-batch path.)"""
+    import time
+
+    path = str(tmp_path / "t")
+    for m in range(3):
+        _append(spark, path, m)
+    register_lake_cdc(spark)
+    s = (
+        spark.readStream.format("lake_cdc")
+        .option("path", path)
+        .option("maxVersionsPerTrigger", "1")
+        .load()
+    )
+    seen = []  # sorted commit versions per non-empty batch
+
+    def collect(bdf, bid):
+        vs = sorted(
+            r["_commit_version"]
+            for r in bdf.select("_commit_version").distinct().collect()
+        )
+        if vs:
+            seen.append(vs)
+
+    q = (
+        s.writeStream.foreachBatch(collect)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(processingTime="250 milliseconds")
+        .start()
+    )
+    try:
+        deadline = time.time() + 90
+        while time.time() < deadline and len(seen) < 3:
+            time.sleep(0.25)
+    finally:
+        q.stop()
+    assert seen == [[0], [1], [2]]  # one commit per batch, in order
+
+
+def test_paced_stream_survives_checkpoint_restart(spark, tmp_path):
+    """Pacing must never wedge a restarted stream: after draining 2
+    commits under maxVersionsPerTrigger=1 and stopping, two MORE commits
+    arrive and the stream restarts from the checkpoint — every new commit
+    must arrive exactly once (pacing on the first post-restart batch is
+    best-effort; losing or duplicating data is not)."""
+    import time
+
+    path = str(tmp_path / "t")
+    cp = str(tmp_path / "ckpt")
+    sink = str(tmp_path / "sink")
+    register_lake_cdc(spark)
+
+    def run(expect_versions):
+        s = (
+            spark.readStream.format("lake_cdc")
+            .option("path", path)
+            .option("maxVersionsPerTrigger", "1")
+            .load()
+        )
+        q = (
+            s.writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", cp)
+            .outputMode("append")
+            .trigger(processingTime="250 milliseconds")
+            .start()
+        )
+        try:
+            deadline = time.time() + 90
+            while time.time() < deadline:
+                try:
+                    got = {
+                        r["_commit_version"]
+                        for r in spark.read.parquet(sink)
+                        .select("_commit_version").distinct().collect()
+                    }
+                except Exception:
+                    got = set()
+                if got >= expect_versions:
+                    break
+                time.sleep(0.25)
+        finally:
+            q.stop()
+
+    _append(spark, path, 0)
+    _append(spark, path, 1)
+    run({0, 1})
+    _append(spark, path, 2)
+    _append(spark, path, 3)
+    run({0, 1, 2, 3})
+    per = {
+        r.v: r.n
+        for r in spark.read.parquet(sink)
+        .groupBy(F.col("_commit_version").alias("v"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert per == {0: 10, 1: 10, 2: 10, 3: 10}  # exactly once each
