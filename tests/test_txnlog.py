@@ -1689,3 +1689,27 @@ def test_partitioned_compaction_is_per_partition(spark, table):
     txnlog.txn_append(spark, spark.range(5, 10).selectExpr("id AS k"), t2)
     txnlog.txn_compact_partitioned(spark, t2, target_file_bytes=1 << 30)
     assert len(txnlog.snapshot_files(t2)) == 1
+
+
+def test_change_feed_on_partitioned_tables(spark, table):
+    """CDF works on partitioned tables now that read_snapshot delegates:
+    both snapshots come back WITH the partition column, so changes in it
+    surface as updates."""
+    df = spark.createDataFrame(
+        [(1, "a", "x"), (2, "b", "y")], "k long, v string, p string"
+    )
+    txnlog.txn_append_partitioned(spark, df, table, "p")       # v0
+    txnlog.txn_upsert_partitioned(
+        spark,
+        spark.createDataFrame([(2, "B2", "y"), (3, "c", "x")],
+                              "k long, v string, p string"),
+        table, ["k"], "p",
+    )                                                          # v1
+    got = {
+        (r["k"], r["_change_type"]): (r["v"], r["p"])
+        for r in txnlog.read_changes(spark, table, ["k"], 0, 1).collect()
+    }
+    assert got == {
+        (2, "update"): ("B2", "y"),
+        (3, "insert"): ("c", "x"),
+    }

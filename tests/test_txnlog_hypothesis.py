@@ -159,6 +159,38 @@ class LogProtocol(RuleBasedStateMachine):
     def vacuum(self, retain):
         txnlog.vacuum(self.table, retain_versions=retain)
 
+    @rule()
+    def checkpoint(self):
+        """Pure read-path op: every later fold resolves THROUGH the
+        checkpoint — any field the checkpoint forgets to carry (dv,
+        props, ptype) breaks the visible-set/props invariants."""
+        if txnlog.current_version(self.table) >= 0:
+            txnlog.write_checkpoint(self.table)
+
+    @rule(k=st.sampled_from(["owner", "ttl", "note"]),
+          v=st.one_of(st.none(), st.sampled_from(["a", "b", "c"])))
+    def set_property(self, k, v):
+        if not hasattr(self, "props_model"):
+            self.props_model = {}
+        txnlog.txn_set_property(self.table, k, v)
+        if v is None:
+            self.props_model.pop(k, None)
+        else:
+            self.props_model[k] = v
+        v_new = txnlog.current_version(self.table)
+        self.history[v_new] = set(self.model)
+
+    @invariant()
+    def props_match_model(self):
+        if not hasattr(self, "table"):
+            return
+        got = {
+            k: v
+            for k, v in txnlog.table_props(self.table).items()
+            if not k.startswith("check.")
+        }
+        assert got == getattr(self, "props_model", {})
+
     @invariant()
     def visible_matches_model(self):
         if not hasattr(self, "table"):
