@@ -41,6 +41,30 @@ def z_value(a, b, bits: int = BITS_PER_DIM) -> "F.Column":
     return F.expr(interleave_sql(str(a), str(b), bits))
 
 
+def interleave_sql_n(cols: list, bits: int) -> str:
+    """N-dimensional Morton interleave: bit i of dimension d lands at
+    position ``i * n_dims + d`` (round-robin — every dimension
+    contributes equally to every split level, the property that makes
+    range splits prune on ANY clustered column). ``n_dims * bits`` must
+    fit a signed bigint (≤ 62). Same flat OR-of-shifts text in Spark SQL
+    and DuckDB."""
+    n = len(cols)
+    if n < 2:
+        raise ValueError("interleave needs at least 2 columns")
+    if n * bits > 62:
+        raise ValueError(f"{n} dims × {bits} bits exceeds a bigint")
+    parts = []
+    for i in range(bits):
+        for d, c in enumerate(cols):
+            parts.append(f"((({c} >> {i}) & 1) << {i * n + d})")
+    return "(" + " | ".join(parts) + ")"
+
+
+def z_value_n(cols: list, bits: int) -> "F.Column":
+    """Morton key for N non-negative integer columns (names/snippets)."""
+    return F.expr(interleave_sql_n([str(c) for c in cols], bits))
+
+
 def zorder_write(
     df: DataFrame,
     path: str,

@@ -346,7 +346,8 @@ def txn_append(spark, df: DataFrame, path: str, max_retries: int = 5) -> int:
     checks = _validate_staged(spark, path, added)
     for _ in range(max_retries):
         try:
-            return commit(path, added, [], current_version(path), op="APPEND")
+            v = commit(path, added, [], current_version(path), op="APPEND")
+            return _maybe_auto_optimize(spark, path, v)
         except TxnConflict:
             checks = _revalidate_if_changed(spark, path, added, checks)
             continue
@@ -607,10 +608,11 @@ def txn_append_partitioned(
         try:
             # the partition COLUMN NAME rides as a property so generic
             # readers (read_snapshot) can re-attach it without being told
-            return commit(
+            v = commit(
                 path, added, [], current_version(path), op="APPEND",
                 props={"partition.column": partition_col},
             )
+            return _maybe_auto_optimize(spark, path, v)
         except TxnConflict:
             continue
     raise TxnConflict(f"gave up after {max_retries} retries appending to {path}")
@@ -2057,29 +2059,33 @@ def txn_restore(path: str, version: int, max_retries: int = 5) -> int:
 def txn_zorder(
     spark,
     path: str,
-    col_a: str,
-    col_b: str,
+    *cols: str,
     n_files: int = 16,
     stats_cols=(),
     max_retries: int = 3,
 ) -> int:
     """OPTIMIZE ZORDER BY — transactional multi-column re-clustering:
     read the snapshot (deletion vectors materialize away), Morton-order
-    the rows on (col_a, col_b) (functions/zorder.py: one range shuffle +
-    within-partition sort), and commit the rewrite with fresh per-file
-    footer stats so zone maps prune on EITHER column afterwards. Content
-    is invariant; time travel keeps the old layout until vacuum.
+    the rows on N clustering columns (functions/zorder.py: one range
+    shuffle + within-partition sort), and commit the rewrite with fresh
+    per-file footer stats so zone maps prune on ANY clustered column
+    afterwards. Content is invariant; time travel keeps the old layout
+    until vacuum.
 
-    Both dimensions are min/max-normalized to the SAME bit width before
+    Every dimension is min/max-normalized to the SAME bit width before
     interleaving (Delta's range-id step): raw interleaving of unequal-
     range columns lets the wider column's high bits own every range
-    split and the narrower column never prunes."""
+    split and the narrower columns never prune. Bit budget: 62 bits of
+    signed bigint split evenly (16 per dim capped), so up to ~8 columns."""
     from pyspark.sql import functions as F
 
-    from dbimport_spark.functions.zorder import z_value
+    from dbimport_spark.functions.zorder import z_value_n
 
-    stats_cols = list(stats_cols) or [col_a, col_b]
-    NB = 16  # normalized bits per dimension
+    cols = list(cols)
+    if len(cols) < 2:
+        raise ValueError("txn_zorder: need at least 2 clustering columns")
+    stats_cols = list(stats_cols) or cols
+    nb = min(16, 62 // len(cols))  # normalized bits per dimension
 
     for _ in range(max_retries):
         base_v = current_version(path)
@@ -2090,8 +2096,8 @@ def txn_zorder(
             raise ValueError("txn_zorder: partitioned tables are not supported")
         files = sorted(os.path.join(_data_dir(path), n) for n in live)
         df = _read_files_dv(spark, path, files, snapshot_dvs(path, base_v))
-        lo_a, hi_a, lo_b, hi_b = df.agg(
-            F.min(col_a), F.max(col_a), F.min(col_b), F.max(col_b)
+        bounds = df.agg(
+            *[f for c in cols for f in (F.min(c), F.max(c))]
         ).first()
 
         def _norm(c, lo, hi):
@@ -2099,16 +2105,22 @@ def txn_zorder(
             return (
                 (F.col(c).cast("double") - float(lo or 0))
                 / span
-                * ((1 << NB) - 1)
+                * ((1 << nb) - 1)
             ).cast("bigint")
 
+        clustered = df
+        tmp_cols = []
+        for i, c in enumerate(cols):
+            tc = f"__z{i}"
+            tmp_cols.append(tc)
+            clustered = clustered.withColumn(
+                tc, _norm(c, bounds[2 * i], bounds[2 * i + 1])
+            )
         clustered = (
-            df.withColumn("__za", _norm(col_a, lo_a, hi_a))
-            .withColumn("__zb", _norm(col_b, lo_b, hi_b))
-            .withColumn("__z", z_value("__za", "__zb", bits=NB))
+            clustered.withColumn("__z", z_value_n(tmp_cols, bits=nb))
             .repartitionByRange(n_files, F.col("__z"))
             .sortWithinPartitions("__z")
-            .drop("__za", "__zb", "__z")
+            .drop(*tmp_cols, "__z")
         )
         added = _stage_with_meta(spark, clustered, path, stats_cols)
         try:
@@ -2116,6 +2128,27 @@ def txn_zorder(
         except TxnConflict:
             continue
     raise TxnConflict(f"gave up after {max_retries} retries z-ordering {path}")
+
+
+def _maybe_auto_optimize(spark, path: str, new_version: int) -> int:
+    """Auto-compaction (Delta autoOptimize as a table property): when
+    ``autoOptimize.every = N`` is set, every Nth version triggers a
+    compaction right after the triggering append commits. Hooked into the
+    PLAIN append paths only (txn_append / txn_append_partitioned /
+    txn_append_idempotent — where streaming and incremental loads pile up
+    small files); the stats/bloom appends are deliberately exempt, since
+    a blanket compaction would discard their curated per-file metadata.
+    Returns the latest version (the compaction's, when one ran)."""
+    every = table_props(path).get("autoOptimize.every")
+    if not every:
+        return new_version
+    n = int(every)
+    if n <= 0 or new_version <= 0 or new_version % n != 0:
+        return new_version
+    _, ptype, _ = _fold_log3(path, current_version(path))
+    if ptype is None:
+        return txn_compact(spark, path)
+    return txn_compact_partitioned(spark, path)
 
 
 # --------------------------------------------- idempotent streaming sink
@@ -2160,7 +2193,7 @@ def txn_append_idempotent(
                     pass
             return current_version(path)
         try:
-            return commit(
+            v = commit(
                 path,
                 added,
                 [],
@@ -2168,6 +2201,7 @@ def txn_append_idempotent(
                 props={f"txn.{app_id}": str(batch_id)},
                 op="STREAMING_APPEND",
             )
+            return _maybe_auto_optimize(spark, path, v)
         except TxnConflict:
             checks = _revalidate_if_changed(spark, path, added, checks)
             continue

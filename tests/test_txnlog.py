@@ -1713,3 +1713,63 @@ def test_change_feed_on_partitioned_tables(spark, table):
         (2, "update"): ("B2", "y"),
         (3, "insert"): ("c", "x"),
     }
+
+
+def test_zorder_three_dimensions_prune_each(spark, table):
+    """N-dimensional OPTIMIZE ZORDER: with three clustered columns, a
+    narrow band on ANY one of them must skip files after the rewrite."""
+    df = spark.range(0, 6000).selectExpr(
+        "id AS a",
+        "CAST(hash(id) & 1023 AS BIGINT) AS b",
+        "CAST(hash(id * 7) & 63 AS BIGINT) AS c",
+    )
+    for m in range(4):
+        txnlog.txn_append_stats(
+            spark, df.filter(F.col("a") % 4 == m), table, ["a", "b", "c"]
+        )
+    before = sorted(tuple(r) for r in txnlog.read_snapshot(spark, table).collect())
+    txnlog.txn_zorder(spark, table, "a", "b", "c", n_files=32)
+    after = sorted(tuple(r) for r in txnlog.read_snapshot(spark, table).collect())
+    assert before == after
+
+    def kept(col, lo, hi):
+        n = t = 0
+        for _, st in txnlog.snapshot_stats(table).items():
+            if st.get("__rows__") == 0:
+                continue
+            t += 1
+            rng = st.get(col)
+            if rng is None or not (rng[1] < lo or rng[0] > hi):
+                n += 1
+        return n, t
+
+    for col, lo, hi in (("a", 0, 600), ("b", 0, 100), ("c", 0, 6)):
+        k, t = kept(col, lo, hi)
+        assert k < t, f"{col}: no pruning ({k}/{t})"
+    with pytest.raises(ValueError, match="at least 2"):
+        txnlog.txn_zorder(spark, table, "a")
+
+
+def test_auto_optimize_property_compacts_every_n(spark, table):
+    """autoOptimize.every=3: the third append triggers a compaction in
+    the same call; content invariant, stats/bloom appends exempt."""
+    txnlog.txn_set_property(table, "autoOptimize.every", "3")  # v0
+    txnlog.txn_append(spark, _df(spark, [(1, "a")]).coalesce(1), table)  # v1
+    txnlog.txn_append(spark, _df(spark, [(2, "b")]).coalesce(1), table)  # v2
+    assert len(txnlog.snapshot_files(table)) == 2
+    v = txnlog.txn_append(spark, _df(spark, [(3, "c")]).coalesce(1), table)
+    # v3 was the append; the auto-compaction committed v4 and returned it
+    assert v == 4
+    assert txnlog.table_history(table)[0]["op"] == "OPTIMIZE"
+    assert len(txnlog.snapshot_files(table)) == 1
+    got = {r["k"] for r in txnlog.read_snapshot(spark, table).collect()}
+    assert got == {1, 2, 3}
+    # exempt path: stats appends never auto-compact (metadata curated)
+    t2 = table + "_stats"
+    txnlog.txn_set_property(t2, "autoOptimize.every", "1")
+    for i in range(3):
+        txnlog.txn_append_stats(
+            spark, _df(spark, [(i, "x")]).coalesce(1), t2, ["k"]
+        )
+    assert len(txnlog.snapshot_files(t2)) == 3
+    assert txnlog.snapshot_profile(t2, ["k"])["n_rows"] == 3
