@@ -179,6 +179,7 @@ HEADLINE = [
     "stream_lake_expectations",
     "lake_export_manifest",
     "lake_partitioned_dv_optimize",
+    "lake_history_ops",
 ]
 
 

@@ -1904,3 +1904,60 @@ def lake_partitioned_dv_optimize(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("price_cents").cast("bigint").alias("price_cents"),
         )
     )
+
+
+@register(
+    "lake_history_ops",
+    """SELECT * FROM (VALUES
+  (CAST(0 AS INT), 'APPEND',       CAST(1 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT)),
+  (1,              'SET_PROPERTY', 0,                 0,                 0),
+  (2,              'DELETE_DV',    0,                 0,                 1),
+  (3,              'OPTIMIZE',     1,                 1,                 0),
+  (4,              'RESTORE',      1,                 1,                 0)
+) AS t(version, op, n_added, n_removed, n_dv)""",
+)
+def lake_history_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DESCRIBE HISTORY, value-graded: a deterministic op sequence —
+    append, property change, deletion-vector delete, DV-materializing
+    OPTIMIZE, RESTORE to version 0 — and the log's recorded history
+    (operation name + add/remove/DV action counts per version) must
+    reproduce it exactly. The history is metadata (txnlog.table_history
+    reads log JSONs, zero data pages); the single-file appends make the
+    file counts deterministic. Time travel across the whole sequence is
+    graded separately (lake_restore_rollback, lake_delete_vectors); this
+    query pins the audit-trail surface Delta exposes as DESCRIBE
+    HISTORY."""
+    import os
+    import shutil
+    import tempfile
+
+    from dbimport_spark import txnlog
+
+    path = os.path.join(
+        tempfile.gettempdir(),
+        "dbimport_spark_txn",
+        "history_" + sf_dir.rstrip("/").replace("/", "_"),
+    )
+    if os.path.isdir(path):
+        shutil.rmtree(path)
+
+    base = (
+        load(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") <= 100)
+        .select("c_custkey", "c_mktsegment")
+        .coalesce(1)
+    )
+    txnlog.txn_append(spark, base, path)                           # v0
+    txnlog.txn_set_property(path, "owner", "curation")             # v1
+    txnlog.txn_delete_dv(spark, F.col("c_custkey") % 10 == 3, path)  # v2
+    txnlog.txn_compact(spark, path, target_file_bytes=1 << 30, min_files=1)  # v3
+    txnlog.txn_restore(path, 0)                                    # v4
+
+    hist = txnlog.table_history(path)
+    return spark.createDataFrame(
+        [
+            (e["version"], e["op"], e["n_added"], e["n_removed"], e["n_dv"])
+            for e in hist
+        ],
+        "version int, op string, n_added bigint, n_removed bigint, n_dv bigint",
+    )

@@ -1773,3 +1773,22 @@ def test_auto_optimize_property_compacts_every_n(spark, table):
         )
     assert len(txnlog.snapshot_files(t2)) == 3
     assert txnlog.snapshot_profile(t2, ["k"])["n_rows"] == 3
+
+
+def test_restore_partitioned_table(spark, table):
+    """RESTORE on a partitioned table: re-added files carry their
+    partition values and type, so pruning works after the rollback."""
+    df = spark.createDataFrame(
+        [(1, "a", "x"), (2, "b", "y")], "k long, v string, p string"
+    )
+    txnlog.txn_append_partitioned(spark, df, table, "p")       # v0
+    txnlog.txn_upsert_partitioned(
+        spark,
+        spark.createDataFrame([(9, "z", "x")], "k long, v string, p string"),
+        table, ["k"], "p",
+    )                                                          # v1: x rewritten
+    txnlog.txn_restore(table, 0)                               # v2
+    snap = txnlog.read_snapshot(spark, table)
+    assert sorted((r["k"], r["p"]) for r in snap.collect()) == [(1, "x"), (2, "y")]
+    pr = txnlog.read_snapshot_partitioned(spark, table, "p", partition_values=["x"])
+    assert {r["k"] for r in pr.collect()} == {1}

@@ -461,3 +461,73 @@ def test_mp_vacuum_reaps_only_dead_dv_generations(tmp_path):
             ever_gens |= {e["d"] for e in json.load(fh).get("dv", [])}
     on_disk = {f for f in os.listdir(os.path.join(table, "data")) if ".dv." in f}
     assert not (on_disk & (ever_gens - kept_gens)), "dead generation survived vacuum"
+
+
+def _prop_setter(table, key, value, q):
+    txnlog.txn_set_property(table, key, value, max_retries=500)
+    q.put(("prop", key, value))
+
+
+def test_mp_property_races_linearize(tmp_path):
+    """4 processes racing property commits (two keys × two writers each)
+    + an appender: the final fold holds exactly one writer's value per
+    key (latest-wins by version order — never a torn/merged state), and
+    every version's entry parses."""
+    table = _mk_table(tmp_path)
+    _write_leaf(table, "seed.json")
+    txnlog.commit(table, ["seed.json"], [], -1)
+    ctx = mp.get_context("fork")
+    q = ctx.Queue()
+    procs = [
+        ctx.Process(target=_prop_setter, args=(table, "owner", v, q))
+        for v in ("alice", "bob")
+    ] + [
+        ctx.Process(target=_prop_setter, args=(table, "ttl", v, q))
+        for v in ("7d", "30d")
+    ] + [ctx.Process(target=_appender, args=(table, 0, 4, q))]
+    _run(procs, q, 5)
+    props = txnlog.table_props(table)
+    assert props["owner"] in ("alice", "bob")
+    assert props["ttl"] in ("7d", "30d")
+    # latest-wins is determined by the LOG, not the queue: replay agrees
+    cur = txnlog.current_version(table)
+    last = {}
+    for v in range(cur + 1):
+        with open(os.path.join(table, "_txn_log", f"{v:08d}.json")) as fh:
+            for k, val in (json.load(fh).get("props") or {}).items():
+                last[k] = val
+    assert props == {k: v for k, v in last.items() if v is not None}
+
+
+def test_mp_restore_racing_appender_linearizes(tmp_path):
+    """RESTORE racing an appender: whichever order the commits land in,
+    the final visible set must be a LEGAL linearization — either the
+    restore target alone (append landed first and was rolled back) or
+    target ∪ appended (append landed after the restore)."""
+    table = _mk_table(tmp_path)
+    _write_leaf(table, "base.json")
+    txnlog.commit(table, ["base.json"], [], -1)        # v0: the target
+    _write_leaf(table, "junk.json")
+    txnlog.commit(table, ["junk.json"], [], 0)         # v1: to roll back
+
+    ctx = mp.get_context("fork")
+    q = ctx.Queue()
+
+    def restorer(table, q):
+        txnlog.txn_restore(table, 0, max_retries=500)
+        q.put(("restore", 0, True))
+
+    procs = [
+        ctx.Process(target=restorer, args=(table, q)),
+        ctx.Process(target=_appender, args=(table, 7, 1, q)),
+    ]
+    _run(procs, q, 2)
+    final = set(_expand(table))
+    legal = (
+        {"base.json"},                      # append first, then restore
+        {"base.json", "leaf_w7_0.json"},    # restore first, then append
+    )
+    assert final in legal, final
+    # every version still resolves (restore is a commit, never surgery)
+    for v in range(txnlog.current_version(table) + 1):
+        _expand(table, v)
