@@ -180,6 +180,7 @@ HEADLINE = [
     "lake_export_manifest",
     "lake_partitioned_dv_optimize",
     "lake_history_ops",
+    "lake_merge_dv",
 ]
 
 

@@ -1961,3 +1961,77 @@ def lake_history_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         "version int, op string, n_added bigint, n_removed bigint, n_dv bigint",
     )
+
+
+@register(
+    "lake_merge_dv",
+    """WITH base AS (
+  SELECT c_custkey, CAST(round(c_acctbal * 100) AS BIGINT) AS bal_cents
+  FROM customer
+), upd AS (
+  SELECT c_custkey, bal_cents + 777 AS bal_cents FROM base WHERE c_custkey <= 100
+), ins AS (
+  SELECT c_custkey + 10000000 AS c_custkey, bal_cents FROM base WHERE c_custkey <= 20
+), merged AS (
+  SELECT b.c_custkey, COALESCE(u.bal_cents, b.bal_cents) AS bal_cents
+  FROM base b LEFT JOIN upd u ON b.c_custkey = u.c_custkey
+  UNION ALL SELECT c_custkey, bal_cents FROM ins
+)
+SELECT CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(bal_cents) AS BIGINT) AS bal_sum,
+       CAST(max(c_custkey) AS BIGINT) AS max_key,
+       CAST(count(*) FILTER (WHERE c_custkey > 10000000) AS BIGINT) AS n_inserted
+FROM merged""",
+)
+def lake_merge_dv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE-ON-READ UPSERT via deletion vectors (txnlog.txn_merge_dv) —
+    the third merge strategy beside the whole-snapshot rewrite
+    (★merge_upsert's lake form) and the pruned CoW rewrite
+    (★lake_merge_into_pruned), graded against the SAME oracle as the
+    latter: identical semantics, different write amplification. Matched
+    target rows are deleted by DV sidecars built from a KEY-COLUMN-pruned
+    scan and the whole source appends as new files, all in one atomic
+    commit — no pre-existing file is rewritten (pinned by
+    tests/test_txnlog.py::TestMergeOnReadUpsert). At 100 TB this is the
+    cheapest point-update write path: O(source) new bytes + O(matched
+    rows) sidecar bytes; reads pay the anti-join until OPTIMIZE."""
+    import os
+    import shutil
+    import tempfile
+
+    from dbimport_spark import txnlog
+
+    path = os.path.join(
+        tempfile.gettempdir(),
+        "dbimport_spark_txn",
+        "merge_dv_" + sf_dir.rstrip("/").replace("/", "_"),
+    )
+    if os.path.isdir(path):
+        shutil.rmtree(path)
+
+    base = load(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.round(F.col("c_acctbal") * 100).cast("bigint").alias("bal_cents"),
+    )
+    for m in range(2):  # two commits: DVs land on files of both
+        txnlog.txn_append(
+            spark, base.filter(F.col("c_custkey") % 2 == m).coalesce(2), path
+        )
+    src = (
+        base.filter(F.col("c_custkey") <= 100)
+        .select("c_custkey", (F.col("bal_cents") + 777).alias("bal_cents"))
+        .unionByName(
+            base.filter(F.col("c_custkey") <= 20).select(
+                (F.col("c_custkey") + 10_000_000).alias("c_custkey"), "bal_cents"
+            )
+        )
+    )
+    txnlog.txn_merge_dv(spark, src, path, ["c_custkey"])
+    return txnlog.read_snapshot(spark, path).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum("bal_cents").cast("bigint").alias("bal_sum"),
+        F.max("c_custkey").cast("bigint").alias("max_key"),
+        F.count(F.when(F.col("c_custkey") > 10_000_000, 1))
+        .cast("bigint")
+        .alias("n_inserted"),
+    )

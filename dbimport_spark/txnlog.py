@@ -2306,3 +2306,82 @@ def txn_compact_partitioned(
             # staged files unreferenced; re-derive from the new snapshot
             continue
     raise TxnConflict(f"gave up after {max_retries} retries compacting {path}")
+
+
+def txn_merge_dv(
+    spark, source: DataFrame, path: str, keys, max_retries: int = 3
+) -> int:
+    """MERGE-ON-READ UPSERT via deletion vectors — the third merge
+    strategy beside txn_upsert (whole-snapshot rewrite) and txn_merge_cow
+    (pruned rewrite): matched target rows are deleted by per-file DV
+    sidecars and the ENTIRE source (updates + inserts alike) appends as
+    new files, all in ONE atomic commit {add: source files, dv: matched
+    positions}. No target data file is read beyond the key column and
+    none is rewritten — at 100 TB a point-update batch costs O(source) +
+    O(matched rows) sidecar bytes, the cheapest write amplification of
+    the three. Result is EXACTLY txn_upsert's whole-row-replace semantics
+    for a key-distinct source; reads pay the DV anti-join until
+    compaction materializes.
+
+    Unpartitioned tables only (like the other DV writers' staging)."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    keys = list(keys)
+    for _ in range(max_retries):
+        base_v = current_version(path)
+        if base_v < 0:
+            raise ValueError(f"merge target {path} has no committed version")
+        live, ptype, _ = _fold_log3(path, base_v)
+        if ptype is not None:
+            raise ValueError(
+                "txn_merge_dv: partitioned tables are not supported — use "
+                "txn_upsert_partitioned"
+            )
+        old_dvs = {n: d["dv"]["d"] for n, d in live.items() if d.get("dv")}
+        files = sorted(os.path.join(_data_dir(path), n) for n in live)
+        # key-column-pruned scan: only the keys + row position leave the
+        # parquet reader; matched VISIBLE rows' positions fold into DVs
+        # (already-deleted rows re-matching is harmless set-union)
+        tgt = spark.read.option("mergeSchema", "true").parquet(*files).select(
+            F.substring_index(F.col("_metadata.file_path"), "/", -1).alias("__f"),
+            F.col("_metadata.row_index").alias("__p"),
+            *keys,
+        )
+        hits = tgt.join(
+            F.broadcast(source.select(*keys).distinct()), keys, "left_semi"
+        ).select("__f", "__p")
+        gen = uuid.uuid4().hex[:8]
+        data_dir = _data_dir(path)
+
+        def _write_dv(key_row, pdf):
+            from dbimport_spark.txnlog import _dv_decode as dec, _dv_encode as enc
+
+            n = key_row[0]
+            positions = set(int(p) for p in pdf["__p"])
+            old = old_dvs.get(n)
+            if old:
+                with open(os.path.join(data_dir, old), "rb") as fh:
+                    positions.update(dec(fh.read()))
+            name = f"{n}.dv.{gen}"
+            tmp = os.path.join(data_dir, f".tmp-{name}")
+            with open(tmp, "wb") as fh:
+                fh.write(enc(positions))
+            os.replace(tmp, os.path.join(data_dir, name))
+            return pd.DataFrame({"n": [n], "d": [name], "k": [len(positions)]})
+
+        entries = (
+            hits.groupBy("__f")
+            .applyInPandas(_write_dv, "n string, d string, k long")
+            .collect()
+        )
+        dv = [{"n": r["n"], "d": r["d"], "k": int(r["k"])} for r in entries]
+        added = _stage(source, path)
+        _validate_staged(spark, path, added)
+        try:
+            return commit(
+                path, added, [], base_v, dv=dv or None, op="MERGE_DV"
+            )
+        except TxnConflict:
+            continue
+    raise TxnConflict(f"gave up after {max_retries} retries DV-merging into {path}")

@@ -1792,3 +1792,64 @@ def test_restore_partitioned_table(spark, table):
     assert sorted((r["k"], r["p"]) for r in snap.collect()) == [(1, "x"), (2, "y")]
     pr = txnlog.read_snapshot_partitioned(spark, table, "p", partition_values=["x"])
     assert {r["k"] for r in pr.collect()} == {1}
+
+
+class TestMergeOnReadUpsert:
+    def test_matches_txn_upsert_and_moves_no_target_bytes(
+        self, spark, table, tmp_path
+    ):
+        df = spark.range(0, 50).selectExpr("id AS k", "CAST(id AS STRING) AS v")
+        txnlog.txn_append(spark, df, table)
+        other = str(tmp_path / "whole")
+        txnlog.txn_append(spark, df, other)
+        src = spark.createDataFrame(
+            [(10, "UPD"), (11, "UPD"), (999, "NEW")], "k long, v string"
+        )
+        before = _inodes(table)
+        txnlog.txn_merge_dv(spark, src, table, ["k"])
+        txnlog.txn_upsert(spark, src, other, ["k"])
+        # identical result, but the DV merge rewrote NO pre-existing file
+        a = sorted((r["k"], r["v"]) for r in txnlog.read_snapshot(spark, table).collect())
+        b = sorted((r["k"], r["v"]) for r in txnlog.read_snapshot(spark, other).collect())
+        assert a == b
+        after = _inodes(table)
+        for n, ino in before.items():
+            assert after[n] == ino
+        # ONE commit: adds + dv actions land atomically
+        h = txnlog.table_history(table)[0]
+        assert h["op"] == "MERGE_DV" and h["n_added"] >= 1 and h["n_dv"] >= 1
+
+    def test_stacks_on_prior_dvs_and_compacts_away(self, spark, table):
+        df = spark.range(0, 30).selectExpr("id AS k", "id AS v")
+        txnlog.txn_append(spark, df, table)
+        txnlog.txn_delete_dv(spark, F.col("k") < 5, table)
+        src = spark.createDataFrame([(7, -1), (100, -2)], "k long, v long")
+        txnlog.txn_merge_dv(spark, src, table, ["k"])
+        snap = txnlog.read_snapshot(spark, table)
+        assert snap.count() == 26  # 30 - 5 deleted - 1 replaced + 2 source
+        assert snap.filter("k = 7").first()["v"] == -1
+        assert snap.filter("k < 5").count() == 0
+        txnlog.txn_compact(spark, table, target_file_bytes=1 << 30)
+        assert txnlog.snapshot_dvs(table) == {}
+        assert txnlog.read_snapshot(spark, table).count() == 26
+
+    def test_insert_only_source_writes_no_dvs(self, spark, table):
+        txnlog.txn_append(
+            spark, spark.createDataFrame([(1, "a")], "k long, v string"), table
+        )
+        src = spark.createDataFrame([(2, "b")], "k long, v string")
+        txnlog.txn_merge_dv(spark, src, table, ["k"])
+        assert txnlog.snapshot_dvs(table) == {}
+        assert txnlog.read_snapshot(spark, table).count() == 2
+
+    def test_respects_check_constraints(self, spark, table):
+        txnlog.txn_append(
+            spark, spark.createDataFrame([(1, 5)], "k long, v long"), table
+        )
+        txnlog.txn_add_check(spark, table, "v_pos", "v > 0")
+        bad = spark.createDataFrame([(1, -9)], "k long, v long")
+        with pytest.raises(txnlog.CheckViolation):
+            txnlog.txn_merge_dv(spark, bad, table, ["k"])
+        # the matched row is still visible — the failed merge's DV action
+        # never committed (atomicity: dv + add land together or not at all)
+        assert txnlog.read_snapshot(spark, table).count() == 1
