@@ -181,6 +181,7 @@ HEADLINE = [
     "lake_partitioned_dv_optimize",
     "lake_history_ops",
     "lake_merge_dv",
+    "lake_auto_optimize",
 ]
 
 

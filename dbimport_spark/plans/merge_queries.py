@@ -2035,3 +2035,49 @@ def lake_merge_dv(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_inserted"),
     )
+
+
+@register(
+    "lake_auto_optimize",
+    """SELECT CAST(1 AS BIGINT) AS n_live_files,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS bal_cents
+FROM customer WHERE c_custkey % 3 >= 0""",
+)
+def lake_auto_optimize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Property-driven auto-compaction (autoOptimize.every=3, the Delta
+    autoOptimize shape as a log-carried table property): three
+    single-file appends land, and the THIRD append's own call triggers
+    the compaction — the graded row pins the post-ingest live-file count
+    at exactly 1 (metadata literal) alongside the invariant content. At
+    100 TB this is how a streaming sink keeps its table read-efficient
+    without an external OPTIMIZE scheduler: the policy travels with the
+    table, every writer enforces it."""
+    import os
+    import shutil
+    import tempfile
+
+    from dbimport_spark import txnlog
+
+    path = os.path.join(
+        tempfile.gettempdir(),
+        "dbimport_spark_txn",
+        "auto_opt_" + sf_dir.rstrip("/").replace("/", "_"),
+    )
+    if os.path.isdir(path):
+        shutil.rmtree(path)
+
+    base = load(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    txnlog.txn_set_property(path, "autoOptimize.every", "3")  # v0: policy
+    for m in range(3):  # v1..v3 appends; v3 triggers the compaction (v4)
+        txnlog.txn_append(
+            spark, base.filter(F.col("c_custkey") % 3 == m).coalesce(1), path
+        )
+    n_files = len(txnlog.snapshot_files(path))
+    return txnlog.read_snapshot(spark, path).agg(
+        F.lit(n_files).cast("bigint").alias("n_live_files"),
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum(F.round(F.col("c_acctbal") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("bal_cents"),
+    )

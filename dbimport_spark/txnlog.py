@@ -2385,3 +2385,34 @@ def txn_merge_dv(
         except TxnConflict:
             continue
     raise TxnConflict(f"gave up after {max_retries} retries DV-merging into {path}")
+
+
+def txn_append_indexed(
+    spark, df: DataFrame, path: str, stats_cols=(), bloom_col: str | None = None,
+    fpp: float = 0.01, max_retries: int = 5,
+) -> int:
+    """Append-commit with BOTH per-file zone maps and a Bloom sidecar in
+    one commit — the fully-indexed ingest form (txn_append_stats and
+    txn_append_bloom each record one kind; production writers record
+    both, enabling range AND point pruning on the same files)."""
+    added_names = _stage(df, path)
+    checks = _validate_staged(spark, path, added_names)
+    added = []
+    for n in added_names:
+        st = (
+            _footer_stats(os.path.join(_data_dir(path), n), stats_cols)
+            if stats_cols
+            else {}
+        )
+        if bloom_col is not None:
+            st = dict(st)
+            st["__bloom__"] = {bloom_col: _bloom_build_file(path, n, bloom_col, fpp)}
+        added.append({"n": n, "p": None, "stats": st})
+    for _ in range(max_retries):
+        try:
+            v = commit(path, added, [], current_version(path), op="APPEND")
+            return _maybe_auto_optimize(spark, path, v)
+        except TxnConflict:
+            checks = _revalidate_if_changed(spark, path, added_names, checks)
+            continue
+    raise TxnConflict(f"gave up after {max_retries} retries appending to {path}")

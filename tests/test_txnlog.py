@@ -1853,3 +1853,21 @@ class TestMergeOnReadUpsert:
         # the matched row is still visible — the failed merge's DV action
         # never committed (atomicity: dv + add land together or not at all)
         assert txnlog.read_snapshot(spark, table).count() == 1
+
+
+def test_indexed_append_enables_both_pruning_kinds(spark, table):
+    df = spark.range(0, 100).selectExpr("id AS k", "id AS v")
+    for lo in (0, 50):
+        txnlog.txn_append_indexed(
+            spark,
+            df.filter((F.col("k") >= lo) & (F.col("k") < lo + 50)).coalesce(1),
+            table,
+            stats_cols=["k"],
+            bloom_col="k",
+        )
+    # zone maps answer ANALYZE and range skipping
+    assert txnlog.snapshot_profile(table, ["k"])["n_rows"] == 100
+    assert txnlog.read_snapshot_skipping(spark, table, "k", 0, 10).count() == 50
+    # blooms prune point lookups on the same files
+    cand = txnlog.bloom_candidate_files(table, "k", [7])
+    assert len(cand) == 1
