@@ -241,10 +241,21 @@ def read_snapshot(spark, path: str, version: int | None = None) -> DataFrame:
 def _stage(df: DataFrame, path: str) -> list[str]:
     """Write df's rows as fresh uniquely-named parquet files under data/
     and return their basenames (staged but NOT yet visible — only a log
-    commit publishes them)."""
+    commit publishes them).
+
+    Honors the ``write.maxRecordsPerFile`` table property (file-size
+    governance that travels WITH the table — every writer splits oversize
+    task outputs, so one misconfigured producer can't land a 50 GB
+    file)."""
     stage_id = uuid.uuid4().hex
     stage_dir = os.path.join(path, f"_staged_{stage_id}")
-    df.write.mode("overwrite").parquet(stage_dir)
+    writer = df.write.mode("overwrite")
+    max_rec = table_props(path).get("write.maxRecordsPerFile") if (
+        current_version(path) >= 0
+    ) else None
+    if max_rec:
+        writer = writer.option("maxRecordsPerFile", int(max_rec))
+    writer.parquet(stage_dir)
     os.makedirs(_data_dir(path), exist_ok=True)
     names = []
     for f in sorted(os.listdir(stage_dir)):

@@ -1871,3 +1871,16 @@ def test_indexed_append_enables_both_pruning_kinds(spark, table):
     # blooms prune point lookups on the same files
     cand = txnlog.bloom_candidate_files(table, "k", [7])
     assert len(cand) == 1
+
+
+def test_max_records_per_file_property_governs_staging(spark, table):
+    """write.maxRecordsPerFile travels with the table: every writer's
+    staged output splits at the bound — one misconfigured producer can't
+    land a giant file."""
+    txnlog.txn_set_property(table, "write.maxRecordsPerFile", "100")
+    txnlog.txn_append(
+        spark, spark.range(350).selectExpr("id AS k").coalesce(1), table
+    )
+    files = txnlog.snapshot_files(table)
+    assert len(files) == 4  # 350 rows / 100 per file from ONE task
+    assert txnlog.read_snapshot(spark, table).count() == 350
