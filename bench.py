@@ -182,6 +182,7 @@ HEADLINE = [
     "lake_history_ops",
     "lake_merge_dv",
     "lake_auto_optimize",
+    "pipeline_lakehouse_ingest",
 ]
 
 

@@ -1307,3 +1307,101 @@ def stream_lake_expectations_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("event_id").cast("bigint").alias("event_sum"),
         )
     return side(target, "table").unionByName(side(quarantine, "quarantine"))
+
+
+@register(
+    "pipeline_lakehouse_ingest",
+    """SELECT CASE WHEN user_id % 10 <> 3 AND value IS NOT NULL
+            THEN 'table' ELSE 'quarantine' END AS dest,
+       CAST(1 AS BIGINT) AS n_live_files,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(user_id) AS BIGINT) AS user_sum
+FROM events GROUP BY 1""",
+)
+def pipeline_lakehouse_ingest_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lakehouse streaming-ingestion capstone — FOUR round-7 features in
+    one graded flow: the events stream routes through table-declared
+    CHECK constraints (txn_add_check + txn_append_routed: passing rows to
+    the table, violations to the tagged quarantine), the clean side
+    commits through the EXACTLY-ONCE idempotent sink (the whole corpus is
+    adversarially replayed as an already-committed batch afterwards), the
+    table's autoOptimize.every property compacts behind the ingest, and
+    the graded rows pin the final live-file count at 1 (metadata literal)
+    beside both destinations' exact contents. This is the production
+    shape at 100 TB: policy (constraints, compaction cadence, file-size
+    bounds) lives in the table's log, every producer inherits it, and a
+    crash-replayed batch can never double-ingest."""
+    from dbimport_spark import txnlog
+    from dbimport_spark.plans.registry import load_events
+
+    work = tempfile.mkdtemp(prefix="dbimport_lakehouse_ingest_")
+    target = os.path.join(work, "table")
+    quarantine = os.path.join(work, "quarantine")
+    checkpoint = os.path.join(work, "ckpt")
+    app = "lakehouse_ingest"
+    cols = ["event_id", "user_id", "event_type", "value"]
+
+    txnlog.txn_set_property(target, "autoOptimize.every", "2")
+    txnlog.txn_add_check(spark, target, "user_ok", "user_id % 10 <> 3")
+    txnlog.txn_add_check(spark, target, "value_present", "value IS NOT NULL")
+
+    stream = read_events_stream(spark, _events_path(sf_dir)).select(*cols)
+
+    def write_batch(bdf: DataFrame, batch_id: int) -> None:
+        if batch_id <= txnlog.last_committed_batch(target, app):
+            return  # redelivered batch: the table's watermark says done
+        checks = txnlog.table_checks(target)
+        per_check = [
+            F.when(~F.coalesce(F.expr(e).cast("boolean"), F.lit(True)), F.lit(n))
+            for n, e in sorted(checks.items())
+        ]
+        tagged = bdf.withColumn(
+            "_violated", F.filter(F.array(*per_check), lambda x: x.isNotNull())
+        ).persist()
+        try:
+            clean = tagged.filter(F.size("_violated") == 0).drop("_violated")
+            bad = tagged.filter(F.size("_violated") > 0)
+            txnlog.txn_append_idempotent(spark, clean, target, app, batch_id)
+            if bad.limit(1).count():
+                txnlog.txn_append(spark, bad, quarantine)
+        finally:
+            tagged.unpersist()
+
+    q = (
+        stream.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    # adversarial replay: the WHOLE corpus claims to be batch 0 again
+    txnlog.txn_append_idempotent(
+        spark, load_events(spark, sf_dir).select(*cols), target, app, 0
+    )
+    # final OPTIMIZE pins the graded live-file count at exactly 1 for any
+    # sf/batch structure (autoOptimize already compacted at even versions
+    # DURING the ingest; this closes whatever the cadence left open)
+    txnlog.txn_compact(spark, target, min_files=2)
+
+    n_files = len(txnlog.snapshot_files(target))
+
+    def side(path: str, dest: str) -> DataFrame:
+        if txnlog.current_version(path) < 0 or not txnlog.snapshot_files(path):
+            return (
+                spark.range(0).select(
+                    F.lit(dest).alias("dest"),
+                    F.lit(0).cast("bigint").alias("n_live_files"),
+                    F.lit(0).cast("bigint").alias("n_rows"),
+                    F.lit(0).cast("bigint").alias("user_sum"),
+                ).limit(0)
+            )
+        return txnlog.read_snapshot(spark, path).agg(
+            F.lit(dest).alias("dest"),
+            F.lit(n_files if dest == "table" else 1)
+            .cast("bigint")
+            .alias("n_live_files"),
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.sum("user_id").cast("bigint").alias("user_sum"),
+        )
+
+    return side(target, "table").unionByName(side(quarantine, "quarantine"))
