@@ -17,6 +17,25 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+# Measured broadcast gate for DUPLICATE-PROPORTIONAL sets (candidate
+# pairs, near-dup losers): on healthy corpora they are tiny and a
+# broadcast hash join wins; on a real crawl they are corpus-proportional
+# (tens of percent of captures) and a FORCED broadcast blows the 8 GB
+# cap / OOMs the driver at exactly the scale that matters. So the hint
+# is applied only when a measured count stays under this bar (5M id/pair
+# rows ≈ tens of MB broadcast); above it the hint is dropped and
+# Catalyst/AQE picks a shuffle join — same result, no cliff. The set is
+# persisted/checkpointed by the caller before counting, so the count
+# re-reads materialized rows, not the LSH pipeline.
+BROADCAST_IDS_MAX = 5_000_000
+
+
+def gated_broadcast(df: DataFrame, n_rows: int):
+    """``F.broadcast(df)`` iff the measured row count is under
+    BROADCAST_IDS_MAX, else ``df`` unhinted (shuffle join at scale)."""
+    return F.broadcast(df) if n_rows <= BROADCAST_IDS_MAX else df
+
+
 # ---------------------------------------------------------------- MinHash
 
 
@@ -132,27 +151,38 @@ def verify_jaccard(
 ) -> DataFrame:
     """Exact Jaccard on candidate pairs only, semi-join pruned FIRST:
     the corpus shingle table is reduced to candidate docs' shingles via a
-    broadcast semi-join before anything shuffles — at 100 TB the full
-    (doc, shingle) table never moves, only the candidate neighborhoods
-    do (candidate doc count is bounded by 2·|pairs|, orders of magnitude
+    semi-join before anything shuffles — at 100 TB the full (doc,
+    shingle) table never moves, only the candidate neighborhoods do
+    (candidate doc count is bounded by 2·|pairs|, orders of magnitude
     under the corpus after banding + the skew valve). The per-doc size
     aggregation runs on the pruned set too, not the corpus.
 
+    Candidate pairs are DUPLICATE-PROPORTIONAL, so the two candidate-side
+    joins broadcast only behind the measured gate (gated_broadcast): the
+    checkpointed pair set is counted once, and above BROADCAST_IDS_MAX
+    the hints drop to shuffle joins instead of forcing a broadcast that
+    would OOM on a high-duplication crawl.
+
     ``candidates`` is localCheckpoint-ed (three consumers: the doc-list
     build and both pair joins) — the lineage cut keeps the self-join
-    tree from appearing three times in the final plan."""
+    tree from appearing three times in the final plan, and makes the
+    gate's count() a re-read of materialized rows, not a recompute."""
     candidates = candidates.localCheckpoint()
+    n_pairs = candidates.count()
     cand_docs = (
         candidates.select(F.col("a_id").alias(doc_col))
         .unionAll(candidates.select(F.col("b_id").alias(doc_col)))
         .distinct()
     )
-    pruned = shingles.join(F.broadcast(cand_docs), doc_col, "left_semi").persist()
+    # |cand_docs| ≤ 2·n_pairs, so one measured count gates both joins
+    pruned = shingles.join(
+        gated_broadcast(cand_docs, 2 * n_pairs), doc_col, "left_semi"
+    ).persist()
     sizes = pruned.groupBy(doc_col).agg(F.count(F.lit(1)).alias("n"))
     sh_a = pruned.select(F.col(doc_col).alias("a_id"), F.col(shingle_col).alias("s"))
     sh_b = pruned.select(F.col(doc_col).alias("b_id"), F.col(shingle_col).alias("s"))
     inter = (
-        sh_a.join(F.broadcast(candidates), "a_id")
+        sh_a.join(gated_broadcast(candidates, n_pairs), "a_id")
         .join(sh_b.hint("shuffle_hash"), ["b_id", "s"])
         .groupBy("a_id", "b_id")
         .agg(F.count(F.lit(1)).alias("n_both"))

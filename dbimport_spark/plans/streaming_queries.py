@@ -1134,6 +1134,94 @@ def stream_lake_cdc_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stream_lake_cdc_dv",
+    """SELECT CAST(0 AS BIGINT) AS version, 'insert' AS change_type,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(doc_id) AS BIGINT) AS id_sum,
+       CAST(sum(n_chars) AS BIGINT) AS char_sum
+FROM documents WHERE doc_id % 3 = 0
+UNION ALL
+SELECT CAST(1 AS BIGINT), 'insert', CAST(count(*) AS BIGINT),
+       CAST(sum(doc_id) AS BIGINT), CAST(sum(n_chars) AS BIGINT)
+FROM documents WHERE doc_id % 3 = 1
+UNION ALL
+SELECT CAST(2 AS BIGINT), 'delete', CAST(count(*) AS BIGINT),
+       CAST(sum(doc_id) AS BIGINT), CAST(sum(n_chars) AS BIGINT)
+FROM documents WHERE doc_id % 3 <> 2 AND doc_id % 5 = 0
+UNION ALL
+SELECT CAST(3 AS BIGINT), 'insert', CAST(count(*) AS BIGINT),
+       CAST(sum(doc_id) AS BIGINT), CAST(sum(n_chars) AS BIGINT)
+FROM documents WHERE doc_id % 3 = 2
+UNION ALL
+SELECT CAST(4 AS BIGINT), 'delete', CAST(count(*) AS BIGINT),
+       CAST(sum(doc_id) AS BIGINT), CAST(sum(n_chars) AS BIGINT)
+FROM documents
+WHERE doc_id % 7 = 0 AND NOT (doc_id % 3 <> 2 AND doc_id % 5 = 0)
+UNION ALL
+SELECT CAST(4 AS BIGINT), 'insert', CAST(count(*) AS BIGINT),
+       CAST(sum(doc_id) AS BIGINT),
+       CAST(sum(n_chars) + 1000 * count(*) AS BIGINT)
+FROM documents WHERE doc_id % 7 = 0""",
+)
+def stream_lake_cdc_dv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROW-LEVEL CHANGE DATA FEED through the lake_cdc streaming source
+    (readChangeFeed=true — Delta's modern CDF, not the legacy
+    ignoreChanges arm): two append commits, a deletion-vector DELETE, a
+    third append, and a whole-snapshot UPSERT stream back as typed change
+    rows. Appends arrive as `insert` rows (one task per file); the DV
+    commit re-reads ONLY the newly-deleted positions of the touched files
+    and emits the deleted rows themselves as `delete` preimages; the
+    UPSERT rewrite streams as the keyless multiset diff, so each updated
+    row surfaces as a delete+insert pair and unchanged rows cancel.
+    Value-graded per (version, change_type) on counts, id sums and char
+    sums (the upsert shifts n_chars by +1000, pinning pre/post images).
+    At 100 TB the planning is still metadata-only and the DV arm reads
+    O(changed positions), never the table."""
+    import shutil
+
+    from dbimport_spark import txnlog
+    from dbimport_spark.plans.registry import load
+    from dbimport_spark.sources.lakecdc import register_lake_cdc
+
+    path = os.path.join(
+        tempfile.gettempdir(),
+        "dbimport_spark_txn",
+        "cdc_dv_" + sf_dir.rstrip("/").replace("/", "_"),
+    )
+    if os.path.isdir(path):
+        shutil.rmtree(path)
+    d = load(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    txnlog.txn_append(spark, d.filter(F.col("doc_id") % 3 == 0), path)  # v0
+    txnlog.txn_append(spark, d.filter(F.col("doc_id") % 3 == 1), path)  # v1
+    txnlog.txn_delete_dv(spark, F.col("doc_id") % 5 == 0, path)         # v2
+    txnlog.txn_append(spark, d.filter(F.col("doc_id") % 3 == 2), path)  # v3
+    upd = d.filter(F.col("doc_id") % 7 == 0).withColumn(
+        "n_chars", F.col("n_chars") + F.lit(1000)
+    )
+    txnlog.txn_upsert(spark, upd, path, ["doc_id"])                      # v4
+
+    register_lake_cdc(spark)
+    s = (
+        spark.readStream.format("lake_cdc")
+        .option("path", path)
+        .option("readChangeFeed", "true")
+        .load()
+    )
+    agg = s.groupBy(
+        F.col("_commit_version").alias("version"),
+        F.col("_change_type").alias("change_type"),
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum("doc_id").cast("bigint").alias("id_sum"),
+        F.sum("n_chars").cast("bigint").alias("char_sum"),
+    )
+    return _run_to_memory(agg, spark, output_mode="complete").select(
+        F.col("version").cast("bigint"), "change_type", "n_rows", "id_sum",
+        "char_sum",
+    )
+
+
+@register(
     "stream_crawl_refresh",
     """WITH hist AS (
   SELECT md5(text) AS fp FROM documents WHERE doc_id % 3 <> 2
@@ -1278,7 +1366,11 @@ def stream_lake_expectations_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = read_events_stream(spark, _events_path(sf_dir)).select(*cols)
 
     def write_batch(bdf: DataFrame, batch_id: int) -> None:
-        txnlog.txn_append_routed(spark, bdf, target, quarantine)
+        # exactly-once on BOTH destinations under redelivery: each side
+        # commits under (app, batch_id) against its own watermark
+        txnlog.txn_append_routed_idempotent(
+            spark, bdf, target, quarantine, "lake_expectations", batch_id
+        )
 
     q = (
         stream.writeStream.foreachBatch(write_batch)
@@ -1348,24 +1440,17 @@ def pipeline_lakehouse_ingest_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = read_events_stream(spark, _events_path(sf_dir)).select(*cols)
 
     def write_batch(bdf: DataFrame, batch_id: int) -> None:
-        if batch_id <= txnlog.last_committed_batch(target, app):
-            return  # redelivered batch: the table's watermark says done
-        checks = txnlog.table_checks(target)
-        per_check = [
-            F.when(~F.coalesce(F.expr(e).cast("boolean"), F.lit(True)), F.lit(n))
-            for n, e in sorted(checks.items())
-        ]
-        tagged = bdf.withColumn(
-            "_violated", F.filter(F.array(*per_check), lambda x: x.isNotNull())
-        ).persist()
-        try:
-            clean = tagged.filter(F.size("_violated") == 0).drop("_violated")
-            bad = tagged.filter(F.size("_violated") > 0)
-            txnlog.txn_append_idempotent(spark, clean, target, app, batch_id)
-            if bad.limit(1).count():
-                txnlog.txn_append(spark, bad, quarantine)
-        finally:
-            tagged.unpersist()
+        # BOTH sides commit idempotently under (app, batch_id), each
+        # table tracking its own txn.<app> watermark — a crash between
+        # the clean commit and the quarantine commit replays with the
+        # clean side no-oping and the quarantine side landing, so the
+        # exactly-once claim holds for the WHOLE batch, not just the
+        # clean half. (Guarding the whole batch on only the clean
+        # table's watermark would permanently drop the quarantine rows
+        # of a half-committed batch.)
+        txnlog.txn_append_routed_idempotent(
+            spark, bdf, target, quarantine, app, batch_id
+        )
 
     q = (
         stream.writeStream.foreachBatch(write_batch)

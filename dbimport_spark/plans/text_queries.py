@@ -1488,19 +1488,29 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("a_id", "b_id", "n_a")
         .distinct()
         .join(
-            F.broadcast(sizes.select(F.col("doc_id").alias("b_id"), F.col("n").alias("_nb"))),
+            # sizes is CORPUS-proportional — never force-broadcast it;
+            # unhinted, AQE broadcasts whichever side measures small
+            sizes.select(F.col("doc_id").alias("b_id"), F.col("n").alias("_nb")),
             "b_id",
         )
         .filter(F.col("_nb") * 5 >= F.col("n_a") * 4)
         .select("a_id", "b_id", "n_a")
         .localCheckpoint()
     )
+    # candidate pairs/docs are duplicate-proportional: broadcast only
+    # behind the measured gate (the checkpoint above makes the count a
+    # re-read, not a recompute of the probe join)
+    from dbimport_spark.functions.textdedup import gated_broadcast
+
+    n_cands = cands.count()
     cand_docs = (
         cands.select(F.col("a_id").alias("doc_id"))
         .unionAll(cands.select(F.col("b_id").alias("doc_id")))
         .distinct()
     )
-    cand_sh = sh.join(F.broadcast(cand_docs), "doc_id", "left_semi")
+    cand_sh = sh.join(
+        gated_broadcast(cand_docs, 2 * n_cands), "doc_id", "left_semi"
+    )
     # Gate the map-side verify on TOTAL SHINGLE VOLUME, not doc count:
     # a frozenset of Python strings costs ~10-20x the raw bytes, so a
     # doc-count gate lets pathologically long docs OOM the driver long
@@ -1545,7 +1555,7 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     pruned = cand_sh.persist()
     inter = (
         pruned.select(F.col("doc_id").alias("a_id"), "s")
-        .join(F.broadcast(cands.select("a_id", "b_id")), "a_id")
+        .join(gated_broadcast(cands.select("a_id", "b_id"), n_cands), "a_id")
         .join(
             pruned.select(F.col("doc_id").alias("b_id"), "s").hint("shuffle_hash"),
             ["b_id", "s"],

@@ -9,12 +9,21 @@ file ADDED in those commits, and every row carries its `_commit_version`
 checkpoint resumes exactly after the last committed version with no
 rescan of old data — the log IS the write-ahead index.
 
-Scope (documented, loud): append-only CDC. A commit that REMOVES files
-(upsert/delete whole-snapshot rewrites) is not row-level change data;
-reading past one raises unless `ignoreChanges=true` is set (then its
-added files are still emitted) — the same contract Delta's streaming
-source exposes. Partitioned tables (partition value lives in the log,
-not the file) raise NotImplementedError.
+Scope (documented, loud): in the default mode this is append-only CDC.
+A commit that REMOVES files (upsert/delete whole-snapshot rewrites) or
+attaches deletion vectors is not append data; reading past one raises
+unless `ignoreChanges=true` (its added files still stream) or
+`skipChangeCommits=true` (the commit is dropped) — the same contract
+arms Delta's streaming source exposes. With `readChangeFeed=true` the
+source instead emits ROW-LEVEL change data (`_change_type` column):
+appends stream as `insert` rows, deletion-vector commits re-read the
+newly-deleted positions as `delete` rows, OPTIMIZE commits are skipped
+(content-invariant), and CoW rewrite commits emit the keyless multiset
+diff (an update surfaces as a delete+insert pair — this source has no
+merge keys; key-aware update_pre/postimage classification stays with
+the batch-side `read_changes`). Partitioned tables stream when the
+`partitionColumn` option names the log-resident partition column (the
+value is re-attached from the log, typed per the recorded DDL).
 
 Planning is metadata-only: the driver reads log JSONs, never data pages;
 executors read exactly the parquet files their partition names. At
@@ -57,7 +66,9 @@ _ARROW_TO_DDL = {
 }
 
 
-def _table_ddl(path: str, partition_col: str | None = None) -> str:
+def _table_ddl(
+    path: str, partition_col: str | None = None, change_feed: bool = False
+) -> str:
     """Schema of the table's newest ADDED file (+ the log-resident
     partition column when named + _commit_version), read from the
     parquet footer only."""
@@ -104,7 +115,10 @@ def _table_ddl(path: str, partition_col: str | None = None) -> str:
                 "partition type (table was not written partitioned)"
             )
         cols.append(f"{partition_col} {ptype}")
-    return ", ".join(cols) + ", _commit_version bigint"
+    ddl = ", ".join(cols) + ", _commit_version bigint"
+    if change_feed:
+        ddl += ", _change_type string"
+    return ddl
 
 
 def _read_entry(path: str, version: int) -> dict:
@@ -120,13 +134,40 @@ class _AddedFile(InputPartition):
         self.ptype = ptype  # partition column DDL type (or None)
 
 
-def _partition_array(pval, ptype, n_rows):
-    """Arrow column re-attaching a log-resident partition value, decoded
-    from its hive directory encoding and cast per the recorded DDL type
-    (the same round-trip read_snapshot_partitioned performs)."""
-    import pyarrow as pa
+class _DvDelta(InputPartition):
+    """Change-feed partition for ONE file whose deletion vector changed:
+    positions in (new − old) stream as `delete` rows, positions in
+    (old − new) — a RESTORE detaching/rolling back a DV — as `insert`
+    rows. One task per touched file; only that file's pages are read."""
 
-    from dbimport_spark.txnlog import _HIVE_NULL, _unescape_path_name
+    def __init__(self, file_path, version, old_sc, new_sc, pval=None, ptype=None):
+        self.file_path = file_path
+        self.version = version
+        self.old_sc = old_sc  # previous sidecar path (or None)
+        self.new_sc = new_sc  # new sidecar path (or None = DETACH)
+        self.pval = pval
+        self.ptype = ptype
+
+
+class _CowDiff(InputPartition):
+    """Change-feed partition for ONE rewrite commit (CoW DELETE / UPSERT /
+    MERGE / RESTORE): the keyless multiset diff of removed-files rows vs
+    added-files rows — (removed − added) are `delete` rows, (added −
+    removed) are `insert` rows; unchanged rows cancel. Updates therefore
+    surface as delete+insert pairs (this source has no merge keys). One
+    task reads both sides: O(rewritten bytes), which for the PRUNED CoW
+    forms is the touched band, not the table; key-aware classification
+    belongs to the batch-side read_changes."""
+
+    def __init__(self, removed, added, version):
+        self.removed = removed  # [(path, pval)] of removed data files
+        self.added = added      # [(path, pval)] of added data files
+        self.version = version
+        self.ptype = None
+
+
+def _partition_arrow_type(ptype):
+    import pyarrow as pa
 
     arrow_t = {
         "bigint": pa.int64(),
@@ -137,19 +178,38 @@ def _partition_array(pval, ptype, n_rows):
     }.get(ptype or "string")
     if arrow_t is None:
         raise ValueError(f"lake_cdc: unsupported partition type {ptype}")
+    return arrow_t
+
+
+def _decode_pval(pval, ptype):
+    """Python scalar for a hive-encoded log partition value (None for the
+    NULL sentinel), typed per the recorded DDL type."""
+    from dbimport_spark.txnlog import _HIVE_NULL, _unescape_path_name
+
     if pval is None or pval == _HIVE_NULL:
-        return pa.nulls(n_rows, arrow_t)
+        return None
     raw = _unescape_path_name(pval)
     if ptype in ("bigint", "int"):
-        v = int(raw)
-    elif ptype == "boolean":
-        v = raw.lower() == "true"
-    elif ptype == "date":
+        return int(raw)
+    if ptype == "boolean":
+        return raw.lower() == "true"
+    if ptype == "date":
         import datetime as _dt
 
-        v = _dt.date.fromisoformat(raw)
-    else:
-        v = raw
+        return _dt.date.fromisoformat(raw)
+    return raw
+
+
+def _partition_array(pval, ptype, n_rows):
+    """Arrow column re-attaching a log-resident partition value, decoded
+    from its hive directory encoding and cast per the recorded DDL type
+    (the same round-trip read_snapshot_partitioned performs)."""
+    import pyarrow as pa
+
+    arrow_t = _partition_arrow_type(ptype)
+    v = _decode_pval(pval, ptype)
+    if v is None:
+        return pa.nulls(n_rows, arrow_t)
     return pa.array([v] * n_rows, arrow_t)
 
 
@@ -164,13 +224,20 @@ class LakeCdcStreamReader(DataSourceStreamReader):
         if schema is not None:
             from pyspark.sql.pandas.types import to_arrow_schema
 
-            skip = {"_commit_version", options.get("partitionColumn")}
+            skip = {
+                "_commit_version",
+                "_change_type",
+                options.get("partitionColumn"),
+            }
             arrow = to_arrow_schema(schema)
             self._data_fields = [f for f in arrow if f.name not in skip]
         self._init_rest(path, options)
 
     def _init_rest(self, path: str, options):
         self._path = path
+        self._change_feed = (
+            str(options.get("readChangeFeed", "false")).lower() == "true"
+        )
         self._ignore_changes = (
             str(options.get("ignoreChanges", "false")).lower() == "true"
         )
@@ -233,6 +300,10 @@ class LakeCdcStreamReader(DataSourceStreamReader):
         self._trace(f"partitions {start} {end}")
         self._cursor = max(self._cursor if self._cursor is not None else -1,
                            int(end["version"]))
+        if self._change_feed:
+            return self._partitions_cdf(
+                int(start["version"]), int(end["version"])
+            )
         parts: list[_AddedFile] = []
         for v in range(int(start["version"]) + 1, int(end["version"]) + 1):
             entry = _read_entry(self._path, v)
@@ -274,34 +345,247 @@ class LakeCdcStreamReader(DataSourceStreamReader):
         # Spark requires ≥1 partition even for an empty range
         return parts or [_AddedFile("", int(end["version"]))]
 
-    def read(self, partition: _AddedFile) -> Iterator:
+    def _partitions_cdf(self, s: int, e: int):
+        """Plan change-feed partitions for versions (s, e]. Metadata-only
+        on the driver: the log folds to ``s`` once for prior DV refs /
+        partition values, then each entry applies incrementally. Appends
+        fan out one insert task per file, DV-only commits one positions
+        task per touched file; rewrite commits become ONE diff task over
+        the touched files (their visible rows on both sides)."""
+        data_dir = _data_dir(self._path)
+        live: dict[str, dict] = {}
+        if s >= 0:
+            live, _ = _fold_log(self._path, s)
+        parts: list = []
+        for v in range(s + 1, e + 1):
+            entry = _read_entry(self._path, v)
+            prev = {n: d for n, d in live.items()}
+            # apply the entry (same fold rules as txnlog._fold_log3)
+            for x in entry.get("added", []):
+                if isinstance(x, dict):
+                    live[x["n"]] = {
+                        "p": x.get("p"), "stats": x.get("stats") or {}, "dv": None,
+                    }
+                else:
+                    live[x] = {"p": None, "stats": {}, "dv": None}
+            for n in [x["n"] if isinstance(x, dict) else x
+                      for x in entry.get("removed", [])]:
+                live.pop(n, None)
+            for x in entry.get("dv", []):
+                if x["n"] in live:
+                    live[x["n"]] = dict(
+                        live[x["n"]],
+                        dv={"d": x["d"], "k": x["k"]} if x.get("d") is not None
+                        else None,
+                    )
+            if entry.get("op") in ("OPTIMIZE", "OPTIMIZE_ZORDER"):
+                continue  # visible rows invariant: no change data
+            added_names = set(live) - set(prev)
+            removed_names = set(prev) - set(live)
+            dv_changed = sorted(
+                n for n in live
+                if n in prev and live[n].get("dv") != prev[n].get("dv")
+            )
+            if any(live[n]["p"] is not None for n in added_names) and (
+                not self._partition_col
+            ):
+                raise ValueError(
+                    "lake_cdc: table is partitioned — pass the "
+                    "partitionColumn option to stream it"
+                )
+
+            def _dvp(d):
+                return os.path.join(data_dir, d["d"]) if d else None
+
+            if not removed_names:
+                # append and/or DV-only commit (incl. MERGE_DV): both
+                # sides stay per-file — fully distributed
+                for n in sorted(added_names):
+                    parts.append(
+                        _AddedFile(
+                            os.path.join(data_dir, n), v,
+                            pval=live[n]["p"], ptype=self._ptype,
+                        )
+                    )
+                for n in dv_changed:
+                    parts.append(
+                        _DvDelta(
+                            os.path.join(data_dir, n), v,
+                            _dvp(prev[n].get("dv")), _dvp(live[n].get("dv")),
+                            pval=live[n]["p"], ptype=self._ptype,
+                        )
+                    )
+            else:
+                # rewrite (CoW DELETE/UPSERT/MERGE, RESTORE): one diff
+                # task over the touched files' visible rows
+                old_side = sorted(removed_names) + dv_changed
+                new_side = sorted(added_names) + dv_changed
+                diff = _CowDiff(
+                    [
+                        (
+                            os.path.join(data_dir, n),
+                            prev[n]["p"],
+                            _dvp(prev[n].get("dv")),
+                        )
+                        for n in old_side
+                    ],
+                    [
+                        (
+                            os.path.join(data_dir, n),
+                            live[n]["p"],
+                            _dvp(live[n].get("dv")),
+                        )
+                        for n in new_side
+                    ],
+                    v,
+                )
+                diff.ptype = self._ptype
+                parts.append(diff)
+        return parts or [_AddedFile("", e)]
+
+    def _conform(self, tbl):
+        """Project/cast a file's arrow table to the stream's data schema
+        (null-filling columns the file predates); row order preserved."""
+        import pyarrow as pa
+
+        if self._data_fields is None:
+            return tbl
+        cols = []
+        for f in self._data_fields:
+            if f.name in tbl.column_names:
+                cols.append(tbl[f.name].cast(f.type))
+            else:  # file predates the widening commit: null-fill
+                cols.append(pa.nulls(tbl.num_rows, f.type))
+        return pa.table(cols, names=[f.name for f in self._data_fields])
+
+    def _finish(self, tbl, version: int, pcol_array=None, change_type=None):
+        """Append the partition / _commit_version / _change_type columns."""
+        import pyarrow as pa
+
+        if self._partition_col:
+            tbl = tbl.append_column(self._partition_col, pcol_array)
+        tbl = tbl.append_column(
+            "_commit_version", pa.array([version] * tbl.num_rows, pa.int64())
+        )
+        if self._change_feed:
+            tbl = tbl.append_column(
+                "_change_type",
+                pa.array([change_type or "insert"] * tbl.num_rows, pa.string()),
+            )
+        return tbl
+
+    def read(self, partition) -> Iterator:
         import pyarrow as pa
         import pyarrow.parquet as pq
 
+        if isinstance(partition, _DvDelta):
+            return self._read_dv_delta(partition)
+        if isinstance(partition, _CowDiff):
+            return self._read_cow_diff(partition)
         if not partition.file_path:
             return iter([])
-        tbl = pq.read_table(partition.file_path)
-        if self._data_fields is not None:
-            cols = []
-            for f in self._data_fields:
-                if f.name in tbl.column_names:
-                    cols.append(tbl[f.name].cast(f.type))
-                else:  # file predates the widening commit: null-fill
-                    cols.append(pa.nulls(tbl.num_rows, f.type))
-            tbl = pa.table(cols, names=[f.name for f in self._data_fields])
-        if self._partition_col:
-            tbl = tbl.append_column(
-                self._partition_col,
-                _partition_array(partition.pval, partition.ptype, tbl.num_rows),
-            )
-        tbl = tbl.append_column(
-            "_commit_version",
-            pa.array([partition.version] * tbl.num_rows, pa.int64()),
+        tbl = self._conform(pq.read_table(partition.file_path))
+        tbl = self._finish(
+            tbl,
+            partition.version,
+            _partition_array(partition.pval, partition.ptype, tbl.num_rows)
+            if self._partition_col
+            else None,
+            "insert",
         )
         return iter(tbl.to_batches(max_chunksize=8192))
 
-    def commit(self, end: dict) -> None:
-        pass  # offsets live in the query checkpoint; the log is immutable
+    def _read_dv_delta(self, p: _DvDelta) -> Iterator:
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from dbimport_spark.txnlog import _dv_decode
+
+        def _positions(sc):
+            if sc is None:
+                return set()
+            with open(sc, "rb") as fh:
+                return set(_dv_decode(fh.read()))
+
+        old, new = _positions(p.old_sc), _positions(p.new_sc)
+        deltas = [
+            (sorted(new - old), "delete"),   # newly-deleted positions
+            (sorted(old - new), "insert"),   # DV rollback: rows resurface
+        ]
+        if not any(idx for idx, _ in deltas):
+            return iter([])
+        tbl = self._conform(pq.read_table(p.file_path))
+        batches = []
+        for idx, ct in deltas:
+            if not idx:
+                continue
+            t = tbl.take(pa.array(idx, pa.int64()))
+            t = self._finish(
+                t,
+                p.version,
+                _partition_array(p.pval, p.ptype, t.num_rows)
+                if self._partition_col
+                else None,
+                ct,
+            )
+            batches.extend(t.to_batches(max_chunksize=8192))
+        return iter(batches)
+
+    def _read_cow_diff(self, p: _CowDiff) -> Iterator:
+        from collections import Counter
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from dbimport_spark.txnlog import _dv_decode
+
+        names = [f.name for f in (self._data_fields or [])]
+
+        def _rows(side):
+            c: Counter = Counter()
+            for path, pval, dvp in side:
+                tbl = self._conform(pq.read_table(path))
+                if dvp:
+                    with open(dvp, "rb") as fh:
+                        dead = set(_dv_decode(fh.read()))
+                    keep = [i for i in range(tbl.num_rows) if i not in dead]
+                    tbl = tbl.take(pa.array(keep, pa.int64()))
+                pv = (
+                    (_decode_pval(pval, p.ptype),)
+                    if self._partition_col
+                    else ()
+                )
+                for r in tbl.to_pylist():
+                    c[tuple(r[n] for n in names) + pv] += 1
+            return c
+
+        old_c, new_c = _rows(p.removed), _rows(p.added)
+        out = [
+            (list((old_c - new_c).elements()), "delete"),
+            (list((new_c - old_c).elements()), "insert"),
+        ]
+        batches = []
+        for rows, ct in out:
+            if not rows:
+                continue
+            cols = [
+                pa.array([r[i] for r in rows], type=f.type)
+                for i, f in enumerate(self._data_fields or [])
+            ]
+            tbl = pa.table(cols, names=names)
+            tbl = self._finish(
+                tbl,
+                p.version,
+                pa.array(
+                    [r[len(names)] for r in rows],
+                    _partition_arrow_type(p.ptype),
+                )
+                if self._partition_col
+                else None,
+                ct,
+            )
+            batches.extend(tbl.to_batches(max_chunksize=8192))
+        return iter(batches)
 
 
 class LakeCdcDataSource(DataSource):
@@ -313,7 +597,9 @@ class LakeCdcDataSource(DataSource):
 
     def schema(self) -> str:
         return _table_ddl(
-            self.options["path"], self.options.get("partitionColumn")
+            self.options["path"],
+            self.options.get("partitionColumn"),
+            str(self.options.get("readChangeFeed", "false")).lower() == "true",
         )
 
     def streamReader(self, schema) -> LakeCdcStreamReader:

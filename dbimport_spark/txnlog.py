@@ -323,8 +323,22 @@ def commit(
     # commit wall-clock: drives TIMESTAMP AS OF resolution and history.
     # Log entries are single-writer (link-claimed), so a per-writer value
     # is safe; checkpoints stay timestamp-free to keep their bytes
-    # deterministic across racing checkpointers.
-    body["ts"] = time.time()
+    # deterministic across racing checkpointers. Clamped to be
+    # monotonically non-decreasing vs the PREVIOUS entry (already durable
+    # on disk at expect_version) so racing writers / clock skew can never
+    # record ts out of version order — Delta adjusts in-commit timestamps
+    # the same way so that TIMESTAMP AS OF resolves consistently with
+    # version ordering.
+    ts = time.time()
+    if expect_version >= 0:
+        try:
+            with open(
+                os.path.join(_log_dir(path), f"{expect_version:08d}.json")
+            ) as fh:
+                ts = max(ts, json.load(fh).get("ts", 0.0))
+        except (FileNotFoundError, json.JSONDecodeError):
+            pass  # pre-timestamp era or truncated log: no clamp available
+    body["ts"] = ts
     entry = json.dumps(body)
     tmp = os.path.join(_log_dir(path), f".tmp-{uuid.uuid4().hex}")
     with open(tmp, "w") as fh:
@@ -352,14 +366,22 @@ def commit(
 
 def txn_append(spark, df: DataFrame, path: str, max_retries: int = 5) -> int:
     """Append-commit df; returns the new version. Validates staged files
-    against the table's live CHECK constraints (see txn_add_check)."""
+    against the table's live CHECK constraints (see txn_add_check).
+
+    The table version is PINNED before validation and the commit targets
+    the pinned version: any commit that interleaves between validation
+    and commit — including a txn_add_check — forces the TxnConflict path
+    and therefore _revalidate_if_changed, so a violating row can never
+    slip in under a constraint added in that window."""
     added = _stage(df, path)
+    base_v = current_version(path)
     checks = _validate_staged(spark, path, added)
     for _ in range(max_retries):
         try:
-            v = commit(path, added, [], current_version(path), op="APPEND")
+            v = commit(path, added, [], base_v, op="APPEND")
             return _maybe_auto_optimize(spark, path, v)
         except TxnConflict:
+            base_v = current_version(path)
             checks = _revalidate_if_changed(spark, path, added, checks)
             continue
     raise TxnConflict(f"gave up after {max_retries} retries appending to {path}")
@@ -614,17 +636,20 @@ def txn_append_partitioned(
     enforced like the unpartitioned append — the staged files are
     validated with their partition values re-attached."""
     added = _stage_partitioned(df, path, partition_col)
+    base_v = current_version(path)  # pinned pre-validation (check TOCTOU)
     checks = _validate_staged(spark, path, added, partition_col)
     for _ in range(max_retries):
         try:
             # the partition COLUMN NAME rides as a property so generic
             # readers (read_snapshot) can re-attach it without being told
             v = commit(
-                path, added, [], current_version(path), op="APPEND",
+                path, added, [], base_v, op="APPEND",
                 props={"partition.column": partition_col},
             )
             return _maybe_auto_optimize(spark, path, v)
         except TxnConflict:
+            base_v = current_version(path)
+            checks = _revalidate_if_changed(spark, path, added, checks)
             continue
     raise TxnConflict(f"gave up after {max_retries} retries appending to {path}")
 
@@ -789,7 +814,12 @@ def txn_compact(
     for _ in range(max_retries):
         base_v = current_version(path)
         files = snapshot_files(path, base_v)
-        if len(files) < min_files:
+        # min_files alone must not short-circuit a DV-carrying table: a
+        # single file with a deletion vector still needs compaction to
+        # MATERIALIZE the DV (snapshot_profile / export_symlink_manifest
+        # send users here for exactly that), matching the guard in
+        # txn_compact_partitioned.
+        if len(files) < min_files and not snapshot_dvs(path, base_v):
             return base_v
         total = sum(os.path.getsize(f) for f in files)
         n_out = max(1, math.ceil(total / target_file_bytes))
@@ -952,6 +982,7 @@ def txn_append_stats(
     Combine with a range-clustered write (sinks.write_clustered_parquet /
     zorder) and a selective read touches O(matching files)."""
     added_names = _stage(df, path)
+    base_v = current_version(path)  # pinned pre-validation (check TOCTOU)
     checks = _validate_staged(spark, path, added_names)
     added = [
         {"n": n, "p": None, "stats": _footer_stats(os.path.join(_data_dir(path), n), stats_cols)}
@@ -959,8 +990,9 @@ def txn_append_stats(
     ]
     for _ in range(max_retries):
         try:
-            return commit(path, added, [], current_version(path), op="APPEND")
+            return commit(path, added, [], base_v, op="APPEND")
         except TxnConflict:
+            base_v = current_version(path)
             checks = _revalidate_if_changed(spark, path, added_names, checks)
             continue
     raise TxnConflict(f"gave up after {max_retries} retries appending to {path}")
@@ -1226,6 +1258,7 @@ def txn_append_bloom(
     production writer it would fold into the staging task itself (the
     rows stream through it either way)."""
     added_names = _stage(df, path)
+    base_v = current_version(path)  # pinned pre-validation (check TOCTOU)
     checks = _validate_staged(spark, path, added_names)
     added = []
     for n in added_names:
@@ -1233,8 +1266,9 @@ def txn_append_bloom(
         added.append({"n": n, "p": None, "stats": {"__bloom__": {bloom_col: meta}}})
     for _ in range(max_retries):
         try:
-            return commit(path, added, [], current_version(path), op="APPEND")
+            return commit(path, added, [], base_v, op="APPEND")
         except TxnConflict:
+            base_v = current_version(path)
             checks = _revalidate_if_changed(spark, path, added_names, checks)
             continue
     raise TxnConflict(f"gave up after {max_retries} retries appending to {path}")
@@ -1471,7 +1505,10 @@ def _read_files_dv(spark, path: str, files: list[str], dvmap: dict[str, dict]) -
     return rest.unionByName(filtered, allowMissingColumns=True)
 
 
-def txn_delete_dv(spark, source_pred, path: str, max_retries: int = 3) -> int:
+def txn_delete_dv(
+    spark, source_pred, path: str, zone: tuple | None = None,
+    bloom: tuple | None = None, max_retries: int = 3,
+) -> int:
     """Row-level DELETE as a deletion-vector commit: no data file is
     rewritten or removed — matching rows' (file, row position) pairs are
     folded into per-file DV sidecars (written on EXECUTORS, one task per
@@ -1479,6 +1516,15 @@ def txn_delete_dv(spark, source_pred, path: str, max_retries: int = 3) -> int:
     references. Returns the new version, or the current one when nothing
     matched. Same NULL semantics as txn_delete: only rows where the
     predicate is TRUE are deleted.
+
+    ``zone=(col, lo, hi)`` / ``bloom=(col, values)`` describe the
+    predicate's key constraint and route the scan through the SAME
+    zone-map/bloom candidate pruning as the CoW twins (_cow_candidates):
+    a one-band delete then opens O(band) files instead of paying a
+    footer read on every live file — at 100 TB that is the difference
+    between a point DML and a table scan. Specs must be IMPLIED by the
+    predicate (a pruned file must contain no matching row); files
+    lacking the metadata are kept conservatively.
 
     Already-deleted positions re-matching the predicate are harmless —
     the new sidecar is the set-union of old and new positions."""
@@ -1490,6 +1536,10 @@ def txn_delete_dv(spark, source_pred, path: str, max_retries: int = 3) -> int:
         if base_v < 0:
             raise ValueError(f"no data to delete at {path}")
         live, ptype, props = _fold_log3(path, base_v)
+        cand = _cow_candidates(live, path, zone, bloom)
+        if not cand:
+            return base_v  # log proves no file can match
+        live = {n: live[n] for n in cand}
         old_dvs = {n: d["dv"]["d"] for n, d in live.items() if d.get("dv")}
         if ptype is not None:
             # partitioned table: the predicate may reference the partition
@@ -1569,8 +1619,16 @@ def txn_delete_dv(spark, source_pred, path: str, max_retries: int = 3) -> int:
         try:
             return commit(path, [], [], base_v, dv=dv, op="DELETE_DV")
         except TxnConflict:
-            # lost the race: this generation's sidecars are unreferenced
-            # (vacuum reaps them); recompute against the new snapshot
+            # lost the race: this generation was never committed, so it is
+            # INVISIBLE to vacuum (which only reaps log-proven generations)
+            # and would leak until the data file itself dies — the losing
+            # writer knows the names, so it reaps its own sidecars before
+            # recomputing against the new snapshot.
+            for e in dv:
+                try:
+                    os.remove(os.path.join(data_dir, e["d"]))
+                except FileNotFoundError:
+                    pass
             continue
     raise TxnConflict(f"gave up after {max_retries} retries DV-deleting from {path}")
 
@@ -1908,8 +1966,11 @@ def _validate_staged(
 def _revalidate_if_changed(spark, path, staged_names, prev_checks):
     """After a lost commit race: a rival commit may have ADDED a check
     between our validation and our commit — revalidate iff the live
-    check set differs from the one already validated (closes the
-    check-TOCTOU the optimistic-retry loop would otherwise open)."""
+    check set differs from the one already validated. This closes the
+    check-TOCTOU ONLY because every append pins expect_version BEFORE
+    validating (any interleaved commit, including txn_add_check, then
+    conflicts and lands here); with a freshly-read expect_version the
+    interleaved constraint would slide by without a conflict."""
     if table_checks(path) != prev_checks:
         return _validate_staged(spark, path, staged_names)
     return prev_checks
@@ -1932,7 +1993,11 @@ def txn_append_routed(
 
     The split is one persisted pass of the source; the clean side then
     re-validates its staged files like any append (a concurrent
-    constraint change still cannot sneak a violating row in)."""
+    constraint change still cannot sneak a violating row in).
+
+    Redelivery semantics: AT-LEAST-ONCE on both sides — a replayed
+    batch appends again. Streaming sinks that need exactly-once use
+    txn_append_routed_idempotent."""
     from pyspark.sql import functions as F
 
     checks = table_checks(path)
@@ -1953,6 +2018,59 @@ def txn_append_routed(
         v_quar = -1
         if bad.limit(1).count():
             v_quar = txn_append(spark, bad, quarantine, max_retries)
+        return v_table, v_quar
+    finally:
+        tagged.unpersist()
+
+
+def txn_append_routed_idempotent(
+    spark,
+    df: DataFrame,
+    path: str,
+    quarantine: str,
+    app_id: str,
+    batch_id: int,
+    max_retries: int = 5,
+) -> tuple[int, int]:
+    """Expectation-routed append with EXACTLY-ONCE on BOTH sides: each
+    destination commits through txn_append_idempotent under the same
+    ``(app_id, batch_id)``, and each table tracks its OWN ``txn.<app>``
+    watermark. A crash between the clean-side commit and the quarantine
+    commit therefore replays safely: the clean side no-ops (already
+    committed) and the quarantine side commits — no batch can be
+    double-ingested OR half-dropped. (txn_append_routed, by contrast, is
+    at-least-once under redelivery on both sides; and guarding a whole
+    replayed batch on only the clean table's watermark would permanently
+    drop that batch's quarantine rows.) Returns
+    ``(table_version, quarantine_version)``; quarantine version is -1
+    when this batch has no violating rows."""
+    from pyspark.sql import functions as F
+
+    checks = table_checks(path)
+    if not checks:
+        return (
+            txn_append_idempotent(spark, df, path, app_id, batch_id, max_retries),
+            -1,
+        )
+    per_check = [
+        F.when(~F.coalesce(F.expr(e).cast("boolean"), F.lit(True)), F.lit(n))
+        for n, e in sorted(checks.items())
+    ]
+    tagged = df.withColumn(
+        "_violated",
+        F.filter(F.array(*per_check), lambda x: x.isNotNull()),
+    ).persist()
+    try:
+        clean = tagged.filter(F.size("_violated") == 0).drop("_violated")
+        bad = tagged.filter(F.size("_violated") > 0)
+        v_table = txn_append_idempotent(
+            spark, clean, path, app_id, batch_id, max_retries
+        )
+        v_quar = -1
+        if bad.limit(1).count():
+            v_quar = txn_append_idempotent(
+                spark, bad, quarantine, app_id, batch_id, max_retries
+            )
         return v_table, v_quar
     finally:
         tagged.unpersist()
@@ -2194,6 +2312,7 @@ def txn_append_idempotent(
     if batch_id <= last_committed_batch(path, app_id):
         return current_version(path)
     added = _stage(df, path)
+    base_v = current_version(path)  # pinned pre-validation (check TOCTOU)
     checks = _validate_staged(spark, path, added)
     for _ in range(max_retries):
         if batch_id <= last_committed_batch(path, app_id):
@@ -2208,12 +2327,13 @@ def txn_append_idempotent(
                 path,
                 added,
                 [],
-                current_version(path),
+                base_v,
                 props={f"txn.{app_id}": str(batch_id)},
                 op="STREAMING_APPEND",
             )
             return _maybe_auto_optimize(spark, path, v)
         except TxnConflict:
+            base_v = current_version(path)
             checks = _revalidate_if_changed(spark, path, added, checks)
             continue
     raise TxnConflict(f"gave up after {max_retries} retries appending to {path}")
@@ -2320,7 +2440,9 @@ def txn_compact_partitioned(
 
 
 def txn_merge_dv(
-    spark, source: DataFrame, path: str, keys, max_retries: int = 3
+    spark, source: DataFrame, path: str, keys,
+    prune_key: str | None = None, use_bloom: bool = False,
+    max_retries: int = 3,
 ) -> int:
     """MERGE-ON-READ UPSERT via deletion vectors — the third merge
     strategy beside txn_upsert (whole-snapshot rewrite) and txn_merge_cow
@@ -2334,11 +2456,28 @@ def txn_merge_dv(
     for a key-distinct source; reads pay the DV anti-join until
     compaction materializes.
 
+    ``prune_key`` (default: the single merge key) routes the position
+    scan through the log's zone-map — and, with ``use_bloom``, bloom —
+    candidacy (_cow_candidates), like txn_merge_cow: only files that MAY
+    contain a source key are opened for the key scan. Non-candidates
+    provably contain no matched row, so pruning cannot change the
+    result; a point-update batch then reads O(band) footers, not every
+    live file. Files without the metadata are kept conservatively.
+
     Unpartitioned tables only (like the other DV writers' staging)."""
     import pandas as pd
     from pyspark.sql import functions as F
 
     keys = list(keys)
+    pk = prune_key or (keys[0] if len(keys) == 1 else None)
+    key_vals = (
+        sorted(
+            r[0] for r in source.select(pk).distinct().collect()
+            if r[0] is not None
+        )
+        if pk is not None
+        else None
+    )
     for _ in range(max_retries):
         base_v = current_version(path)
         if base_v < 0:
@@ -2349,19 +2488,41 @@ def txn_merge_dv(
                 "txn_merge_dv: partitioned tables are not supported — use "
                 "txn_upsert_partitioned"
             )
+        if key_vals is not None:
+            import bisect
+
+            def _rng_hits(rng):  # any source key inside [lo, hi]?
+                i = bisect.bisect_left(key_vals, rng[0])
+                return i < len(key_vals) and key_vals[i] <= rng[1]
+
+            cand = []
+            for n in sorted(live):
+                if live[n]["stats"].get("__rows__") == 0:
+                    continue  # log-proven empty: no row to match
+                rng = live[n]["stats"].get(pk)
+                if rng is None or _rng_hits(rng):
+                    cand.append(n)
+            if use_bloom and cand:
+                cand = _cow_candidates(
+                    {n: live[n] for n in cand}, path, None, (pk, key_vals)
+                )
+            live = {n: live[n] for n in cand}
         old_dvs = {n: d["dv"]["d"] for n, d in live.items() if d.get("dv")}
         files = sorted(os.path.join(_data_dir(path), n) for n in live)
         # key-column-pruned scan: only the keys + row position leave the
         # parquet reader; matched VISIBLE rows' positions fold into DVs
         # (already-deleted rows re-matching is harmless set-union)
-        tgt = spark.read.option("mergeSchema", "true").parquet(*files).select(
-            F.substring_index(F.col("_metadata.file_path"), "/", -1).alias("__f"),
-            F.col("_metadata.row_index").alias("__p"),
-            *keys,
-        )
-        hits = tgt.join(
-            F.broadcast(source.select(*keys).distinct()), keys, "left_semi"
-        ).select("__f", "__p")
+        if files:
+            tgt = spark.read.option("mergeSchema", "true").parquet(*files).select(
+                F.substring_index(F.col("_metadata.file_path"), "/", -1).alias("__f"),
+                F.col("_metadata.row_index").alias("__p"),
+                *keys,
+            )
+            hits = tgt.join(
+                F.broadcast(source.select(*keys).distinct()), keys, "left_semi"
+            ).select("__f", "__p")
+        else:  # every file pruned: pure-insert batch, no positions to scan
+            hits = spark.createDataFrame([], "__f: string, __p: bigint")
         gen = uuid.uuid4().hex[:8]
         data_dir = _data_dir(path)
 
@@ -2394,6 +2555,19 @@ def txn_merge_dv(
                 path, added, [], base_v, dv=dv or None, op="MERGE_DV"
             )
         except TxnConflict:
+            # lost the race: the never-committed generation is invisible
+            # to vacuum — reap our own sidecars AND staged data files
+            # (both known by name) before re-merging the new snapshot.
+            for e in dv:
+                try:
+                    os.remove(os.path.join(data_dir, e["d"]))
+                except FileNotFoundError:
+                    pass
+            for n in added:
+                try:
+                    os.remove(os.path.join(data_dir, n))
+                except FileNotFoundError:
+                    pass
             continue
     raise TxnConflict(f"gave up after {max_retries} retries DV-merging into {path}")
 
@@ -2407,6 +2581,7 @@ def txn_append_indexed(
     txn_append_bloom each record one kind; production writers record
     both, enabling range AND point pruning on the same files)."""
     added_names = _stage(df, path)
+    base_v = current_version(path)  # pinned pre-validation (check TOCTOU)
     checks = _validate_staged(spark, path, added_names)
     added = []
     for n in added_names:
@@ -2421,9 +2596,10 @@ def txn_append_indexed(
         added.append({"n": n, "p": None, "stats": st})
     for _ in range(max_retries):
         try:
-            v = commit(path, added, [], current_version(path), op="APPEND")
+            v = commit(path, added, [], base_v, op="APPEND")
             return _maybe_auto_optimize(spark, path, v)
         except TxnConflict:
+            base_v = current_version(path)
             checks = _revalidate_if_changed(spark, path, added_names, checks)
             continue
     raise TxnConflict(f"gave up after {max_retries} retries appending to {path}")

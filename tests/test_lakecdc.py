@@ -373,3 +373,167 @@ def test_paced_stream_survives_checkpoint_restart(spark, tmp_path):
         .collect()
     }
     assert per == {0: 10, 1: 10, 2: 10, 3: 10}  # exactly once each
+
+
+# ------------------------------------------------------- change feed (CDF)
+
+
+def _drain_cdf(spark, path, checkpoint, sink_dir, **opts):
+    register_lake_cdc(spark)
+    r = (
+        spark.readStream.format("lake_cdc")
+        .option("path", path)
+        .option("readChangeFeed", "true")
+    )
+    for k, v in opts.items():
+        r = r.option(k, v)
+    q = (
+        r.load()
+        .writeStream.format("parquet")
+        .option("path", sink_dir)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(sink_dir)
+
+
+def test_change_feed_schema_and_inserts(spark, tmp_path):
+    path = str(tmp_path / "t")
+    _append(spark, path, 0)
+    register_lake_cdc(spark)
+    s = (
+        spark.readStream.format("lake_cdc")
+        .option("path", path)
+        .option("readChangeFeed", "true")
+        .load()
+    )
+    assert s.columns == ["k", "tag", "_commit_version", "_change_type"]
+    got = _drain_cdf(spark, path, str(tmp_path / "cp"), str(tmp_path / "sink"))
+    assert got.count() == 10
+    assert {r._change_type for r in got.collect()} == {"insert"}
+
+
+def test_change_feed_dv_delete_emits_delete_rows(spark, tmp_path):
+    """A DV commit streams the DELETED ROWS THEMSELVES (preimages) with
+    _change_type='delete' — Delta's modern CDF contract, not the legacy
+    ignoreChanges arm."""
+    path = str(tmp_path / "t")
+    _append(spark, path, 0)                                  # k = 0,3,..,27
+    txnlog.txn_delete_dv(spark, F.col("k").isin(3, 6), path)  # v1
+    _append(spark, path, 100)                                 # v2
+    got = _drain_cdf(spark, path, str(tmp_path / "cp"), str(tmp_path / "sink"))
+    per = {
+        (r.v, r.ct): r.n
+        for r in got.groupBy(
+            F.col("_commit_version").alias("v"),
+            F.col("_change_type").alias("ct"),
+        ).agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert per == {(0, "insert"): 10, (1, "delete"): 2, (2, "insert"): 10}
+    deleted = {
+        (r.k, r.tag)
+        for r in got.filter(F.col("_change_type") == "delete").collect()
+    }
+    assert deleted == {(3, "v0"), (6, "v0")}  # original row values ride along
+
+
+def test_change_feed_second_dv_commit_emits_only_new_deletes(spark, tmp_path):
+    """DV sidecars are cumulative (new = old ∪ fresh positions); the feed
+    must emit only the DELTA, never re-emit earlier deletions."""
+    path = str(tmp_path / "t")
+    _append(spark, path, 0)
+    txnlog.txn_delete_dv(spark, F.col("k") == 3, path)   # v1: 1 delete
+    txnlog.txn_delete_dv(spark, F.col("k").isin(3, 9), path)  # v2: only k=9 new
+    got = _drain_cdf(spark, path, str(tmp_path / "cp"), str(tmp_path / "sink"))
+    dels = {
+        (r._commit_version, r.k)
+        for r in got.filter(F.col("_change_type") == "delete").collect()
+    }
+    assert dels == {(1, 3), (2, 9)}
+
+
+def test_change_feed_cow_rewrite_emits_delete_insert_pairs(spark, tmp_path):
+    """A whole-snapshot UPSERT streams as the keyless multiset diff:
+    updated rows surface as delete+insert pairs, untouched rows cancel."""
+    path = str(tmp_path / "t")
+    _append(spark, path, 0)  # k = 0,3,...,27 tag v0
+    src = spark.range(5).select(
+        (F.col("id") * 3).alias("k"), F.lit("UP").alias("tag")
+    )
+    txnlog.txn_upsert(spark, src, path, ["k"])  # v1 rewrite: 5 updates
+    got = _drain_cdf(spark, path, str(tmp_path / "cp"), str(tmp_path / "sink"))
+    v1 = got.filter(F.col("_commit_version") == 1)
+    pre = {(r.k, r.tag) for r in v1.filter(F.col("_change_type") == "delete").collect()}
+    post = {(r.k, r.tag) for r in v1.filter(F.col("_change_type") == "insert").collect()}
+    assert pre == {(k, "v0") for k in (0, 3, 6, 9, 12)}
+    assert post == {(k, "UP") for k in (0, 3, 6, 9, 12)}
+
+
+def test_change_feed_optimize_is_content_invariant(spark, tmp_path):
+    path = str(tmp_path / "t")
+    _append(spark, path, 0)
+    _append(spark, path, 1)
+    txnlog.txn_compact(spark, path)  # v2: OPTIMIZE, no visible-row change
+    got = _drain_cdf(spark, path, str(tmp_path / "cp"), str(tmp_path / "sink"))
+    assert got.filter(F.col("_commit_version") == 2).count() == 0
+    assert got.count() == 20
+
+
+def test_change_feed_restart_exactly_once_across_dv_commit(spark, tmp_path):
+    """Checkpoint restart with a DV commit landing mid-stream: every
+    change row arrives exactly once across the two runs."""
+    path = str(tmp_path / "t")
+    cp, sink = str(tmp_path / "cp"), str(tmp_path / "sink")
+    _append(spark, path, 0)
+    first = _drain_cdf(spark, path, cp, sink)
+    assert first.count() == 10
+    txnlog.txn_delete_dv(spark, F.col("k") == 12, path)  # v1 after run 1
+    _append(spark, path, 50)                              # v2
+    second = _drain_cdf(spark, path, cp, sink)  # same checkpoint: resume
+    per = {
+        (r.v, r.ct): r.n
+        for r in second.groupBy(
+            F.col("_commit_version").alias("v"),
+            F.col("_change_type").alias("ct"),
+        ).agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert per == {(0, "insert"): 10, (1, "delete"): 1, (2, "insert"): 10}
+
+
+def test_change_feed_restore_resurfaces_dv_deleted_rows(spark, tmp_path):
+    """RESTORE past a DV delete rolls the deletion back — the feed emits
+    the resurfaced rows as inserts (the DV rollback direction)."""
+    path = str(tmp_path / "t")
+    _append(spark, path, 0)
+    txnlog.txn_delete_dv(spark, F.col("k") == 3, path)  # v1
+    txnlog.txn_restore(path, 0)                          # v2: undo the delete
+    got = _drain_cdf(spark, path, str(tmp_path / "cp"), str(tmp_path / "sink"))
+    v2 = {(r.ct): r.n for r in got.filter(F.col("_commit_version") == 2)
+          .groupBy(F.col("_change_type").alias("ct"))
+          .agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert v2 == {"insert": 1}
+    back = got.filter(
+        (F.col("_commit_version") == 2) & (F.col("_change_type") == "insert")
+    ).collect()
+    assert [(r.k, r.tag) for r in back] == [(3, "v0")]
+
+
+def test_change_feed_partitioned_dv_delete(spark, tmp_path):
+    """Partitioned table: CDF delete rows carry the log-resident
+    partition value, typed per the recorded DDL."""
+    path = str(tmp_path / "t")
+    df = spark.range(12).select(
+        F.col("id").alias("k"), (F.col("id") % 3).cast("string").alias("lang")
+    )
+    txnlog.txn_append_partitioned(spark, df, path, "lang")
+    txnlog.txn_delete_dv(spark, F.col("k") == 4, path)  # lang "1"
+    got = _drain_cdf(
+        spark, path, str(tmp_path / "cp"), str(tmp_path / "sink"),
+        partitionColumn="lang",
+    )
+    dels = got.filter(F.col("_change_type") == "delete").collect()
+    assert [(r.k, r.lang, r._commit_version) for r in dels] == [(4, "1", 1)]
+    assert got.filter(F.col("_change_type") == "insert").count() == 12
