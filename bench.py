@@ -186,6 +186,7 @@ HEADLINE = [
     # round 8
     "stream_lake_cdc_dv",
     "lake_delete_dv_pruned",
+    "lake_rename_drop_column",
 ]
 
 

@@ -2156,3 +2156,77 @@ def lake_delete_dv_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("bal_cents"),
         F.lit(n_outside).cast("bigint").alias("n_dv_files_outside_band"),
     )
+
+
+@register(
+    "lake_rename_drop_column",
+    """WITH base AS (
+  SELECT c_custkey, CAST(round(c_acctbal * 100) AS BIGINT) AS bal FROM customer
+), merged AS (
+  SELECT c_custkey,
+         CASE WHEN c_custkey <= 100 THEN bal + 777 ELSE bal END AS bal
+  FROM base
+)
+SELECT CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(bal) AS BIGINT) AS bal_sum,
+       CAST(max(c_custkey) AS BIGINT) AS max_key
+FROM merged""",
+)
+def lake_rename_drop_column(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """METADATA-ONLY schema evolution (Delta column mapping with
+    original-names-as-physical-ids): RENAME COLUMN and DROP COLUMN are
+    O(1) property commits — no data file is opened, at 100 TB a rename
+    costs one log entry, not a table rewrite. Data files keep their
+    stable PHYSICAL column names; reads project physical → logical AS OF
+    each version (time travel shows every snapshot under the schema it
+    had), writers after the rename speak the new logical schema and the
+    staging path translates back, CHECK constraints validate against
+    logical names, and an UPSERT keyed on logical names lands across the
+    mapping. The graded flow: two appends → rename bal_cents→bal → drop
+    mktsegment → CHECK bal IS NOT NULL → third append (new logical
+    schema) → whole-snapshot UPSERT (+777 on the low key band), then a
+    total/sum/max readout over the final logical schema."""
+    import os
+    import shutil
+    import tempfile
+
+    from dbimport_spark import txnlog
+
+    path = os.path.join(
+        tempfile.gettempdir(),
+        "dbimport_spark_txn",
+        "colmap_" + sf_dir.rstrip("/").replace("/", "_"),
+    )
+    if os.path.isdir(path):
+        shutil.rmtree(path)
+
+    base = load(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_mktsegment",
+        F.round(F.col("c_acctbal") * 100).cast("bigint").alias("bal_cents"),
+    )
+    txnlog.txn_append(spark, base.filter(F.col("c_custkey") % 3 == 0), path)
+    txnlog.txn_append(spark, base.filter(F.col("c_custkey") % 3 == 1), path)
+    txnlog.txn_rename_column(spark, path, "bal_cents", "bal")   # O(1) commit
+    txnlog.txn_drop_column(spark, path, "c_mktsegment")          # O(1) commit
+    txnlog.txn_add_check(spark, path, "bal_present", "bal IS NOT NULL")
+    # third append speaks the NEW logical schema (the old physical names
+    # land in the files; validation runs against the logical projection)
+    txnlog.txn_append(
+        spark,
+        base.filter(F.col("c_custkey") % 3 == 2).select(
+            "c_custkey", F.col("bal_cents").alias("bal")
+        ),
+        path,
+    )
+    upd = (
+        txnlog.read_snapshot(spark, path)
+        .filter(F.col("c_custkey") <= 100)
+        .select("c_custkey", (F.col("bal") + F.lit(777)).alias("bal"))
+    )
+    txnlog.txn_upsert(spark, upd, path, ["c_custkey"])
+    return txnlog.read_snapshot(spark, path).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum("bal").cast("bigint").alias("bal_sum"),
+        F.max("c_custkey").cast("bigint").alias("max_key"),
+    )

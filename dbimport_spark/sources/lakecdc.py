@@ -77,6 +77,19 @@ def _table_ddl(
     v = current_version(path)
     if v < 0:
         raise ValueError(f"lake_cdc: empty table at {path}")
+    from dbimport_spark.txnlog import _colmap, table_props
+
+    mp, dropped = _colmap(table_props(path, v))
+    if mp or dropped:
+        # reader-feature gate (Delta requires columnMapping reader
+        # support the same way): this source reads file footers directly
+        # and would stream the PHYSICAL schema — old names, dropped
+        # columns resurrected — so it refuses rather than lie.
+        raise ValueError(
+            "lake_cdc: table has renamed/dropped columns (column "
+            "mapping), which this streaming source does not translate "
+            "yet — read through read_snapshot / read_changes instead"
+        )
     live, _ptype = _fold_log(path, v)
     if not live:
         raise ValueError(f"lake_cdc: no added files in any commit at {path}")

@@ -235,7 +235,12 @@ def read_snapshot(spark, path: str, version: int | None = None) -> DataFrame:
     files = sorted(os.path.join(_data_dir(path), f) for f in live)
     if not files:
         raise ValueError(f"no data at version {version!r} of {path}")
-    return _read_files_dv(spark, path, files, snapshot_dvs(path, version))
+    # column mapping: files carry PHYSICAL names; project to the logical
+    # schema AS OF this version (props fold version-by-version, so time
+    # travel shows each snapshot under the schema it had)
+    return _apply_colmap(
+        _read_files_dv(spark, path, files, snapshot_dvs(path, v_max)), props
+    )
 
 
 def _stage(df: DataFrame, path: str) -> list[str]:
@@ -249,10 +254,13 @@ def _stage(df: DataFrame, path: str) -> list[str]:
     file)."""
     stage_id = uuid.uuid4().hex
     stage_dir = os.path.join(path, f"_staged_{stage_id}")
+    props = table_props(path) if current_version(path) >= 0 else {}
+    # column mapping: on-disk files ALWAYS carry physical names, whatever
+    # the writer's logical era (physical names are stable, so a rename
+    # racing this stage cannot invalidate the written files)
+    df = _unapply_colmap(df, props)
     writer = df.write.mode("overwrite")
-    max_rec = table_props(path).get("write.maxRecordsPerFile") if (
-        current_version(path) >= 0
-    ) else None
+    max_rec = props.get("write.maxRecordsPerFile")
     if max_rec:
         writer = writer.option("maxRecordsPerFile", int(max_rec))
     writer.parquet(stage_dir)
@@ -583,6 +591,19 @@ def _stage_partitioned(df: DataFrame, path: str, partition_col: str):
     stage_id = uuid.uuid4().hex
     stage_dir = os.path.join(tempfile.gettempdir(), f"txn_stage_{stage_id}")
     ptype = df.schema[partition_col].dataType.simpleString()
+    if current_version(path) >= 0:
+        # data columns to physical names; the partition column stays
+        # logical (it lives in the log, and its rename is refused)
+        mp, _ = _colmap(table_props(path))
+        if mp:
+            from pyspark.sql import functions as F
+
+            df = df.select(
+                *[
+                    F.col(c) if c == partition_col else F.col(c).alias(mp.get(c, c))
+                    for c in df.columns
+                ]
+            )
     df.write.mode("overwrite").partitionBy(partition_col).parquet(stage_dir)
     os.makedirs(_data_dir(path), exist_ok=True)
     added = []
@@ -658,7 +679,10 @@ def read_snapshot_partitioned(
         )
         for value, files in sorted(by_value.items(), key=lambda kv: (kv[0] is None, kv[0]))
     ]
-    return reduce(lambda a, b: a.unionByName(b), parts)
+    out = reduce(lambda a, b: a.unionByName(b), parts)
+    # physical → logical projection (partition column is log-resident and
+    # already logical — it passes through)
+    return _apply_colmap(out, table_props(path, v_max), keep=(partition_col,))
 
 
 def txn_upsert_partitioned(
@@ -904,9 +928,13 @@ def txn_compact(
         # DV-aware: compaction MATERIALIZES deletion vectors (deleted rows
         # drop out of the rewrite; the removed files take their DV refs
         # with them) — Delta's PURGE semantics ride along with OPTIMIZE.
-        df = _read_files_dv(spark, path, files, snapshot_dvs(path, base_v)).coalesce(
-            n_out
-        )
+        # The logical round-trip (_apply_colmap here, _stage's unapply on
+        # the way out) also PURGES dropped columns' bytes from the
+        # rewritten files — renames keep their stable physical names.
+        df = _apply_colmap(
+            _read_files_dv(spark, path, files, snapshot_dvs(path, base_v)),
+            table_props(path, base_v),
+        ).coalesce(n_out)
         added = _stage(df, path)
         old = [os.path.basename(f) for f in files]
         try:
@@ -1057,6 +1085,8 @@ def txn_append_stats(
     design (their manifests/add-actions carry exactly these bounds).
     Combine with a range-clustered write (sinks.write_clustered_parquet /
     zorder) and a selective read touches O(matching files)."""
+    if current_version(path) >= 0:
+        stats_cols = [_phys_col(table_props(path), c) for c in stats_cols]
     added_names = _stage(df, path)
     base_v = current_version(path)  # pinned pre-validation (check TOCTOU)
     checks = _validate_staged(spark, path, added_names)
@@ -1138,6 +1168,8 @@ def read_snapshot_skipping(
     applied by the caller — zone maps prune files, not rows."""
     if version is not None and version < vacuum_horizon(path):
         raise ValueError(f"version {version} of {path} was vacuumed")
+    props = table_props(path, version)
+    col = _phys_col(props, col)  # zone specs speak logical; stats physical
     stats = snapshot_stats(path, version)
     keep = []
     for name, st in sorted(stats.items()):
@@ -1146,7 +1178,9 @@ def read_snapshot_skipping(
             keep.append(os.path.join(_data_dir(path), name))
     if not keep:
         return read_snapshot(spark, path, version).limit(0)
-    return _read_files_dv(spark, path, keep, snapshot_dvs(path, version))
+    return _apply_colmap(
+        _read_files_dv(spark, path, keep, snapshot_dvs(path, version)), props
+    )
 
 
 def read_snapshot_skipping_multi(
@@ -1161,6 +1195,8 @@ def read_snapshot_skipping_multi(
     exact row predicate."""
     if version is not None and version < vacuum_horizon(path):
         raise ValueError(f"version {version} of {path} was vacuumed")
+    props = table_props(path, version)
+    bounds = {_phys_col(props, c): b for c, b in bounds.items()}
     stats = snapshot_stats(path, version)
     keep = []
     for name, st in sorted(stats.items()):
@@ -1176,7 +1212,9 @@ def read_snapshot_skipping_multi(
             keep.append(os.path.join(_data_dir(path), name))
     if not keep:
         return read_snapshot(spark, path, version).limit(0)
-    return _read_files_dv(spark, path, keep, snapshot_dvs(path, version))
+    return _apply_colmap(
+        _read_files_dv(spark, path, keep, snapshot_dvs(path, version)), props
+    )
 
 
 def txn_clone(src: str, dst: str, version: int | None = None) -> int:
@@ -1333,6 +1371,8 @@ def txn_append_bloom(
     Here the sidecar build is a column-pruned pass per staged file; in a
     production writer it would fold into the staging task itself (the
     rows stream through it either way)."""
+    if current_version(path) >= 0:
+        bloom_col = _phys_col(table_props(path), bloom_col)
     added_names = _stage(df, path)
     base_v = current_version(path)  # pinned pre-validation (check TOCTOU)
     checks = _validate_staged(spark, path, added_names)
@@ -1355,8 +1395,10 @@ def bloom_candidate_files(
 ) -> list[str]:
     """Live files that MIGHT contain any of ``values`` in ``col``: files
     without a bloom for the column are kept conservatively; no false
-    negatives by construction."""
+    negatives by construction. ``col`` is logical; sidecars/log metadata
+    key the physical name."""
     values = list(values)
+    col = _phys_col(table_props(path, version), col)
     stats = snapshot_stats(path, version)
     keep = []
     for name, st in sorted(stats.items()):
@@ -1380,7 +1422,10 @@ def read_snapshot_bloom(
     keep = bloom_candidate_files(path, col, values, version)
     if not keep:
         return read_snapshot(spark, path, version).limit(0)
-    return _read_files_dv(spark, path, keep, snapshot_dvs(path, version))
+    return _apply_colmap(
+        _read_files_dv(spark, path, keep, snapshot_dvs(path, version)),
+        table_props(path, version),
+    )
 
 
 def txn_convert_parquet_dir(src_dir: str, path: str, stats_cols=()) -> int:
@@ -1612,7 +1657,10 @@ def txn_delete_dv(
         if base_v < 0:
             raise ValueError(f"no data to delete at {path}")
         live, ptype, props = _fold_log3(path, base_v)
-        cand = _cow_candidates(live, path, zone, bloom)
+        # zone/bloom specs speak logical names; log stats are physical
+        zone_p = (_phys_col(props, zone[0]), zone[1], zone[2]) if zone else None
+        bloom_p = (_phys_col(props, bloom[0]), bloom[1]) if bloom else None
+        cand = _cow_candidates(live, path, zone_p, bloom_p)
         if not cand:
             return base_v  # log proves no file can match
         live = {n: live[n] for n in cand}
@@ -1650,6 +1698,7 @@ def txn_delete_dv(
             from functools import reduce
 
             src = reduce(lambda a, b: a.unionByName(b), groups)
+            src = _apply_colmap(src, props, keep=("__f", "__p", pcol))
             hits = src.filter(F.coalesce(source_pred, F.lit(False))).select(
                 "__f", "__p"
             )
@@ -1657,10 +1706,16 @@ def txn_delete_dv(
             files = sorted(os.path.join(_data_dir(path), n) for n in live)
             src = spark.read.option("mergeSchema", "true").parquet(*files)
             hits = (
-                src.select(
-                    F.substring_index(F.col("_metadata.file_path"), "/", -1).alias("__f"),
-                    F.col("_metadata.row_index").alias("__p"),
-                    *src.columns,
+                _apply_colmap(
+                    src.select(
+                        F.substring_index(
+                            F.col("_metadata.file_path"), "/", -1
+                        ).alias("__f"),
+                        F.col("_metadata.row_index").alias("__p"),
+                        *src.columns,
+                    ),
+                    props,
+                    keep=("__f", "__p"),
                 )
                 .filter(F.coalesce(source_pred, F.lit(False)))
                 .select("__f", "__p")
@@ -1756,7 +1811,13 @@ def _stage_with_meta(
     """Stage ``df`` and build the commit entries with the same per-file
     metadata the append forms record (footer stats / bloom sidecars), so
     zone-map skipping, snapshot_profile and bloom lookups keep working
-    across CoW rewrites."""
+    across CoW rewrites. Metadata columns are translated to PHYSICAL
+    names (the staged files carry them; log stats stay physical-keyed
+    across renames)."""
+    props = table_props(path) if current_version(path) >= 0 else {}
+    stats_cols = [_phys_col(props, c) for c in stats_cols]
+    if bloom_col is not None:
+        bloom_col = _phys_col(props, bloom_col)
     names = _stage(df, path)
     added: list = []
     for n in names:
@@ -1801,19 +1862,24 @@ def txn_delete_cow(
         base_v = current_version(path)
         if base_v < 0:
             raise ValueError(f"no data to delete at {path}")
-        live, ptype = _fold_log(path, base_v)
+        live, ptype, props = _fold_log3(path, base_v)
         if ptype is not None:
             raise ValueError(
                 "txn_delete_cow: partitioned tables are not supported — "
                 "rewritten files would lose their partition values; use "
                 "the partitioned rewrite forms instead"
             )
-        cand = _cow_candidates(live, path, zone, bloom)
+        zone_p = (_phys_col(props, zone[0]), zone[1], zone[2]) if zone else None
+        bloom_p = (_phys_col(props, bloom[0]), bloom[1]) if bloom else None
+        cand = _cow_candidates(live, path, zone_p, bloom_p)
         if not cand:
             return base_v
         dvmap = {n: live[n]["dv"] for n in cand if live[n].get("dv")}
-        slice_df = _read_files_dv(
-            spark, path, [os.path.join(_data_dir(path), n) for n in cand], dvmap
+        slice_df = _apply_colmap(
+            _read_files_dv(
+                spark, path, [os.path.join(_data_dir(path), n) for n in cand], dvmap
+            ),
+            props,
         )
         kept = slice_df.filter(~F.coalesce(source_pred, F.lit(False)))
         added = _stage_with_meta(spark, kept, path, stats_cols, bloom_col)
@@ -1868,27 +1934,32 @@ def txn_merge_cow(
         base_v = current_version(path)
         if base_v < 0:
             raise ValueError(f"merge target {path} has no committed version")
-        live, ptype = _fold_log(path, base_v)
+        live, ptype, props = _fold_log3(path, base_v)
         if ptype is not None:
             raise ValueError(
                 "txn_merge_cow: partitioned tables are not supported — "
                 "use txn_upsert_partitioned (partition-pruned rewrite)"
             )
+        pk_phys = _phys_col(props, pk)  # log stats are physical-keyed
         cand = []
         for n in sorted(live):
             if live[n]["stats"].get("__rows__") == 0:
                 continue  # log-proven empty part: no row to update
-            rng = live[n]["stats"].get(pk)
+            rng = live[n]["stats"].get(pk_phys)
             if rng is None or _range_hits_any(rng):
                 cand.append(n)
         if use_bloom and cand:
             cand = _cow_candidates(
-                {n: live[n] for n in cand}, path, None, (pk, key_vals)
+                {n: live[n] for n in cand}, path, None, (pk_phys, key_vals)
             )
         if cand:
             dvmap = {n: live[n]["dv"] for n in cand if live[n].get("dv")}
-            target_slice = _read_files_dv(
-                spark, path, [os.path.join(_data_dir(path), n) for n in cand], dvmap
+            target_slice = _apply_colmap(
+                _read_files_dv(
+                    spark, path,
+                    [os.path.join(_data_dir(path), n) for n in cand], dvmap,
+                ),
+                props,
             )
         else:
             target_slice = read_snapshot(spark, path, base_v).limit(0)
@@ -1953,6 +2024,168 @@ def table_checks(path: str, version: int | None = None) -> dict[str, str]:
         for k, v in table_props(path, version).items()
         if k.startswith("check.")
     }
+
+
+# -------------------- column mapping: rename / drop WITHOUT rewriting data
+#
+# Delta's column-mapping idea with original-names-as-physical-ids: data
+# files always carry PHYSICAL column names (the name a column had when
+# first written — stable forever), and a ``colmap`` table property maps
+# logical names onto them: {"map": {logical: physical}, "dropped":
+# [physical, ...]}. A rename or drop is then a METADATA-ONLY commit — no
+# file is opened, no byte moves, O(1) at 100 TB — and because the
+# property folds version-by-version, time travel shows each snapshot
+# under the schema IT had. Users (predicates, merge keys, CHECK
+# constraints, zone/bloom specs) always speak logical names; the log's
+# recorded footer stats stay keyed by physical names, so the DML forms
+# translate specs through the map before pruning.
+
+
+def _colmap(props: dict) -> tuple[dict, list]:
+    raw = props.get("colmap")
+    if not raw:
+        return {}, []
+    m = json.loads(raw)
+    return m.get("map", {}), m.get("dropped", [])
+
+
+def _apply_colmap(df, props: dict, keep=()):
+    """Physical → logical projection for READ paths: renames mapped
+    columns, drops dropped physicals; identity when no mapping exists.
+    ``keep`` columns (metadata/partition columns) pass through."""
+    mp, dropped = _colmap(props)
+    if not mp and not dropped:
+        return df
+    from pyspark.sql import functions as F
+
+    phys2log = {p: l for l, p in mp.items()}
+    cols = []
+    for c in df.columns:
+        if c in keep:
+            cols.append(F.col(c))
+        elif c in dropped:
+            continue
+        else:
+            cols.append(F.col(c).alias(phys2log.get(c, c)))
+    return df.select(*cols)
+
+
+def _unapply_colmap(df, props: dict):
+    """Logical → physical projection for WRITE paths (staging): every
+    file on disk carries physical names, whatever the writer's era.
+
+    Refuses a NEW logical column (schema evolution) whose name collides
+    with an existing physical or dropped-physical name — writing it
+    would make the read mapping ambiguous (the physical name would
+    belong to two logical columns)."""
+    mp, dropped = _colmap(props)
+    if not mp and not dropped:
+        return df
+    from pyspark.sql import functions as F
+
+    taken = set(mp.values()) | set(dropped)
+    for c in df.columns:
+        if c not in mp and c in taken:
+            raise ValueError(
+                f"column {c!r} collides with a physical column name of "
+                "this table (a renamed or dropped column's stable file "
+                "name) — pick a different name"
+            )
+    return df.select(*[F.col(c).alias(mp.get(c, c)) for c in df.columns])
+
+
+def _phys_col(props: dict, col: str) -> str:
+    """Physical name for a logical column (identity when unmapped)."""
+    mp, _ = _colmap(props)
+    return mp.get(col, col)
+
+
+def txn_rename_column(
+    spark, path: str, old: str, new: str, max_retries: int = 5
+) -> int:
+    """ALTER TABLE RENAME COLUMN as a metadata-only commit: the logical
+    name moves, the physical name in every data file stays — zero files
+    opened. Refused when ``old`` is absent, ``new`` collides with any
+    live logical OR physical name (physical collisions would make a
+    later compaction's write ambiguous), ``old`` is the partition
+    column, or a CHECK constraint references ``old`` (the constraint
+    text would silently dangle — rename the constraint first)."""
+    import re as _re
+
+    for _ in range(max_retries):
+        base_v = current_version(path)
+        if base_v < 0:
+            raise ValueError(f"cannot rename columns of empty table {path}")
+        props = table_props(path, base_v)
+        mp, dropped = _colmap(props)
+        logical = read_snapshot(spark, path, base_v).columns
+        if old not in logical:
+            raise ValueError(f"rename: no column {old!r} in {sorted(logical)}")
+        physical = {mp.get(c, c) for c in logical} | set(dropped)
+        if new in logical or new in physical:
+            raise ValueError(
+                f"rename: {new!r} collides with an existing logical or "
+                "physical column name"
+            )
+        if props.get("partition.column") == old:
+            raise ValueError("rename: partition column renames are not supported")
+        for cname, expr in table_checks(path, base_v).items():
+            if _re.search(rf"\b{_re.escape(old)}\b", expr):
+                raise ValueError(
+                    f"rename: CHECK constraint {cname!r} references {old!r}"
+                )
+        mp2 = {l: p for l, p in mp.items() if l != old}
+        mp2[new] = mp.get(old, old)
+        body = json.dumps({"map": mp2, "dropped": dropped}, sort_keys=True)
+        try:
+            return commit(
+                path, [], [], base_v, props={"colmap": body}, op="RENAME_COLUMN"
+            )
+        except TxnConflict:
+            continue
+    raise TxnConflict(f"gave up after {max_retries} retries renaming on {path}")
+
+
+def txn_drop_column(spark, path: str, col: str, max_retries: int = 5) -> int:
+    """ALTER TABLE DROP COLUMN as a metadata-only commit: the physical
+    column stays in the files (time travel still shows it at old
+    versions) but every read at this version onward projects it away.
+    Refused for the partition column, a CHECK-referenced column, or the
+    last remaining column."""
+    import re as _re
+
+    for _ in range(max_retries):
+        base_v = current_version(path)
+        if base_v < 0:
+            raise ValueError(f"cannot drop columns of empty table {path}")
+        props = table_props(path, base_v)
+        mp, dropped = _colmap(props)
+        logical = read_snapshot(spark, path, base_v).columns
+        if col not in logical:
+            raise ValueError(f"drop: no column {col!r} in {sorted(logical)}")
+        if len(logical) <= 1:
+            raise ValueError("drop: refusing to drop the last column")
+        if props.get("partition.column") == col:
+            raise ValueError("drop: partition column drops are not supported")
+        for cname, expr in table_checks(path, base_v).items():
+            if _re.search(rf"\b{_re.escape(col)}\b", expr):
+                raise ValueError(
+                    f"drop: CHECK constraint {cname!r} references {col!r} — "
+                    "drop the constraint first"
+                )
+        phys = mp.get(col, col)
+        mp2 = {l: p for l, p in mp.items() if l != col}
+        body = json.dumps(
+            {"map": mp2, "dropped": sorted(set(dropped) | {phys})},
+            sort_keys=True,
+        )
+        try:
+            return commit(
+                path, [], [], base_v, props={"colmap": body}, op="DROP_COLUMN"
+            )
+        except TxnConflict:
+            continue
+    raise TxnConflict(f"gave up after {max_retries} retries dropping on {path}")
 
 
 def _violation_pred(checks: dict[str, str]):
@@ -2025,6 +2258,8 @@ def _validate_staged(
     from functools import reduce
 
     df = reduce(lambda a, b: a.unionByName(b, allowMissingColumns=True), parts)
+    # staged files carry physical names; CHECK expressions speak logical
+    df = _apply_colmap(df, table_props(path), keep=(pcol,) if pcol else ())
     bad = df.filter(_violation_pred(checks)).count()
     if bad:
         for n in names:
@@ -2300,7 +2535,10 @@ def txn_zorder(
         if ptype is not None:
             raise ValueError("txn_zorder: partitioned tables are not supported")
         files = sorted(os.path.join(_data_dir(path), n) for n in live)
-        df = _read_files_dv(spark, path, files, snapshot_dvs(path, base_v))
+        df = _apply_colmap(
+            _read_files_dv(spark, path, files, snapshot_dvs(path, base_v)),
+            table_props(path, base_v),
+        )
         bounds = df.agg(
             *[f for c in cols for f in (F.min(c), F.max(c))]
         ).first()
@@ -2433,6 +2671,15 @@ def export_symlink_manifest(path: str, version: int | None = None) -> str:
             "manifest-based reader would resurrect deleted rows; run "
             "txn_compact to materialize them first"
         )
+    mp, dropped = _colmap(table_props(path, v))
+    if mp or dropped:
+        raise ValueError(
+            "export_symlink_manifest: table has renamed/dropped columns "
+            "(column mapping) — a manifest reader would see the PHYSICAL "
+            "schema (old names, dropped columns resurrected); use a "
+            "log-aware read, or rewrite the table under its logical "
+            "schema into a fresh path"
+        )
     files = snapshot_files(path, v)
     mdir = os.path.join(path, "_symlink_format_manifest")
     os.makedirs(mdir, exist_ok=True)
@@ -2500,7 +2747,9 @@ def txn_compact_partitioned(
             return base_v
         from functools import reduce
 
-        union = reduce(lambda a, b: a.unionByName(b), groups)
+        union = _apply_colmap(
+            reduce(lambda a, b: a.unionByName(b), groups), props, keep=(pcol,)
+        )
         # one task per rewritten value → one output file per value (the
         # per-value coalesce granularity; finer splitting belongs to the
         # writer's maxRecordsPerFile at real scale)
@@ -2558,7 +2807,7 @@ def txn_merge_dv(
         base_v = current_version(path)
         if base_v < 0:
             raise ValueError(f"merge target {path} has no committed version")
-        live, ptype, _ = _fold_log3(path, base_v)
+        live, ptype, props = _fold_log3(path, base_v)
         if ptype is not None:
             raise ValueError(
                 "txn_merge_dv: partitioned tables are not supported — use "
@@ -2566,6 +2815,8 @@ def txn_merge_dv(
             )
         if key_vals is not None:
             import bisect
+
+            pk_phys = _phys_col(props, pk)  # log stats are physical-keyed
 
             def _rng_hits(rng):  # any source key inside [lo, hi]?
                 i = bisect.bisect_left(key_vals, rng[0])
@@ -2575,12 +2826,12 @@ def txn_merge_dv(
             for n in sorted(live):
                 if live[n]["stats"].get("__rows__") == 0:
                     continue  # log-proven empty: no row to match
-                rng = live[n]["stats"].get(pk)
+                rng = live[n]["stats"].get(pk_phys)
                 if rng is None or _rng_hits(rng):
                     cand.append(n)
             if use_bloom and cand:
                 cand = _cow_candidates(
-                    {n: live[n] for n in cand}, path, None, (pk, key_vals)
+                    {n: live[n] for n in cand}, path, None, (pk_phys, key_vals)
                 )
             live = {n: live[n] for n in cand}
         old_dvs = {n: d["dv"]["d"] for n, d in live.items() if d.get("dv")}
@@ -2592,7 +2843,8 @@ def txn_merge_dv(
             tgt = spark.read.option("mergeSchema", "true").parquet(*files).select(
                 F.substring_index(F.col("_metadata.file_path"), "/", -1).alias("__f"),
                 F.col("_metadata.row_index").alias("__p"),
-                *keys,
+                # files carry physical names; merge keys speak logical
+                *[F.col(_phys_col(props, k)).alias(k) for k in keys],
             )
             hits = tgt.join(
                 F.broadcast(source.select(*keys).distinct()), keys, "left_semi"
@@ -2656,6 +2908,11 @@ def txn_append_indexed(
     one commit — the fully-indexed ingest form (txn_append_stats and
     txn_append_bloom each record one kind; production writers record
     both, enabling range AND point pruning on the same files)."""
+    if current_version(path) >= 0:
+        props = table_props(path)
+        stats_cols = [_phys_col(props, c) for c in stats_cols]
+        if bloom_col is not None:
+            bloom_col = _phys_col(props, bloom_col)
     added_names = _stage(df, path)
     base_v = current_version(path)  # pinned pre-validation (check TOCTOU)
     checks = _validate_staged(spark, path, added_names)

@@ -2252,3 +2252,196 @@ class TestCommitBackendSeam:
         with pytest.raises(txnlog.TxnConflict):
             txnlog.commit(table, [], [], 0, op="APPEND")  # stale slot
         assert txnlog.read_snapshot(spark, table).count() == 10
+
+
+class TestColumnMapping:
+    """Metadata-only RENAME/DROP COLUMN (Delta column mapping with
+    original-names-as-physical-ids): data files keep their physical
+    column names forever; a ``colmap`` property maps logical names onto
+    them, folding version-by-version so time travel shows each snapshot
+    under the schema it had."""
+
+    def _seed(self, spark, table):
+        df = spark.createDataFrame(
+            [(1, "a", 10), (2, "b", 20), (3, "c", 30)],
+            "k long, tag string, val long",
+        )
+        txnlog.txn_append(spark, df, table)
+
+    def test_rename_is_metadata_only_and_reads_logical(self, spark, table):
+        self._seed(spark, table)
+        before = _inodes(table)
+        v = txnlog.txn_rename_column(spark, table, "val", "amount")
+        assert v == 1
+        assert _inodes(table) == before  # zero files touched
+        snap = txnlog.read_snapshot(spark, table)
+        assert snap.columns == ["k", "tag", "amount"]
+        assert {(r.k, r.amount) for r in snap.collect()} == {(1, 10), (2, 20), (3, 30)}
+
+    def test_time_travel_shows_each_versions_schema(self, spark, table):
+        self._seed(spark, table)
+        txnlog.txn_rename_column(spark, table, "val", "amount")
+        txnlog.txn_drop_column(spark, table, "tag")
+        assert txnlog.read_snapshot(spark, table, 0).columns == ["k", "tag", "val"]
+        assert txnlog.read_snapshot(spark, table, 1).columns == ["k", "tag", "amount"]
+        assert txnlog.read_snapshot(spark, table, 2).columns == ["k", "amount"]
+
+    def test_append_after_rename_writes_physical_names(self, spark, table):
+        import pyarrow.parquet as pq
+
+        self._seed(spark, table)
+        txnlog.txn_rename_column(spark, table, "val", "amount")
+        txnlog.txn_append(
+            spark,
+            spark.createDataFrame([(4, "d", 40)], "k long, tag string, amount long"),
+            table,
+        )
+        snap = txnlog.read_snapshot(spark, table)
+        assert {(r.k, r.amount) for r in snap.collect()} == {
+            (1, 10), (2, 20), (3, 30), (4, 40)
+        }
+        # every file on disk carries the PHYSICAL name, old and new alike
+        d = os.path.join(table, "data")
+        for n in txnlog.snapshot_stats(table):
+            names = set(pq.read_schema(os.path.join(d, n)).names)
+            assert "val" in names and "amount" not in names
+
+    def test_upsert_and_merge_dv_speak_logical_keys(self, spark, table):
+        self._seed(spark, table)
+        txnlog.txn_rename_column(spark, table, "val", "amount")
+        src = spark.createDataFrame(
+            [(2, "B", 200), (9, "z", 90)], "k long, tag string, amount long"
+        )
+        txnlog.txn_merge_dv(spark, src, table, ["k"])
+        snap = {r.k: (r.tag, r.amount) for r in txnlog.read_snapshot(spark, table).collect()}
+        assert snap == {1: ("a", 10), 2: ("B", 200), 3: ("c", 30), 9: ("z", 90)}
+        txnlog.txn_upsert(
+            spark,
+            spark.createDataFrame([(1, "A", 100)], "k long, tag string, amount long"),
+            table,
+            ["k"],
+        )
+        snap = {r.k: r.amount for r in txnlog.read_snapshot(spark, table).collect()}
+        assert snap == {1: 100, 2: 200, 3: 30, 9: 90}
+
+    def test_delete_dv_zone_spec_in_logical_names(self, spark, table):
+        df = spark.range(0, 100).selectExpr("id AS k", "id * 2 AS val")
+        txnlog.txn_append_stats(spark, df, table, ["k"])
+        txnlog.txn_rename_column(spark, table, "k", "key")
+        txnlog.txn_delete_dv(
+            spark, F.col("key") < 10, table, zone=("key", 0, 9)
+        )
+        snap = txnlog.read_snapshot(spark, table)
+        assert snap.count() == 90
+        assert snap.filter("key < 10").count() == 0
+
+    def test_checks_validate_against_logical_schema(self, spark, table):
+        self._seed(spark, table)
+        txnlog.txn_rename_column(spark, table, "val", "amount")
+        txnlog.txn_add_check(spark, table, "pos", "amount >= 0")
+        with pytest.raises(txnlog.CheckViolation):
+            txnlog.txn_append(
+                spark,
+                spark.createDataFrame(
+                    [(9, "x", -5)], "k long, tag string, amount long"
+                ),
+                table,
+            )
+        # renaming a check-referenced column is refused (dangling text)
+        with pytest.raises(ValueError, match="CHECK"):
+            txnlog.txn_rename_column(spark, table, "amount", "money")
+        with pytest.raises(ValueError, match="CHECK"):
+            txnlog.txn_drop_column(spark, table, "amount")
+
+    def test_rename_refusals(self, spark, table):
+        self._seed(spark, table)
+        with pytest.raises(ValueError, match="no column"):
+            txnlog.txn_rename_column(spark, table, "nope", "x")
+        with pytest.raises(ValueError, match="collides"):
+            txnlog.txn_rename_column(spark, table, "val", "tag")
+        txnlog.txn_rename_column(spark, table, "val", "amount")
+        # "val" is now a stable PHYSICAL name — renaming another column
+        # onto it would make a later rewrite ambiguous
+        with pytest.raises(ValueError, match="collides"):
+            txnlog.txn_rename_column(spark, table, "tag", "val")
+
+    def test_drop_refusals(self, spark, table):
+        df = spark.createDataFrame([(1, "x")], "k long, p string")
+        txnlog.txn_append_partitioned(spark, df, table, "p")
+        with pytest.raises(ValueError, match="partition"):
+            txnlog.txn_drop_column(spark, table, "p")
+        txnlog.txn_drop_column(spark, table, "k")
+        with pytest.raises(ValueError, match="last column"):
+            txnlog.txn_drop_column(spark, table, "p")
+
+    def test_new_column_colliding_with_physical_is_refused(self, spark, table):
+        self._seed(spark, table)
+        txnlog.txn_rename_column(spark, table, "val", "amount")
+        with pytest.raises(ValueError, match="collides"):
+            txnlog.txn_append(
+                spark,
+                spark.createDataFrame(
+                    [(5, "e", 50, 1)], "k long, tag string, amount long, val long"
+                ),
+                table,
+            )
+
+    def test_compact_purges_dropped_column_bytes(self, spark, table):
+        import pyarrow.parquet as pq
+
+        self._seed(spark, table)
+        self._seed(spark, table)  # two commits so compact has work
+        txnlog.txn_rename_column(spark, table, "val", "amount")
+        txnlog.txn_drop_column(spark, table, "tag")
+        txnlog.txn_compact(spark, table)
+        snap = txnlog.read_snapshot(spark, table)
+        assert snap.columns == ["k", "amount"]
+        assert snap.count() == 6
+        # rewritten files: dropped column physically gone, renamed column
+        # still stored under its stable physical name
+        d = os.path.join(table, "data")
+        for n in txnlog.snapshot_stats(table):
+            names = set(pq.read_schema(os.path.join(d, n)).names)
+            assert names == {"k", "val"}
+
+    def test_skipping_read_speaks_logical_after_rename(self, spark, table):
+        df = spark.range(0, 100).selectExpr("id AS k", "id % 7 AS v")
+        for b in range(4):
+            txnlog.txn_append_stats(
+                spark,
+                df.filter((F.col("k") >= b * 25) & (F.col("k") < (b + 1) * 25)),
+                table,
+                ["k"],
+            )
+        txnlog.txn_rename_column(spark, table, "k", "key")
+        got = txnlog.read_snapshot_skipping(spark, table, "key", 0, 24)
+        assert got.columns == ["key", "v"]
+        assert got.filter("key <= 24").count() == 25
+
+    def test_lake_cdc_refuses_mapped_table(self, spark, table):
+        from dbimport_spark.sources.lakecdc import _table_ddl
+
+        self._seed(spark, table)
+        txnlog.txn_rename_column(spark, table, "val", "amount")
+        with pytest.raises(ValueError, match="column mapping"):
+            _table_ddl(table)
+
+    def test_partitioned_table_rename_data_column(self, spark, table):
+        df = spark.createDataFrame(
+            [(1, 10, "x"), (2, 20, "y"), (3, 30, "x")], "k long, val long, p string"
+        )
+        txnlog.txn_append_partitioned(spark, df, table, "p")
+        txnlog.txn_rename_column(spark, table, "val", "amount")
+        snap = txnlog.read_snapshot(spark, table)
+        assert sorted(snap.columns) == ["amount", "k", "p"]
+        assert {(r.k, r.amount, r.p) for r in snap.collect()} == {
+            (1, 10, "x"), (2, 20, "y"), (3, 30, "x")
+        }
+        # partitioned append after the rename, logical schema in
+        txnlog.txn_append_partitioned(
+            spark,
+            spark.createDataFrame([(4, 40, "z")], "k long, amount long, p string"),
+            table,
+            "p",
+        )
+        assert txnlog.read_snapshot(spark, table).count() == 4
