@@ -187,6 +187,7 @@ HEADLINE = [
     "stream_lake_cdc_dv",
     "lake_delete_dv_pruned",
     "lake_rename_drop_column",
+    "lake_merge_into_clauses",
 ]
 
 

@@ -2230,3 +2230,89 @@ def lake_rename_drop_column(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("bal").cast("bigint").alias("bal_sum"),
         F.max("c_custkey").cast("bigint").alias("max_key"),
     )
+
+
+@register(
+    "lake_merge_into_clauses",
+    """WITH base AS (
+  SELECT c_custkey AS k, CAST(round(c_acctbal * 100) AS BIGINT) AS bal
+  FROM customer
+), merged AS (
+  -- matched (k % 2 = 0): negative balances deleted, others updated +500
+  SELECT k, bal + 500 AS bal FROM base WHERE k % 2 = 0 AND bal >= 0
+  UNION ALL
+  -- not matched by target (source-only keys): inserted verbatim
+  SELECT k + 10000000, bal FROM base WHERE k <= 50
+  UNION ALL
+  -- not matched by source (k % 2 = 1), first-match-wins: stale-marking
+  -- update (bal < -50000) beats the k%97 delete; others keep
+  SELECT k, CASE WHEN bal < -50000 THEN -1 ELSE bal END AS bal
+  FROM base
+  WHERE k % 2 = 1 AND NOT (k % 97 = 13 AND bal >= -50000)
+)
+SELECT CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(bal) AS BIGINT) AS bal_sum,
+       CAST(count(*) FILTER (WHERE k > 10000000) AS BIGINT) AS n_inserted,
+       CAST(count(*) FILTER (WHERE bal = -1) AS BIGINT) AS n_stale
+FROM merged""",
+)
+def lake_merge_into_clauses(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL MERGE INTO clause semantics (operators/merge.merge_into +
+    txnlog.txn_merge_into) — all five clause kinds in ONE statement with
+    Delta's first-match-wins evaluation order: WHEN MATCHED AND t.bal<0
+    DELETE, WHEN MATCHED UPDATE (bal from source), WHEN NOT MATCHED
+    INSERT *, WHEN NOT MATCHED BY SOURCE AND t.bal<-50000 UPDATE
+    (stale-mark bal=-1 — listed BEFORE the delete so it wins ties), WHEN
+    NOT MATCHED BY SOURCE AND k%97=13 DELETE. The plan is ONE full-outer
+    key shuffle + a single CASE projection (no per-clause pass); graded
+    on exact count/sum plus inserted/stale-marked tallies. This is the
+    generalization the reference's import modes are special cases of
+    (DbImportWorker.java:426-581's mode dispatch)."""
+    import os
+    import shutil
+    import tempfile
+
+    from dbimport_spark import txnlog
+
+    path = os.path.join(
+        tempfile.gettempdir(),
+        "dbimport_spark_txn",
+        "mergeinto_" + sf_dir.rstrip("/").replace("/", "_"),
+    )
+    if os.path.isdir(path):
+        shutil.rmtree(path)
+
+    base = load(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("k"),
+        F.round(F.col("c_acctbal") * 100).cast("bigint").alias("bal"),
+    )
+    txnlog.txn_append(spark, base, path)
+    src = (
+        base.filter(F.col("k") % 2 == 0)
+        .select("k", (F.col("bal") + 500).alias("bal"))
+        .unionByName(
+            base.filter(F.col("k") <= 50).select(
+                (F.col("k") + 10_000_000).alias("k"), "bal"
+            )
+        )
+    )
+    txnlog.txn_merge_into(
+        spark,
+        src,
+        path,
+        ["k"],
+        [
+            ("matched_delete", "t.bal < 0"),
+            ("matched_update", None, "all"),
+            ("not_matched_insert", None, "all"),
+            ("not_matched_by_source_update", "t.bal < -50000", {"bal": "-1"}),
+            ("not_matched_by_source_delete", "t.k % 97 = 13"),
+        ],
+    )
+    snap = txnlog.read_snapshot(spark, path)
+    return snap.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum("bal").cast("bigint").alias("bal_sum"),
+        F.count(F.when(F.col("k") > 10_000_000, 1)).cast("bigint").alias("n_inserted"),
+        F.count(F.when(F.col("bal") == -1, 1)).cast("bigint").alias("n_stale"),
+    )

@@ -2900,6 +2900,37 @@ def txn_merge_dv(
     raise TxnConflict(f"gave up after {max_retries} retries DV-merging into {path}")
 
 
+def txn_merge_into(
+    spark, source: DataFrame, path: str, keys, clauses, max_retries: int = 3
+) -> int:
+    """Transactional full MERGE INTO (operators/merge.merge_into clause
+    semantics — matched update/delete, not-matched insert, not-matched-
+    by-source update/delete, first-match-wins): apply the clause lattice
+    against the current snapshot and commit the result as {add: new
+    files, remove: all previous live files}, like txn_upsert. This is
+    the whole-snapshot form — by-source clauses inspect every target
+    row by definition, so there is nothing to prune; merges WITHOUT
+    by-source clauses that only touch a key band belong with
+    txn_merge_cow / txn_merge_dv."""
+    from dbimport_spark.operators.merge import merge_into
+
+    _refuse_partitioned(path, "txn_merge_into")
+    for _ in range(max_retries):
+        base_v = current_version(path)
+        if base_v < 0:
+            raise ValueError(f"merge target {path} has no committed version")
+        target = read_snapshot(spark, path, base_v)
+        old_files = [os.path.basename(f) for f in snapshot_files(path, base_v)]
+        merged = merge_into(target, source, keys, clauses)
+        added = _stage(merged, path)
+        _validate_staged(spark, path, added)
+        try:
+            return commit(path, added, old_files, base_v, op="MERGE")
+        except TxnConflict:
+            continue
+    raise TxnConflict(f"gave up after {max_retries} retries merging into {path}")
+
+
 def txn_append_indexed(
     spark, df: DataFrame, path: str, stats_cols=(), bloom_col: str | None = None,
     fpp: float = 0.01, max_retries: int = 5,

@@ -416,3 +416,120 @@ def test_aqe_skew_join_splits_planted_hot_key(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+class TestMergeIntoClauses:
+    """Full MERGE INTO clause lattice (operators/merge.merge_into):
+    first-match-wins order, all five clause kinds, SQL conditions over
+    t/s aliases, one full-outer join + CASE projection."""
+
+    def _tables(self, spark):
+        target = spark.createDataFrame(
+            [(1, "a", 10), (2, "b", -5), (3, "c", 30), (4, "d", 40)],
+            "k long, tag string, val long",
+        )
+        source = spark.createDataFrame(
+            [(1, "A", 100), (2, "B", 200), (9, "z", 90)],
+            "k long, tag string, val long",
+        )
+        return target, source
+
+    def test_matched_update_then_insert(self, spark):
+        from dbimport_spark.operators.merge import merge_into
+
+        t, s = self._tables(spark)
+        out = merge_into(
+            t, s, ["k"],
+            [("matched_update", None, "all"), ("not_matched_insert", None, "all")],
+        )
+        rows = {r.k: (r.tag, r.val) for r in out.collect()}
+        assert rows == {
+            1: ("A", 100), 2: ("B", 200), 3: ("c", 30), 4: ("d", 40), 9: ("z", 90),
+        }
+
+    def test_first_match_wins_order(self, spark):
+        from dbimport_spark.operators.merge import merge_into
+
+        t, s = self._tables(spark)
+        # delete-first: matched k=2 has t.val<0 -> deleted, never updated
+        out = merge_into(
+            t, s, ["k"],
+            [
+                ("matched_delete", "t.val < 0"),
+                ("matched_update", None, "all"),
+            ],
+        )
+        rows = {r.k: r.val for r in out.collect()}
+        assert rows == {1: 100, 3: 30, 4: 40}
+        # update-first: the same row is updated instead (clause order flipped)
+        out2 = merge_into(
+            t, s, ["k"],
+            [
+                ("matched_update", None, "all"),
+                ("matched_delete", "t.val < 0"),
+            ],
+        )
+        rows2 = {r.k: r.val for r in out2.collect()}
+        assert rows2 == {1: 100, 2: 200, 3: 30, 4: 40}
+
+    def test_not_matched_by_source_clauses(self, spark):
+        from dbimport_spark.operators.merge import merge_into
+
+        t, s = self._tables(spark)
+        out = merge_into(
+            t, s, ["k"],
+            [
+                ("not_matched_by_source_update", "t.k = 3", {"val": "t.val + 1"}),
+                ("not_matched_by_source_delete", "t.k = 4"),
+            ],
+        )
+        rows = {r.k: r.val for r in out.collect()}
+        assert rows == {1: 10, 2: -5, 3: 31}  # 3 bumped, 4 deleted
+
+    def test_partial_assignment_and_insert_null_fill(self, spark):
+        from dbimport_spark.operators.merge import merge_into
+
+        t, s = self._tables(spark)
+        out = merge_into(
+            t, s, ["k"],
+            [
+                ("matched_update", None, {"val": "s.val + t.val"}),
+                ("not_matched_insert", None, {"k": "s.k", "val": "s.val"}),
+            ],
+        )
+        rows = {r.k: (r.tag, r.val) for r in out.collect()}
+        assert rows[1] == ("a", 110)   # tag kept from target on update
+        assert rows[9] == (None, 90)   # unassigned column NULL on insert
+
+    def test_conditional_insert_and_unmatched_source_dropped(self, spark):
+        from dbimport_spark.operators.merge import merge_into
+
+        t, s = self._tables(spark)
+        out = merge_into(
+            t, s, ["k"], [("not_matched_insert", "s.val > 1000", "all")]
+        )
+        assert out.count() == 4  # k=9 fails the condition -> dropped
+
+    def test_unknown_clause_kind_raises(self, spark):
+        from dbimport_spark.operators.merge import merge_into
+
+        t, s = self._tables(spark)
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError, match="unknown clause"):
+            merge_into(t, s, ["k"], [("matched_upsert", None, "all")]).collect()
+
+    def test_equivalence_with_upsert(self, spark):
+        """update-all + insert-all == the narrow upsert operator."""
+        from dbimport_spark.operators.merge import merge_into, upsert
+
+        t, s = self._tables(spark)
+        a = sorted(
+            (r.k, r.tag, r.val)
+            for r in merge_into(
+                t, s, ["k"],
+                [("matched_update", None, "all"), ("not_matched_insert", None, "all")],
+            ).collect()
+        )
+        b = sorted((r.k, r.tag, r.val) for r in upsert(t, s, ["k"]).collect())
+        assert a == b
