@@ -188,6 +188,7 @@ HEADLINE = [
     "lake_delete_dv_pruned",
     "lake_rename_drop_column",
     "lake_merge_into_clauses",
+    "stream_lake_apply_changes",
 ]
 
 

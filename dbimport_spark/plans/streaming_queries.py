@@ -1490,3 +1490,160 @@ def pipeline_lakehouse_ingest_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return side(target, "table").unionByName(side(quarantine, "quarantine"))
+
+
+@register(
+    "stream_lake_apply_changes",
+    """WITH ev AS (
+  SELECT event_id, user_id,
+         CAST(round(value * 10000) AS BIGINT) AS v4,
+         CASE WHEN event_id % 7 = 3 THEN 'D' ELSE 'U' END AS op
+  FROM events
+),
+seed AS (
+  SELECT user_id, max(event_id) AS eid FROM ev
+  WHERE event_id % 3 = 0 GROUP BY user_id
+),
+strm AS (
+  SELECT user_id, max(event_id) AS eid FROM ev
+  WHERE event_id % 3 <> 0 GROUP BY user_id
+),
+pick AS (
+  SELECT COALESCE(sd.user_id, st.user_id) AS user_id,
+         COALESCE(st.eid, sd.eid) AS eid,
+         st.eid IS NOT NULL AS from_stream
+  FROM seed sd FULL OUTER JOIN strm st ON sd.user_id = st.user_id
+),
+final AS (
+  SELECT p.user_id, p.eid, e.v4
+  FROM pick p JOIN ev e ON e.event_id = p.eid
+  WHERE NOT (p.from_stream AND e.op = 'D')
+)
+SELECT CAST(count(*) AS BIGINT) AS n_users,
+       CAST(sum(eid) AS BIGINT) AS eid_sum,
+       CAST(sum(v4) AS BIGINT) AS v4_sum
+FROM final""",
+)
+def stream_lake_apply_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACTLY-ONCE streaming CDC apply — DLT's APPLY CHANGES INTO
+    rebuilt from this round's pieces: a CDC stream of per-key change
+    events (op column: U upsert / D delete, derived deterministically
+    from event_id) folds into a lake dimension table through
+    txn_merge_into's clause lattice inside foreachBatch — matched+D
+    deletes the key, matched updates it, unmatched non-D inserts; each
+    batch pre-collapses to its LAST change per key (max_by on event_id,
+    Delta's key-distinct source requirement). The merge commit records
+    the (app, batch) watermark ATOMICALLY with the data, so the
+    adversarial whole-corpus replay after the drain no-ops — a replayed
+    MERGE is not even idempotent in the best case (re-applied deltas
+    double-count, re-inserts flip by-source deletes), which makes the
+    watermark the only correct redelivery story; value-graded on the
+    final table's count and id/value sums."""
+    from dbimport_spark import txnlog
+    from dbimport_spark.plans.registry import load_events
+
+    work = tempfile.mkdtemp(prefix="dbimport_apply_changes_")
+    path = os.path.join(work, "dim")
+    checkpoint = os.path.join(work, "ckpt")
+    app = "apply_changes"
+
+    ev_all = load_events(spark, sf_dir).select("event_id", "user_id", "value")
+    # seed snapshot: historical slice (event_id % 3 == 0), last per user
+    seed = (
+        ev_all.filter(F.col("event_id") % 3 == 0)
+        .groupBy("user_id")
+        .agg(
+            F.max_by(
+                F.struct(
+                    F.col("event_id").alias("eid"),
+                    F.round(F.col("value") * 10000).cast("bigint").alias("v4"),
+                ),
+                F.col("event_id"),
+            ).alias("x")
+        )
+        .select("user_id", "x.eid", "x.v4")
+    )
+    txnlog.txn_append(spark, seed, path)
+
+    stream = (
+        read_events_stream(spark, _events_path(sf_dir))
+        .select("event_id", "user_id", "value")
+        .filter(F.col("event_id") % 3 != 0)
+        .select(
+            "event_id",
+            "user_id",
+            F.round(F.col("value") * 10000).cast("bigint").alias("v4"),
+            F.when(F.col("event_id") % 7 == 3, F.lit("D"))
+            .otherwise(F.lit("U"))
+            .alias("op"),
+        )
+    )
+
+    def apply_batch(bdf: DataFrame, batch_id: int) -> None:
+        last = (
+            bdf.groupBy("user_id")
+            .agg(
+                F.max_by(
+                    F.struct("event_id", "v4", "op"), F.col("event_id")
+                ).alias("x")
+            )
+            .select("user_id", "x.event_id", "x.v4", "x.op")
+        )
+        txnlog.txn_merge_into(
+            spark,
+            last,
+            path,
+            ["user_id"],
+            [
+                ("matched_delete", "s.op = 'D'"),
+                (
+                    "matched_update",
+                    None,
+                    {"eid": "s.event_id", "v4": "s.v4"},
+                ),
+                (
+                    "not_matched_insert",
+                    "s.op <> 'D'",
+                    {"user_id": "s.user_id", "eid": "s.event_id", "v4": "s.v4"},
+                ),
+            ],
+            app_id=app,
+            batch_id=batch_id,
+        )
+
+    q = (
+        stream.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    # adversarial replay: the whole CDC corpus claims to be batch 0 again
+    replay = (
+        ev_all.filter(F.col("event_id") % 3 != 0)
+        .select(
+            "event_id",
+            "user_id",
+            F.round(F.col("value") * 10000).cast("bigint").alias("v4"),
+            F.when(F.col("event_id") % 7 == 3, F.lit("D"))
+            .otherwise(F.lit("U"))
+            .alias("op"),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.max_by(F.struct("event_id", "v4", "op"), F.col("event_id")).alias("x")
+        )
+        .select("user_id", "x.event_id", "x.v4", "x.op")
+    )
+    txnlog.txn_merge_into(
+        spark, replay, path, ["user_id"],
+        [("matched_delete", "s.op = 'D'"), ("matched_update", None, "all")],
+        app_id=app, batch_id=0,
+    )
+
+    return txnlog.read_snapshot(spark, path).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users"),
+        F.sum("eid").cast("bigint").alias("eid_sum"),
+        F.sum("v4").cast("bigint").alias("v4_sum"),
+    )

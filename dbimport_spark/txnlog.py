@@ -2901,7 +2901,8 @@ def txn_merge_dv(
 
 
 def txn_merge_into(
-    spark, source: DataFrame, path: str, keys, clauses, max_retries: int = 3
+    spark, source: DataFrame, path: str, keys, clauses, max_retries: int = 3,
+    app_id: str | None = None, batch_id: int | None = None,
 ) -> int:
     """Transactional full MERGE INTO (operators/merge.merge_into clause
     semantics — matched update/delete, not-matched insert, not-matched-
@@ -2911,11 +2912,24 @@ def txn_merge_into(
     the whole-snapshot form — by-source clauses inspect every target
     row by definition, so there is nothing to prune; merges WITHOUT
     by-source clauses that only touch a key band belong with
-    txn_merge_cow / txn_merge_dv."""
+    txn_merge_cow / txn_merge_dv.
+
+    ``app_id``/``batch_id`` make the merge EXACTLY-ONCE for streaming
+    CDC apply (foreachBatch): the commit atomically records the
+    ``txn.<app>`` watermark with the merged result, and a redelivered
+    batch no-ops — unlike an append, a REPLAYED merge is not even
+    idempotent in the best case (a matched_update re-applying
+    ``t.val + 1`` double-counts; a not_matched_insert re-inserting
+    under by-source-delete clauses flips rows), so the watermark is the
+    only correct redelivery story."""
     from dbimport_spark.operators.merge import merge_into
 
+    if (app_id is None) != (batch_id is None):
+        raise ValueError("txn_merge_into: pass app_id and batch_id together")
     _refuse_partitioned(path, "txn_merge_into")
     for _ in range(max_retries):
+        if app_id is not None and batch_id <= last_committed_batch(path, app_id):
+            return current_version(path)  # redelivered batch: done
         base_v = current_version(path)
         if base_v < 0:
             raise ValueError(f"merge target {path} has no committed version")
@@ -2924,9 +2938,24 @@ def txn_merge_into(
         merged = merge_into(target, source, keys, clauses)
         added = _stage(merged, path)
         _validate_staged(spark, path, added)
+        props = {f"txn.{app_id}": str(batch_id)} if app_id is not None else None
         try:
-            return commit(path, added, old_files, base_v, op="MERGE")
+            return commit(
+                path, added, old_files, base_v, props=props, op="MERGE"
+            )
         except TxnConflict:
+            # lost the race: drop our invisible staged files and re-merge
+            # against the new snapshot (the skip check re-runs first — the
+            # rival may have been the SAME app landing this batch)
+            for e in added:
+                try:
+                    os.remove(
+                        os.path.join(
+                            _data_dir(path), e["n"] if isinstance(e, dict) else e
+                        )
+                    )
+                except FileNotFoundError:
+                    pass
             continue
     raise TxnConflict(f"gave up after {max_retries} retries merging into {path}")
 

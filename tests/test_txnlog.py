@@ -2445,3 +2445,57 @@ class TestColumnMapping:
             "p",
         )
         assert txnlog.read_snapshot(spark, table).count() == 4
+
+
+class TestMergeIntoTxn:
+    def _seed(self, spark, table):
+        txnlog.txn_append(
+            spark,
+            spark.createDataFrame([(1, 10), (2, 20), (3, 30)], "k long, v long"),
+            table,
+        )
+
+    def test_merge_into_clause_lattice_transactional(self, spark, table):
+        self._seed(spark, table)
+        src = spark.createDataFrame(
+            [(2, 200, "U"), (3, 0, "D"), (9, 90, "U")], "k long, v long, op string"
+        )
+        v = txnlog.txn_merge_into(
+            spark, src, table, ["k"],
+            [
+                ("matched_delete", "s.op = 'D'"),
+                ("matched_update", None, {"v": "s.v"}),
+                ("not_matched_insert", "s.op <> 'D'", {"k": "s.k", "v": "s.v"}),
+            ],
+        )
+        assert v == 1
+        rows = {r.k: r.v for r in txnlog.read_snapshot(spark, table).collect()}
+        assert rows == {1: 10, 2: 200, 9: 90}
+        # time travel still shows the pre-merge snapshot
+        assert txnlog.read_snapshot(spark, table, 0).count() == 3
+
+    def test_idempotent_merge_skips_redelivered_batch(self, spark, table):
+        """A replayed MERGE is NOT idempotent (the delta re-applies) —
+        the (app, batch) watermark is what makes redelivery safe."""
+        self._seed(spark, table)
+        src = spark.createDataFrame([(1, 0, "U")], "k long, v long, op string")
+        delta_clauses = [("matched_update", None, {"v": "t.v + 7"})]
+        txnlog.txn_merge_into(
+            spark, src, table, ["k"], delta_clauses, app_id="cdc", batch_id=0
+        )
+        assert {r.v for r in txnlog.read_snapshot(spark, table)
+                .filter("k = 1").collect()} == {17}
+        # redelivery of batch 0: no-op, the delta must NOT re-apply
+        txnlog.txn_merge_into(
+            spark, src, table, ["k"], delta_clauses, app_id="cdc", batch_id=0
+        )
+        assert {r.v for r in txnlog.read_snapshot(spark, table)
+                .filter("k = 1").collect()} == {17}
+        # control: the SAME merge without the watermark double-counts
+        txnlog.txn_merge_into(spark, src, table, ["k"], delta_clauses)
+        assert {r.v for r in txnlog.read_snapshot(spark, table)
+                .filter("k = 1").collect()} == {24}
+        with pytest.raises(ValueError, match="together"):
+            txnlog.txn_merge_into(
+                spark, src, table, ["k"], delta_clauses, app_id="cdc"
+            )
