@@ -24,6 +24,10 @@ merge keys; key-aware update_pre/postimage classification stays with
 the batch-side `read_changes`). Partitioned tables stream when the
 `partitionColumn` option names the log-resident partition column (the
 value is re-attached from the log, typed per the recorded DDL).
+Column-mapped tables (txn_rename_column / txn_drop_column) stream under
+their LOGICAL schema as of stream start — files carry stable physical
+names and the conform step translates; a rename landing mid-stream is
+picked up at the next restart, like Delta.
 
 Planning is metadata-only: the driver reads log JSONs, never data pages;
 executors read exactly the parquet files their partition names. At
@@ -79,17 +83,14 @@ def _table_ddl(
         raise ValueError(f"lake_cdc: empty table at {path}")
     from dbimport_spark.txnlog import _colmap, table_props
 
+    # column-mapping reader feature: files carry PHYSICAL names; the
+    # stream's schema shows the LOGICAL names AS OF stream start (dropped
+    # physicals are projected away). Like Delta, a rename landing
+    # MID-STREAM is not picked up until the stream restarts — the
+    # DataSource schema is fixed at planning, and the physical names in
+    # the files are stable either way.
     mp, dropped = _colmap(table_props(path, v))
-    if mp or dropped:
-        # reader-feature gate (Delta requires columnMapping reader
-        # support the same way): this source reads file footers directly
-        # and would stream the PHYSICAL schema — old names, dropped
-        # columns resurrected — so it refuses rather than lie.
-        raise ValueError(
-            "lake_cdc: table has renamed/dropped columns (column "
-            "mapping), which this streaming source does not translate "
-            "yet — read through read_snapshot / read_changes instead"
-        )
+    phys2log = {p: l for l, p in mp.items()}
     live, _ptype = _fold_log(path, v)
     if not live:
         raise ValueError(f"lake_cdc: no added files in any commit at {path}")
@@ -100,6 +101,9 @@ def _table_ddl(
     for name in sorted(live):
         schema = pq.read_schema(os.path.join(_data_dir(path), name))
         for f in schema:
+            if f.name in dropped:
+                continue
+            fname = phys2log.get(f.name, f.name)
             t = str(f.type)
             if t.startswith("timestamp"):
                 ddl = "timestamp"
@@ -111,13 +115,13 @@ def _table_ddl(
                 raise ValueError(
                     f"lake_cdc: unsupported column type {t} ({f.name})"
                 )
-            if f.name not in seen:
-                seen[f.name] = ddl
-                order.append(f.name)
-            elif seen[f.name] != ddl:
+            if fname not in seen:
+                seen[fname] = ddl
+                order.append(fname)
+            elif seen[fname] != ddl:
                 raise ValueError(
-                    f"lake_cdc: conflicting types for {f.name}: "
-                    f"{seen[f.name]} vs {ddl}"
+                    f"lake_cdc: conflicting types for {fname}: "
+                    f"{seen[fname]} vs {ddl}"
                 )
     cols = [f"{n} {seen[n]}" for n in order]
     if partition_col:
@@ -244,6 +248,15 @@ class LakeCdcStreamReader(DataSourceStreamReader):
             }
             arrow = to_arrow_schema(schema)
             self._data_fields = [f for f in arrow if f.name not in skip]
+        # column mapping: stream fields are LOGICAL, file columns are
+        # PHYSICAL — capture the logical→physical lookup AS OF stream
+        # start for the executor-side conform step
+        from dbimport_spark.txnlog import _colmap, table_props
+
+        mp, _dropped = _colmap(
+            table_props(path) if current_version(path) >= 0 else {}
+        )
+        self._log2phys = mp
         self._init_rest(path, options)
 
     def _init_rest(self, path: str, options):
@@ -457,16 +470,19 @@ class LakeCdcStreamReader(DataSourceStreamReader):
         return parts or [_AddedFile("", e)]
 
     def _conform(self, tbl):
-        """Project/cast a file's arrow table to the stream's data schema
-        (null-filling columns the file predates); row order preserved."""
+        """Project/cast a file's arrow table to the stream's LOGICAL data
+        schema (null-filling columns the file predates; looking up each
+        logical field under its physical file name); row order
+        preserved."""
         import pyarrow as pa
 
         if self._data_fields is None:
             return tbl
         cols = []
         for f in self._data_fields:
-            if f.name in tbl.column_names:
-                cols.append(tbl[f.name].cast(f.type))
+            pn = self._log2phys.get(f.name, f.name)
+            if pn in tbl.column_names:
+                cols.append(tbl[pn].cast(f.type))
             else:  # file predates the widening commit: null-fill
                 cols.append(pa.nulls(tbl.num_rows, f.type))
         return pa.table(cols, names=[f.name for f in self._data_fields])

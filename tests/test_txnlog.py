@@ -2418,13 +2418,33 @@ class TestColumnMapping:
         assert got.columns == ["key", "v"]
         assert got.filter("key <= 24").count() == 25
 
-    def test_lake_cdc_refuses_mapped_table(self, spark, table):
-        from dbimport_spark.sources.lakecdc import _table_ddl
+    def test_lake_cdc_streams_logical_schema(self, spark, table, tmp_path):
+        """The CDC streaming source is column-mapping-aware: the stream
+        schema shows logical names, conform translates each logical
+        field to its physical file column, dropped physicals vanish."""
+        from dbimport_spark.sources.lakecdc import _table_ddl, register_lake_cdc
 
         self._seed(spark, table)
         txnlog.txn_rename_column(spark, table, "val", "amount")
-        with pytest.raises(ValueError, match="column mapping"):
-            _table_ddl(table)
+        txnlog.txn_drop_column(spark, table, "tag")
+        assert _table_ddl(table) == "k bigint, amount bigint, _commit_version bigint"
+        txnlog.txn_append(
+            spark, spark.createDataFrame([(7, 70)], "k long, amount long"), table
+        )
+        register_lake_cdc(spark)
+        q = (
+            spark.readStream.format("lake_cdc")
+            .option("path", table)
+            .load()
+            .writeStream.format("memory")
+            .queryName("cdc_colmap")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        got = {(r.k, r.amount) for r in spark.table("cdc_colmap").collect()}
+        assert got == {(1, 10), (2, 20), (3, 30), (7, 70)}
 
     def test_partitioned_table_rename_data_column(self, spark, table):
         df = spark.createDataFrame(
