@@ -452,11 +452,28 @@ def txn_append(spark, df: DataFrame, path: str, max_retries: int = 5) -> int:
     """Append-commit df; returns the new version. Validates staged files
     against the table's live CHECK constraints (see txn_add_check).
 
+    When the table carries a ``write.statsColumns`` property (comma-
+    separated column names), the append records per-file zone maps for
+    those columns automatically — data-skipping policy that travels WITH
+    the table, like autoOptimize.every and write.maxRecordsPerFile:
+    every producer indexes the same columns with zero shared code.
+
     The table version is PINNED before validation and the commit targets
     the pinned version: any commit that interleaves between validation
     and commit — including a txn_add_check — forces the TxnConflict path
     and therefore _revalidate_if_changed, so a violating row can never
     slip in under a constraint added in that window."""
+    stats_prop = (
+        table_props(path).get("write.statsColumns")
+        if current_version(path) >= 0
+        else None
+    )
+    if stats_prop:
+        return txn_append_stats(
+            spark, df, path,
+            [c.strip() for c in stats_prop.split(",") if c.strip()],
+            max_retries,
+        )
     added = _stage(df, path)
     base_v = current_version(path)
     checks = _validate_staged(spark, path, added)
@@ -469,6 +486,23 @@ def txn_append(spark, df: DataFrame, path: str, max_retries: int = 5) -> int:
             checks = _revalidate_if_changed(spark, path, added, checks)
             continue
     raise TxnConflict(f"gave up after {max_retries} retries appending to {path}")
+
+
+def _stage_auto(spark, df: DataFrame, path: str) -> list:
+    """_stage honoring ``write.statsColumns``: rewrite commits (upsert /
+    delete / compact / merge) keep recording the table's declared
+    zone-map columns, so data skipping survives every DML — without the
+    property this is exactly _stage."""
+    prop = (
+        table_props(path).get("write.statsColumns")
+        if current_version(path) >= 0
+        else None
+    )
+    if prop:
+        return _stage_with_meta(
+            spark, df, path, [c.strip() for c in prop.split(",") if c.strip()]
+        )
+    return _stage(df, path)
 
 
 def txn_upsert(
@@ -492,7 +526,7 @@ def txn_upsert(
         target = read_snapshot(spark, path, base_v)
         old_files = [os.path.basename(f) for f in snapshot_files(path, base_v)]
         merged = upsert(target, source, keys)
-        added = _stage(merged, path)
+        added = _stage_auto(spark, merged, path)
         _validate_staged(spark, path, added)  # merge may introduce new rows
         try:
             return commit(path, added, old_files, base_v, op="UPSERT")
@@ -774,7 +808,7 @@ def txn_delete(spark, source_pred, path: str, max_retries: int = 3) -> int:
         target = read_snapshot(spark, path, base_v)
         old_files = [os.path.basename(f) for f in snapshot_files(path, base_v)]
         kept = target.filter(~F.coalesce(source_pred, F.lit(False)))
-        added = _stage(kept, path)
+        added = _stage_auto(spark, kept, path)
         try:
             return commit(path, added, old_files, base_v, op="DELETE")
         except TxnConflict:
@@ -935,7 +969,7 @@ def txn_compact(
             _read_files_dv(spark, path, files, snapshot_dvs(path, base_v)),
             table_props(path, base_v),
         ).coalesce(n_out)
-        added = _stage(df, path)
+        added = _stage_auto(spark, df, path)
         old = [os.path.basename(f) for f in files]
         try:
             return commit(path, added, old, base_v, op="OPTIMIZE")
@@ -2936,7 +2970,7 @@ def txn_merge_into(
         target = read_snapshot(spark, path, base_v)
         old_files = [os.path.basename(f) for f in snapshot_files(path, base_v)]
         merged = merge_into(target, source, keys, clauses)
-        added = _stage(merged, path)
+        added = _stage_auto(spark, merged, path)
         _validate_staged(spark, path, added)
         props = {f"txn.{app_id}": str(batch_id)} if app_id is not None else None
         try:

@@ -2519,3 +2519,32 @@ class TestMergeIntoTxn:
             txnlog.txn_merge_into(
                 spark, src, table, ["k"], delta_clauses, app_id="cdc"
             )
+
+
+class TestStatsColumnsProperty:
+    def test_write_stats_columns_governs_appends_and_rewrites(self, spark, table):
+        """write.statsColumns is table-resident data-skipping policy:
+        plain txn_append records zone maps for the declared columns, and
+        rewrite commits (upsert / compact / DELETE) keep recording them
+        — pruning survives every DML with zero writer-side code."""
+        txnlog.txn_append(spark, spark.range(5).selectExpr("id AS k"), table)
+        txnlog.txn_set_property(table, "write.statsColumns", "k")
+        txnlog.txn_append(
+            spark, spark.range(100, 200).selectExpr("id AS k").coalesce(1), table
+        )
+        stats = txnlog.snapshot_stats(table)
+        with_k = [st for st in stats.values() if st.get("k") is not None]
+        assert with_k and with_k[0]["k"] == [100, 199]
+        # a whole-snapshot rewrite re-records the declared stats
+        txnlog.txn_delete(spark, F.col("k") == 150, table)
+        stats = txnlog.snapshot_stats(table)
+        assert all(st.get("k") is not None for st in stats.values())
+        prof = txnlog.snapshot_profile(table, ["k"])
+        assert prof["n_rows"] == 104
+        assert prof["min_k"] == 0 and prof["max_k"] == 199
+        # compaction keeps them too
+        txnlog.txn_compact(spark, table, min_files=1)
+        assert all(
+            st.get("k") is not None
+            for st in txnlog.snapshot_stats(table).values()
+        )
