@@ -189,6 +189,7 @@ HEADLINE = [
     "lake_rename_drop_column",
     "lake_merge_into_clauses",
     "stream_lake_apply_changes",
+    "export_train_shuffle",
 ]
 
 

