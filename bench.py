@@ -190,6 +190,7 @@ HEADLINE = [
     "lake_merge_into_clauses",
     "stream_lake_apply_changes",
     "export_train_shuffle",
+    "pipeline_gdpr_forget",
 ]
 
 

@@ -1647,3 +1647,121 @@ def stream_lake_apply_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("eid").cast("bigint").alias("eid_sum"),
         F.sum("v4").cast("bigint").alias("v4_sum"),
     )
+
+
+@register(
+    "pipeline_gdpr_forget",
+    """WITH ev AS (
+  SELECT user_id, CAST(round(value * 10000) AS BIGINT) AS v4 FROM events
+),
+kept AS (SELECT * FROM ev WHERE user_id % 13 <> 5)
+SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(v4) AS BIGINT) AS v4_sum
+FROM kept""",
+)
+def pipeline_gdpr_forget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RIGHT-TO-BE-FORGOTTEN propagation — the round-8 capstone, three
+    features composed into the flow a production lake actually runs:
+
+    1. the fact table ingests events and serves a DERIVED per-user
+       aggregate table (count + value sum per user);
+    2. a forget request lands as a DELETION-VECTOR delete on the fact
+       table (txn_delete_dv: no rewrite, O(deleted positions) bytes);
+    3. the derived table is maintained INCREMENTALLY from the fact
+       table's row-level change feed (lake_cdc readChangeFeed=true):
+       insert rows add (+1, +v4) deltas, the DV commit's delete
+       preimages subtract, and each micro-batch folds its delta into
+       the aggregate through txn_merge_into's clause lattice —
+       matched+zero-count deletes the user's row (full erasure
+       downstream), matched updates, unmatched positive inserts.
+
+    Deltas are commutative, so the result is INDEPENDENT of how the
+    engine batches commits — no ordering assumption — and the merge is
+    exactly-once per batch via the (app, batch) watermark. At 100 TB:
+    the forget costs O(forgotten rows) sidecar bytes on the fact table
+    and O(changed users) merge work downstream — never a rescan of
+    either table. Graded: the derived table equals the per-user
+    aggregate of the surviving events, with forgotten users ABSENT."""
+    from dbimport_spark import txnlog
+    from dbimport_spark.plans.registry import load_events
+    from dbimport_spark.sources.lakecdc import register_lake_cdc
+
+    work = tempfile.mkdtemp(prefix="dbimport_gdpr_")
+    facts = os.path.join(work, "facts")
+    totals = os.path.join(work, "totals")
+    checkpoint = os.path.join(work, "ckpt")
+    app = "gdpr_totals"
+
+    ev = load_events(spark, sf_dir).select(
+        "event_id",
+        "user_id",
+        F.round(F.col("value") * 10000).cast("bigint").alias("v4"),
+    )
+    # fact-table ingest in two commits (so the feed has multiple insert
+    # versions), then the forget request as a DV delete
+    txnlog.txn_append(spark, ev.filter(F.col("event_id") % 2 == 0), facts)
+    txnlog.txn_append(spark, ev.filter(F.col("event_id") % 2 == 1), facts)
+    txnlog.txn_delete_dv(spark, F.col("user_id") % 13 == 5, facts)
+
+    # derived table starts EMPTY with a schema-carrying zero commit
+    txnlog.txn_append(
+        spark,
+        spark.createDataFrame([], "user_id bigint, n bigint, v4 bigint"),
+        totals,
+    )
+
+    register_lake_cdc(spark)
+    feed = (
+        spark.readStream.format("lake_cdc")
+        .option("path", facts)
+        .option("readChangeFeed", "true")
+        .load()
+    )
+
+    def fold_batch(bdf: DataFrame, batch_id: int) -> None:
+        delta = (
+            bdf.withColumn(
+                "sgn", F.when(F.col("_change_type") == "delete", -1).otherwise(1)
+            )
+            .groupBy("user_id")
+            .agg(
+                F.sum("sgn").cast("bigint").alias("dn"),
+                F.sum(F.col("sgn") * F.col("v4")).cast("bigint").alias("dv4"),
+            )
+        )
+        txnlog.txn_merge_into(
+            spark,
+            delta,
+            totals,
+            ["user_id"],
+            [
+                ("matched_delete", "t.n + s.dn = 0"),
+                (
+                    "matched_update",
+                    None,
+                    {"n": "t.n + s.dn", "v4": "t.v4 + s.dv4"},
+                ),
+                (
+                    "not_matched_insert",
+                    "s.dn > 0",
+                    {"user_id": "s.user_id", "n": "s.dn", "v4": "s.dv4"},
+                ),
+            ],
+            app_id=app,
+            batch_id=batch_id,
+        )
+
+    q = (
+        feed.writeStream.foreachBatch(fold_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    return txnlog.read_snapshot(spark, totals).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users"),
+        F.sum("n").cast("bigint").alias("n_events"),
+        F.sum("v4").cast("bigint").alias("v4_sum"),
+    )
