@@ -243,6 +243,43 @@ def read_snapshot(spark, path: str, version: int | None = None) -> DataFrame:
     )
 
 
+class SchemaEnforcementViolation(ValueError):
+    """A write's schema diverges from the table's under schema.enforce."""
+
+
+def _enforce_schema(df: DataFrame, path: str, props: dict) -> None:
+    """Opt-in write-side schema enforcement (``schema.enforce=true``
+    table property — Delta's default stance, offered here as policy
+    because this lake's default is evolve-by-union): a staged write may
+    not ADD columns and every shared column's type must match the
+    current logical schema exactly. Missing columns stay allowed (they
+    null-fill on read, same as before). Without the property this is a
+    no-op — evolution-by-default is unchanged."""
+    if props.get("schema.enforce") != "true":
+        return
+    if not snapshot_files(path):
+        return  # nothing committed yet: the first write defines the schema
+    want = dict(read_snapshot(df.sparkSession, path).dtypes)
+    got = dict(df.dtypes)
+    extra = sorted(set(got) - set(want))
+    if extra:
+        raise SchemaEnforcementViolation(
+            f"write to {path} adds column(s) {extra} not in the table "
+            f"schema {sorted(want)} — schema.enforce=true forbids "
+            "evolution; unset the property (or widen the table first)"
+        )
+    wrong = sorted(
+        f"{c}: {got[c]} (table: {want[c]})"
+        for c in got
+        if want.get(c) not in (None, got[c])
+    )
+    if wrong:
+        raise SchemaEnforcementViolation(
+            f"write to {path} changes column type(s) [{'; '.join(wrong)}] "
+            "— schema.enforce=true requires exact type matches"
+        )
+
+
 def _stage(df: DataFrame, path: str) -> list[str]:
     """Write df's rows as fresh uniquely-named parquet files under data/
     and return their basenames (staged but NOT yet visible — only a log
@@ -255,6 +292,7 @@ def _stage(df: DataFrame, path: str) -> list[str]:
     stage_id = uuid.uuid4().hex
     stage_dir = os.path.join(path, f"_staged_{stage_id}")
     props = table_props(path) if current_version(path) >= 0 else {}
+    _enforce_schema(df, path, props)
     # column mapping: on-disk files ALWAYS carry physical names, whatever
     # the writer's logical era (physical names are stable, so a rename
     # racing this stage cannot invalidate the written files)
@@ -625,6 +663,8 @@ def _stage_partitioned(df: DataFrame, path: str, partition_col: str):
     stage_id = uuid.uuid4().hex
     stage_dir = os.path.join(tempfile.gettempdir(), f"txn_stage_{stage_id}")
     ptype = df.schema[partition_col].dataType.simpleString()
+    if current_version(path) >= 0:
+        _enforce_schema(df, path, table_props(path))
     if current_version(path) >= 0:
         # data columns to physical names; the partition column stays
         # logical (it lives in the log, and its rename is refused)

@@ -2548,3 +2548,53 @@ class TestStatsColumnsProperty:
             st.get("k") is not None
             for st in txnlog.snapshot_stats(table).values()
         )
+
+
+class TestSchemaEnforcement:
+    def test_enforce_rejects_new_columns_and_type_changes(self, spark, table):
+        txnlog.txn_append(
+            spark, spark.createDataFrame([(1, "a")], "k long, v string"), table
+        )
+        txnlog.txn_set_property(table, "schema.enforce", "true")
+        # extra column: rejected
+        with pytest.raises(txnlog.SchemaEnforcementViolation, match="adds column"):
+            txnlog.txn_append(
+                spark,
+                spark.createDataFrame([(2, "b", 9)], "k long, v string, extra long"),
+                table,
+            )
+        # type change: rejected
+        with pytest.raises(txnlog.SchemaEnforcementViolation, match="type"):
+            txnlog.txn_append(
+                spark, spark.createDataFrame([(2, 3)], "k long, v long"), table
+            )
+        # exact schema (and missing-column null-fill) still fine
+        txnlog.txn_append(
+            spark, spark.createDataFrame([(2, "b")], "k long, v string"), table
+        )
+        txnlog.txn_append(spark, spark.createDataFrame([(3,)], "k long"), table)
+        assert txnlog.read_snapshot(spark, table).count() == 3
+        # unsetting the property restores evolve-by-union
+        txnlog.txn_set_property(table, "schema.enforce", None)
+        txnlog.txn_append(
+            spark,
+            spark.createDataFrame([(4, "d", 9)], "k long, v string, extra long"),
+            table,
+        )
+        assert "extra" in txnlog.read_snapshot(spark, table).columns
+
+    def test_enforce_speaks_logical_names_under_colmap(self, spark, table):
+        txnlog.txn_append(
+            spark, spark.createDataFrame([(1, 10)], "k long, val long"), table
+        )
+        txnlog.txn_rename_column(spark, table, "val", "amount")
+        txnlog.txn_set_property(table, "schema.enforce", "true")
+        # the OLD logical name is now an unknown column
+        with pytest.raises(txnlog.SchemaEnforcementViolation):
+            txnlog.txn_append(
+                spark, spark.createDataFrame([(2, 20)], "k long, val long"), table
+            )
+        txnlog.txn_append(
+            spark, spark.createDataFrame([(2, 20)], "k long, amount long"), table
+        )
+        assert txnlog.read_snapshot(spark, table).count() == 2
