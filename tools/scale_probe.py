@@ -61,6 +61,14 @@ PROBES = [
     "zorder_cluster",
     "quality_label_prop",
     "sample_cluster_split",
+    # round 8
+    "stream_lake_cdc_dv",
+    "lake_delete_dv_pruned",
+    "lake_rename_drop_column",
+    "lake_merge_into_clauses",
+    "stream_lake_apply_changes",
+    "export_train_shuffle",
+    "pipeline_gdpr_forget",
 ]
 
 ID_OFFSET = 100_000_000
