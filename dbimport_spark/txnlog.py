@@ -1020,7 +1020,9 @@ def txn_compact(
 
 # ------------------------------------------------------------------ vacuum
 
-def vacuum(path: str, retain_versions: int = 1) -> list[str]:
+def vacuum(
+    path: str, retain_versions: int = 1, dry_run: bool = False
+) -> list[str]:
     """Physically delete data files no kept snapshot references.
 
     Keeps every file needed by the newest ``retain_versions`` snapshots
@@ -1030,7 +1032,11 @@ def vacuum(path: str, retain_versions: int = 1) -> list[str]:
     missing-file error mid-scan. Files the log has never seen (a
     concurrent writer's staged-but-uncommitted output) are left alone —
     vacuum only reclaims what the log proves dead. Returns the deleted
-    file names."""
+    file names.
+
+    ``dry_run=True`` (Delta's VACUUM ... DRY RUN) returns the would-be
+    deleted list WITHOUT removing anything and WITHOUT advancing the
+    horizon — the audit step before an irreversible retention cut."""
     cur = current_version(path)
     if cur < 0:
         return []
@@ -1060,6 +1066,8 @@ def vacuum(path: str, retain_versions: int = 1) -> list[str]:
             e["d"] for e in entry.get("dv", []) if e.get("d") is not None
         )
     doomed = sorted(ever - keep)
+    if dry_run:
+        return doomed
     for name in doomed:
         f = os.path.join(_data_dir(path), name)
         try:

@@ -537,3 +537,49 @@ def test_change_feed_partitioned_dv_delete(spark, tmp_path):
     dels = got.filter(F.col("_change_type") == "delete").collect()
     assert [(r.k, r.lang, r._commit_version) for r in dels] == [(4, "1", 1)]
     assert got.filter(F.col("_change_type") == "insert").count() == 12
+
+
+def test_change_feed_respects_admission_control(spark, tmp_path):
+    """CDF + maxVersionsPerTrigger: commits split across micro-batches at
+    version granularity and every change row still arrives exactly once
+    (the _partitions_cdf fold is per-batch, so the DV delta computation
+    must be correct from ANY starting offset, not just 0)."""
+    import time
+
+    path = str(tmp_path / "t")
+    _append(spark, path, 0)                               # v0
+    txnlog.txn_delete_dv(spark, F.col("k") == 3, path)    # v1
+    _append(spark, path, 50)                              # v2
+    register_lake_cdc(spark)
+    s = (
+        spark.readStream.format("lake_cdc")
+        .option("path", path)
+        .option("readChangeFeed", "true")
+        .option("maxVersionsPerTrigger", "1")
+        .load()
+    )
+    got = []
+
+    def collect(bdf, bid):
+        got.extend(
+            (r["_commit_version"], r["_change_type"], r["k"])
+            for r in bdf.collect()
+        )
+
+    q = (
+        s.writeStream.foreachBatch(collect)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(processingTime="250 milliseconds")
+        .start()
+    )
+    try:
+        deadline = time.time() + 90
+        while time.time() < deadline and len(got) < 21:
+            time.sleep(0.25)
+    finally:
+        q.stop()
+    from collections import Counter
+
+    per = Counter((v, ct) for v, ct, _ in got)
+    assert per == {(0, "insert"): 10, (1, "delete"): 1, (2, "insert"): 10}
+    assert [(v, k) for v, ct, k in got if ct == "delete"] == [(1, 3)]

@@ -2598,3 +2598,21 @@ class TestSchemaEnforcement:
             spark, spark.createDataFrame([(2, 20)], "k long, amount long"), table
         )
         assert txnlog.read_snapshot(spark, table).count() == 2
+
+
+def test_vacuum_dry_run_reports_without_deleting(spark, table):
+    """VACUUM ... DRY RUN: the would-delete list comes back, nothing is
+    removed, the horizon does not move, and a later real vacuum deletes
+    exactly that list."""
+    txnlog.txn_append(spark, spark.range(5).selectExpr("id AS k"), table)
+    txnlog.txn_upsert(
+        spark, spark.createDataFrame([(1,)], "k long"), table, ["k"]
+    )  # v1 rewrite: v0 files become dead beyond retention 1
+    before = set(os.listdir(os.path.join(table, "data")))
+    would = txnlog.vacuum(table, retain_versions=1, dry_run=True)
+    assert would  # v0's files are reclaimable
+    assert set(os.listdir(os.path.join(table, "data"))) == before
+    assert txnlog.vacuum_horizon(table) == 0  # horizon unmoved
+    txnlog.read_snapshot(spark, table, 0).count()  # v0 still readable
+    deleted = txnlog.vacuum(table, retain_versions=1)
+    assert deleted == would
