@@ -191,6 +191,7 @@ HEADLINE = [
     "stream_lake_apply_changes",
     "export_train_shuffle",
     "pipeline_gdpr_forget",
+    "lake_row_tracking",
 ]
 
 

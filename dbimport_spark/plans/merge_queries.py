@@ -2316,3 +2316,67 @@ def lake_merge_into_clauses(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.when(F.col("k") > 10_000_000, 1)).cast("bigint").alias("n_inserted"),
         F.count(F.when(F.col("bal") == -1, 1)).cast("bigint").alias("n_stale"),
     )
+
+
+@register(
+    "lake_row_tracking",
+    """WITH s AS (
+  SELECT doc_id, doc_id % 3 AS g,
+         row_number() OVER (PARTITION BY doc_id % 3 ORDER BY doc_id) - 1 AS r
+  FROM documents
+), offs AS (
+  SELECT g, count(*) AS n FROM s GROUP BY g
+), based AS (
+  SELECT s.doc_id, s.g,
+         s.r + COALESCE((SELECT sum(n) FROM offs o WHERE o.g < s.g), 0) AS rid
+  FROM s
+)
+SELECT CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(rid) AS BIGINT) AS rid_sum,
+       CAST(sum(doc_id * rid) AS BIGINT) AS cross_sum,
+       CAST(max(rid) AS BIGINT) AS max_rid
+FROM based WHERE doc_id % 7 <> 0""",
+)
+def lake_row_tracking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROW TRACKING (Delta row ids): each commit atomically assigns its
+    added files contiguous base-id ranges (rowids.next high-water mark
+    bumped IN the commit, so racing writers can never collide), and a
+    row's stable identity is base + parquet row_index. Three ordered
+    single-file appends land the documents slices (doc_id % 3), giving
+    every row a DETERMINISTIC id the DuckDB oracle reconstructs with
+    window arithmetic; a deletion-vector delete (doc_id % 7 = 0) then
+    removes rows WITHOUT touching files — and the graded sums pin that
+    every survivor kept its ORIGINAL id (the exact property downstream
+    incremental consumers key on: ids never shift under merge-on-read
+    deletes). cross_sum grades the full (doc_id ↔ _row_id) pairing, not
+    just the id set."""
+    import os
+    import shutil
+    import tempfile
+
+    from dbimport_spark import txnlog
+
+    path = os.path.join(
+        tempfile.gettempdir(),
+        "dbimport_spark_txn",
+        "rowids_" + sf_dir.rstrip("/").replace("/", "_"),
+    )
+    if os.path.isdir(path):
+        shutil.rmtree(path)
+
+    txnlog.txn_enable_row_ids(path)
+    d = load(spark, sf_dir, "documents").select("doc_id")
+    for m in range(3):
+        txnlog.txn_append(
+            spark,
+            d.filter(F.col("doc_id") % 3 == m).orderBy("doc_id").coalesce(1),
+            path,
+        )
+    txnlog.txn_delete_dv(spark, F.col("doc_id") % 7 == 0, path)
+    got = txnlog.read_snapshot_rowids(spark, path)
+    return got.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum("_row_id").cast("bigint").alias("rid_sum"),
+        F.sum(F.col("doc_id") * F.col("_row_id")).cast("bigint").alias("cross_sum"),
+        F.max("_row_id").cast("bigint").alias("max_rid"),
+    )

