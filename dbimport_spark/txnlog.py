@@ -458,7 +458,15 @@ def commit(
     # (the materialized-id upgrade Delta needs for rewrite-stable ids is
     # out of scope, documented).
     if added and expect_version >= 0:
-        prev_props = table_props(path, expect_version)
+        try:
+            prev_props = table_props(path, expect_version)
+        except (ValueError, FileNotFoundError, json.JSONDecodeError):
+            # log state not readable from THIS process (e.g. the in-memory
+            # commit-backend double, where entries never touch disk): no
+            # rowids property is discoverable, so no assignment happens —
+            # row-id tables require a locally readable log by contract
+            # (every read path folds it anyway).
+            prev_props = {}
         nxt = prev_props.get("rowids.next")
         if nxt is not None:
             import pyarrow.parquet as pq
