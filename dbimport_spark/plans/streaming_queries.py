@@ -1589,7 +1589,7 @@ def stream_lake_apply_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .select("user_id", "x.event_id", "x.v4", "x.op")
         )
-        txnlog.txn_merge_into(
+        txnlog.txn_merge_into_cow(
             spark,
             last,
             path,
@@ -1672,7 +1672,8 @@ def pipeline_gdpr_forget(spark: SparkSession, sf_dir: str) -> DataFrame:
        table's row-level change feed (lake_cdc readChangeFeed=true):
        insert rows add (+1, +v4) deltas, the DV commit's delete
        preimages subtract, and each micro-batch folds its delta into
-       the aggregate through txn_merge_into's clause lattice —
+       the aggregate through the pruned clause merge
+       (txn_merge_into_cow) —
        matched+zero-count deletes the user's row (full erasure
        downstream), matched updates, unmatched positive inserts.
 
@@ -1730,7 +1731,7 @@ def pipeline_gdpr_forget(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.sum(F.col("sgn") * F.col("v4")).cast("bigint").alias("dv4"),
             )
         )
-        txnlog.txn_merge_into(
+        txnlog.txn_merge_into_cow(
             spark,
             delta,
             totals,

@@ -3174,6 +3174,105 @@ def txn_merge_into(
     raise TxnConflict(f"gave up after {max_retries} retries merging into {path}")
 
 
+def txn_merge_into_cow(
+    spark, source: DataFrame, path: str, keys, clauses,
+    prune_key: str | None = None, use_bloom: bool = False,
+    stats_cols=(), bloom_col: str | None = None, max_retries: int = 3,
+    app_id: str | None = None, batch_id: int | None = None,
+) -> int:
+    """PRUNED clause MERGE — txn_merge_into's scale path: only files
+    that MAY contain a source key (zone-map / optional bloom candidacy,
+    exactly txn_merge_cow's pruning) are read and rewritten; the clause
+    lattice applies to that slice and non-candidates keep their
+    identity. Sound because every clause kind here needs a SOURCE match:
+    by-source clauses (not_matched_by_source_*) inspect rows with NO
+    source key and are therefore REFUSED — they belong to the
+    whole-snapshot txn_merge_into by definition. At 100 TB a streaming
+    CDC apply batch costs O(touched band), not a table rewrite.
+
+    ``app_id``/``batch_id`` give the same exactly-once redelivery
+    watermark as txn_merge_into."""
+    import bisect
+
+    from dbimport_spark.operators.merge import merge_into
+
+    for c in clauses:
+        if c[0].startswith("not_matched_by_source"):
+            raise ValueError(
+                "txn_merge_into_cow: by-source clauses inspect every "
+                "target row — there is nothing to prune; use "
+                "txn_merge_into (whole-snapshot)"
+            )
+    if (app_id is None) != (batch_id is None):
+        raise ValueError("txn_merge_into_cow: pass app_id and batch_id together")
+    keys = list(keys)
+    pk = prune_key or (keys[0] if len(keys) == 1 else None)
+    if pk is None:
+        raise ValueError("txn_merge_into_cow: pass prune_key for composite keys")
+    key_vals = sorted(
+        r[0] for r in source.select(pk).distinct().collect() if r[0] is not None
+    )
+
+    def _rng_hits(rng):
+        i = bisect.bisect_left(key_vals, rng[0])
+        return i < len(key_vals) and key_vals[i] <= rng[1]
+
+    for _ in range(max_retries):
+        if app_id is not None and batch_id <= last_committed_batch(path, app_id):
+            return current_version(path)  # redelivered batch: done
+        base_v = current_version(path)
+        if base_v < 0:
+            raise ValueError(f"merge target {path} has no committed version")
+        live, ptype, props = _fold_log3(path, base_v)
+        if ptype is not None:
+            raise ValueError(
+                "txn_merge_into_cow: partitioned tables are not supported"
+            )
+        pk_phys = _phys_col(props, pk)
+        cand = []
+        for n in sorted(live):
+            if live[n]["stats"].get("__rows__") == 0:
+                continue
+            rng = live[n]["stats"].get(pk_phys)
+            if rng is None or _rng_hits(rng):
+                cand.append(n)
+        if use_bloom and cand:
+            cand = _cow_candidates(
+                {n: live[n] for n in cand}, path, None, (pk_phys, key_vals)
+            )
+        if cand:
+            dvmap = {n: live[n]["dv"] for n in cand if live[n].get("dv")}
+            target_slice = _apply_colmap(
+                _read_files_dv(
+                    spark, path,
+                    [os.path.join(_data_dir(path), n) for n in cand], dvmap,
+                ),
+                props,
+            )
+        else:
+            target_slice = read_snapshot(spark, path, base_v).limit(0)
+        merged = merge_into(target_slice, source, keys, clauses)
+        added = _stage_with_meta(spark, merged, path, stats_cols, bloom_col)
+        _validate_staged(
+            spark, path, [e["n"] if isinstance(e, dict) else e for e in added]
+        )
+        extra = {f"txn.{app_id}": str(batch_id)} if app_id is not None else None
+        try:
+            return commit(path, added, cand, base_v, props=extra, op="MERGE")
+        except TxnConflict:
+            for e in added:
+                try:
+                    os.remove(
+                        os.path.join(
+                            _data_dir(path), e["n"] if isinstance(e, dict) else e
+                        )
+                    )
+                except FileNotFoundError:
+                    pass
+            continue
+    raise TxnConflict(f"gave up after {max_retries} retries merging into {path}")
+
+
 def txn_append_indexed(
     spark, df: DataFrame, path: str, stats_cols=(), bloom_col: str | None = None,
     fpp: float = 0.01, max_retries: int = 5,

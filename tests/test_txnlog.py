@@ -2761,3 +2761,84 @@ class TestRowTracking:
         txnlog.txn_append(spark, spark.range(3).selectExpr("id AS k"), table)
         with pytest.raises(ValueError, match="before the first data commit"):
             txnlog.txn_enable_row_ids(table)
+
+
+class TestMergeIntoCow:
+    def _ranged(self, spark, table, bands=4, width=25):
+        for b in range(bands):
+            txnlog.txn_append_stats(
+                spark,
+                spark.range(b * width, (b + 1) * width).selectExpr(
+                    "id AS k", "CAST(id % 7 AS STRING) AS v"
+                ),
+                table,
+                ["k"],
+            )
+
+    def test_pruned_clause_merge_matches_whole_snapshot(self, spark, table, tmp_path):
+        self._ranged(spark, table)
+        other = str(tmp_path / "whole")
+        txnlog.txn_clone(table, other)
+        src = spark.createDataFrame(
+            [(10, "UPD", "U"), (11, None, "D"), (999, "NEW", "U")],
+            "k long, v string, op string",
+        )
+        clauses = [
+            ("matched_delete", "s.op = 'D'"),
+            ("matched_update", None, {"v": "s.v"}),
+            ("not_matched_insert", "s.op <> 'D'", {"k": "s.k", "v": "s.v"}),
+        ]
+        txnlog.txn_merge_into_cow(spark, src, table, ["k"], clauses, stats_cols=["k"])
+        txnlog.txn_merge_into(spark, src, other, ["k"], clauses)
+        a = sorted((r.k, r.v) for r in txnlog.read_snapshot(spark, table).collect())
+        b = sorted((r.k, r.v) for r in txnlog.read_snapshot(spark, other).collect())
+        assert a == b and len(a) == 100  # 100 - 1 deleted + 1 inserted
+
+    def test_pruned_clause_merge_never_opens_out_of_band_files(self, spark, table):
+        self._ranged(spark, table)
+        d = os.path.join(table, "data")
+        moved = []
+        for n, st in txnlog.snapshot_stats(table).items():
+            rng = st.get("k")
+            if rng is not None and rng[0] >= 25:  # bands 1-3 off disk
+                os.rename(os.path.join(d, n), os.path.join(d, "." + n + ".h"))
+                moved.append(n)
+        assert moved
+        src = spark.createDataFrame([(10, "UPD", "U")], "k long, v string, op string")
+        try:
+            txnlog.txn_merge_into_cow(
+                spark, src, table, ["k"],
+                [("matched_update", None, {"v": "s.v"})], stats_cols=["k"],
+            )
+        finally:
+            for n in moved:
+                os.rename(os.path.join(d, "." + n + ".h"), os.path.join(d, n))
+        rows = {r.k: r.v for r in txnlog.read_snapshot(spark, table).collect()}
+        assert rows[10] == "UPD" and len(rows) == 100
+
+    def test_by_source_clauses_refused(self, spark, table):
+        self._ranged(spark, table, bands=1)
+        src = spark.createDataFrame([(1, "x", "U")], "k long, v string, op string")
+        with pytest.raises(ValueError, match="by-source"):
+            txnlog.txn_merge_into_cow(
+                spark, src, table, ["k"],
+                [("not_matched_by_source_delete", "t.k > 5")],
+            )
+
+    def test_idempotent_watermark_shared_with_whole_snapshot_form(self, spark, table):
+        self._ranged(spark, table, bands=1)
+        src = spark.createDataFrame([(1, "A", "U")], "k long, v string, op string")
+        clauses = [("matched_update", None, {"v": "s.v"})]
+        txnlog.txn_merge_into_cow(
+            spark, src, table, ["k"], clauses, app_id="cdc", batch_id=0,
+            stats_cols=["k"],
+        )
+        v = txnlog.current_version(table)
+        # redelivery through EITHER form no-ops on the shared watermark
+        txnlog.txn_merge_into_cow(
+            spark, src, table, ["k"], clauses, app_id="cdc", batch_id=0
+        )
+        txnlog.txn_merge_into(
+            spark, src, table, ["k"], clauses, app_id="cdc", batch_id=0
+        )
+        assert txnlog.current_version(table) == v
