@@ -231,3 +231,124 @@ TestLogProtocol = LogProtocol.TestCase
 TestLogProtocol.settings = settings(
     max_examples=150, stateful_step_count=40, deadline=None
 )
+
+
+# ----------------------------------------------------- row-id protocol
+
+
+class RowIdProtocol(RuleBasedStateMachine):
+    """Row-tracking invariants under random append / compact / restore /
+    vacuum interleavings, at the log level with REAL (tiny) parquet files
+    so commit()'s footer-based base assignment runs for real:
+
+    * every live file carries a base; bases+counts tile DISJOINT ranges,
+    * rowids.next is strictly monotone and above every allocated range,
+    * ids never repeat across the table's whole history (retired ranges
+      are never reused),
+    * restore resurrects a file WITH its original base.
+    """
+
+    @initialize()
+    def setup(self):
+        import tempfile
+
+        self.table = tempfile.mkdtemp(prefix="txnlog_rid_")
+        os.makedirs(os.path.join(self.table, "_txn_log"))
+        os.makedirs(os.path.join(self.table, "data"))
+        txnlog.txn_set_property(self.table, "rowids.next", "0")
+        self.counter = 0
+        self.ever_bases: dict[str, int] = {}  # file -> base, for restore check
+
+    def _write_parquet(self, n_rows) -> str:
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        self.counter += 1
+        name = f"f{self.counter}.parquet"
+        pq.write_table(
+            pa.table({"k": list(range(n_rows))}),
+            os.path.join(self.table, "data", name),
+        )
+        return name
+
+    def _live(self):
+        live, _ = txnlog._fold_log(self.table, txnlog.current_version(self.table))
+        return live
+
+    @rule(n=st.integers(min_value=1, max_value=5))
+    def append(self, n):
+        name = self._write_parquet(n)
+        txnlog.commit(
+            self.table, [name], [], txnlog.current_version(self.table),
+            op="APPEND",
+        )
+
+    @rule()
+    def compact(self):
+        live = self._live()
+        if len(live) < 2:
+            return
+        import pyarrow.parquet as pq
+
+        total = sum(
+            pq.read_metadata(os.path.join(self.table, "data", n)).num_rows
+            for n in live
+        )
+        merged = self._write_parquet(total)
+        txnlog.commit(
+            self.table, [merged], sorted(live),
+            txnlog.current_version(self.table), op="OPTIMIZE",
+        )
+
+    @rule(data=st.data())
+    def restore(self, data):
+        cur = txnlog.current_version(self.table)
+        h = txnlog.vacuum_horizon(self.table)
+        if cur < 0 or h > cur:
+            return
+        txnlog.txn_restore(self.table, data.draw(st.integers(h, cur)))
+
+    @rule(retain=st.integers(min_value=1, max_value=3))
+    def vacuum(self, retain):
+        txnlog.vacuum(self.table, retain_versions=retain)
+
+    @rule()
+    def checkpoint(self):
+        if txnlog.current_version(self.table) >= 0:
+            txnlog.write_checkpoint(self.table)
+
+    @invariant()
+    def ranges_disjoint_and_under_next(self):
+        if not hasattr(self, "table"):
+            return
+        import pyarrow.parquet as pq
+
+        live = self._live()
+        nxt = int(txnlog.table_props(self.table)["rowids.next"])
+        spans = []
+        for n, d in live.items():
+            base = d.get("rid")
+            assert base is not None, f"live file {n} has no base"
+            rows = pq.read_metadata(
+                os.path.join(self.table, "data", n)
+            ).num_rows
+            assert base + rows <= nxt
+            spans.append((base, base + rows))
+            prev = self.ever_bases.get(n)
+            assert prev is None or prev == base, "a file's base changed"
+            self.ever_bases[n] = base
+        spans.sort()
+        for (a0, a1), (b0, b1) in zip(spans, spans[1:]):
+            assert a1 <= b0, f"overlapping id ranges {spans}"
+
+    def teardown(self):
+        import shutil
+
+        if hasattr(self, "table"):
+            shutil.rmtree(self.table, ignore_errors=True)
+
+
+TestRowIdProtocol = RowIdProtocol.TestCase
+TestRowIdProtocol.settings = settings(
+    max_examples=60, stateful_step_count=30, deadline=None
+)
