@@ -2842,3 +2842,48 @@ class TestMergeIntoCow:
             spark, src, table, ["k"], clauses, app_id="cdc", batch_id=0
         )
         assert txnlog.current_version(table) == v
+
+
+class TestFsck:
+    def test_clean_table_passes_all_versions(self, spark, table):
+        txnlog.txn_enable_row_ids(table)
+        txnlog.txn_append(
+            spark, spark.range(10).selectExpr("id AS k").coalesce(1), table
+        )
+        txnlog.txn_delete_dv(spark, F.col("k") == 3, table)
+        txnlog.txn_compact(spark, table, min_files=1)
+        rep = txnlog.txn_fsck(table)
+        assert rep["ok"] and rep["checked_versions"] == [0, 1, 2, 3]
+
+    def test_detects_missing_file_sidecar_and_bad_positions(self, spark, table):
+        txnlog.txn_append_stats(
+            spark, spark.range(10).selectExpr("id AS k").coalesce(1), table, ["k"]
+        )
+        txnlog.txn_delete_dv(spark, F.col("k") == 3, table)
+        d = os.path.join(table, "data")
+        dvs = txnlog.snapshot_dvs(table)
+        (name, meta), = dvs.items()
+        # corrupt the sidecar: positions beyond the file's row count
+        with open(os.path.join(d, meta["d"]), "wb") as fh:
+            fh.write(txnlog._dv_encode([999]))
+        rep = txnlog.txn_fsck(table, version=1)
+        assert not rep["ok"]
+        assert any("beyond" in i or "positions" in i for i in rep["issues"])
+        # now remove a data file entirely
+        os.remove(os.path.join(d, name))
+        rep2 = txnlog.txn_fsck(table, version=1)
+        assert any("missing data file" in i for i in rep2["issues"])
+
+    def test_detects_row_count_drift(self, spark, table):
+        txnlog.txn_append_stats(
+            spark, spark.range(10).selectExpr("id AS k").coalesce(1), table, ["k"]
+        )
+        d = os.path.join(table, "data")
+        (name,) = list(txnlog.snapshot_stats(table))
+        # swap in a parquet with a DIFFERENT row count under the same name
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        pq.write_table(pa.table({"k": [1, 2]}), os.path.join(d, name))
+        rep = txnlog.txn_fsck(table)
+        assert not rep["ok"] and any("__rows__" in i for i in rep["issues"])
