@@ -563,6 +563,7 @@ def txn_append(spark, df: DataFrame, path: str, max_retries: int = 5) -> int:
     added = _stage(df, path)
     base_v = current_version(path)
     checks = _validate_staged(spark, path, added)
+    _validate_unique(spark, path, added, base_v)
     for _ in range(max_retries):
         try:
             v = commit(path, added, [], base_v, op="APPEND")
@@ -570,6 +571,7 @@ def txn_append(spark, df: DataFrame, path: str, max_retries: int = 5) -> int:
         except TxnConflict:
             base_v = current_version(path)
             checks = _revalidate_if_changed(spark, path, added, checks)
+            _validate_unique(spark, path, added, base_v)
             continue
     raise TxnConflict(f"gave up after {max_retries} retries appending to {path}")
 
@@ -860,6 +862,7 @@ def txn_append_partitioned(
     added = _stage_partitioned(df, path, partition_col)
     base_v = current_version(path)  # pinned pre-validation (check TOCTOU)
     checks = _validate_staged(spark, path, added, partition_col)
+    _validate_unique(spark, path, added, base_v)
     for _ in range(max_retries):
         try:
             # the partition COLUMN NAME rides as a property so generic
@@ -1387,6 +1390,7 @@ def txn_append_stats(
     added_names = _stage(df, path)
     base_v = current_version(path)  # pinned pre-validation (check TOCTOU)
     checks = _validate_staged(spark, path, added_names)
+    _validate_unique(spark, path, added_names, base_v)
     added = [
         {"n": n, "p": None, "stats": _footer_stats(os.path.join(_data_dir(path), n), stats_cols)}
         for n in added_names
@@ -1397,6 +1401,7 @@ def txn_append_stats(
         except TxnConflict:
             base_v = current_version(path)
             checks = _revalidate_if_changed(spark, path, added_names, checks)
+            _validate_unique(spark, path, added_names, base_v)
             continue
     raise TxnConflict(f"gave up after {max_retries} retries appending to {path}")
 
@@ -1675,6 +1680,7 @@ def txn_append_bloom(
     added_names = _stage(df, path)
     base_v = current_version(path)  # pinned pre-validation (check TOCTOU)
     checks = _validate_staged(spark, path, added_names)
+    _validate_unique(spark, path, added_names, base_v)
     added = []
     for n in added_names:
         meta = _bloom_build_file(path, n, bloom_col, fpp)
@@ -1685,6 +1691,7 @@ def txn_append_bloom(
         except TxnConflict:
             base_v = current_version(path)
             checks = _revalidate_if_changed(spark, path, added_names, checks)
+            _validate_unique(spark, path, added_names, base_v)
             continue
     raise TxnConflict(f"gave up after {max_retries} retries appending to {path}")
 
@@ -2573,6 +2580,95 @@ def _validate_staged(
     return checks
 
 
+class UniqueViolation(ValueError):
+    """A staged append contains duplicate keys under a unique constraint."""
+
+
+def _validate_unique(spark, path: str, staged, base_v: int) -> None:
+    """Enforce ``unique.<name> = <col>`` table properties on an APPEND:
+    the staged batch may contain no internal duplicates on the column
+    and no value already live at ``base_v``. Append-only by design —
+    rewrite commits (upsert/merge/compact) replace the files they read,
+    so comparing their staged output against the still-live inputs
+    would flag every kept row; their key semantics are the merge's own.
+
+    Cost shape: the in-batch check is one aggregation of the staged
+    files; the vs-live check collects the batch's DISTINCT keys (point
+    ingest is batch-sized by definition — same contract as
+    txn_merge_cow's key collection), prunes live files through the
+    log's zone/bloom candidacy, and scans only the candidates' key
+    column. Declare write.statsColumns / bloom on the key to make a
+    100 TB existence check O(band). Violations remove the staged files
+    (never visible), like CheckViolation."""
+    props = table_props(path, base_v) if base_v >= 0 else {}
+    uniqs = {
+        k[len("unique."):]: v
+        for k, v in props.items()
+        if k.startswith("unique.")
+    }
+    if not uniqs or not staged:
+        return
+    from pyspark.sql import functions as F
+
+    names = [e["n"] if isinstance(e, dict) else e for e in staged]
+    sdf = _apply_colmap(
+        spark.read.option("mergeSchema", "true").parquet(
+            *[os.path.join(_data_dir(path), n) for n in names]
+        ),
+        props,
+    )
+
+    def _reject(msg):
+        for n in names:
+            try:
+                os.remove(os.path.join(_data_dir(path), n))
+            except FileNotFoundError:
+                pass
+        raise UniqueViolation(msg)
+
+    live, _, _ = _fold_log3(path, base_v) if base_v >= 0 else ({}, None, {})
+    for cname, col in sorted(uniqs.items()):
+        if (
+            sdf.groupBy(col).count().filter("count > 1").limit(1).count()
+        ):
+            _reject(
+                f"append to {path} rejected: duplicate {col!r} values in "
+                f"the batch violate unique constraint {cname!r}"
+            )
+        if not live:
+            continue
+        keys = [
+            r[0] for r in sdf.select(col).distinct().collect() if r[0] is not None
+        ]
+        if not keys:
+            continue
+        col_phys = _phys_col(props, col)
+        cand = _cow_candidates(
+            live, path, (col_phys, min(keys), max(keys)), (col_phys, keys)
+        )
+        if not cand:
+            continue  # log proves no live file can hold these keys
+        ldf = _apply_colmap(
+            _read_files_dv(
+                spark, path,
+                [os.path.join(_data_dir(path), n) for n in cand],
+                {n: live[n]["dv"] for n in cand if live[n].get("dv")},
+            ),
+            props,
+        )
+        clash = (
+            ldf.select(col)
+            .join(F.broadcast(sdf.select(col).distinct()), col, "left_semi")
+            .limit(1)
+            .count()
+        )
+        if clash:
+            _reject(
+                f"append to {path} rejected: {col!r} values already live "
+                f"violate unique constraint {cname!r}"
+            )
+
+
 def _revalidate_if_changed(spark, path, staged_names, prev_checks):
     """After a lost commit race: a rival commit may have ADDED a check
     between our validation and our commit — revalidate iff the live
@@ -2929,6 +3025,7 @@ def txn_append_idempotent(
     added = _stage(df, path)
     base_v = current_version(path)  # pinned pre-validation (check TOCTOU)
     checks = _validate_staged(spark, path, added)
+    _validate_unique(spark, path, added, base_v)
     for _ in range(max_retries):
         if batch_id <= last_committed_batch(path, app_id):
             for n in added:
@@ -3376,6 +3473,7 @@ def txn_append_indexed(
     added_names = _stage(df, path)
     base_v = current_version(path)  # pinned pre-validation (check TOCTOU)
     checks = _validate_staged(spark, path, added_names)
+    _validate_unique(spark, path, added_names, base_v)
     added = []
     for n in added_names:
         st = (
@@ -3394,5 +3492,6 @@ def txn_append_indexed(
         except TxnConflict:
             base_v = current_version(path)
             checks = _revalidate_if_changed(spark, path, added_names, checks)
+            _validate_unique(spark, path, added_names, base_v)
             continue
     raise TxnConflict(f"gave up after {max_retries} retries appending to {path}")

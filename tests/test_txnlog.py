@@ -2887,3 +2887,77 @@ class TestFsck:
         pq.write_table(pa.table({"k": [1, 2]}), os.path.join(d, name))
         rep = txnlog.txn_fsck(table)
         assert not rep["ok"] and any("__rows__" in i for i in rep["issues"])
+
+
+class TestUniqueConstraints:
+    def test_in_batch_and_vs_live_duplicates_rejected(self, spark, table):
+        txnlog.txn_set_property(table, "unique.pk", "k")
+        txnlog.txn_append(
+            spark, spark.range(10).selectExpr("id AS k").coalesce(1), table
+        )
+        d = os.path.join(table, "data")
+        n_before = len(os.listdir(d))
+        # in-batch duplicate
+        with pytest.raises(txnlog.UniqueViolation, match="duplicate"):
+            txnlog.txn_append(
+                spark, spark.createDataFrame([(50,), (50,)], "k long"), table
+            )
+        # vs-live duplicate
+        with pytest.raises(txnlog.UniqueViolation, match="already live"):
+            txnlog.txn_append(
+                spark, spark.createDataFrame([(3,), (100,)], "k long"), table
+            )
+        # rejected batches never leave staged litter
+        assert len(os.listdir(d)) == n_before
+        # clean append still lands
+        txnlog.txn_append(
+            spark, spark.createDataFrame([(100,), (101,)], "k long"), table
+        )
+        assert txnlog.read_snapshot(spark, table).count() == 12
+
+    def test_dv_deleted_keys_are_reusable(self, spark, table):
+        """Uniqueness is over VISIBLE rows: a DV-deleted key may be
+        re-ingested (the merge-on-read read path hides the old row)."""
+        txnlog.txn_set_property(table, "unique.pk", "k")
+        txnlog.txn_append(
+            spark, spark.range(10).selectExpr("id AS k").coalesce(1), table
+        )
+        txnlog.txn_delete_dv(spark, F.col("k") == 4, table)
+        txnlog.txn_append(spark, spark.createDataFrame([(4,)], "k long"), table)
+        assert txnlog.read_snapshot(spark, table).filter("k = 4").count() == 1
+
+    def test_existence_check_prunes_via_zone_maps(self, spark, table):
+        """The vs-live scan opens only candidate files — out-of-band
+        files moved off disk are never touched (same trace as the DV DML
+        pruning tests)."""
+        txnlog.txn_set_property(table, "unique.pk", "k")
+        for b in range(4):
+            txnlog.txn_append_stats(
+                spark,
+                spark.range(b * 25, (b + 1) * 25).selectExpr("id AS k").coalesce(1),
+                table,
+                ["k"],
+            )
+        d = os.path.join(table, "data")
+        moved = []
+        for n, st in txnlog.snapshot_stats(table).items():
+            if st.get("k") and st["k"][0] >= 25:
+                os.rename(os.path.join(d, n), os.path.join(d, "." + n + ".h"))
+                moved.append(n)
+        assert moved
+        try:
+            # keys land in band 0's range only: bands 1-3 never opened
+            with pytest.raises(txnlog.UniqueViolation):
+                txnlog.txn_append_stats(
+                    spark, spark.createDataFrame([(7,)], "k long"), table, ["k"]
+                )
+            txnlog.txn_append_stats(
+                spark,
+                spark.createDataFrame([(1000,)], "k long").coalesce(1),
+                table,
+                ["k"],
+            )
+        finally:
+            for n in moved:
+                os.rename(os.path.join(d, "." + n + ".h"), os.path.join(d, n))
+        assert txnlog.read_snapshot(spark, table).count() == 101
