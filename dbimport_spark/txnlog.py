@@ -2584,6 +2584,34 @@ class UniqueViolation(ValueError):
     """A staged append contains duplicate keys under a unique constraint."""
 
 
+def txn_add_unique(
+    spark, path: str, name: str, col: str, validate: bool = True,
+    max_retries: int = 5,
+) -> int:
+    """ALTER TABLE ADD UNIQUE: record ``unique.<name>`` and (by default)
+    verify the EXISTING visible rows are already distinct on ``col`` —
+    enabling uniqueness over a table that already violates it would make
+    the constraint a lie (appends would enforce what reads disprove).
+    The validation is one column-pruned aggregation."""
+    if validate and current_version(path) >= 0 and snapshot_files(path):
+        from pyspark.sql import functions as F
+
+        dup = (
+            read_snapshot(spark, path)
+            .groupBy(col)
+            .count()
+            .filter("count > 1")
+            .limit(1)
+            .count()
+        )
+        if dup:
+            raise UniqueViolation(
+                f"cannot add unique {name!r} on {col!r}: existing rows "
+                "already contain duplicates"
+            )
+    return txn_set_property(path, f"unique.{name}", col, max_retries)
+
+
 def _validate_unique(spark, path: str, staged, base_v: int) -> None:
     """Enforce ``unique.<name> = <col>`` table properties on an APPEND:
     the staged batch may contain no internal duplicates on the column

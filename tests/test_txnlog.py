@@ -2961,3 +2961,17 @@ class TestUniqueConstraints:
             for n in moved:
                 os.rename(os.path.join(d, "." + n + ".h"), os.path.join(d, n))
         assert txnlog.read_snapshot(spark, table).count() == 101
+
+
+def test_add_unique_validates_existing_rows(spark, table):
+    txnlog.txn_append(
+        spark, spark.createDataFrame([(1,), (1,), (2,)], "k long"), table
+    )
+    with pytest.raises(txnlog.UniqueViolation, match="already contain"):
+        txnlog.txn_add_unique(spark, table, "pk", "k")
+    # clean the duplicate, then enabling succeeds and enforces
+    txnlog.txn_delete_dv(spark, F.col("k") == 1, table)
+    txnlog.txn_append(spark, spark.createDataFrame([(1,)], "k long"), table)
+    txnlog.txn_add_unique(spark, table, "pk", "k")
+    with pytest.raises(txnlog.UniqueViolation):
+        txnlog.txn_append(spark, spark.createDataFrame([(2,)], "k long"), table)
