@@ -1212,8 +1212,12 @@ def read_snapshot_rowids(spark, path: str, version: int | None = None) -> DataFr
         raise ValueError(f"no data at version {version!r} of {path}")
     src = spark.read.option("mergeSchema", "true").parquet(*files)
     cols = src.columns
-    base_map = F.create_map(
-        *[x for n in sorted(live) for x in (F.lit(n), F.lit(live[n]["rid"]))]
+    # (file → base) as a broadcast-joined DataFrame, not a literal map
+    # expression: at 100 TB a table has ~10^5 files and a create_map of
+    # 2×10^5 literals would bloat every task's serialized plan; a
+    # broadcast hash join ships the mapping once per executor.
+    bases = spark.createDataFrame(
+        [(n, live[n]["rid"]) for n in sorted(live)], "__rf string, __base bigint"
     )
     marked = src.select(
         F.substring_index(F.col("_metadata.file_path"), "/", -1).alias("__rf"),
@@ -1230,9 +1234,11 @@ def read_snapshot_rowids(spark, path: str, version: int | None = None) -> DataFr
             (marked["__rf"] == pos["__dv_f"]) & (marked["__rp"] == pos["__dv_p"]),
             "left_anti",
         )
-    out = marked.withColumn(
-        "_row_id", base_map[F.col("__rf")] + F.col("__rp")
-    ).drop("__rf", "__rp")
+    out = (
+        marked.join(F.broadcast(bases), "__rf")
+        .withColumn("_row_id", F.col("__base") + F.col("__rp"))
+        .drop("__rf", "__rp", "__base")
+    )
     return _apply_colmap(out, props, keep=("_row_id",))
 
 
@@ -2119,8 +2125,16 @@ def _stage_with_meta(
     zone-map skipping, snapshot_profile and bloom lookups keep working
     across CoW rewrites. Metadata columns are translated to PHYSICAL
     names (the staged files carry them; log stats stay physical-keyed
-    across renames)."""
+    across renames). When no stats columns are passed, the table's
+    declared ``write.statsColumns`` apply — pruned rewrites keep the
+    table's data-skipping policy without every caller re-plumbing it."""
     props = table_props(path) if current_version(path) >= 0 else {}
+    if not stats_cols and props.get("write.statsColumns"):
+        stats_cols = [
+            c.strip()
+            for c in props["write.statsColumns"].split(",")
+            if c.strip()
+        ]
     stats_cols = [_phys_col(props, c) for c in stats_cols]
     if bloom_col is not None:
         bloom_col = _phys_col(props, bloom_col)
