@@ -583,3 +583,18 @@ def test_change_feed_respects_admission_control(spark, tmp_path):
     per = Counter((v, ct) for v, ct, _ in got)
     assert per == {(0, "insert"): 10, (1, "delete"): 1, (2, "insert"): 10}
     assert [(v, k) for v, ct, k in got if ct == "delete"] == [(1, 3)]
+
+
+def test_change_feed_translates_column_mapping(spark, tmp_path):
+    """CDF over a column-mapped table: insert rows AND DV-delete
+    preimages stream under the LOGICAL schema (physical file names
+    translated by the conform step)."""
+    path = str(tmp_path / "t")
+    _append(spark, path, 0)  # columns (k, tag)
+    txnlog.txn_rename_column(spark, path, "tag", "label")
+    txnlog.txn_delete_dv(spark, F.col("k") == 6, path)
+    got = _drain_cdf(spark, path, str(tmp_path / "cp"), str(tmp_path / "sink"))
+    assert set(got.columns) == {"k", "label", "_commit_version", "_change_type"}
+    dels = got.filter(F.col("_change_type") == "delete").collect()
+    assert [(r.k, r.label) for r in dels] == [(6, "v0")]
+    assert got.filter(F.col("_change_type") == "insert").count() == 10
