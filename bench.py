@@ -192,6 +192,7 @@ HEADLINE = [
     "export_train_shuffle",
     "pipeline_gdpr_forget",
     "lake_row_tracking",
+    "pipeline_corpus_release",
 ]
 
 

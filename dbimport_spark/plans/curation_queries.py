@@ -1693,3 +1693,111 @@ def export_train_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.row_number().over(w).cast("bigint").alias("pos"),
         "n_tokens",
     )
+
+
+@register(
+    "pipeline_corpus_release",
+    """WITH normed AS (
+  SELECT doc_id, text,
+         trim(lower(regexp_replace(text, '[^a-zA-Z0-9]+', ' ', 'g'))) AS norm
+  FROM documents
+),
+deduped AS (
+  SELECT doc_id, norm,
+         CAST(length(string_split(norm, ' ')) AS BIGINT) AS n_tokens,
+         CASE WHEN length(text) = 0 THEN 0
+              ELSE (length(regexp_replace(lower(text), '[^a-z]', '', 'g')) * 1000)
+                   // length(text) END AS quality
+  FROM normed
+  QUALIFY row_number() OVER (PARTITION BY md5(norm) ORDER BY doc_id) = 1
+),
+gated AS (SELECT * FROM deduped WHERE n_tokens >= 20),
+budgeted AS (
+  SELECT doc_id, n_tokens,
+         sum(n_tokens) OVER (
+           ORDER BY quality DESC, doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS cum
+  FROM gated
+),
+released AS (
+  SELECT doc_id, n_tokens,
+         ('0x' || substring(md5('rel1|' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+           % 8 AS shard
+  FROM budgeted WHERE cum <= 60000
+)
+SELECT CAST(shard AS BIGINT) AS shard,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS token_sum,
+       CAST(sum(doc_id) AS BIGINT) AS docid_sum
+FROM released GROUP BY shard""",
+)
+def pipeline_corpus_release(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CORPUS RELEASE as ONE graded plan — the export half of the
+    training-data story, composing four stages the way a release job
+    actually runs them: exact dedup (md5 of the normalized text,
+    earliest doc wins — min_by hash agg, no window sort), a token-count
+    floor, a GLOBAL quality-ranked token budget (running-frame window:
+    the corpus-wide analogue of the crawl pipeline's per-language cut),
+    and reproducible shard assignment via the seeded 60-bit keyed hash
+    (identical md5 arithmetic in DuckDB, so shard membership itself is
+    value-graded). Graded per shard on doc counts, token sums and doc-id
+    sums — the release manifest's numbers. Plan shape: one hash agg,
+    then the GLOBAL budget runs through the distributed two-pass prefix
+    sum (functions/prefix.py) on a synthesized unique order key — a
+    bare Window.orderBy would collapse the corpus into ONE task, the
+    exact trap the plan sweep exists to catch — then one shard shuffle;
+    text never shuffles after the dedup stage (integer scores and ids
+    travel)."""
+    from dbimport_spark.functions.prefix import global_prefix_sum
+    from dbimport_spark.functions.textdedup import portable_hash60
+    from dbimport_spark.plans.text_queries import norm_col
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    normed = docs.withColumn("norm", norm_col())
+    quality = F.expr(
+        "CASE WHEN length(text) = 0 THEN 0 ELSE "
+        "(length(regexp_replace(lower(text), '[^a-z]', '')) * 1000)"
+        " div length(text) END"
+    )
+    deduped = (
+        normed.withColumn("fp", F.md5("norm"))
+        .groupBy("fp")
+        .agg(
+            F.min_by(
+                F.struct("doc_id", "norm", quality.alias("quality")),
+                F.col("doc_id"),
+            ).alias("k")
+        )
+        .select(
+            "k.doc_id",
+            "k.quality",
+            F.size(F.split(F.col("k.norm"), " ")).cast("bigint").alias("n_tokens"),
+        )
+    )
+    gated = deduped.filter(F.col("n_tokens") >= 20)
+    # (quality DESC, doc_id ASC) folded into ONE unique ascending key so
+    # the scan order is total; quality ∈ [0, 1000], doc_id < 1e11 even
+    # under the 100× probe's id inflation
+    gated = gated.withColumn(
+        "_ord",
+        (F.lit(1000) - F.col("quality")) * F.lit(100_000_000_000)
+        + F.col("doc_id"),
+    )
+    budgeted = (
+        global_prefix_sum(gated, "_ord", "n_tokens", out_col="_cum0")
+        .withColumn("cum", F.col("_cum0") + F.col("n_tokens"))
+        .filter(F.col("cum") <= 60000)
+    )
+    released = budgeted.withColumn(
+        "shard",
+        portable_hash60(
+            F.concat(F.lit("rel1|"), F.col("doc_id").cast("string"))
+        )
+        % 8,
+    )
+    return released.groupBy(F.col("shard").cast("bigint").alias("shard")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("token_sum"),
+        F.sum("doc_id").cast("bigint").alias("docid_sum"),
+    )
