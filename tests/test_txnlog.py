@@ -2975,3 +2975,56 @@ def test_add_unique_validates_existing_rows(spark, table):
     txnlog.txn_add_unique(spark, table, "pk", "k")
     with pytest.raises(txnlog.UniqueViolation):
         txnlog.txn_append(spark, spark.createDataFrame([(2,)], "k long"), table)
+
+
+def test_feature_interplay_kitchen_sink(spark, table):
+    """Round-8 features composed on ONE table: row ids + column mapping
+    + declared stats policy + CHECK + zorder + DV delete + compact +
+    restore, with fsck green at every step and content/ids consistent.
+    Pins the cross-feature contracts no single-feature test sees."""
+    txnlog.txn_enable_row_ids(table)
+    txnlog.txn_set_property(table, "write.statsColumns", "k")
+    txnlog.txn_add_check(spark, table, "pos", "k >= 0")
+    for b in range(3):
+        txnlog.txn_append(
+            spark,
+            spark.range(b * 100, (b + 1) * 100)
+            .selectExpr("id AS k", "id * 3 AS val")
+            .coalesce(1),
+            table,
+        )
+    txnlog.txn_rename_column(spark, table, "val", "amount")
+    assert txnlog.txn_fsck(table)["ok"]
+    # DV delete through the mapped predicate; ids stable
+    ids_before = {
+        r.k: r._row_id
+        for r in txnlog.read_snapshot_rowids(spark, table).collect()
+    }
+    txnlog.txn_delete_dv(
+        spark, (F.col("amount") % 30 == 0) & (F.col("k") < 100), table,
+        zone=("k", 0, 99),
+    )
+    after = {
+        r.k: r._row_id
+        for r in txnlog.read_snapshot_rowids(spark, table).collect()
+    }
+    assert all(after[k] == ids_before[k] for k in after)
+    assert len(after) == 300 - 10  # k in 0..99 with 3k % 30 == 0 -> k % 10 == 0
+    # zorder re-clusters (content invariant, ids reassigned, stats fresh)
+    txnlog.txn_zorder(spark, table, "k", "amount")
+    assert txnlog.read_snapshot(spark, table).count() == 290
+    stats = txnlog.snapshot_stats(table)
+    assert all(st.get("k") is not None for st in stats.values())
+    assert txnlog.txn_fsck(table)["ok"]
+    # checks still enforce through the mapping after all of that
+    with pytest.raises(txnlog.CheckViolation):
+        txnlog.txn_append(
+            spark,
+            spark.createDataFrame([(-1, 5)], "k long, amount long"),
+            table,
+        )
+    # restore to the pre-zorder version brings the DV state back
+    hist_len = txnlog.current_version(table)
+    txnlog.txn_restore(table, hist_len - 1)
+    assert txnlog.read_snapshot(spark, table).count() == 290
+    assert txnlog.txn_fsck(table)["ok"]
