@@ -531,3 +531,68 @@ def test_mp_restore_racing_appender_linearizes(tmp_path):
     # every version still resolves (restore is a commit, never surgery)
     for v in range(txnlog.current_version(table) + 1):
         _expand(table, v)
+
+
+# ------------------------------------------------- row-id allocation races
+
+
+def _write_parquet_leaf(table: str, name: str, n_rows: int) -> None:
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    pq.write_table(
+        pa.table({"k": list(range(n_rows))}),
+        os.path.join(table, "data", name),
+    )
+
+
+def _rid_appender(table, wid, n_commits, q):
+    import random
+
+    rng = random.Random(wid)
+    for i in range(n_commits):
+        name = f"rid_w{wid}_{i}.parquet"
+        _write_parquet_leaf(table, name, rng.randint(1, 9))
+        for _ in range(500):
+            try:
+                txnlog.commit(
+                    table, [name], [], txnlog.current_version(table), op="APPEND"
+                )
+                break
+            except txnlog.TxnConflict:
+                continue
+        else:
+            raise AssertionError(f"rid appender {wid} starved")
+    q.put(("rid", wid, n_commits))
+
+
+def test_mp_rowid_allocation_is_disjoint_under_real_races(tmp_path):
+    """Four forked appenders on a row-tracking table: the (base, base +
+    rows) ranges of every live file must tile WITHOUT overlap and stay
+    under the final high-water mark — the property the commit-time
+    atomic assignment exists for. Genuine process races, no
+    monkeypatching."""
+    import pyarrow.parquet as pq
+
+    table = _mk_table(tmp_path)
+    txnlog.txn_set_property(table, "rowids.next", "0")
+    ctx = mp.get_context("fork")
+    q = ctx.Queue()
+    procs = [
+        ctx.Process(target=_rid_appender, args=(table, w, 6, q)) for w in range(4)
+    ]
+    _run(procs, q, 4)
+    live, _ = txnlog._fold_log(table, txnlog.current_version(table))
+    nxt = int(txnlog.table_props(table)["rowids.next"])
+    spans = []
+    total_rows = 0
+    for n, d in live.items():
+        assert d.get("rid") is not None, f"{n} missing base"
+        rows = pq.read_metadata(os.path.join(table, "data", n)).num_rows
+        spans.append((d["rid"], d["rid"] + rows))
+        total_rows += rows
+    spans.sort()
+    for (a0, a1), (b0, b1) in zip(spans, spans[1:]):
+        assert a1 <= b0, f"overlap: {spans}"
+    assert spans[-1][1] <= nxt
+    assert nxt == total_rows  # append-only: allocation exactly covers rows
