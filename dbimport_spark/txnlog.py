@@ -3044,6 +3044,49 @@ def last_committed_batch(path: str, app_id: str) -> int:
     return int(v) if v is not None else -1
 
 
+def txn_append_partitioned_idempotent(
+    spark, df: DataFrame, path: str, partition_col: str, app_id: str,
+    batch_id: int, max_retries: int = 5,
+) -> int:
+    """Partitioned + EXACTLY-ONCE streaming append — the partitioned arm
+    of txn_append_idempotent: the batch is staged split by partition
+    value (values in the LOG, files value-pure), the commit atomically
+    records the ``(app_id, batch_id)`` watermark, and a redelivered
+    batch is SKIPPED with its staged files removed. Completes the
+    exactly-once matrix for foreachBatch sinks on partitioned tables."""
+    if batch_id <= last_committed_batch(path, app_id):
+        return current_version(path)
+    added = _stage_partitioned(df, path, partition_col)
+    base_v = current_version(path)  # pinned pre-validation (check TOCTOU)
+    checks = _validate_staged(spark, path, added, partition_col)
+    _validate_unique(spark, path, added, base_v)
+    names = [e["n"] for e in added]
+    for _ in range(max_retries):
+        if batch_id <= last_committed_batch(path, app_id):
+            for n in names:
+                try:
+                    os.remove(os.path.join(_data_dir(path), n))
+                except FileNotFoundError:
+                    pass
+            return current_version(path)
+        try:
+            v = commit(
+                path, added, [], base_v,
+                props={
+                    f"txn.{app_id}": str(batch_id),
+                    "partition.column": partition_col,
+                },
+                op="STREAMING_APPEND",
+            )
+            return _maybe_auto_optimize(spark, path, v)
+        except TxnConflict:
+            base_v = current_version(path)
+            checks = _revalidate_if_changed(spark, path, added, checks)
+            _validate_unique(spark, path, added, base_v)
+            continue
+    raise TxnConflict(f"gave up after {max_retries} retries appending to {path}")
+
+
 def txn_append_idempotent(
     spark, df: DataFrame, path: str, app_id: str, batch_id: int,
     max_retries: int = 5,

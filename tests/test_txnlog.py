@@ -3028,3 +3028,24 @@ def test_feature_interplay_kitchen_sink(spark, table):
     txnlog.txn_restore(table, hist_len - 1)
     assert txnlog.read_snapshot(spark, table).count() == 290
     assert txnlog.txn_fsck(table)["ok"]
+
+
+def test_partitioned_idempotent_append_exactly_once(spark, table):
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "a")], "k long, p string"
+    )
+    v1 = txnlog.txn_append_partitioned_idempotent(spark, df, table, "p", "app", 0)
+    assert v1 == 0
+    d = os.path.join(table, "data")
+    n_files = len(os.listdir(d))
+    # full redelivery: no new rows, no staged litter
+    txnlog.txn_append_partitioned_idempotent(spark, df, table, "p", "app", 0)
+    assert txnlog.read_snapshot(spark, table).count() == 3
+    assert len(os.listdir(d)) == n_files
+    # next batch lands, partition values readable through the generic read
+    txnlog.txn_append_partitioned_idempotent(
+        spark, spark.createDataFrame([(4, "c")], "k long, p string"),
+        table, "p", "app", 1,
+    )
+    got = {(r.k, r.p) for r in txnlog.read_snapshot(spark, table).collect()}
+    assert got == {(1, "a"), (2, "b"), (3, "a"), (4, "c")}
