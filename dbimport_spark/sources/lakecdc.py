@@ -166,6 +166,18 @@ class _DvDelta(InputPartition):
         self.ptype = ptype
 
 
+class _CdfFile(InputPartition):
+    """Change-feed partition for ONE writer-materialized change file
+    (txnlog._write_change_data, cdf.enabled=true): rows already carry
+    their ``_change_type`` — the reader just conforms the data columns.
+    One task per change file: the DISTRIBUTED path for rewrite commits;
+    _CowDiff is the on-read fallback when no change files exist."""
+
+    def __init__(self, file_path: str, version: int):
+        self.file_path = file_path
+        self.version = version
+
+
 class _CowDiff(InputPartition):
     """Change-feed partition for ONE rewrite commit (CoW DELETE / UPSERT /
     MERGE / RESTORE): the keyless multiset diff of removed-files rows vs
@@ -442,8 +454,22 @@ class LakeCdcStreamReader(DataSourceStreamReader):
                         )
                     )
             else:
-                # rewrite (CoW DELETE/UPSERT/MERGE, RESTORE): one diff
-                # task over the touched files' visible rows
+                # rewrite commit: prefer the writer's materialized change
+                # files (cdf.enabled tables) — one task per file, fully
+                # distributed; fall back to the one-task on-read diff
+                import glob as _glob
+
+                cdf_dir = os.path.join(
+                    self._path, "_change_data", f"v{v:08d}"
+                )
+                if os.path.isdir(cdf_dir):
+                    for f in sorted(
+                        _glob.glob(os.path.join(cdf_dir, "*.parquet"))
+                    ):
+                        parts.append(_CdfFile(f, v))
+                    continue
+                # on-read fallback: one diff task over the touched
+                # files' visible rows
                 old_side = sorted(removed_names) + dv_changed
                 new_side = sorted(added_names) + dv_changed
                 diff = _CowDiff(
@@ -511,6 +537,8 @@ class LakeCdcStreamReader(DataSourceStreamReader):
             return self._read_dv_delta(partition)
         if isinstance(partition, _CowDiff):
             return self._read_cow_diff(partition)
+        if isinstance(partition, _CdfFile):
+            return self._read_cdf_file(partition)
         if not partition.file_path:
             return iter([])
         tbl = self._conform(pq.read_table(partition.file_path))
@@ -523,6 +551,19 @@ class LakeCdcStreamReader(DataSourceStreamReader):
             "insert",
         )
         return iter(tbl.to_batches(max_chunksize=8192))
+
+    def _read_cdf_file(self, p: _CdfFile) -> Iterator:
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        tbl = pq.read_table(p.file_path)
+        ct = tbl["_change_type"]
+        body = self._conform(tbl)  # data columns only; row order preserved
+        body = body.append_column(
+            "_commit_version", pa.array([p.version] * body.num_rows, pa.int64())
+        )
+        body = body.append_column("_change_type", ct.cast(pa.string()))
+        return iter(body.to_batches(max_chunksize=8192))
 
     def _read_dv_delta(self, p: _DvDelta) -> Iterator:
         import pyarrow as pa

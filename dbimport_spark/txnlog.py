@@ -617,7 +617,9 @@ def txn_upsert(
         added = _stage_auto(spark, merged, path)
         _validate_staged(spark, path, added)  # merge may introduce new rows
         try:
-            return commit(path, added, old_files, base_v, op="UPSERT")
+            v = commit(path, added, old_files, base_v, op="UPSERT")
+            _maybe_write_change_data(spark, path, v, old_files, added, base_v)
+            return v
         except TxnConflict:
             # lost the race: the staged files are unreferenced (invisible
             # to every reader); re-merge against the new snapshot.
@@ -901,7 +903,9 @@ def txn_delete(spark, source_pred, path: str, max_retries: int = 3) -> int:
         kept = target.filter(~F.coalesce(source_pred, F.lit(False)))
         added = _stage_auto(spark, kept, path)
         try:
-            return commit(path, added, old_files, base_v, op="DELETE")
+            v = commit(path, added, old_files, base_v, op="DELETE")
+            _maybe_write_change_data(spark, path, v, old_files, added, base_v)
+            return v
         except TxnConflict:
             continue
     raise TxnConflict(f"gave up after {max_retries} retries deleting from {path}")
@@ -1067,6 +1071,101 @@ def txn_compact(
         except TxnConflict:
             continue
     raise TxnConflict(f"gave up after {max_retries} retries compacting {path}")
+
+
+def _write_change_data(
+    spark, path: str, new_v: int, removed_names, added_entries, base_v: int
+) -> None:
+    """Writer-side CHANGE FILES for a rewrite commit (Delta's _change_data
+    design, materialized lazily-on-write): when the table property
+    ``cdf.enabled=true`` is set, a whole-snapshot rewrite writes its
+    row-level diff — the multiset difference of the removed files'
+    VISIBLE rows vs the added files' rows, computed DISTRIBUTED as one
+    union + one hash aggregation + an explode of per-row multiplicities
+    — to ``_change_data/v<version>/`` as parquet with PHYSICAL data
+    column names plus ``_change_type`` ('delete' = preimage, 'insert' =
+    postimage; an update is a delete+insert pair, keyless by design).
+    The CDC streaming reader streams these files one task each instead
+    of paying the single-task fallback diff; a crash after the commit
+    but before this write degrades gracefully to that fallback (the
+    directory write is atomic: temp + rename).
+
+    Runs AFTER the commit won its slot, so it never holds up the
+    optimistic-retry loop and a lost race writes nothing."""
+    from pyspark.sql import functions as F
+
+    out_dir = os.path.join(path, "_change_data", f"v{new_v:08d}")
+    if os.path.isdir(out_dir):
+        return  # idempotent (replayed writer)
+    live_prev, _, _ = _fold_log3(path, base_v)
+    old_files = [
+        os.path.join(_data_dir(path), n) for n in removed_names if n in live_prev
+    ]
+    old_dvs = {
+        n: live_prev[n]["dv"]
+        for n in removed_names
+        if n in live_prev and live_prev[n].get("dv")
+    }
+    added_names = [
+        e["n"] if isinstance(e, dict) else e for e in added_entries
+    ]
+    new_files = [os.path.join(_data_dir(path), n) for n in added_names]
+    sides = []
+    if old_files:
+        sides.append(
+            _read_files_dv(spark, path, old_files, old_dvs).withColumn(
+                "_sgn", F.lit(-1)
+            )
+        )
+    if new_files:
+        sides.append(
+            spark.read.option("mergeSchema", "true")
+            .parquet(*new_files)
+            .withColumn("_sgn", F.lit(1))
+        )
+    if not sides:
+        os.makedirs(out_dir, exist_ok=True)
+        return
+    both = sides[0]
+    for s in sides[1:]:
+        both = both.unionByName(s, allowMissingColumns=True)
+    cols = [c for c in both.columns if c != "_sgn"]
+    # NULL-safe multiset diff: groupBy groups NULL keys together (unlike
+    # a join), so rows with NULLs difference correctly
+    delta = (
+        both.groupBy(*cols)
+        .agg(F.sum("_sgn").alias("_d"))
+        .filter(F.col("_d") != 0)
+        .withColumn(
+            "_change_type",
+            F.when(F.col("_d") < 0, F.lit("delete")).otherwise(F.lit("insert")),
+        )
+        .withColumn("_n", F.abs(F.col("_d")).cast("int"))
+        .withColumn("_i", F.explode(F.expr("sequence(1, _n)")))
+        .select(*cols, "_change_type")
+    )
+    tmp = os.path.join(path, "_change_data", f".tmp-{uuid.uuid4().hex}")
+    delta.write.mode("overwrite").parquet(tmp)
+    try:
+        os.rename(tmp, out_dir)
+    except OSError:
+        import shutil
+
+        shutil.rmtree(tmp, ignore_errors=True)  # racing writer won
+
+
+def _maybe_write_change_data(
+    spark, path, new_v, removed_names, added_entries, base_v
+) -> None:
+    if table_props(path, base_v).get("cdf.enabled") == "true":
+        try:
+            _write_change_data(
+                spark, path, new_v, removed_names, added_entries, base_v
+            )
+        except Exception:
+            # change files are an accelerator, never a correctness
+            # dependency: the CDC reader falls back to the on-read diff
+            pass
 
 
 def txn_fsck(path: str, version: int | None = None) -> dict:
@@ -3423,9 +3522,11 @@ def txn_merge_into(
         _validate_staged(spark, path, added)
         props = {f"txn.{app_id}": str(batch_id)} if app_id is not None else None
         try:
-            return commit(
+            v = commit(
                 path, added, old_files, base_v, props=props, op="MERGE"
             )
+            _maybe_write_change_data(spark, path, v, old_files, added, base_v)
+            return v
         except TxnConflict:
             # lost the race: drop our invisible staged files and re-merge
             # against the new snapshot (the skip check re-runs first — the

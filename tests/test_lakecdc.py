@@ -598,3 +598,54 @@ def test_change_feed_translates_column_mapping(spark, tmp_path):
     dels = got.filter(F.col("_change_type") == "delete").collect()
     assert [(r.k, r.label) for r in dels] == [(6, "v0")]
     assert got.filter(F.col("_change_type") == "insert").count() == 10
+
+
+def test_change_feed_uses_writer_materialized_change_files(spark, tmp_path):
+    """cdf.enabled=true: a rewrite commit writes _change_data/v<N> change
+    files at commit time (Delta's design), the stream plans ONE task per
+    change file instead of the single-task on-read diff, and the rows
+    are identical to the fallback's."""
+    import glob
+
+    path = str(tmp_path / "t")
+    txnlog.txn_set_property(path, "cdf.enabled", "true")
+    _append(spark, path, 0)
+    src = spark.range(5).select(
+        (F.col("id") * 3).alias("k"), F.lit("UP").alias("tag")
+    )
+    txnlog.txn_upsert(spark, src, path, ["k"])  # v2 rewrite
+    v = txnlog.current_version(path)
+    cdf_dir = os.path.join(path, "_change_data", f"v{v:08d}")
+    assert glob.glob(os.path.join(cdf_dir, "*.parquet"))
+    got = _drain_cdf(spark, path, str(tmp_path / "cp"), str(tmp_path / "sink"))
+    rewrite = got.filter(F.col("_commit_version") == v)
+    pre = {(r.k, r.tag) for r in rewrite.filter(F.col("_change_type") == "delete").collect()}
+    post = {(r.k, r.tag) for r in rewrite.filter(F.col("_change_type") == "insert").collect()}
+    assert pre == {(k, "v0") for k in (0, 3, 6, 9, 12)}
+    assert post == {(k, "UP") for k in (0, 3, 6, 9, 12)}
+
+    # control table WITHOUT the property: same rows through the fallback
+    other = str(tmp_path / "u")
+    _append(spark, other, 0)
+    txnlog.txn_upsert(spark, src, other, ["k"])
+    assert not os.path.isdir(os.path.join(other, "_change_data"))
+    got2 = _drain_cdf(spark, other, str(tmp_path / "cp2"), str(tmp_path / "sink2"))
+    r2 = got2.filter(F.col("_change_type") == "delete")
+    assert {(r.k, r.tag) for r in r2.collect()} == pre
+
+
+def test_change_data_write_failure_degrades_to_fallback(spark, tmp_path):
+    """A crash between the commit and the change-file write must leave
+    the feed correct: the reader silently takes the on-read diff for
+    that version."""
+    import shutil
+
+    path = str(tmp_path / "t")
+    txnlog.txn_set_property(path, "cdf.enabled", "true")
+    _append(spark, path, 0)
+    txnlog.txn_delete(spark, F.col("k") == 6, path)
+    v = txnlog.current_version(path)
+    shutil.rmtree(os.path.join(path, "_change_data", f"v{v:08d}"))
+    got = _drain_cdf(spark, path, str(tmp_path / "cp"), str(tmp_path / "sink"))
+    dels = got.filter(F.col("_change_type") == "delete").collect()
+    assert [(r.k, r.tag) for r in dels] == [(6, "v0")]
