@@ -21,7 +21,10 @@ newly-deleted positions as `delete` rows, OPTIMIZE commits are skipped
 (content-invariant), and CoW rewrite commits emit the keyless multiset
 diff (an update surfaces as a delete+insert pair — this source has no
 merge keys; key-aware update_pre/postimage classification stays with
-the batch-side `read_changes`). Partitioned tables stream when the
+the batch-side `read_changes`). On `cdf.enabled=true` tables the
+rewrite diff is read from the WRITER's materialized
+`_change_data/v<N>` files — one task per file, fully distributed —
+with the on-read diff as the silent fallback when they are absent. Partitioned tables stream when the
 `partitionColumn` option names the log-resident partition column (the
 value is re-attached from the log, typed per the recorded DDL).
 Column-mapped tables (txn_rename_column / txn_drop_column) stream under
