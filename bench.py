@@ -193,6 +193,9 @@ HEADLINE = [
     "pipeline_gdpr_forget",
     "lake_row_tracking",
     "pipeline_corpus_release",
+    # round 9
+    "stream_lake_cdc_cdf",
+    "lake_widen_column",
 ]
 
 

@@ -371,6 +371,14 @@ def merge_into(
     are NULL on insert. Rows matching no clause keep target rows and
     drop unmatched source rows — standard MERGE semantics.
 
+    The source must be key-distinct: a target row matched by MULTIPLE
+    source rows would otherwise be silently multiplied by the join
+    (one output row per match pair). Like Delta's MERGE, that case
+    RAISES at execution time — detected with a key-partitioned window
+    count on the source side, which reuses the join's own shuffle
+    partitioning (a sort, not an extra exchange). NULL keys never
+    match (SQL equality), so they cannot trip the guard.
+
     Plan shape: ONE full-outer shuffle join on the keys, then a single
     CASE projection per output column — no per-clause pass, no window,
     no driver loop; Catalyst folds the whole clause lattice into one
@@ -385,7 +393,14 @@ def merge_into(
     tcols = list(target.columns)
     ttypes = dict(target.dtypes)
     t = target.withColumn("__t_ex", F.lit(1)).alias("t")
-    s = source.withColumn("__s_ex", F.lit(1)).alias("s")
+    s = (
+        source.withColumn("__s_ex", F.lit(1))
+        .withColumn(
+            "__s_cnt",
+            F.count(F.lit(1)).over(Window.partitionBy(*[F.col(k) for k in keys])),
+        )
+        .alias("s")
+    )
     on = reduce(
         lambda a, b: a & b,
         [F.col(f"t.{k}") == F.col(f"s.{k}") for k in keys],
@@ -436,6 +451,20 @@ def merge_into(
         )
     fallback = F.when(t_ex, F.lit("__keep__")).otherwise(F.lit("__drop__"))
     act = action.otherwise(fallback) if action is not None else fallback
+    # Delta's multi-match error, evaluated executor-side — no extra job.
+    act = F.when(
+        t_ex & s_ex & (F.col("s.__s_cnt") > 1),
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    "merge_into: multiple source rows matched the same "
+                    "target row for keys "
+                ),
+                F.to_json(F.struct(*[F.col(f"s.{k}") for k in keys])),
+                F.lit(" — deduplicate the source on the merge keys"),
+            )
+        ).cast("string"),
+    ).otherwise(act)
     j = j.withColumn("__act", act).filter(F.col("__act") != "__drop__")
     out = []
     for c in tcols:

@@ -2233,6 +2233,76 @@ def lake_rename_drop_column(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "lake_widen_column",
+    """WITH lo AS (
+  SELECT CAST(c_custkey AS BIGINT) AS k,
+         CAST(round(c_acctbal * 100) AS BIGINT) AS v
+  FROM customer WHERE c_custkey % 2 = 0
+), hi AS (
+  SELECT CAST(c_custkey + 1000000 AS BIGINT) AS k,
+         CAST(round(c_acctbal * 100) + 10000000000 AS BIGINT) AS v
+  FROM customer WHERE c_custkey % 2 = 1
+), unioned AS (
+  SELECT * FROM lo UNION ALL SELECT * FROM hi
+)
+SELECT CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(v) AS BIGINT) AS v_sum,
+       CAST(max(v) AS BIGINT) AS v_max
+FROM unioned WHERE k % 10 <> 3""",
+)
+def lake_widen_column(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ALTER COLUMN TYPE widening as a METADATA-ONLY commit
+    (txnlog.txn_widen_column — the lake-evolution form of the
+    reference's inference-decay lattice, DataProvider.java:61-148
+    int→bigint, restricted to exact promotions): v0 appends ``v`` as
+    INT32 parquet, the widen commit records int→bigint in the
+    ``colwiden`` property (zero files opened at any table size), a
+    post-widen append lands values ABOVE the int range, and ONE scan
+    reads both widths — old footers upcast natively in the parquet
+    reader (SPARK-40876), no per-file cast plan, no rewrite. A DV
+    delete then runs through the widened read (merge-on-read anti-join
+    over mixed-width files). Graded on exact bigint aggregates that are
+    only right if the pre-widen values and the beyond-int-range values
+    both survive."""
+    import os
+    import shutil
+    import tempfile
+
+    from dbimport_spark import txnlog
+
+    path = os.path.join(
+        tempfile.gettempdir(),
+        "dbimport_spark_txn",
+        "widen_" + sf_dir.rstrip("/").replace("/", "_"),
+    )
+    if os.path.isdir(path):
+        shutil.rmtree(path)
+
+    base = load(spark, sf_dir, "customer").select(
+        F.col("c_custkey").cast("bigint").alias("k"),
+        F.round(F.col("c_acctbal") * 100).cast("bigint").alias("cents"),
+    )
+    lo = base.filter(F.col("k") % 2 == 0).select(
+        "k", F.col("cents").cast("int").alias("v")  # INT32 in the files
+    )
+    txnlog.txn_append(spark, lo, path)                       # v0: narrow
+    txnlog.txn_widen_column(spark, path, "v", "bigint")      # v1: O(1)
+    hi = base.filter(F.col("k") % 2 == 1).select(
+        (F.col("k") + 1000000).alias("k"),
+        (F.col("cents") + F.lit(10_000_000_000)).alias("v"),  # > int range
+    )
+    txnlog.txn_append(spark, hi, path)                       # v2: wide
+    txnlog.txn_delete_dv(spark, F.col("k") % 10 == 3, path)  # v3: DV @ mixed widths
+    snap = txnlog.read_snapshot(spark, path)
+    assert dict(snap.dtypes)["v"] == "bigint"
+    return snap.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum("v").cast("bigint").alias("v_sum"),
+        F.max("v").cast("bigint").alias("v_max"),
+    )
+
+
+@register(
     "lake_merge_into_clauses",
     """WITH base AS (
   SELECT c_custkey AS k, CAST(round(c_acctbal * 100) AS BIGINT) AS bal

@@ -1222,6 +1222,105 @@ def stream_lake_cdc_dv(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stream_lake_cdc_cdf",
+    """SELECT CAST(1 AS BIGINT) AS version, 'insert' AS change_type,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(doc_id) AS BIGINT) AS id_sum,
+       CAST(sum(n_chars) AS BIGINT) AS char_sum
+FROM documents WHERE doc_id % 3 = 0
+UNION ALL
+SELECT CAST(2 AS BIGINT), 'insert', CAST(count(*) AS BIGINT),
+       CAST(sum(doc_id) AS BIGINT), CAST(sum(n_chars) AS BIGINT)
+FROM documents WHERE doc_id % 3 = 1
+UNION ALL
+SELECT CAST(3 AS BIGINT), 'delete', CAST(count(*) AS BIGINT),
+       CAST(sum(doc_id) AS BIGINT), CAST(sum(n_chars) AS BIGINT)
+FROM documents WHERE doc_id % 3 <> 2 AND doc_id % 5 = 0
+UNION ALL
+SELECT CAST(4 AS BIGINT), 'insert', CAST(count(*) AS BIGINT),
+       CAST(sum(doc_id) AS BIGINT), CAST(sum(n_chars) AS BIGINT)
+FROM documents WHERE doc_id % 3 = 2
+UNION ALL
+SELECT CAST(5 AS BIGINT), 'delete', CAST(count(*) AS BIGINT),
+       CAST(sum(doc_id) AS BIGINT), CAST(sum(n_chars) AS BIGINT)
+FROM documents
+WHERE doc_id % 7 = 0 AND NOT (doc_id % 3 <> 2 AND doc_id % 5 = 0)
+UNION ALL
+SELECT CAST(5 AS BIGINT), 'insert', CAST(count(*) AS BIGINT),
+       CAST(sum(doc_id) AS BIGINT),
+       CAST(sum(n_chars) + 1000 * count(*) AS BIGINT)
+FROM documents WHERE doc_id % 7 = 0""",
+)
+def stream_lake_cdc_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """stream_lake_cdc_dv's SCALE-PATH twin: the same commit sequence on
+    a ``cdf.enabled=true`` table, so the whole-snapshot UPSERT's row-level
+    diff is MATERIALIZED at commit time into ``_change_data/v<N>``
+    parquet (txnlog._write_change_data — a distributed union + hash-agg
+    multiset diff) and the CDC stream plans ONE TASK PER CHANGE FILE
+    instead of the documented single-task on-read ``_CowDiff`` fallback
+    the un-opted-in twin exercises (sources/lakecdc.py fallback arm,
+    guarded by test_change_data_write_failure_degrades_to_fallback).
+    The fixture ASSERTS the change files exist before streaming — a
+    green row here grades the 100 TB arm, not the fallback. Version
+    numbering is shifted by the property commit (v0): appends v1/v2,
+    DV delete v3, append v4, upsert rewrite v5."""
+    import shutil
+
+    from dbimport_spark import txnlog
+    from dbimport_spark.plans.registry import load
+    from dbimport_spark.sources.lakecdc import register_lake_cdc
+
+    path = os.path.join(
+        tempfile.gettempdir(),
+        "dbimport_spark_txn",
+        "cdc_cdf_" + sf_dir.rstrip("/").replace("/", "_"),
+    )
+    if os.path.isdir(path):
+        shutil.rmtree(path)
+    txnlog.txn_set_property(path, "cdf.enabled", "true")             # v0
+    d = load(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    txnlog.txn_append(spark, d.filter(F.col("doc_id") % 3 == 0), path)  # v1
+    txnlog.txn_append(spark, d.filter(F.col("doc_id") % 3 == 1), path)  # v2
+    txnlog.txn_delete_dv(spark, F.col("doc_id") % 5 == 0, path)         # v3
+    txnlog.txn_append(spark, d.filter(F.col("doc_id") % 3 == 2), path)  # v4
+    upd = d.filter(F.col("doc_id") % 7 == 0).withColumn(
+        "n_chars", F.col("n_chars") + F.lit(1000)
+    )
+    txnlog.txn_upsert(spark, upd, path, ["doc_id"])                      # v5
+    cdf_dir = os.path.join(path, "_change_data", f"v{5:08d}")
+    cdf_files = (
+        [f for f in os.listdir(cdf_dir) if f.endswith(".parquet")]
+        if os.path.isdir(cdf_dir)
+        else []
+    )
+    if not cdf_files:
+        raise AssertionError(
+            "stream_lake_cdc_cdf: rewrite commit did not materialize "
+            "change files — the query would grade the fallback arm"
+        )
+
+    register_lake_cdc(spark)
+    s = (
+        spark.readStream.format("lake_cdc")
+        .option("path", path)
+        .option("readChangeFeed", "true")
+        .load()
+    )
+    agg = s.groupBy(
+        F.col("_commit_version").alias("version"),
+        F.col("_change_type").alias("change_type"),
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum("doc_id").cast("bigint").alias("id_sum"),
+        F.sum("n_chars").cast("bigint").alias("char_sum"),
+    )
+    return _run_to_memory(agg, spark, output_mode="complete").select(
+        F.col("version").cast("bigint"), "change_type", "n_rows", "id_sum",
+        "char_sum",
+    )
+
+
+@register(
     "stream_crawl_refresh",
     """WITH hist AS (
   SELECT md5(text) AS fp FROM documents WHERE doc_id % 3 <> 2

@@ -519,6 +519,36 @@ class TestMergeIntoClauses:
         with _pytest.raises(ValueError, match="unknown clause"):
             merge_into(t, s, ["k"], [("matched_upsert", None, "all")]).collect()
 
+    def test_duplicate_source_keys_raise(self, spark):
+        """ADVICE r8: a non-key-distinct source must RAISE (Delta's
+        multiple-source-matches error), never silently duplicate matched
+        target rows — even with no matched clause (the fallback would
+        keep the target row once per match pair)."""
+        from py4j.protocol import Py4JJavaError
+
+        from dbimport_spark.operators.merge import merge_into
+
+        t, _ = self._tables(spark)
+        dup_s = spark.createDataFrame(
+            [(1, "A", 100), (1, "A2", 101), (9, "z", 90)],
+            "k long, tag string, val long",
+        )
+        for clauses in (
+            [("matched_update", None, "all")],
+            [("not_matched_insert", None, "all")],  # fallback keeps matches
+        ):
+            with pytest.raises((Py4JJavaError, Exception), match="multiple source rows"):
+                merge_into(t, dup_s, ["k"], clauses).collect()
+        # NULL source keys never match -> never trip the guard
+        null_s = spark.createDataFrame(
+            [(None, "n1", 1), (None, "n2", 2)], "k long, tag string, val long"
+        )
+        out = merge_into(
+            t, null_s, ["k"],
+            [("matched_update", None, "all"), ("not_matched_insert", None, "all")],
+        )
+        assert out.count() == 6  # 4 kept targets + 2 null-key inserts
+
     def test_equivalence_with_upsert(self, spark):
         """update-all + insert-all == the narrow upsert operator."""
         from dbimport_spark.operators.merge import merge_into, upsert

@@ -649,3 +649,42 @@ def test_change_data_write_failure_degrades_to_fallback(spark, tmp_path):
     got = _drain_cdf(spark, path, str(tmp_path / "cp"), str(tmp_path / "sink"))
     dels = got.filter(F.col("_change_type") == "delete").collect()
     assert [(r.k, r.tag) for r in dels] == [(6, "v0")]
+
+
+def test_cdf_rewrite_plans_one_task_per_change_file(spark, tmp_path):
+    """The 100 TB assert the r8 verdict asked for: a cdf.enabled rewrite
+    with MULTIPLE materialized change files plans >1 input partition —
+    one _CdfFile task per parquet — never the single-task _CowDiff
+    fallback. (AQE coalescing right-sizes change-file COUNT at write
+    time; here it is pinned off so the tiny fixture still yields several
+    files.)"""
+    from dbimport_spark.sources.lakecdc import (
+        LakeCdcStreamReader,
+        _CdfFile,
+        _CowDiff,
+    )
+
+    path = str(tmp_path / "t")
+    txnlog.txn_set_property(path, "cdf.enabled", "true")
+    _append(spark, path, 0)  # v1: 10 rows
+    src = spark.range(10).select(
+        F.col("id").alias("k"), F.lit("UP").alias("tag")
+    )
+    coalesce_key = "spark.sql.adaptive.coalescePartitions.enabled"
+    prev = spark.conf.get(coalesce_key)
+    spark.conf.set(coalesce_key, "false")
+    try:
+        txnlog.txn_upsert(spark, src, path, ["k"])  # v2 rewrite
+    finally:
+        spark.conf.set(coalesce_key, prev)
+    v = txnlog.current_version(path)
+    cdf_dir = os.path.join(path, "_change_data", f"v{v:08d}")
+    n_files = len([f for f in os.listdir(cdf_dir) if f.endswith(".parquet")])
+    assert n_files > 1, "fixture must materialize several change files"
+    reader = LakeCdcStreamReader(
+        path, {"path": path, "readChangeFeed": "true"}
+    )
+    parts = reader.partitions({"version": v - 1}, {"version": v})
+    assert all(isinstance(p, _CdfFile) for p in parts)
+    assert not any(isinstance(p, _CowDiff) for p in parts)
+    assert len(parts) == n_files > 1

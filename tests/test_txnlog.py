@@ -488,7 +488,7 @@ def test_checkpoint_resolution_matches_full_replay(spark, table, monkeypatch):
     ckpts = [
         f
         for f in os.listdir(os.path.join(table, "_txn_log"))
-        if f.endswith(".checkpoint.json")
+        if f.endswith(".checkpoint.json") or f.endswith(".checkpoint")
     ]
     assert ckpts  # interval 3 over 8 versions wrote at least v3 and v6
     # every historical version resolves identically with and without
@@ -3049,3 +3049,405 @@ def test_partitioned_idempotent_append_exactly_once(spark, table):
     )
     got = {(r.k, r.p) for r in txnlog.read_snapshot(spark, table).collect()}
     assert got == {(1, "a"), (2, "b"), (3, "a"), (4, "c")}
+
+
+class TestUniqueConstraintAdvice9:
+    """Round-9 ADVICE regressions: NULL-key semantics, unique x
+    rename/drop interplay, lost-race revalidation on the idempotent and
+    partitioned append forms, and statsColumns x autoOptimize."""
+
+    def test_multiple_null_keys_permitted(self, spark, table):
+        """SQL UNIQUE permits any number of NULL keys — in one batch AND
+        vs live rows (both arms must agree)."""
+        txnlog.txn_set_property(table, "unique.pk", "k")
+        txnlog.txn_append(
+            spark,
+            spark.createDataFrame([(None, "a"), (None, "b"), (1, "c")],
+                                  "k long, v string"),
+            table,
+        )
+        # more NULLs vs the live NULLs still fine; dup non-NULL still caught
+        txnlog.txn_append(
+            spark, spark.createDataFrame([(None, "d")], "k long, v string"),
+            table,
+        )
+        with pytest.raises(txnlog.UniqueViolation):
+            txnlog.txn_append(
+                spark, spark.createDataFrame([(1, "x")], "k long, v string"),
+                table,
+            )
+        assert txnlog.read_snapshot(spark, table).count() == 4
+
+    def test_rename_rewrites_unique_property(self, spark, table):
+        txnlog.txn_set_property(table, "unique.pk", "k")
+        txnlog.txn_append(
+            spark, spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string"),
+            table,
+        )
+        txnlog.txn_rename_column(spark, table, "k", "id")
+        assert txnlog.table_props(table)["unique.pk"] == "id"
+        # constraint still enforced under the new logical name — without
+        # the rewrite every append here raised AnalysisException
+        with pytest.raises(txnlog.UniqueViolation):
+            txnlog.txn_append(
+                spark,
+                spark.createDataFrame([(2, "x")], "id long, v string"),
+                table,
+            )
+        txnlog.txn_append(
+            spark, spark.createDataFrame([(3, "c")], "id long, v string"), table
+        )
+        assert txnlog.read_snapshot(spark, table).count() == 3
+
+    def test_drop_unique_column_refused(self, spark, table):
+        txnlog.txn_set_property(table, "unique.pk", "k")
+        txnlog.txn_append(
+            spark, spark.createDataFrame([(1, "a")], "k long, v string"), table
+        )
+        with pytest.raises(ValueError, match="unique constraint"):
+            txnlog.txn_drop_column(spark, table, "k")
+        # unrelated column still droppable
+        txnlog.txn_drop_column(spark, table, "v")
+        assert txnlog.read_snapshot(spark, table).columns == ["k"]
+
+    def _race_unique(self, spark, table, appender):
+        """Drive `appender` while a rival append of the SAME key lands
+        between its validation and its commit; the lost-race handler must
+        re-run _validate_unique and reject."""
+        import dbimport_spark.txnlog as _t
+
+        txnlog.txn_set_property(table, "unique.pk", "k")
+        txnlog.txn_append(spark, spark.range(5).selectExpr("id AS k"), table)
+        real_commit = _t.commit
+        fired = {"n": 0}
+
+        def racing_commit(path, added, removed, expect_version, **kw):
+            if kw.get("op") in ("APPEND", "STREAMING_APPEND") and fired["n"] == 0:
+                fired["n"] = 1
+                real_commit(
+                    path,
+                    _t._stage(spark.createDataFrame([(99,)], "k long"), path),
+                    [], expect_version, op="APPEND",
+                )
+            return real_commit(path, added, removed, expect_version, **kw)
+
+        _t.commit = racing_commit
+        try:
+            with pytest.raises(txnlog.UniqueViolation, match="already live"):
+                appender(spark.createDataFrame([(99,)], "k long"))
+        finally:
+            _t.commit = real_commit
+        # exactly one 99 (the rival's) is visible
+        assert txnlog.read_snapshot(spark, table).filter("k = 99").count() == 1
+
+    def test_idempotent_append_revalidates_unique_after_lost_race(
+        self, spark, table
+    ):
+        self._race_unique(
+            spark, table,
+            lambda df: txnlog.txn_append_idempotent(spark, df, table, "app", 0),
+        )
+
+    def test_partitioned_append_revalidates_unique_after_lost_race(
+        self, spark, tmp_path
+    ):
+        import dbimport_spark.txnlog as _t
+
+        table = str(tmp_path / "ptbl")
+        txnlog.txn_set_property(table, "unique.pk", "k")
+        txnlog.txn_append_partitioned(
+            spark,
+            spark.createDataFrame([(1, "a"), (2, "b")], "k long, p string"),
+            table, "p",
+        )
+        real_commit = _t.commit
+        fired = {"n": 0}
+
+        def racing_commit(path, added, removed, expect_version, **kw):
+            if kw.get("op") == "APPEND" and fired["n"] == 0:
+                fired["n"] = 1
+                real_commit(
+                    path,
+                    _t._stage_partitioned(
+                        spark.createDataFrame([(99, "a")], "k long, p string"),
+                        path, "p",
+                    ),
+                    [], expect_version, op="APPEND",
+                    props={"partition.column": "p"},
+                )
+            return real_commit(path, added, removed, expect_version, **kw)
+
+        _t.commit = racing_commit
+        try:
+            with pytest.raises(txnlog.UniqueViolation, match="already live"):
+                txnlog.txn_append_partitioned(
+                    spark,
+                    spark.createDataFrame([(99, "b")], "k long, p string"),
+                    table, "p",
+                )
+        finally:
+            _t.commit = real_commit
+        assert txnlog.read_snapshot(spark, table).filter("k = 99").count() == 1
+
+    def test_stats_property_append_auto_optimizes(self, spark, table):
+        """write.statsColumns + autoOptimize.every on one table: appends
+        keep compacting (the delegation to txn_append_stats must not
+        silently drop auto-optimize) AND the rewritten files carry the
+        declared zone maps (via _stage_auto)."""
+        txnlog.txn_set_property(table, "write.statsColumns", "k")
+        txnlog.txn_set_property(table, "autoOptimize.every", "3")
+        for b in range(2):
+            txnlog.txn_append(
+                spark,
+                spark.range(b * 10, (b + 1) * 10)
+                .selectExpr("id AS k").repartition(4),
+                table,
+            )
+        # version sequence: props 0,1; appends 2,3 -> v3 triggers compact v4
+        assert txnlog.current_version(table) == 4
+        assert len(txnlog.snapshot_files(table, 4)) < 8
+        stats = txnlog.snapshot_stats(table)
+        assert stats and all("k" in st for st in stats.values())
+        assert txnlog.read_snapshot(spark, table).count() == 20
+
+    def test_adhoc_stats_append_stays_exempt_from_auto_optimize(
+        self, spark, tmp_path
+    ):
+        """Explicit stats_cols WITHOUT write.statsColumns: a compaction
+        would discard the curated per-file metadata, so auto-optimize
+        must not fire."""
+        table = str(tmp_path / "adhoc")
+        txnlog.txn_set_property(table, "autoOptimize.every", "1")
+        v = txnlog.txn_append_stats(
+            spark, spark.range(10).selectExpr("id AS k").repartition(4),
+            table, ["k"],
+        )
+        # no compaction commit rode on top of the append
+        assert v == txnlog.current_version(table) == 1
+        assert len(txnlog.snapshot_files(table)) == 4
+
+
+class TestMultiPartCheckpoint:
+    """Round-9: the single-JSON checkpoint (the r8 verdict's named driver
+    ceiling) replaced by a multi-part parquet checkpoint + manifest, with
+    a DataFrame state view and a distributed incremental writer."""
+
+    def test_multipart_roundtrip_with_dv_stats_props(self, spark, table, monkeypatch):
+        monkeypatch.setattr(txnlog, "CHECKPOINT_ROWS_PER_PART", 3)
+        txnlog.txn_set_property(table, "write.statsColumns", "k")
+        txnlog.txn_add_check(spark, table, "pos", "k >= 0")
+        for b in range(3):
+            txnlog.txn_append(
+                spark,
+                spark.range(b * 10, (b + 1) * 10).selectExpr("id AS k")
+                .repartition(4),
+                table,
+            )
+        txnlog.txn_delete_dv(spark, F.col("k") % 7 == 0, table)
+        fp = txnlog.write_checkpoint(table)
+        assert os.path.isdir(fp)
+        man = txnlog._checkpoint_manifest(table, txnlog.current_version(table))
+        assert len(man["parts"]) >= 4  # 12 files / 3 rows-per-part
+        assert man["n_live"] == 12
+        assert man["props"]["check.pos"] == "k >= 0"
+        # fold THROUGH the multi-part checkpoint == bypass fold
+        v = txnlog.current_version(table)
+        through = txnlog._fold_log3(table, v)
+        with monkeypatch.context() as m:
+            m.setattr(txnlog, "_latest_checkpoint_at_or_below", lambda *_: -1)
+            bypass = txnlog._fold_log3(table, v)
+        assert through == bypass
+        # read path still green (DV applied, stats preserved)
+        assert txnlog.read_snapshot(spark, table).count() == 30 - 5
+        assert all("k" in st for st in txnlog.snapshot_stats(table).values())
+
+    def test_legacy_single_json_checkpoint_still_readable(self, spark, table):
+        txnlog.txn_append(spark, _df(spark, [(1, "a"), (2, "b")]), table)
+        txnlog.txn_upsert(spark, _df(spark, [(2, "B")]), table, ["k"])
+        v = txnlog.current_version(table)
+        live, ptype, props = txnlog._fold_log3(table, v)
+        body = {
+            "version": v, "ptype": ptype, "props": props,
+            "live": [
+                {"n": n, "p": d["p"], "stats": d["stats"],
+                 "dv": d.get("dv"), "rid": d.get("rid")}
+                for n, d in sorted(live.items())
+            ],
+        }
+        with open(txnlog._checkpoint_path(table, v), "w") as fh:
+            json.dump(body, fh)
+        assert txnlog._latest_checkpoint_at_or_below(table, v) == v
+        got = {r["k"]: r["v"] for r in txnlog.read_snapshot(spark, table).collect()}
+        assert got == {1: "a", 2: "B"}
+
+    def test_snapshot_state_df_matches_fold(self, spark, table, monkeypatch):
+        monkeypatch.setattr(txnlog, "CHECKPOINT_ROWS_PER_PART", 2)
+        for b in range(2):
+            txnlog.txn_append(
+                spark,
+                spark.range(b * 10, (b + 1) * 10).selectExpr(
+                    "id AS k", "id*2 AS val"
+                ).repartition(3),
+                table,
+            )
+        txnlog.write_checkpoint(table)
+        # suffix AFTER the checkpoint: add, DV, and a rewrite (removes)
+        txnlog.txn_append(
+            spark, spark.range(20, 25).selectExpr("id AS k", "id*2 AS val"), table
+        )
+        txnlog.txn_delete_dv(spark, F.col("k") == 3, table)
+        txnlog.txn_compact(spark, table, min_files=1)
+        v = txnlog.current_version(table)
+        truth = txnlog._fold_log3(table, v)[0]
+        got = {
+            r["n"]: txnlog._ckpt_decode(r.asDict())
+            for r in txnlog.snapshot_state_df(spark, table, v).collect()
+        }
+        assert got == truth
+
+    def test_incremental_checkpoint_equivalence(self, spark, table, monkeypatch):
+        monkeypatch.setattr(txnlog, "CHECKPOINT_ROWS_PER_PART", 2)
+        txnlog.txn_append(
+            spark, spark.range(10).selectExpr("id AS k").repartition(4), table
+        )
+        txnlog.write_checkpoint(table)
+        txnlog.txn_append(spark, spark.range(10, 15).selectExpr("id AS k"), table)
+        txnlog.txn_delete_dv(spark, F.col("k") == 2, table)
+        txnlog.txn_set_property(table, "owner", "nine")
+        v = txnlog.current_version(table)
+        fp = txnlog.write_checkpoint_incremental(spark, table, v)
+        assert os.path.isdir(fp)
+        man = txnlog._checkpoint_manifest(table, v)
+        assert man["props"]["owner"] == "nine"
+        through = txnlog._fold_log3(table, v)
+        with monkeypatch.context() as m:
+            m.setattr(txnlog, "_latest_checkpoint_at_or_below", lambda *_: -1)
+            bypass = txnlog._fold_log3(table, v)
+        assert through == bypass
+        assert txnlog.read_snapshot(spark, table).count() == 14
+
+
+class TestWidenColumn:
+    """Round-9: ALTER COLUMN TYPE widening via the colwiden property —
+    metadata-only commits, upcasting scans over mixed-width footers,
+    lattice refusals, time travel, and interplay with column mapping /
+    row tracking / CDF / compaction."""
+
+    def _mixed(self, spark, table):
+        txnlog.txn_append(
+            spark,
+            spark.range(10).selectExpr("id AS k", "CAST(id * 2 AS int) AS v"),
+            table,
+        )
+        txnlog.txn_widen_column(spark, table, "v", "bigint")
+        txnlog.txn_append(
+            spark,
+            spark.range(10, 15).selectExpr(
+                "id AS k", "CAST(id + 10000000000 AS bigint) AS v"
+            ),
+            table,
+        )
+
+    def test_widen_is_metadata_only_and_scan_upcasts(self, spark, table):
+        self._mixed(spark, table)
+        # the widen commit itself added/removed nothing
+        entry = txnlog._read_entry_body(table, 1)
+        assert entry["op"] == "WIDEN_COLUMN"
+        assert entry["added"] == [] and entry["removed"] == []
+        snap = txnlog.read_snapshot(spark, table)
+        assert dict(snap.dtypes)["v"] == "bigint"
+        got = {r.k: r.v for r in snap.collect()}
+        assert got[0] == 0 and got[9] == 18  # pre-widen int32 values exact
+        assert got[14] == 10000000014        # beyond-int32 values exact
+        # time travel BELOW the widen shows the narrow era's schema
+        old = txnlog.read_snapshot(spark, table, 0)
+        assert dict(old.dtypes)["v"] == "int"
+
+    def test_widen_refusals_and_idempotence(self, spark, table):
+        txnlog.txn_append(
+            spark,
+            spark.range(5).selectExpr(
+                "CAST(id AS bigint) AS big", "CAST(id AS int) AS v"
+            ),
+            table,
+        )
+        with pytest.raises(ValueError, match="not an exact widening"):
+            txnlog.txn_widen_column(spark, table, "big", "double")  # lossy
+        with pytest.raises(ValueError, match="not an exact widening"):
+            txnlog.txn_widen_column(spark, table, "v", "smallint")  # narrow
+        with pytest.raises(ValueError, match="no column"):
+            txnlog.txn_widen_column(spark, table, "nope", "bigint")
+        v1 = txnlog.txn_widen_column(spark, table, "v", "bigint")
+        assert txnlog.txn_widen_column(spark, table, "v", "bigint") == v1  # no-op
+        # chained widening: bigint -> double is still refused afterwards
+        with pytest.raises(ValueError, match="not an exact widening"):
+            txnlog.txn_widen_column(spark, table, "v", "double")
+
+    def test_widen_float_to_double_and_dv(self, spark, table):
+        txnlog.txn_append(
+            spark,
+            spark.range(8).selectExpr("id AS k", "CAST(id / 2.0 AS float) AS x"),
+            table,
+        )
+        txnlog.txn_widen_column(spark, table, "x", "double")
+        txnlog.txn_append(
+            spark,
+            spark.range(8, 12).selectExpr(
+                "id AS k", "CAST(id + 0.25 AS double) AS x"
+            ),
+            table,
+        )
+        txnlog.txn_delete_dv(spark, F.col("k") % 4 == 0, table)
+        snap = txnlog.read_snapshot(spark, table)
+        assert dict(snap.dtypes)["x"] == "double"
+        got = {r.k: r.x for r in snap.collect()}
+        assert set(got) == {1, 2, 3, 5, 6, 7, 9, 10, 11}
+        assert got[3] == 1.5 and got[9] == 9.25
+
+    def test_widen_interplay_rename_rowids_cdf_compact(self, spark, table):
+        txnlog.txn_enable_row_ids(table)
+        txnlog.txn_set_property(table, "cdf.enabled", "true")
+        self._mixed(spark, table)
+        # rename the WIDENED column: widen is keyed by the stable physical
+        # name, so it must survive
+        txnlog.txn_rename_column(spark, table, "v", "val")
+        snap = txnlog.read_snapshot(spark, table)
+        assert dict(snap.dtypes)["val"] == "bigint"
+        assert snap.filter("val > 2147483647").count() == 5
+        # a rewrite (upsert) through the widened read materializes change
+        # files (cdf) and keeps content; compaction materializes the type
+        upd = spark.range(3).selectExpr(
+            "id AS k", "CAST(id + 100 AS bigint) AS val"
+        )
+        txnlog.txn_upsert(spark, upd, table, ["k"])
+        v = txnlog.current_version(table)
+        assert os.path.isdir(
+            os.path.join(table, "_change_data", f"v{v:08d}")
+        )
+        txnlog.txn_compact(spark, table, min_files=1)
+        assert txnlog.txn_fsck(table)["ok"]
+        got = {r.k: r.val for r in txnlog.read_snapshot(spark, table).collect()}
+        assert got[0] == 100 and got[14] == 10000000014
+        # post-compaction the files themselves are wide: scan still green
+        assert dict(txnlog.read_snapshot(spark, table).dtypes)["val"] == "bigint"
+
+    def test_widen_respects_schema_enforce(self, spark, table):
+        txnlog.txn_set_property(table, "schema.enforce", "true")
+        txnlog.txn_append(
+            spark, spark.range(5).selectExpr("id AS k", "CAST(id AS int) AS v"),
+            table,
+        )
+        txnlog.txn_widen_column(spark, table, "v", "bigint")
+        # narrow writes still conform (scan upcasts); unrelated type no
+        txnlog.txn_append(
+            spark,
+            spark.range(5, 8).selectExpr("id AS k", "CAST(id AS int) AS v"),
+            table,
+        )
+        with pytest.raises(txnlog.SchemaEnforcementViolation):
+            txnlog.txn_append(
+                spark,
+                spark.range(8, 9).selectExpr("id AS k", "CAST(id AS string) AS v"),
+                table,
+            )
+        assert txnlog.read_snapshot(spark, table).count() == 8

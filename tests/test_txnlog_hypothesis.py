@@ -352,3 +352,44 @@ TestRowIdProtocol = RowIdProtocol.TestCase
 TestRowIdProtocol.settings = settings(
     max_examples=60, stateful_step_count=30, deadline=None
 )
+
+
+# -------------------------------------- the same machines, object-store
+
+
+class _ObjStoreSwap:
+    """Mixin running the inherited protocol machine through the
+    object-store commit adapter (conditional PUT, no hard links) —
+    every rule, invariant and example UNCHANGED; only the claim
+    mechanics differ."""
+
+    @initialize()
+    def swap_backend(self):
+        self._prev_backend = txnlog.set_commit_backend(
+            txnlog.ObjectStoreCommitBackend(txnlog.LocalObjectStoreEmulator())
+        )
+
+    def teardown(self):
+        txnlog.set_commit_backend(
+            getattr(self, "_prev_backend", None)
+        )
+        super().teardown()
+
+
+class LogProtocolObjStore(_ObjStoreSwap, LogProtocol):
+    pass
+
+
+class RowIdProtocolObjStore(_ObjStoreSwap, RowIdProtocol):
+    pass
+
+
+TestLogProtocolObjStore = LogProtocolObjStore.TestCase
+TestLogProtocolObjStore.settings = settings(
+    max_examples=60, stateful_step_count=30, deadline=None
+)
+
+TestRowIdProtocolObjStore = RowIdProtocolObjStore.TestCase
+TestRowIdProtocolObjStore.settings = settings(
+    max_examples=30, stateful_step_count=20, deadline=None
+)

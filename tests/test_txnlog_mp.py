@@ -12,7 +12,26 @@ import json
 import multiprocessing as mp
 import os
 
+import pytest
+
 from dbimport_spark import txnlog
+
+
+@pytest.fixture(autouse=True, params=["posix", "objstore"])
+def commit_backend(request):
+    """Every MP race in this file runs TWICE: once on the POSIX
+    hard-link backend, once through the object-store adapter
+    (conditional-PUT mechanics, no hard links) — the r8 verdict's
+    'pass the MP race suites through the adapter unchanged'. Forked
+    workers inherit the swapped backend."""
+    if request.param == "objstore":
+        prev = txnlog.set_commit_backend(
+            txnlog.ObjectStoreCommitBackend(txnlog.LocalObjectStoreEmulator())
+        )
+        yield
+        txnlog.set_commit_backend(prev)
+    else:
+        yield
 
 
 def _mk_table(tmp_path) -> str:
