@@ -92,8 +92,12 @@ def _table_ddl(
     # MID-STREAM is not picked up until the stream restarts — the
     # DataSource schema is fixed at planning, and the physical names in
     # the files are stable either way.
-    mp, dropped = _colmap(table_props(path, v))
+    props = table_props(path, v)
+    mp, dropped = _colmap(props)
     phys2log = {p: l for l, p in mp.items()}
+    import json as _json
+
+    widen = _json.loads(props.get("colwiden", "{}") or "{}")
     live, _ptype = _fold_log(path, v)
     if not live:
         raise ValueError(f"lake_cdc: no added files in any commit at {path}")
@@ -122,10 +126,23 @@ def _table_ddl(
                 seen[fname] = ddl
                 order.append(fname)
             elif seen[fname] != ddl:
-                raise ValueError(
-                    f"lake_cdc: conflicting types for {fname}: "
-                    f"{seen[fname]} vs {ddl}"
-                )
+                # widened tables legitimately mix footer widths: take
+                # the wider type (the per-file conform step upcasts)
+                from dbimport_spark.txnlog import _widen_join
+
+                j = _widen_join(seen[fname], ddl)
+                if j is None:
+                    raise ValueError(
+                        f"lake_cdc: conflicting types for {fname}: "
+                        f"{seen[fname]} vs {ddl}"
+                    )
+                seen[fname] = j
+    # ALTER COLUMN TYPE widening: the property is authoritative even
+    # when every live footer is still narrow
+    for phys, ddl in widen.items():
+        fname = phys2log.get(phys, phys)
+        if fname in seen:
+            seen[fname] = ddl
     cols = [f"{n} {seen[n]}" for n in order]
     if partition_col:
         _, ptype = _fold_log(path, v)

@@ -1818,12 +1818,22 @@ def vacuum(
     # read would die mid-scan on a missing file, exactly what the horizon
     # exists to prevent.
     cutoff = max(cur - retain_versions + 1, 0, vacuum_horizon(path))
-    keep: set[str] = set()
-    keep_dv: set[str] = set()
-    for v in range(cutoff, cur + 1):
-        live, _ = _fold_log(path, v)
-        keep.update(live)
-        keep_dv.update(d["dv"]["d"] for d in live.values() if d.get("dv"))
+    # keep = every file/DV live at ANY retained version. Computed
+    # INCREMENTALLY: one fold to the cutoff seeds it, then each retained
+    # entry's adds / DV-attaches join it (removals shrink LIVE, never
+    # KEEP) — O(fold + suffix) instead of the per-version refold that
+    # made long-retention vacuums of large tables quadratic.
+    live, _, _ = _fold_log3(path, cutoff)
+    keep: set[str] = set(live)
+    keep_dv: set[str] = {
+        d["dv"]["d"] for d in live.values() if d.get("dv")
+    }
+    for v in range(cutoff + 1, cur + 1):
+        entry = _read_entry_body(path, v)
+        keep.update(_entry_files(entry.get("added", [])))
+        keep_dv.update(
+            e["d"] for e in entry.get("dv", []) if e.get("d") is not None
+        )
     ever: set[str] = set()
     ever_dv: set[str] = set()
     for v in range(cur + 1):
@@ -1864,6 +1874,38 @@ def vacuum(
             os.remove(os.path.join(_data_dir(path), dv_name))
         except FileNotFoundError:
             pass
+    # Reap SUPERSEDED checkpoints: a checkpoint is pure read-path
+    # acceleration (entries are never deleted, full replay always
+    # works), so any checkpoint with a NEWER checkpoint at or below the
+    # horizon is dead weight — multi-part checkpoints hold the full
+    # live list and would otherwise accumulate O(versions/interval ×
+    # live) storage. The newest one ≤ horizon stays (it accelerates
+    # every still-readable version), as does everything above the
+    # horizon.
+    ckpt_vs = sorted(
+        v
+        for v in {
+            int(f[: -len(".checkpoint.json")])
+            if f.endswith(".checkpoint.json")
+            else int(f[: -len(".checkpoint")])
+            for f in os.listdir(_log_dir(path))
+            if (f.endswith(".checkpoint.json") and f[: -len(".checkpoint.json")].isdigit())
+            or (f.endswith(".checkpoint") and f[: -len(".checkpoint")].isdigit())
+        }
+        if v <= cutoff
+    )
+    for v in ckpt_vs[:-1]:  # all but the newest at/below the horizon
+        legacy = _checkpoint_path(path, v)
+        if os.path.exists(legacy):
+            try:
+                os.remove(legacy)
+            except FileNotFoundError:
+                pass
+        d = _checkpoint_dir(path, v)
+        if os.path.isdir(d):
+            import shutil
+
+            shutil.rmtree(d, ignore_errors=True)
     # Record the horizon as an EMPTY MARKER FILE named after the cutoff
     # (``_vacuum.<cutoff>``), never a rewritten shared file. The r6
     # implementation truncate-then-wrote one ``_vacuum`` file, which the

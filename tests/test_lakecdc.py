@@ -688,3 +688,26 @@ def test_cdf_rewrite_plans_one_task_per_change_file(spark, tmp_path):
     assert all(isinstance(p, _CdfFile) for p in parts)
     assert not any(isinstance(p, _CowDiff) for p in parts)
     assert len(parts) == n_files > 1
+
+
+def test_stream_reads_widened_table(spark, tmp_path):
+    """CDC over a WIDENED table: the stream's schema is the widened
+    logical schema and pre-widen int32 files conform (arrow upcast in
+    the per-file read) — both the plain and change-feed forms."""
+    path = str(tmp_path / "t")
+    txnlog.txn_append(
+        spark, spark.range(4).selectExpr("id AS k", "CAST(id * 2 AS int) AS v"),
+        path,
+    )
+    txnlog.txn_widen_column(spark, path, "v", "bigint")
+    txnlog.txn_append(
+        spark,
+        spark.range(4, 6).selectExpr(
+            "id AS k", "CAST(id + 10000000000 AS bigint) AS v"
+        ),
+        path,
+    )
+    got = _drain(spark, path, str(tmp_path / "cp"), str(tmp_path / "sink"))
+    assert dict(got.dtypes)["v"] == "bigint"
+    rows = {r.k: r.v for r in got.collect()}
+    assert rows[3] == 6 and rows[5] == 10000000005

@@ -3451,3 +3451,33 @@ class TestWidenColumn:
                 table,
             )
         assert txnlog.read_snapshot(spark, table).count() == 8
+
+
+def test_vacuum_reaps_superseded_checkpoints(spark, table, monkeypatch):
+    """Checkpoints below the newest one at/below the horizon are dead
+    read-path weight (multi-part checkpoints carry the full live list);
+    vacuum reaps them, keeps the newest ≤ horizon plus everything above,
+    and every version at/above the horizon still resolves."""
+    monkeypatch.setattr(txnlog, "CHECKPOINT_INTERVAL", 2)
+    for i in range(9):
+        txnlog.txn_append(spark, _df(spark, [(i, f"v{i}")]), table)
+    d = os.path.join(table, "_txn_log")
+
+    def ckpts():
+        return sorted(
+            int(f.split(".")[0]) for f in os.listdir(d)
+            if f.endswith(".checkpoint") or f.endswith(".checkpoint.json")
+        )
+
+    assert ckpts() == [2, 4, 6, 8]
+    txnlog.vacuum(table, retain_versions=3)  # cur=8 -> horizon 6
+    # newest ckpt <= 6 is 6; 8 is above the horizon; 2 and 4 reaped
+    assert ckpts() == [6, 8]
+    for v in range(txnlog.vacuum_horizon(table), 9):
+        assert txnlog.read_snapshot(spark, table, v).count() == v + 1
+    # dry run never reaps
+    monkeypatch.setattr(txnlog, "CHECKPOINT_INTERVAL", 10**9)
+    txnlog.txn_append(spark, _df(spark, [(99, "z")]), table)
+    before = ckpts()
+    txnlog.vacuum(table, retain_versions=1, dry_run=True)
+    assert ckpts() == before
