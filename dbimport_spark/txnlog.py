@@ -4024,7 +4024,8 @@ def txn_compact_partitioned(
             if (len(names) < min_files or n_out >= len(names)) and not has_dv:
                 continue
             df = _read_files_dv(
-                spark, path, files, {n: dvmap[n] for n in names if n in dvmap}
+                spark, path, files,
+                {n: dvmap[n] for n in names if n in dvmap}, props,
             ).withColumn(pcol, _partition_lit(value, ptype))
             groups.append(df)
             removed.extend(names)

@@ -3326,6 +3326,30 @@ class TestMultiPartCheckpoint:
         assert through == bypass
         assert txnlog.read_snapshot(spark, table).count() == 14
 
+    def test_incremental_checkpoint_partitioned_table(self, spark, table, monkeypatch):
+        monkeypatch.setattr(txnlog, "CHECKPOINT_ROWS_PER_PART", 2)
+        df = spark.createDataFrame(
+            [(1, "a"), (2, "b"), (3, "a"), (4, "c")], "k long, p string"
+        )
+        txnlog.txn_append_partitioned(spark, df, table, "p")
+        txnlog.write_checkpoint(table)
+        txnlog.txn_append_partitioned(
+            spark, spark.createDataFrame([(5, "b")], "k long, p string"),
+            table, "p",
+        )
+        v = txnlog.current_version(table)
+        txnlog.write_checkpoint_incremental(spark, table, v)
+        man = txnlog._checkpoint_manifest(table, v)
+        assert man["ptype"] is not None  # partition type carried
+        assert man["props"]["partition.column"] == "p"
+        through = txnlog._fold_log3(table, v)
+        with monkeypatch.context() as m:
+            m.setattr(txnlog, "_latest_checkpoint_at_or_below", lambda *_: -1)
+            bypass = txnlog._fold_log3(table, v)
+        assert through == bypass
+        got = {(r.k, r.p) for r in txnlog.read_snapshot(spark, table).collect()}
+        assert got == {(1, "a"), (2, "b"), (3, "a"), (4, "c"), (5, "b")}
+
 
 class TestWidenColumn:
     """Round-9: ALTER COLUMN TYPE widening via the colwiden property —
