@@ -2589,12 +2589,28 @@ def _scan_files(spark, path: str, files: list[str], props: dict | None):
     """The snapshot's file scan: plain mergeSchema union normally; when
     the version's props carry ``colwiden`` (ALTER COLUMN TYPE widening),
     an explicit-schema read that upcasts narrow footers in the scan
-    itself — zero data rewritten by the widen, exactly one plan."""
+    itself — zero data rewritten by the widen, exactly one plan.
+
+    SELF-HEALING width evolution: a writer may append a WIDER batch
+    (int-era table, bigint values — the reference's re-import decay,
+    DataProvider.java:61-148) without declaring the widen first. Plain
+    mergeSchema then refuses the union; instead of bricking every read,
+    the scan falls back to the lattice-unified explicit schema (exact
+    widenings only — unrelated type conflicts still fail loudly).
+    Appends stay zero-read-cost; the conflict price (one failed
+    analysis + a distributed footer sweep) is paid per read and only on
+    width-mixed tables — declare txn_widen_column to skip it."""
     if props is None:
         props = table_props(path) if current_version(path) >= 0 else {}
     widen = json.loads(props.get("colwiden", "{}") or "{}")
     if not widen:
-        return spark.read.option("mergeSchema", "true").parquet(*files)
+        try:
+            return spark.read.option("mergeSchema", "true").parquet(*files)
+        except Exception as e:  # noqa: BLE001 — surfaces as SparkException
+            # (distributed footer merge) OR AnalysisException depending
+            # on where resolution happens; match on the stable error class
+            if "CANNOT_MERGE_SCHEMAS" not in str(e):
+                raise
     schema = _widen_read_schema(spark, files, widen)
     return spark.read.schema(schema).parquet(*files)
 

@@ -3505,3 +3505,58 @@ def test_vacuum_reaps_superseded_checkpoints(spark, table, monkeypatch):
     before = ckpts()
     txnlog.vacuum(table, retain_versions=1, dry_run=True)
     assert ckpts() == before
+
+
+class TestSelfHealingWidthEvolution:
+    """A wider batch appended WITHOUT txn_widen_column must not brick
+    the table: the scan falls back to the lattice-unified explicit
+    schema (the reference's re-import decay, where a later export's
+    values outgrow the inferred type)."""
+
+    def test_wider_append_without_declared_widen_reads(self, spark, table):
+        txnlog.txn_append(
+            spark, spark.range(5).selectExpr("id AS k", "CAST(id AS int) AS v"),
+            table,
+        )
+        txnlog.txn_append(
+            spark,
+            spark.range(5, 8).selectExpr(
+                "id AS k", "CAST(id + 10000000000 AS bigint) AS v"
+            ),
+            table,
+        )
+        snap = txnlog.read_snapshot(spark, table)
+        assert dict(snap.dtypes)["v"] == "bigint"
+        got = {r.k: r.v for r in snap.collect()}
+        assert got[2] == 2 and got[7] == 10000000007
+        # DV path through the mixed-width fallback too
+        txnlog.txn_delete_dv(spark, F.col("k") == 5, table)
+        assert txnlog.read_snapshot(spark, table).count() == 7
+
+    def test_narrower_append_after_wide_era_reads(self, spark, table):
+        txnlog.txn_append(
+            spark,
+            spark.range(3).selectExpr("id AS k", "CAST(id AS bigint) AS v"),
+            table,
+        )
+        txnlog.txn_append(
+            spark,
+            spark.range(3, 5).selectExpr("id AS k", "CAST(id AS int) AS v"),
+            table,
+        )
+        snap = txnlog.read_snapshot(spark, table)
+        assert dict(snap.dtypes)["v"] == "bigint"
+        assert snap.count() == 5
+
+    def test_unrelated_type_conflict_still_fails_loudly(self, spark, table):
+        txnlog.txn_append(
+            spark, spark.range(3).selectExpr("id AS k", "CAST(id AS int) AS v"),
+            table,
+        )
+        txnlog.txn_append(
+            spark,
+            spark.range(3, 5).selectExpr("id AS k", "CAST(id AS string) AS v"),
+            table,
+        )
+        with pytest.raises(Exception, match="not a widening|CANNOT_MERGE"):
+            txnlog.read_snapshot(spark, table).collect()
