@@ -196,6 +196,7 @@ HEADLINE = [
     # round 9
     "stream_lake_cdc_cdf",
     "lake_widen_column",
+    "pipeline_reimport_widen",
 ]
 
 

@@ -1260,3 +1260,86 @@ def src_csv_zst(spark: SparkSession, sf_dir: str) -> DataFrame:
     extracted = decompress_if_needed(path, for_spark_text_reader=True)
     df = CsvSource(separator=";").read(spark, extracted, with_order=False)
     return df.select(F.col("r_regionkey").cast("int"), "r_name")
+
+
+@register(
+    "pipeline_reimport_widen",
+    """WITH b1 AS (
+  SELECT CAST(c_custkey AS BIGINT) AS k,
+         CAST(round(c_acctbal * 100) AS BIGINT) AS v
+  FROM customer WHERE c_custkey % 2 = 0
+), b2 AS (
+  SELECT CAST(c_custkey AS BIGINT) AS k,
+         CAST(round(c_acctbal * 100) + 10000000000 AS BIGINT) AS v
+  FROM customer WHERE c_custkey % 2 = 1
+), unioned AS (SELECT * FROM b1 UNION ALL SELECT * FROM b2)
+SELECT CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(v) AS BIGINT) AS v_sum,
+       CAST(max(v) AS BIGINT) AS v_max,
+       CAST(min(v) AS BIGINT) AS v_min
+FROM unioned""",
+)
+def pipeline_reimport_widen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's RE-IMPORT DECAY end to end (DataProvider.java:
+    61-148 detectNextDataType int→bigint), composed through this repo's
+    own pipeline pieces: day-1 CSV export infers v as INTEGER and lands
+    in a lake table as int32 parquet; day-2's export carries values
+    beyond the int range, infers BIGINT, and appends WITHOUT any
+    declared widen — the table's footers now mix widths, and the read
+    self-heals through the widening lattice (txnlog._scan_files
+    fallback: one lattice-unified explicit-schema scan, no rewrite, no
+    manual ALTER). Graded on exact bigint aggregates spanning both eras;
+    v_min pins the int-era values surviving the upcast, v_max the
+    beyond-int-range era."""
+    import shutil
+
+    from dbimport_spark import txnlog
+    from dbimport_spark.schema.infer import infer_schema
+    from dbimport_spark.sources.csv import CsvSource
+
+    base = load(spark, sf_dir, "customer").select(
+        F.col("c_custkey").cast("bigint").alias("k"),
+        F.round(F.col("c_acctbal") * 100).cast("bigint").alias("cents"),
+    )
+    day1 = base.filter(F.col("k") % 2 == 0).select(
+        "k", F.col("cents").alias("v")
+    )
+    day2 = base.filter(F.col("k") % 2 == 1).select(
+        "k", (F.col("cents") + F.lit(10_000_000_000)).alias("v")
+    )
+    exports = []
+    for tag, df in (("day1", day1), ("day2", day2)):
+        p = os.path.join(_export_dir(sf_dir), f"reimport_{tag}.csv")
+        rows = df.orderBy("k").collect()  # export fixture: driver-side by design
+        with open(p, "w", encoding="utf-8", newline="") as f:
+            f.write("k;v\n")
+            for r in rows:
+                f.write(f"{r.k};{r.v}\n")
+        exports.append(p)
+
+    table = os.path.join(
+        tempfile.gettempdir(),
+        "dbimport_spark_txn",
+        "reimport_widen_" + sf_dir.rstrip("/").replace("/", "_"),
+    )
+    if os.path.isdir(table):
+        shutil.rmtree(table)
+    inferred_types = []
+    for p in exports:
+        raw = CsvSource(separator=";").read(spark, p, with_order=False)
+        cols = infer_schema(raw)
+        inferred_types.append({c.name: c.data_type for c in cols}["v"])
+        typed = raw.select(
+            *[F.col(c.name).cast(c.spark_type).alias(c.name) for c in cols]
+        )
+        txnlog.txn_append(spark, typed, table)
+    # the decay actually happened: day1 landed int32, day2 bigint
+    assert inferred_types == ["INTEGER", "BIGINT"], inferred_types
+    snap = txnlog.read_snapshot(spark, table)
+    assert dict(snap.dtypes)["v"] == "bigint"
+    return snap.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum("v").cast("bigint").alias("v_sum"),
+        F.max("v").cast("bigint").alias("v_max"),
+        F.min("v").cast("bigint").alias("v_min"),
+    )
