@@ -3455,6 +3455,33 @@ class TestWidenColumn:
         # post-compaction the files themselves are wide: scan still green
         assert dict(txnlog.read_snapshot(spark, table).dtypes)["val"] == "bigint"
 
+    def test_widen_zone_skipping_read(self, spark, table):
+        """Zone-map pruning over a width-mixed table: stats recorded in
+        the int era and the bigint era prune together, and the pruned
+        read takes the upcasting scan."""
+        txnlog.txn_append_stats(
+            spark,
+            spark.range(10).selectExpr("id AS k", "CAST(id AS int) AS v")
+            .coalesce(1),
+            table, ["v"],
+        )
+        txnlog.txn_widen_column(spark, table, "v", "bigint")
+        txnlog.txn_append_stats(
+            spark,
+            spark.range(10, 15).selectExpr(
+                "id AS k", "CAST(id + 10000000000 AS bigint) AS v"
+            ).coalesce(1),
+            table, ["v"],
+        )
+        lo = txnlog.read_snapshot_skipping(spark, table, "v", 2, 5)
+        assert dict(lo.dtypes)["v"] == "bigint"
+        assert lo.filter("v BETWEEN 2 AND 5").count() == 4
+        hi = txnlog.read_snapshot_skipping(
+            spark, table, "v", 10_000_000_000, 20_000_000_000
+        )
+        # the int-era file's [0,9] band cannot intersect: pruned away
+        assert hi.count() == 5
+
     def test_widen_respects_schema_enforce(self, spark, table):
         txnlog.txn_set_property(table, "schema.enforce", "true")
         txnlog.txn_append(
