@@ -2530,6 +2530,13 @@ def _widen_join(t1: str, t2: str) -> str | None:
     return None
 
 
+#: (hash of file list, widen json) → StructType. Files are immutable and
+#: uniquely named, so a repeated scan of the same snapshot (bench loops,
+#: multi-read queries) reuses the footer sweep instead of re-running it.
+_WIDEN_SCHEMA_MEMO: dict[tuple, object] = {}
+_WIDEN_SCHEMA_MEMO_MAX = 64
+
+
 def _widen_read_schema(spark, files: list[str], widen: dict):
     """Unified read schema for files whose footers may disagree in WIDTH
     (a widened table mixes pre-widen int32 files with post-widen int64
@@ -2538,7 +2545,12 @@ def _widen_read_schema(spark, files: list[str], widen: dict):
     footers and emit DISTINCT serialized arrow schemas (a handful per
     table); the driver merges only those — O(distinct schemas) driver
     work at any file count. ``widen`` (physical column → DDL type)
-    overrides the merged width."""
+    overrides the merged width. Memoized per (file set, widen) — data
+    files are immutable, so the same snapshot never re-sweeps."""
+    memo_key = (hash(tuple(sorted(files))), json.dumps(widen, sort_keys=True))
+    cached = _WIDEN_SCHEMA_MEMO.get(memo_key)
+    if cached is not None:
+        return cached
     import pyarrow as pa
     from pyspark.sql.pandas.types import from_arrow_schema
     from pyspark.sql.types import StructField, StructType
@@ -2582,7 +2594,11 @@ def _widen_read_schema(spark, files: list[str], widen: dict):
     for col, ddl in widen.items():
         if col in merged:
             merged[col] = _parse_datatype_string(ddl)
-    return StructType([StructField(n, merged[n], True) for n in order])
+    out = StructType([StructField(n, merged[n], True) for n in order])
+    if len(_WIDEN_SCHEMA_MEMO) >= _WIDEN_SCHEMA_MEMO_MAX:
+        _WIDEN_SCHEMA_MEMO.clear()  # tiny cache: wholesale reset is fine
+    _WIDEN_SCHEMA_MEMO[memo_key] = out
+    return out
 
 
 def _scan_files(spark, path: str, files: list[str], props: dict | None):
