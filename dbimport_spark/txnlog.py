@@ -1834,19 +1834,30 @@ def vacuum(
         keep_dv.update(
             e["d"] for e in entry.get("dv", []) if e.get("d") is not None
         )
-    ever: set[str] = set()
-    ever_dv: set[str] = set()
-    for v in range(cur + 1):
-        fp = os.path.join(_log_dir(path), f"{v:08d}.json")
-        with open(fp) as fh:
-            entry = json.load(fh)
-        ever.update(_entry_files(entry.get("added", [])))
-        # a restore's DETACH action carries "d": null — it names no
-        # generation (found by the hypothesis protocol machine: sorted()
-        # over a None crashed every vacuum after a DV-rollback restore)
-        ever_dv.update(
-            e["d"] for e in entry.get("dv", []) if e.get("d") is not None
-        )
+    # every file/DV the log has EVER named: the _ever consolidation (see
+    # txn_cleanup_log) covers deleted entries; remaining entries replay
+    # on top. A cleanup racing this loop may delete an entry after we
+    # chose our start — re-read the (now newer) consolidation and resume.
+    for _attempt in range(5):
+        ever, ever_dv, through = _read_ever(path)
+        try:
+            for v in range(through + 1, cur + 1):
+                fp = os.path.join(_log_dir(path), f"{v:08d}.json")
+                with open(fp) as fh:
+                    entry = json.load(fh)
+                ever.update(_entry_files(entry.get("added", [])))
+                # a restore's DETACH action carries "d": null — it names
+                # no generation (found by the hypothesis protocol
+                # machine: sorted() over a None crashed every vacuum
+                # after a DV-rollback restore)
+                ever_dv.update(
+                    e["d"] for e in entry.get("dv", []) if e.get("d") is not None
+                )
+            break
+        except FileNotFoundError:
+            continue  # racing txn_cleanup_log truncated under us
+    else:
+        raise RuntimeError(f"vacuum: log of {path} kept moving underfoot")
     doomed = sorted(ever - keep)
     if dry_run:
         return doomed
@@ -1921,6 +1932,94 @@ def vacuum(
     if not os.path.exists(marker):
         open(marker, "a").close()
     return doomed
+
+
+def log_floor(path: str) -> int:
+    """Smallest retained log entry version — 0 unless txn_cleanup_log
+    has truncated the log's tail. History-shaped reads (table_history,
+    version_asof) range [log_floor, current_version]."""
+    d = _log_dir(path)
+    if not os.path.isdir(d):
+        return 0
+    vs = [
+        int(f[: -len(".json")])
+        for f in os.listdir(d)
+        if f.endswith(".json") and f[: -len(".json")].isdigit()
+    ]
+    return min(vs, default=0)
+
+
+def _read_ever(path: str) -> tuple[set, set, int]:
+    """(files-ever-added, dv-gens-ever-attached, through_version) from
+    the newest ``_ever.<v>.json`` consolidation (empty sets / -1 when
+    none). The consolidation is CUMULATIVE through its version, so
+    vacuum's log-proven-dead computation stays exact after the entries
+    it summarizes are deleted."""
+    d = _log_dir(path)
+    best = -1
+    if os.path.isdir(d):
+        for f in os.listdir(d):
+            if f.startswith("_ever.") and f.endswith(".json"):
+                mid = f[len("_ever."):-len(".json")]
+                if mid.isdigit():
+                    best = max(best, int(mid))
+    if best < 0:
+        return set(), set(), -1
+    with open(os.path.join(d, f"_ever.{best:08d}.json")) as fh:
+        body = json.load(fh)
+    return set(body["files"]), set(body["dv"]), best
+
+
+def txn_cleanup_log(path: str) -> int:
+    """LOG RETENTION (Delta's metadata cleanup): delete log entries the
+    newest checkpoint AT OR BELOW the vacuum horizon subsumes, so the
+    log directory stops growing O(all versions ever). Resolution is
+    untouched — every readable version (≥ horizon) folds from a
+    checkpoint ≥ the anchor and replays only retained entries — and
+    vacuum's only-log-proven-dead rule stays EXACT: before deleting, the
+    doomed entries' added-file and DV-generation names are consolidated
+    into a cumulative create-only ``_ever.<anchor>.json`` (deterministic
+    content, so racing cleanups are harmless), which vacuum unions with
+    the remaining entries. TIMESTAMP AS OF and DESCRIBE HISTORY truncate
+    at log_floor — both already stop being meaningful below the horizon.
+    The entry AT the anchor checkpoint is kept (its ts anchors the
+    monotone-timestamp clamp and history). Returns the number of entries
+    deleted."""
+    h = vacuum_horizon(path)
+    anchor = _latest_checkpoint_at_or_below(path, h)
+    if anchor <= 0:
+        return 0  # no subsuming checkpoint below the horizon (or only v0)
+    floor = log_floor(path)
+    if floor >= anchor:
+        return 0
+    files, dvs, through = _read_ever(path)
+    for v in range(through + 1, anchor + 1):
+        e = _read_entry_body(path, v)
+        files.update(_entry_files(e.get("added", [])))
+        dvs.update(x["d"] for x in e.get("dv", []) if x.get("d") is not None)
+    body = json.dumps(
+        {"files": sorted(files), "dv": sorted(dvs), "through": anchor}
+    )
+    fp = os.path.join(_log_dir(path), f"_ever.{anchor:08d}.json")
+    tmp = os.path.join(_log_dir(path), f".tmp-{uuid.uuid4().hex}")
+    with open(tmp, "w") as fh:
+        fh.write(body)
+        fh.flush()
+        os.fsync(fh.fileno())
+    try:
+        os.link(tmp, fp)  # create-only: racing cleanups write identical bytes
+    except FileExistsError:
+        pass
+    finally:
+        os.unlink(tmp)
+    deleted = 0
+    for v in range(floor, anchor):
+        try:
+            os.remove(os.path.join(_log_dir(path), f"{v:08d}.json"))
+            deleted += 1
+        except FileNotFoundError:
+            pass  # racing cleanup got it first
+    return deleted
 
 
 def vacuum_horizon(path: str) -> int:
@@ -3666,10 +3765,12 @@ def version_asof(path: str, ts: float) -> int:
     """Newest version committed at or before wall-clock ``ts`` —
     TIMESTAMP AS OF resolution. Entries written before timestamps existed
     fall back to the log file's mtime. Raises when the table's first
-    commit is later than ``ts``."""
+    commit is later than ``ts``. Ranges over the RETAINED log
+    ([log_floor, current]) — versions a cleanup truncated are below the
+    vacuum horizon and unreadable anyway."""
     cur = current_version(path)
     best = -1
-    for v in range(cur + 1):
+    for v in range(log_floor(path), cur + 1):
         entry_ts = _read_entry_body(path, v).get("ts")
         if entry_ts is None:
             entry_ts = os.path.getmtime(os.path.join(_log_dir(path), f"{v:08d}.json"))
@@ -3684,9 +3785,10 @@ def table_history(path: str) -> list[dict]:
     """DESCRIBE HISTORY: one dict per version, newest first —
     {"version", "ts", "op", "n_added", "n_removed", "n_dv",
     "props_changed"}. ``op`` is the writer-recorded operation name
-    (None for legacy commits)."""
+    (None for legacy commits). History reaches back to log_floor — a
+    txn_cleanup_log truncates older entries (all below the horizon)."""
     out = []
-    for v in range(current_version(path), -1, -1):
+    for v in range(current_version(path), log_floor(path) - 1, -1):
         e = _read_entry_body(path, v)
         out.append(
             {

@@ -3587,3 +3587,72 @@ class TestSelfHealingWidthEvolution:
         )
         with pytest.raises(Exception, match="not a widening|CANNOT_MERGE"):
             txnlog.read_snapshot(spark, table).collect()
+
+
+class TestLogCleanup:
+    """Round-9 log retention: txn_cleanup_log deletes entries subsumed
+    by the newest checkpoint at/below the vacuum horizon, consolidating
+    their ever-named files into _ever.<anchor>.json so vacuum's
+    log-proven-dead rule stays exact."""
+
+    def _grow(self, spark, table, monkeypatch, n=9):
+        monkeypatch.setattr(txnlog, "CHECKPOINT_INTERVAL", 2)
+        txnlog.txn_append(spark, _df(spark, [(0, "v0"), (100, "x0")]), table)
+        for i in range(1, n):
+            txnlog.txn_upsert(
+                spark, _df(spark, [(i, f"v{i}"), (i + 100, f"x{i}")]),
+                table, ["k"],
+            )
+
+    def test_cleanup_truncates_below_anchor_and_reads_survive(
+        self, spark, table, monkeypatch
+    ):
+        self._grow(spark, table, monkeypatch)
+        assert txnlog.txn_cleanup_log(table) == 0  # no horizon yet
+        txnlog.vacuum(table, retain_versions=3)  # cur=8 -> horizon 6
+        deleted = txnlog.txn_cleanup_log(table)
+        assert deleted == 6  # anchor ckpt 6: entries 0..5 gone
+        assert txnlog.log_floor(table) == 6
+        # every readable version still resolves with full content
+        for v in range(txnlog.vacuum_horizon(table), 9):
+            got = {r.k: r.v for r in txnlog.read_snapshot(spark, table, v).collect()}
+            assert got[0] == "v0" and got[100 + v] == f"x{v}"
+        # idempotent; history/asof clamp to the floor
+        assert txnlog.txn_cleanup_log(table) == 0
+        hist = txnlog.table_history(table)
+        assert [h["version"] for h in hist] == [8, 7, 6]
+        ts8 = txnlog._read_entry_body(table, 8)["ts"]
+        assert txnlog.version_asof(table, ts8 + 1) == 8
+
+    def test_vacuum_stays_exact_after_cleanup(self, spark, table, monkeypatch):
+        """The _ever consolidation must keep vacuum deleting EXACTLY the
+        log-proven-dead files: rewritten-away files from the truncated
+        era are still reaped; live and foreign files are untouched."""
+        self._grow(spark, table, monkeypatch)
+        txnlog.vacuum(table, retain_versions=3, dry_run=True)
+        d = os.path.join(table, "data")
+        # a foreign (never-committed) file must survive everything
+        foreign = os.path.join(d, "foreign.parquet")
+        open(foreign, "wb").write(b"x")
+        txnlog.vacuum(table, retain_versions=3)
+        txnlog.txn_cleanup_log(table)
+        # keep growing, then vacuum again with tighter retention
+        for i in range(9, 12):
+            txnlog.txn_upsert(spark, _df(spark, [(i, f"v{i}")]), table, ["k"])
+        doomed = txnlog.vacuum(table, retain_versions=1)
+        assert doomed  # old rewritten files (incl. pre-cleanup era) reaped
+        assert os.path.exists(foreign)
+        # the final snapshot is fully intact
+        got = {r.k: r.v for r in txnlog.read_snapshot(spark, table).collect()}
+        assert got[0] == "v0" and got[11] == "v11"
+        assert txnlog.txn_fsck(table)["ok"]
+
+    def test_cleanup_noop_without_checkpoint_below_horizon(
+        self, spark, table, monkeypatch
+    ):
+        monkeypatch.setattr(txnlog, "CHECKPOINT_INTERVAL", 10**9)
+        for i in range(5):
+            txnlog.txn_append(spark, _df(spark, [(i, "a")]), table)
+        txnlog.vacuum(table, retain_versions=1)
+        assert txnlog.txn_cleanup_log(table) == 0  # nothing to anchor on
+        assert txnlog.log_floor(table) == 0

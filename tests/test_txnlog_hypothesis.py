@@ -160,6 +160,15 @@ class LogProtocol(RuleBasedStateMachine):
         txnlog.vacuum(self.table, retain_versions=retain)
 
     @rule()
+    def cleanup_log(self):
+        """Log retention: entries below the horizon-anchored checkpoint
+        are consolidated + deleted; every kept-version invariant below
+        must keep holding afterwards (resolution, vacuum exactness,
+        props, visible set)."""
+        if txnlog.current_version(self.table) >= 0:
+            txnlog.txn_cleanup_log(self.table)
+
+    @rule()
     def checkpoint(self):
         """Pure read-path op: every later fold resolves THROUGH the
         checkpoint — any field the checkpoint forgets to carry (dv,
@@ -215,7 +224,13 @@ class LogProtocol(RuleBasedStateMachine):
         if not hasattr(self, "table"):
             return
         cur = txnlog.current_version(self.table)
-        for v in range(cur + 1):
+        # contiguous over the RETAINED range (txn_cleanup_log truncates
+        # the tail below the horizon-anchored checkpoint)
+        floor = txnlog.log_floor(self.table)
+        assert floor <= max(
+            txnlog.vacuum_horizon(self.table), 0
+        ) or cur < 0, "cleanup truncated above the horizon"
+        for v in range(floor, cur + 1):
             assert os.path.exists(
                 os.path.join(self.table, "_txn_log", f"{v:08d}.json")
             )

@@ -615,3 +615,50 @@ def test_mp_rowid_allocation_is_disjoint_under_real_races(tmp_path):
         assert a1 <= b0, f"overlap: {spans}"
     assert spans[-1][1] <= nxt
     assert nxt == total_rows  # append-only: allocation exactly covers rows
+
+
+def _cleaner(table, rounds, q):
+    deleted = 0
+    for _ in range(rounds):
+        txnlog.write_checkpoint(table)
+        deleted += txnlog.txn_cleanup_log(table)
+    q.put(("cleanup", os.getpid(), deleted))
+
+
+def test_mp_log_cleanup_racing_writers_vacuum_readers(tmp_path):
+    """Log retention under the full zoo: 2 appenders + compactor +
+    vacuum + 2 readers + a checkpoint-then-cleanup loop. Invariants
+    after the dust settles: content preserved exactly, every version at
+    or above the horizon resolves, the retained log is contiguous from
+    log_floor, and nothing above the horizon was truncated."""
+    table = _mk_table(tmp_path)
+    ctx = mp.get_context("fork")
+    q = ctx.Queue()
+    procs = (
+        [ctx.Process(target=_appender, args=(table, w, 10, q)) for w in range(2)]
+        + [
+            ctx.Process(target=_compactor, args=(table, 10, q)),
+            ctx.Process(target=_vacuumer, args=(table, 2, 20, q)),
+            ctx.Process(target=_cleaner, args=(table, 20, q)),
+        ]
+        + [ctx.Process(target=_reader, args=(table, 15, q)) for _ in range(2)]
+    )
+    _run(procs, q, 7)
+
+    expected = sorted(f"leaf_w{w}_{i}.json" for w in range(2) for i in range(10))
+    assert _expand(table) == expected
+    cur = txnlog.current_version(table)
+    horizon = txnlog.vacuum_horizon(table)
+    floor = txnlog.log_floor(table)
+    assert floor <= horizon
+    for v in range(floor, cur + 1):
+        assert os.path.exists(
+            os.path.join(table, "_txn_log", f"{v:08d}.json")
+        ), f"hole at retained version {v}"
+    for v in range(horizon, cur + 1):
+        for f in txnlog.snapshot_files(table, v):
+            assert os.path.exists(f)
+    # a fresh vacuum AFTER the races still deletes nothing it must not:
+    # every surviving version's expansion is intact
+    txnlog.vacuum(table, retain_versions=1)
+    assert _expand(table) == expected
