@@ -159,8 +159,24 @@ def _table_ddl(
 
 
 def _read_entry(path: str, version: int) -> dict:
-    with open(os.path.join(_log_dir(path), f"{version:08d}.json")) as fh:
-        return json.load(fh)
+    try:
+        with open(os.path.join(_log_dir(path), f"{version:08d}.json")) as fh:
+            return json.load(fh)
+    except FileNotFoundError:
+        from dbimport_spark.txnlog import log_floor
+
+        floor = log_floor(path)
+        if version < floor:
+            # a stream resuming from a checkpoint older than the log's
+            # retained tail (txn_cleanup_log ran underneath it) must fail
+            # LOUDLY with the remedy, not with a bare missing-file error
+            raise ValueError(
+                f"lake_cdc: version {version} of {path} was truncated by "
+                f"log cleanup (retained floor is {floor}) — restart the "
+                "stream from a fresh checkpoint with startingVersion >= "
+                f"{floor}"
+            )
+        raise
 
 
 class _AddedFile(InputPartition):

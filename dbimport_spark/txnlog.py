@@ -1931,6 +1931,10 @@ def vacuum(
     marker = os.path.join(_log_dir(path), f"_vacuum.{cutoff:08d}")
     if not os.path.exists(marker):
         open(marker, "a").close()
+    # policy-driven metadata retention (travels WITH the table, like
+    # autoOptimize.every): data vacuum and log cleanup advance together
+    if table_props(path).get("logRetention.cleanup") == "auto":
+        txn_cleanup_log(path)
     return doomed
 
 

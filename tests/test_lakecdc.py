@@ -711,3 +711,25 @@ def test_stream_reads_widened_table(spark, tmp_path):
     assert dict(got.dtypes)["v"] == "bigint"
     rows = {r.k: r.v for r in got.collect()}
     assert rows[3] == 6 and rows[5] == 10000000005
+
+
+def test_stream_resume_below_cleanup_floor_fails_loudly(spark, tmp_path):
+    """A stream whose checkpoint predates a log cleanup must get the
+    actionable truncation error, not a bare missing-file crash."""
+    from dbimport_spark.sources.lakecdc import LakeCdcStreamReader
+
+    path = str(tmp_path / "t")
+    for i in range(9):
+        txnlog.txn_append(
+            spark, spark.createDataFrame([(i, f"v{i}")], "k long, tag string"),
+            path,
+        )
+    txnlog.write_checkpoint(path, 6)
+    txnlog.vacuum(path, retain_versions=3)  # horizon 6
+    assert txnlog.txn_cleanup_log(path) == 6
+    reader = LakeCdcStreamReader(path, {"path": path})
+    with pytest.raises(Exception, match="truncated by .?log cleanup"):
+        list(reader.partitions({"version": 1}, {"version": 8}))
+    # resuming at/above the floor still plans normally
+    parts = reader.partitions({"version": 6}, {"version": 8})
+    assert {p.version for p in parts} == {7, 8}

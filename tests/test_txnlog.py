@@ -3656,3 +3656,17 @@ class TestLogCleanup:
         txnlog.vacuum(table, retain_versions=1)
         assert txnlog.txn_cleanup_log(table) == 0  # nothing to anchor on
         assert txnlog.log_floor(table) == 0
+
+
+def test_auto_log_cleanup_property(spark, table, monkeypatch):
+    """logRetention.cleanup=auto: vacuum advances the log floor too."""
+    monkeypatch.setattr(txnlog, "CHECKPOINT_INTERVAL", 2)
+    txnlog.txn_set_property(table, "logRetention.cleanup", "auto")
+    txnlog.txn_append(spark, _df(spark, [(0, "v0")]), table)
+    for i in range(1, 9):
+        txnlog.txn_upsert(spark, _df(spark, [(i, f"v{i}")]), table, ["k"])
+    assert txnlog.log_floor(table) == 0
+    txnlog.vacuum(table, retain_versions=2)
+    assert txnlog.log_floor(table) == 8  # horizon 8, anchor ckpt 8
+    assert txnlog.read_snapshot(spark, table).count() == 9
+    assert txnlog.txn_fsck(table)["ok"]
