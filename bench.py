@@ -197,6 +197,8 @@ HEADLINE = [
     "stream_lake_cdc_cdf",
     "lake_widen_column",
     "pipeline_reimport_widen",
+    # round 10
+    "lake_objectstore_pipeline",
 ]
 
 
@@ -274,9 +276,36 @@ def main() -> None:
         spark._jvm.System.gc()
         return round(best, 3)
 
+    # BOX-LOAD CANARY (r9 verdict item 2): a fixed tiny reference query —
+    # one shuffle over constant synthetic input, no file IO, no Python
+    # workers — timed at three points (before the sweep, between the
+    # headline and solo passes, after the solo pass). Its cost is
+    # data-independent, so any swing between the three readings measures
+    # MACHINE CONTENTION during that window, not the repo's code: a
+    # contaminated artifact (r9: solo readings 5-8× inflated by a
+    # co-tenant) now self-identifies instead of masquerading as a
+    # regression. Interpretation rule (NOTES.md): readings within ~1.5×
+    # of each other → trust the window; a reading ≥2× the best of the
+    # three → discount that window's timings by the same factor before
+    # calling anything a regression.
+    def canary() -> float:
+        vals = []
+        for _ in range(3):
+            t0 = time.time()
+            spark.range(0, 20_000_000, 1, int(n_warm)).selectExpr(
+                "id % 997 AS k", "id AS v"
+            ).groupBy("k").agg(_F.sum("v").alias("s")).write.format(
+                "noop"
+            ).mode("overwrite").save()
+            vals.append(time.time() - t0)
+        vals.sort()
+        return round(vals[1], 3)  # median of 3
+
+    canary_before = canary()
     subset = [a for a in sys.argv[1:] if not a.startswith("-")]
     names = subset or HEADLINE
     timings = {name: time_query(name) for name in names}
+    canary_mid = canary()
 
     # Re-probe EVERY query that took >2 s (min 10) at the end of the run:
     # a second sample in a different time window separates a real plan
@@ -290,6 +319,11 @@ def main() -> None:
     by_time = sorted(timings, key=lambda n: timings[n])
     slowest = sorted(set(by_time[-10:]) | {n for n in timings if timings[n] > 2.0})
     solo = {name: time_query(name) for name in slowest}
+    canary_readings = {
+        "before_sweep": canary_before,
+        "before_solo": canary_mid,
+        "after_solo": canary(),
+    }
 
     total = round(sum(timings.values()), 3)
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
@@ -299,6 +333,7 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "solo_probe": solo,
+        "canary": canary_readings,
         "sf": sf_val,
     }
     # Full per-query map: printed first AND written to a sibling file. The
@@ -322,6 +357,7 @@ def main() -> None:
                 "mean": round(total / max(len(timings), 1), 3),
                 "queries": slowest15,
                 "solo_probe": solo,
+                "canary": canary_readings,
                 "sf": sf_val,
             }
         )

@@ -393,12 +393,14 @@ def merge_into(
     tcols = list(target.columns)
     ttypes = dict(target.dtypes)
     t = target.withColumn("__t_ex", F.lit(1)).alias("t")
+    key_win = Window.partitionBy(*[F.col(k) for k in keys])
     s = (
         source.withColumn("__s_ex", F.lit(1))
-        .withColumn(
-            "__s_cnt",
-            F.count(F.lit(1)).over(Window.partitionBy(*[F.col(k) for k in keys])),
-        )
+        .withColumn("__s_cnt", F.count(F.lit(1)).over(key_win))
+        # ordinal among same-key source rows: lets the insert-only arm
+        # keep a multi-matched target row exactly ONCE (rn == 1) instead
+        # of once per match pair; shares the window's sort, no exchange
+        .withColumn("__s_rn", F.row_number().over(key_win.orderBy(F.lit(1))))
         .alias("s")
     )
     on = reduce(
@@ -452,19 +454,31 @@ def merge_into(
     fallback = F.when(t_ex, F.lit("__keep__")).otherwise(F.lit("__drop__"))
     act = action.otherwise(fallback) if action is not None else fallback
     # Delta's multi-match error, evaluated executor-side — no extra job.
-    act = F.when(
-        t_ex & s_ex & (F.col("s.__s_cnt") > 1),
-        F.raise_error(
-            F.concat(
-                F.lit(
-                    "merge_into: multiple source rows matched the same "
-                    "target row for keys "
-                ),
-                F.to_json(F.struct(*[F.col(f"s.{k}") for k in keys])),
-                F.lit(" — deduplicate the source on the merge keys"),
-            )
-        ).cast("string"),
-    ).otherwise(act)
+    # Delta parity: only raised when the merge carries MATCHED
+    # (update/delete) clauses — an insert-only merge (WHEN NOT MATCHED
+    # only) succeeds in Delta even with duplicate source matches: the
+    # matched target row passes through unchanged (kept exactly ONCE via
+    # the __s_rn ordinal — without it the full-outer join would silently
+    # emit one copy per match pair, the pre-r9 bug).
+    has_matched_clause = any(c[0].startswith("matched_") for c in clauses)
+    if has_matched_clause:
+        act = F.when(
+            t_ex & s_ex & (F.col("s.__s_cnt") > 1),
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        "merge_into: multiple source rows matched the same "
+                        "target row for keys "
+                    ),
+                    F.to_json(F.struct(*[F.col(f"s.{k}") for k in keys])),
+                    F.lit(" — deduplicate the source on the merge keys"),
+                )
+            ).cast("string"),
+        ).otherwise(act)
+    else:
+        act = F.when(
+            t_ex & s_ex & (F.col("s.__s_rn") > 1), F.lit("__drop__")
+        ).otherwise(act)
     j = j.withColumn("__act", act).filter(F.col("__act") != "__drop__")
     out = []
     for c in tcols:

@@ -2450,3 +2450,111 @@ def lake_row_tracking(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("doc_id") * F.col("_row_id")).cast("bigint").alias("cross_sum"),
         F.max("_row_id").cast("bigint").alias("max_rid"),
     )
+
+
+@register(
+    "lake_objectstore_pipeline",
+    """WITH base AS (
+  SELECT c_custkey AS k, CAST(round(c_acctbal * 100) AS BIGINT) AS bal
+  FROM customer
+), half0 AS (
+  SELECT * FROM base WHERE k % 2 = 0
+), surv AS (
+  SELECT * FROM base WHERE bal >= 0
+), upd AS (
+  SELECT k, CASE WHEN k % 5 = 0 THEN bal + 1000 ELSE bal END AS bal
+  FROM surv
+), ins AS (
+  SELECT k + 5000000 AS k, bal FROM base WHERE k <= 50
+), final AS (
+  SELECT * FROM upd UNION ALL SELECT * FROM ins
+)
+SELECT CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(bal) AS BIGINT) AS bal_sum,
+       CAST((SELECT count(*) FROM half0 WHERE bal < 0) AS BIGINT)
+         AS n_deleted,
+       CAST((SELECT count(*) FROM half0 WHERE bal >= 0 AND k % 5 = 0)
+         AS BIGINT) AS n_updated,
+       CAST((SELECT count(*) FROM base WHERE k % 2 = 1 AND bal >= 0)
+          + (SELECT count(*) FROM ins) AS BIGINT) AS n_inserted
+FROM final""",
+)
+def lake_objectstore_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The OBJECT-STORE deployment arm of the lake protocol, graded
+    end-to-end (r9 verdict item 3): every commit of an append → append →
+    DV delete → upsert cycle claims its version through
+    ObjectStoreCommitBackend — put_if_absent IS the store's conditional
+    PUT — over the EventuallyConsistentStore double, whose LIST hides
+    each writer's own PUTs for the next 2 list calls (S3's historical
+    list-after-write lag, worst-cased). Version discovery therefore
+    runs arbitrarily stale and the optimistic loop must win by
+    conditional-PUT arbitration alone (TxnConflict → re-read → retry).
+    After the cycle the POSIX backend is restored and the query asserts
+    VERSION CONTIGUITY (v0..v3 all present and replayable — a lost or
+    duplicated commit under lag would break the chain), then grades the
+    final snapshot's aggregates AND the row-level CDC feed (insert /
+    update / delete counts from version 0) against the oracle. The
+    commit-claim seam is the store-shaped part of the protocol; side
+    structures use pathed file IO by documented scope
+    (ObjectStoreCommitBackend docstring)."""
+    import os
+    import shutil
+    import tempfile
+
+    from dbimport_spark import txnlog
+
+    path = os.path.join(
+        tempfile.gettempdir(),
+        "dbimport_spark_txn",
+        "objstore_" + sf_dir.rstrip("/").replace("/", "_"),
+    )
+    if os.path.isdir(path):
+        shutil.rmtree(path)
+
+    base = load(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("k"),
+        F.round(F.col("c_acctbal") * 100).cast("bigint").alias("bal"),
+    )
+    prev = txnlog.set_commit_backend(
+        txnlog.ObjectStoreCommitBackend(txnlog.EventuallyConsistentStore(lag=2))
+    )
+    try:
+        txnlog.txn_append(spark, base.filter(F.col("k") % 2 == 0), path)
+        txnlog.txn_append(spark, base.filter(F.col("k") % 2 == 1), path)
+        txnlog.txn_delete_dv(spark, F.col("bal") < 0, path)
+        src = (
+            base.filter((F.col("k") % 5 == 0) & (F.col("bal") >= 0))
+            .select("k", (F.col("bal") + 1000).alias("bal"))
+            .unionByName(
+                base.filter(F.col("k") <= 50).select(
+                    (F.col("k") + 5_000_000).alias("k"), "bal"
+                )
+            )
+        )
+        txnlog.txn_upsert(spark, src, path, ["k"])
+    finally:
+        txnlog.set_commit_backend(prev)
+    # version contiguity: exactly v0..v3, each entry present + replayable
+    cur = txnlog.current_version(path)
+    assert cur == 3, f"expected 4 contiguous commits, at v{cur}"
+    for v in range(cur + 1):
+        txnlog._read_entry_body(path, v)  # raises if a version is missing
+    assert txnlog.txn_fsck(path)["ok"]
+    changes = txnlog.read_changes(spark, path, ["k"], 0)
+    counts = changes.groupBy("_change_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    snap_agg = txnlog.read_snapshot(spark, path).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum("bal").cast("bigint").alias("bal_sum"),
+    )
+    pivot = counts.groupBy().pivot(
+        "_change_type", ["delete", "update", "insert"]
+    ).agg(F.first("n"))
+    return snap_agg.crossJoin(pivot).select(
+        "n_rows",
+        "bal_sum",
+        F.coalesce(F.col("delete"), F.lit(0)).cast("bigint").alias("n_deleted"),
+        F.coalesce(F.col("update"), F.lit(0)).cast("bigint").alias("n_updated"),
+        F.coalesce(F.col("insert"), F.lit(0)).cast("bigint").alias("n_inserted"),
+    )

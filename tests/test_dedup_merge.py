@@ -520,10 +520,12 @@ class TestMergeIntoClauses:
             merge_into(t, s, ["k"], [("matched_upsert", None, "all")]).collect()
 
     def test_duplicate_source_keys_raise(self, spark):
-        """ADVICE r8: a non-key-distinct source must RAISE (Delta's
-        multiple-source-matches error), never silently duplicate matched
-        target rows — even with no matched clause (the fallback would
-        keep the target row once per match pair)."""
+        """ADVICE r8 + r9: a non-key-distinct source must RAISE (Delta's
+        multiple-source-matches error) when the merge carries MATCHED
+        clauses — never silently duplicate matched target rows. Delta
+        parity (r9 ADVICE): an INSERT-ONLY merge succeeds instead — the
+        multi-matched target row is kept exactly ONCE (not once per
+        match pair) and unmatched source rows insert."""
         from py4j.protocol import Py4JJavaError
 
         from dbimport_spark.operators.merge import merge_into
@@ -533,12 +535,18 @@ class TestMergeIntoClauses:
             [(1, "A", 100), (1, "A2", 101), (9, "z", 90)],
             "k long, tag string, val long",
         )
-        for clauses in (
-            [("matched_update", None, "all")],
-            [("not_matched_insert", None, "all")],  # fallback keeps matches
-        ):
-            with pytest.raises((Py4JJavaError, Exception), match="multiple source rows"):
-                merge_into(t, dup_s, ["k"], clauses).collect()
+        with pytest.raises((Py4JJavaError, Exception), match="multiple source rows"):
+            merge_into(
+                t, dup_s, ["k"], [("matched_update", None, "all")]
+            ).collect()
+        # insert-only: Delta succeeds; target k=1 kept once, k=9 inserts
+        got = sorted(
+            (r.k, r.tag)
+            for r in merge_into(
+                t, dup_s, ["k"], [("not_matched_insert", None, "all")]
+            ).collect()
+        )
+        assert got == [(1, "a"), (2, "b"), (3, "c"), (4, "d"), (9, "z")]
         # NULL source keys never match -> never trip the guard
         null_s = spark.createDataFrame(
             [(None, "n1", 1), (None, "n2", 2)], "k long, tag string, val long"

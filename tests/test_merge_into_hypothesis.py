@@ -89,9 +89,13 @@ def _model(target, source, clauses):
     """Pure-Python MERGE: returns the expected multiset of (k, val)."""
     out = []
     matched_source_keys = set()
+    # Delta parity: multi-match only raises when the merge carries
+    # MATCHED clauses; an insert-only merge keeps the target row once
+    # and the matched source rows are no-ops.
+    has_matched = any(kind.startswith("matched") for kind, _, _ in clauses)
     for t in target:
         matches = [s for s in source if t["k"] is not None and s["k"] == t["k"]]
-        if len(matches) > 1:
+        if len(matches) > 1 and has_matched:
             return None  # multi-match: merge_into must raise
         s = matches[0] if matches else None
         if s is not None:
