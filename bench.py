@@ -199,6 +199,9 @@ HEADLINE = [
     "pipeline_reimport_widen",
     # round 10
     "lake_objectstore_pipeline",
+    "lake_widen_float_date",
+    "stream_lake_cdc_widen",
+    "stream_lake_cdc_retention",
 ]
 
 

@@ -2558,3 +2558,99 @@ def lake_objectstore_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.col("update"), F.lit(0)).cast("bigint").alias("n_updated"),
         F.coalesce(F.col("insert"), F.lit(0)).cast("bigint").alias("n_inserted"),
     )
+
+
+@register(
+    "lake_widen_float_date",
+    """WITH base AS (
+  SELECT o_orderkey AS k, round(o_totalprice) AS dollars,
+         o_orderdate AS ts
+  FROM orders
+), narrow AS (
+  SELECT k, CAST(CAST(dollars AS REAL) AS DOUBLE) AS price,
+         CAST(CAST(ts AS DATE) AS TIMESTAMP) AS d
+  FROM base WHERE k % 3 = 0
+), wide AS (
+  SELECT k, dollars + 0.25 AS price, ts + INTERVAL 90 MINUTE AS d
+  FROM base WHERE k % 3 = 1
+), unioned AS (
+  SELECT * FROM narrow UNION ALL SELECT * FROM wide
+), final AS (
+  SELECT * FROM unioned WHERE k % 10 <> 7
+)
+SELECT CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(price) AS DOUBLE) AS price_sum,
+       CAST(max(price) AS DOUBLE) AS price_max,
+       strftime(min(d), '%Y-%m-%d %H:%M:%S') AS d_min,
+       strftime(max(d), '%Y-%m-%d %H:%M:%S') AS d_max,
+       CAST(count(*) FILTER (WHERE extract(hour FROM d) <> 0) AS BIGINT)
+         AS n_intraday
+FROM final""",
+)
+def lake_widen_float_date(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The REMAINING arms of the widening lattice, graded (r9 verdict
+    item 6; lake_widen_column covers int→bigint): v0 appends ``price``
+    as FLOAT32 (whole dollars — exactly representable) and ``d`` as
+    DATE32; two metadata-only widen commits promote them to DOUBLE and
+    TIMESTAMP_NTZ (txnlog.txn_widen_column — zero files opened); a
+    post-widen append lands sub-dollar prices (.25 quarters, exact in
+    double but not float) and INTRADAY timestamps (unrepresentable as
+    DATE); a DV delete then runs through the width-mixed scan. One scan
+    reads all four footer widths — float32/date32 files upcast natively
+    in the parquet reader (SPARK-46832 type widening, the same in-scan
+    promotion as int32→int64), no per-file cast plan, no rewrite.
+    Graded on aggregates that are only right if narrow-era values
+    survive exactly (float dollars re-read as double) AND wide-era
+    precision is kept (quarter cents, 01:30 wall times, all DV bands
+    applied). The reference's inference-decay analogue is
+    DataProvider.java:61-148 (float→double); the date arm is the
+    re-import case where day-2 data starts carrying time components."""
+    import os
+    import shutil
+    import tempfile
+
+    from dbimport_spark import txnlog
+
+    path = os.path.join(
+        tempfile.gettempdir(),
+        "dbimport_spark_txn",
+        "widenfd_" + sf_dir.rstrip("/").replace("/", "_"),
+    )
+    if os.path.isdir(path):
+        shutil.rmtree(path)
+
+    base = load(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.round("o_totalprice").alias("dollars"),
+        F.col("o_orderdate").alias("ts"),
+    )
+    narrow = base.filter(F.col("k") % 3 == 0).select(
+        "k",
+        F.col("dollars").cast("float").alias("price"),    # FLOAT32 files
+        F.to_date("ts").alias("d"),                       # DATE32 files
+    )
+    txnlog.txn_append(spark, narrow, path)                        # v0
+    txnlog.txn_widen_column(spark, path, "price", "double")       # v1: O(1)
+    txnlog.txn_widen_column(spark, path, "d", "timestamp_ntz")    # v2: O(1)
+    wide = base.filter(F.col("k") % 3 == 1).select(
+        "k",
+        (F.col("dollars") + F.lit(0.25)).alias("price"),  # exact quarters
+        (F.col("ts") + F.expr("INTERVAL 90 MINUTES"))
+        .cast("timestamp_ntz")
+        .alias("d"),                                      # intraday
+    )
+    txnlog.txn_append(spark, wide, path)                          # v3
+    txnlog.txn_delete_dv(spark, F.col("k") % 10 == 7, path)       # v4: DV
+    snap = txnlog.read_snapshot(spark, path)
+    dt = dict(snap.dtypes)
+    assert dt["price"] == "double" and dt["d"] == "timestamp_ntz", dt
+    return snap.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum("price").cast("double").alias("price_sum"),
+        F.max("price").cast("double").alias("price_max"),
+        F.date_format(F.min("d"), "yyyy-MM-dd HH:mm:ss").alias("d_min"),
+        F.date_format(F.max("d"), "yyyy-MM-dd HH:mm:ss").alias("d_max"),
+        F.sum((F.hour("d") != 0).cast("bigint")).cast("bigint").alias(
+            "n_intraday"
+        ),
+    )

@@ -1865,3 +1865,217 @@ def pipeline_gdpr_forget(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n").cast("bigint").alias("n_events"),
         F.sum("v4").cast("bigint").alias("v4_sum"),
     )
+
+
+def _drain_to_parquet(spark, stream_df, sink_dir: str, cp_dir: str):
+    """availableNow run appending every new commit's rows to a parquet
+    sink (memory sinks can't resume from a checkpoint); returns the
+    sink's current contents."""
+    q = (
+        stream_df.writeStream.format("parquet")
+        .option("path", sink_dir)
+        .option("checkpointLocation", cp_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(sink_dir)
+
+
+@register(
+    "stream_lake_cdc_widen",
+    """WITH narrow AS (
+  SELECT doc_id AS k, CAST(n_chars AS BIGINT) AS v FROM documents
+), wide AS (
+  SELECT doc_id + 1000000 AS k, n_chars + 10000000000 AS v FROM documents
+), per AS (
+  SELECT CAST(0 AS BIGINT) AS version, CAST(count(*) AS BIGINT) AS n_rows,
+         CAST(sum(v) AS BIGINT) AS v_sum
+  FROM narrow
+  UNION ALL
+  SELECT CAST(2 AS BIGINT), CAST(count(*) AS BIGINT),
+         CAST(sum(v) AS BIGINT)
+  FROM wide
+)
+SELECT arm, version, n_rows, v_sum
+FROM (SELECT 'fresh' AS arm FROM (VALUES (1))
+      UNION ALL SELECT 'resumed' FROM (VALUES (1))) arms
+CROSS JOIN per
+ORDER BY arm, version""",
+)
+def stream_lake_cdc_widen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WIDEN MID-STREAM (r9 verdict item 6's interplay case — the one a
+    re-import pipeline hits): a CDC stream checkpoints after consuming
+    the INT32 era (v0), then the table widens v int→bigint (metadata-
+    only commit v1) and a post-widen append (v2) lands values beyond the
+    int range. The RESUMED stream (same checkpoint) must cross the
+    props-only widen commit without emitting phantom rows and read only
+    v2 — versions already consumed don't re-stream; a FRESH stream
+    started after the widen must read the narrow v0 files UNDER THE
+    WIDE SCHEMA (the source's per-file conform step upcasts int32 pages
+    to the colwiden-declared bigint, sources/lakecdc.py _conform) plus
+    v2. Both arms must agree exactly — graded as identical per-version
+    count/sum blocks, only right if no row is lost, duplicated, or
+    truncated to 32 bits anywhere."""
+    import shutil
+
+    from dbimport_spark import txnlog
+    from dbimport_spark.plans.registry import load
+    from dbimport_spark.sources.lakecdc import register_lake_cdc
+
+    root = os.path.join(
+        tempfile.gettempdir(),
+        "dbimport_spark_txn",
+        "cdc_widen_" + sf_dir.rstrip("/").replace("/", "_"),
+    )
+    if os.path.isdir(root):
+        shutil.rmtree(root)
+    path = os.path.join(root, "tbl")
+    os.makedirs(path)
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    narrow = d.select(
+        F.col("doc_id").alias("k"), F.col("n_chars").cast("int").alias("v")
+    )
+    txnlog.txn_append(spark, narrow, path)                       # v0: int32
+    register_lake_cdc(spark)
+
+    def stream_df():
+        s = spark.readStream.format("lake_cdc").option("path", path).load()
+        # sink schema pinned wide from run 1, the production spelling:
+        # the source's own schema is narrow pre-widen, wide post-widen
+        return s.select(
+            "k", F.col("v").cast("bigint").alias("v"), "_commit_version"
+        )
+
+    cp = os.path.join(root, "cp")
+    sink = os.path.join(root, "sink")
+    _drain_to_parquet(spark, stream_df(), sink, cp)              # reads v0
+    txnlog.txn_widen_column(spark, path, "v", "bigint")          # v1: O(1)
+    wide = d.select(
+        (F.col("doc_id") + 1_000_000).alias("k"),
+        (F.col("n_chars") + F.lit(10_000_000_000)).alias("v"),
+    )
+    txnlog.txn_append(spark, wide, path)                         # v2: int64
+    resumed = _drain_to_parquet(spark, stream_df(), sink, cp)    # v2 only
+
+    fresh_s = spark.readStream.format("lake_cdc").option("path", path).load()
+    assert dict(fresh_s.dtypes)["v"] == "bigint"  # colwiden drives schema
+    fresh_agg = fresh_s.groupBy(
+        F.col("_commit_version").alias("version")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum("v").cast("bigint").alias("v_sum"),
+    )
+    fresh = _run_to_memory(fresh_agg, spark, output_mode="complete").select(
+        F.lit("fresh").alias("arm"), F.col("version").cast("bigint"),
+        "n_rows", "v_sum",
+    )
+    res = resumed.groupBy(
+        F.col("_commit_version").alias("version")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum("v").cast("bigint").alias("v_sum"),
+    ).select(
+        F.lit("resumed").alias("arm"), F.col("version").cast("bigint"),
+        "n_rows", "v_sum",
+    )
+    return fresh.unionByName(res)
+
+
+@register(
+    "stream_lake_cdc_retention",
+    """SELECT CAST(m AS BIGINT) AS version,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(doc_id) AS BIGINT) AS id_sum,
+       CAST(3 AS BIGINT) AS log_floor,
+       CAST(3 AS BIGINT) AS n_entries_cleaned,
+       CAST(1 AS BIGINT) AS below_floor_raises
+FROM documents CROSS JOIN (SELECT unnest(range(5)) AS m) ms
+WHERE doc_id % 5 = m
+GROUP BY m
+ORDER BY version""",
+)
+def stream_lake_cdc_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LOG RETENTION × CDC, end to end (r9 verdict item 7): a stream
+    checkpoints after consuming v0..v3; the table then checkpoints,
+    vacuums (horizon→3) and runs txn_cleanup_log — entries 0..2 are
+    TRUNCATED (log_floor 3) with their names consolidated into the
+    sharded _ever parts. The resumed stream's offset (3) sits at the
+    floor, so resume SUCCEEDS and reads exactly the post-cleanup append
+    (v4) — no re-read, no missing-entry crash. A FRESH stream from
+    startingVersion 0 (below the floor) must fail with the ACTIONABLE
+    truncation error naming the retained floor
+    (sources/lakecdc.py _read_entry), not a bare FileNotFoundError —
+    graded via the below_floor_raises flag (the query re-raises if the
+    error is missing or wrong-shaped). Graded rows: per-version counts
+    and id sums across the cleanup boundary, each version exactly once."""
+    import shutil
+
+    from dbimport_spark import txnlog
+    from dbimport_spark.plans.registry import load
+    from dbimport_spark.sources.lakecdc import register_lake_cdc
+
+    root = os.path.join(
+        tempfile.gettempdir(),
+        "dbimport_spark_txn",
+        "cdc_reten_" + sf_dir.rstrip("/").replace("/", "_"),
+    )
+    if os.path.isdir(root):
+        shutil.rmtree(root)
+    path = os.path.join(root, "tbl")
+    os.makedirs(path)
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    for m in range(4):
+        txnlog.txn_append(spark, d.filter(F.col("doc_id") % 5 == m), path)
+    register_lake_cdc(spark)
+
+    def stream_df():
+        return (
+            spark.readStream.format("lake_cdc").option("path", path).load()
+        ).select("doc_id", "_commit_version")
+
+    cp = os.path.join(root, "cp")
+    sink = os.path.join(root, "sink")
+    _drain_to_parquet(spark, stream_df(), sink, cp)          # v0..v3
+    txnlog.write_checkpoint(path)                            # anchor @ v3
+    txnlog.vacuum(path, retain_versions=1)                   # horizon 3
+    n_cleaned = txnlog.txn_cleanup_log(path)                 # entries 0..2
+    floor = txnlog.log_floor(path)
+    txnlog.txn_append(spark, d.filter(F.col("doc_id") % 5 == 4), path)  # v4
+    drained = _drain_to_parquet(spark, stream_df(), sink, cp)  # v4 only
+
+    # fresh stream below the floor: must raise the actionable error
+    below_raises = 0
+    q = (
+        spark.readStream.format("lake_cdc")
+        .option("path", path)
+        .option("startingVersion", "0")
+        .load()
+        .writeStream.format("noop")
+        .option("checkpointLocation", os.path.join(root, "cp_fresh"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination()
+    except Exception as e:  # noqa: BLE001 — StreamingQueryException wrapper
+        if "truncated by log cleanup" in str(e) and f"floor is {floor}" in str(e):
+            below_raises = 1
+        else:
+            raise
+    return drained.groupBy(
+        F.col("_commit_version").alias("version")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum("doc_id").cast("bigint").alias("id_sum"),
+    ).select(
+        F.col("version").cast("bigint"),
+        "n_rows",
+        "id_sum",
+        F.lit(floor).cast("bigint").alias("log_floor"),
+        F.lit(n_cleaned).cast("bigint").alias("n_entries_cleaned"),
+        F.lit(below_raises).cast("bigint").alias("below_floor_raises"),
+    )

@@ -2882,6 +2882,13 @@ WIDENING: dict[str, tuple[str, ...]] = {
     "smallint": ("int", "bigint", "double"),
     "int": ("bigint", "double"),
     "float": ("double",),
+    # Spark 4's parquet readers upcast DATE (int32 days) to
+    # TIMESTAMP_NTZ (midnight) natively when handed the wider schema —
+    # the same in-scan promotion as int32→int64 (SPARK-46832 type
+    # widening); a re-import that starts carrying intraday precision
+    # widens without rewriting the date-era files. tz-naive only:
+    # date→timestamp (tz-adjusted) would move the clock, not widen.
+    "date": ("timestamp_ntz",),
 }
 
 
@@ -2949,7 +2956,14 @@ def _widen_read_schema(spark, files: list[str], widen: dict):
     merged: dict[str, object] = {}
     order: list[str] = []
     for raw in sorted(distinct):
-        st = from_arrow_schema(pa.ipc.read_schema(pa.py_buffer(raw)))
+        # prefer_timestamp_ntz: map tz-NAIVE footers to timestamp_ntz
+        # (their faithful Spark type — and the only target the parquet
+        # reader will upcast a DATE32 footer to; tz-adjusted footers
+        # still map to timestamp), so the date→timestamp_ntz widening
+        # arm unifies instead of refusing as date-vs-timestamp
+        st = from_arrow_schema(
+            pa.ipc.read_schema(pa.py_buffer(raw)), prefer_timestamp_ntz=True
+        )
         for f in st.fields:
             if f.name not in merged:
                 merged[f.name] = f.dataType

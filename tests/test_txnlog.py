@@ -3387,6 +3387,38 @@ class TestWidenColumn:
         old = txnlog.read_snapshot(spark, table, 0)
         assert dict(old.dtypes)["v"] == "int"
 
+    def test_widen_float_double_and_date_timestamp(self, spark, table):
+        """Round-10 lattice arms: float→double and date→timestamp_ntz,
+        both metadata-only, both upcast natively in the mixed scan
+        (SPARK-46832); date→timestamp (tz-adjusted) stays refused."""
+        txnlog.txn_append(
+            spark,
+            spark.sql(
+                "SELECT CAST(1.5 AS FLOAT) AS p, DATE'2024-03-15' AS d"
+            ),
+            table,
+        )
+        txnlog.txn_widen_column(spark, table, "p", "double")
+        txnlog.txn_widen_column(spark, table, "d", "timestamp_ntz")
+        with pytest.raises(ValueError, match="not an exact widening"):
+            txnlog.txn_widen_column(spark, table, "d", "timestamp")
+        txnlog.txn_append(
+            spark,
+            spark.sql(
+                "SELECT CAST(2.25 AS DOUBLE) AS p, "
+                "TIMESTAMP_NTZ'2024-03-16 01:30:00' AS d"
+            ),
+            table,
+        )
+        snap = txnlog.read_snapshot(spark, table)
+        dt = dict(snap.dtypes)
+        assert dt["p"] == "double" and dt["d"] == "timestamp_ntz"
+        got = sorted((r.p, str(r.d)) for r in snap.collect())
+        assert got == [
+            (1.5, "2024-03-15 00:00:00"),
+            (2.25, "2024-03-16 01:30:00"),
+        ]
+
     def test_widen_refusals_and_idempotence(self, spark, table):
         txnlog.txn_append(
             spark,
