@@ -202,6 +202,7 @@ HEADLINE = [
     "lake_widen_float_date",
     "stream_lake_cdc_widen",
     "stream_lake_cdc_retention",
+    "lake_pruned_scan_planning",
 ]
 
 

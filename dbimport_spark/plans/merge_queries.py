@@ -2654,3 +2654,73 @@ def lake_widen_float_date(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_intraday"
         ),
     )
+
+
+@register(
+    "lake_pruned_scan_planning",
+    """WITH band AS (
+  SELECT max(o_orderkey) // 4 AS lo, max(o_orderkey) // 2 AS hi FROM orders
+)
+SELECT CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         AS cents_sum,
+       CAST(min(o_orderkey) AS BIGINT) AS min_key,
+       CAST(max(o_orderkey) AS BIGINT) AS max_key
+FROM orders, band
+WHERE o_orderkey BETWEEN band.lo AND band.hi AND o_orderkey % 3 <> 1""",
+)
+def lake_pruned_scan_planning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PRUNED SCAN PLANNING over the checkpoint frames, graded (r9
+    verdict item 5): orders land range-clustered (repartitionByRange on
+    the key) with zone maps in the log, a multi-part checkpoint is
+    written, a DV delete knocks out a key band, and the selective read
+    plans through scan_candidates_df — zone predicates evaluate
+    DISTRIBUTED over the checkpoint's parquet parts and only the
+    surviving file names reach the driver (txnlog.read_snapshot_pruned;
+    the probe tools/probe_plan_prune.py measures ~0.2% of the O(live)
+    fold's planning memory at 100k files). The query asserts the plan
+    actually pruned (candidates < live files) and grades the exact
+    band aggregate after applying the row predicate — only right if
+    pruning kept every overlapping file AND the DV survived the pruned
+    read."""
+    import os
+    import shutil
+    import tempfile
+
+    from dbimport_spark import txnlog
+
+    path = os.path.join(
+        tempfile.gettempdir(),
+        "dbimport_spark_txn",
+        "prunedplan_" + sf_dir.rstrip("/").replace("/", "_"),
+    )
+    if os.path.isdir(path):
+        shutil.rmtree(path)
+
+    base = (
+        load(spark, sf_dir, "orders")
+        .select(
+            "o_orderkey",
+            F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+        )
+        .repartitionByRange(8, "o_orderkey")
+    )
+    txnlog.txn_append_stats(spark, base, path, ["o_orderkey"])
+    txnlog.write_checkpoint(path)
+    txnlog.txn_delete_dv(spark, F.col("o_orderkey") % 3 == 1, path)
+    maxk = load(spark, sf_dir, "orders").agg(F.max("o_orderkey")).first()[0]
+    lo, hi = int(maxk) // 4, int(maxk) // 2  # sf-relative band
+    bounds = {"o_orderkey": (lo, hi)}
+    n_cand = txnlog.scan_candidates_df(spark, path, bounds).count()
+    n_live = len(txnlog.snapshot_files(path))
+    assert 0 < n_cand < n_live, (n_cand, n_live)
+    pruned = txnlog.read_snapshot_pruned(spark, path, bounds)
+    return (
+        pruned.filter(F.col("o_orderkey").between(lo, hi))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.sum("cents").cast("bigint").alias("cents_sum"),
+            F.min("o_orderkey").cast("bigint").alias("min_key"),
+            F.max("o_orderkey").cast("bigint").alias("max_key"),
+        )
+    )

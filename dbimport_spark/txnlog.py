@@ -2492,6 +2492,132 @@ def read_snapshot_skipping_multi(
     )
 
 
+def scan_candidates_df(
+    spark,
+    path: str,
+    bounds: dict | None = None,
+    partition_values=None,
+    version: int | None = None,
+):
+    """PRUNED SCAN PLANNING over the checkpoint frames (the r9 verdict's
+    10⁶-file planning ceiling): the candidate-file computation of
+    read_snapshot_skipping_multi / read_snapshot_partitioned pushed into
+    ``snapshot_state_df`` — zone-map range predicates and partition-value
+    filters evaluate DISTRIBUTED over the multi-part checkpoint's parquet
+    parts, so planning a selective read never folds the live set on the
+    driver. Returns the surviving state rows (``n, p, stats, dv, rid``).
+    Conservative exactly like the driver-side forms: a file without
+    usable stats (or whose stats don't parse as the bound's type) is
+    KEPT; files recorded with zero rows drop; bounds speak LOGICAL
+    column names (zone stats are keyed physical)."""
+    from pyspark.sql import functions as F
+
+    if version is not None and version < vacuum_horizon(path):
+        raise ValueError(f"version {version} of {path} was vacuumed")
+    v = current_version(path) if version is None else version
+    # metadata-only fold: table_props would fold the LIVE SET on the
+    # driver — the exact O(live) planning cost this path exists to avoid
+    _, _, props = _fold_props_only(path, v)
+    state = snapshot_state_df(spark, path, v)
+    rows0 = F.get_json_object("stats", "$.__rows__")
+    cond = rows0.isNull() | (rows0.cast("bigint") != 0)
+    for col, (lo, hi) in (bounds or {}).items():
+        phys = _phys_col(props, col)
+        # Compare in a type matched to the BOUND's Python type, so the
+        # cast can never round a recorded stat across the bound: exact
+        # bigint for int bounds, double for float, raw string otherwise —
+        # the same outcomes as the driver-side python comparisons. A
+        # stat that fails the cast comes back NULL and the file is kept.
+        t = (
+            "bigint"
+            if isinstance(lo, int)
+            and isinstance(hi, int)
+            and not isinstance(lo, bool)
+            else "double"
+            if isinstance(lo, (int, float))
+            else "string"
+        )
+        mn = F.get_json_object("stats", f"$.{phys}[0]")
+        mx = F.get_json_object("stats", f"$.{phys}[1]")
+        if t != "string":
+            # try_cast, not cast: under ANSI mode a stat that doesn't
+            # parse as the bound's type must become NULL (file kept),
+            # not throw mid-planning
+            mn, mx = mn.try_cast(t), mx.try_cast(t)
+        cond = cond & (
+            mn.isNull()
+            | mx.isNull()
+            | ((mx >= F.lit(lo)) & (mn <= F.lit(hi)))
+        )
+    if partition_values is not None:
+        wanted = [
+            json.dumps(_encode_partition_value(pv)) for pv in partition_values
+        ]
+        cond = cond & F.col("p").isin(wanted)
+    return state.filter(cond)
+
+
+def read_snapshot_pruned(
+    spark,
+    path: str,
+    bounds: dict | None = None,
+    partition_col: str | None = None,
+    partition_values=None,
+    version: int | None = None,
+) -> DataFrame:
+    """The SCALE form of the pruned reads: candidates are planned with
+    ``scan_candidates_df`` (distributed over the checkpoint parts) and
+    only the SURVIVORS are materialized on the driver to build the scan
+    — planning memory is O(candidates), not O(live). At 10⁶–10⁷ live
+    files this is the read path Delta serves with its file-index scans;
+    ``read_snapshot`` / ``read_snapshot_skipping_multi`` remain the
+    driver-fold convenience forms (documented ceiling ~10⁵ files).
+    Results match read_snapshot_skipping_multi (unpartitioned, same
+    bounds) and read_snapshot_partitioned (partitioned, same values) —
+    pinned by tests; the caller still applies the exact row predicate."""
+    from functools import reduce
+
+    v = current_version(path) if version is None else version
+    _, ptype, props = _fold_props_only(path, v)
+    cand = (
+        scan_candidates_df(spark, path, bounds, partition_values, version)
+        .select("n", "p", "dv")
+        .collect()
+    )
+    if not cand:
+        return read_snapshot(spark, path, version).limit(0)
+    dvmap = {r["n"]: json.loads(r["dv"]) for r in cand if r["dv"]}
+    if ptype is None:
+        files = [os.path.join(_data_dir(path), r["n"]) for r in cand]
+        return _apply_colmap(
+            _read_files_dv(spark, path, files, dvmap, props), props
+        )
+    if partition_col is None:
+        raise ValueError(
+            f"{path} is partitioned (type {ptype}): read_snapshot_pruned "
+            "needs partition_col to re-attach the partition column"
+        )
+    by_value: dict = {}
+    for r in cand:
+        enc = json.loads(r["p"]) if r["p"] else None
+        by_value.setdefault(enc, []).append(r["n"])
+    parts = []
+    for enc in sorted(by_value, key=lambda e: (e is None, e or "")):
+        names = by_value[enc]
+        sub = _read_files_dv(
+            spark,
+            path,
+            [os.path.join(_data_dir(path), n) for n in names],
+            {n: dvmap[n] for n in names if n in dvmap},
+            props,
+        )
+        parts.append(sub.withColumn(partition_col, _partition_lit(enc, ptype)))
+    out = reduce(
+        lambda a, b: a.unionByName(b, allowMissingColumns=True), parts
+    )
+    return _apply_colmap(out, props, keep=(partition_col,))
+
+
 def txn_clone(src: str, dst: str, version: int | None = None) -> int:
     """ZERO-COPY table clone at a snapshot (Delta's SHALLOW CLONE, made
     divergence-safe): every live data file of ``src`` at ``version``

@@ -3702,3 +3702,154 @@ def test_auto_log_cleanup_property(spark, table, monkeypatch):
     assert txnlog.log_floor(table) == 8  # horizon 8, anchor ckpt 8
     assert txnlog.read_snapshot(spark, table).count() == 9
     assert txnlog.txn_fsck(table)["ok"]
+
+
+class TestPrunedScanPlanning:
+    """Round-10: scan_candidates_df / read_snapshot_pruned — candidate
+    planning pushed into the checkpoint frames (snapshot_state_df), so a
+    selective read's driver memory is O(candidates), not O(live). The
+    results must match the driver-fold forms exactly."""
+
+    def _clustered(self, spark, table):
+        df = spark.createDataFrame(
+            [(i, float(i) * 1.5, f"v{i}") for i in range(400)],
+            "k long, x double, v string",
+        )
+        txnlog.txn_append_stats(spark, df.filter("k < 100"), table, ["k", "x"])
+        txnlog.txn_append_stats(
+            spark, df.filter("k >= 100 AND k < 200"), table, ["k", "x"]
+        )
+        txnlog.txn_append_stats(
+            spark, df.filter("k >= 200 AND k < 300"), table, ["k", "x"]
+        )
+        txnlog.txn_append_stats(spark, df.filter("k >= 300"), table, ["k", "x"])
+
+    def test_matches_skipping_multi_with_dv(self, spark, table):
+        from pyspark.sql import functions as F
+
+        self._clustered(spark, table)
+        txnlog.txn_delete_dv(spark, F.col("k") % 7 == 0, table)
+        bounds = {"k": (120, 180)}
+        want = sorted(
+            (r.k, r.x, r.v)
+            for r in txnlog.read_snapshot_skipping_multi(
+                spark, table, bounds
+            ).collect()
+        )
+        got = sorted(
+            (r.k, r.x, r.v)
+            for r in txnlog.read_snapshot_pruned(spark, table, bounds).collect()
+        )
+        assert got == want
+        # and the plan touched ONE band, not four
+        cand = txnlog.scan_candidates_df(spark, table, bounds).count()
+        total = len(txnlog.snapshot_files(table))
+        assert cand < total
+
+    def test_plans_from_checkpoint_without_driver_fold(
+        self, spark, table, monkeypatch
+    ):
+        self._clustered(spark, table)
+        txnlog.write_checkpoint(table)
+        calls = []
+        orig = txnlog._fold_log3
+        monkeypatch.setattr(
+            txnlog,
+            "_fold_log3",
+            lambda *a, **k: (calls.append(a), orig(*a, **k))[1],
+        )
+        names = {
+            r["n"]
+            for r in txnlog.scan_candidates_df(spark, table, {"k": (0, 50)})
+            .select("n")
+            .collect()
+        }
+        assert names  # the band's file(s) survived
+        assert not calls, "planning fell back to the O(live) driver fold"
+
+    def test_conservative_on_statless_and_type_mismatch(self, spark, table):
+        # file 1 carries stats, file 2 none: a selective read keeps #2
+        txnlog.txn_append_stats(
+            spark, _df(spark, [(1, "a"), (2, "b")]), table, ["k"]
+        )
+        txnlog.txn_append(spark, _df(spark, [(500, "z")]), table)
+        got = sorted(
+            r.k
+            for r in txnlog.read_snapshot_pruned(
+                spark, table, {"k": (0, 10)}
+            ).collect()
+        )
+        assert got == [1, 2, 500]  # statless file conservatively read
+        # bounds on a stats-less STRING column: nothing prunable -> every
+        # live file with rows kept (zero-row files drop, same as
+        # read_snapshot_skipping_multi)
+        n_nonempty = sum(
+            1
+            for st in txnlog.snapshot_stats(table).values()
+            if st.get("__rows__") != 0
+        )
+        assert (
+            txnlog.scan_candidates_df(spark, table, {"v": (0, 1)}).count()
+            == n_nonempty
+        )
+
+    def test_type_mismatch_casts_keep_not_drop(self, spark, table):
+        # double stats probed with INT bounds: the bigint cast of "1.5"
+        # is NULL, and a NULL stat must KEEP the file (conservative),
+        # even though a double comparison would have pruned it
+        df = spark.createDataFrame([(1.5,), (7.5,)], "x double")
+        txnlog.txn_append_stats(spark, df.coalesce(1), table, ["x"])
+        assert txnlog.scan_candidates_df(spark, table, {"x": (10, 20)}).count() == 1
+        # float bounds take the double comparison and DO prune
+        assert (
+            txnlog.scan_candidates_df(spark, table, {"x": (10.0, 20.0)}).count()
+            == 0
+        )
+
+    def test_partitioned_matches_partitioned_read(self, spark, table):
+        df = spark.createDataFrame(
+            [(i, ["eu", "us", "ap"][i % 3], i * 10) for i in range(90)],
+            "k long, region string, amt long",
+        )
+        txnlog.txn_append_partitioned(spark, df, table, "region")
+        want = sorted(
+            (r.k, r.region, r.amt)
+            for r in txnlog.read_snapshot_partitioned(
+                spark, table, "region", partition_values=["eu"]
+            ).collect()
+        )
+        got = sorted(
+            (r.k, r.region, r.amt)
+            for r in txnlog.read_snapshot_pruned(
+                spark,
+                table,
+                partition_col="region",
+                partition_values=["eu"],
+            ).collect()
+        )
+        assert got == want
+        cand = txnlog.scan_candidates_df(
+            spark, table, partition_values=["eu"]
+        ).count()
+        total = len(txnlog.snapshot_files(table))
+        assert 0 < cand < total
+        # partitioned read without the column name fails loudly
+        with pytest.raises(ValueError, match="partition_col"):
+            txnlog.read_snapshot_pruned(spark, table, partition_values=["eu"])
+
+    def test_empty_candidates_returns_empty_with_schema(self, spark, table):
+        self._clustered(spark, table)
+        out = txnlog.read_snapshot_pruned(spark, table, {"k": (5000, 6000)})
+        assert out.count() == 0
+        assert set(out.columns) == {"k", "x", "v"}
+
+    def test_planning_memory_proportional_to_candidates(self, spark):
+        """The probe's claim at pytest scale: candidate planning over
+        the checkpoint frames allocates a small fraction of the O(live)
+        driver fold (tools/probe_plan_prune.py runs the 100k form:
+        ~0.2% of the fold's peak)."""
+        from tools.probe_plan_prune import run as probe_run
+
+        out = probe_run(spark, n_files=20_000, band_files=10)
+        assert out["candidates"] == 10
+        assert out["frame_over_full"] < 0.15, out
