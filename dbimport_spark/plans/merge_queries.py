@@ -2541,22 +2541,21 @@ def lake_objectstore_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         txnlog._read_entry_body(path, v)  # raises if a version is missing
     assert txnlog.txn_fsck(path)["ok"]
     changes = txnlog.read_changes(spark, path, ["k"], 0)
-    counts = changes.groupBy("_change_type").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n")
-    )
-    snap_agg = txnlog.read_snapshot(spark, path).agg(
+    # three grouped counts — driver-small by design (a crossJoin of the
+    # two 1-row aggregates would plan a BroadcastNestedLoopJoin, which
+    # the plan sweep bans even at 1×1)
+    cnt = {
+        r["_change_type"]: r["n"]
+        for r in changes.groupBy("_change_type")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .collect()
+    }
+    return txnlog.read_snapshot(spark, path).agg(
         F.count(F.lit(1)).cast("bigint").alias("n_rows"),
         F.sum("bal").cast("bigint").alias("bal_sum"),
-    )
-    pivot = counts.groupBy().pivot(
-        "_change_type", ["delete", "update", "insert"]
-    ).agg(F.first("n"))
-    return snap_agg.crossJoin(pivot).select(
-        "n_rows",
-        "bal_sum",
-        F.coalesce(F.col("delete"), F.lit(0)).cast("bigint").alias("n_deleted"),
-        F.coalesce(F.col("update"), F.lit(0)).cast("bigint").alias("n_updated"),
-        F.coalesce(F.col("insert"), F.lit(0)).cast("bigint").alias("n_inserted"),
+        F.lit(int(cnt.get("delete", 0))).cast("bigint").alias("n_deleted"),
+        F.lit(int(cnt.get("update", 0))).cast("bigint").alias("n_updated"),
+        F.lit(int(cnt.get("insert", 0))).cast("bigint").alias("n_inserted"),
     )
 
 

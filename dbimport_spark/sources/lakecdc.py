@@ -428,9 +428,76 @@ class LakeCdcStreamReader(DataSourceStreamReader):
         the touched files (their visible rows on both sides)."""
         data_dir = _data_dir(self._path)
         live: dict[str, dict] = {}
-        if s >= 0:
-            live, _ = _fold_log(self._path, s)
         parts: list = []
+        if s >= 0:
+            try:
+                live, _ = _fold_log(self._path, s)
+            except ValueError:
+                # txn_cleanup_log truncated entries at/below s: state
+                # BELOW the retained floor is gone by design. The floor
+                # itself is recoverable (cleanup anchors at a checkpoint
+                # and keeps its entry), so a change-feed stream STARTING
+                # at the floor still plans — from the floor version's
+                # own entry / materialized change files, which need no
+                # pre-floor state — and only a commit whose diff
+                # genuinely requires the discarded side (a DV delta, or
+                # a rewrite without cdf.enabled change files) fails with
+                # the actionable error.
+                from dbimport_spark.txnlog import log_floor
+
+                floor = log_floor(self._path)
+                if not (s < floor <= e):
+                    raise
+                entry0 = _read_entry(self._path, floor)
+                cdf_dir0 = os.path.join(
+                    self._path, "_change_data", f"v{floor:08d}"
+                )
+                if entry0.get("removed", []):
+                    import glob as _glob
+
+                    files0 = (
+                        sorted(
+                            _glob.glob(os.path.join(cdf_dir0, "*.parquet"))
+                        )
+                        if os.path.isdir(cdf_dir0)
+                        else []
+                    )
+                    if not files0:
+                        raise ValueError(
+                            f"lake_cdc: change data of rewrite version "
+                            f"{floor} of {self._path} needs pre-floor "
+                            "state that log cleanup discarded and no "
+                            "materialized _change_data exists — restart "
+                            "from a fresh checkpoint with "
+                            f"startingVersion > {floor}, or enable "
+                            "cdf.enabled before cleanup"
+                        )
+                    parts.extend(_CdfFile(f, floor) for f in files0)
+                elif entry0.get("dv", []):
+                    raise ValueError(
+                        f"lake_cdc: DV delta of version {floor} of "
+                        f"{self._path} needs the pre-floor deletion "
+                        "vector that log cleanup discarded — restart "
+                        "from a fresh checkpoint with startingVersion > "
+                        f"{floor}"
+                    )
+                else:
+                    for x in entry0.get("added", []):
+                        name = x["n"] if isinstance(x, dict) else x
+                        pval = x.get("p") if isinstance(x, dict) else None
+                        if pval is not None and not self._partition_col:
+                            raise ValueError(
+                                "lake_cdc: table is partitioned — pass "
+                                "the partitionColumn option to stream it"
+                            )
+                        parts.append(
+                            _AddedFile(
+                                os.path.join(data_dir, name), floor,
+                                pval=pval, ptype=self._ptype,
+                            )
+                        )
+                live, _ = _fold_log(self._path, floor)
+                s = floor
         for v in range(s + 1, e + 1):
             entry = _read_entry(self._path, v)
             prev = {n: d for n, d in live.items()}

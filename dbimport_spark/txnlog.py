@@ -2286,6 +2286,21 @@ def txn_cleanup_log(path: str) -> int:
         except FileNotFoundError:
             pass  # racing cleanup got it first
     _reap_ever_below(path, _ever_best(path))
+    # Reap _change_data/v<N> for truncated versions: a CDC stream can
+    # only read versions whose log entry exists (≥ log_floor — resume
+    # below it already fails with the actionable error), so change
+    # files below the new floor are unreachable — without this a
+    # cdf.enabled table under churn accumulates one change dir per
+    # rewrite commit forever (the same growth class the _ever sharding
+    # removed).
+    cdf_root = os.path.join(path, "_change_data")
+    if os.path.isdir(cdf_root):
+        import shutil
+
+        new_floor = log_floor(path)
+        for fn in os.listdir(cdf_root):
+            if fn.startswith("v") and fn[1:].isdigit() and int(fn[1:]) < new_floor:
+                shutil.rmtree(os.path.join(cdf_root, fn), ignore_errors=True)
     return deleted
 
 

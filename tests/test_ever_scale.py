@@ -173,3 +173,48 @@ class TestShardedFormat:
         assert set(legacy_files) <= files2
         # and the table still reads clean
         assert txnlog.txn_fsck(table)["ok"]
+
+
+def test_cleanup_reaps_unreachable_change_data(spark, table, monkeypatch):
+    """cdf.enabled churn: change dirs for versions below the log floor
+    are unreachable (their entries are gone — resume below the floor
+    already raises) and must be reaped by cleanup; dirs at/above the
+    floor stay streamable."""
+    monkeypatch.setattr(txnlog, "CHECKPOINT_INTERVAL", 2)
+    txnlog.txn_set_property(table, "cdf.enabled", "true")
+    df = spark.createDataFrame([(i, i * 10) for i in range(20)], "k long, v long")
+    txnlog.txn_append(spark, df, table)
+    for r in range(6):  # rewrite commits materialize _change_data/v<N>
+        txnlog.txn_upsert(
+            spark,
+            spark.createDataFrame([(r, r * 100)], "k long, v long"),
+            table,
+            ["k"],
+        )
+    cdf_root = os.path.join(table, "_change_data")
+    before = sorted(os.listdir(cdf_root))
+    assert len(before) >= 4
+    txnlog.vacuum(table, retain_versions=2)
+    txnlog.txn_cleanup_log(table)
+    floor = txnlog.log_floor(table)
+    assert floor > 0
+    after = sorted(os.listdir(cdf_root))
+    assert after == [d for d in before if int(d[1:]) >= floor]
+    # streaming from the floor still works end to end
+    from dbimport_spark.sources.lakecdc import register_lake_cdc
+
+    register_lake_cdc(spark)
+    q = (
+        spark.readStream.format("lake_cdc")
+        .option("path", table)
+        .option("startingVersion", str(floor))
+        .option("readChangeFeed", "true")
+        .load()
+        .writeStream.format("memory")
+        .queryName("reten_cdf_tail")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert spark.table("reten_cdf_tail").count() > 0
