@@ -356,7 +356,7 @@ def _register_stream_nb():
             pred.alias("pred_lang"),
             best.cast("bigint").alias("pred_score"),
         )
-        return _run_to_memory(out, spark, output_mode="complete")
+        return _run_to_memory(out, spark, output_mode="complete", src=sf_dir)
 
 
 _register_stream_nb()

@@ -31,6 +31,7 @@ stays batch-equivalent and SQL-oracle-checkable.
 
 from __future__ import annotations
 
+import contextlib
 import os
 import tempfile
 import uuid
@@ -95,18 +96,83 @@ def _events_path(sf_dir: str) -> str:
     return d
 
 
+def _src_bytes(*paths) -> int:
+    """Total bytes of the data files under the given paths (symlinks
+    followed — _events_path dirs are symlink farms)."""
+    total = 0
+    for p in paths:
+        if not p:
+            continue
+        if os.path.isdir(p):
+            for root, _dirs, files in os.walk(p, followlinks=True):
+                for f in files:
+                    try:
+                        total += os.path.getsize(os.path.join(root, f))
+                    except OSError:
+                        pass
+        elif os.path.isfile(p):
+            try:
+                total += os.path.getsize(p)
+            except OSError:
+                pass
+    return total
+
+
+@contextlib.contextmanager
+def _stream_parallelism(spark: SparkSession, src):
+    """Scale-adaptive shuffle width for ONE streaming query run.
+
+    Batch plans get their post-shuffle partition count right-sized by AQE
+    coalescing; streaming plans do not — the shuffle-partition count at
+    query start becomes the stateful operator's state-store partition
+    count (one state store instance + checkpoint dir per partition, baked
+    into the checkpoint for the query's lifetime). Guide §2: make
+    partitioning scale-adaptive, derive from input size. This derives the
+    width from the source's actual bytes at the AQE advisory size
+    (64 MB/partition, Spark's spark.sql.adaptive.advisoryPartitionSizeInBytes
+    default), clamped to [4, session spark.sql.shuffle.partitions]: a
+    cluster keeps its configured width for big inputs, a small source
+    stops paying one state store per configured partition. ``src`` is a
+    path or list of paths approximating the stream's input; None keeps
+    the session value untouched.
+
+    Streams whose per-row work runs IN PYTHON (transformWithStateInPandas,
+    applyInPandasWithState, mapInPandas kernels, pandas_udfs) deliberately
+    pass src=None: for them the shuffle width is the Python-compute
+    parallelism, and narrowing it serializes the expensive part (measured
+    1.3-1.6x slower on the TWS family at width 4 vs 32). The bytes-derived
+    width only fits streams whose cost is state-store/task count."""
+    if src is None:
+        yield
+        return
+    paths = [src] if isinstance(src, str) else list(src)
+    n_bytes = _src_bytes(*paths)
+    cap = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    adaptive = max(4, min(cap, -(-n_bytes // (64 << 20))))
+    if adaptive >= cap:
+        yield
+        return
+    spark.conf.set("spark.sql.shuffle.partitions", str(adaptive))
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", str(cap))
+
+
 def _run_to_memory(
-    df: DataFrame, spark: SparkSession, output_mode: str = "append"
+    df: DataFrame, spark: SparkSession, output_mode: str = "append",
+    src=None,
 ) -> DataFrame:
     name = "strm_" + uuid.uuid4().hex[:12]
-    q = (
-        df.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(output_mode)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _stream_parallelism(spark, src):
+        q = (
+            df.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.table(name)
 
 
@@ -126,7 +192,7 @@ def stream_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     windows closed by the final watermark — the oracle's HAVING cutoff."""
     stream = read_events_stream(spark, _events_path(sf_dir))
     agg = windowed_event_agg(stream, window="1 hour", watermark="0 seconds")
-    return _run_to_memory(agg, spark)
+    return _run_to_memory(agg, spark, src=sf_dir)
 
 
 @register(
@@ -139,7 +205,9 @@ def stream_dedup_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     emitted key set == batch DISTINCT."""
     stream = read_events_stream(spark, _events_path(sf_dir))
     deduped = stream_dedup(stream, ["user_id", "event_type"], watermark="2 hours")
-    return _run_to_memory(deduped.select("user_id", "event_type"), spark)
+    return _run_to_memory(
+        deduped.select("user_id", "event_type"), spark, src=sf_dir
+    )
 
 
 @register(
@@ -201,7 +269,9 @@ def stream_sessionize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = read_events_stream(spark, _events_path(sf_dir)).select(
         "user_id", "ts", "event_id"
     )
-    return _run_to_memory(stream_sessionize(stream, gap_minutes=30), spark)
+    return _run_to_memory(
+        stream_sessionize(stream, gap_minutes=30), spark
+    )
 
 
 def _docs_path(sf_dir: str) -> str:
@@ -233,7 +303,7 @@ def _register_stream_pii():
         onto Structured Streaming without modification."""
         sch = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
         stream = spark.readStream.schema(sch).parquet(_docs_path(sf_dir))
-        return _run_to_memory(pii_transform(stream), spark)
+        return _run_to_memory(pii_transform(stream), spark, src=sf_dir)
 
 
 _register_stream_pii()
@@ -277,7 +347,7 @@ WHERE f.doc_id % 2 <> 0 AND h.fingerprint IS NULL"""
         fresh = stream.join(static_fp, "fingerprint", "left_anti").select(
             "doc_id", "fingerprint"
         )
-        return _run_to_memory(fresh, spark)
+        return _run_to_memory(fresh, spark, src=sf_dir)
 
 
 _register_stream_dedup_static()
@@ -335,7 +405,7 @@ def _register_stream_dedup_bloom():
             .filter(~contains(h1, h2))
             .select("doc_id")
         )
-        return _run_to_memory(stream, spark)
+        return _run_to_memory(stream, spark, src=sf_dir)
 
 
 _register_stream_dedup_bloom()
@@ -382,7 +452,7 @@ def stream_interval_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         right_ts="signup_ts",
         max_delay="24 hours",
     ).select("purchase_id", "signup_id", "user_id", "purchase_ts", "signup_ts")
-    return _run_to_memory(joined, spark)
+    return _run_to_memory(joined, spark, src=sf_dir)
 
 
 def _register_stream_scd2():
@@ -490,7 +560,7 @@ def stream_session_window_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("user_id", "n_events", "session_start", "last_event_ts")
     )
-    return _run_to_memory(agg, spark)
+    return _run_to_memory(agg, spark, src=sf_dir)
 
 
 def _register_stream_chunk():
@@ -535,7 +605,7 @@ def _register_stream_chunk():
                 f" - chunk_idx * {_CHUNK_STRIDE} AS INT)"
             ).alias("n_chunk_tokens"),
         )
-        return _run_to_memory(chunks, spark)
+        return _run_to_memory(chunks, spark, src=sf_dir)
 
 
 _register_stream_chunk()
@@ -586,7 +656,7 @@ def _register_stream_dsir():
                 > F.col("sum_raw_cnt").cast("decimal(38,0)") * F.col("nt")
             ).alias("keep"),
         )
-        return _run_to_memory(out, spark, output_mode="complete")
+        return _run_to_memory(out, spark, output_mode="complete", src=sf_dir)
 
 
 _register_stream_dsir()
@@ -739,7 +809,7 @@ def _register_stream_outlier():
             )
             .select("o_orderkey", "o_orderpriority", "cents")
         )
-        return _run_to_memory(out, spark)
+        return _run_to_memory(out, spark, src=sf_dir)
 
 
 _register_stream_outlier()
@@ -1081,7 +1151,7 @@ def stream_lake_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_rows"),
         F.sum("doc_id").cast("bigint").alias("id_sum"),
     )
-    return _run_to_memory(agg, spark, output_mode="complete").select(
+    return _run_to_memory(agg, spark, output_mode="complete", src=path).select(
         F.col("version").cast("bigint"), "n_rows", "id_sum"
     )
 
@@ -1128,7 +1198,7 @@ def stream_lake_cdc_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg = s.groupBy(
         F.col("_commit_version").alias("version"), "lang"
     ).agg(F.count(F.lit(1)).cast("bigint").alias("n_rows"))
-    return _run_to_memory(agg, spark, output_mode="complete").select(
+    return _run_to_memory(agg, spark, output_mode="complete", src=path).select(
         F.col("version").cast("bigint"), "lang", "n_rows"
     )
 
@@ -1215,7 +1285,7 @@ def stream_lake_cdc_dv(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("doc_id").cast("bigint").alias("id_sum"),
         F.sum("n_chars").cast("bigint").alias("char_sum"),
     )
-    return _run_to_memory(agg, spark, output_mode="complete").select(
+    return _run_to_memory(agg, spark, output_mode="complete", src=path).select(
         F.col("version").cast("bigint"), "change_type", "n_rows", "id_sum",
         "char_sum",
     )
@@ -1314,7 +1384,7 @@ def stream_lake_cdc_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("doc_id").cast("bigint").alias("id_sum"),
         F.sum("n_chars").cast("bigint").alias("char_sum"),
     )
-    return _run_to_memory(agg, spark, output_mode="complete").select(
+    return _run_to_memory(agg, spark, output_mode="complete", src=path).select(
         F.col("version").cast("bigint"), "change_type", "n_rows", "id_sum",
         "char_sum",
     )
@@ -1384,7 +1454,7 @@ def stream_crawl_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.size(F.split(F.col("text"), " ")).cast("bigint").alias("n_tokens"),
     )
-    return _run_to_memory(kept, spark)
+    return _run_to_memory(kept, spark, src=path)
 
 
 @register(
@@ -1867,19 +1937,20 @@ def pipeline_gdpr_forget(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _drain_to_parquet(spark, stream_df, sink_dir: str, cp_dir: str):
+def _drain_to_parquet(spark, stream_df, sink_dir: str, cp_dir: str, src=None):
     """availableNow run appending every new commit's rows to a parquet
     sink (memory sinks can't resume from a checkpoint); returns the
     sink's current contents."""
-    q = (
-        stream_df.writeStream.format("parquet")
-        .option("path", sink_dir)
-        .option("checkpointLocation", cp_dir)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _stream_parallelism(spark, src):
+        q = (
+            stream_df.writeStream.format("parquet")
+            .option("path", sink_dir)
+            .option("checkpointLocation", cp_dir)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.read.parquet(sink_dir)
 
 
@@ -1951,14 +2022,14 @@ def stream_lake_cdc_widen(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     cp = os.path.join(root, "cp")
     sink = os.path.join(root, "sink")
-    _drain_to_parquet(spark, stream_df(), sink, cp)              # reads v0
+    _drain_to_parquet(spark, stream_df(), sink, cp, src=path)              # reads v0
     txnlog.txn_widen_column(spark, path, "v", "bigint")          # v1: O(1)
     wide = d.select(
         (F.col("doc_id") + 1_000_000).alias("k"),
         (F.col("n_chars") + F.lit(10_000_000_000)).alias("v"),
     )
     txnlog.txn_append(spark, wide, path)                         # v2: int64
-    resumed = _drain_to_parquet(spark, stream_df(), sink, cp)    # v2 only
+    resumed = _drain_to_parquet(spark, stream_df(), sink, cp, src=path)    # v2 only
 
     fresh_s = spark.readStream.format("lake_cdc").option("path", path).load()
     assert dict(fresh_s.dtypes)["v"] == "bigint"  # colwiden drives schema
@@ -1968,7 +2039,7 @@ def stream_lake_cdc_widen(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_rows"),
         F.sum("v").cast("bigint").alias("v_sum"),
     )
-    fresh = _run_to_memory(fresh_agg, spark, output_mode="complete").select(
+    fresh = _run_to_memory(fresh_agg, spark, output_mode="complete", src=path).select(
         F.lit("fresh").alias("arm"), F.col("version").cast("bigint"),
         "n_rows", "v_sum",
     )
@@ -2039,13 +2110,13 @@ def stream_lake_cdc_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     cp = os.path.join(root, "cp")
     sink = os.path.join(root, "sink")
-    _drain_to_parquet(spark, stream_df(), sink, cp)          # v0..v3
+    _drain_to_parquet(spark, stream_df(), sink, cp, src=path)          # v0..v3
     txnlog.write_checkpoint(path)                            # anchor @ v3
     txnlog.vacuum(path, retain_versions=1)                   # horizon 3
     n_cleaned = txnlog.txn_cleanup_log(path)                 # entries 0..2
     floor = txnlog.log_floor(path)
     txnlog.txn_append(spark, d.filter(F.col("doc_id") % 5 == 4), path)  # v4
-    drained = _drain_to_parquet(spark, stream_df(), sink, cp)  # v4 only
+    drained = _drain_to_parquet(spark, stream_df(), sink, cp, src=path)  # v4 only
 
     # fresh stream below the floor: must raise the actionable error
     below_raises = 0
