@@ -46,6 +46,15 @@ def recommended_confs(shuffle_partitions: int | None = None) -> dict:
         "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning": "true",
         "spark.sql.session.timeZone": "UTC",
         "spark.sql.execution.arrow.pyspark.enabled": "true",
+        # Write-path commit protocol: every lake write here stages into a
+        # PRIVATE directory whose visibility is controlled by the txn log
+        # (or is a fixture/sink dir consumed whole), so the v1 committer's
+        # sequential driver-side task-output renames buy nothing — v2
+        # commits task outputs directly (the standard object-store-era
+        # setting; Delta-style logs provide the atomicity instead), and
+        # nothing in the repo reads _SUCCESS markers.
+        "spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version": "2",
+        "spark.hadoop.mapreduce.fileoutputcommitter.marksuccessfuljobs": "false",
     }
     if shuffle_partitions is not None:
         confs["spark.sql.shuffle.partitions"] = str(shuffle_partitions)

@@ -37,6 +37,15 @@ def pagerank(
     should set k ≈ 5-10."""
     e0 = edges.select(src_col, dst_col)
     deg = e0.groupBy(src_col).agg(F.count(F.lit(1)).alias("outdeg"))
+    # NOTE (r10 audit): no explicit repartition(src) is needed before the
+    # persist — in the non-broadcast regime (big graphs, the case where
+    # per-round edge reshuffles would hurt) the degree join itself runs
+    # as a sort-merge join on src, so the cached edge list already
+    # carries hashpartitioning(src) and every iteration's join reuses it
+    # with NO per-round edge Exchange (verified: executed one-round plan
+    # with autoBroadcast disabled shows SortMergeJoin directly over
+    # InMemoryTableScan on the edge side). At demo scale ranks broadcast
+    # and partitioning is moot either way.
     edges_w = e0.join(deg, src_col).persist()
     # N and the rank vector span ALL nodes (src ∪ dst), not just sources:
     # sink-only nodes must count toward N and receive rank, and nodes with

@@ -2706,14 +2706,25 @@ def lake_pruned_scan_planning(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     txnlog.txn_append_stats(spark, base, path, ["o_orderkey"])
     txnlog.write_checkpoint(path)
+    # sf-relative band from the zone maps the append just recorded — the
+    # table holds every orders row, so max(o_orderkey) is a metadata fold
+    # over the log (snapshot_profile: zero Spark jobs, exact), taken here
+    # BEFORE the DV lands (profile refuses DV'd tables by contract). The
+    # previous shape re-scanned orders for the same number.
+    maxk = txnlog.snapshot_profile(path, ["o_orderkey"])["max_o_orderkey"]
     txnlog.txn_delete_dv(spark, F.col("o_orderkey") % 3 == 1, path)
-    maxk = load(spark, sf_dir, "orders").agg(F.max("o_orderkey")).first()[0]
     lo, hi = int(maxk) // 4, int(maxk) // 2  # sf-relative band
     bounds = {"o_orderkey": (lo, hi)}
-    n_cand = txnlog.scan_candidates_df(spark, path, bounds).count()
+    # plan ONCE: the distributed candidate pass both grades the pruning
+    # assert and feeds the read (read_snapshot_pruned(candidates=...)),
+    # instead of paying a second checkpoint-part scan for the same set
+    cand = txnlog.scan_candidates_df(spark, path, bounds).select(
+        "n", "p", "dv"
+    ).collect()
+    n_cand = len(cand)
     n_live = len(txnlog.snapshot_files(path))
     assert 0 < n_cand < n_live, (n_cand, n_live)
-    pruned = txnlog.read_snapshot_pruned(spark, path, bounds)
+    pruned = txnlog.read_snapshot_pruned(spark, path, bounds, candidates=cand)
     return (
         pruned.filter(F.col("o_orderkey").between(lo, hi))
         .agg(

@@ -2579,6 +2579,7 @@ def read_snapshot_pruned(
     partition_col: str | None = None,
     partition_values=None,
     version: int | None = None,
+    candidates=None,
 ) -> DataFrame:
     """The SCALE form of the pruned reads: candidates are planned with
     ``scan_candidates_df`` (distributed over the checkpoint parts) and
@@ -2589,13 +2590,21 @@ def read_snapshot_pruned(
     driver-fold convenience forms (documented ceiling ~10⁵ files).
     Results match read_snapshot_skipping_multi (unpartitioned, same
     bounds) and read_snapshot_partitioned (partitioned, same values) —
-    pinned by tests; the caller still applies the exact row predicate."""
+    pinned by tests; the caller still applies the exact row predicate.
+
+    ``candidates`` lets a caller that already ran the distributed
+    planning pass (``scan_candidates_df(...).select("n", "p", "dv")``
+    collected rows, SAME bounds/partition_values/version) hand the
+    survivors over instead of paying a second checkpoint-part scan —
+    plan once, read once."""
     from functools import reduce
 
     v = current_version(path) if version is None else version
     _, ptype, props = _fold_props_only(path, v)
     cand = (
-        scan_candidates_df(spark, path, bounds, partition_values, version)
+        candidates
+        if candidates is not None
+        else scan_candidates_df(spark, path, bounds, partition_values, version)
         .select("n", "p", "dv")
         .collect()
     )

@@ -3843,6 +3843,40 @@ class TestPrunedScanPlanning:
         assert out.count() == 0
         assert set(out.columns) == {"k", "x", "v"}
 
+    def test_precomputed_candidates_match_replanned_read(self, spark, table):
+        """read_snapshot_pruned(candidates=...) — plan once, read once
+        (r10 optimization): handing over the collected candidate rows
+        must produce exactly the replanned read's rows, and must not
+        run a second scan_candidates_df pass."""
+        from pyspark.sql import functions as F
+
+        self._clustered(spark, table)
+        txnlog.txn_delete_dv(spark, F.col("k") % 7 == 0, table)
+        bounds = {"k": (120, 180)}
+        cand = (
+            txnlog.scan_candidates_df(spark, table, bounds)
+            .select("n", "p", "dv")
+            .collect()
+        )
+        want = sorted(
+            (r.k, r.x, r.v)
+            for r in txnlog.read_snapshot_pruned(spark, table, bounds).collect()
+        )
+        import unittest.mock as mock
+
+        with mock.patch.object(
+            txnlog, "scan_candidates_df", side_effect=AssertionError(
+                "read_snapshot_pruned(candidates=...) replanned candidates"
+            )
+        ):
+            got = sorted(
+                (r.k, r.x, r.v)
+                for r in txnlog.read_snapshot_pruned(
+                    spark, table, bounds, candidates=cand
+                ).collect()
+            )
+        assert got == want
+
     def test_planning_memory_proportional_to_candidates(self, spark):
         """The probe's claim at pytest scale: candidate planning over
         the checkpoint frames allocates a small fraction of the O(live)
