@@ -305,11 +305,33 @@ def main() -> None:
         vals.sort()
         return round(vals[1], 3)  # median of 3
 
+    # PYTHON-WORKER CANARY (r10 verdict item 1b): the JVM shuffle canary
+    # above is blind to contention that lands on the Python side of the
+    # boundary — r10's driver window inflated TWS/pandas queries 4× while
+    # the JVM canary read clean (CPU oversubscription hits the Python
+    # workers and state servers first). This one round-trips a fixed tiny
+    # batch through a pandas_udf on every core, so a window that degrades
+    # Python-heavy queries now stamps itself on the artifact. Same
+    # interpretation rule as the JVM canary (NOTES.md): compare the three
+    # readings to each other, discount windows whose reading is inflated.
+    def canary_py() -> float:
+        vals = []
+        for _ in range(3):
+            t0 = time.time()
+            spark.range(0, 64_000 * n_warm, 1, n_warm).select(
+                _warm("id")
+            ).write.format("noop").mode("overwrite").save()
+            vals.append(time.time() - t0)
+        vals.sort()
+        return round(vals[1], 3)  # median of 3
+
     canary_before = canary()
+    canary_py_before = canary_py()
     subset = [a for a in sys.argv[1:] if not a.startswith("-")]
     names = subset or HEADLINE
     timings = {name: time_query(name) for name in names}
     canary_mid = canary()
+    canary_py_mid = canary_py()
 
     # Re-probe EVERY query that took >2 s (min 10) at the end of the run:
     # a second sample in a different time window separates a real plan
@@ -328,6 +350,11 @@ def main() -> None:
         "before_solo": canary_mid,
         "after_solo": canary(),
     }
+    canary_py_readings = {
+        "before_sweep": canary_py_before,
+        "before_solo": canary_py_mid,
+        "after_solo": canary_py(),
+    }
 
     total = round(sum(timings.values()), 3)
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
@@ -338,13 +365,20 @@ def main() -> None:
         "queries": timings,
         "solo_probe": solo,
         "canary": canary_readings,
+        "canary_py": canary_py_readings,
         "sf": sf_val,
     }
     # Full per-query map: printed first AND written to a sibling file. The
     # driver keeps only the last ~2000 chars of stdout, so the LAST line is
     # a compact summary guaranteed to fit (total + per-query map trimmed to
     # the slowest 15) — the r3 full-map-only line exceeded the tail and the
-    # driver recorded parsed: null.
+    # driver recorded parsed: null. The compact line must stay BOUNDED
+    # (r10 verdict item 1a): r09's compact line carried the full solo_probe
+    # map, which grows with every query >2 s, overflowed the tail, and
+    # erased a whole round's PERF comparison — so the compact line now
+    # carries ONLY fixed-size members (slowest-15 queries + the two canary
+    # blocks, ~1.1 KB worst case); the solo map lives in the full line and
+    # bench_full.json.
     print(json.dumps(full))
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_full.json"), "w") as fh:
         json.dump(full, fh, indent=1)
@@ -360,8 +394,8 @@ def main() -> None:
                 "n": len(timings),
                 "mean": round(total / max(len(timings), 1), 3),
                 "queries": slowest15,
-                "solo_probe": solo,
                 "canary": canary_readings,
+                "canary_py": canary_py_readings,
                 "sf": sf_val,
             }
         )

@@ -733,3 +733,62 @@ def test_stream_resume_below_cleanup_floor_fails_loudly(spark, tmp_path):
     # resuming at/above the floor still plans normally
     parts = reader.partitions({"version": 6}, {"version": 8})
     assert {p.version for p in parts} == {7, 8}
+
+
+def test_pruned_change_data_matches_unpruned(spark, tmp_path):
+    """The r11 key-pruned CDF diff (txn_upsert passes its source keys so
+    _write_change_data semi-joins both sides before the multiset diff)
+    must produce EXACTLY the rows of the unpruned diff — including a
+    NULL-keyed source row (always an insert: null keys never match the
+    merge join — the prune's null-safe equality must keep it) and a
+    no-op update (identical row on both sides: cancels, appears in
+    NEITHER diff)."""
+    pruned_t = str(tmp_path / "p")
+    unpruned_t = str(tmp_path / "u")
+    base = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c"), (4, "d")], "k int, tag string"
+    )
+    src = spark.createDataFrame(
+        # k=2 changed, k=3 no-op (same values), k=9 fresh, k=NULL fresh
+        [(2, "B"), (3, "c"), (9, "i"), (None, "n")], "k int, tag string"
+    )
+    for t in (pruned_t, unpruned_t):
+        txnlog.txn_set_property(t, "cdf.enabled", "true")
+        txnlog.txn_append(spark, base, t)
+
+    txnlog.txn_upsert(spark, src, pruned_t, ["k"])  # default: pruned diff
+
+    # control: same upsert but the change data written WITHOUT the prune
+    orig = txnlog._maybe_write_change_data
+
+    def unpruned(spark_, path_, new_v, removed, added, base_v, touched_keys=None):
+        return orig(spark_, path_, new_v, removed, added, base_v, touched_keys=None)
+
+    txnlog._maybe_write_change_data = unpruned
+    try:
+        txnlog.txn_upsert(spark, src, unpruned_t, ["k"])
+    finally:
+        txnlog._maybe_write_change_data = orig
+
+    def change_rows(t):
+        v = txnlog.current_version(t)
+        d = os.path.join(t, "_change_data", f"v{v:08d}")
+        assert os.path.isdir(d), "change files must be materialized"
+        rows = spark.read.parquet(d).collect()
+        return sorted(
+            ((r["k"], r["tag"], r["_change_type"]) for r in rows),
+            key=lambda x: (x[0] is None, x),
+        )
+
+    got, want = change_rows(pruned_t), change_rows(unpruned_t)
+    assert got == want
+    # and the diff is exactly the touched keys: 2 update pair, 9 + NULL inserts
+    assert got == sorted(
+        [
+            (2, "b", "delete"),
+            (2, "B", "insert"),
+            (9, "i", "insert"),
+            (None, "n", "insert"),
+        ],
+        key=lambda x: (x[0] is None, x),
+    )

@@ -632,3 +632,20 @@ def test_sessionize_tws_ttl_evicts_idle_users(spark, tmp_path):
     assert two_runs(ttl_ms=1000, tag="ttl") == 1
     # control without TTL: history survives the restart -> 3 events
     assert two_runs(ttl_ms=None, tag="nottl") == 3
+
+
+def test_run_to_memory_drops_temp_view(spark, events_dir):
+    """_run_to_memory must not leak its memory-sink temp view into the
+    session catalog (r10: a bench sweep leaked 100+ buffered result
+    tables into the driver heap), while the returned DataFrame stays
+    fully consumable after the drop."""
+    from dbimport_spark.plans.streaming_queries import _run_to_memory
+
+    stream = read_events_stream(spark, events_dir)
+    agg = stream.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    out = _run_to_memory(agg, spark, output_mode="complete")
+    leaked = [t.name for t in spark.catalog.listTables() if t.name.startswith("strm_")]
+    assert leaked == []
+    # the DataFrame resolved the sink relation before the drop: still usable
+    assert out.count() > 0
+    assert out.select(F.sum("n")).first()[0] > 0
