@@ -1587,6 +1587,39 @@ def _write_change_data(
     out_dir = os.path.join(path, "_change_data", f"v{new_v:08d}")
     if os.path.isdir(out_dir):
         return  # idempotent (replayed writer)
+    delta = _change_delta(
+        spark, path, removed_names, added_entries, base_v,
+        touched_keys=touched_keys,
+    )
+    if delta is None:
+        os.makedirs(out_dir, exist_ok=True)
+        return
+    tmp = os.path.join(path, "_change_data", f".tmp-{uuid.uuid4().hex}")
+    delta.write.mode("overwrite").parquet(tmp)
+    try:
+        os.rename(tmp, out_dir)
+    except OSError:
+        import shutil
+
+        shutil.rmtree(tmp, ignore_errors=True)  # racing writer won
+
+
+# Upper bound (bytes, ~16 B/key/column) on the upsert-source key set the
+# CDF diff will broadcast for its semi-join prune; past it the plain
+# whole-snapshot diff is the better plan (same gate philosophy as
+# functions/graph.triangle_counts' broadcast_edges_max).
+_CDF_PRUNE_BROADCAST_MAX = 8 << 20
+
+
+def _change_delta(
+    spark, path: str, removed_names, added_entries, base_v: int,
+    touched_keys=None,
+):
+    """The rewrite commit's row-level diff as a DataFrame (None when both
+    file sets are empty) — the plan _write_change_data materializes; kept
+    separate so tools can dump/inspect the plan without writing."""
+    from pyspark.sql import functions as F
+
     live_prev, _, _ = _fold_log3(path, base_v)
     old_files = [
         os.path.join(_data_dir(path), n) for n in removed_names if n in live_prev
@@ -1604,22 +1637,34 @@ def _write_change_data(
     prune = None
     if touched_keys is not None:
         key_cols, keys_df = touched_keys
-        pkeys = [
-            _phys_col(table_props(path, base_v), k) for k in key_cols
-        ]
-        tk = keys_df.select(
-            *[
-                F.col(k).alias(f"__tk_{i}")
-                for i, k in enumerate(key_cols)
+        # Broadcast gate (guide §3.1): the prune only pays when the semi
+        # joins are MAP-SIDE — a source key set past the broadcast bound
+        # would plan shuffled semi joins of both table-sized sides (worse
+        # than the single unpruned exchange), so fall back to the plain
+        # diff there. The count is one job over the source the upsert
+        # already persisted; no .distinct() on the build side — a semi
+        # join's hash build tolerates duplicate keys, so the raw cached
+        # projection broadcasts with no exchange at all.
+        n_src = keys_df.count()
+        if n_src * 16 * max(len(key_cols), 1) <= _CDF_PRUNE_BROADCAST_MAX:
+            pkeys = [
+                _phys_col(table_props(path, base_v), k) for k in key_cols
             ]
-        ).distinct()
+            tk = F.broadcast(
+                keys_df.select(
+                    *[
+                        F.col(k).alias(f"__tk_{i}")
+                        for i, k in enumerate(key_cols)
+                    ]
+                )
+            )
 
-        def prune(side):  # noqa: F811
-            cond = None
-            for i, k in enumerate(pkeys):
-                c = side[k].eqNullSafe(F.col(f"__tk_{i}"))
-                cond = c if cond is None else (cond & c)
-            return side.join(tk, cond, "left_semi")
+            def prune(side):  # noqa: F811
+                cond = None
+                for i, k in enumerate(pkeys):
+                    c = side[k].eqNullSafe(F.col(f"__tk_{i}"))
+                    cond = c if cond is None else (cond & c)
+                return side.join(tk, cond, "left_semi")
 
     sides = []
     if old_files:
@@ -1635,15 +1680,14 @@ def _write_change_data(
             new = prune(new)
         sides.append(new.withColumn("_sgn", F.lit(1)))
     if not sides:
-        os.makedirs(out_dir, exist_ok=True)
-        return
+        return None
     both = sides[0]
     for s in sides[1:]:
         both = both.unionByName(s, allowMissingColumns=True)
     cols = [c for c in both.columns if c != "_sgn"]
     # NULL-safe multiset diff: groupBy groups NULL keys together (unlike
     # a join), so rows with NULLs difference correctly
-    delta = (
+    return (
         both.groupBy(*cols)
         .agg(F.sum("_sgn").alias("_d"))
         .filter(F.col("_d") != 0)
@@ -1655,14 +1699,6 @@ def _write_change_data(
         .withColumn("_i", F.explode(F.expr("sequence(1, _n)")))
         .select(*cols, "_change_type")
     )
-    tmp = os.path.join(path, "_change_data", f".tmp-{uuid.uuid4().hex}")
-    delta.write.mode("overwrite").parquet(tmp)
-    try:
-        os.rename(tmp, out_dir)
-    except OSError:
-        import shutil
-
-        shutil.rmtree(tmp, ignore_errors=True)  # racing writer won
 
 
 def _maybe_write_change_data(

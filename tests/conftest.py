@@ -36,6 +36,16 @@ _SLOW_TESTS = {
     "test_containment_planted_pairs_present",     # 16 s planted-corpus scan
     "test_stream_decontam_matches_batch",         # 15 s stream/batch twin
     "test_compact_parquet_restores_file_sizes",   # 16 s file-size probe
+    # brute-force / random-model cross-checks (each ≥8 s): the fast tier
+    # keeps the deterministic contract tests for the same operators
+    "test_scd2_merge_matches_model_on_random_inputs",
+    "test_pca_matches_numpy_and_partitioning_invariant",
+    "test_bm25_deterministic_across_partitioning",
+    "test_tfidf_dense_strategy_matches_naive",
+    "test_tfidf_dense_folded_on_midvocab_corpus",
+    "test_tfidf_dense_folded_strategy_matches_naive",
+    "test_pagerank_directed_sinks_and_sources",
+    "test_pagerank_mass_and_positivity",
 }
 
 
